@@ -1,0 +1,81 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver test tables (TESTDATA.md) plus derived
+  * reference-shaped views.
+  *
+  * Scale notes: every loader is a plain parquet scan — Catalyst pushes
+  * filters and prunes columns into the scan, so downstream operators decide
+  * I/O, not this layer. At 100 TB the same code works against a
+  * partitioned table root (`spark.read.parquet(dir)`), with partition
+  * pruning on the pushed predicates.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** A reference-shaped `resources` inventory derived deterministically from
+    * customer × nation (FIXTURES.md §B: "resource inventory ↔
+    * supplier/customer (entity + attributes)").
+    *
+    * The fixed fields map onto customer attributes; `resource_metadata` is a
+    * map column exactly like the reference's metadata
+    * (`framework/resources.py:105-118`). The oracle SQL for DSL queries
+    * re-derives the same view from raw parquet columns.
+    */
+  def resources(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = customer(spark, sfDir)
+    val n = nation(spark, sfDir)
+    // nation is tiny (25 rows) — always the broadcast side.
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(
+        n("n_name").as("resource_site"),
+        lit("customer").as("resource_class"),
+        c("c_mktsegment").as("resource_subclass"),
+        when(c("c_acctbal") < 0, lit("delinquent"))
+          .otherwise(lit("standard")).as("resource_type"),
+        c("c_name").as("resource_id"),
+        concat(c("c_name"), lit(".example.com")).as("resource_endpoint"),
+        lit("tpch_discovery").as("resource_plugin"),
+        (c("c_custkey").cast("double") + lit(1.5e9)).as("resource_creation_timestamp"),
+        map(
+          lit("mktsegment"), c("c_mktsegment"),
+          lit("nation"), n("n_name"),
+          lit("acctbal_bucket"),
+          when(c("c_acctbal") < 0, lit("negative"))
+            .when(c("c_acctbal") < 5000, lit("low"))
+            .otherwise(lit("high"))
+        ).as("resource_metadata"))
+  }
+
+  /** The SQL (DuckDB) equivalent of [[resources]], used as a CTE prefix in
+    * oracle queries. Keep in lock-step with the Scala above. */
+  val resourcesSqlCte: String =
+    """resources AS (
+      |  SELECT n.n_name AS resource_site,
+      |         'customer' AS resource_class,
+      |         c.c_mktsegment AS resource_subclass,
+      |         CASE WHEN c.c_acctbal < 0 THEN 'delinquent' ELSE 'standard' END AS resource_type,
+      |         c.c_name AS resource_id,
+      |         c.c_name || '.example.com' AS resource_endpoint,
+      |         c.c_mktsegment AS meta_mktsegment,
+      |         n.n_name AS meta_nation,
+      |         CASE WHEN c.c_acctbal < 0 THEN 'negative'
+      |              WHEN c.c_acctbal < 5000 THEN 'low'
+      |              ELSE 'high' END AS meta_acctbal_bucket
+      |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |)""".stripMargin
+}

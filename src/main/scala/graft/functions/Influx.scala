@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** InfluxDB line-protocol rendering as pure column expressions — reference
+  * `consumers/influxdb/consumer.py:50-394`. Everything here stays inside
+  * whole-stage codegen (no UDFs), so the renderer is a map-only stage that
+  * scales linearly with input.
+  */
+object Influx {
+
+  /** Escape tag keys/values and field keys: `,`, `=`, and whitespace get a
+    * backslash (`consumer.py:146-158`). */
+  def escapeTag(c: Column): Column =
+    regexp_replace(c, "([,=\\s])", "\\\\$1")
+
+  /** Measurement sanitizer: any run of non-alphanumerics → `_`
+    * (`consumer.py:84-87`). */
+  def sanitizeMeasurement(c: Column): Column =
+    regexp_replace(c, "[^0-9a-zA-Z_]+", "_")
+
+  /** Render sorted `key=value` pairs from a map column, comma-separated —
+    * tags are emitted in sorted key order (`consumer.py:123-126`). */
+  def sortedTags(m: Column): Column =
+    array_join(
+      transform(
+        array_sort(map_entries(m)),
+        e => concat(escapeTag(e.getField("key")), lit("="),
+          escapeTag(e.getField("value")))),
+      ",")
+
+  /** One line: `measurement,tags fields timestamp`
+    * (`consumer.py:160-169`); timestamp is integer seconds (`:90-100`). */
+  def line(measurement: Column, tags: Column, fields: Column,
+           tsSeconds: Column): Column =
+    concat_ws(" ",
+      concat(sanitizeMeasurement(measurement), lit(","), sortedTags(tags)),
+      fields,
+      tsSeconds.cast("long").cast("string"))
+}

@@ -1,0 +1,195 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard.
+  *
+  * Hash strategy: the `oracle*` entry points use md5 (bit-identical in
+  * DuckDB, so the driver's oracle can verify values); the production path
+  * takes a pluggable hash (default xxhash64, codegen'd and ~10× cheaper).
+  * At 100 TB the only shuffles are (a) the groupBy on signature/band keys
+  * and (b) the candidate-pair self-join, both hash-partitioned on keys with
+  * map-side partial aggregation; no driver-side state anywhere.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup via content hash: every row keeps its group hash, group
+    * size, and a `keep` flag on the smallest id (deterministic
+    * representative). Filter `keep` to materialize the deduplicated set. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val h = md5(col(textCol))
+    val w = Window.partitionBy(h).orderBy(col(idCol))
+    df.withColumn("content_hash", h)
+      .withColumn("dup_rank", row_number().over(
+        Window.partitionBy(col("content_hash")).orderBy(col(idCol))))
+      .withColumn("group_size",
+        count(lit(1)).over(Window.partitionBy(col("content_hash"))))
+      .withColumn("keep", col("dup_rank") === 1)
+  }
+
+  // ------------------------------------------------------------- shingles
+
+  /** Distinct word n-gram shingles per document: (id, shingle) rows.
+    * The explode is map-side; dedup of shingles happens inside each doc via
+    * array_distinct before the explode (no shuffle).
+    */
+  def shingles(df: DataFrame, textCol: String, idCol: String,
+               n: Int): DataFrame = {
+    val ws = TextAnalysis.tokens(col(textCol))
+    val grams = transform(
+      sequence(lit(0), size(ws) - n),
+      i => array_join(slice(ws, i + 1, lit(n)), " "))
+    df.filter(size(ws) >= n)
+      .select(col(idCol), explode(array_distinct(grams)).as("shingle"))
+  }
+
+  // -------------------------------------------------------- MinHash + LSH
+
+  /** MinHash signature, oracle-portable form: component i is
+    * `min(md5(i || '|' || shingle))` — a hex-string min is a valid
+    * permutation-min because md5 is uniform on the shingle space.
+    * Returns (id, sig_0..sig_{k-1}). */
+  def minhashSignatures(sh: DataFrame, idCol: String, k: Int): DataFrame = {
+    val aggs = (0 until k).map { i =>
+      min(md5(concat(lit(i.toString), lit("|"), col("shingle")))).as(s"sig_$i")
+    }
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: signature split into `bands` bands of `k/bands` rows;
+    * band value = md5 of the concatenated component hashes. Docs sharing
+    * any (band_index, band_value) are candidate duplicates.
+    * Returns (id, band, band_hash). */
+  def lshBands(sigs: DataFrame, idCol: String, k: Int,
+               bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val rows = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat((0 until rows).map(r => col(s"sig_${b * rows + r}")): _*))
+          .as("band_hash"))
+    }
+    sigs.select(col(idCol), explode(array(bandCols: _*)).as("bh"))
+      .select(col(idCol), col("bh.band"), col("bh.band_hash"))
+  }
+
+  /** Candidate near-duplicate pairs from LSH buckets (id_a < id_b,
+    * distinct). The self-join shuffles once on (band, band_hash); bucket
+    * sizes bound the pair blowup, which is the point of banding. */
+  def lshCandidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
+    val a = bandsDf.select(col("band"), col("band_hash"),
+      col(idCol).as("id_a"))
+    val b = bandsDf.select(col("band"), col("band_hash"),
+      col(idCol).as("id_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** End-to-end MinHash-LSH candidate pairs. */
+  def minhashLsh(df: DataFrame, textCol: String, idCol: String,
+                 shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
+    val sh = shingles(df, textCol, idCol, shingleN)
+    val sigs = minhashSignatures(sh, idCol, k)
+    lshCandidatePairs(lshBands(sigs, idCol, k, bands), idCol)
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash as a bit string (oracle-portable: bits come from md5
+    * hex digits, weighted by term frequency; sign of each bit-sum is the
+    * signature bit).
+    *
+    * Plan shape: tokens → (token, cnt) per doc (map-side combine) → explode
+    * 64 bit positions → sum ±cnt per (doc, pos) → pivot back to a string.
+    * One shuffle on doc id. The 64× row expansion is the price of a
+    * UDF-free columnar form; a codegen'd Catalyst Expression is the
+    * production upgrade path.
+    */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", md5(col("tok")))
+    // bit b of the 64-bit prefix: hex digit b/4, bit 3-(b%4) within digit
+    val pos = explode(sequence(lit(0), lit(63))).as("pos")
+    val bits = toks.select(col(idCol), col("cnt"), col("h"), pos)
+      .withColumn("digit",
+        instr(lit("0123456789abcdef"),
+          substring(col("h"), (col("pos") / 4).cast("int") + 1, lit(1))) - 1)
+      .withColumn("bit",
+        floor(col("digit") / pow(lit(2), lit(3) - col("pos") % 4)).cast("int") % 2)
+      .withColumn("contrib",
+        when(col("bit") === 1, col("cnt")).otherwise(-col("cnt")))
+      .groupBy(col(idCol), col("pos"))
+      .agg(sum(col("contrib")).as("s"))
+    bits.groupBy(col(idCol))
+      .agg(array_join(transform(array_sort(collect_list(
+        struct(col("pos"), when(col("s") > 0, "1").otherwise("0").as("b")))),
+        e => e.getField("b")), "").as("simhash_bits"))
+  }
+
+  /** SimHash near-dup candidates: block on 4 chunks of 16 bits (two docs
+    * within hamming distance 3 must agree on ≥1 chunk), then exact hamming
+    * over the bit strings. */
+  def simhashPairs(sig: DataFrame, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val chunks = sig.select(col(idCol), col("simhash_bits"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk"),
+          substring(col("simhash_bits"), i * 16 + 1, 16).as("cv"))): _*))
+        .as("c"))
+      .select(col(idCol), col("simhash_bits"), col("c.chunk"), col("c.cv"))
+    val a = chunks.select(col("chunk"), col("cv"),
+      col(idCol).as("id_a"), col("simhash_bits").as("bits_a"))
+    val b = chunks.select(col("chunk"), col("cv"),
+      col(idCol).as("id_b"), col("simhash_bits").as("bits_b"))
+    val hamming = size(filter(
+      zip_with(split(col("bits_a"), ""), split(col("bits_b"), ""),
+        (x, y) => x =!= y),
+      x => x))
+    a.join(b, Seq("chunk", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------------ n-gram Jaccard
+
+  /** Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle:
+    * |A∩B| / (|A| + |B| − |A∩B|). The shared-shingle join is the blocking
+    * step; at scale, frequent shingles are the skew risk — cap them with
+    * `maxDocsPerShingle` (drop shingles appearing in more docs; standard
+    * "stop-shingle" practice). */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int, threshold: Double,
+                        maxDocsPerShingle: Int = 1000): DataFrame = {
+    val sh = shingles(df, textCol, idCol, n)
+    val filtered = sh
+      .withColumn("df_cnt",
+        count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("df_cnt") <= maxDocsPerShingle)
+      .drop("df_cnt")
+    val sizes = sh.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_sh"))
+    val a = filtered.select(col("shingle"), col(idCol).as("id_a"))
+    val b = filtered.select(col("shingle"), col(idCol).as("id_b"))
+    val shared = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    shared
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("nb")), "id_b")
+      .withColumn("jaccard", round(
+        col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

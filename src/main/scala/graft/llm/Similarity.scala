@@ -1,0 +1,97 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k of a (small) query set against
+  *    the corpus — broadcast the queries, one map-side pass over the corpus,
+  *    one shuffle for the per-query top-k. This is the correctness baseline
+  *    and also the right 100 TB plan when |queries| is small: corpus is
+  *    never shuffled, only (|queries| × k) rows leave the scan stage.
+  *  - [[signLshTopK]]: sign-LSH bucketing (axis-aligned hyperplanes on the
+  *    first `b` dimensions) so the self-/cross-join only touches same-bucket
+  *    rows. The scale path when queries are the whole corpus.
+  *
+  * All dot products are computed in double (floats are widened first) so
+  * results are reproducible across engines.
+  */
+object Similarity {
+
+  /** cosine(a, b) over array columns, in double precision. */
+  def cosine(a: Column, b: Column): Column = {
+    def d(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b)))
+  }
+
+  /** Exact top-k neighbors for each query row.
+    * Output: (query_id, rank, neighbor_id, score). Ties broken by neighbor
+    * id so ranking is deterministic. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     roundScore: Int = 6): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), roundScore).as("score"))
+  }
+
+  /** Bucket key from the signs of the first `b` vector components —
+    * a deterministic, engine-portable LSH family (axis-aligned
+    * hyperplanes). Random-rotation hyperplanes are a drop-in upgrade. */
+  def signBucket(vec: Column, b: Int): Column =
+    concat((0 until b).map(i =>
+      when(element_at(vec, i + 1) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** ANN via sign-LSH: candidates share the query's bucket; top-k within.
+    * Recall is tunable with `b` (fewer bits → bigger buckets → higher
+    * recall, more compute). Returns same shape as [[bruteForceTopK]]. */
+  def signLshTopK(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int, b: Int,
+                  roundScore: Int = 6): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      signBucket(col(vecCol), b).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      signBucket(col(vecCol), b).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), roundScore).as("score"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`, LSH-blocked:
+    * only same-bucket pairs are scored (id_a < id_b). */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, b: Int,
+                         roundScore: Int = 6): DataFrame = {
+    val withBucket = df.select(col(idCol), col(vecCol),
+      signBucket(col(vecCol), b).as("bucket"))
+    val a = withBucket.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("va"))
+    val bb = withBucket.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"))
+    a.join(bb, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", round(cosine(col("va"), col("vb")), roundScore))
+      .filter(col("score") >= threshold)
+      .select("id_a", "id_b", "score")
+  }
+}

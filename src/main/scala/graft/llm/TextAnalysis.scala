@@ -1,0 +1,98 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization stats, quality scoring, language ID, fingerprinting.
+  *
+  * All pure column expressions — the whole module is a map-only stage
+  * (no shuffle, full whole-stage codegen), so it scales linearly and can be
+  * fused with the scan at 100 TB. Hash choices: md5 where the DuckDB oracle
+  * must reproduce the value bit-for-bit; xxhash64 for the production path
+  * (see [[Dedup]]).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (shared by every operator so stats agree). */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** BPE-ish token segmentation: letter runs, digit runs, single
+    * punctuation. A cheap proxy for subword token counting. */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]"
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeishPattern), lit(0)))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately minimal — the mechanism (per-language hit
+    * counting + deterministic argmax) is the operator; swap in real lists
+    * for production. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "les", "des", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "zu", "den", "ist"))
+
+  /** Count of tokens contained in `set` (not distinct — frequency-weighted). */
+  def hitCount(toks: Column, set: Seq[String]): Column =
+    size(filter(toks, t => set.map(s => t === lit(s)).reduce(_ || _)))
+
+  /** Language-ID: argmax of stopword hits, ties → lexicographically first
+    * language; zero hits everywhere → "und". */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    // Build (lang, hits) pairs and fold to the winner deterministically.
+    val best = stopwords.map { case (lang, words) =>
+      struct(hitCount(toks, words).as("hits"), lit(lang).as("lang"))
+    }.reduceLeft { (a, b) =>
+      // keep a on ties only if its lang sorts first; hits descending
+      when(b.getField("hits") > a.getField("hits"), b)
+        .when(b.getField("hits") === a.getField("hits") &&
+          b.getField("lang") < a.getField("lang"), b)
+        .otherwise(a)
+    }
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality-scoring feature bundle; see reference-free heuristics used by
+    * C4/Gopher-style filters (length, punctuation, stopword density,
+    * type-token ratio). */
+  def stats(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks)
+    val nDistinct = size(array_distinct(toks))
+    val nChar = length(t)
+    val punct = nChar - length(regexp_replace(t, "[^\\w\\s]", ""))
+    val stop = hitCount(toks, stopwords.flatMap(_._2).distinct.sorted)
+    df.withColumn("token_count", nTok)
+      .withColumn("bpeish_count", bpeishCount(t))
+      .withColumn("char_count", nChar)
+      .withColumn("distinct_tokens", nDistinct)
+      .withColumn("type_token_ratio",
+        round(nDistinct.cast("double") / nTok, 6))
+      .withColumn("avg_token_len",
+        round((nChar - nTok + 1).cast("double") / nTok, 6))
+      .withColumn("punct_ratio", round(punct.cast("double") / nChar, 6))
+      .withColumn("stopword_ratio", round(stop.cast("double") / nTok, 6))
+  }
+
+  /** Composite quality score in [0,1]: length band + lexical diversity −
+    * punctuation noise. Deterministic, portable arithmetic. */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val s = stats(df, textCol)
+    s.withColumn("quality_score", round(
+      least(col("token_count").cast("double") / 50.0, lit(1.0)) * 0.4 +
+        col("type_token_ratio") * 0.4 +
+        (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0))) * 0.2, 6))
+  }
+
+  /** Document fingerprints: full-content hash and bag-of-words hash (a
+    * rolling-hash-class fingerprint that survives word reordering). */
+  def fingerprints(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("content_fp", md5(lower(trim(t))))
+      .withColumn("bow_fp",
+        md5(array_join(array_sort(array_distinct(tokens(lower(t)))), " ")))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Set-reconciliation of entity inventories — reference
+  * `resources/manager.py:46-142`.
+  *
+  * Given the currently-stored set and an incoming set (same plugin/site
+  * scope), produce a change feed:
+  *  - deletes = stored ∖ incoming (`manager.py:74-94`)
+  *  - adds    = incoming ∖ stored (`:96-107`)
+  *  - updates = stored ∩ incoming (`:109-135`)
+  * where deletes/updates are SKIPPED when the stored row's timestamp is
+  * newer than the incoming set's timestamp (conflict resolution: a fresher
+  * discovery already wrote it).
+  *
+  * Scale: both anti-joins and the inner join hash-partition on the identity
+  * key; at 100 TB the stored side is a bucketed/partitioned table so the
+  * shuffle is one-sided. The output is a MERGE-shaped change feed (apply
+  * with Delta `MERGE` or an overwrite-by-partition).
+  */
+object Reconcile {
+
+  /** @param stored     current inventory
+    * @param incoming   newly discovered inventory
+    * @param identityCols identity key columns (both sides)
+    * @param storedTsCol  timestamp column on `stored`
+    * @param incomingSetTs the incoming set's creation timestamp (epoch s)
+    * @return stored/incoming columns for the key + an `action` column in
+    *         {add, delete, update}
+    */
+  def changes(
+      stored: DataFrame,
+      incoming: DataFrame,
+      identityCols: Seq[String],
+      storedTsCol: String,
+      incomingSetTs: Double): DataFrame = {
+    val key = identityCols
+
+    val adds = incoming
+      .join(stored.select(key.map(col): _*), key, "left_anti")
+      .select(key.map(col) :+ lit("add").as("action"): _*)
+
+    // Timestamp guard: a stored row newer than the incoming snapshot wins
+    // (`manager.py:83-87,117-124`).
+    val guard = col(storedTsCol) <= lit(incomingSetTs)
+
+    val deletes = stored
+      .join(incoming.select(key.map(col): _*), key, "left_anti")
+      .filter(guard)
+      .select(key.map(col) :+ lit("delete").as("action"): _*)
+
+    val updates = stored
+      .join(incoming.select(key.map(col): _*), key, "left_semi")
+      .filter(guard)
+      .select(key.map(col) :+ lit("update").as("action"): _*)
+
+    adds.unionByName(deletes).unionByName(updates)
+  }
+}

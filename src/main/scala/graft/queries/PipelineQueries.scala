@@ -1,0 +1,310 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** The LLM-training-data-pipeline operator set (dedup, similarity search,
+  * text analysis, multimodal plumbing) as oracle-checked queries over
+  * `documents` / `embeddings`.
+  *
+  * Hash discipline: every oracle-checked query uses md5-derived hashes
+  * (bit-identical in DuckDB). Scores/ranks use double arithmetic with
+  * deterministic tie-breaks; raw cosine scores are kept out of hash-compared
+  * outputs where summation order could differ between engines.
+  */
+object PipelineQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** SQL fragment: tokenized documents CTE (keep in sync with
+    * [[TextAnalysis.tokens]]). */
+  private val toksCte =
+    """t AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks
+      |      FROM documents)""".stripMargin
+
+  /** SQL fragment: distinct word-3-gram shingles (keep in sync with
+    * [[Dedup.shingles]]). */
+  private val shinglesCte =
+    """ws AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+      |        FROM ws WHERE len(w) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM idx)""".stripMargin
+
+  private def sqlStringList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  val queries: Map[String, Q] = Map(
+    // --- exact dedup -----------------------------------------------------
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "text", "doc_id")
+        .select(col("doc_id"), col("content_hash"),
+          col("dup_rank").cast("long").as("dup_rank"),
+          col("group_size"), col("keep"))),
+
+    // --- MinHash + LSH candidate pairs ------------------------------------
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(Tables.documents(s, d), "text", "doc_id",
+        shingleN = 3, k = 8, bands = 4)),
+
+    // --- SimHash signatures -------------------------------------------------
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhash(Tables.documents(s, d), "text", "doc_id")),
+
+    // --- n-gram Jaccard near-dup pairs --------------------------------------
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
+        n = 3, threshold = 0.2, maxDocsPerShingle = 50)),
+
+    // --- text statistics -----------------------------------------------------
+    "text_stats" -> ((s, d) =>
+      TextAnalysis.stats(Tables.documents(s, d), "text")
+        .select("doc_id", "token_count", "bpeish_count", "char_count",
+          "distinct_tokens", "type_token_ratio", "avg_token_len",
+          "punct_ratio", "stopword_ratio")),
+
+    // --- quality score ---------------------------------------------------------
+    "text_quality" -> ((s, d) =>
+      TextAnalysis.qualityScore(Tables.documents(s, d), "text")
+        .select("doc_id", "quality_score")),
+
+    // --- language ID -------------------------------------------------------------
+    "text_langid" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"))),
+
+    // --- fingerprints ---------------------------------------------------------------
+    "text_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprints(Tables.documents(s, d), "text")
+        .select("doc_id", "content_fp", "bow_fp")),
+
+    // --- ANN: brute-force cosine top-k ------------------------------------------------
+    "ann_brute_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+    }),
+
+    // --- ANN: sign-LSH bucketed top-k ----------------------------------------------------
+    "ann_sign_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.signLshTopK(e, e.filter(col("vec_id") < 50),
+        "vec_id", "embedding", k = 3, b = 4)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+    }),
+
+    // --- embedding-cosine near-dup pairs ---------------------------------------------------
+    "embed_cosine_neardup" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
+        "vec_id", "embedding", threshold = 0.35, b = 2)
+        .select("id_a", "id_b", "score")),
+
+    // --- multimodal: columnar binary metadata ----------------------------------------------
+    "mm_binary_meta" -> ((s, d) =>
+      Multimodal.binaryMeta(Tables.documents(s, d), "text")
+        .select(col("doc_id"),
+          col("byte_len"), col("content_hash"),
+          (lit(64) + ascii(substring(col("text"), 1, 1)) % 192).as("width"))),
+
+    // --- multimodal: mapPartitions decode stage ----------------------------------------------
+    "mm_decode_meta" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("bin", encode(col("text"), "utf-8"))
+      Multimodal.decodeMeta(s, docs, "doc_id", "bin", "image")
+        .toDF()
+        .select("media_id", "media_type", "byte_len", "content_hash",
+          "width", "height", "n_frames")
+    })
+  )
+
+  val oracleSql: Map[String, String] = {
+    val allStops = sqlStringList(
+      TextAnalysis.stopwords.flatMap(_._2).distinct.sorted)
+    val langHits = TextAnalysis.stopwords.map { case (lang, words) =>
+      s"len(list_filter(toks, x -> list_contains(${sqlStringList(words)}, x))) AS hits_$lang"
+    }.mkString(",\n       ")
+
+    Map(
+      "dedup_exact" ->
+        """SELECT doc_id, md5(text) AS content_hash,
+          |       CAST(row_number() OVER w AS BIGINT) AS dup_rank,
+          |       count(*) OVER (PARTITION BY md5(text)) AS group_size,
+          |       (row_number() OVER w) = 1 AS keep
+          |FROM documents
+          |WINDOW w AS (PARTITION BY md5(text) ORDER BY doc_id)""".stripMargin,
+
+      "dedup_minhash_lsh" ->
+        s"""WITH $shinglesCte,
+           |sig AS (SELECT doc_id,
+           |${(0 until 8).map(i => s"  min(md5('$i|' || shingle)) AS sig_$i").mkString(",\n")}
+           |        FROM sh GROUP BY doc_id),
+           |bands AS (
+           |${(0 until 4).map(b =>
+              s"  SELECT doc_id, $b AS band, md5(sig_${2 * b} || sig_${2 * b + 1}) AS band_hash FROM sig")
+              .mkString("\n  UNION ALL\n")}
+           |)
+           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |FROM bands a JOIN bands b
+           |  ON a.band = b.band AND a.band_hash = b.band_hash
+           | AND a.doc_id < b.doc_id""".stripMargin,
+
+      "dedup_simhash" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+          |  FROM documents),
+          |tf AS (
+          |  SELECT doc_id, tok, count(*) AS cnt, md5(tok) AS h
+          |  FROM toks GROUP BY 1, 2),
+          |bits AS (
+          |  SELECT doc_id, pos,
+          |         sum(CASE WHEN CAST(floor(
+          |               (strpos('0123456789abcdef',
+          |                       substr(h, CAST(pos // 4 AS INT) + 1, 1)) - 1)
+          |               / 2 ** (3 - pos % 4)) AS INT) % 2 = 1
+          |             THEN cnt ELSE -cnt END) AS s
+          |  FROM tf, generate_series(0, 63) t(pos)
+          |  GROUP BY 1, 2)
+          |SELECT doc_id,
+          |       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+          |                  ORDER BY pos) AS simhash_bits
+          |FROM bits GROUP BY doc_id""".stripMargin,
+
+      "dedup_ngram_jaccard" ->
+        s"""WITH $shinglesCte,
+           |kept AS (
+           |  SELECT doc_id, shingle FROM sh
+           |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 50),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+           |shared AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           |  FROM kept a JOIN kept b
+           |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b, jaccard FROM (
+           |  SELECT id_a, id_b,
+           |         round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+           |  FROM shared
+           |  JOIN sizes sa ON sa.doc_id = id_a
+           |  JOIN sizes sb ON sb.doc_id = id_b)
+           |WHERE jaccard >= 0.2""".stripMargin,
+
+      "text_stats" ->
+        s"""WITH $toksCte
+           |SELECT doc_id,
+           |  CAST(len(toks) AS INT) AS token_count,
+           |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS INT) AS bpeish_count,
+           |  CAST(length(text) AS INT) AS char_count,
+           |  CAST(len(list_distinct(toks)) AS INT) AS distinct_tokens,
+           |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS type_token_ratio,
+           |  round(CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks), 6) AS avg_token_len,
+           |  round(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+           |        / length(text), 6) AS punct_ratio,
+           |  round(CAST(len(list_filter(toks, x -> list_contains($allStops, x))) AS DOUBLE)
+           |        / len(toks), 6) AS stopword_ratio
+           |FROM t""".stripMargin,
+
+      "text_quality" ->
+        s"""WITH $toksCte,
+           |st AS (
+           |  SELECT doc_id,
+           |    CAST(len(toks) AS INT) AS token_count,
+           |    round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr,
+           |    round(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+           |          / length(text), 6) AS punct_ratio
+           |  FROM t)
+           |SELECT doc_id,
+           |       round(least(token_count / 50.0, 1.0) * 0.4 + ttr * 0.4 +
+           |             (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 6) AS quality_score
+           |FROM st""".stripMargin,
+
+      "text_langid" ->
+        s"""WITH $toksCte,
+           |h AS (
+           |  SELECT doc_id,
+           |       $langHits
+           |  FROM t)
+           |SELECT doc_id,
+           |  CASE WHEN greatest(hits_en, hits_es, hits_fr, hits_de) = 0 THEN 'und'
+           |       WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+           |       WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+           |       WHEN hits_es >= hits_fr THEN 'es'
+           |       ELSE 'fr' END AS lang_id
+           |FROM h""".stripMargin,
+
+      "text_fingerprint" ->
+        """SELECT doc_id,
+          |       md5(lower(trim(text))) AS content_fp,
+          |       md5(array_to_string(list_sort(list_distinct(
+          |           string_split_regex(lower(text), '\s+'))), ' ')) AS bow_fp
+          |FROM documents""".stripMargin,
+
+      "ann_brute_topk" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+          |s AS (
+          |  SELECT q.query_id, e.vec_id AS neighbor_id,
+          |         list_dot_product(qv, e.v)
+          |         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS score
+          |  FROM e, q WHERE e.vec_id <> q.query_id)
+          |SELECT query_id, rank, neighbor_id FROM (
+          |  SELECT query_id, neighbor_id,
+          |         CAST(row_number() OVER (PARTITION BY query_id
+          |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+          |  FROM s) WHERE rank <= 5""".stripMargin,
+
+      "ann_sign_lsh" ->
+        """WITH e AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+          |         (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
+          |         (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
+          |         (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
+          |         (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+          |  FROM embeddings),
+          |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 50),
+          |s AS (
+          |  SELECT q.query_id, e.vec_id AS neighbor_id,
+          |         list_dot_product(qv, e.v)
+          |         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS score
+          |  FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id)
+          |SELECT query_id, rank, neighbor_id FROM (
+          |  SELECT query_id, neighbor_id,
+          |         CAST(row_number() OVER (PARTITION BY query_id
+          |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+          |  FROM s) WHERE rank <= 3""".stripMargin,
+
+      "embed_cosine_neardup" ->
+        """WITH e AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+          |         (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
+          |         (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) AS bucket
+          |  FROM embeddings)
+          |SELECT id_a, id_b, score FROM (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |         round(list_dot_product(a.v, b.v)
+          |               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS score
+          |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+          |WHERE score >= 0.35""".stripMargin,
+
+      "mm_binary_meta" ->
+        """SELECT doc_id,
+          |       CAST(octet_length(encode(text)) AS INT) AS byte_len,
+          |       md5(text) AS content_hash,
+          |       64 + ord(substr(text, 1, 1)) % 192 AS width
+          |FROM documents""".stripMargin,
+
+      "mm_decode_meta" ->
+        """SELECT doc_id AS media_id, 'image' AS media_type,
+          |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+          |       md5(text) AS content_hash,
+          |       64 + ord(substr(text, 1, 1)) % 192 AS width,
+          |       64 + ord(substr(text, 2, 1)) % 192 AS height,
+          |       CAST(1 + octet_length(encode(text)) % 16 AS INT) AS n_frames
+          |FROM documents""".stripMargin
+    )
+  }
+}

@@ -1,0 +1,512 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Schemas, Tables}
+import graft.dsl.ResourceFilter
+import graft.operators.{Enrichment, RateTransform, Reconcile, StatusRollup}
+import graft.functions.Influx
+
+/** The reference-parity operator inventory (SURVEY.md §2) expressed as
+  * deterministic queries over the driver test tables, each with a DuckDB
+  * oracle. Column names are aliased identically on both sides (the driver
+  * compares column-name-sorted values).
+  */
+object ReferenceQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private val R = Tables.resourcesSqlCte
+
+  // ------------------------------------------------------------ helpers
+  private def resourceCols(df: DataFrame): DataFrame =
+    df.select("resource_id", "resource_site", "resource_subclass",
+      "resource_type")
+
+  val queries: Map[String, Q] = Map(
+    // --- P1-P5: the resource-filter DSL --------------------------------
+    "dsl_filter_basic" -> ((s, d) =>
+      resourceCols(Tables.resources(s, d).filter(ResourceFilter.parse(
+        """resource_site = "NATION_3" AND resource_subclass = "BUILDING"""")))),
+
+    "dsl_filter_like_in" -> ((s, d) =>
+      resourceCols(Tables.resources(s, d).filter(ResourceFilter.parse(
+        """resource_id LIKE "Customer#0000001%" OR resource_site IN ("NATION_1", "NATION_2") AND resource_type != "delinquent"""")))),
+
+    "dsl_filter_metadata" -> ((s, d) =>
+      resourceCols(Tables.resources(s, d).filter(ResourceFilter.parse(
+        """resource_metadata.acctbal_bucket = "high" AND resource_metadata.nation NOT LIKE "NATION_1%"""")))),
+
+    "dsl_filter_mega" -> ((s, d) =>
+      resourceCols(Tables.resources(s, d).filter(ResourceFilter.parse(
+        """resource_class = "customer" AND resource_subclass = "AUTOMOBILE" OR resource_metadata.acctbal_bucket ne "low" AND resource_site NOT IN ("NATION_5") AND resource_endpoint LIKE "Customer#00000001%" OR resource_type eq "delinquent" AND resource_metadata.mktsegment IN ("BUILDING", "MACHINERY")""")))),
+
+    // --- S1: scan + pushed filter + projection -------------------------
+    "s1_scan_filter" -> ((s, d) =>
+      Tables.supplier(s, d)
+        .filter(col("s_acctbal") > 1000.0)
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))),
+
+    // --- S2: serialization-key codec ------------------------------------
+    "s2_serialization_key" -> ((s, d) =>
+      Tables.resources(s, d).select(col("resource_id"),
+        concat_ws("|",
+          lit("plugin"), col("resource_plugin"),
+          lit("site"), col("resource_site"),
+          lit("class"), col("resource_class"),
+          lit("subclass"), col("resource_subclass"),
+          lit("type"), col("resource_type"),
+          lit("id"), col("resource_id"),
+          lit("endpoint"), col("resource_endpoint")).as("serialization_key"))),
+
+    // --- J1: enrichment lookup join (broadcast left + defaults) ---------
+    "j1_enrichment_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      val enrich = Tables.part(s, d).filter(col("p_size") > 25)
+        .select(col("p_partkey").as("l_partkey"),
+          col("p_brand").as("brand"), col("p_size").as("psize"))
+      Enrichment.lookupJoin(li, enrich, Seq("l_partkey"),
+        Map("brand" -> lit(Schemas.MissingString), "psize" -> lit(-1)))
+        .select("l_orderkey", "l_linenumber", "brand", "psize")
+    }),
+
+    // --- J2: parent self-join with defaults ------------------------------
+    "j2_parent_self_join" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+      Enrichment.parentSelfJoin(sup, "s_suppkey", "s_nationkey",
+        Seq("s_name" -> lit(Schemas.MissingString),
+          "s_acctbal" -> lit(-1.0)))
+        .select("s_suppkey", "s_name", "parent_s_name", "parent_s_acctbal")
+    }),
+
+    // --- J4: semi-join ---------------------------------------------------
+    "j4_semi_join" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"))
+      Tables.lineitem(s, d)
+        .join(urgent, Seq("l_orderkey"), "left_semi")
+        .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+    }),
+
+    // --- J6: index-remap join --------------------------------------------
+    "j6_index_remap" -> ((s, d) => {
+      val mapping = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("from_idx"), col("s_nationkey").as("to_idx"))
+      val remapped = Tables.lineitem(s, d)
+        .join(broadcast(mapping), col("l_suppkey") === col("from_idx"))
+        .select(col("to_idx").as("n_nationkey"),
+          col("l_quantity").cast("decimal(18,2)").as("qty"))
+      remapped.join(broadcast(Tables.nation(s, d)), Seq("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("qty")).cast("double").as("sum_qty"))
+    }),
+
+    // --- J9/SO3: reconciliation ------------------------------------------
+    "j9_reconcile" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val stored = o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("ts_s"))
+      val incoming = o.filter(
+        col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .select(col("o_orderkey"))
+      Reconcile.changes(stored, incoming, Seq("o_orderkey"), "ts_s",
+        867715200.0) // epoch of 1997-07-01 UTC
+    }),
+
+    // --- A1/A2/W1/J8: counter→gauge rate with guards ----------------------
+    "a1_rate" -> ((s, d) => {
+      val e = Tables.events(s, d) // ts is long nanos (nanosAsLong)
+        .withColumn("ts_s", expr("ts div 1000000000")) // exact integer division
+      RateTransform.batch(e, Seq("user_id", "event_type"),
+        "value", "ts_s", "event_id", lit(3600))
+        .select("event_id", "user_id", "event_type", "rate", "confidence")
+    }),
+
+    // --- A3: count-where --------------------------------------------------
+    "a3_count_where" -> ((s, d) =>
+      Tables.events(s, d).groupBy("event_type").agg(
+        count(when(col("value") > 100, 1)).as("n_high"),
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n"))),
+
+    // --- A4/A5: status rollup (all/any/mode) -------------------------------
+    "a4_status_rollup" -> ((s, d) =>
+      StatusRollup.rollup(Tables.events(s, d), "user_id", "event_type",
+        successValue = "purchase")),
+
+    // --- A7/SO4: union + dedup --------------------------------------------
+    "a7_union_dedup" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderstatus")
+      val b = o.filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderstatus")
+      a.union(b).distinct()
+    }),
+
+    // --- A8: last-write-wins upsert -----------------------------------------
+    "a8_last_write_wins" -> ((s, d) =>
+      Enrichment.lastWriteWins(Tables.events(s, d),
+        Seq("user_id", "event_type"), "ts", Seq("event_id"))
+        .select("user_id", "event_type", "event_id", "value")),
+
+    // --- A9/W2: canonical sorted re-aggregation ------------------------------
+    "a9_map_rebuild" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          concat_ws(":", col("l_linenumber"), col("l_partkey")).as("item"))
+        .groupBy("l_orderkey")
+        .agg(array_join(array_sort(collect_list(col("item"))), "|").as("items"))),
+
+    // --- A10: probe statistics ------------------------------------------------
+    "a10_stats" -> ((s, d) =>
+      Tables.events(s, d).groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        min("value").as("vmin"),
+        max("value").as("vmax"),
+        round(avg("value"), 4).as("vavg"),
+        round(stddev_samp(col("value")), 4).as("vstd"))),
+
+    // --- headline: TPC-H Q1-style pricing summary -------------------------------
+    "q1_pricing" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          // money columns carry 2 decimals; products of (2dp × 2dp) carry
+          // exactly 4 — casting to the matching decimal scale recovers the
+          // EXACT value (no .005 rounding ties), so the sums are exact and
+          // the final double cast is engine-portable.
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("sum_disc"),
+          count(lit(1)).as("count_order"))),
+
+    // --- headline: shipping-priority join (Q3-style, deterministic top-10) ------
+    "q3_shipping" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      val joined = l
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("revenue").desc, col("l_orderkey"))
+      joined.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("l_orderkey"), col("o_orderpriority"), col("revenue"),
+          col("rk").cast("long").as("rk"))
+    }),
+
+    // --- W1: running window -------------------------------------------------------
+    "w1_running" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("running_value",
+          sum(col("value").cast("decimal(18,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .select("event_id", "user_id", "rn", "running_value")
+    }),
+
+    // --- SO1/SO2: id-set intersection --------------------------------------------
+    "so1_intersect" -> ((s, d) => {
+      val r = Tables.resources(s, d)
+      r.filter(col("resource_metadata").getItem("acctbal_bucket") === "high")
+        .select("resource_id")
+        .intersect(
+          r.filter(col("resource_metadata").getItem("nation").like("NATION_1%"))
+            .select("resource_id"))
+    }),
+
+    // --- SO3: set difference -------------------------------------------------------
+    "so3_except" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey")
+        .except(
+          Tables.lineitem(s, d)
+            .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp"))
+            .select(col("l_orderkey").as("o_orderkey")))),
+
+    // --- F7-F9/W3/S8: InfluxDB line-protocol rendering ------------------------------
+    "f_influx_line" -> ((s, d) =>
+      Tables.events(s, d).filter(col("event_id") < 200)
+        .select(col("event_id"),
+          Influx.line(
+            col("event_type"),
+            map(lit("site"), lit("dc1"),
+              lit("user"), col("user_id").cast("string")),
+            concat(lit("value__gauge="),
+              format_string("%.2f", col("value"))),
+            expr("ts div 1000000000")).as("line"))),
+
+    // --- F1-F16: scalar function pack ------------------------------------------------
+    "f_scalar_pack" -> ((s, d) =>
+      Tables.events(s, d).filter(col("event_id") < 500)
+        .select(
+          col("event_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k_val"),
+          regexp_extract(concat(lit("1.3.6.1."), col("event_id")),
+            "([0-9]+)$", 1).as("oid_index"),
+          (col("value") * 8).as("bits"),
+          round(col("value") * 1.8 + 32, 2).as("fahrenheit"),
+          regexp_replace(col("event_type"), "[^\\x00-\\x7F]", "").as("ascii_clean"),
+          lower(lpad(hex(col("user_id") % 256), 2, "0")).as("mac_octet"))),
+
+    // --- P9: identifier validation ------------------------------------------------
+    "p9_validation" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type").as("name"))
+        .distinct()
+        .withColumn("valid", col("name").rlike(Schemas.identifierRegex)))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dsl_filter_basic" ->
+      s"""WITH $R
+         |SELECT resource_id, resource_site, resource_subclass, resource_type
+         |FROM resources
+         |WHERE resource_site = 'NATION_3' AND resource_subclass = 'BUILDING'""".stripMargin,
+
+    "dsl_filter_like_in" ->
+      s"""WITH $R
+         |SELECT resource_id, resource_site, resource_subclass, resource_type
+         |FROM resources
+         |WHERE resource_id LIKE 'Customer#0000001%'
+         |   OR (resource_site IN ('NATION_1', 'NATION_2') AND resource_type != 'delinquent')""".stripMargin,
+
+    "dsl_filter_metadata" ->
+      s"""WITH $R
+         |SELECT resource_id, resource_site, resource_subclass, resource_type
+         |FROM resources
+         |WHERE meta_acctbal_bucket = 'high' AND meta_nation NOT LIKE 'NATION_1%'""".stripMargin,
+
+    "dsl_filter_mega" ->
+      s"""WITH $R
+         |SELECT resource_id, resource_site, resource_subclass, resource_type
+         |FROM resources
+         |WHERE (resource_class = 'customer' AND resource_subclass = 'AUTOMOBILE')
+         |   OR (meta_acctbal_bucket != 'low' AND resource_site NOT IN ('NATION_5')
+         |       AND resource_endpoint LIKE 'Customer#00000001%')
+         |   OR (resource_type = 'delinquent'
+         |       AND meta_mktsegment IN ('BUILDING', 'MACHINERY'))""".stripMargin,
+
+    "s1_scan_filter" ->
+      "SELECT s_suppkey, s_name, s_acctbal FROM supplier WHERE s_acctbal > 1000.0",
+
+    "s2_serialization_key" ->
+      s"""WITH $R
+         |SELECT resource_id,
+         |       concat_ws('|', 'plugin', 'tpch_discovery', 'site', resource_site,
+         |                 'class', resource_class, 'subclass', resource_subclass,
+         |                 'type', resource_type, 'id', resource_id,
+         |                 'endpoint', resource_endpoint) AS serialization_key
+         |FROM resources""".stripMargin,
+
+    "j1_enrichment_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+        |       coalesce(p.p_brand, '<not set>') AS brand,
+        |       coalesce(p.p_size, -1) AS psize
+        |FROM lineitem l
+        |LEFT JOIN (SELECT * FROM part WHERE p_size > 25) p
+        |  ON l.l_partkey = p.p_partkey""".stripMargin,
+
+    "j2_parent_self_join" ->
+      """SELECT c.s_suppkey, c.s_name,
+        |       coalesce(p.s_name, '<not set>') AS parent_s_name,
+        |       coalesce(p.s_acctbal, -1.0) AS parent_s_acctbal
+        |FROM supplier c LEFT JOIN supplier p ON c.s_nationkey = p.s_suppkey""".stripMargin,
+
+    "j4_semi_join" ->
+      """SELECT l_returnflag, count(*) AS cnt
+        |FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_orderkey = l.l_orderkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin,
+
+    "j6_index_remap" ->
+      """WITH m AS (SELECT s_suppkey AS from_idx, s_nationkey AS to_idx FROM supplier)
+        |SELECT n.n_name, count(*) AS cnt,
+        |       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l
+        |JOIN m ON l.l_suppkey = m.from_idx
+        |JOIN nation n ON m.to_idx = n.n_nationkey
+        |GROUP BY 1""".stripMargin,
+
+    "j9_reconcile" ->
+      """WITH stored AS (
+        |  SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS ts_s
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        |inc AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1999-01-01')
+        |SELECT i.o_orderkey, 'add' AS action FROM inc i
+        |WHERE NOT EXISTS (SELECT 1 FROM stored s WHERE s.o_orderkey = i.o_orderkey)
+        |UNION ALL
+        |SELECT s.o_orderkey, 'delete' AS action FROM stored s
+        |WHERE NOT EXISTS (SELECT 1 FROM inc i WHERE i.o_orderkey = s.o_orderkey)
+        |  AND s.ts_s <= 867715200
+        |UNION ALL
+        |SELECT s.o_orderkey, 'update' AS action FROM stored s
+        |WHERE EXISTS (SELECT 1 FROM inc i WHERE i.o_orderkey = s.o_orderkey)
+        |  AND s.ts_s <= 867715200""".stripMargin,
+
+    "a1_rate" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         epoch_ns(ts) // 1000000000 AS ts_s
+        |  FROM events),
+        |l AS (
+        |  SELECT *, lag(value) OVER w AS pv, lag(ts_s) OVER w AS pt
+        |  FROM e WINDOW w AS (PARTITION BY user_id, event_type ORDER BY event_id))
+        |SELECT event_id, user_id, event_type,
+        |  CASE WHEN pv IS NOT NULL AND ts_s - pt > 0 AND ts_s - pt <= 10800
+        |            AND value >= pv
+        |       THEN CAST(floor((value - pv) / (ts_s - pt)) AS BIGINT) END AS rate,
+        |  CASE WHEN pv IS NOT NULL AND ts_s - pt > 0
+        |       THEN round(3600 / CAST(ts_s - pt AS DOUBLE), 2) END AS confidence
+        |FROM l""".stripMargin,
+
+    "a3_count_where" ->
+      """SELECT event_type,
+        |       count(CASE WHEN value > 100 THEN 1 END) AS n_high,
+        |       count(DISTINCT user_id) AS n_users,
+        |       count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "a4_status_rollup" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT user_id, event_type FROM (
+        |    SELECT user_id, event_type,
+        |           row_number() OVER (PARTITION BY user_id
+        |                              ORDER BY cnt DESC, event_type DESC) AS rn
+        |    FROM c) WHERE rn = 1),
+        |f AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS any_s,
+        |         min(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS all_s
+        |  FROM events GROUP BY 1)
+        |SELECT f.user_id,
+        |       CASE WHEN all_s = 1 THEN 'purchase'
+        |            WHEN any_s = 1 THEN 'PARTIAL_METRIC_FAILURE'
+        |            ELSE m.event_type END AS device_status
+        |FROM f JOIN m ON f.user_id = m.user_id""".stripMargin,
+
+    "a7_union_dedup" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |UNION
+        |SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'""".stripMargin,
+
+    "a8_last_write_wins" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                               ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "a9_map_rebuild" ->
+      """SELECT l_orderkey,
+        |       string_agg(item, '|' ORDER BY item) AS items
+        |FROM (SELECT l_orderkey,
+        |             CAST(l_linenumber AS VARCHAR) || ':' ||
+        |             CAST(l_partkey AS VARCHAR) AS item
+        |      FROM lineitem)
+        |GROUP BY 1""".stripMargin,
+
+    "a10_stats" ->
+      """SELECT event_type, count(*) AS n, min(value) AS vmin, max(value) AS vmax,
+        |       round(avg(value), 4) AS vavg,
+        |       round(stddev_samp(value), 4) AS vstd
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q3_shipping" ->
+      """WITH agg AS (
+        |  SELECT l.l_orderkey, o.o_orderpriority,
+        |         CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment = 'BUILDING'
+        |    AND o.o_orderdate < TIMESTAMP '1998-03-15'
+        |    AND l.l_shipdate > TIMESTAMP '1998-03-15'
+        |  GROUP BY 1, 2)
+        |SELECT l_orderkey, o_orderpriority, revenue, rk FROM (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY revenue DESC, l_orderkey) AS BIGINT) AS rk
+        |  FROM agg) WHERE rk <= 10""".stripMargin,
+
+    "w1_running" ->
+      """SELECT event_id, user_id,
+        |       CAST(row_number() OVER w AS BIGINT) AS rn,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "so1_intersect" ->
+      s"""WITH $R
+         |SELECT resource_id FROM resources WHERE meta_acctbal_bucket = 'high'
+         |INTERSECT
+         |SELECT resource_id FROM resources WHERE meta_nation LIKE 'NATION_1%'""".stripMargin,
+
+    "so3_except" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |EXCEPT
+        |SELECT l_orderkey AS o_orderkey FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1999-01-01'""".stripMargin,
+
+    "f_influx_line" ->
+      """SELECT event_id,
+        |       event_type || ',' || 'site=dc1,user=' || CAST(user_id AS VARCHAR)
+        |       || ' ' || 'value__gauge=' || printf('%.2f', value)
+        |       || ' ' || CAST(epoch_ns(ts) // 1000000000 AS VARCHAR) AS line
+        |FROM events WHERE event_id < 200""".stripMargin,
+
+    "f_scalar_pack" ->
+      """SELECT event_id,
+        |       CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k_val,
+        |       regexp_extract('1.3.6.1.' || CAST(event_id AS VARCHAR),
+        |                      '([0-9]+)$', 1) AS oid_index,
+        |       value * 8 AS bits,
+        |       round(value * 1.8 + 32, 2) AS fahrenheit,
+        |       regexp_replace(event_type, '[^\x00-\x7F]', '', 'g') AS ascii_clean,
+        |       lower(lpad(to_hex(user_id % 256), 2, '0')) AS mac_octet
+        |FROM events WHERE event_id < 500""".stripMargin,
+
+    "p9_validation" ->
+      """SELECT DISTINCT event_type AS name,
+        |       regexp_matches(event_type, '^[^\d\W]\w*$') AS valid
+        |FROM events""".stripMargin
+  )
+}
