@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup of 1
+    (4L, "completely different words entirely unrelated text here now")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical docs, keeps smallest id") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id", "group_size", "keep")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out == Set((1L, 2L, true), (2L, 2L, false),
+      (3L, 1L, true), (4L, 1L, true)))
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))         // identical → all bands match
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated never pairs
+  }
+
+  test("ngram jaccard: identical docs = 1.0, near dups high, unrelated absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 3, threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) > 0.5 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs share signatures; near dups within hamming 3") {
+    val sig = Dedup.simhash(docs, "text", "doc_id")
+    val m = sig.as[(Long, String)].collect().toMap
+    assert(m(1L) == m(2L))
+    assert(m.values.forall(_.length == 64))
+    val pairs = Dedup.simhashPairs(sig, "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // hamming 0
+  }
+
+  test("brute-force cosine top-k ranks by true cosine") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),  // closest to 0
+      (2L, Array(0.0f, 1.0f)),  // orthogonal
+      (3L, Array(0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0),
+      "vec_id", "embedding", k = 3)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().sorted
+    assert(out.toSeq == Seq((1, 1L), (2, 3L), (3, 2L)))
+  }
+
+  test("sign-LSH only pairs same-bucket vectors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 1.0f)), (1L, Array(2.0f, 3.0f)),   // bucket 11
+      (2L, Array(-1.0f, 1.0f))                            // bucket 01
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.signLshTopK(vecs, vecs, "vec_id", "embedding",
+      k = 5, b = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((0L, 1L), (1L, 0L))) // vec 2 alone in its bucket
+  }
+
+  test("language ID picks the stopword-dominant language, und when none") {
+    val df = Seq(
+      (1L, "the cat sat of the mat and the dog is that"),
+      (2L, "el que de la y en un es el la"),
+      (3L, "zzz qqq www")
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextAnalysis.langId($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "en", 2L -> "es", 3L -> "und"))
+  }
+
+  test("bow fingerprint is order-invariant; content fingerprint is not") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(df, "text")
+      .select("doc_id", "content_fp", "bow_fp")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(fp(0)._3 == fp(1)._3)
+    assert(fp(0)._2 != fp(1)._2)
+  }
+
+  test("multimodal decode stage: deterministic stub metadata via mapPartitions") {
+    val df = docs.withColumn("bin", encode(col("text"), "utf-8"))
+    val out = Multimodal.decodeMeta(spark, df, "doc_id", "bin", "image")
+      .collect().map(m => m.media_id -> m).toMap
+    assert(out(1L).byte_len == 43L)
+    assert(out(1L).width == 64 + 't'.toInt % 192)
+    assert(out(1L).n_frames == 1 + 43 % 16)
+    assert(out(1L).content_hash == out(2L).content_hash) // same bytes
+  }
+
+  test("frame sampling explodes stride-sampled frame indices") {
+    val df = Seq((1L, "x" * 20)).toDF("doc_id", "text")
+      .withColumn("bin", encode(col("text"), "utf-8"))
+    val frames = Multimodal.sampleFrames(df, "doc_id", "bin", stride = 2)
+      .select("frame_idx").as[Int].collect().toSeq.sorted
+    // 20 bytes → n_frames = 1 + 20%16 = 5 → indices 0,2,4
+    assert(frames == Seq(0, 2, 4))
+  }
+
+  test("feature extraction produces fixed-width deterministic vectors") {
+    val df = docs.withColumn("bin", encode(col("text"), "utf-8"))
+    val feats = Multimodal.extractFeatures(spark, df, "doc_id", "bin")
+      .collect().map(f => f.media_id -> f.feature).toMap
+    assert(feats.values.forall(_.length == 8))
+    assert(feats(1L).toSeq == feats(2L).toSeq) // identical bytes
+  }
+}

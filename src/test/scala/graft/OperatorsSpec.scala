@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Enrichment, Reconcile, StatusRollup}
+import graft.functions.Influx
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("reconcile: adds/deletes/updates with timestamp conflict guard") {
+    // reference resources/manager.py:74-135
+    val stored = Seq(("k1", 100.0), ("k2", 100.0), ("k3", 999.0), ("k4", 100.0))
+      .toDF("id", "ts_s")
+    val incoming = Seq("k1", "k3", "k5").toDF("id")
+    val out = Reconcile.changes(stored, incoming, Seq("id"), "ts_s", 500.0)
+      .as[(String, String)].collect().toSet
+    assert(out == Set(
+      ("k5", "add"),     // new
+      ("k2", "delete"),  // gone, stored ts 100 <= 500
+      // k4 gone but... also 100 <= 500 → delete
+      ("k4", "delete"),
+      ("k1", "update")   // present both; k3 skipped: stored ts 999 > 500
+    ))
+  }
+
+  test("last-write-wins keeps newest with deterministic tie-break") {
+    val df = Seq(
+      ("k", 10L, 1, "old"), ("k", 20L, 2, "new"), ("k", 20L, 1, "tie-lo"))
+      .toDF("key", "ts", "seq", "val")
+    val out = Enrichment.lastWriteWins(df, Seq("key"), "ts", Seq("seq"))
+      .select("val").as[String].collect().toSeq
+    assert(out == Seq("new"))
+  }
+
+  test("status rollup: all-success, any-success, mode") {
+    // reference polling_status.py:191-208
+    val df = Seq(
+      ("d1", "SUCCESS"), ("d1", "SUCCESS"),                       // all → SUCCESS
+      ("d2", "SUCCESS"), ("d2", "PING_FAILURE"),                  // any → PARTIAL
+      ("d3", "PING_FAILURE"), ("d3", "PING_FAILURE"), ("d3", "AUTH_FAILURE")
+    ).toDF("device", "status")                                    // mode → PING_FAILURE
+    val out = StatusRollup.rollup(df, "device", "status")
+      .as[(String, String)].collect().toMap
+    assert(out == Map(
+      "d1" -> "SUCCESS",
+      "d2" -> "PARTIAL_METRIC_FAILURE",
+      "d3" -> "PING_FAILURE"))
+  }
+
+  test("parent self-join pulls parent attrs with <not set>/-1 defaults") {
+    // reference plugin_enrichment_interface.py:169-186
+    val ifaces = Seq(
+      ("ae0", null.asInstanceOf[String], 20000L),
+      ("xe-0/0/0", "ae0", 10000L),
+      ("xe-9/9/9", "missing", 10000L))
+      .toDF("interface_name", "parent_interface_name", "speed")
+    val out = Enrichment.parentSelfJoin(ifaces, "interface_name",
+      "parent_interface_name", Seq("speed" -> lit(-1L)))
+      .select("interface_name", "parent_speed")
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("ae0" -> -1L, "xe-0/0/0" -> 20000L, "xe-9/9/9" -> -1L))
+  }
+
+  test("influx escaping and sorted-tag line rendering") {
+    // reference consumers/influxdb/consumer.py:84-169
+    val df = Seq(("cpu util", Map("host b" -> "x=1", "a" -> "v,2"), 42.5, 1700000000L))
+      .toDF("measurement", "tags", "value", "ts")
+    val line = df.select(Influx.line(col("measurement"), col("tags"),
+      concat(lit("v__gauge="), format_string("%.1f", col("value"))),
+      col("ts")).as("l")).as[String].head()
+    assert(line == "cpu_util,a=v\\,2,host\\ b=x\\=1 v__gauge=42.5 1700000000")
+  }
+}
