@@ -1,0 +1,372 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.util.parsing.combinator.RegexParsers
+
+/** The computed-metrics DSL over SNMP-style index tables — the Spark-native
+  * re-expression of the reference's Generic SNMP plugin
+  * (`plugins/polling/generic/snmp/plugin_polling_generic_snmp.py:255-678`,
+  * `docs/Generic_SNMP_Polling_DSL.md`).
+  *
+  * The reference evaluates per-row "value" expressions and unary
+  * "transform" lambdas with Python `eval` — an unbounded surface its own
+  * docs flag as unsafe (`docs/Concepts.md:281-286`). This engine replaces
+  * it with a CLOSED grammar covering every shape the reference's docs and
+  * plugins actually use (SURVEY.md §7.3), compiled to Catalyst `Column`
+  * trees:
+  *
+  * {{{
+  *   expr      := term (('+'|'-') term)*
+  *   term      := unary (('*'|'/') unary)*
+  *   unary     := '-' unary | atom
+  *   atom      := number | 'string' | cast '(' expr ')' | round2
+  *             | tableRef | '(' expr ')' | countWhere
+  *   cast      := int | float | str | long | double
+  *   round2    := round '(' expr ',' number ')'
+  *   tableRef  := ident '.$index'
+  *   countWhere:= len([x for x in T.values() if x <cmp> lit [and|or ...]])
+  *             | len([(x,y) for (x,y) in T.items() if x in S and y in [lits]])
+  *   transform := lambda x: expr [if cond else expr]      (unary lambdas)
+  * }}}
+  *
+  * Evaluation semantics (matching `:451-541`):
+  *  - target indices: explicit `indices` (J5) > `indices_from` table (J4)
+  *    > index set of the first table referenced (J7);
+  *  - `table.$index` lookups are inner joins on `index` — a missing key
+  *    raised KeyError and skipped the row in the reference (J3);
+  *  - `index_transform` remaps the group index into a target table's index
+  *    space through a static mapping before the lookup (J6);
+  *  - cast failures (reference `int('abc')` raising) drop the row;
+  *  - a group row with any empty dimension value is dropped unless
+  *    `ignoreEmptyDimensions` (P10, `:524-584`);
+  *  - count-where expressions aggregate over whole tables → top-level
+  *    metrics (A3).
+  *
+  * Scale: oid tables are per-device and small — every lookup join is a
+  * broadcast; count-where aggregates are partial-aggregated map-side. At
+  * 100 TB (millions of devices × tables), the same evaluation runs per
+  * device partition: tables carry a `device_id` column and every join/agg
+  * adds it as a leading key — the plan shape is unchanged.
+  */
+object MetricsDsl {
+
+  // ------------------------------------------------------------------ AST
+  sealed trait Expr
+  case class Num(v: Double) extends Expr
+  case class Str(v: String) extends Expr
+  case class TableRef(table: String) extends Expr
+  case class BinOp(op: String, l: Expr, r: Expr) extends Expr
+  case class Neg(e: Expr) extends Expr
+  case class Cast(to: String, e: Expr) extends Expr
+  case class Round(e: Expr, digits: Int) extends Expr
+  case class Var(name: String) extends Expr // transform's lambda variable
+
+  sealed trait Cond
+  case class Cmp(op: String, l: Expr, r: Expr) extends Cond
+  case class AndOr(op: String, l: Cond, r: Cond) extends Cond
+
+  /** len([x for x in T.values() if <conds on x>]) */
+  case class CountValuesWhere(table: String, cond: Cond) extends Expr
+  /** len([(x,y) for (x,y) in T.items() if x in S and y in [list]]) */
+  case class CountItemsKeyIn(table: String, keySet: String, values: Seq[String])
+    extends Expr
+
+  case class Lambda(body: Expr, cond: Option[Cond], orElse: Option[Expr])
+
+  // --------------------------------------------------------------- parser
+  private object P extends RegexParsers {
+    val ident: Parser[String] = """[A-Za-z_]\w*""".r
+    val number: Parser[Double] = """-?\d+(\.\d+)?""".r ^^ (_.toDouble)
+    val strLit: Parser[String] = """'[^']*'""".r ^^ (s => s.substring(1, s.length - 1))
+
+    def expr: Parser[Expr] = term ~ rep(("+" | "-") ~ term) ^^ {
+      case t ~ rest => rest.foldLeft(t) { case (l, op ~ r) => BinOp(op, l, r) }
+    }
+    def term: Parser[Expr] = unary ~ rep(("*" | "/") ~ unary) ^^ {
+      case t ~ rest => rest.foldLeft(t) { case (l, op ~ r) => BinOp(op, l, r) }
+    }
+    def unary: Parser[Expr] = ("-" ~> unary ^^ Neg.apply) | atom
+
+    def castFn: Parser[Expr] =
+      ("int" | "float" | "str" | "long" | "double") ~ ("(" ~> expr <~ ")") ^^ {
+        case to ~ e => Cast(to, e)
+      }
+    def roundFn: Parser[Expr] =
+      "round" ~> "(" ~> expr ~ ("," ~> """\d+""".r) <~ ")" ^^ {
+        case e ~ d => Round(e, d.toInt)
+      }
+    def countValues: Parser[Expr] =
+      "len" ~> "(" ~> "[" ~> ident ~ ("for" ~> ident <~ "in") ~ (ident <~ ".values()") ~
+        ("if" ~> cond) <~ "]" <~ ")" ^^ {
+        case _ ~ _ ~ table ~ c => CountValuesWhere(table, c)
+      }
+    def countItems: Parser[Expr] =
+      "len" ~> "(" ~> "[" ~> "(" ~> ident ~ ("," ~> ident <~ ")") ~
+        ("for" ~> "(" ~> ident ~ ("," ~> ident) <~ ")" <~ "in") ~
+        (ident <~ ".items()") ~ ("if" ~> ident <~ "in") ~ ident ~
+        ("and" ~> ident <~ "in") ~ ("[" ~> rep1sep(strLit, ",") <~ "]") <~
+        "]" <~ ")" ^^ {
+        case _ ~ _ ~ _ ~ table ~ _ ~ keySet ~ _ ~ vals =>
+          CountItemsKeyIn(table, keySet, vals)
+      }
+    def tableRef: Parser[Expr] = ident <~ ".$index" ^^ TableRef.apply
+    def variable: Parser[Expr] = "x" ^^^ Var("x")
+
+    def atom: Parser[Expr] =
+      countValues | countItems | roundFn | castFn | tableRef |
+        (number ^^ Num.apply) | (strLit ^^ Str.apply) |
+        ("(" ~> expr <~ ")") | variable | (ident ^^ TableRef.apply)
+
+    def cmpOp: Parser[String] = "==" | "!=" | "<=" | ">=" | "<" | ">"
+    def simpleCond: Parser[Cond] = expr ~ cmpOp ~ expr ^^ {
+      case l ~ op ~ r => Cmp(op, l, r)
+    }
+    def cond: Parser[Cond] = simpleCond ~ rep(("and" | "or") ~ simpleCond) ^^ {
+      case c ~ rest => rest.foldLeft(c) { case (l, op ~ r) => AndOr(op, l, r) }
+    }
+
+    def lambda: Parser[Lambda] =
+      "lambda" ~> "x" ~> ":" ~> expr ~ opt(("if" ~> cond) ~ ("else" ~> expr)) ^^ {
+        case body ~ None => Lambda(body, None, None)
+        case body ~ Some(c ~ e) => Lambda(body, Some(c), Some(e))
+      }
+
+    def parseExpr(s: String): Expr = parseAll(expr, s) match {
+      case Success(e, _) => e
+      case NoSuccess(msg, next) =>
+        throw new DslParseException(s"metrics-dsl parse error at ${next.pos}: $msg in: $s")
+      case other => throw new DslParseException(s"unexpected: $other")
+    }
+    def parseLambda(s: String): Lambda = parseAll(lambda, s) match {
+      case Success(l, _) => l
+      case NoSuccess(msg, next) =>
+        throw new DslParseException(s"transform parse error at ${next.pos}: $msg in: $s")
+      case other => throw new DslParseException(s"unexpected: $other")
+    }
+  }
+
+  // --------------------------------------------------------------- config
+  /** One metric or dimension target (`_process_shorthand`/`_add_defaults`,
+    * `plugin_polling_generic_snmp.py:378-449`). */
+  case class TargetSpec(
+      value: String,
+      valueType: String = "string", // type passed INTO transform (:290)
+      metricType: String = "gauge", // gauge | counter (metrics only)
+      transform: Option[String] = None,
+      indices: Option[Seq[String]] = None,
+      indicesFrom: Option[String] = None,
+      indexTransform: Option[Map[String, String]] = None)
+
+  case class GroupConfig(
+      groupType: String,
+      interval: Long,
+      dimensions: Map[String, TargetSpec],
+      metrics: Map[String, TargetSpec],
+      ignoreEmptyDimensions: Boolean = false)
+
+  // -------------------------------------------------------------- compile
+  /** Collect the tables referenced by per-index lookups in an expression. */
+  def referencedTables(e: Expr): Set[String] = e match {
+    case TableRef(t)        => Set(t)
+    case BinOp(_, l, r)     => referencedTables(l) ++ referencedTables(r)
+    case Neg(x)             => referencedTables(x)
+    case Cast(_, x)         => referencedTables(x)
+    case Round(x, _)        => referencedTables(x)
+    case _                  => Set.empty
+  }
+
+  private def isAggregate(e: Expr): Boolean = e match {
+    case _: CountValuesWhere | _: CountItemsKeyIn => true
+    case BinOp(_, l, r) => isAggregate(l) || isAggregate(r)
+    case Neg(x)         => isAggregate(x)
+    case Cast(_, x)     => isAggregate(x)
+    case Round(x, _)    => isAggregate(x)
+    case _              => false
+  }
+
+  /** Compile a per-index expression: `table.$index` refs become the table's
+    * joined value column `__v_<table>`; the lambda variable binds to
+    * `xCol`. */
+  private def compile(e: Expr, xCol: Option[Column]): Column = e match {
+    case Num(v)  => lit(v)
+    case Str(v)  => lit(v)
+    case Var(_)  => xCol.getOrElse(
+      throw new DslParseException("x outside transform lambda"))
+    case TableRef(t) => col(s"__v_$t")
+    case Neg(x)      => -compile(x, xCol)
+    case BinOp("+", l, r) => compile(l, xCol) + compile(r, xCol)
+    case BinOp("-", l, r) => compile(l, xCol) - compile(r, xCol)
+    case BinOp("*", l, r) => compile(l, xCol) * compile(r, xCol)
+    // ZeroDivisionError skipped the row in the reference → try_divide
+    case BinOp("/", l, r) => try_divide(compile(l, xCol), compile(r, xCol))
+    case BinOp(op, _, _)  => throw new DslParseException(s"op $op")
+    // reference int('bad') raised and skipped the row; ANSI cast would
+    // fail the whole job — try_cast gives null → row filtered
+    case Cast("int", x)    => compile(x, xCol).try_cast("long")
+    case Cast("long", x)   => compile(x, xCol).try_cast("long")
+    case Cast("float", x)  => compile(x, xCol).try_cast("double")
+    case Cast("double", x) => compile(x, xCol).try_cast("double")
+    case Cast("str", x)    => compile(x, xCol).try_cast("string")
+    case Cast(t, _)        => throw new DslParseException(s"cast $t")
+    case Round(x, d)       => round(compile(x, xCol), d)
+    case _: CountValuesWhere | _: CountItemsKeyIn =>
+      throw new DslParseException("aggregate expression in per-index context")
+  }
+
+  private def compileCond(c: Cond, xCol: Option[Column]): Column = c match {
+    case Cmp("==", l, r) => compile(l, xCol) === compile(r, xCol)
+    case Cmp("!=", l, r) => compile(l, xCol) =!= compile(r, xCol)
+    case Cmp("<", l, r)  => compile(l, xCol) < compile(r, xCol)
+    case Cmp("<=", l, r) => compile(l, xCol) <= compile(r, xCol)
+    case Cmp(">", l, r)  => compile(l, xCol) > compile(r, xCol)
+    case Cmp(">=", l, r) => compile(l, xCol) >= compile(r, xCol)
+    case Cmp(op, _, _)   => throw new DslParseException(s"cmp $op")
+    case AndOr("and", l, r) => compileCond(l, xCol) && compileCond(r, xCol)
+    case AndOr("or", l, r)  => compileCond(l, xCol) || compileCond(r, xCol)
+    case AndOr(op, _, _)    => throw new DslParseException(s"bool $op")
+  }
+
+  /** Apply the declared value type (the type handed to the transform,
+    * reference `_TYPE_MAPPING[type](value)` at `:497,520`). */
+  private def applyType(c: Column, valueType: String): Column = valueType match {
+    case "int" | "long"      => c.try_cast("long")
+    case "float" | "double"  => c.try_cast("double")
+    case "string" | "str"    => c.try_cast("string")
+    case other => throw new DslParseException(s"unknown type $other")
+  }
+
+  private def applyTransform(c: Column, transform: Option[String]): Column =
+    transform match {
+      case None => c
+      case Some(src) =>
+        val l = P.parseLambda(src)
+        val body = compile(l.body, Some(c))
+        (l.cond, l.orElse) match {
+          case (Some(cnd), Some(els)) =>
+            when(compileCond(cnd, Some(c)), body)
+              .otherwise(compile(els, Some(c)))
+          case _ => body
+        }
+    }
+
+  // ------------------------------------------------------------- evaluate
+  /** Evaluate all INDEXED targets of a group: returns one row per surviving
+    * index with columns (`index`, one column per dimension, one per metric).
+    *
+    * @param tables oid tables as DataFrames with columns (index: String,
+    *               value: String) — `method=static` tables are just
+    *               `spark.createDataFrame` literals (S4).
+    */
+  def evaluateIndexed(config: GroupConfig,
+                      tables: Map[String, DataFrame]): Option[DataFrame] = {
+    val targets: Seq[(String, TargetSpec, Boolean)] =
+      config.dimensions.toSeq.sortBy(_._1).map { case (n, t) => (n, t, true) } ++
+        config.metrics.toSeq.sortBy(_._1).map { case (n, t) => (n, t, false) }
+
+    val parsed = targets.map { case (n, t, isDim) =>
+      (n, t, isDim, P.parseExpr(t.value))
+    }
+    val indexed = parsed.filterNot { case (_, t, _, e) =>
+      isAggregate(e) || (referencedTables(e).isEmpty && t.indices.isEmpty &&
+        t.indicesFrom.isEmpty)
+    }
+    if (indexed.isEmpty) return None
+
+    // J5/J4/J7: the group's index universe comes from the first target's
+    // resolution (all targets of one group share the driving index set in
+    // every reference config; we take the union to be permissive).
+    def indicesOf(t: TargetSpec, e: Expr): DataFrame = {
+      val base = t match {
+        case TargetSpec(_, _, _, _, Some(list), _, _) =>
+          tables.values.head.sparkSession
+            .createDataFrame(list.map(Tuple1(_))).toDF("index")
+        case TargetSpec(_, _, _, _, _, Some(from), _) =>
+          tables(from).select(col("index"))
+        case _ =>
+          val first = referencedTables(e).toSeq.sorted.headOption.getOrElse(
+            throw new DslParseException(s"no table reference in ${t.value}"))
+          tables(first).select(col("index"))
+      }
+      base.distinct()
+    }
+
+    val baseIndices = indexed.map { case (_, t, _, e) => indicesOf(t, e) }
+      .reduce(_ union _).distinct()
+
+    // Per-target evaluation: inner-join referenced tables (J3; missing key
+    // = KeyError = row skipped), remap index first if configured (J6).
+    val evaluated: Seq[(String, DataFrame)] = indexed.map { case (n, t, isDim, e) =>
+      val refs = referencedTables(e).toSeq.sorted
+      var df = baseIndices
+      t.indexTransform match {
+        case Some(mapping) =>
+          val mapDf = df.sparkSession
+            .createDataFrame(mapping.toSeq).toDF("index", "__to_idx")
+          df = df.join(broadcast(mapDf), Seq("index"))
+        case None =>
+          df = df.withColumn("__to_idx", col("index"))
+      }
+      refs.foreach { tbl =>
+        df = df.join(
+          broadcast(tables(tbl).select(col("index").as("__to_idx"),
+            col("value").as(s"__v_$tbl"))),
+          Seq("__to_idx"))
+      }
+      val raw = applyType(compile(e, None), t.valueType)
+      val value = applyTransform(raw, t.transform)
+      // cast/eval failure (null BEFORE the transform — a conditional
+      // transform's else-branch must not resurrect failed rows) =
+      // reference eval error = row skipped
+      (n, df.select(col("index"), raw.as("__raw"), value.as(n))
+        .filter(col("__raw").isNotNull).drop("__raw"))
+    }
+
+    var out = evaluated.head._2
+    evaluated.tail.foreach { case (_, df) => out = out.join(df, Seq("index")) }
+
+    // P10: empty-dimension gate
+    val dimCols = indexed.filter(_._3).map(_._1)
+    if (!config.ignoreEmptyDimensions && dimCols.nonEmpty) {
+      val anyEmpty = dimCols.map(d => col(d).cast("string") === "").reduce(_ || _)
+      out = out.filter(!anyEmpty)
+    }
+    Some(out)
+  }
+
+  /** Evaluate all TOP-LEVEL (non-indexed / aggregate) metric targets:
+    * returns a single-row DataFrame, one column per metric (A3). */
+  def evaluateTopLevel(config: GroupConfig,
+                       tables: Map[String, DataFrame]): Option[DataFrame] = {
+    val tops = config.metrics.toSeq.sortBy(_._1).flatMap { case (n, t) =>
+      val e = P.parseExpr(t.value)
+      if (isAggregate(e)) Some((n, t, e))
+      else if (referencedTables(e).isEmpty && t.indices.isEmpty &&
+        t.indicesFrom.isEmpty) Some((n, t, e))
+      else None
+    }
+    if (tops.isEmpty) return None
+
+    val frames = tops.map { case (n, t, e) =>
+      e match {
+        case CountValuesWhere(table, cond) =>
+          tables(table).agg(
+            count(when(compileCond(cond, Some(col("value"))), 1)).as(n))
+        case CountItemsKeyIn(table, keySet, vals) =>
+          tables(table)
+            .join(tables(keySet).select(col("index")), Seq("index"), "left_semi")
+            .agg(count(when(col("value").isin(vals: _*), 1)).as(n))
+        case simple =>
+          val value = applyTransform(
+            applyType(compile(simple, None), t.valueType), t.transform)
+          tables.values.head.sparkSession.range(1).select(value.as(n))
+      }
+    }
+    Some(frames.reduce(_ crossJoin _))
+  }
+
+  /** Parse helpers exposed for tests. */
+  def parseExpression(s: String): Expr = P.parseExpr(s)
+  def parseTransform(s: String): Lambda = P.parseLambda(s)
+}

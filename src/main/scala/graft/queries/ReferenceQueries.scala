@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Schemas, Tables}
-import graft.dsl.ResourceFilter
+import graft.dsl.{MetricsDsl, ResourceFilter}
+import graft.dsl.MetricsDsl.{GroupConfig, TargetSpec}
 import graft.operators.{Enrichment, RateTransform, Reconcile, StatusRollup}
 import graft.functions.Influx
 
@@ -274,7 +275,55 @@ object ReferenceQueries {
       Tables.events(s, d)
         .select(col("event_type").as("name"))
         .distinct()
-        .withColumn("valid", col("name").rlike(Schemas.identifierRegex)))
+        .withColumn("valid", col("name").rlike(Schemas.identifierRegex))),
+
+    // --- J3/J4/J7/F10/F11/P10: the computed-metrics DSL, indexed path --------------
+    "snmp_dsl_indexed" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val tables = Map(
+        "temp_sensor_name" -> p.select(
+          col("p_partkey").cast("string").as("index"), col("p_name").as("value")),
+        "temp_sensor_values" -> p.select(
+          col("p_partkey").cast("string").as("index"),
+          col("p_size").cast("string").as("value")),
+        "temp_sensor_scales" -> p.select(
+          col("p_partkey").cast("string").as("index"),
+          (lit(1) + col("p_partkey") % 3).cast("string").as("value")))
+      val cfg = GroupConfig("environment", 60,
+        dimensions = Map("sensor" -> TargetSpec("temp_sensor_name.$index")),
+        metrics = Map("temperature_fahrenheit" -> TargetSpec(
+          value = "int(temp_sensor_values.$index) * int(temp_sensor_scales.$index)",
+          valueType = "float",
+          transform = Some("lambda x: round((x * 1.8) + 32, 2) if x != 0 else 0.0"),
+          indicesFrom = Some("temp_sensor_scales"))))
+      MetricsDsl.evaluateIndexed(cfg, tables).get
+        .select("index", "sensor", "temperature_fahrenheit")
+    }),
+
+    // --- A3: the computed-metrics DSL, top-level count-where path -------------------
+    "snmp_dsl_toplevel" -> ((s, d) => {
+      val tables = Map(
+        "fan_statuses" -> Tables.orders(s, d).select(
+          col("o_orderkey").cast("string").as("index"),
+          col("o_orderstatus").as("value")),
+        "entity_fru_control" -> Tables.orders(s, d).select(
+          col("o_orderkey").cast("string").as("index"),
+          col("o_orderstatus").as("value")),
+        "power_supplies" -> Tables.lineitem(s, d).select(
+          col("l_orderkey").cast("string").as("index"),
+          col("l_linenumber").cast("string").as("value")))
+      val cfg = GroupConfig("environment", 60,
+        dimensions = Map(),
+        metrics = Map(
+          "fans_ok" -> TargetSpec(
+            "len([x for x in fan_statuses.values() if x == 'F'])",
+            valueType = "int"),
+          "power_units_on" -> TargetSpec(
+            "len([(x,y) for (x,y) in entity_fru_control.items() if x in power_supplies and y in ['F', 'O']])",
+            valueType = "int"),
+          "fans_total" -> TargetSpec("3", valueType = "int")))
+      MetricsDsl.evaluateTopLevel(cfg, tables).get
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -507,6 +556,23 @@ object ReferenceQueries {
     "p9_validation" ->
       """SELECT DISTINCT event_type AS name,
         |       regexp_matches(event_type, '^[^\d\W]\w*$') AS valid
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "snmp_dsl_indexed" ->
+      """SELECT CAST(p_partkey AS VARCHAR) AS index, p_name AS sensor,
+        |       CASE WHEN CAST(CAST(p_size AS BIGINT) * (1 + p_partkey % 3) AS DOUBLE) != 0
+        |            THEN round(CAST(CAST(p_size AS BIGINT) * (1 + p_partkey % 3) AS DOUBLE) * 1.8 + 32, 2)
+        |            ELSE 0.0 END AS temperature_fahrenheit
+        |FROM part WHERE p_name != ''""".stripMargin,
+
+    "snmp_dsl_toplevel" ->
+      """SELECT
+        |  (SELECT count(*) FROM orders WHERE o_orderstatus = 'F') AS fans_ok,
+        |  CAST(3 AS BIGINT) AS fans_total,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_orderstatus IN ('F', 'O')
+        |     AND EXISTS (SELECT 1 FROM lineitem l
+        |                 WHERE CAST(l.l_orderkey AS VARCHAR) = CAST(o.o_orderkey AS VARCHAR)))
+        |    AS power_units_on""".stripMargin
   )
 }
