@@ -22,6 +22,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Dot product over double array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
   /** cosine(a, b) over array columns, in double precision. */
   def cosine(a: Column, b: Column): Column = {
     def d(x: Column, y: Column): Column =
@@ -30,17 +34,30 @@ object Similarity {
     d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b)))
   }
 
+  /** L2-normalize a vector column ONCE, map-side, so pair scoring is a
+    * plain dot product — 3× fewer flops than cosine-per-pair, and at scale
+    * the normalization fuses with the scan while the O(pairs) stage does
+    * minimal work. Floats are widened to double first (engine-portable). */
+  def normalize(vec: Column): Column = {
+    val v = transform(vec, x => x.cast("double"))
+    val norm = sqrt(aggregate(transform(v, x => x * x), lit(0.0),
+      (acc, x) => acc + x))
+    transform(v, x => x / norm)
+  }
+
   /** Exact top-k neighbors for each query row.
     * Output: (query_id, rank, neighbor_id, score). Ties broken by neighbor
     * id so ranking is deterministic. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int,
                      roundScore: Int = 6): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      normalize(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      normalize(col(vecCol)).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("score", dot(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -62,13 +79,15 @@ object Similarity {
   def signLshTopK(corpus: DataFrame, queries: DataFrame,
                   idCol: String, vecCol: String, k: Int, b: Int,
                   roundScore: Int = 6): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+    val q = queries.select(col(idCol).as("query_id"),
+      normalize(col(vecCol)).as("qv"),
       signBucket(col(vecCol), b).as("bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      normalize(col(vecCol)).as("cv"),
       signBucket(col(vecCol), b).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("score", dot(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -82,15 +101,16 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, b: Int,
                          roundScore: Int = 6): DataFrame = {
-    val withBucket = df.select(col(idCol), col(vecCol),
+    val withBucket = df.select(col(idCol),
+      normalize(col(vecCol)).as("nv"),
       signBucket(col(vecCol), b).as("bucket"))
     val a = withBucket.select(col("bucket"), col(idCol).as("id_a"),
-      col(vecCol).as("va"))
+      col("nv").as("va"))
     val bb = withBucket.select(col("bucket"), col(idCol).as("id_b"),
-      col(vecCol).as("vb"))
+      col("nv").as("vb"))
     a.join(bb, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("score", round(cosine(col("va"), col("vb")), roundScore))
+      .withColumn("score", round(dot(col("va"), col("vb")), roundScore))
       .filter(col("score") >= threshold)
       .select("id_a", "id_b", "score")
   }

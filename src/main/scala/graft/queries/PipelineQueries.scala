@@ -244,12 +244,14 @@ object PipelineQueries {
           |FROM documents""".stripMargin,
 
       "ann_brute_topk" ->
-        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |e AS (SELECT vec_id,
+          |        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+          |      FROM e0),
           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
           |s AS (
           |  SELECT q.query_id, e.vec_id AS neighbor_id,
-          |         list_dot_product(qv, e.v)
-          |         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS score
+          |         list_dot_product(qv, e.v) AS score
           |  FROM e, q WHERE e.vec_id <> q.query_id)
           |SELECT query_id, rank, neighbor_id FROM (
           |  SELECT query_id, neighbor_id,
@@ -258,18 +260,21 @@ object PipelineQueries {
           |  FROM s) WHERE rank <= 5""".stripMargin,
 
       "ann_sign_lsh" ->
-        """WITH e AS (
+        """WITH e0 AS (
           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
           |         (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
           |         (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
           |         (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
           |         (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
           |  FROM embeddings),
+          |e AS (SELECT vec_id,
+          |        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v,
+          |        bucket
+          |      FROM e0),
           |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 50),
           |s AS (
           |  SELECT q.query_id, e.vec_id AS neighbor_id,
-          |         list_dot_product(qv, e.v)
-          |         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS score
+          |         list_dot_product(qv, e.v) AS score
           |  FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id)
           |SELECT query_id, rank, neighbor_id FROM (
           |  SELECT query_id, neighbor_id,
@@ -278,15 +283,18 @@ object PipelineQueries {
           |  FROM s) WHERE rank <= 3""".stripMargin,
 
       "embed_cosine_neardup" ->
-        """WITH e AS (
+        """WITH e0 AS (
           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
           |         (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
           |         (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) AS bucket
-          |  FROM embeddings)
+          |  FROM embeddings),
+          |e AS (SELECT vec_id,
+          |        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v,
+          |        bucket
+          |      FROM e0)
           |SELECT id_a, id_b, score FROM (
           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-          |         round(list_dot_product(a.v, b.v)
-          |               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS score
+          |         round(list_dot_product(a.v, b.v), 6) AS score
           |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
           |WHERE score >= 0.35""".stripMargin,
 

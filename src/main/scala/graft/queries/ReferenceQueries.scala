@@ -277,6 +277,45 @@ object ReferenceQueries {
         .distinct()
         .withColumn("valid", col("name").rlike(Schemas.identifierRegex))),
 
+    // --- A6: group-by-site (per-site topic fan-out shape) ---------------------------
+    "a6_group_by_site" -> ((s, d) =>
+      Tables.resources(s, d).groupBy("resource_site")
+        .agg(count(lit(1)).as("n_resources"))),
+
+    // --- A11: flatten metrics by type (canonical sorted map render) ------------------
+    "a11_flatten_by_type" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+        .groupBy("user_id")
+        .agg(concat(lit("{"),
+          array_join(array_sort(collect_list(
+            format_string("\"%s\":%d", col("event_type"), col("cnt")))), ","),
+          lit("}")).as("by_type"))),
+
+    // --- F15: MAC from octets ----------------------------------------------------------
+    "f15_mac" -> ((s, d) =>
+      Tables.events(s, d).filter(col("event_id") < 300)
+        .select(col("event_id"),
+          lower(concat_ws(":", (0 to 5).map(i =>
+            lpad(hex((col("user_id") + lit(i)) % 256), 2, "0")): _*)).as("mac"))),
+
+    // --- F17: canonical JSON encode ------------------------------------------------------
+    "f17_canonical_json" -> ((s, d) =>
+      Tables.events(s, d).filter(col("event_id") < 300)
+        .select(col("event_id"),
+          to_json(struct(col("event_id"), col("event_type"), col("user_id")))
+            .as("json"))),
+
+    // --- S2 decode: serialization-key round-trip ------------------------------------------
+    "s2_parse_roundtrip" -> ((s, d) => {
+      val r = Tables.resources(s, d)
+      val keyed = r.select(col("resource_id").as("orig_id"),
+        graft.sources.Sources.serializationKey().as("skey"))
+      graft.sources.Sources.parseSerializationKey(keyed, "skey")
+        .select(col("orig_id"), col("resource_site"), col("resource_type"),
+          col("resource_endpoint"))
+    }),
+
     // --- J3/J4/J7/F10/F11/P10: the computed-metrics DSL, indexed path --------------
     "snmp_dsl_indexed" -> ((s, d) => {
       val p = Tables.part(s, d)
@@ -557,6 +596,41 @@ object ReferenceQueries {
       """SELECT DISTINCT event_type AS name,
         |       regexp_matches(event_type, '^[^\d\W]\w*$') AS valid
         |FROM events""".stripMargin,
+
+    "a6_group_by_site" ->
+      s"""WITH $R
+         |SELECT resource_site, count(*) AS n_resources FROM resources GROUP BY 1""".stripMargin,
+
+    "a11_flatten_by_type" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2)
+        |SELECT user_id,
+        |       '{' || string_agg(format('"{}":{}', event_type, cnt), ','
+        |                          ORDER BY format('"{}":{}', event_type, cnt)) || '}' AS by_type
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "f15_mac" ->
+      """SELECT event_id,
+        |       lower(concat_ws(':',
+        |         lpad(to_hex((user_id + 0) % 256), 2, '0'),
+        |         lpad(to_hex((user_id + 1) % 256), 2, '0'),
+        |         lpad(to_hex((user_id + 2) % 256), 2, '0'),
+        |         lpad(to_hex((user_id + 3) % 256), 2, '0'),
+        |         lpad(to_hex((user_id + 4) % 256), 2, '0'),
+        |         lpad(to_hex((user_id + 5) % 256), 2, '0'))) AS mac
+        |FROM events WHERE event_id < 300""".stripMargin,
+
+    "f17_canonical_json" ->
+      """SELECT event_id,
+        |       '{"event_id":' || event_id || ',"event_type":"' || event_type
+        |       || '","user_id":' || user_id || '}' AS json
+        |FROM events WHERE event_id < 300""".stripMargin,
+
+    "s2_parse_roundtrip" ->
+      s"""WITH $R
+         |SELECT resource_id AS orig_id, resource_site, resource_type,
+         |       resource_endpoint
+         |FROM resources""".stripMargin,
 
     "snmp_dsl_indexed" ->
       """SELECT CAST(p_partkey AS VARCHAR) AS index, p_name AS sensor,
