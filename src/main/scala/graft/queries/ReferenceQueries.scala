@@ -119,6 +119,20 @@ object ReferenceQueries {
         867715200.0) // epoch of 1997-07-01 UTC
     }),
 
+    // --- J10: metrics-group × transform-config lookup (broadcast, pass-through) ----
+    // polling_plugin_agent.py:269-304 — per group_type, look up the configured
+    // transform; groups with no config pass through unchanged.
+    "j10_transform_config" -> ((s, d) => {
+      val cfg = s.createDataFrame(Seq(
+        ("purchase", "rate"), ("click", "rate"), ("view", "pass"))).
+        toDF("event_type", "transform")
+      Tables.events(s, d)
+        .groupBy("event_type").agg(count(lit(1)).as("n_groups"))
+        .join(broadcast(cfg), Seq("event_type"), "left")
+        .select(col("event_type"), col("n_groups"),
+          coalesce(col("transform"), lit("none")).as("transform"))
+    }),
+
     // --- A1/A2/W1/J8: counter→gauge rate with guards ----------------------
     "a1_rate" -> ((s, d) => {
       val e = Tables.events(s, d) // ts is long nanos (nanosAsLong)
@@ -205,9 +219,11 @@ object ReferenceQueries {
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast("decimal(18,4)")).cast("double").as("revenue"))
       import org.apache.spark.sql.expressions.Window
+      // Top-k via orderBy+limit -> TakeOrderedAndProject (per-partition heaps,
+      // no global shuffle); the rank window then runs over only the 10 survivors.
       val w = Window.orderBy(col("revenue").desc, col("l_orderkey"))
-      joined.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 10)
+      joined.orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+        .withColumn("rk", row_number().over(w))
         .select(col("l_orderkey"), col("o_orderpriority"), col("revenue"),
           col("rk").cast("long").as("rk"))
     }),
@@ -233,6 +249,17 @@ object ReferenceQueries {
         .intersect(
           r.filter(col("resource_metadata").getItem("nation").like("NATION_1%"))
             .select("resource_id"))
+    }),
+
+    // --- SO2: union of metadata-matching id-sets (OR across metadata preds) --------
+    "so2_union" -> ((s, d) => {
+      val r = Tables.resources(s, d)
+      r.filter(col("resource_metadata").getItem("acctbal_bucket") === "negative")
+        .select("resource_id")
+        .union(
+          r.filter(col("resource_metadata").getItem("nation") === "NATION_5")
+            .select("resource_id"))
+        .distinct()
     }),
 
     // --- SO3: set difference -------------------------------------------------------
@@ -457,6 +484,14 @@ object ReferenceQueries {
         |WHERE EXISTS (SELECT 1 FROM inc i WHERE i.o_orderkey = s.o_orderkey)
         |  AND s.ts_s <= 867715200""".stripMargin,
 
+    "j10_transform_config" ->
+      """WITH cfg(event_type, transform) AS (
+        |  VALUES ('purchase','rate'), ('click','rate'), ('view','pass')),
+        |g AS (SELECT event_type, count(*) AS n_groups FROM events GROUP BY 1)
+        |SELECT g.event_type, g.n_groups,
+        |       coalesce(cfg.transform, 'none') AS transform
+        |FROM g LEFT JOIN cfg ON g.event_type = cfg.event_type""".stripMargin,
+
     "a1_rate" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, value,
@@ -567,6 +602,12 @@ object ReferenceQueries {
          |SELECT resource_id FROM resources WHERE meta_acctbal_bucket = 'high'
          |INTERSECT
          |SELECT resource_id FROM resources WHERE meta_nation LIKE 'NATION_1%'""".stripMargin,
+
+    "so2_union" ->
+      s"""WITH $R
+         |SELECT resource_id FROM resources WHERE meta_acctbal_bucket = 'negative'
+         |UNION
+         |SELECT resource_id FROM resources WHERE meta_nation = 'NATION_5'""".stripMargin,
 
     "so3_except" ->
       """SELECT o_orderkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
