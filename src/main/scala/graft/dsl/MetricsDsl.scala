@@ -295,11 +295,13 @@ object MetricsDsl {
     val baseIndices = indexed.map { case (_, t, _, e) => indicesOf(t, e) }
       .reduce(_ union _).distinct()
 
-    // Per-target evaluation: inner-join referenced tables (J3; missing key
-    // = KeyError = row skipped), remap index first if configured (J6).
+    // Per-target evaluation over the TARGET's own resolved index set
+    // (`indices = self._get_indices(target_map)` is per-target, `:467`):
+    // inner-join referenced tables (J3; missing key = KeyError = row
+    // skipped), remap index first if configured (J6).
     val evaluated: Seq[(String, DataFrame)] = indexed.map { case (n, t, isDim, e) =>
       val refs = referencedTables(e).toSeq.sorted
-      var df = baseIndices
+      var df = indicesOf(t, e)
       t.indexTransform match {
         case Some(mapping) =>
           val mapDf = df.sparkSession
@@ -323,20 +325,41 @@ object MetricsDsl {
         .filter(col("__raw").isNotNull).drop("__raw"))
     }
 
-    var out = evaluated.head._2
-    evaluated.tail.foreach { case (_, df) => out = out.join(df, Seq("index")) }
+    // Reference `:494-505`: a failed target (cast error / missing key) is
+    // skipped at that index ONLY — the metrics group at the index still
+    // emits with the remaining targets. Left-join every target frame onto
+    // the resolved index universe; a failed target is a null column.
+    // Group assembly iterates the METRICS map (`for index in metrics_map`,
+    // `:603-604`), so an index emits iff ≥1 metric survived — a surviving
+    // dimension alone keeps nothing alive, and a failed dimension is merely
+    // absent from an emitted group.
+    var out = baseIndices
+    evaluated.foreach { case (_, df) => out = out.join(df, Seq("index"), "left") }
+    val metricCols = indexed.filterNot(_._3).map(_._1)
+    if (metricCols.nonEmpty)
+      out = out.filter(metricCols.map(col(_).isNotNull).reduce(_ || _))
 
-    // P10: empty-dimension gate
+    // P10: empty-dimension gate — a null (failed/skipped) dimension is
+    // ABSENT, not empty; only the empty string trips the gate (`:524-541`).
     val dimCols = indexed.filter(_._3).map(_._1)
     if (!config.ignoreEmptyDimensions && dimCols.nonEmpty) {
-      val anyEmpty = dimCols.map(d => col(d).cast("string") === "").reduce(_ || _)
+      val anyEmpty = dimCols
+        .map(d => coalesce(col(d).cast("string") === "", lit(false)))
+        .reduce(_ || _)
       out = out.filter(!anyEmpty)
     }
     Some(out)
   }
 
   /** Evaluate all TOP-LEVEL (non-indexed / aggregate) metric targets:
-    * returns a single-row DataFrame, one column per metric (A3). */
+    * returns a single-row DataFrame, one column per metric (A3).
+    *
+    * DELIBERATE DEVIATION: the reference skips falsy top-level values
+    * (`if not value: continue`, `plugin_polling_generic_snmp.py:516-521`),
+    * silently dropping a legitimate count of 0 or a 0 literal. We always
+    * emit the column — a fixed output schema is required for a columnar
+    * engine, and emitting true zeros is strictly more informative.
+    * Consumers needing bug-compatible behavior can post-filter zeros. */
   def evaluateTopLevel(config: GroupConfig,
                        tables: Map[String, DataFrame]): Option[DataFrame] = {
     val tops = config.metrics.toSeq.sortBy(_._1).flatMap { case (n, t) =>

@@ -21,12 +21,16 @@ object Influx {
     regexp_replace(c, "[^0-9a-zA-Z_]+", "_")
 
   /** Render sorted `key=value` pairs from a map column, comma-separated —
-    * tags are emitted in sorted key order (`consumer.py:123-126`). */
+    * tags are emitted in sorted key order, and the reference escapes ONLY
+    * the tag VALUE, never the key (`consumer.py:123-126`), so a key
+    * containing `,`/`=`/whitespace renders unescaped here too
+    * (byte-for-byte parity; keys are code-authored identifiers in
+    * practice). */
   def sortedTags(m: Column): Column =
     array_join(
       transform(
         array_sort(map_entries(m)),
-        e => concat(escapeTag(e.getField("key")), lit("="),
+        e => concat(e.getField("key"), lit("="),
           escapeTag(e.getField("value")))),
       ",")
 

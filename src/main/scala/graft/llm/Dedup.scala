@@ -23,7 +23,6 @@ object Dedup {
     * representative). Filter `keep` to materialize the deduplicated set. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val h = md5(col(textCol))
-    val w = Window.partitionBy(h).orderBy(col(idCol))
     df.withColumn("content_hash", h)
       .withColumn("dup_rank", row_number().over(
         Window.partitionBy(col("content_hash")).orderBy(col(idCol))))

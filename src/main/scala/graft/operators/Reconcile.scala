@@ -26,7 +26,14 @@ object Reconcile {
     * @param incoming   newly discovered inventory
     * @param identityCols identity key columns (both sides)
     * @param storedTsCol  timestamp column on `stored`
-    * @param incomingSetTs the incoming set's creation timestamp (epoch s)
+    * @param incomingSetTs the incoming SET's creation timestamp (epoch s) —
+    *                     guards DELETES only (`manager.py:83-87`)
+    * @param incomingTsCol per-row timestamp column on `incoming` — guards
+    *                     UPDATES: the reference compares the stored row's
+    *                     timestamp against the incoming RESOURCE's own
+    *                     `resource_creation_timestamp` (`manager.py:121-135`),
+    *                     not the set timestamp. None falls back to the set
+    *                     timestamp (for incoming feeds without per-row ts).
     * @return stored/incoming columns for the key + an `action` column in
     *         {add, delete, update}
     */
@@ -35,26 +42,36 @@ object Reconcile {
       incoming: DataFrame,
       identityCols: Seq[String],
       storedTsCol: String,
-      incomingSetTs: Double): DataFrame = {
+      incomingSetTs: Double,
+      incomingTsCol: Option[String] = None): DataFrame = {
     val key = identityCols
 
     val adds = incoming
       .join(stored.select(key.map(col): _*), key, "left_anti")
       .select(key.map(col) :+ lit("add").as("action"): _*)
 
-    // Timestamp guard: a stored row newer than the incoming snapshot wins
-    // (`manager.py:83-87,117-124`).
-    val guard = col(storedTsCol) <= lit(incomingSetTs)
-
+    // Delete guard: a stored row newer than the incoming SNAPSHOT wins
+    // (`manager.py:83-87`).
     val deletes = stored
       .join(incoming.select(key.map(col): _*), key, "left_anti")
-      .filter(guard)
+      .filter(col(storedTsCol) <= lit(incomingSetTs))
       .select(key.map(col) :+ lit("delete").as("action"): _*)
 
-    val updates = stored
-      .join(incoming.select(key.map(col): _*), key, "left_semi")
-      .filter(guard)
-      .select(key.map(col) :+ lit("update").as("action"): _*)
+    // Update guard: the stored row must not be newer than the incoming
+    // ROW's own creation timestamp (`manager.py:121-135`).
+    val updates = incomingTsCol match {
+      case Some(tsCol) =>
+        stored
+          .join(incoming.select((key.map(col) :+
+            col(tsCol).as("__inc_ts")): _*), key, "inner")
+          .filter(col(storedTsCol) <= col("__inc_ts"))
+          .select(key.map(col) :+ lit("update").as("action"): _*)
+      case None =>
+        stored
+          .join(incoming.select(key.map(col): _*), key, "left_semi")
+          .filter(col(storedTsCol) <= lit(incomingSetTs))
+          .select(key.map(col) :+ lit("update").as("action"): _*)
+    }
 
     adds.unionByName(deletes).unionByName(updates)
   }

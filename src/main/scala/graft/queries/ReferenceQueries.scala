@@ -106,6 +106,10 @@ object ReferenceQueries {
     }),
 
     // --- J9/SO3: reconciliation ------------------------------------------
+    // Updates are guarded by the incoming ROW's own creation timestamp
+    // (manager.py:121-135); deletes by the incoming SET's timestamp
+    // (:83-87). Incoming rows alternate older/newer than stored so both
+    // guard branches fire.
     "j9_reconcile" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val stored = o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
@@ -114,9 +118,13 @@ object ReferenceQueries {
       val incoming = o.filter(
         col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
-        .select(col("o_orderkey"))
+        .select(col("o_orderkey"),
+          (unix_timestamp(col("o_orderdate")) +
+            when(col("o_orderkey") % 3 === 0, -86400L).otherwise(86400L))
+            .as("inc_ts"))
       Reconcile.changes(stored, incoming, Seq("o_orderkey"), "ts_s",
-        867715200.0) // epoch of 1997-07-01 UTC
+        867715200.0, // epoch of 1997-07-01 UTC
+        incomingTsCol = Some("inc_ts"))
     }),
 
     // --- J10: metrics-group × transform-config lookup (broadcast, pass-through) ----
@@ -366,6 +374,31 @@ object ReferenceQueries {
         .select("index", "sensor", "temperature_fahrenheit")
     }),
 
+    // --- DSL partial-target semantics: a failed target (missing key in its
+    // table) skips ONLY that target at that index — the group still emits
+    // with the remaining metrics (plugin_polling_generic_snmp.py:494-505).
+    "snmp_dsl_partial" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val tables = Map(
+        "sensor_name" -> p.select(
+          col("p_partkey").cast("string").as("index"), col("p_name").as("value")),
+        "sensor_scale" -> p.select(
+          col("p_partkey").cast("string").as("index"),
+          (lit(1) + col("p_partkey") % 3).cast("string").as("value")),
+        // sparse table: only parts with p_size > 25 have a reading
+        "sensor_value" -> p.filter(col("p_size") > 25).select(
+          col("p_partkey").cast("string").as("index"),
+          col("p_size").cast("string").as("value")))
+      val cfg = GroupConfig("environment", 60,
+        dimensions = Map("sensor" -> TargetSpec("sensor_name.$index")),
+        metrics = Map(
+          "reading" -> TargetSpec("int(sensor_value.$index)", valueType = "int",
+            indicesFrom = Some("sensor_name")),
+          "scale" -> TargetSpec("int(sensor_scale.$index)", valueType = "int")))
+      MetricsDsl.evaluateIndexed(cfg, tables).get
+        .select("index", "sensor", "reading", "scale")
+    }),
+
     // --- A3: the computed-metrics DSL, top-level count-where path -------------------
     "snmp_dsl_toplevel" -> ((s, d) => {
       val tables = Map(
@@ -470,7 +503,10 @@ object ReferenceQueries {
         |  SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS ts_s
         |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
         |inc AS (
-        |  SELECT o_orderkey FROM orders
+        |  SELECT o_orderkey,
+        |         CAST(epoch(o_orderdate) AS BIGINT) +
+        |           CASE WHEN o_orderkey % 3 = 0 THEN -86400 ELSE 86400 END AS inc_ts
+        |  FROM orders
         |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
         |    AND o_orderdate < TIMESTAMP '1999-01-01')
         |SELECT i.o_orderkey, 'add' AS action FROM inc i
@@ -480,9 +516,9 @@ object ReferenceQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM inc i WHERE i.o_orderkey = s.o_orderkey)
         |  AND s.ts_s <= 867715200
         |UNION ALL
-        |SELECT s.o_orderkey, 'update' AS action FROM stored s
-        |WHERE EXISTS (SELECT 1 FROM inc i WHERE i.o_orderkey = s.o_orderkey)
-        |  AND s.ts_s <= 867715200""".stripMargin,
+        |SELECT s.o_orderkey, 'update' AS action
+        |FROM stored s JOIN inc i ON i.o_orderkey = s.o_orderkey
+        |WHERE s.ts_s <= i.inc_ts""".stripMargin,
 
     "j10_transform_config" ->
       """WITH cfg(event_type, transform) AS (
@@ -679,6 +715,15 @@ object ReferenceQueries {
         |            THEN round(CAST(CAST(p_size AS BIGINT) * (1 + p_partkey % 3) AS DOUBLE) * 1.8 + 32, 2)
         |            ELSE 0.0 END AS temperature_fahrenheit
         |FROM part WHERE p_name != ''""".stripMargin,
+
+    "snmp_dsl_partial" ->
+      """SELECT CAST(p.p_partkey AS VARCHAR) AS index, p.p_name AS sensor,
+        |       CAST(v.p_size AS BIGINT) AS reading,
+        |       CAST(1 + p.p_partkey % 3 AS BIGINT) AS scale
+        |FROM part p
+        |LEFT JOIN (SELECT p_partkey, p_size FROM part WHERE p_size > 25) v
+        |  ON v.p_partkey = p.p_partkey
+        |WHERE p.p_name != ''""".stripMargin,
 
     "snmp_dsl_toplevel" ->
       """SELECT

@@ -66,9 +66,12 @@ class MetricsDslSpec extends SparkSpec {
         valueType = "int", indicesFrom = Some("fan_statuses"))))
     val out = MetricsDsl.evaluateIndexed(cfg, tables).get
       .select("index", "fru_name", "status")
-      .as[(String, String, Long)].collect().sortBy(_._1)
-    // f3 has no index_transform entry → dimension lookup fails → dropped
-    assert(out.toSeq == Seq(("f1", "PSU A", 2L), ("f2", "PSU B", 2L)))
+      .as[(String, Option[String], Long)].collect().sortBy(_._1)
+    // f3 has no index_transform entry → the DIMENSION lookup fails and is
+    // skipped at f3 only; the metric survives, so the group still emits
+    // with the dimension absent (plugin_polling_generic_snmp.py:494-505)
+    assert(out.toSeq == Seq(
+      ("f1", Some("PSU A"), 2L), ("f2", Some("PSU B"), 2L), ("f3", None, 5L)))
   }
 
   test("count-where comprehension shapes (A3, doc examples)") {
@@ -96,8 +99,10 @@ class MetricsDslSpec extends SparkSpec {
       metrics = Map("v" -> TargetSpec("int(temp_sensor_scales.$index)",
         valueType = "int")),
       ignoreEmptyDimensions = ignore)
-    assert(MetricsDsl.evaluateIndexed(cfg(false), tbl).get.count() == 1)
-    assert(MetricsDsl.evaluateIndexed(cfg(true), tbl).get.count() == 2)
+    // metric exists at indices 1,2,3; names has 1→"eth0", 2→"" (gated),
+    // 3→absent (a MISSING dimension is not empty — row survives)
+    assert(MetricsDsl.evaluateIndexed(cfg(false), tbl).get.count() == 2)
+    assert(MetricsDsl.evaluateIndexed(cfg(true), tbl).get.count() == 3)
   }
 
   test("closed grammar rejects arbitrary code (the eval hole stays closed)") {

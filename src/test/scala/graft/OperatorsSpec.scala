@@ -23,6 +23,20 @@ class OperatorsSpec extends SparkSpec {
     ))
   }
 
+  test("reconcile: update guard compares against the incoming ROW's timestamp") {
+    // reference manager.py:121-135 — updates use the incoming resource's own
+    // resource_creation_timestamp, not the set timestamp
+    val stored = Seq(("k1", 100.0), ("k2", 300.0)).toDF("id", "ts_s")
+    val incoming = Seq(("k1", 200.0), ("k2", 200.0), ("k9", 1.0))
+      .toDF("id", "inc_ts")
+    val out = Reconcile.changes(stored, incoming, Seq("id"), "ts_s", 500.0,
+      incomingTsCol = Some("inc_ts"))
+      .as[(String, String)].collect().toSet
+    // k2: stored 300 > incoming row 200 → update skipped (set ts 500 would
+    // have allowed it under the old set-timestamp guard)
+    assert(out == Set(("k9", "add"), ("k1", "update")))
+  }
+
   test("last-write-wins keeps newest with deterministic tie-break") {
     val df = Seq(
       ("k", 10L, 1, "old"), ("k", 20L, 2, "new"), ("k", 20L, 1, "tie-lo"))
@@ -68,6 +82,8 @@ class OperatorsSpec extends SparkSpec {
     val line = df.select(Influx.line(col("measurement"), col("tags"),
       concat(lit("v__gauge="), format_string("%.1f", col("value"))),
       col("ts")).as("l")).as[String].head()
-    assert(line == "cpu_util,a=v\\,2,host\\ b=x\\=1 v__gauge=42.5 1700000000")
+    // tag KEYS are rendered unescaped ("host b"), only values are escaped —
+    // byte-for-byte with consumer.py:123-126
+    assert(line == "cpu_util,a=v\\,2,host b=x\\=1 v__gauge=42.5 1700000000")
   }
 }
