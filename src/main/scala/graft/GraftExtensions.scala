@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, L2Normalize}
+
+/** `SparkSessionExtensions` installer: registers the engine's custom
+  * codegen expressions as SQL functions so `spark.sql` queries (and the
+  * thrift/connect surfaces) can call them directly:
+  *
+  * {{{
+  *   spark.sql("SELECT vec_dot(l2_normalize(a.v), l2_normalize(b.v)) ...")
+  * }}}
+  *
+  * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`.
+  * The DataFrame surface ([[graft.functions.VectorOps]]) works without it.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("l2_normalize"),
+      new ExpressionInfo(classOf[L2Normalize].getName, "l2_normalize"),
+      (args: Seq[Expression]) => L2Normalize(args.head)))
+  }
+}

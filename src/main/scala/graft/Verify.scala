@@ -15,6 +15,7 @@ object Verify {
       // events.parquet stores ns timestamps, which Spark's vectorized reader
       // rejects; read them as long nanos instead (queries divide to seconds).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

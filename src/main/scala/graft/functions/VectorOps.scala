@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Codegen'd vector kernels for the similarity-search operators.
+  *
+  * The `functions.aggregate(zip_with(...))` formulation (higher-order
+  * functions) evaluates lambdas per element OUTSIDE whole-stage codegen —
+  * fine for correctness, ~10× too slow for the O(pairs × dim) inner loop of
+  * ANN scoring at scale. These expressions generate a tight primitive
+  * `for` loop inside whole-stage codegen instead, with identical numerics:
+  * floats widen to double, accumulation is a sequential left-fold, division
+  * by a zero norm yields the same Inf/NaN the portable SQL produces.
+  *
+  * Both accept `array<float>` or `array<double>` input (parquet embeddings
+  * are float; normalized intermediates are double).
+  */
+private[graft] trait VectorArrayAccess { self: Expression =>
+  protected def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"expected array<float|double>, got $other")
+  }
+  protected def getter(e: Expression, arr: String, i: String): String =
+    if (elemIsFloat(e)) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+  protected def get(e: Expression, arr: ArrayData, i: Int): Double =
+    if (elemIsFloat(e)) arr.getFloat(i).toDouble else arr.getDouble(i)
+}
+
+/** `dot(a, b)` = Σ aᵢ·bᵢ over min(|a|,|b|) elements, in double. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with VectorArrayAccess {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += get(left, x, i) * get(right, y, i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (${getter(left, a, i)}) * (${getter(right, b, i)});
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `l2_normalize(v)` = v / ‖v‖₂ as `array<double>`; a zero vector maps to
+  * NaNs exactly like the portable `x / sqrt(0)` SQL form. */
+case class L2Normalize(child: Expression)
+    extends UnaryExpression with VectorArrayAccess {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val e = get(child, x, i); ss += e * e; i += 1 }
+    val norm = math.sqrt(ss)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = get(child, x, i) / norm; i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val ss = ctx.freshName("ss")
+      val norm = ctx.freshName("norm")
+      val res = ctx.freshName("res")
+      s"""
+         |int $n = $v.numElements();
+         |double $ss = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double e = ${getter(child, v, i)};
+         |  $ss += e * e;
+         |}
+         |double $norm = java.lang.Math.sqrt($ss);
+         |double[] $res = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $res[$i] = (${getter(child, v, i)}) / $norm;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($res);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column-API surface for the kernels. */
+object VectorOps {
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def l2normalize(v: Column): Column =
+    ColumnBridge.column(L2Normalize(ColumnBridge.expression(v)))
+}

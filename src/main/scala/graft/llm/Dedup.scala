@@ -34,17 +34,15 @@ object Dedup {
   // ------------------------------------------------------------- shingles
 
   /** Distinct word n-gram shingles per document: (id, shingle) rows.
-    * The explode is map-side; dedup of shingles happens inside each doc via
-    * array_distinct before the explode (no shuffle).
-    */
+    * The explode is map-side; shingling + in-doc dedup run in one codegen'd
+    * pass ([[graft.functions.Shingles]]) — no shuffle, no per-shingle array
+    * allocation. */
   def shingles(df: DataFrame, textCol: String, idCol: String,
                n: Int): DataFrame = {
     val ws = TextAnalysis.tokens(col(textCol))
-    val grams = transform(
-      sequence(lit(0), size(ws) - n),
-      i => array_join(slice(ws, i + 1, lit(n)), " "))
     df.filter(size(ws) >= n)
-      .select(col(idCol), explode(array_distinct(grams)).as("shingle"))
+      .select(col(idCol),
+        explode(graft.functions.Shingles.distinctShingles(ws, n)).as("shingle"))
   }
 
   // -------------------------------------------------------- MinHash + LSH
@@ -169,17 +167,27 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int, threshold: Double,
                         maxDocsPerShingle: Int = 1000): DataFrame = {
+    // The blocking join never needs the shingle TEXT — only equality — so
+    // shuffle 8-byte xxhash64 keys instead of multi-word strings (several×
+    // fewer shuffle bytes; 64-bit collisions are negligible at any
+    // realistic shingle cardinality and only perturb candidate blocking).
     val sh = shingles(df, textCol, idCol, n)
+      .select(col(idCol), xxhash64(col("shingle")).as("sh_h"))
     val filtered = sh
       .withColumn("df_cnt",
-        count(lit(1)).over(Window.partitionBy(col("shingle"))))
+        count(lit(1)).over(Window.partitionBy(col("sh_h"))))
       .filter(col("df_cnt") <= maxDocsPerShingle)
       .drop("df_cnt")
-    val sizes = sh.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_sh"))
-    val a = filtered.select(col("shingle"), col(idCol).as("id_a"))
-    val b = filtered.select(col("shingle"), col(idCol).as("id_b"))
-    val shared = a.join(b, Seq("shingle"))
+    // |A| per doc straight off the text — a map-side scalar, no second
+    // explode/shuffle of the shingle set.
+    val ws = TextAnalysis.tokens(col(textCol))
+    val sizes = df.filter(size(ws) >= n)
+      .select(col(idCol),
+        size(graft.functions.Shingles.distinctShingles(ws, n))
+          .cast("long").as("n_sh"))
+    val a = filtered.select(col("sh_h"), col(idCol).as("id_a"))
+    val b = filtered.select(col("sh_h"), col(idCol).as("id_b"))
+    val shared = a.join(b, Seq("sh_h"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     shared

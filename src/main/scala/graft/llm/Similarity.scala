@@ -22,28 +22,25 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product over double array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+  /** Dot product over float/double array columns — a codegen'd Catalyst
+    * expression ([[graft.functions.DotProduct]]): the O(pairs × dim) inner
+    * loop of ANN scoring runs as a primitive `for` loop inside whole-stage
+    * codegen instead of per-element lambda evaluation. Numerics identical
+    * to the `aggregate(zip_with(...))` formulation (sequential left-fold in
+    * double). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
 
   /** cosine(a, b) over array columns, in double precision. */
-  def cosine(a: Column, b: Column): Column = {
-    def d(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** L2-normalize a vector column ONCE, map-side, so pair scoring is a
     * plain dot product — 3× fewer flops than cosine-per-pair, and at scale
     * the normalization fuses with the scan while the O(pairs) stage does
-    * minimal work. Floats are widened to double first (engine-portable). */
-  def normalize(vec: Column): Column = {
-    val v = transform(vec, x => x.cast("double"))
-    val norm = sqrt(aggregate(transform(v, x => x * x), lit(0.0),
-      (acc, x) => acc + x))
-    transform(v, x => x / norm)
-  }
+    * minimal work. Floats widen to double ([[graft.functions.L2Normalize]],
+    * codegen'd; engine-portable). */
+  def normalize(vec: Column): Column =
+    graft.functions.VectorOps.l2normalize(vec)
 
   /** Exact top-k neighbors for each query row.
     * Output: (query_id, rank, neighbor_id, score). Ties broken by neighbor
