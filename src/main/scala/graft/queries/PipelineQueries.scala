@@ -111,6 +111,13 @@ object PipelineQueries {
           col("byte_len"), col("content_hash"),
           (lit(64) + ascii(substring(col("text"), 1, 1)) % 192).as("width"))),
 
+    // --- multimodal: frame sampling (every stride-th stub-decoded frame) ---
+    "mm_frame_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("bin", encode(col("text"), "utf-8"))
+      Multimodal.sampleFrames(docs, "doc_id", "bin", stride = 4)
+    }),
+
     // --- multimodal: mapPartitions decode stage ----------------------------------------------
     "mm_decode_meta" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -303,6 +310,13 @@ object PipelineQueries {
           |       CAST(octet_length(encode(text)) AS INT) AS byte_len,
           |       md5(text) AS content_hash,
           |       64 + ord(substr(text, 1, 1)) % 192 AS width
+          |FROM documents""".stripMargin,
+
+      "mm_frame_sample" ->
+        """SELECT doc_id,
+          |       unnest(generate_series(0,
+          |         CAST(1 + octet_length(encode(text)) % 16 AS INT) - 1, 4))
+          |         AS frame_idx
           |FROM documents""".stripMargin,
 
       "mm_decode_meta" ->

@@ -1,13 +1,17 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 import graft.core.{Schemas, Tables}
 import graft.dsl.{MetricsDsl, ResourceFilter}
 import graft.dsl.MetricsDsl.{GroupConfig, TargetSpec}
 import graft.operators.{Enrichment, RateTransform, Reconcile, StatusRollup}
 import graft.functions.Influx
+import graft.sources.Sources
+import graft.streaming.{KafkaShaped, MetricSample, StreamingRate}
 
 /** The reference-parity operator inventory (SURVEY.md §2) expressed as
   * deterministic queries over the driver test tables, each with a DuckDB
@@ -23,6 +27,8 @@ object ReferenceQueries {
   private def resourceCols(df: DataFrame): DataFrame =
     df.select("resource_id", "resource_site", "resource_subclass",
       "resource_type")
+
+  private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   val queries: Map[String, Q] = Map(
     // --- P1-P5: the resource-filter DSL --------------------------------
@@ -41,6 +47,88 @@ object ReferenceQueries {
     "dsl_filter_mega" -> ((s, d) =>
       resourceCols(Tables.resources(s, d).filter(ResourceFilter.parse(
         """resource_class = "customer" AND resource_subclass = "AUTOMOBILE" OR resource_metadata.acctbal_bucket ne "low" AND resource_site NOT IN ("NATION_5") AND resource_endpoint LIKE "Customer#00000001%" OR resource_type eq "delinquent" AND resource_metadata.mktsegment IN ("BUILDING", "MACHINERY")""")))),
+
+    // --- S3: JSON discovery source — write the inventory as JSON lines,
+    // read it back through the schema'd discovery reader (round-trip).
+    "s3_json_source" -> ((s, d) => {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_s3_json_" + Integer.toHexString(d.hashCode)).getPath
+      Tables.resources(s, d).write.mode("overwrite").json(tmp)
+      Sources.readResourcesJson(s, tmp, multiLine = false)
+        .select("resource_id", "resource_site", "resource_type",
+          "resource_endpoint")
+    }),
+
+    // --- S7: enrichment KV upsert with last-write-wins + TTL expiry ------
+    "s7_enrichment_upsert" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+      def shape(df: DataFrame, tsShift: Column) = df.select(
+        col("s_name").as("resource_id"),
+        lit("interface").as("namespace"),
+        col("s_suppkey").cast("string").as("key"),
+        (lit(1000.0) + tsShift % 100).as("enrichment_creation_timestamp"),
+        (lit(500L) + (col("s_suppkey") % 5) * 1000L).as("enrichment_ttl"))
+      val stored = shape(sup, col("s_suppkey"))
+      val incoming = shape(sup.filter(col("s_suppkey") % 2 === 0),
+        col("s_suppkey") + 50)
+      Sources.enrichmentUpsert(stored, incoming, nowTs = 1800.0)
+        .select(col("resource_id"), col("key"),
+          col("enrichment_creation_timestamp").as("win_ts"))
+    }),
+
+    // --- P6: metadata map rebuild from EAV rows (resources.py:773-787) ---
+    "p6_eav_rebuild" -> ((s, d) => {
+      val eav = Tables.resources(s, d)
+        .select(col("resource_id"),
+          explode(col("resource_metadata")).as(Seq("k", "v")))
+      eav.groupBy("resource_id")
+        .agg(concat_ws("|",
+          flatten(array_sort(collect_list(array(col("k"), col("v"))))))
+          .as("meta_kv"))
+    }),
+
+    // --- P7/P8/S5: Kafka-boundary decode — key filter + JSON-schema
+    // validation drop corrupt and unconfigured records (consumer.py:383-405).
+    "p7p8_kafka_decode" -> ((s, d) => {
+      val raw = Tables.events(s, d).select(
+        (col("user_id") % 10).cast("string").as("key"),
+        when(col("event_id") % 7 === 0, lit("{not json"))
+          .otherwise(to_json(struct(col("event_id"), col("event_type"),
+            col("value")))).as("value"))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      KafkaShaped.decodeAndValidate(raw, schema,
+        allowedKeys = Seq("0", "1", "2", "3", "4"))
+        .select("key", "event_id", "event_type", "value")
+    }),
+
+    // --- F2/F6/F12/F13: interface-plugin scalar derivations --------------
+    "f_iface_pack" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val highSpeed = col("user_id") % 5 // 0/1 → fall back to if_speed
+      val ifSpeed = col("user_id") * 1000L
+      val uni = when(col("event_id") % 11 === 0, lit(null)).otherwise(col("value"))
+      val multi = when(col("event_id") % 13 === 0, lit(null)).otherwise(col("value") * 2)
+      val broad = col("value") * 3
+      val oper = col("event_type")
+      val admin = when(col("event_id") % 3 === 0, lit("click")).otherwise(col("event_type"))
+      e.select(
+        col("event_id"),
+        // F6: ifHighSpeed Mbps→bps unless 0/1/null → ifSpeed fallback
+        when(highSpeed.isNull || highSpeed === 0 || highSpeed === 1, ifSpeed)
+          .otherwise(highSpeed * 1000000L).as("speed_bps"),
+        // F12: component-counter sum, -1 if any component missing
+        when(uni.isNull || multi.isNull || broad.isNull, lit(-1.0))
+          .otherwise(uni + multi + broad).as("total_packets"),
+        // F13: admin/oper state mismatch indicator
+        when(oper === admin, 0L).otherwise(1L).as("state_mismatch"),
+        // F2: split + trim a CSV config string
+        array_join(transform(split(concat(col("event_type"), lit(" , "),
+          col("event_type"), lit(" ,x")), ","), x => trim(x)), "+")
+          .as("split_trim"))
+    }),
 
     // --- S1: scan + pushed filter + projection -------------------------
     "s1_scan_filter" -> ((s, d) =>
@@ -399,6 +487,52 @@ object ReferenceQueries {
         .select("index", "sensor", "reading", "scale")
     }),
 
+    // --- J5: explicit indices allow-list restricts evaluation ------------
+    "j5_indices_static" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val tables = Map(
+        "sensor_name" -> p.select(
+          col("p_partkey").cast("string").as("index"), col("p_name").as("value")),
+        "sensor_scale" -> p.select(
+          col("p_partkey").cast("string").as("index"),
+          (lit(1) + col("p_partkey") % 3).cast("string").as("value")))
+      val allow = Some(Seq("1", "2", "3", "5", "8"))
+      val cfg = GroupConfig("environment", 60,
+        dimensions = Map("sensor" -> TargetSpec("sensor_name.$index",
+          indices = allow)),
+        metrics = Map("scale" -> TargetSpec("int(sensor_scale.$index)",
+          valueType = "int", indices = allow)))
+      MetricsDsl.evaluateIndexed(cfg, tables).get
+        .select("index", "sensor", "scale")
+    }),
+
+    // --- ST1-ST4/A1/J8: the STREAMING rate transform, replayed through a
+    // bounded MemoryStream micro-batch (flatMapGroupsWithState path) — the
+    // same guards as the batch a1_rate, verified against the same windowed
+    // oracle (ts = event_id, unique per series, interval 1000 → TTL 3000).
+    "stream_rate" -> ((s, d) => {
+      implicit val sqlCtx = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      val samples = Tables.events(s, d).filter(col("user_id") < 30)
+        .select(
+          concat_ws("|", col("user_id"), col("event_type")).as("series"),
+          lit("value").as("metric"),
+          col("value").cast("double").as("value"),
+          col("event_id").cast("double").as("ts"),
+          lit(1000L).as("interval"))
+        .as[MetricSample].collect()
+      val input = MemoryStream[MetricSample]
+      val qname = "stream_rate_" + streamSeq.incrementAndGet()
+      val q = StreamingRate(input.toDS(), stateTtl = false)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      input.addData(samples.toSeq)
+      q.processAllAvailable()
+      q.stop()
+      s.table(qname).select("series", "ts", "rate", "confidence")
+    }),
+
     // --- A3: the computed-metrics DSL, top-level count-where path -------------------
     "snmp_dsl_toplevel" -> ((s, d) => {
       val tables = Map(
@@ -457,6 +591,52 @@ object ReferenceQueries {
 
     "s1_scan_filter" ->
       "SELECT s_suppkey, s_name, s_acctbal FROM supplier WHERE s_acctbal > 1000.0",
+
+    "s3_json_source" ->
+      s"""WITH $R
+         |SELECT resource_id, resource_site, resource_type, resource_endpoint
+         |FROM resources""".stripMargin,
+
+    "s7_enrichment_upsert" ->
+      """WITH stored AS (
+        |  SELECT s_name AS resource_id, CAST(s_suppkey AS VARCHAR) AS key,
+        |         1000.0 + s_suppkey % 100 AS ts,
+        |         500 + (s_suppkey % 5) * 1000 AS ttl
+        |  FROM supplier),
+        |inc AS (
+        |  SELECT s_name AS resource_id, CAST(s_suppkey AS VARCHAR) AS key,
+        |         1000.0 + (s_suppkey + 50) % 100 AS ts,
+        |         500 + (s_suppkey % 5) * 1000 AS ttl
+        |  FROM supplier WHERE s_suppkey % 2 = 0),
+        |u AS (SELECT * FROM stored UNION ALL SELECT * FROM inc),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY resource_id, key
+        |                                   ORDER BY ts DESC) AS rn FROM u)
+        |SELECT resource_id, key, ts AS win_ts
+        |FROM r WHERE rn = 1 AND ts + ttl >= 1800""".stripMargin,
+
+    "p6_eav_rebuild" ->
+      s"""WITH $R
+         |SELECT resource_id,
+         |       'acctbal_bucket|' || meta_acctbal_bucket ||
+         |       '|mktsegment|' || meta_mktsegment ||
+         |       '|nation|' || meta_nation AS meta_kv
+         |FROM resources""".stripMargin,
+
+    "p7p8_kafka_decode" ->
+      """SELECT CAST(user_id % 10 AS VARCHAR) AS key, event_id, event_type, value
+        |FROM events
+        |WHERE event_id % 7 != 0 AND user_id % 10 <= 4""".stripMargin,
+
+    "f_iface_pack" ->
+      """SELECT event_id,
+        |       CASE WHEN user_id % 5 IN (0, 1) THEN user_id * 1000
+        |            ELSE (user_id % 5) * 1000000 END AS speed_bps,
+        |       CASE WHEN event_id % 11 = 0 OR event_id % 13 = 0 THEN -1.0
+        |            ELSE value + value * 2 + value * 3 END AS total_packets,
+        |       CASE WHEN event_id % 3 = 0 AND event_type != 'click'
+        |            THEN 1 ELSE 0 END AS state_mismatch,
+        |       event_type || '+' || event_type || '+x' AS split_trim
+        |FROM events""".stripMargin,
 
     "s2_serialization_key" ->
       s"""WITH $R
@@ -715,6 +895,28 @@ object ReferenceQueries {
         |            THEN round(CAST(CAST(p_size AS BIGINT) * (1 + p_partkey % 3) AS DOUBLE) * 1.8 + 32, 2)
         |            ELSE 0.0 END AS temperature_fahrenheit
         |FROM part WHERE p_name != ''""".stripMargin,
+
+    "j5_indices_static" ->
+      """SELECT CAST(p_partkey AS VARCHAR) AS index, p_name AS sensor,
+        |       CAST(1 + p_partkey % 3 AS BIGINT) AS scale
+        |FROM part
+        |WHERE p_partkey IN (1, 2, 3, 5, 8) AND p_name != ''""".stripMargin,
+
+    "stream_rate" ->
+      """WITH e AS (
+        |  SELECT concat_ws('|', CAST(user_id AS VARCHAR), event_type) AS series,
+        |         value, CAST(event_id AS DOUBLE) AS ts
+        |  FROM events WHERE user_id < 30),
+        |l AS (
+        |  SELECT *, lag(value) OVER w AS pv, lag(ts) OVER w AS pt
+        |  FROM e WINDOW w AS (PARTITION BY series ORDER BY ts))
+        |SELECT series, ts,
+        |  CASE WHEN pv IS NOT NULL AND ts - pt > 0 AND ts - pt <= 3000
+        |            AND value >= pv
+        |       THEN CAST(floor((value - pv) / (ts - pt)) AS BIGINT) END AS rate,
+        |  CASE WHEN pv IS NOT NULL AND ts - pt > 0
+        |       THEN round(1000 / (ts - pt), 2) END AS confidence
+        |FROM l""".stripMargin,
 
     "snmp_dsl_partial" ->
       """SELECT CAST(p.p_partkey AS VARCHAR) AS index, p.p_name AS sensor,
