@@ -93,6 +93,61 @@ object Similarity {
         round(col("score"), roundScore).as("score"))
   }
 
+  /** IVF-style coarse quantization over the first `m` components: cell =
+    * 2·(argmax |vᵢ|) + sign(v_argmax). Deterministic (smallest index wins
+    * ties) and engine-portable; swapping in trained k-means centroids
+    * changes only this expression. Returns (winnerCell, runnerUpCell). */
+  def axisCells(vec: Column, m: Int): (Column, Column) = {
+    def a(i: Int): Column = abs(element_at(vec, i + 1).cast("double"))
+    def argmaxOver(idxs: Seq[Int]): Column = idxs match {
+      case Seq(last) => lit(last)
+      case h +: t =>
+        when(t.map(j => a(h) >= a(j)).reduce(_ && _), lit(h))
+          .otherwise(argmaxOver(t))
+    }
+    def cellOf(idx: Column): Column =
+      (idx * 2 + when(element_at(vec, idx + 1) >= 0, 1).otherwise(0))
+        .cast("int")
+    val win = argmaxOver(0 until m)
+    val runner = (0 until m).map(w =>
+      (w, argmaxOver((0 until m).filterNot(_ == w))))
+      .foldLeft(lit(-1)) { case (acc, (w, c)) =>
+        when(win === w, c).otherwise(acc)
+      }
+    (cellOf(win), cellOf(runner))
+  }
+
+  /** ANN via IVF probing: each corpus vector lives in exactly ONE cell of
+    * the coarse quantizer; a query scores candidates in its own cell plus
+    * its runner-up cell (`probes` ∈ {1,2}).
+    *
+    * The 100 TB plan: bucket/partition the corpus by `cell` once at write
+    * time; a query batch shuffles only the (broadcast) queries, each query
+    * reads `probes` partitions, and the per-cell top-k is a bounded
+    * partial-aggregation. Same output shape as [[bruteForceTopK]].
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              m: Int = 4, probes: Int = 2,
+              roundScore: Int = 6): DataFrame = {
+    require(probes >= 1 && probes <= 2, s"probes=$probes not in 1..2")
+    val (cw, cr) = axisCells(col(vecCol), m)
+    val q = queries.select(col(idCol).as("query_id"),
+      normalize(col(vecCol)).as("qv"),
+      explode(array(Seq(cw, cr).take(probes): _*)).as("cell"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      normalize(col(vecCol)).as("cv"), cw.as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", dot(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), roundScore).as("score"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, LSH-blocked:
     * only same-bucket pairs are scored (id_a < id_b). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

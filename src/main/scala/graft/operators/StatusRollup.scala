@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Device-status rollup — reference
@@ -18,21 +17,26 @@ object StatusRollup {
   /** @param df        one row per (entity, check) outcome
     * @param entityCol grouping key
     * @param statusCol status string; `successValue` marks success
+    *
+    * Plan shape: two cascaded hash aggregations — (entity, status) counts
+    * with map-side partial agg, then per-entity `max_by` over
+    * (cnt, status) which IS the mode with the desc-status tie-break (the
+    * max pair has the highest count, and among equal counts the largest
+    * status string). No join, no window sort, no second scan of the input:
+    * at 100 TB this is one shuffle of the distinct (entity, status) pairs
+    * and one of the entities.
     */
   def rollup(df: DataFrame, entityCol: String, statusCol: String,
              successValue: String = "SUCCESS"): DataFrame = {
+    val isSuccess = when(col(statusCol) === successValue, 1).otherwise(0)
     val counts = df.groupBy(col(entityCol), col(statusCol))
-      .agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(col(entityCol))
-      .orderBy(col("cnt").desc, col(statusCol).desc)
-    val modes = counts
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(entityCol), col(statusCol).as("mode_status"))
-    val flags = df.groupBy(col(entityCol)).agg(
-      max(when(col(statusCol) === successValue, 1).otherwise(0)).as("any_success"),
-      min(when(col(statusCol) === successValue, 1).otherwise(0)).as("all_success"))
-    flags.join(modes, Seq(entityCol))
+      .agg(count(lit(1)).as("cnt"), max(isSuccess).as("is_success"))
+    counts.groupBy(col(entityCol))
+      .agg(
+        max_by(col(statusCol), struct(col("cnt"), col(statusCol)))
+          .as("mode_status"),
+        max(col("is_success")).as("any_success"),
+        min(col("is_success")).as("all_success"))
       .select(col(entityCol),
         when(col("all_success") === 1, lit(successValue))
           .when(col("any_success") === 1, lit("PARTIAL_METRIC_FAILURE"))

@@ -98,6 +98,15 @@ object PipelineQueries {
           col("neighbor_id"))
     }),
 
+    // --- ANN: IVF coarse-quantizer probing (the bucketed-corpus scale path) --
+    "ann_ivf_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 50),
+        "vec_id", "embedding", k = 3, m = 4, probes = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+    }),
+
     // --- embedding-cosine near-dup pairs ---------------------------------------------------
     "embed_cosine_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
@@ -283,6 +292,50 @@ object PipelineQueries {
           |  SELECT q.query_id, e.vec_id AS neighbor_id,
           |         list_dot_product(qv, e.v) AS score
           |  FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id)
+          |SELECT query_id, rank, neighbor_id FROM (
+          |  SELECT query_id, neighbor_id,
+          |         CAST(row_number() OVER (PARTITION BY query_id
+          |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+          |  FROM s) WHERE rank <= 3""".stripMargin,
+
+      "ann_ivf_topk" ->
+        """WITH e0 AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+          |         abs(CAST(embedding[1] AS DOUBLE)) AS a0,
+          |         abs(CAST(embedding[2] AS DOUBLE)) AS a1,
+          |         abs(CAST(embedding[3] AS DOUBLE)) AS a2,
+          |         abs(CAST(embedding[4] AS DOUBLE)) AS a3
+          |  FROM embeddings),
+          |w AS (
+          |  SELECT *, CASE WHEN a0 >= a1 AND a0 >= a2 AND a0 >= a3 THEN 0
+          |                 WHEN a1 >= a2 AND a1 >= a3 THEN 1
+          |                 WHEN a2 >= a3 THEN 2 ELSE 3 END AS win
+          |  FROM e0),
+          |r AS (
+          |  SELECT *, CASE win
+          |    WHEN 0 THEN (CASE WHEN a1 >= a2 AND a1 >= a3 THEN 1
+          |                      WHEN a2 >= a3 THEN 2 ELSE 3 END)
+          |    WHEN 1 THEN (CASE WHEN a0 >= a2 AND a0 >= a3 THEN 0
+          |                      WHEN a2 >= a3 THEN 2 ELSE 3 END)
+          |    WHEN 2 THEN (CASE WHEN a0 >= a1 AND a0 >= a3 THEN 0
+          |                      WHEN a1 >= a3 THEN 1 ELSE 3 END)
+          |    ELSE (CASE WHEN a0 >= a1 AND a0 >= a2 THEN 0
+          |               WHEN a1 >= a2 THEN 1 ELSE 2 END)
+          |  END AS run
+          |  FROM w),
+          |cells AS (
+          |  SELECT vec_id,
+          |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv,
+          |         2 * win + CASE WHEN v[win + 1] >= 0 THEN 1 ELSE 0 END AS cell_w,
+          |         2 * run + CASE WHEN v[run + 1] >= 0 THEN 1 ELSE 0 END AS cell_r
+          |  FROM r),
+          |q AS (SELECT vec_id AS query_id, nv AS qv,
+          |             unnest([cell_w, cell_r]) AS cell
+          |      FROM cells WHERE vec_id < 50),
+          |c AS (SELECT vec_id AS neighbor_id, nv AS cv, cell_w AS cell FROM cells),
+          |s AS (SELECT q.query_id, c.neighbor_id,
+          |             list_dot_product(qv, cv) AS score
+          |      FROM c JOIN q USING (cell) WHERE c.neighbor_id <> q.query_id)
           |SELECT query_id, rank, neighbor_id FROM (
           |  SELECT query_id, neighbor_id,
           |         CAST(row_number() OVER (PARTITION BY query_id

@@ -487,6 +487,18 @@ object ReferenceQueries {
         .select("index", "sensor", "reading", "scale")
     }),
 
+    // --- S6: Kafka fan-out encode — one record per (site topic + global
+    // topic), key = series key, value = canonical JSON payload
+    // (polling_plugin_agent.py:307-364).
+    "s6_kafka_fanout" -> ((s, d) => {
+      val e = Tables.events(s, d).filter(col("event_id") < 400)
+      KafkaShaped.encodeFanout(e,
+        siteCol = col("event_type"), topicSuffix = "metrics",
+        keyCol = concat_ws("|", col("user_id"), col("event_type")),
+        payload = struct(col("event_id"), col("event_type")),
+        globalTopic = Some("global-metrics"))
+    }),
+
     // --- J5: explicit indices allow-list restricts evaluation ------------
     "j5_indices_static" -> ((s, d) => {
       val p = Tables.part(s, d)
@@ -895,6 +907,17 @@ object ReferenceQueries {
         |            THEN round(CAST(CAST(p_size AS BIGINT) * (1 + p_partkey % 3) AS DOUBLE) * 1.8 + 32, 2)
         |            ELSE 0.0 END AS temperature_fahrenheit
         |FROM part WHERE p_name != ''""".stripMargin,
+
+    "s6_kafka_fanout" ->
+      """WITH base AS (
+        |  SELECT event_type || '-metrics' AS site_topic,
+        |         concat_ws('|', CAST(user_id AS VARCHAR), event_type) AS key,
+        |         '{"event_id":' || event_id || ',"event_type":"'
+        |           || event_type || '"}' AS value
+        |  FROM events WHERE event_id < 400)
+        |SELECT site_topic AS topic, key, value FROM base
+        |UNION ALL
+        |SELECT 'global-metrics' AS topic, key, value FROM base""".stripMargin,
 
     "j5_indices_static" ->
       """SELECT CAST(p_partkey AS VARCHAR) AS index, p_name AS sensor,
