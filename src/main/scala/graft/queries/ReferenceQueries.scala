@@ -393,6 +393,16 @@ object ReferenceQueries {
           regexp_replace(col("event_type"), "[^\\x00-\\x7F]", "").as("ascii_clean"),
           lower(lpad(hex(col("user_id") % 256), 2, "0")).as("mac_octet"))),
 
+    // --- F14: resource-set timestamp validity window (≤7d old, ≤60s
+    // future; resources.py:393-399) with an INJECTED clock — wall-clock
+    // never reaches an oracle-checked query.
+    "f14_validity" -> ((s, d) => {
+      val now = lit(1.5e9 + 500.0)
+      val ts = col("resource_creation_timestamp")
+      Tables.resources(s, d).select(col("resource_id"),
+        (ts <= now + 60.0 && ts >= now - 604800.0).as("is_valid"))
+    }),
+
     // --- P9: identifier validation ------------------------------------------------
     "p9_validation" -> ((s, d) =>
       Tables.events(s, d)
@@ -860,6 +870,12 @@ object ReferenceQueries {
         |       regexp_replace(event_type, '[^\x00-\x7F]', '', 'g') AS ascii_clean,
         |       lower(lpad(to_hex(user_id % 256), 2, '0')) AS mac_octet
         |FROM events WHERE event_id < 500""".stripMargin,
+
+    "f14_validity" ->
+      """SELECT c_name AS resource_id,
+        |       (c_custkey + 1.5e9 <= 1.5e9 + 500 + 60
+        |        AND c_custkey + 1.5e9 >= 1.5e9 + 500 - 604800) AS is_valid
+        |FROM customer""".stripMargin,
 
     "p9_validation" ->
       """SELECT DISTINCT event_type AS name,
