@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+
+import graft.functions.{Shingles, VectorOps}
+import graft.operators.RateTransform
+import graft.streaming.RateGuards
+
+/** Deterministic property tests (scalacheck generators, fixed seeds):
+  *  - the batch Column form of the rate transform agrees with the pure
+  *    guard function on randomized sequences (gaps, resets, out-of-order,
+  *    duplicate timestamps) — SURVEY §7.3's randomized-order requirement;
+  *  - the codegen kernels agree with their composable HOF formulations on
+  *    random inputs (defends the perf substitutions bit-for-bit).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, rng.Seed(seed))
+
+  test("batch rate Column form == pure guards on random sequences") {
+    val stepGen = Gen.listOfN(30, for {
+      dv <- Gen.chooseNum(-800, 2000) // negatives → counter resets
+      dt <- Gen.frequency(
+        3 -> Gen.chooseNum(1L, 120L),   // normal cadence
+        1 -> Gen.chooseNum(181L, 400L), // TTL-breaking gaps (3×60=180)
+        1 -> Gen.chooseNum(-60L, 0L))   // out-of-order / duplicate ts
+    } yield (dv, dt))
+
+    (1 to 20).foreach { seed =>
+      val steps = sample(stepGen, seed)
+      var v = 1000.0
+      var t = 10000.0
+      val samples = steps.zipWithIndex.map { case ((dv, dt), i) =>
+        v = math.max(0.0, v + dv); t += dt
+        (i.toLong, v, t)
+      }
+
+      // pure sequential replay in arrival order (state always advances)
+      var prev: Option[(Double, Double)] = None
+      val expected = samples.map { case (_, value, ts) =>
+        val (rate, conf) = RateGuards.compute(prev, value, ts, 60)
+        prev = Some((value, ts))
+        (rate, conf)
+      }
+
+      val got = RateTransform.batch(
+        samples.toDF("idx", "value", "ts").withColumn("series", lit("s")),
+        Seq("series"), "value", "ts", "idx", lit(60))
+        .orderBy("idx")
+        .select("rate", "confidence")
+        .as[(Option[Long], Option[Double])].collect().toList
+
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("DistinctShingles == HOF formulation on random token lists") {
+    val docGen = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e"))
+      .map(_.mkString(" "))
+    (1 to 30).foreach { seed =>
+      val text = sample(docGen, seed)
+      val n = 2 + seed % 3
+      val df = Seq(text).toDF("text")
+      val ws = split(col("text"), "\\s+")
+      val hof = array_distinct(transform(
+        sequence(lit(0), size(ws) - n),
+        i => array_join(slice(ws, i + 1, lit(n)), " ")))
+      val row = df.filter(size(ws) >= n)
+        .select(Shingles.distinctShingles(ws, n).as("fast"), hof.as("ref"))
+        .as[(Seq[String], Seq[String])].collect()
+      row.foreach { case (fast, ref) => assert(fast == ref, s"seed=$seed n=$n") }
+    }
+  }
+
+  test("DotProduct/L2Normalize == HOF formulation on random vectors") {
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-100.0, 100.0))
+    (1 to 30).foreach { seed =>
+      val a = sample(vecGen, seed).toArray
+      val b = sample(vecGen, seed + 1000).toArray
+      val df = Seq((a, b)).toDF("a", "b")
+      val hofDot = aggregate(zip_with(col("a"), col("b"), (p, q) => p * q),
+        lit(0.0), (acc, x) => acc + x)
+      val norm = sqrt(aggregate(transform(col("a"), x => x * x), lit(0.0),
+        (acc, x) => acc + x))
+      val hofNorm = transform(col("a"), x => x / norm)
+      val (fd, rd, fn, rn) = df.select(
+        VectorOps.dot(col("a"), col("b")).as("fd"), hofDot.as("rd"),
+        VectorOps.l2normalize(col("a")).as("fn"), hofNorm.as("rn"))
+        .as[(Double, Double, Seq[Double], Seq[Double])].head()
+      assert(fd == rd, s"seed=$seed dot")
+      assert(fn == rn, s"seed=$seed norm")
+    }
+  }
+}
