@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField
 import graft.core.{Schemas, Tables}
 import graft.dsl.{MetricsDsl, ResourceFilter}
 import graft.dsl.MetricsDsl.{GroupConfig, TargetSpec}
-import graft.operators.{Enrichment, RateTransform, Reconcile, StatusRollup}
+import graft.operators.{Enrichment, GroupAssembly, RateTransform, Reconcile, StatusRollup}
 import graft.functions.Influx
 import graft.sources.Sources
 import graft.streaming.{KafkaShaped, MetricSample, StreamingRate}
@@ -546,13 +546,52 @@ object ReferenceQueries {
         .as[MetricSample].collect()
       val input = MemoryStream[MetricSample]
       val qname = "stream_rate_" + streamSeq.incrementAndGet()
-      val q = StreamingRate(input.toDS(), stateTtl = false)
-        .writeStream.format("memory").queryName(qname)
-        .outputMode("append").start()
-      input.addData(samples.toSeq)
-      q.processAllAvailable()
-      q.stop()
+      // One state-store instance per shuffle partition per micro-batch:
+      // scope the partition count to the replay's size (the cluster-scale
+      // setting belongs to the real job, not this bounded verification).
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = StreamingRate(input.toDS(), stateTtl = false)
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append").start()
+        input.addData(samples.toSeq)
+        q.processAllAvailable()
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(qname).select("series", "ts", "rate", "confidence")
+    }),
+
+    // --- Group assembly: DSL output → reference-shaped nested rows with a
+    // canonical content hash (metrics.py:388-398); verified through flat
+    // canonical renders + the hash itself.
+    "mg_assemble" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val tables = Map(
+        "sensor_name" -> p.select(
+          col("p_partkey").cast("string").as("index"), col("p_name").as("value")),
+        "sensor_scale" -> p.select(
+          col("p_partkey").cast("string").as("index"),
+          (lit(1) + col("p_partkey") % 3).cast("string").as("value")),
+        "sensor_value" -> p.filter(col("p_size") > 25).select(
+          col("p_partkey").cast("string").as("index"),
+          col("p_size").cast("string").as("value")))
+      val cfg = GroupConfig("environment", 60,
+        dimensions = Map("sensor" -> TargetSpec("sensor_name.$index")),
+        metrics = Map(
+          "reading" -> TargetSpec("int(sensor_value.$index)", valueType = "int",
+            indicesFrom = Some("sensor_name")),
+          "scale" -> TargetSpec("int(sensor_scale.$index)", valueType = "int")))
+      val idx = MetricsDsl.evaluateIndexed(cfg, tables).get
+      GroupAssembly.assemble(idx, cfg,
+        resource = struct(lit("device-1").as("resource_id")),
+        clockTs = lit(1.7e9))
+        .select(col("index"), col("metrics_group_type"),
+          col("metrics_group_interval"),
+          col("metrics_group_creation_timestamp"),
+          GroupAssembly.dimsRender(col("dimensions")).as("dims_render"),
+          GroupAssembly.metricsRender(col("metrics")).as("metrics_render"),
+          col("content_hash"))
     }),
 
     // --- A3: the computed-metrics DSL, top-level count-where path -------------------
@@ -956,6 +995,27 @@ object ReferenceQueries {
         |  CASE WHEN pv IS NOT NULL AND ts - pt > 0
         |       THEN round(1000 / (ts - pt), 2) END AS confidence
         |FROM l""".stripMargin,
+
+    "mg_assemble" ->
+      """WITH g AS (
+        |  SELECT CAST(p.p_partkey AS VARCHAR) AS index, p.p_name AS sensor,
+        |         CASE WHEN v.p_size IS NOT NULL
+        |              THEN 'reading|' || CAST(CAST(v.p_size AS DOUBLE) AS VARCHAR)
+        |                   || '|gauge,' ELSE '' END
+        |           || 'scale|' || CAST(CAST(1 + p.p_partkey % 3 AS DOUBLE) AS VARCHAR)
+        |           || '|gauge' AS metrics_render,
+        |         'sensor|' || p.p_name AS dims_render
+        |  FROM part p
+        |  LEFT JOIN (SELECT p_partkey, p_size FROM part WHERE p_size > 25) v
+        |    ON v.p_partkey = p.p_partkey
+        |  WHERE p.p_name != '')
+        |SELECT index, 'environment' AS metrics_group_type,
+        |       CAST(60 AS BIGINT) AS metrics_group_interval,
+        |       1.7e9 AS metrics_group_creation_timestamp,
+        |       dims_render, metrics_render,
+        |       sha256('{"resource_id":"device-1"}' || '|' || metrics_render
+        |              || '|' || dims_render) AS content_hash
+        |FROM g""".stripMargin,
 
     "snmp_dsl_partial" ->
       """SELECT CAST(p.p_partkey AS VARCHAR) AS index, p.p_name AS sensor,
