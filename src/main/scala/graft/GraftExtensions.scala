@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, L2Normalize}
+import graft.functions.{DotProduct, HammingDistance, L2Normalize}
 
 /** `SparkSessionExtensions` installer: registers the engine's custom
   * codegen expressions as SQL functions so `spark.sql` queries (and the
@@ -27,5 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l2_normalize"),
       new ExpressionInfo(classOf[L2Normalize].getName, "l2_normalize"),
       (args: Seq[Expression]) => L2Normalize(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("hamming"),
+      new ExpressionInfo(classOf[HammingDistance].getName, "hamming"),
+      (args: Seq[Expression]) => HammingDistance(args(0), args(1))))
   }
 }

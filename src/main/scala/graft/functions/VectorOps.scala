@@ -116,6 +116,50 @@ case class L2Normalize(child: Expression)
     copy(child = newChild)
 }
 
+/** `hamming(a, b)` = number of positions where two equal-length strings
+  * differ (bit-signature distance for SimHash). Codegen'd byte loop —
+  * the `zip_with(split(a, ""), split(b, ""), ...)` formulation allocates
+  * two arrays per comparison inside the O(pairs) candidate join. Compares
+  * min(|a|,|b|) bytes (signatures are fixed-width ASCII). */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val y = b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val n = math.min(x.length, y.length)
+    var d = 0
+    var i = 0
+    while (i < n) { if (x(i) != y(i)) d += 1; i += 1 }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""
+         |byte[] $x = $a.getBytes();
+         |byte[] $y = $b.getBytes();
+         |int $n = java.lang.Math.min($x.length, $y.length);
+         |int $d = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x[$i] != $y[$i]) $d++;
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API surface for the kernels. */
 object VectorOps {
   def dot(a: Column, b: Column): Column =
@@ -124,4 +168,8 @@ object VectorOps {
 
   def l2normalize(v: Column): Column =
     ColumnBridge.column(L2Normalize(ColumnBridge.expression(v)))
+
+  def hamming(a: Column, b: Column): Column =
+    ColumnBridge.column(HammingDistance(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -98,38 +98,19 @@ object Dedup {
 
   // -------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash as a bit string (oracle-portable: bits come from md5
-    * hex digits, weighted by term frequency; sign of each bit-sum is the
-    * signature bit).
+  /** 64-bit SimHash as a bit string (bits come from md5 weighted by term
+    * frequency; sign of each bit-sum is the signature bit — identical to
+    * the portable SQL derivation, see [[graft.functions.SimHashUtil]]).
     *
-    * Plan shape: tokens → (token, cnt) per doc (map-side combine) → explode
-    * 64 bit positions → sum ±cnt per (doc, pos) → pivot back to a string.
-    * One shuffle on doc id. The 64× row expansion is the price of a
-    * UDF-free columnar form; a codegen'd Catalyst Expression is the
-    * production upgrade path.
-    */
-  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
-      .withColumn("h", md5(col("tok")))
-    // bit b of the 64-bit prefix: hex digit b/4, bit 3-(b%4) within digit
-    val pos = explode(sequence(lit(0), lit(63))).as("pos")
-    val bits = toks.select(col(idCol), col("cnt"), col("h"), pos)
-      .withColumn("digit",
-        instr(lit("0123456789abcdef"),
-          substring(col("h"), (col("pos") / 4).cast("int") + 1, lit(1))) - 1)
-      .withColumn("bit",
-        floor(col("digit") / pow(lit(2), lit(3) - col("pos") % 4)).cast("int") % 2)
-      .withColumn("contrib",
-        when(col("bit") === 1, col("cnt")).otherwise(-col("cnt")))
-      .groupBy(col(idCol), col("pos"))
-      .agg(sum(col("contrib")).as("s"))
-    bits.groupBy(col(idCol))
-      .agg(array_join(transform(array_sort(collect_list(
-        struct(col("pos"), when(col("s") > 0, "1").otherwise("0").as("b")))),
-        e => e.getField("b")), "").as("simhash_bits"))
-  }
+    * Plan shape: ONE map-side scalar per document (codegen'd expression) —
+    * no explode, no shuffle. The previous columnar formulation (explode
+    * tokens → count → explode 64 positions → two aggregations) cost three
+    * shuffles and a 64× row blowup for the same output. */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.SimHashUtil
+        .simhash64(TextAnalysis.tokens(col(textCol)))
+        .as("simhash_bits"))
 
   /** SimHash near-dup candidates: block on 4 chunks of 16 bits (two docs
     * within hamming distance 3 must agree on ≥1 chunk), then exact hamming
@@ -146,10 +127,8 @@ object Dedup {
       col(idCol).as("id_a"), col("simhash_bits").as("bits_a"))
     val b = chunks.select(col("chunk"), col("cv"),
       col(idCol).as("id_b"), col("simhash_bits").as("bits_b"))
-    val hamming = size(filter(
-      zip_with(split(col("bits_a"), ""), split(col("bits_b"), ""),
-        (x, y) => x =!= y),
-      x => x))
+    val hamming =
+      graft.functions.VectorOps.hamming(col("bits_a"), col("bits_b"))
     a.join(b, Seq("chunk", "cv"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming.as("hamming"))

@@ -53,6 +53,14 @@ object PipelineQueries {
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), "text", "doc_id")),
 
+    // --- SimHash near-dup candidate pairs (chunk-blocked + exact hamming) ---
+    "dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(
+        Dedup.simhash(Tables.documents(s, d), "text", "doc_id"),
+        "doc_id", maxHamming = 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))),
+
     // --- n-gram Jaccard near-dup pairs --------------------------------------
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
@@ -189,6 +197,45 @@ object PipelineQueries {
           |       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
           |                  ORDER BY pos) AS simhash_bits
           |FROM bits GROUP BY doc_id""".stripMargin,
+
+      "dedup_simhash_pairs" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+          |  FROM documents),
+          |tf AS (
+          |  SELECT doc_id, tok, count(*) AS cnt, md5(tok) AS h
+          |  FROM toks GROUP BY 1, 2),
+          |bits AS (
+          |  SELECT doc_id, pos,
+          |         sum(CASE WHEN CAST(floor(
+          |               (strpos('0123456789abcdef',
+          |                       substr(h, CAST(pos // 4 AS INT) + 1, 1)) - 1)
+          |               / 2 ** (3 - pos % 4)) AS INT) % 2 = 1
+          |             THEN cnt ELSE -cnt END) AS s
+          |  FROM tf, generate_series(0, 63) t(pos)
+          |  GROUP BY 1, 2),
+          |sig AS (
+          |  SELECT doc_id,
+          |         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+          |                    ORDER BY pos) AS bits
+          |  FROM bits GROUP BY doc_id),
+          |chunks AS (
+          |  SELECT doc_id, bits, i AS chunk,
+          |         substr(bits, i * 16 + 1, 16) AS cv
+          |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS i) t),
+          |pairs AS (
+          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          |         a.bits AS ba, b.bits AS bb
+          |  FROM chunks a JOIN chunks b
+          |    ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id),
+          |h AS (
+          |  SELECT id_a, id_b,
+          |         CAST(list_sum(list_transform(generate_series(1, 64),
+          |           i -> CASE WHEN substr(ba, CAST(i AS INT), 1)
+          |                          = substr(bb, CAST(i AS INT), 1)
+          |                     THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+          |  FROM pairs)
+          |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 3""".stripMargin,
 
       "dedup_ngram_jaccard" ->
         s"""WITH $shinglesCte,
