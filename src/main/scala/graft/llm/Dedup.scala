@@ -88,11 +88,19 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** End-to-end MinHash-LSH candidate pairs. */
+  /** End-to-end MinHash-LSH candidate pairs. Signatures come from the
+    * one-pass codegen'd [[graft.functions.MinHashUtil]] (same values as
+    * [[minhashSignatures]], zero shuffles before banding). */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
-    val sh = shingles(df, textCol, idCol, shingleN)
-    val sigs = minhashSignatures(sh, idCol, k)
+    val ws = TextAnalysis.tokens(col(textCol))
+    val sigs = df.filter(size(ws) >= shingleN)
+      .select(col(idCol),
+        graft.functions.MinHashUtil.signatures(
+          graft.functions.Shingles.distinctShingles(ws, shingleN), k)
+          .as("__sig"))
+      .select(col(idCol) +:
+        (0 until k).map(i => element_at(col("__sig"), i + 1).as(s"sig_$i")): _*)
     lshCandidatePairs(lshBands(sigs, idCol, k, bands), idCol)
   }
 
