@@ -39,4 +39,21 @@ class BucketingSpec extends SparkSpec {
       assert(joined.count() == 1000)
     } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("site-partitioned store write prunes partitions on the site filter") {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_part_store").getPath
+    graft.core.Tables.resources(spark, sf001)
+      .write.mode("overwrite").partitionBy("resource_site").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .filter($"resource_site" === "NATION_3")
+      .select("resource_id")
+    val scan = q.queryExecution.executedPlan.toString
+    // the site predicate becomes a PartitionFilters entry — only that
+    // site's directory is listed/read (S1's Redis key-prefix narrowing,
+    // done by layout instead of key encoding)
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(scan.contains("resource_site"), scan)
+    assert(q.count() > 0)
+  }
 }

@@ -2,8 +2,13 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
+import org.apache.spark.sql.functions._
+
+import graft.core.Schemas
+import graft.dsl.MetricsDsl.{GroupConfig, TargetSpec}
+import graft.operators.GroupAssembly
 import graft.sinks.InfluxSink
-import graft.streaming.{MetricSample, Pipelines}
+import graft.streaming.{KafkaShaped, MetricSample, Pipelines}
 
 /** The full polling→Kafka→Influx dataflow, end to end: a MemoryStream of
   * counter samples through the stateful rate transform, fan-out encode,
@@ -50,5 +55,44 @@ class PipelinesSpec extends SparkSpec {
       Pipelines.kafkaToInfluxLines(wire.filter($"topic" === "dc1-processed")),
       transport = batch => { batch.foreach(sent.add); true }, batchSize = 1)
     assert(sent.value.size() == 2)
+  }
+
+  test("metrics-group wire format round-trips through the kafka boundary") {
+    import graft.dsl.MetricsDsl
+    val tables = Map(
+      "names" -> Seq(("1", "eth0"), ("2", "eth1")).toDF("index", "value"),
+      "octets" -> Seq(("1", "100"), ("2", "200")).toDF("index", "value"))
+    val cfg = GroupConfig("interface", 60,
+      dimensions = Map("name" -> TargetSpec("names.$index")),
+      metrics = Map("octets_in" -> TargetSpec("int(octets.$index)",
+        valueType = "int", metricType = "counter")))
+    val groups = GroupAssembly.assemble(
+      MetricsDsl.evaluateIndexed(cfg, tables).get, cfg,
+      resource = struct(
+        lit("dc1").as("resource_site"), lit("net").as("resource_class"),
+        lit("switch").as("resource_subclass"), lit("core").as("resource_type"),
+        lit("r1").as("resource_id"), lit("r1.example.com").as("resource_endpoint"),
+        lit("snmp").as("resource_plugin"),
+        lit(1.7e9).as("resource_creation_timestamp"),
+        map(lit("model"), lit("m1")).as("resource_metadata")),
+      clockTs = lit(1.7e9))
+
+    // producer side: canonical JSON value, series-ish key
+    val wire = groups.select(col("index").as("key"),
+      to_json(struct(col("metrics_group_type"), col("metrics_group_interval"),
+        col("metrics_group_creation_timestamp"),
+        col("metrics_group_schema_version"), col("resource"),
+        col("dimensions"), col("metrics"))).as("value"))
+
+    // consumer side: schema-validated decode with the fixed wire schema
+    val decoded = KafkaShaped.decodeAndValidate(wire, Schemas.metricsGroup)
+    assert(decoded.count() == 2)
+    val row = decoded.filter(col("key") === "1")
+      .select(col("resource.resource_id"),
+        element_at(col("dimensions"), 1).getField("dimension_value"),
+        element_at(col("metrics"), 1).getField("metric_value"),
+        element_at(col("metrics"), 1).getField("metric_type"))
+      .as[(String, String, Double, String)].head()
+    assert(row == (("r1", "eth0", 100.0, "counter")))
   }
 }
