@@ -68,6 +68,29 @@ object KafkaShaped {
       .select(col("key").cast("string").as("key"), col("parsed.*"))
   }
 
+  /** The records [[decodeAndValidate]] would DROP — a dead-letter frame.
+    * The reference counts skipped records
+    * (`consumer.py:136-184,400-405`); at scale a dead-letter sink is the
+    * auditable form of that counter (and `count()` on this frame IS the
+    * counter). Same predicate, negated, so the two frames partition the
+    * input exactly. */
+  def invalidRecords(
+      df: DataFrame,
+      schema: StructType,
+      allowedKeys: Seq[String] = Nil): DataFrame = {
+    val anyFieldSet = schema.fields
+      .map(f => col(s"parsed.${f.name}").isNotNull)
+      .reduce(_ || _)
+    val keyOk =
+      if (allowedKeys.isEmpty) lit(true)
+      else col("key").cast("string").isin(allowedKeys: _*)
+    df.withColumn("parsed", from_json(col("value").cast("string"), schema))
+      .filter(!keyOk || col("parsed").isNull || !anyFieldSet)
+      .select(col("key").cast("string").as("key"),
+        col("value").cast("string").as("value"),
+        (!keyOk).as("dropped_by_key_filter"))
+  }
+
   /** Required-field schema enforcement on top of [[decodeAndValidate]]:
     * rows missing any of `requiredFields` (null after parse) are dropped,
     * mirroring the reference's JSON-Schema `required` lists

@@ -75,6 +75,23 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Map("ae0" -> -1L, "xe-0/0/0" -> 20000L, "xe-9/9/9" -> -1L))
   }
 
+  test("salted join equals the plain join on skewed keys") {
+    import graft.operators.Skew
+    val facts = ((1 to 500).map(i => ("hot", i.toLong)) ++
+      (1 to 20).map(i => ("cold", i.toLong))).toDF("key", "row_id")
+    val dims = Seq(("hot", "H"), ("cold", "C")).toDF("key", "attr")
+    val salted = Skew.saltedJoin(facts, dims, "key", salt = 8, "row_id")
+    val plain = facts.join(dims, "key")
+    assert(salted.count() == plain.count())
+    assert(salted.select("key", "row_id", "attr").as[(String, Long, String)]
+      .collect().toSet ==
+      plain.select("key", "row_id", "attr").as[(String, Long, String)]
+        .collect().toSet)
+    // the hot key's rows actually spread across salts
+    val spread = Skew.saltedJoin(facts, dims, "key", salt = 8, "row_id")
+    assert(spread.count() == 520)
+  }
+
   test("influx escaping and sorted-tag line rendering") {
     // reference consumers/influxdb/consumer.py:84-169
     val df = Seq(("cpu util", Map("host b" -> "x=1", "a" -> "v,2"), 42.5, 1700000000L))

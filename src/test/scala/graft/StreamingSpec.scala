@@ -97,6 +97,22 @@ class StreamingSpec extends SparkSpec {
       Set(("k1", 1L, "x")))
   }
 
+  test("invalid records land in the dead-letter frame, exactly partitioned") {
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType)))
+    val df = Seq(
+      ("k1", """{"a": 1, "b": "x"}"""),
+      ("k1", """not json"""),
+      ("k2", """{"a": 2, "b": "y"}""")) // filtered by key
+      .toDF("key", "value")
+    val valid = KafkaShaped.decodeAndValidate(df, schema, Seq("k1"))
+    val dead = KafkaShaped.invalidRecords(df, schema, Seq("k1"))
+    assert(valid.count() + dead.count() == 3)
+    assert(dead.select("key", "dropped_by_key_filter")
+      .as[(String, Boolean)].collect().toSet ==
+      Set(("k1", false), ("k2", true)))
+  }
+
   test("required-field enforcement drops null-field rows") {
     val schema = StructType(Seq(
       StructField("a", LongType), StructField("b", StringType)))
