@@ -104,6 +104,55 @@ object Dedup {
     lshCandidatePairs(lshBands(sigs, idCol, k, bands), idCol)
   }
 
+  // ------------------------------------------------------ dedup clusters
+
+  /** Connected components over candidate near-duplicate pairs: every doc
+    * in a component gets the component's minimum id as `cluster_root`
+    * (keep one representative per root to materialize the deduplicated
+    * corpus).
+    *
+    * Distributed min-label propagation: each round joins labels across
+    * edges and takes the elementwise min, until a fixpoint (bounded by
+    * component diameter — near-dup clusters are shallow; `maxIters`
+    * backstops pathological chains). The per-round `isEmpty` convergence
+    * probe and `localCheckpoint` lineage cut are the standard Spark shape
+    * for iterative graph algorithms (GraphX/GraphFrames do the same
+    * under the hood); only labels shuffle, never documents.
+    */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+               maxIters: Int = 20): DataFrame = {
+    // materialize the edge list ONCE — without this, every iteration
+    // re-runs the (possibly expensive) candidate-pair pipeline upstream
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_root", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"),
+          col("cluster_root").as("src_root")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("src_root")).as("nbr_root"))
+      // the changed flag rides inside the checkpointed frame, so each
+      // round is exactly two jobs: materialize + a cached-scan probe
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_root"),
+            coalesce(col("nbr_root"), col("cluster_root")))
+            .as("cluster_root"),
+          (coalesce(col("nbr_root"), col("cluster_root")) <
+            col("cluster_root")).as("__changed"))
+        .localCheckpoint()
+      converged = next.filter(col("__changed")).isEmpty
+      labels = next.drop("__changed")
+      iter += 1
+    }
+    labels
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash as a bit string (bits come from md5 weighted by term

@@ -53,6 +53,19 @@ object PipelineQueries {
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), "text", "doc_id")),
 
+    // --- dedup clusters: connected components over MinHash-LSH pairs -------
+    "dedup_clusters" -> ((s, d) => {
+      // candidate pairs are tiny relative to the corpus (the point of
+      // LSH blocking) — scope the iterative rounds' shuffle width down
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try Dedup.clusters(
+        Dedup.minhashLsh(Tables.documents(s, d), "text", "doc_id",
+          shingleN = 3, k = 8, bands = 4))
+        .select(col("id").as("doc_id"), col("cluster_root"))
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }),
+
     // --- SimHash near-dup candidate pairs (chunk-blocked + exact hamming) ---
     "dedup_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(
@@ -197,6 +210,31 @@ object PipelineQueries {
           |       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
           |                  ORDER BY pos) AS simhash_bits
           |FROM bits GROUP BY doc_id""".stripMargin,
+
+      "dedup_clusters" ->
+        s"""WITH RECURSIVE $shinglesCte,
+           |sig AS (SELECT doc_id,
+           |${(0 until 8).map(i => s"  min(md5('$i|' || shingle)) AS sig_$i").mkString(",\n")}
+           |        FROM sh GROUP BY doc_id),
+           |bands AS (
+           |${(0 until 4).map(b =>
+              s"  SELECT doc_id, $b AS band, md5(sig_${2 * b} || sig_${2 * b + 1}) AS band_hash FROM sig")
+              .mkString("\n  UNION ALL\n")}
+           |),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.band_hash = b.band_hash
+           |   AND a.doc_id < b.doc_id),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+           |SELECT id AS doc_id, min(r) AS cluster_root
+           |FROM reach GROUP BY 1""".stripMargin,
 
       "dedup_simhash_pairs" ->
         """WITH toks AS (

@@ -38,6 +38,16 @@ class LlmSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("clusters: min-label propagation merges transitive chains") {
+    // 1-2, 2-3, 3-4 chain + isolated pair 8-9 → roots 1 and 8
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      8L -> 8L, 9L -> 8L))
+  }
+
   test("simhash: identical docs share signatures; near dups within hamming 3") {
     val sig = Dedup.simhash(docs, "text", "doc_id")
     val m = sig.as[(Long, String)].collect().toMap
