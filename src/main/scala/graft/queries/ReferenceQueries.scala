@@ -250,6 +250,20 @@ object ReferenceQueries {
       StatusRollup.rollup(Tables.events(s, d), "user_id", "event_type",
         successValue = "purchase")),
 
+    // --- A5: exception→status mapping + per-device rollup ----------------
+    // polling_status.py:42-53 maps exception classes to status codes; the
+    // per-check outcomes then fold per device (A4's machinery).
+    "a5_exception_map" -> ((s, d) => {
+      val outcome = when(col("value") > 150, lit("SUCCESS"))
+        .when(col("event_id") % 5 === 0, lit("PING_FAILURE"))
+        .when(col("event_id") % 7 === 0, lit("AUTHENTICATION_FAILURE"))
+        .when(col("event_id") % 11 === 0, lit("TIMEOUT"))
+        .otherwise(lit("INTERNAL_FAILURE"))
+      StatusRollup.rollup(
+        Tables.events(s, d).select(col("user_id"), outcome.as("status")),
+        "user_id", "status", successValue = "SUCCESS")
+    }),
+
     // --- A7/SO4: union + dedup --------------------------------------------
     "a7_union_dedup" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -810,6 +824,33 @@ object ReferenceQueries {
         |       CASE WHEN all_s = 1 THEN 'purchase'
         |            WHEN any_s = 1 THEN 'PARTIAL_METRIC_FAILURE'
         |            ELSE m.event_type END AS device_status
+        |FROM f JOIN m ON f.user_id = m.user_id""".stripMargin,
+
+    "a5_exception_map" ->
+      """WITH o AS (
+        |  SELECT user_id,
+        |         CASE WHEN value > 150 THEN 'SUCCESS'
+        |              WHEN event_id % 5 = 0 THEN 'PING_FAILURE'
+        |              WHEN event_id % 7 = 0 THEN 'AUTHENTICATION_FAILURE'
+        |              WHEN event_id % 11 = 0 THEN 'TIMEOUT'
+        |              ELSE 'INTERNAL_FAILURE' END AS status
+        |  FROM events),
+        |c AS (SELECT user_id, status, count(*) AS cnt FROM o GROUP BY 1, 2),
+        |m AS (
+        |  SELECT user_id, status FROM (
+        |    SELECT user_id, status,
+        |           row_number() OVER (PARTITION BY user_id
+        |                              ORDER BY cnt DESC, status DESC) AS rn
+        |    FROM c) WHERE rn = 1),
+        |f AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN status = 'SUCCESS' THEN 1 ELSE 0 END) AS any_s,
+        |         min(CASE WHEN status = 'SUCCESS' THEN 1 ELSE 0 END) AS all_s
+        |  FROM o GROUP BY 1)
+        |SELECT f.user_id,
+        |       CASE WHEN all_s = 1 THEN 'SUCCESS'
+        |            WHEN any_s = 1 THEN 'PARTIAL_METRIC_FAILURE'
+        |            ELSE m.status END AS device_status
         |FROM f JOIN m ON f.user_id = m.user_id""".stripMargin,
 
     "a7_union_dedup" ->

@@ -46,6 +46,16 @@ object PerfProbe {
     t("full_ngram") {
       Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.2, 50).count()
     }
+    // variant: df-cap via groupBy+join instead of window (exchange reuse?)
+    t("ngram_groupby_cap") {
+      val cnt = shh.groupBy("sh_h").agg(count(lit(1)).as("c"))
+        .filter(col("c") <= 50)
+      val filt = shh.join(cnt.select("sh_h"), Seq("sh_h"))
+      val a2 = filt.select(col("sh_h"), col("doc_id").as("id_a"))
+      val b2 = filt.select(col("sh_h"), col("doc_id").as("id_b"))
+      a2.join(b2, Seq("sh_h")).filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter")).count()
+    }
     val sigs = Dedup.minhashSignatures(sh, "doc_id", 8)
     t("minhash_sigs") { sigs.count() }
     t("full_minhash") {
