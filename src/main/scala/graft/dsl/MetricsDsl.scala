@@ -333,11 +333,15 @@ object MetricsDsl {
     // `:603-604`), so an index emits iff ≥1 metric survived — a surviving
     // dimension alone keeps nothing alive, and a failed dimension is merely
     // absent from an emitted group.
+    // No indexed METRIC targets at all → metrics_map is empty and the
+    // reference's assembly takes the top-level-only branch (`:603,660`):
+    // nothing indexed is emitted, even if dimensions resolved.
+    val metricCols = indexed.filterNot(_._3).map(_._1)
+    if (metricCols.isEmpty) return None
+
     var out = baseIndices
     evaluated.foreach { case (_, df) => out = out.join(df, Seq("index"), "left") }
-    val metricCols = indexed.filterNot(_._3).map(_._1)
-    if (metricCols.nonEmpty)
-      out = out.filter(metricCols.map(col(_).isNotNull).reduce(_ || _))
+    out = out.filter(metricCols.map(col(_).isNotNull).reduce(_ || _))
 
     // P10: empty-dimension gate — a null (failed/skipped) dimension is
     // ABSENT, not empty; only the empty string trips the gate (`:524-541`).

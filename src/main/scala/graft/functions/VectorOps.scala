@@ -27,25 +27,45 @@ private[graft] trait VectorArrayAccess { self: Expression =>
     case other => throw new IllegalArgumentException(
       s"expected array<float|double>, got $other")
   }
+  /** Whether the array schema admits null elements — gates the per-element
+    * null check so null-free arrays pay nothing for it. */
+  protected def mayHaveNullElems(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
   protected def getter(e: Expression, arr: String, i: String): String =
     if (elemIsFloat(e)) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
   protected def get(e: Expression, arr: ArrayData, i: Int): Double =
     if (elemIsFloat(e)) arr.getFloat(i).toDouble else arr.getDouble(i)
 }
 
-/** `dot(a, b)` = Σ aᵢ·bᵢ over min(|a|,|b|) elements, in double. */
+/** `dot(a, b)` = Σ aᵢ·bᵢ over min(|a|,|b|) elements, in double.
+  * A null ELEMENT nulls the whole result — exactly what the HOF
+  * formulation does (null propagates through the fold), so a
+  * partially-null embedding is excluded from ranking instead of scoring
+  * with silent zeros. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with VectorArrayAccess {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += get(left, x, i) * get(right, y, i); i += 1 }
+    while (i < n) {
+      if ((mayHaveNullElems(left) && x.isNullAt(i)) ||
+        (mayHaveNullElems(right) && y.isNullAt(i))) return null
+      s += get(left, x, i) * get(right, y, i)
+      i += 1
+    }
     s
   }
 
@@ -54,10 +74,15 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val nullCheck =
+        if (mayHaveNullElems(left) || mayHaveNullElems(right))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $s += (${getter(left, a, i)}) * (${getter(right, b, i)});
          |}
          |${ev.value} = $s;
@@ -70,18 +95,29 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 /** `l2_normalize(v)` = v / ‖v‖₂ as `array<double>`; a zero vector maps to
-  * NaNs exactly like the portable `x / sqrt(0)` SQL form. */
+  * NaNs exactly like the portable `x / sqrt(0)` SQL form. A null ELEMENT
+  * nulls the whole result (the HOF form yields a useless all-null array
+  * there; NULL is the honest columnar encoding — document feeds should
+  * filter or impute first). */
 case class L2Normalize(child: Expression)
     extends UnaryExpression with VectorArrayAccess {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
 
-  override protected def nullSafeEval(v: Any): Any = {
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
     val x = v.asInstanceOf[ArrayData]
     val n = x.numElements()
     var ss = 0.0
     var i = 0
-    while (i < n) { val e = get(child, x, i); ss += e * e; i += 1 }
+    while (i < n) {
+      if (mayHaveNullElems(child) && x.isNullAt(i)) return null
+      val e = get(child, x, i)
+      ss += e * e
+      i += 1
+    }
     val norm = math.sqrt(ss)
     val out = new Array[Double](n)
     i = 0
@@ -96,19 +132,27 @@ case class L2Normalize(child: Expression)
       val ss = ctx.freshName("ss")
       val norm = ctx.freshName("norm")
       val res = ctx.freshName("res")
+      val e = ctx.freshName("e")
+      val nullCheck =
+        if (mayHaveNullElems(child))
+          s"if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = $v.numElements();
          |double $ss = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double e = ${getter(child, v, i)};
-         |  $ss += e * e;
+         |  $nullCheck
+         |  double $e = ${getter(child, v, i)};
+         |  $ss += $e * $e;
          |}
-         |double $norm = java.lang.Math.sqrt($ss);
-         |double[] $res = new double[$n];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $res[$i] = (${getter(child, v, i)}) / $norm;
+         |if (!${ev.isNull}) {
+         |  double $norm = java.lang.Math.sqrt($ss);
+         |  double[] $res = new double[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $res[$i] = (${getter(child, v, i)}) / $norm;
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($res);
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($res);
        """.stripMargin
     })
 

@@ -120,7 +120,7 @@ object Dedup {
     * under the hood); only labels shuffle, never documents.
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-               maxIters: Int = 20): DataFrame = {
+               maxIters: Int = 50): DataFrame = {
     // materialize the edge list ONCE — without this, every iteration
     // re-runs the (possibly expensive) candidate-pair pipeline upstream
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
@@ -150,6 +150,12 @@ object Dedup {
       labels = next.drop("__changed")
       iter += 1
     }
+    // fail loudly: a silently-unconverged result would split real
+    // clusters. (Chains needing >maxIters rounds are pathological for
+    // near-dup graphs; the large-star/small-star variant is the upgrade
+    // path if they ever appear.)
+    if (!converged) throw new IllegalStateException(
+      s"clusters did not converge in $maxIters rounds")
     labels
   }
 

@@ -98,6 +98,8 @@ object Similarity {
     * ties) and engine-portable; swapping in trained k-means centroids
     * changes only this expression. Returns (winnerCell, runnerUpCell). */
   def axisCells(vec: Column, m: Int): (Column, Column) = {
+    require(m >= 2, s"axisCells needs m >= 2 (got $m): the runner-up cell " +
+      "is the argmax over the remaining components")
     def a(i: Int): Column = abs(element_at(vec, i + 1).cast("double"))
     def argmaxOver(idxs: Seq[Int]): Column = idxs match {
       case Seq(last) => lit(last)

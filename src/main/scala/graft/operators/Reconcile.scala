@@ -46,7 +46,10 @@ object Reconcile {
       incomingTsCol: Option[String] = None): DataFrame = {
     val key = identityCols
 
+    // incoming is a SET in the reference (identity-deduped on build) —
+    // distinct here so a raw feed with repeated keys emits one add each
     val adds = incoming
+      .select(key.map(col): _*).distinct()
       .join(stored.select(key.map(col): _*), key, "left_anti")
       .select(key.map(col) :+ lit("add").as("action"): _*)
 
@@ -61,9 +64,15 @@ object Reconcile {
     // ROW's own creation timestamp (`manager.py:121-135`).
     val updates = incomingTsCol match {
       case Some(tsCol) =>
+        // one update per stored row even if the raw incoming feed repeats
+        // an identity key: the reference builds a key→resource dict, so
+        // duplicates collapse before comparison — keep the newest row's
+        // timestamp (a MERGE-shaped consumer requires unique source keys)
+        val incDeduped = incoming
+          .groupBy(key.map(col): _*)
+          .agg(max(col(tsCol)).as("__inc_ts"))
         stored
-          .join(incoming.select((key.map(col) :+
-            col(tsCol).as("__inc_ts")): _*), key, "inner")
+          .join(incDeduped, key, "inner")
           .filter(col(storedTsCol) <= col("__inc_ts"))
           .select(key.map(col) :+ lit("update").as("action"): _*)
       case None =>

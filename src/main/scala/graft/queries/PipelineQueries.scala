@@ -55,13 +55,14 @@ object PipelineQueries {
 
     // --- dedup clusters: connected components over MinHash-LSH pairs -------
     "dedup_clusters" -> ((s, d) => {
-      // candidate pairs are tiny relative to the corpus (the point of
-      // LSH blocking) — scope the iterative rounds' shuffle width down
+      // materialize the candidate pairs under the AMBIENT parallelism
+      // (the LSH pipeline is the heavy part), then scope the shuffle
+      // width down for the tiny iterative label rounds only
+      val pairs = Dedup.minhashLsh(Tables.documents(s, d), "text", "doc_id",
+        shingleN = 3, k = 8, bands = 4).localCheckpoint()
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      try Dedup.clusters(
-        Dedup.minhashLsh(Tables.documents(s, d), "text", "doc_id",
-          shingleN = 3, k = 8, bands = 4))
+      try Dedup.clusters(pairs)
         .select(col("id").as("doc_id"), col("cluster_root"))
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),

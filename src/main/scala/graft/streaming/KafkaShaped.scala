@@ -56,7 +56,8 @@ object KafkaShaped {
       allowedKeys: Seq[String] = Nil): DataFrame = {
     val keyFiltered =
       if (allowedKeys.isEmpty) df
-      else df.filter(col("key").cast("string").isin(allowedKeys: _*))
+      else df.filter(
+        coalesce(col("key").cast("string").isin(allowedKeys: _*), lit(false)))
     // PERMISSIVE from_json yields an all-null struct for malformed input
     // (not a null struct) — treat both as invalid.
     val anyFieldSet = schema.fields
@@ -81,9 +82,12 @@ object KafkaShaped {
     val anyFieldSet = schema.fields
       .map(f => col(s"parsed.${f.name}").isNotNull)
       .reduce(_ || _)
+    // null keys: `None not in keys` is True in the reference, i.e. a null
+    // key IS dropped by the filter — coalesce keeps three-valued logic
+    // from losing such records from BOTH frames
     val keyOk =
       if (allowedKeys.isEmpty) lit(true)
-      else col("key").cast("string").isin(allowedKeys: _*)
+      else coalesce(col("key").cast("string").isin(allowedKeys: _*), lit(false))
     df.withColumn("parsed", from_json(col("value").cast("string"), schema))
       .filter(!keyOk || col("parsed").isNull || !anyFieldSet)
       .select(col("key").cast("string").as("key"),

@@ -25,6 +25,19 @@ class ExpressionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("null array elements null the result, matching the HOF fold") {
+    val df = Seq(
+      (Seq[Option[Double]](Some(1.0), None), Seq[Option[Double]](Some(2.0), Some(3.0))),
+      (Seq[Option[Double]](Some(1.0), Some(2.0)), Seq[Option[Double]](Some(2.0), Some(3.0))))
+      .toDF("a", "b")
+    val out = df.select(
+      VectorOps.dot(col("a"), col("b")).as("d"),
+      VectorOps.l2normalize(col("a")).as("n")).collect()
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1))
+    assert(out(1).getDouble(0) == 8.0)
+    assert(!out(1).isNullAt(1))
+  }
+
   test("codegen l2 normalize widens floats and divides by the l2 norm") {
     val out = Seq(Tuple1(Array(3.0f, 4.0f))).toDF("v")
       .select(VectorOps.l2normalize(col("v")).as("n"))

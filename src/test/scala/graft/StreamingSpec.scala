@@ -103,14 +103,17 @@ class StreamingSpec extends SparkSpec {
     val df = Seq(
       ("k1", """{"a": 1, "b": "x"}"""),
       ("k1", """not json"""),
-      ("k2", """{"a": 2, "b": "y"}""")) // filtered by key
+      ("k2", """{"a": 2, "b": "y"}"""),                 // filtered by key
+      (null.asInstanceOf[String], """{"a": 3, "b": "z"}""")) // null key
       .toDF("key", "value")
     val valid = KafkaShaped.decodeAndValidate(df, schema, Seq("k1"))
     val dead = KafkaShaped.invalidRecords(df, schema, Seq("k1"))
-    assert(valid.count() + dead.count() == 3)
+    // exact partition, including the null-key record (None ∉ keys in the
+    // reference → key-filtered, NOT lost to three-valued logic)
+    assert(valid.count() + dead.count() == 4)
     assert(dead.select("key", "dropped_by_key_filter")
-      .as[(String, Boolean)].collect().toSet ==
-      Set(("k1", false), ("k2", true)))
+      .as[(Option[String], Boolean)].collect().toSet ==
+      Set((Some("k1"), false), (Some("k2"), true), (None, true)))
   }
 
   test("required-field enforcement drops null-field rows") {
