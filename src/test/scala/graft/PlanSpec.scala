@@ -35,6 +35,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("no query plans an accidental cartesian product") {
+    // intentional cross products: brute-force ANN scores query×corpus by
+    // design (broadcast nested loop); the top-level DSL packs 1-row
+    // aggregate frames side by side
+    val intended = Set("ann_brute_topk", "snmp_dsl_toplevel")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(intended)
+      .filter { name =>
+        val p = plan(name)
+        p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
+      }
+    assert(offenders.isEmpty, s"unintended cross joins in: $offenders")
+  }
+
   test("sql surface: views + plain sql run the same engine") {
     Graft.attachViews(spark, sf001)
     val n = spark.sql(
