@@ -55,6 +55,11 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // NOTE: no test drives stateTtl=true under the default trigger — with
+  // ProcessingTimeTimeout Spark re-triggers micro-batches continuously to
+  // fire timeouts, so a processAllAvailable-based test livelocks; the
+  // production pairing is Trigger.ProcessingTime (see StreamingRate docs).
+
   test("guards agree between batch-Column and streaming-Scala forms") {
     // same cases as the golden 8-step spec, via the shared pure function
     assert(RateGuards.compute(None, 0.0, 1000.0, 60) == (None, None))
