@@ -164,7 +164,18 @@ object MetricsDsl {
       interval: Long,
       dimensions: Map[String, TargetSpec],
       metrics: Map[String, TargetSpec],
-      ignoreEmptyDimensions: Boolean = false)
+      ignoreEmptyDimensions: Boolean = false,
+      schemaVersion: String = "0.2")
+
+  /** v0.1 enrichment configs used these bare words as string literals;
+    * the reference quotes them before eval
+    * (`_V1_STRING_LITERALS`/`:481-483`). */
+  private val V1StringLiterals = Set("data", "ctrl", "dram")
+
+  private def parseTarget(value: String, schemaVersion: String): Expr =
+    if (schemaVersion == "0.1" && V1StringLiterals.contains(value.trim))
+      Str(value.trim)
+    else P.parseExpr(value)
 
   // -------------------------------------------------------------- compile
   /** Collect the tables referenced by per-index lookups in an expression. */
@@ -266,11 +277,18 @@ object MetricsDsl {
         config.metrics.toSeq.sortBy(_._1).map { case (n, t) => (n, t, false) }
 
     val parsed = targets.map { case (n, t, isDim) =>
-      (n, t, isDim, P.parseExpr(t.value))
+      (n, t, isDim, parseTarget(t.value, config.schemaVersion))
     }
     val indexed = parsed.filterNot { case (_, t, _, e) =>
       isAggregate(e) || (referencedTables(e).isEmpty && t.indices.isEmpty &&
         t.indicesFrom.isEmpty)
+    }
+    // TOP-LEVEL dimensions (constant/literal values) attach to EVERY
+    // emitted group (`top_level_dimensions_map`, `:618-624`) — they become
+    // constant columns on the indexed output.
+    val literalDims = parsed.collect {
+      case (n, t, true, Str(v))
+        if t.indices.isEmpty && t.indicesFrom.isEmpty => (n, v)
     }
     if (indexed.isEmpty) return None
 
@@ -343,9 +361,11 @@ object MetricsDsl {
     evaluated.foreach { case (_, df) => out = out.join(df, Seq("index"), "left") }
     out = out.filter(metricCols.map(col(_).isNotNull).reduce(_ || _))
 
+    literalDims.foreach { case (n, v) => out = out.withColumn(n, lit(v)) }
+
     // P10: empty-dimension gate — a null (failed/skipped) dimension is
     // ABSENT, not empty; only the empty string trips the gate (`:524-541`).
-    val dimCols = indexed.filter(_._3).map(_._1)
+    val dimCols = indexed.filter(_._3).map(_._1) ++ literalDims.map(_._1)
     if (!config.ignoreEmptyDimensions && dimCols.nonEmpty) {
       val anyEmpty = dimCols
         .map(d => coalesce(col(d).cast("string") === "", lit(false)))
@@ -367,7 +387,7 @@ object MetricsDsl {
   def evaluateTopLevel(config: GroupConfig,
                        tables: Map[String, DataFrame]): Option[DataFrame] = {
     val tops = config.metrics.toSeq.sortBy(_._1).flatMap { case (n, t) =>
-      val e = P.parseExpr(t.value)
+      val e = parseTarget(t.value, config.schemaVersion)
       if (isAggregate(e)) Some((n, t, e))
       else if (referencedTables(e).isEmpty && t.indices.isEmpty &&
         t.indicesFrom.isEmpty) Some((n, t, e))

@@ -105,6 +105,23 @@ class MetricsDslSpec extends SparkSpec {
     assert(MetricsDsl.evaluateIndexed(cfg(true), tbl).get.count() == 3)
   }
 
+  test("top-level literal dimensions attach to every group; v0.1 bare literals") {
+    // v0.2: quoted literal; v0.1: the bare words data/ctrl/dram are
+    // string literals (_V1_STRING_LITERALS, plugin:481-483)
+    def cfg(ver: String, dimValue: String) = GroupConfig("g", 60,
+      dimensions = Map(
+        "bank" -> TargetSpec(dimValue),
+        "sensor" -> TargetSpec("temp_sensor_name.$index")),
+      metrics = Map("v" -> TargetSpec("int(temp_sensor_scales.$index)",
+        valueType = "int")),
+      schemaVersion = ver)
+    val v2 = MetricsDsl.evaluateIndexed(cfg("0.2", "'mem'"), tables).get
+    assert(v2.select("bank").distinct().as[String].collect().toSeq == Seq("mem"))
+    val v1 = MetricsDsl.evaluateIndexed(cfg("0.1", "data"), tables).get
+    assert(v1.select("bank").distinct().as[String].collect().toSeq == Seq("data"))
+    assert(v1.count() == 3)
+  }
+
   test("closed grammar rejects arbitrary code (the eval hole stays closed)") {
     intercept[DslParseException](
       MetricsDsl.parseExpression("__import__('os').system('rm -rf /')"))
