@@ -112,7 +112,9 @@ object MetricsDsl {
           CountItemsKeyIn(table, keySet, vals)
       }
     def tableRef: Parser[Expr] = ident <~ ".$index" ^^ TableRef.apply
-    def variable: Parser[Expr] = "x" ^^^ Var("x")
+    // lookahead: bare identifiers starting with x (e.g. xmit_errors) must
+    // not be swallowed by the lambda variable
+    def variable: Parser[Expr] = """x(?!\w)""".r ^^^ Var("x")
 
     def atom: Parser[Expr] =
       countValues | countItems | roundFn | castFn | tableRef |
@@ -199,32 +201,62 @@ object MetricsDsl {
 
   /** Compile a per-index expression: `table.$index` refs become the table's
     * joined value column `__v_<table>`; the lambda variable binds to
-    * `xCol`. */
-  private def compile(e: Expr, xCol: Option[Column]): Column = e match {
+    * `xCol`; aggregate leaves resolve through `aggCols` (pre-computed
+    * 1-row aggregate columns) in the top-level path. */
+  private def compile(e: Expr, xCol: Option[Column],
+                      aggCols: Map[Expr, Column] = Map.empty): Column = e match {
     case Num(v)  => lit(v)
     case Str(v)  => lit(v)
     case Var(_)  => xCol.getOrElse(
       throw new DslParseException("x outside transform lambda"))
     case TableRef(t) => col(s"__v_$t")
-    case Neg(x)      => -compile(x, xCol)
-    case BinOp("+", l, r) => compile(l, xCol) + compile(r, xCol)
-    case BinOp("-", l, r) => compile(l, xCol) - compile(r, xCol)
-    case BinOp("*", l, r) => compile(l, xCol) * compile(r, xCol)
+    case Neg(x)      => -compile(x, xCol, aggCols)
+    case BinOp("+", l, r) => compile(l, xCol, aggCols) + compile(r, xCol, aggCols)
+    case BinOp("-", l, r) => compile(l, xCol, aggCols) - compile(r, xCol, aggCols)
+    case BinOp("*", l, r) => compile(l, xCol, aggCols) * compile(r, xCol, aggCols)
     // ZeroDivisionError skipped the row in the reference → try_divide
-    case BinOp("/", l, r) => try_divide(compile(l, xCol), compile(r, xCol))
+    case BinOp("/", l, r) =>
+      try_divide(compile(l, xCol, aggCols), compile(r, xCol, aggCols))
     case BinOp(op, _, _)  => throw new DslParseException(s"op $op")
     // reference int('bad') raised and skipped the row; ANSI cast would
     // fail the whole job — try_cast gives null → row filtered
-    case Cast("int", x)    => compile(x, xCol).try_cast("long")
-    case Cast("long", x)   => compile(x, xCol).try_cast("long")
-    case Cast("float", x)  => compile(x, xCol).try_cast("double")
-    case Cast("double", x) => compile(x, xCol).try_cast("double")
-    case Cast("str", x)    => compile(x, xCol).try_cast("string")
+    case Cast("int", x)    => compile(x, xCol, aggCols).try_cast("long")
+    case Cast("long", x)   => compile(x, xCol, aggCols).try_cast("long")
+    case Cast("float", x)  => compile(x, xCol, aggCols).try_cast("double")
+    case Cast("double", x) => compile(x, xCol, aggCols).try_cast("double")
+    case Cast("str", x)    => compile(x, xCol, aggCols).try_cast("string")
     case Cast(t, _)        => throw new DslParseException(s"cast $t")
-    case Round(x, d)       => round(compile(x, xCol), d)
-    case _: CountValuesWhere | _: CountItemsKeyIn =>
-      throw new DslParseException("aggregate expression in per-index context")
+    // Spark round is HALF_UP where Python's is half-to-even — a DELIBERATE
+    // deviation (tie inputs only) keeping parity with SQL engines
+    case Round(x, d)       => round(compile(x, xCol, aggCols), d)
+    case agg @ (_: CountValuesWhere | _: CountItemsKeyIn) =>
+      aggCols.getOrElse(agg, throw new DslParseException(
+        "aggregate expression in per-index context"))
   }
+
+  /** Distinct aggregate leaves of an expression, in first-appearance order. */
+  private def aggLeaves(e: Expr): Seq[Expr] = (e match {
+    case agg @ (_: CountValuesWhere | _: CountItemsKeyIn) => Seq(agg)
+    case BinOp(_, l, r) => aggLeaves(l) ++ aggLeaves(r)
+    case Neg(x)         => aggLeaves(x)
+    case Cast(_, x)     => aggLeaves(x)
+    case Round(x, _)    => aggLeaves(x)
+    case _              => Seq.empty
+  }).distinct
+
+  /** One-row frame computing a single aggregate leaf as `alias`. */
+  private def aggLeafFrame(leaf: Expr, alias: String,
+                           tables: Map[String, DataFrame]): DataFrame =
+    leaf match {
+      case CountValuesWhere(table, cond) =>
+        tables(table).agg(
+          count(when(compileCond(cond, Some(col("value"))), 1)).as(alias))
+      case CountItemsKeyIn(table, keySet, vals) =>
+        tables(table)
+          .join(tables(keySet).select(col("index")), Seq("index"), "left_semi")
+          .agg(count(when(col("value").isin(vals: _*), 1)).as(alias))
+      case other => throw new DslParseException(s"not an aggregate: $other")
+    }
 
   private def compileCond(c: Cond, xCol: Option[Column]): Column = c match {
     case Cmp("==", l, r) => compile(l, xCol) === compile(r, xCol)
@@ -283,12 +315,15 @@ object MetricsDsl {
       isAggregate(e) || (referencedTables(e).isEmpty && t.indices.isEmpty &&
         t.indicesFrom.isEmpty)
     }
-    // TOP-LEVEL dimensions (constant/literal values) attach to EVERY
-    // emitted group (`top_level_dimensions_map`, `:618-624`) — they become
-    // constant columns on the indexed output.
-    val literalDims = parsed.collect {
-      case (n, t, true, Str(v))
-        if t.indices.isEmpty && t.indicesFrom.isEmpty => (n, v)
+    // TOP-LEVEL dimensions (literal/constant values, any type, transform
+    // applied, rendered via str() — `:516-521`) attach to EVERY emitted
+    // group (`top_level_dimensions_map`, `:618-624`) as constant columns.
+    val literalDims: Seq[(String, Column)] = parsed.collect {
+      case (n, t, true, e)
+        if !isAggregate(e) && referencedTables(e).isEmpty &&
+          t.indices.isEmpty && t.indicesFrom.isEmpty =>
+        (n, applyTransform(applyType(compile(e, None), t.valueType),
+          t.transform).cast("string"))
     }
     if (indexed.isEmpty) return None
 
@@ -361,7 +396,14 @@ object MetricsDsl {
     evaluated.foreach { case (_, df) => out = out.join(df, Seq("index"), "left") }
     out = out.filter(metricCols.map(col(_).isNotNull).reduce(_ || _))
 
-    literalDims.foreach { case (n, v) => out = out.withColumn(n, lit(v)) }
+    literalDims.foreach { case (n, c) => out = out.withColumn(n, c) }
+
+    // v0.2 merges TOP-LEVEL metrics into every indexed group
+    // (`:626-633`); v0.1 emits them as a separate group instead (use
+    // [[evaluateTopLevel]] for that path).
+    if (config.schemaVersion != "0.1")
+      topLevelMetricsFrame(config, tables).foreach(tl =>
+        out = out.crossJoin(broadcast(tl)))
 
     // P10: empty-dimension gate — a null (failed/skipped) dimension is
     // ABSENT, not empty; only the empty string trips the gate (`:524-541`).
@@ -384,8 +426,15 @@ object MetricsDsl {
     * emit the column — a fixed output schema is required for a columnar
     * engine, and emitting true zeros is strictly more informative.
     * Consumers needing bug-compatible behavior can post-filter zeros. */
-  def evaluateTopLevel(config: GroupConfig,
-                       tables: Map[String, DataFrame]): Option[DataFrame] = {
+  /** The metric columns of the top-level group as ONE one-row frame (also
+    * merged into every indexed group under v0.2). Aggregate leaves are
+    * computed as separate 1-row aggregations (cross-joined — all 1-row),
+    * then the surrounding arithmetic/type/transform applies on top, so
+    * composite values like `len([...]) * 8` evaluate like the reference's
+    * single eval. */
+  private def topLevelMetricsFrame(
+      config: GroupConfig,
+      tables: Map[String, DataFrame]): Option[DataFrame] = {
     val tops = config.metrics.toSeq.sortBy(_._1).flatMap { case (n, t) =>
       val e = parseTarget(t.value, config.schemaVersion)
       if (isAggregate(e)) Some((n, t, e))
@@ -395,22 +444,48 @@ object MetricsDsl {
     }
     if (tops.isEmpty) return None
 
+    val spark = tables.values.headOption.map(_.sparkSession)
     val frames = tops.map { case (n, t, e) =>
-      e match {
-        case CountValuesWhere(table, cond) =>
-          tables(table).agg(
-            count(when(compileCond(cond, Some(col("value"))), 1)).as(n))
-        case CountItemsKeyIn(table, keySet, vals) =>
-          tables(table)
-            .join(tables(keySet).select(col("index")), Seq("index"), "left_semi")
-            .agg(count(when(col("value").isin(vals: _*), 1)).as(n))
-        case simple =>
-          val value = applyTransform(
-            applyType(compile(simple, None), t.valueType), t.transform)
-          tables.values.head.sparkSession.range(1).select(value.as(n))
-      }
+      val leaves = aggLeaves(e)
+      val base: DataFrame =
+        if (leaves.isEmpty)
+          spark.getOrElse(throw new DslParseException("no tables"))
+            .range(1).toDF()
+        else leaves.zipWithIndex
+          .map { case (leaf, i) => aggLeafFrame(leaf, s"__agg_$i", tables) }
+          .reduce(_ crossJoin _)
+      val aggCols = leaves.zipWithIndex
+        .map { case (leaf, i) => leaf -> col(s"__agg_$i") }.toMap
+      val value = applyTransform(
+        applyType(compile(e, None, aggCols), t.valueType), t.transform)
+      base.select(value.as(n))
     }
     Some(frames.reduce(_ crossJoin _))
+  }
+
+  def evaluateTopLevel(config: GroupConfig,
+                       tables: Map[String, DataFrame]): Option[DataFrame] = {
+    var out = topLevelMetricsFrame(config, tables).getOrElse(return None)
+
+    // top-level dimensions attach to the top-level group too, and the
+    // empty-dimension gate applies (`:660-678`, `:556-563`)
+    val literalDims = config.dimensions.toSeq.sortBy(_._1).flatMap {
+      case (n, t) =>
+        val e = parseTarget(t.value, config.schemaVersion)
+        if (!isAggregate(e) && referencedTables(e).isEmpty &&
+          t.indices.isEmpty && t.indicesFrom.isEmpty)
+          Some((n, applyTransform(applyType(compile(e, None), t.valueType),
+            t.transform).cast("string")))
+        else None
+    }
+    literalDims.foreach { case (n, c) => out = out.withColumn(n, c) }
+    if (!config.ignoreEmptyDimensions && literalDims.nonEmpty) {
+      val anyEmpty = literalDims
+        .map { case (n, _) => coalesce(col(n) === "", lit(false)) }
+        .reduce(_ || _)
+      out = out.filter(!anyEmpty)
+    }
+    Some(out)
   }
 
   /** Parse helpers exposed for tests. */

@@ -46,10 +46,6 @@ class DslParseException(msg: String) extends IllegalArgumentException(msg)
 object ResourceFilter extends RegexParsers {
   override def skipWhitespace = true
 
-  private val fixedFields = Set(
-    "resource_site", "resource_class", "resource_subclass",
-    "resource_type", "resource_id", "resource_endpoint")
-
   private sealed trait Field
   private case class Fixed(name: String) extends Field
   private case class Meta(key: String) extends Field

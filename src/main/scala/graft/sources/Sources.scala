@@ -29,29 +29,42 @@ object Sources {
       .filter(col("resource_id").isNotNull)
 
   /** S2 (encode) — the pipe-delimited serialization key
-    * (`resources.py:234-246`). */
-  def serializationKey(): org.apache.spark.sql.Column =
+    * (`resources.py:234-246`). Null fields coalesce to "" so the key
+    * always carries all 7 slots (concat_ws would silently DROP a null
+    * and shift every later field). */
+  def serializationKey(): org.apache.spark.sql.Column = {
+    def f(n: String) = coalesce(col(n), lit(""))
     concat_ws("|",
-      lit("plugin"), col("resource_plugin"),
-      lit("site"), col("resource_site"),
-      lit("class"), col("resource_class"),
-      lit("subclass"), col("resource_subclass"),
-      lit("type"), col("resource_type"),
-      lit("id"), col("resource_id"),
-      lit("endpoint"), col("resource_endpoint"))
+      lit("plugin"), f("resource_plugin"),
+      lit("site"), f("resource_site"),
+      lit("class"), f("resource_class"),
+      lit("subclass"), f("resource_subclass"),
+      lit("type"), f("resource_type"),
+      lit("id"), f("resource_id"),
+      lit("endpoint"), f("resource_endpoint"))
+  }
+
+  /** The reference's single anchored sequential pattern
+    * (`resources.py:450-454`) — one regex, 7 groups. Independent
+    * unanchored per-field extracts would mis-split values that themselves
+    * end in a label word (plugin "discovery_site" would satisfy a naive
+    * `site\|` search). */
+  private val keyPattern =
+    "^plugin\\|(.*?)\\|site\\|(.*?)\\|class\\|(.*?)\\|subclass\\|(.*?)" +
+      "\\|type\\|(.*?)\\|id\\|(.*?)\\|endpoint\\|(.*)$"
 
   /** S2 (decode) — parse a serialization key back into its fields
     * (the regex parse of `resources.py:582-606`). */
   def parseSerializationKey(df: DataFrame, keyCol: String): DataFrame = {
     val k = col(keyCol)
     df
-      .withColumn("resource_plugin", regexp_extract(k, "plugin\\|([^|]*)", 1))
-      .withColumn("resource_site", regexp_extract(k, "site\\|([^|]*)", 1))
-      .withColumn("resource_class", regexp_extract(k, "class\\|([^|]*)", 1))
-      .withColumn("resource_subclass", regexp_extract(k, "subclass\\|([^|]*)", 1))
-      .withColumn("resource_type", regexp_extract(k, "\\|type\\|([^|]*)", 1))
-      .withColumn("resource_id", regexp_extract(k, "\\|id\\|([^|]*)", 1))
-      .withColumn("resource_endpoint", regexp_extract(k, "endpoint\\|([^|]*)", 1))
+      .withColumn("resource_plugin", regexp_extract(k, keyPattern, 1))
+      .withColumn("resource_site", regexp_extract(k, keyPattern, 2))
+      .withColumn("resource_class", regexp_extract(k, keyPattern, 3))
+      .withColumn("resource_subclass", regexp_extract(k, keyPattern, 4))
+      .withColumn("resource_type", regexp_extract(k, keyPattern, 5))
+      .withColumn("resource_id", regexp_extract(k, keyPattern, 6))
+      .withColumn("resource_endpoint", regexp_extract(k, keyPattern, 7))
   }
 
   /** S7 — enrichment upsert: merge `incoming` into `stored` keyed by

@@ -122,6 +122,66 @@ class MetricsDslSpec extends SparkSpec {
     assert(v1.count() == 3)
   }
 
+  test("top-level aggregates apply type + transform; composites evaluate") {
+    val cfg = GroupConfig("g", 60,
+      dimensions = Map("rack" -> TargetSpec("'r1'")),
+      metrics = Map(
+        // transform + float type on an aggregate (plugin :516-521)
+        "fans_x8" -> TargetSpec(
+          "len([x for x in fan_statuses.values() if x == '2'])",
+          valueType = "float", transform = Some("lambda x: x * 8")),
+        // composite: arithmetic AROUND the aggregate
+        "fans_plus_one" -> TargetSpec(
+          "len([x for x in fan_statuses.values() if x == '2']) + 1",
+          valueType = "int")))
+    val out = MetricsDsl.evaluateTopLevel(cfg, tables).get
+      .select("fans_x8", "fans_plus_one", "rack")
+      .as[(Double, Long, String)].head()
+    assert(out == ((16.0, 3L, "r1"))) // 2 fans '2' → ×8 and +1
+  }
+
+  test("top-level group is gated on empty top-level dimensions") {
+    val cfg = GroupConfig("g", 60,
+      dimensions = Map("rack" -> TargetSpec("''")),
+      metrics = Map("n" -> TargetSpec("3", valueType = "int")))
+    assert(MetricsDsl.evaluateTopLevel(cfg, tables).get.count() == 0)
+    assert(MetricsDsl.evaluateTopLevel(
+      cfg.copy(ignoreEmptyDimensions = true), tables).get.count() == 1)
+  }
+
+  test("v0.2 merges top-level metrics into every indexed group") {
+    val cfg = GroupConfig("g", 60,
+      dimensions = Map("sensor" -> TargetSpec("temp_sensor_name.$index")),
+      metrics = Map(
+        "v" -> TargetSpec("int(temp_sensor_scales.$index)", valueType = "int"),
+        "fans_ok" -> TargetSpec(
+          "len([x for x in fan_statuses.values() if x == '2'])",
+          valueType = "int")))
+    val out = MetricsDsl.evaluateIndexed(cfg, tables).get
+    assert(out.count() == 3)
+    assert(out.select("fans_ok").distinct().as[Long].collect().toSeq == Seq(2L))
+    // v0.1 keeps them separate
+    val v1 = MetricsDsl.evaluateIndexed(
+      cfg.copy(schemaVersion = "0.1"), tables).get
+    assert(!v1.columns.contains("fans_ok"))
+  }
+
+  test("numeric literal dimensions render via str() on every group") {
+    val cfg = GroupConfig("g", 60,
+      dimensions = Map(
+        "slot" -> TargetSpec("42", valueType = "int"),
+        "sensor" -> TargetSpec("temp_sensor_name.$index")),
+      metrics = Map("v" -> TargetSpec("int(temp_sensor_scales.$index)",
+        valueType = "int")))
+    val out = MetricsDsl.evaluateIndexed(cfg, tables).get
+    assert(out.select("slot").distinct().as[String].collect().toSeq == Seq("42"))
+  }
+
+  test("bare identifiers starting with x parse as table refs, not the lambda var") {
+    val e = MetricsDsl.parseExpression("xmit_errors")
+    assert(e == MetricsDsl.TableRef("xmit_errors"))
+  }
+
   test("closed grammar rejects arbitrary code (the eval hole stays closed)") {
     intercept[DslParseException](
       MetricsDsl.parseExpression("__import__('os').system('rm -rf /')"))
