@@ -67,6 +67,21 @@ object PipelineQueries {
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
+    // --- dedup keep-set: the corpus minus non-representative cluster
+    // members (docs in no candidate pair are implicitly their own root) ---
+    "dedup_keep" -> ((s, d) => {
+      val pairs = Dedup.minhashLsh(Tables.documents(s, d), "text", "doc_id",
+        shingleN = 3, k = 8, bands = 4).localCheckpoint()
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val dupes =
+        try Dedup.clusters(pairs).filter(col("id") =!= col("cluster_root"))
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      Tables.documents(s, d)
+        .join(dupes.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+        .select("doc_id")
+    }),
+
     // --- SimHash near-dup candidate pairs (chunk-blocked + exact hamming) ---
     "dedup_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(
@@ -236,6 +251,33 @@ object PipelineQueries {
            |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
            |SELECT id AS doc_id, min(r) AS cluster_root
            |FROM reach GROUP BY 1""".stripMargin,
+
+      "dedup_keep" ->
+        s"""WITH RECURSIVE $shinglesCte,
+           |sig AS (SELECT doc_id,
+           |${(0 until 8).map(i => s"  min(md5('$i|' || shingle)) AS sig_$i").mkString(",\n")}
+           |        FROM sh GROUP BY doc_id),
+           |bands AS (
+           |${(0 until 4).map(b =>
+              s"  SELECT doc_id, $b AS band, md5(sig_${2 * b} || sig_${2 * b + 1}) AS band_hash FROM sig")
+              .mkString("\n  UNION ALL\n")}
+           |),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.band_hash = b.band_hash
+           |   AND a.doc_id < b.doc_id),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+           |dupes AS (
+           |  SELECT id FROM reach GROUP BY id HAVING id != min(r))
+           |SELECT doc_id FROM documents
+           |WHERE doc_id NOT IN (SELECT id FROM dupes)""".stripMargin,
 
       "dedup_simhash_pairs" ->
         """WITH toks AS (
