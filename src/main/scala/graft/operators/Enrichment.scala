@@ -54,6 +54,27 @@ object Enrichment {
     joined.select(kept ++ pulled: _*)
   }
 
+  /** Attribute-schema validation — the Cerberus analogue
+    * (`framework/enrichment.py:41-65`; e.g. the interface schema requires
+    * integer speeds, `enrichment/schema/interface.py`). `spec` maps a
+    * required attribute key to its type (`"string"` or `"integer"`).
+    * Returns (valid, invalid): rows missing a required key or failing the
+    * integer check go to the invalid frame — ingest-time enforcement, the
+    * scalable form of the reference's per-record validator. */
+  def validateAttributes(df: DataFrame, attrsCol: String,
+                         spec: Map[String, String]): (DataFrame, DataFrame) = {
+    val ok = spec.map { case (k, typ) =>
+      val v = col(attrsCol).getItem(k)
+      typ match {
+        case "integer" => v.isNotNull && v.try_cast("long").isNotNull
+        case "string"  => v.isNotNull
+        case other => throw new IllegalArgumentException(
+          s"unknown attribute type $other for $k")
+      }
+    }.reduce(_ && _)
+    (df.filter(ok), df.filter(!coalesce(ok, lit(false))))
+  }
+
   /** A8 — last-write-wins upsert: within each key keep the newest record
     * (`framework/enrichment.py:277-278,465-479`). `tieBreak` makes the
     * result deterministic when timestamps collide. */

@@ -87,6 +87,18 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Map("ae0" -> -1L, "xe-0/0/0" -> 20000L, "xe-9/9/9" -> -1L))
   }
 
+  test("enrichment attribute validation partitions valid/invalid exactly") {
+    val df = Seq(
+      (1L, Map("interface_name" -> "eth0", "speed" -> "10000")),
+      (2L, Map("interface_name" -> "eth1", "speed" -> "fast")), // bad int
+      (3L, Map("interface_name" -> "eth2")))                    // missing key
+      .toDF("id", "attrs")
+    val (valid, invalid) = Enrichment.validateAttributes(df, "attrs",
+      Map("interface_name" -> "string", "speed" -> "integer"))
+    assert(valid.select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(invalid.select("id").as[Long].collect().toSet == Set(2L, 3L))
+  }
+
   test("salted join equals the plain join on skewed keys") {
     import graft.operators.Skew
     val facts = ((1 to 500).map(i => ("hot", i.toLong)) ++
