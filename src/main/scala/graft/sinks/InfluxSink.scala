@@ -18,6 +18,11 @@ import graft.functions.Influx
   * streams its partition in `batchSize` chunks — no driver collect, no
   * per-row round-trips. Use from streaming via
   * `writeStream.foreachBatch((df, _) => InfluxSink.write(df, ...))`.
+  *
+  * The reference's 15 s max-emit-interval (time-based flush) is subsumed
+  * by the micro-batch trigger here: a `Trigger.ProcessingTime("15
+  * seconds")` bound flushes at least that often, so only the size-based
+  * chunking lives in this sink.
   */
 object InfluxSink {
 

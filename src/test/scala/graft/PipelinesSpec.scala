@@ -57,6 +57,20 @@ class PipelinesSpec extends SparkSpec {
     assert(sent.value.size() == 2)
   }
 
+  test("at-least-once redelivery is absorbed by the idempotent upsert (ST1)") {
+    import graft.sources.Sources
+    val stored = Seq(("r1", "if", "1", 100.0, 10000L))
+      .toDF("resource_id", "namespace", "key",
+        "enrichment_creation_timestamp", "enrichment_ttl")
+    val batch = Seq(("r1", "if", "1", 200.0, 10000L), ("r2", "if", "2", 150.0, 10000L))
+      .toDF("resource_id", "namespace", "key",
+        "enrichment_creation_timestamp", "enrichment_ttl")
+    val once = Sources.enrichmentUpsert(stored, batch, nowTs = 500.0)
+    // redelivery: the SAME batch applied again on top of the result
+    val twice = Sources.enrichmentUpsert(once, batch, nowTs = 500.0)
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+
   test("metrics-group wire format round-trips through the kafka boundary") {
     import graft.dsl.MetricsDsl
     val tables = Map(
