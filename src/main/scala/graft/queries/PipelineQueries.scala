@@ -36,6 +36,44 @@ object PipelineQueries {
   private def sqlStringList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
+  /** The MinHash-LSH candidate-pair stage is consumed by THREE queries
+    * (`dedup_minhash_lsh`, `dedup_clusters`, `dedup_keep`). Each query must
+    * stay independently runnable (driver contract), but when they run in the
+    * same session over the same table dir — which is exactly what Verify and
+    * Bench do — recomputing the signature pipeline three times is pure
+    * waste. Memoize the `localCheckpoint`ed pair frame per (session, dir):
+    * the first consumer pays for the pipeline, the rest reuse the
+    * materialized (tiny: one row per candidate pair) result. Entries die
+    * with their session; a new session or dir recomputes.
+    */
+  private val lshPairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def sharedLshPairs(s: SparkSession, d: String): DataFrame =
+    lshPairCache.getOrElseUpdate((s, d),
+      Dedup.minhashLsh(Tables.documents(s, d), "text", "doc_id",
+        shingleN = 3, k = 8, bands = 4).localCheckpoint())
+
+  /** Same sharing for the iterative connected-components stage: both
+    * `dedup_clusters` and `dedup_keep` need the full label frame. The
+    * final labels are localCheckpointed by [[Dedup.clusters]]'s loop
+    * already, so memoizing the frame costs nothing extra. */
+  private val clusterCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def sharedClusters(s: SparkSession, d: String): DataFrame =
+    clusterCache.getOrElseUpdate((s, d), Dedup.clusters(sharedLshPairs(s, d)))
+
+  /** Drop memoized intermediates (and free their checkpoint blocks).
+    * Bench calls this between passes so every pass pays the shared
+    * pipeline exactly once — timings stay honest. */
+  def clearCaches(): Unit = {
+    (lshPairCache.values ++ clusterCache.values)
+      .foreach(df => df.unpersist(blocking = false))
+    lshPairCache.clear()
+    clusterCache.clear()
+  }
+
   val queries: Map[String, Q] = Map(
     // --- exact dedup -----------------------------------------------------
     "dedup_exact" -> ((s, d) =>
@@ -45,38 +83,26 @@ object PipelineQueries {
           col("group_size"), col("keep"))),
 
     // --- MinHash + LSH candidate pairs ------------------------------------
-    "dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashLsh(Tables.documents(s, d), "text", "doc_id",
-        shingleN = 3, k = 8, bands = 4)),
+    "dedup_minhash_lsh" -> ((s, d) => sharedLshPairs(s, d)),
 
     // --- SimHash signatures -------------------------------------------------
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), "text", "doc_id")),
 
     // --- dedup clusters: connected components over MinHash-LSH pairs -------
-    "dedup_clusters" -> ((s, d) => {
-      // materialize the candidate pairs under the AMBIENT parallelism
-      // (the LSH pipeline is the heavy part), then scope the shuffle
-      // width down for the tiny iterative label rounds only
-      val pairs = Dedup.minhashLsh(Tables.documents(s, d), "text", "doc_id",
-        shingleN = 3, k = 8, bands = 4).localCheckpoint()
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try Dedup.clusters(pairs)
-        .select(col("id").as("doc_id"), col("cluster_root"))
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    }),
+    // The tiny iterative label rounds run at ambient shuffle width and rely
+    // on AQE partition coalescing (no session-global conf mutation — a
+    // concurrent query on the same session must never see a scoped-down
+    // spark.sql.shuffle.partitions).
+    "dedup_clusters" -> ((s, d) =>
+      sharedClusters(s, d)
+        .select(col("id").as("doc_id"), col("cluster_root"))),
 
     // --- dedup keep-set: the corpus minus non-representative cluster
     // members (docs in no candidate pair are implicitly their own root) ---
     "dedup_keep" -> ((s, d) => {
-      val pairs = Dedup.minhashLsh(Tables.documents(s, d), "text", "doc_id",
-        shingleN = 3, k = 8, bands = 4).localCheckpoint()
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val dupes =
-        try Dedup.clusters(pairs).filter(col("id") =!= col("cluster_root"))
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val dupes = sharedClusters(s, d)
+        .filter(col("id") =!= col("cluster_root"))
       Tables.documents(s, d)
         .join(dupes.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
         .select("doc_id")

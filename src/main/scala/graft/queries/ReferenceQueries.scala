@@ -547,33 +547,43 @@ object ReferenceQueries {
     // same guards as the batch a1_rate, verified against the same windowed
     // oracle (ts = event_id, unique per series, interval 1000 → TTL 3000).
     "stream_rate" -> ((s, d) => {
-      implicit val sqlCtx = s.sqlContext
+      // A CHILD session (shared SparkContext, isolated SQLConf) scopes the
+      // state-store partition override to this replay — the parent session
+      // never sees a mutated spark.sql.shuffle.partitions, so concurrent
+      // queries are unaffected. Conf set at builder time (nanosAsLong etc.)
+      // lives in the context conf and is inherited.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      implicit val sqlCtx = ss.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      val samples = Tables.events(s, d).filter(col("user_id") < 30)
+      import ss.implicits._
+      import scala.jdk.CollectionConverters._
+      // Replay in (series, ts) order: state advances on every sample
+      // (getset semantics), so cross-chunk per-series order must match the
+      // oracle's lag() window order.
+      val samples = Tables.events(ss, d).filter(col("user_id") < 30)
         .select(
           concat_ws("|", col("user_id"), col("event_type")).as("series"),
           lit("value").as("metric"),
           col("value").cast("double").as("value"),
           col("event_id").cast("double").as("ts"),
           lit(1000L).as("interval"))
-        .as[MetricSample].collect()
+        .orderBy("series", "ts")
+        .as[MetricSample]
       val input = MemoryStream[MetricSample]
       val qname = "stream_rate_" + streamSeq.incrementAndGet()
-      // One state-store instance per shuffle partition per micro-batch:
-      // scope the partition count to the replay's size (the cluster-scale
-      // setting belongs to the real job, not this bounded verification).
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        val q = StreamingRate(input.toDS(), stateTtl = false)
-          .writeStream.format("memory").queryName(qname)
-          .outputMode("append").start()
-        input.addData(samples.toSeq)
-        q.processAllAvailable()
-        q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table(qname).select("series", "ts", "rate", "confidence")
+      val q = StreamingRate(input.toDS(), stateTtl = false)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      // Chunked feed off toLocalIterator: the driver holds one chunk of
+      // rows at a time instead of collect()ing the whole replay (which
+      // grows linearly with sf); earlier chunks stream through the state
+      // store while later partitions are still being fetched.
+      samples.toLocalIterator().asScala.grouped(8192)
+        .foreach(chunk => input.addData(chunk))
+      q.processAllAvailable()
+      q.stop()
+      ss.table(qname).select("series", "ts", "rate", "confidence")
     }),
 
     // --- Group assembly: DSL output → reference-shaped nested rows with a
