@@ -394,6 +394,29 @@ object ReferenceQueries {
               format_string("%.2f", col("value"))),
             expr("ts div 1000000000")).as("line"))),
 
+    // --- F9: Python-repr field rendering — ints bare, floats via CPython
+    // shortest-repr ({!r} at consumer.py:142). The field values sweep both
+    // notation thresholds (≥1e16 and <1e-4 go scientific) plus negatives,
+    // so the expression's fixed/scientific branch logic is all oracle-hit.
+    "f_influx_repr" -> ((s, d) => {
+      import graft.functions.PyRepr.pyRepr
+      Tables.events(s, d).filter(col("event_id") < 200)
+        .select(col("event_id"),
+          Influx.line(
+            col("event_type"),
+            map(lit("site"), lit("dc1"),
+              lit("user"), col("user_id").cast("string")),
+            concat_ws(",",
+              concat(lit("big__gauge="), pyRepr(col("value") * lit(1.0e14))),
+              concat(lit("bytes__counter="),
+                floor(col("value") * 100).cast("long").cast("string")),
+              concat(lit("load__gauge="), pyRepr(col("value") / lit(3.0))),
+              concat(lit("neg__gauge="), pyRepr(-col("value") / lit(3.0))),
+              concat(lit("temp__gauge="), pyRepr(col("value"))),
+              concat(lit("tiny__gauge="), pyRepr(col("value") / lit(1.0e7)))),
+            expr("ts div 1000000000")).as("line"))
+    }),
+
     // --- F1-F16: scalar function pack ------------------------------------------------
     "f_scalar_pack" -> ((s, d) =>
       Tables.events(s, d).filter(col("event_id") < 500)
@@ -423,6 +446,23 @@ object ReferenceQueries {
         .select(col("event_type").as("name"))
         .distinct()
         .withColumn("valid", col("name").rlike(Schemas.identifierRegex))),
+
+    // --- A12: heartbeat plugin — status gauge + own-enrichment timestamp
+    // (-1 when the device has no heartbeat enrichment), injected clock
+    // (plugin_polling_heartbeat.py:18-47).
+    "a12_heartbeat" -> ((s, d) => {
+      val res = Tables.resources(s, d)
+      // enrolled devices: every other custkey (derived back from the
+      // injected creation timestamp), enrichment ts = creation + 3600
+      val enrichment = res
+        .filter((col("resource_creation_timestamp") - lit(1.5e9))
+          .cast("long") % 2 === 0)
+        .select(col("resource_id"),
+          lit(graft.operators.Heartbeat.Namespace).as("namespace"),
+          lit(graft.operators.Heartbeat.Key).as("key"),
+          (col("resource_creation_timestamp") + lit(3600.5)).as("timestamp"))
+      graft.operators.Heartbeat.metrics(res, enrichment, lit(1.7e9))
+    }),
 
     // --- A6: group-by-site (per-site topic fan-out shape) ---------------------------
     "a6_group_by_site" -> ((s, d) =>
@@ -950,6 +990,18 @@ object ReferenceQueries {
         |       || ' ' || CAST(epoch_ns(ts) // 1000000000 AS VARCHAR) AS line
         |FROM events WHERE event_id < 200""".stripMargin,
 
+    "f_influx_repr" ->
+      """SELECT event_id,
+        |       event_type || ',' || 'site=dc1,user=' || CAST(user_id AS VARCHAR)
+        |       || ' ' || 'big__gauge=' || CAST(value * 1.0e14 AS VARCHAR)
+        |       || ',bytes__counter=' || CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR)
+        |       || ',load__gauge=' || CAST(value / 3.0 AS VARCHAR)
+        |       || ',neg__gauge=' || CAST(-value / 3.0 AS VARCHAR)
+        |       || ',temp__gauge=' || CAST(value AS VARCHAR)
+        |       || ',tiny__gauge=' || CAST(value / 1.0e7 AS VARCHAR)
+        |       || ' ' || CAST(epoch_ns(ts) // 1000000000 AS VARCHAR) AS line
+        |FROM events WHERE event_id < 200""".stripMargin,
+
     "f_scalar_pack" ->
       """SELECT event_id,
         |       CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k_val,
@@ -971,6 +1023,17 @@ object ReferenceQueries {
       """SELECT DISTINCT event_type AS name,
         |       regexp_matches(event_type, '^[^\d\W]\w*$') AS valid
         |FROM events""".stripMargin,
+
+    "a12_heartbeat" ->
+      """SELECT c_name AS resource_id,
+        |       'heartbeat' AS metrics_group_type,
+        |       CAST(1 AS BIGINT) AS status,
+        |       CASE WHEN c_custkey % 2 = 0
+        |            THEN CAST(floor(c_custkey + 1.5e9 + 3600.5) AS BIGINT)
+        |            ELSE CAST(-1 AS BIGINT) END
+        |         AS heartbeat_enrichment_timestamp,
+        |       1.7e9 AS metrics_group_creation_timestamp
+        |FROM customer""".stripMargin,
 
     "a6_group_by_site" ->
       s"""WITH $R

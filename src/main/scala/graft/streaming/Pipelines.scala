@@ -61,14 +61,18 @@ object Pipelines {
     *
     * Fields follow the reference's `name__type` convention
     * (`consumer.py:139-144`): the counter sample always, the derived
-    * gauge only when the rate transform emitted one.
+    * gauge only when the rate transform emitted one. Field values render
+    * via Python-`{!r}` semantics ([[graft.functions.PyRepr]]): the double
+    * with CPython shortest-repr, the long rate bare — byte parity with
+    * the reference consumer's output.
     */
   def kafkaToInfluxLines(kafka: DataFrame,
                          allowedKeys: Seq[String] = Nil): DataFrame = {
     val decoded = KafkaShaped.decodeAndValidate(kafka, processedSchema,
       allowedKeys)
     val fields = concat_ws(",",
-      concat(col("metric"), lit("__counter="), col("value").cast("string")),
+      concat(col("metric"), lit("__counter="),
+        graft.functions.PyRepr.pyRepr(col("value"))),
       when(col("rate").isNotNull,
         concat(col("metric"), lit("__gauge="), col("rate").cast("string"))))
     InfluxSink.toLines(decoded,

@@ -53,6 +53,51 @@ class ExpressionsSpec extends SparkSpec {
     assert(out(1) == Seq.empty)
   }
 
+  test("pyrepr matches CPython repr on known goldens") {
+    import graft.functions.PyRepr
+    // goldens generated with CPython 3: repr(x)
+    val goldens = Seq(
+      2.0 -> "2.0", 0.1 -> "0.1", 1.5 -> "1.5", 100.0 -> "100.0",
+      12345678.5 -> "12345678.5", // Java: 1.23456785E7
+      1e16 -> "1e+16", // Java: 1.0E16
+      1.5e16 -> "1.5e+16",
+      1e15 -> "1000000000000000.0",
+      9999999999999998.0 -> "9999999999999998.0",
+      0.0001 -> "0.0001", 1e-5 -> "1e-05", 6.55e-7 -> "6.55e-07",
+      -2.5 -> "-2.5", -1e-5 -> "-1e-05",
+      1.0 / 3.0 -> "0.3333333333333333",
+      3.0000000000000004 -> "3.0000000000000004",
+      250.00000000000003 -> "250.00000000000003",
+      0.0 -> "0.0", -0.0 -> "-0.0",
+      5e-324 -> "5e-324", 1.7976931348623157e308 -> "1.7976931348623157e+308",
+      Double.NaN -> "nan", Double.PositiveInfinity -> "inf",
+      Double.NegativeInfinity -> "-inf")
+    goldens.foreach { case (d, want) =>
+      assert(PyRepr.repr(d) == want, s"repr($d)")
+    }
+    // codegen path produces the same strings as the static helper
+    val df = goldens.map(_._1).filterNot(_.isNaN).toDF("d")
+    val rows = df.select(col("d"), PyRepr.pyRepr(col("d")).as("r")).collect()
+    rows.foreach(r => assert(r.getString(1) == PyRepr.repr(r.getDouble(0))))
+  }
+
+  test("pyrepr output always round-trips to the exact input double") {
+    import graft.functions.PyRepr
+    val rng = new scala.util.Random(42)
+    (0 until 2000).foreach { _ =>
+      val d = rng.nextInt(4) match {
+        case 0 => rng.nextDouble() * 1e3
+        case 1 => rng.nextDouble() * 1e18
+        case 2 => rng.nextDouble() / 1e9
+        case _ => java.lang.Double.longBitsToDouble(rng.nextLong())
+      }
+      if (!d.isNaN && !d.isInfinite) {
+        val s = PyRepr.repr(d)
+        assert(java.lang.Double.parseDouble(s) == d, s"round-trip $d -> $s")
+      }
+    }
+  }
+
   test("extensions installer registers the SQL functions") {
     // a live session can't re-run injection; assert the injector wires
     // cleanly into a fresh SparkSessionExtensions instance
