@@ -34,6 +34,19 @@ object Influx {
           escapeTag(e.getField("value")))),
       ",")
 
+  /** Guard for the [[sortedTags]] parity decision: the reference escapes
+    * only tag VALUES, so a tag KEY containing `,`/`=`/whitespace would
+    * emit corrupt line protocol on BOTH engines. Keys are code-authored
+    * identifiers in practice — this check makes that assumption loud at
+    * the sink boundary instead of corrupting the wire. Returns the map
+    * unchanged when every key is safe; raises otherwise. */
+  def assertSafeTagKeys(m: Column): Column = {
+    val anyBad = exists(map_keys(m), k => k.rlike("[,=\\s]"))
+    when(assert_true(!anyBad,
+      concat(lit("influx tag key contains ',', '=', or whitespace: "),
+        to_json(map_keys(m)))).isNull, m)
+  }
+
   /** One line: `measurement,tags fields timestamp`
     * (`consumer.py:160-169`); timestamp is integer seconds (`:90-100`). */
   def line(measurement: Column, tags: Column, fields: Column,

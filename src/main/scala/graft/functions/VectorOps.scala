@@ -163,20 +163,24 @@ case class L2Normalize(child: Expression)
 /** `hamming(a, b)` = number of positions where two equal-length strings
   * differ (bit-signature distance for SimHash). Codegen'd byte loop —
   * the `zip_with(split(a, ""), split(b, ""), ...)` formulation allocates
-  * two arrays per comparison inside the O(pairs) candidate join. Compares
-  * min(|a|,|b|) bytes (signatures are fixed-width ASCII). */
+  * two arrays per comparison inside the O(pairs) candidate join.
+  * Unequal-length inputs yield NULL: a silent min-length prefix distance
+  * (`hamming('1', sig64) = 0`) would be a wrong answer dressed up as a
+  * match — signatures are fixed-width, so a length mismatch is caller
+  * error, surfaced as null (also through the SQL-registered `hamming`). */
 case class HammingDistance(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
     val y = b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
-    val n = math.min(x.length, y.length)
+    if (x.length != y.length) return null
     var d = 0
     var i = 0
-    while (i < n) { if (x(i) != y(i)) d += 1; i += 1 }
+    while (i < x.length) { if (x(i) != y(i)) d += 1; i += 1 }
     d
   }
 
@@ -184,18 +188,20 @@ case class HammingDistance(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
-      val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val d = ctx.freshName("d")
       s"""
          |byte[] $x = $a.getBytes();
          |byte[] $y = $b.getBytes();
-         |int $n = java.lang.Math.min($x.length, $y.length);
-         |int $d = 0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($x[$i] != $y[$i]) $d++;
+         |if ($x.length != $y.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $d = 0;
+         |  for (int $i = 0; $i < $x.length; $i++) {
+         |    if ($x[$i] != $y[$i]) $d++;
+         |  }
+         |  ${ev.value} = $d;
          |}
-         |${ev.value} = $d;
        """.stripMargin
     })
 

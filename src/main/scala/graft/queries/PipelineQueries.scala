@@ -152,11 +152,13 @@ object PipelineQueries {
           col("neighbor_id"))
     }),
 
-    // --- ANN: sign-LSH bucketed top-k ----------------------------------------------------
+    // --- ANN: sign-LSH bucketed top-k (random-rotation hyperplanes +
+    // hamming-1 multi-probe on the query side) -------------------------------
     "ann_sign_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.signLshTopK(e, e.filter(col("vec_id") < 50),
-        "vec_id", "embedding", k = 3, b = 4)
+        "vec_id", "embedding", k = 3, b = 4, rotatedDim = Some(64),
+        multiProbe = true)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"))
     }),
@@ -170,10 +172,10 @@ object PipelineQueries {
           col("neighbor_id"))
     }),
 
-    // --- embedding-cosine near-dup pairs ---------------------------------------------------
+    // --- embedding-cosine near-dup pairs (rotated sign-LSH blocking) --------
     "embed_cosine_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
-        "vec_id", "embedding", threshold = 0.35, b = 2)
+        "vec_id", "embedding", threshold = 0.35, b = 2, rotatedDim = Some(64))
         .select("id_a", "id_b", "score")),
 
     // --- multimodal: columnar binary metadata ----------------------------------------------
@@ -200,6 +202,31 @@ object PipelineQueries {
           "width", "height", "n_frames")
     })
   )
+
+  /** DuckDB bucket expression for the SAME rotated planes the Spark side
+    * uses: Double.toString round-trips, so the SQL literals parse back to
+    * bit-identical doubles, and `list_dot_product` folds sequentially like
+    * the codegen [[graft.functions.DotProduct]]. `v` must be a DOUBLE[]
+    * column reference in the surrounding query. */
+  private def rotatedBucketSql(v: String, b: Int, dim: Int): String =
+    Similarity.rotationPlanes(b, dim).map { p =>
+      val lst = p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($v, $lst) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
+  /** Same planes as 0/1 INT select items (`b0..b{b-1}`), for oracle
+    * queries that need to derive the hamming-1 multi-probe bucket set. */
+  private def rotatedBitsSql(v: String, b: Int, dim: Int): String =
+    Similarity.rotationPlanes(b, dim).zipWithIndex.map { case (p, i) =>
+      val lst = p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+      s"CASE WHEN list_dot_product($v, $lst) >= 0 THEN 1 ELSE 0 END AS b$i"
+    }.mkString(",\n       ")
+
+  /** Bucket string from bit columns, with bit `flip` inverted (-1 = none). */
+  private def bucketFromBitsSql(b: Int, flip: Int): String =
+    (0 until b).map(i =>
+      if (i == flip) s"CAST(1 - b$i AS VARCHAR)" else s"CAST(b$i AS VARCHAR)")
+      .mkString(" || ")
 
   val oracleSql: Map[String, String] = {
     val allStops = sqlStringList(
@@ -430,19 +457,21 @@ object PipelineQueries {
           |  FROM s) WHERE rank <= 5""".stripMargin,
 
       "ann_sign_lsh" ->
-        """WITH e0 AS (
-          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-          |         (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
-          |         (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
-          |         (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
-          |         (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
-          |  FROM embeddings),
-          |e AS (SELECT vec_id,
-          |        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v,
-          |        bucket
-          |      FROM e0),
-          |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 50),
-          |s AS (
+        (s"""WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |            FROM embeddings),
+           |bt AS (
+           |  SELECT vec_id, v,
+           |       ${rotatedBitsSql("v", 4, 64)}
+           |  FROM ec),
+           |e AS (SELECT vec_id,
+           |        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v,
+           |        ${bucketFromBitsSql(4, -1)} AS bucket
+           |      FROM bt),
+           |q AS (SELECT vec_id AS query_id,
+           |        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS qv,
+           |        unnest([${(-1 to 3).map(bucketFromBitsSql(4, _)).mkString(",\n                ")}]) AS bucket
+           |      FROM bt WHERE vec_id < 50),""".stripMargin + "\n" +
+        """s AS (
           |  SELECT q.query_id, e.vec_id AS neighbor_id,
           |         list_dot_product(qv, e.v) AS score
           |  FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id)
@@ -450,7 +479,7 @@ object PipelineQueries {
           |  SELECT query_id, neighbor_id,
           |         CAST(row_number() OVER (PARTITION BY query_id
           |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
-          |  FROM s) WHERE rank <= 3""".stripMargin,
+          |  FROM s) WHERE rank <= 3""".stripMargin),
 
       "ann_ivf_topk" ->
         """WITH e0 AS (
@@ -497,12 +526,13 @@ object PipelineQueries {
           |  FROM s) WHERE rank <= 3""".stripMargin,
 
       "embed_cosine_neardup" ->
-        """WITH e0 AS (
-          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-          |         (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
-          |         (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) AS bucket
-          |  FROM embeddings),
-          |e AS (SELECT vec_id,
+        (s"""WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |            FROM embeddings),
+           |e0 AS (
+           |  SELECT vec_id, v,
+           |         ${rotatedBucketSql("v", 2, 64)} AS bucket
+           |  FROM ec),""".stripMargin + "\n" +
+        """e AS (SELECT vec_id,
           |        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v,
           |        bucket
           |      FROM e0)
@@ -510,7 +540,7 @@ object PipelineQueries {
           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           |         round(list_dot_product(a.v, b.v), 6) AS score
           |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-          |WHERE score >= 0.35""".stripMargin,
+          |WHERE score >= 0.35""".stripMargin),
 
       "mm_binary_meta" ->
         """SELECT doc_id,

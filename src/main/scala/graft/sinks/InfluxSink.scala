@@ -9,9 +9,13 @@ import graft.functions.Influx
   * and emit them in bounded batches through a pluggable transport.
   *
   * Reference `consumers/influxdb/consumer.py:50-394`: batch ≥200 points or
-  * ≥15 s (`influxdb_consumer_configspec.ini:14-15`), 3 retries with 10 s
-  * backoff (`:16-17`), and on HTTP 400 fall back to point-by-point writes,
-  * dropping poison points (`consumer.py:305-336`).
+  * ≥15 s (`influxdb_consumer_configspec.ini:14-15`), 3 retries with backoff
+  * (`:16-17`), and on HTTP 400 ONLY — the write API saying "unparseable
+  * point" — fall back to point-by-point writes, dropping poison points
+  * (`consumer.py:305-336`). A transport failure (connection refused, 5xx)
+  * is NOT a poison-point problem: the reference keeps retrying the whole
+  * batch and finally returns False to the Kafka consumer so the offset is
+  * not committed (`:377-386`) — redelivery, at-least-once.
   *
   * The line formatting (F7-F9/W3) is pure column work and fuses with the
   * scan; only the transport runs in `foreachPartition`, so each executor
@@ -26,36 +30,70 @@ import graft.functions.Influx
   */
 object InfluxSink {
 
-  /** The transport boundary: sends one batch of lines, returns true on
-    * success. An HTTP implementation belongs here; tests inject fakes. */
-  type Transport = Seq[String] => Boolean
+  /** Typed outcome of one transport call — the distinction drives the
+    * retry policy exactly as the reference's exception types do
+    * (`InfluxDBClientError e.code == 400` vs everything else). */
+  sealed trait WriteResult
+  /** Write accepted. */
+  case object Ok extends WriteResult
+  /** HTTP 400: at least one point is unparseable → point-by-point fallback. */
+  case object ClientError extends WriteResult
+  /** Transport down / server error → retry the WHOLE batch, never
+    * point-by-point (one call per point against a dead endpoint would
+    * multiply the outage cost by the batch size). */
+  case object TransportError extends WriteResult
+
+  /** The transport boundary: sends one batch of lines. An HTTP
+    * implementation belongs here; tests inject fakes. */
+  type Transport = Seq[String] => WriteResult
 
   /** Render rows to line protocol. `fields` must already be the rendered
-    * field set (e.g. `name__gauge=1.5`). */
+    * field set (e.g. `name__gauge=1.5`). Tag KEYS are validated at this
+    * boundary by default (the renderer deliberately does not escape them,
+    * for byte parity with `consumer.py:123-126` — an unsafe key must fail
+    * loudly rather than corrupt the wire). */
   def toLines(df: DataFrame, measurement: Column, tags: Column,
-              fields: Column, tsSeconds: Column): DataFrame =
-    df.select(Influx.line(measurement, tags, fields, tsSeconds).as("line"))
+              fields: Column, tsSeconds: Column,
+              validateTagKeys: Boolean = true): DataFrame = {
+    val safeTags = if (validateTagKeys) Influx.assertSafeTagKeys(tags) else tags
+    df.select(Influx.line(measurement, safeTags, fields, tsSeconds).as("line"))
+  }
 
   /** Write a (batch or foreachBatch) DataFrame of lines through the
-    * transport with the reference's batch/retry/poison-point policy.
-    * Returns per-partition (sent, dropped) counts via an accumulator-free
-    * design: the caller observes effects through the transport itself.
+    * transport with the reference's batch/retry/poison-point policy:
+    *
+    *  - up to `maxRetries` attempts per batch, `backoffMs` sleep between
+    *    transport-error attempts (`write_api_fail_backoff_interval`);
+    *  - on [[ClientError]], fall back to point-by-point, dropping poison
+    *    points; if NOTHING sent, keep retrying (the reference assumes an
+    *    all-points failure is transient api unavailability, `:306-313`);
+    *  - a batch still unsent after all retries throws, failing the Spark
+    *    task → the micro-batch retries/redelivers (the reference's
+    *    `return False` to the Kafka consumer — at-least-once, ST1).
     */
   def write(lines: DataFrame, transport: Transport, batchSize: Int = 200,
-            maxRetries: Int = 3): Unit = {
+            maxRetries: Int = 3, backoffMs: Long = 0L): Unit = {
     lines.select(col("line")).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         it.map(_.getString(0)).grouped(batchSize).foreach { batch =>
           var attempt = 0
-          var ok = false
-          while (!ok && attempt < maxRetries) {
-            ok = transport(batch)
+          var done = false
+          while (!done && attempt < maxRetries) {
+            transport(batch) match {
+              case Ok => done = true
+              case ClientError =>
+                val sent = batch.count(l => transport(Seq(l)) == Ok)
+                // ≥1 point landed: the rest are poison, drop them (:329-336)
+                if (sent > 0) done = true
+              case TransportError =>
+                if (backoffMs > 0 && attempt < maxRetries - 1)
+                  Thread.sleep(backoffMs)
+            }
             attempt += 1
           }
-          if (!ok) {
-            // HTTP-400-style fallback: point-by-point, drop poison points
-            batch.foreach(l => transport(Seq(l)))
-          }
+          if (!done) throw new java.io.IOException(
+            s"influx write failed after $maxRetries attempts " +
+              s"(${batch.size} points); failing batch for redelivery")
         }
     }
   }

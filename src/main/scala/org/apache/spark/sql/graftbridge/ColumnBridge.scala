@@ -13,4 +13,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Proper analysis-time arity error for injected SQL functions — the
+    * same `WRONG_NUM_ARGS` condition built-in functions raise, instead of
+    * an IndexOutOfBoundsException from `args(i)`. */
+  def wrongNumArgs(function: String, expected: Int, actual: Int): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> s"`$function`",
+        "expectedNum" -> expected.toString,
+        "actualNum" -> actual.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
 }

@@ -103,4 +103,25 @@ class ExpressionsSpec extends SparkSpec {
     // cleanly into a fresh SparkSessionExtensions instance
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
+
+  test("hamming: unequal lengths yield null, equal lengths count diffs") {
+    val out = Seq(("1", "0000"), ("1010", "1000"), ("abcd", "abcd"))
+      .toDF("a", "b")
+      .select(VectorOps.hamming(col("a"), col("b")).as("h")).collect()
+    assert(out(0).isNullAt(0)) // prefix distance would have been 0 — wrong
+    assert(out(1).getInt(0) == 1)
+    assert(out(2).getInt(0) == 0)
+  }
+
+  test("wrong-arity function builder raises WRONG_NUM_ARGS analysis error") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val build = GraftExtensions.arity("vec_dot", 2)(
+      args => graft.functions.DotProduct(args(0), args(1)))
+    val one = Seq(ColumnBridge.expression(lit(1)))
+    val ex = intercept[org.apache.spark.sql.AnalysisException] { build(one) }
+    assert(ex.getMessage.contains("vec_dot"))
+    assert(ex.getMessage.contains("2"))
+    // correct arity still builds
+    build(Seq(ColumnBridge.expression(lit(1)), ColumnBridge.expression(lit(2))))
+  }
 }

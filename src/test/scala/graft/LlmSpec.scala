@@ -82,6 +82,36 @@ class LlmSpec extends SparkSpec {
     assert(out == Set((0L, 1L), (1L, 0L))) // vec 2 alone in its bucket
   }
 
+  test("rotated sign-LSH recall >= axis-aligned recall on real embeddings") {
+    // top-3 recall vs exact brute force, over the driver's embedding
+    // fixture (64-dim learned-ish vectors — exactly the domain where
+    // axis-aligned signs can collapse onto correlated leading dims)
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 40)
+    def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = topSet(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3))
+    val axis = topSet(Similarity.signLshTopK(e, q, "vec_id", "embedding",
+      k = 3, b = 4, rotatedDim = None))
+    val rot = topSet(Similarity.signLshTopK(e, q, "vec_id", "embedding",
+      k = 3, b = 4, rotatedDim = Some(64), multiProbe = true))
+    val axisRecall = (axis & exact).size.toDouble / exact.size
+    val rotRecall = (rot & exact).size.toDouble / exact.size
+    info(s"recall vs brute force: axis=$axisRecall rotated=$rotRecall")
+    assert(rotRecall >= axisRecall)
+    assert(rotRecall > 0.0)
+  }
+
+  test("rotation planes are deterministic in (b, dim, seed)") {
+    val a = Similarity.rotationPlanes(4, 64)
+    val b = Similarity.rotationPlanes(4, 64)
+    assert(a.flatten == b.flatten)
+    assert(a.flatten.forall(c => c >= -1.0 && c < 1.0))
+    // distinct planes, and a different seed gives different planes
+    assert(a(0).toSeq != a(1).toSeq)
+    assert(Similarity.rotationPlanes(4, 64, seed = 7L).flatten != a.flatten)
+  }
+
   test("language ID picks the stopword-dominant language, und when none") {
     val df = Seq(
       (1L, "the cat sat of the mat and the dog is that"),

@@ -10,6 +10,12 @@ import graft.operators.GroupAssembly
 import graft.sinks.InfluxSink
 import graft.streaming.{KafkaShaped, MetricSample, Pipelines}
 
+object PipelinesSpec {
+  /** Transport-call counter for failure-mode tests; a JVM-static survives
+    * task failure (accumulators from failed tasks are discarded). */
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 /** The full polling→Kafka→Influx dataflow, end to end: a MemoryStream of
   * counter samples through the stateful rate transform, fan-out encode,
   * decode+validate, line rendering, and the batching sink transport. */
@@ -53,8 +59,78 @@ class PipelinesSpec extends SparkSpec {
     val sent = spark.sparkContext.collectionAccumulator[String]("sent")
     InfluxSink.write(
       Pipelines.kafkaToInfluxLines(wire.filter($"topic" === "dc1-processed")),
-      transport = batch => { batch.foreach(sent.add); true }, batchSize = 1)
+      transport = batch => { batch.foreach(sent.add); InfluxSink.Ok },
+      batchSize = 1)
     assert(sent.value.size() == 2)
+  }
+
+  test("influx sink: HTTP 400 falls back to point-by-point, drops poison") {
+    val lines = Seq("good_a v=1 1", "poison v=x 2", "good_b v=3 3")
+      .toDF("line")
+    val sent = spark.sparkContext.collectionAccumulator[String]("sent400")
+    val calls = spark.sparkContext.longAccumulator("calls400")
+    InfluxSink.write(lines.coalesce(1), transport = { batch =>
+      calls.add(1)
+      if (batch.size > 1) InfluxSink.ClientError // batch POST rejected
+      else if (batch.head.startsWith("poison")) InfluxSink.ClientError
+      else { batch.foreach(sent.add); InfluxSink.Ok }
+    }, batchSize = 10)
+    // one batch attempt + 3 single-point fallbacks; poison dropped, batch done
+    assert(sent.value.size() == 2)
+    assert(calls.value == 4)
+  }
+
+  test("influx sink: transport outage retries whole batch, then fails the task") {
+    // accumulators from FAILED tasks are discarded — count through a
+    // JVM-static (local-mode executors share the test JVM). Spark retries
+    // a failed local task up to spark.task.maxFailures times, so assert
+    // on the per-task-attempt call count via modular arithmetic.
+    PipelinesSpec.calls.set(0)
+    val lines = Seq("a v=1 1", "b v=2 2").toDF("line")
+    val ex = intercept[org.apache.spark.SparkException] {
+      InfluxSink.write(lines.coalesce(1), transport = { _ =>
+        PipelinesSpec.calls.incrementAndGet(); InfluxSink.TransportError
+      }, batchSize = 10, maxRetries = 3)
+    }
+    // each task attempt: 3 whole-batch calls, NO per-point calls against a
+    // dead endpoint; the task fails → micro-batch redelivery (at-least-once)
+    assert(PipelinesSpec.calls.get() > 0)
+    assert(PipelinesSpec.calls.get() % 3 == 0)
+    assert(ex.getMessage.contains("influx write failed") ||
+      Option(ex.getCause).exists(_.getMessage.contains("influx write failed")))
+  }
+
+  test("influx sink: all-points-fail client error keeps retrying then fails") {
+    PipelinesSpec.calls.set(0)
+    val lines = Seq("a v=1 1", "b v=2 2").toDF("line")
+    intercept[org.apache.spark.SparkException] {
+      InfluxSink.write(lines.coalesce(1), transport = { _ =>
+        PipelinesSpec.calls.incrementAndGet(); InfluxSink.ClientError
+      }, batchSize = 10, maxRetries = 2)
+    }
+    // per sink attempt: 1 batch call + 2 single-point fallbacks, nothing
+    // lands → transient-api-unavailability retry (consumer.py:306-313):
+    // 2 attempts × 3 calls per task attempt
+    assert(PipelinesSpec.calls.get() > 0)
+    assert(PipelinesSpec.calls.get() % 6 == 0)
+  }
+
+  test("influx sink boundary rejects unsafe tag keys, passes safe ones") {
+    val df = Seq(("m", "v=1", 100L)).toDF("meas", "fields", "ts")
+    // safe keys render fine
+    val ok = InfluxSink.toLines(df, col("meas"),
+      map(lit("site"), lit("dc1")), col("fields"), col("ts"))
+      .as[String].head()
+    assert(ok == "m,site=dc1 v=1 100")
+    // a key with '=' would corrupt the wire (keys are unescaped for
+    // reference parity) → loud failure at the boundary
+    val ex = intercept[Exception] {
+      InfluxSink.toLines(df, col("meas"),
+        map(lit("bad=key"), lit("x")), col("fields"), col("ts"))
+        .collect()
+    }
+    assert(ex.getMessage.contains("tag key") ||
+      Option(ex.getCause).exists(_.getMessage.contains("tag key")))
   }
 
   test("at-least-once redelivery is absorbed by the idempotent upsert (ST1)") {
