@@ -152,11 +152,81 @@ object Dedup {
     }
     // fail loudly: a silently-unconverged result would split real
     // clusters. (Chains needing >maxIters rounds are pathological for
-    // near-dup graphs; the large-star/small-star variant is the upgrade
-    // path if they ever appear.)
+    // near-dup graphs; [[clustersStar]] is the specialist for them.)
     if (!converged) throw new IllegalStateException(
-      s"clusters did not converge in $maxIters rounds")
+      s"clusters did not converge in $maxIters rounds; " +
+        "use clustersStar for deep components")
     labels
+  }
+
+  /** Connected components via alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SOCC'14) — same output contract as [[clusters]], but path-DOUBLING
+    * contraction: O(log d) rounds on a component of diameter d, vs O(d)
+    * for plain min-label propagation. The specialist for graphs with deep
+    * chains; for shallow near-dup clusters [[clusters]] does less work per
+    * round.
+    *
+    *  - large-star: every node's LARGER neighbors re-point at the minimum
+    *    of its closed neighborhood;
+    *  - small-star: every node and its smaller neighbors re-point at the
+    *    minimum smaller neighbor.
+    *
+    * Both are one groupBy + one join per round over the (shrinking) edge
+    * set; edges live canonically as (u > v). Convergence = the edge set
+    * reached the star fixpoint (exact anti-join check, not a checksum).
+    */
+  def clustersStar(pairs: DataFrame, idA: String = "id_a",
+                   idB: String = "id_b", maxIters: Int = 30): DataFrame =
+    clustersStarWithRounds(pairs, idA, idB, maxIters)._1
+
+  /** [[clustersStar]] plus the number of (large+small) rounds executed —
+    * exposed for the O(log n) convergence property test. */
+  private[graft] def clustersStarWithRounds(
+      pairs: DataFrame, idA: String, idB: String,
+      maxIters: Int): (DataFrame, Int) = {
+    var edges = pairs
+      .select(greatest(col(idA), col(idB)).as("u"),
+        least(col(idA), col(idB)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // large-star: neighborhoods need both orientations
+      val nbrs = edges.select(col("u").as("node"), col("v").as("nbr"))
+        .union(edges.select(col("v").as("node"), col("u").as("nbr")))
+      val mins = nbrs.groupBy("node")
+        .agg(min(col("nbr")).as("mn"))
+        .select(col("node"), least(col("mn"), col("node")).as("m"))
+      val large = nbrs.join(mins, Seq("node"))
+        .filter(col("nbr") > col("node"))
+        .select(col("nbr").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star over the canonical (u > v) edges
+      val mins2 = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(mins2, Seq("u"))
+        .select(col("v").as("node"), col("m"))
+        .union(mins2.select(col("u").as("node"), col("m")))
+        .filter(col("node") =!= col("m"))
+        .select(col("node").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint()
+      // exact fixpoint test: same canonical edge set as last round
+      converged = small.count() == edges.count() &&
+        small.exceptAll(edges).isEmpty
+      edges = small
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"clustersStar did not converge in $maxIters rounds")
+    // fixpoint edges are stars (member → component min); roots label selves
+    val labels = edges.select(col("u").as("id"), col("v").as("cluster_root"))
+      .union(edges.select(col("v").as("id"), col("v").as("cluster_root")))
+      .distinct()
+    (labels, iter)
   }
 
   // -------------------------------------------------------------- SimHash

@@ -101,4 +101,66 @@ object KafkaShaped {
     * (`consumer.py:48-134`). */
   def enforceRequired(df: DataFrame, requiredFields: Seq[String]): DataFrame =
     requiredFields.foldLeft(df)((d, f) => d.filter(col(f).isNotNull))
+
+  /** Full decode + JSON-Schema-style enforcement with OBSERVABLE drop
+    * counts — the one-call form of the reference's validate-and-count loop
+    * (`consumer.py:136-184,400-405`).
+    *
+    * Enforced per record, in order:
+    *  1. key filter (when `allowedKeys` non-empty);
+    *  2. JSON parses to ≥1 schema field (corrupt records drop);
+    *  3. every `requiredFields` entry is present AND of the declared
+    *     type — PERMISSIVE `from_json` nulls a field whose JSON value
+    *     cannot take the schema's type (a string where a number is
+    *     declared, an object where a scalar is declared), so requiring
+    *     non-null enforces the reference's `"type"` checks, not just
+    *     `"required"` presence. (Deliberate deviation, documented: JSON
+    *     numbers/booleans COERCE to declared strings — Spark's parser is
+    *     lax in that one direction.)
+    *  4. `enums` membership (the reference's `"enum"` constraints, e.g.
+    *     metric_type ∈ {gauge, counter}).
+    *
+    * Drop counts surface through `df.observe(observationName, ...)` as
+    * `dropped_key / dropped_corrupt / dropped_schema / passed / total` —
+    * readable per micro-batch from a StreamingQueryListener, or in batch
+    * via `Observation` — so the dead-letter accounting is part of the
+    * plan, not a side effect. */
+  def decodeValidated(
+      df: DataFrame,
+      schema: StructType,
+      requiredFields: Seq[String],
+      allowedKeys: Seq[String] = Nil,
+      enums: Map[String, Seq[String]] = Map.empty,
+      observationName: String = "kafka_decode"): DataFrame = {
+    val keyOk =
+      if (allowedKeys.isEmpty) lit(true)
+      else coalesce(col("key").cast("string").isin(allowedKeys: _*), lit(false))
+    val anyFieldSet = schema.fields
+      .map(f => col("parsed").getField(f.name).isNotNull)
+      .reduce(_ || _)
+    val reqOk = requiredFields
+      .map(f => col("parsed").getField(f).isNotNull)
+      .foldLeft(lit(true))(_ && _)
+    val enumOk = enums
+      .map { case (f, vs) =>
+        col("parsed").getField(f).isNull ||
+          col("parsed").getField(f).isin(vs: _*)
+      }
+      .foldLeft(lit(true))(_ && _)
+    df.withColumn("parsed", from_json(col("value").cast("string"), schema))
+      .withColumn("__key_ok", keyOk)
+      .withColumn("__parse_ok", col("parsed").isNotNull && anyFieldSet)
+      .withColumn("__schema_ok", reqOk && enumOk)
+      .observe(observationName,
+        count(when(!col("__key_ok"), 1)).as("dropped_key"),
+        count(when(col("__key_ok") && !col("__parse_ok"), 1))
+          .as("dropped_corrupt"),
+        count(when(col("__key_ok") && col("__parse_ok") &&
+          !col("__schema_ok"), 1)).as("dropped_schema"),
+        count(when(col("__key_ok") && col("__parse_ok") &&
+          col("__schema_ok"), 1)).as("passed"),
+        count(lit(1)).as("total"))
+      .filter(col("__key_ok") && col("__parse_ok") && col("__schema_ok"))
+      .select(col("key").cast("string").as("key"), col("parsed.*"))
+  }
 }

@@ -13,13 +13,14 @@ import graft.sinks.InfluxSink
   * `writeStream` sink with checkpointing) or as a bounded batch replay —
   * which is exactly how the specs and the driver's oracle verify it.
   *
-  * Wiring on a real cluster:
+  * Wiring on a real cluster goes through [[KafkaIO]] (site-topic naming +
+  * connector options, reference `framework/const.py:112-115`):
   * {{{
-  *   val samples = spark.readStream.format("kafka")...  // decode to MetricSample
-  *   Pipelines.pollingToKafka(samples.as[MetricSample])
-  *     .writeStream.format("kafka")
-  *     .option("checkpointLocation", ckpt)
-  *     .trigger(Trigger.ProcessingTime("60 seconds"))   // ST6 cadence
+  *   val raw = KafkaIO.source(spark, KafkaIO.SourceConfig(
+  *     brokers, sites, KafkaIO.MetricsSuffix, groupId))
+  *   val samples = decodeToMetricSample(raw)            // KafkaShaped.decodeValidated
+  *   KafkaIO.sink(Pipelines.pollingToKafka(samples),
+  *     KafkaIO.SinkConfig(brokers, ckpt, triggerSeconds = Some(60)))  // ST6
   *     .start()
   * }}}
   */

@@ -48,6 +48,32 @@ class LlmSpec extends SparkSpec {
       8L -> 8L, 9L -> 8L))
   }
 
+  test("large-star/small-star: long chain converges in O(log n) rounds") {
+    // a 64-node chain has diameter 63: min-label propagation needs ~63
+    // rounds; the star alternation contracts paths doubly-exponentially
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) =
+      Dedup.clustersStarWithRounds(chain, "id_a", "id_b", maxIters = 30)
+    val out = labels.as[(Long, Long)].collect().toMap
+    assert(out.size == 64)
+    assert(out.values.forall(_ == 0L))
+    info(s"chain-64 converged in $rounds star rounds")
+    assert(rounds <= 10) // log-ish, nowhere near the 63 of label propagation
+  }
+
+  test("star clustering matches label propagation on random graphs") {
+    val rng = new scala.util.Random(7)
+    (0 until 3).foreach { _ =>
+      val edges = Seq.fill(40)(
+        (rng.nextInt(30).toLong, rng.nextInt(30).toLong))
+        .filter(e => e._1 != e._2)
+        .toDF("id_a", "id_b")
+      val star = Dedup.clustersStar(edges).as[(Long, Long)].collect().toSet
+      val prop = Dedup.clusters(edges).as[(Long, Long)].collect().toSet
+      assert(star == prop)
+    }
+  }
+
   test("simhash: identical docs share signatures; near dups within hamming 3") {
     val sig = Dedup.simhash(docs, "text", "doc_id")
     val m = sig.as[(Long, String)].collect().toMap

@@ -147,6 +147,79 @@ class PipelinesSpec extends SparkSpec {
     assert(once.collect().toSet == twice.collect().toSet)
   }
 
+  test("decodeValidated enforces types and enums, drops observable (P8)") {
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("metric_name", StringType),
+      StructField("metric_value", DoubleType),
+      StructField("metric_type", StringType),
+      StructField("ts", DoubleType)))
+    val records = Seq(
+      ("1", """{"metric_name":"a","metric_value":1.5,"metric_type":"gauge","ts":1}"""),
+      // wrong-TYPED: string where a number is declared → field nulls → drop
+      ("1", """{"metric_name":"b","metric_value":"fast","metric_type":"gauge","ts":2}"""),
+      // missing required field
+      ("1", """{"metric_name":"c","metric_type":"gauge","ts":3}"""),
+      // enum violation (metric_type not in {gauge, counter})
+      ("1", """{"metric_name":"d","metric_value":4.0,"metric_type":"dial","ts":4}"""),
+      // corrupt JSON
+      ("1", """{nope"""),
+      // unconfigured key
+      ("99", """{"metric_name":"e","metric_value":5.0,"metric_type":"gauge","ts":5}"""))
+      .toDF("key", "value")
+    val out = KafkaShaped.decodeValidated(records, schema,
+      requiredFields = Seq("metric_name", "metric_value", "metric_type", "ts"),
+      allowedKeys = Seq("1"),
+      enums = Map("metric_type" -> Seq("gauge", "counter")))
+    val rows = out.collect()
+    assert(rows.map(_.getAs[String]("metric_name")).toSeq == Seq("a"))
+    // the drop accounting is part of the plan: the SAME action that
+    // produced the rows populated the observed metrics
+    val m = out.queryExecution.observedMetrics("kafka_decode")
+    assert(m.getAs[Long]("dropped_key") == 1)
+    assert(m.getAs[Long]("dropped_corrupt") == 1)
+    assert(m.getAs[Long]("dropped_schema") == 3)
+    assert(m.getAs[Long]("passed") == 1)
+    assert(m.getAs[Long]("total") == 6)
+  }
+
+  test("kafka io: site topics and connector options compose round-trip") {
+    import graft.streaming.KafkaIO
+    // reference topic scheme: <site>-<suffix> for every configured site
+    assert(KafkaIO.topicsForSites(Seq("dc1", "dc2"), KafkaIO.MetricsSuffix) ==
+      Seq("dc1-metrics", "dc2-metrics"))
+    assert(KafkaIO.topicName("dc1", KafkaIO.ProcessedSuffix) == "dc1-processed")
+    assert(KafkaIO.topicName("dc1", KafkaIO.ResourcesSuffix) == "dc1-resources")
+
+    val src = KafkaIO.SourceConfig(
+      bootstrapServers = "k1:9092,k2:9092",
+      sites = Seq("dc1", "dc2"),
+      topicSuffix = KafkaIO.MetricsSuffix,
+      groupId = "metrics_processing_group",
+      clientId = "metrics_processing_0")
+    val so = KafkaIO.sourceOptions(src)
+    assert(so("subscribe") == "dc1-metrics,dc2-metrics")
+    assert(so("kafka.bootstrap.servers") == "k1:9092,k2:9092")
+    assert(so("kafka.group.id") == "metrics_processing_group")
+    assert(so("kafka.client.id") == "metrics_processing_0")
+    // reference consumer defaults: 60s session, 500 records/poll, 1MiB fetch
+    assert(so("kafka.session.timeout.ms") == "60000")
+    assert(so("maxOffsetsPerTrigger") == "500")
+    assert(so("kafka.max.partition.fetch.bytes") == "1048576")
+    assert(so("failOnDataLoss") == "false")
+
+    val snk = KafkaIO.SinkConfig("k1:9092", "/tmp/ckpt", Some(60L))
+    val ko = KafkaIO.sinkOptions(snk)
+    assert(ko == Map("kafka.bootstrap.servers" -> "k1:9092",
+      "checkpointLocation" -> "/tmp/ckpt"))
+    // the writer composes on a real fan-out frame without a broker
+    // (start() would need one; composition is the sandbox-testable surface)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[MetricSample]
+    val fanout = Pipelines.pollingToKafka(input.toDS(), stateTtl = false)
+    KafkaIO.sink(fanout, snk) // must not throw
+  }
+
   test("metrics-group wire format round-trips through the kafka boundary") {
     import graft.dsl.MetricsDsl
     val tables = Map(
