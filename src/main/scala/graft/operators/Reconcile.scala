@@ -84,4 +84,51 @@ object Reconcile {
 
     adds.unionByName(deletes).unionByName(updates)
   }
+
+  /** APPLY the change feed: the post-MERGE inventory, as a frame — the
+    * reference's store write (`resources/manager.py:136-142`) expressed
+    * engine-agnostically. Rows land by [[changes]] semantics:
+    *
+    *  - `delete` keys drop; guard-skipped deletes keep the stored row;
+    *  - `add` and `update` keys take the INCOMING row (duplicate incoming
+    *    keys collapse to the newest per `incomingTsCol`, like the
+    *    reference's key→resource dict);
+    *  - guard-skipped updates keep the stored row.
+    *
+    * `stored` and `incoming` must share the schema. On a real deployment
+    * this frame is the `WHEN MATCHED/NOT MATCHED` source of a Delta/Iceberg
+    * MERGE or a dynamic-partition overwrite; producing the full post state
+    * keeps the operator testable on plain parquet — write it back with
+    * `partitionOverwriteMode=dynamic` and only partitions containing
+    * changed keys rewrite.
+    *
+    * Scale: two key-joins against the change feed, both hash-partitioned
+    * on the identity key; the change feed is |changes|-sized, typically ≪
+    * |stored|, so broadcast when small.
+    */
+  def applied(
+      stored: DataFrame,
+      incoming: DataFrame,
+      identityCols: Seq[String],
+      storedTsCol: String,
+      incomingSetTs: Double,
+      incomingTsCol: Option[String] = None): DataFrame = {
+    val key = identityCols
+    val ch = changes(stored, incoming, identityCols, storedTsCol,
+      incomingSetTs, incomingTsCol)
+    val replaced = ch.filter(col("action").isin("add", "update"))
+      .select(key.map(col): _*)
+    val removed = ch.filter(col("action").isin("delete", "update"))
+      .select(key.map(col): _*)
+    val incUnique = incomingTsCol match {
+      case Some(ts) =>
+        import org.apache.spark.sql.expressions.Window
+        incoming.withColumn("__rn", row_number().over(
+          Window.partitionBy(key.map(col): _*).orderBy(col(ts).desc)))
+          .filter(col("__rn") === 1).drop("__rn")
+      case None => incoming.dropDuplicates(key)
+    }
+    stored.join(removed, key, "left_anti")
+      .unionByName(incUnique.join(replaced, key, "left_semi"))
+  }
 }

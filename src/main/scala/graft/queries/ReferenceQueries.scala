@@ -215,6 +215,25 @@ object ReferenceQueries {
         incomingTsCol = Some("inc_ts"))
     }),
 
+    // --- J9 apply: the post-MERGE inventory after the change feed lands
+    // (manager.py:136-142) — same fixture as j9_reconcile, returning the
+    // resulting store instead of the feed.
+    "j9_apply" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val stored = o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("ts"))
+      val incoming = o.filter(
+        col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .select(col("o_orderkey"),
+          (unix_timestamp(col("o_orderdate")) +
+            when(col("o_orderkey") % 3 === 0, -86400L).otherwise(86400L))
+            .as("ts"))
+      Reconcile.applied(stored, incoming, Seq("o_orderkey"), "ts",
+        867715200.0, incomingTsCol = Some("ts"))
+    }),
+
     // --- J10: metrics-group × transform-config lookup (broadcast, pass-through) ----
     // polling_plugin_agent.py:269-304 — per group_type, look up the configured
     // transform; groups with no config pass through unchanged.
@@ -824,6 +843,28 @@ object ReferenceQueries {
         |SELECT s.o_orderkey, 'update' AS action
         |FROM stored s JOIN inc i ON i.o_orderkey = s.o_orderkey
         |WHERE s.ts_s <= i.inc_ts""".stripMargin,
+
+    "j9_apply" ->
+      """WITH stored AS (
+        |  SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS ts
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        |inc AS (
+        |  SELECT o_orderkey,
+        |         CAST(epoch(o_orderdate) AS BIGINT) +
+        |           CASE WHEN o_orderkey % 3 = 0 THEN -86400 ELSE 86400 END AS ts
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1999-01-01')
+        |SELECT s.o_orderkey, s.ts FROM stored s
+        |WHERE (EXISTS (SELECT 1 FROM inc i WHERE i.o_orderkey = s.o_orderkey
+        |                 AND s.ts > i.ts))
+        |   OR (NOT EXISTS (SELECT 1 FROM inc i WHERE i.o_orderkey = s.o_orderkey)
+        |       AND s.ts > 867715200)
+        |UNION ALL
+        |SELECT i.o_orderkey, i.ts FROM inc i
+        |WHERE NOT EXISTS (SELECT 1 FROM stored s WHERE s.o_orderkey = i.o_orderkey)
+        |   OR EXISTS (SELECT 1 FROM stored s WHERE s.o_orderkey = i.o_orderkey
+        |                AND s.ts <= i.ts)""".stripMargin,
 
     "j10_transform_config" ->
       """WITH cfg(event_type, transform) AS (
