@@ -1,0 +1,71 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting / shard-packing for training-data
+  * pipelines.
+  *
+  * Everything here is a pure function of the row's ID (via md5), never of
+  * partitioning, row order, or RNG state — so samples are REPRODUCIBLE
+  * across runs, engines, and cluster sizes, and a re-run after adding data
+  * keeps every previously-selected row in the same split/shard-stream
+  * (the property training pipelines actually need; `df.sample()` gives
+  * none of it). All operators are map-side or single-window — no joins,
+  * no driver state.
+  */
+object Sampling {
+
+  /** The first two md5 hex chars of the id: 256 stable pseudo-random
+    * buckets as a sortable hex string. Salt distinguishes independent
+    * samples over the same ids. */
+  def hashKey(id: Column, salt: String = ""): Column =
+    md5(concat(lit(salt), id.cast("string")))
+
+  /** Deterministic train/validation split: `trainPct` of rows (in 1/256
+    * granularity) land in `train`, the rest in `val`, decided only by
+    * md5(id). */
+  def split(df: DataFrame, idCol: String, trainPct: Double,
+            salt: String = ""): DataFrame = {
+    require(trainPct > 0 && trainPct < 1, s"trainPct=$trainPct not in (0,1)")
+    val threshold = f"${math.floor(trainPct * 256).toInt}%02x"
+    df.withColumn("split",
+      when(substring(hashKey(col(idCol), salt), 1, 2) < lit(threshold),
+        lit("train")).otherwise(lit("val")))
+  }
+
+  /** Stratified deterministic sample: the `perStratum` rows of each
+    * stratum that sort FIRST by (md5(id), id) — a stable pseudo-random
+    * choice per stratum (domain/language balancing caps). One shuffle on
+    * the stratum key. */
+  def stratified(df: DataFrame, strataCol: String, idCol: String,
+                 perStratum: Int, salt: String = ""): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashKey(col(idCol), salt), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perStratum)
+      .drop("__rn")
+  }
+
+  /** Pack documents into token-budget shards per stratum: rows are laid
+    * out in the stable (md5(id), id) order, and a document starts a new
+    * shard when the RUNNING token count before it crosses a `budget`
+    * multiple. Deterministic alternative to greedy bin-packing — shard
+    * boundaries never depend on execution order, and each stratum's
+    * packing is an independent window (one shuffle on the stratum key).
+    * Overweight single documents still get a shard (shard_id advances past
+    * them). */
+  def packShards(df: DataFrame, strataCol: String, idCol: String,
+                 tokensCol: String, budget: Long,
+                 salt: String = ""): DataFrame = {
+    require(budget > 0, s"budget=$budget must be positive")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashKey(col(idCol), salt), col(idCol))
+    val before = coalesce(
+      sum(col(tokensCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    df.withColumn("shard_id", floor(before / lit(budget)).cast("long"))
+  }
+}

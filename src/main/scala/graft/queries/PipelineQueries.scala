@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** The LLM-training-data-pipeline operator set (dedup, similarity search,
   * text analysis, multimodal plumbing) as oracle-checked queries over
@@ -178,6 +178,29 @@ object PipelineQueries {
         "vec_id", "embedding", threshold = 0.35, b = 2, rotatedDim = Some(64))
         .select("id_a", "id_b", "score")),
 
+    // --- deterministic train/val split (hash of id, engine-portable) --------
+    "sample_split" -> ((s, d) =>
+      Sampling.split(Tables.documents(s, d), "doc_id", trainPct = 0.8)
+        .select("doc_id", "split")),
+
+    // --- stratified per-language cap: stable pseudo-random 50 per stratum ---
+    "sample_stratified" -> ((s, d) =>
+      Sampling.stratified(
+        Tables.documents(s, d)
+          .withColumn("lang_id", TextAnalysis.langId(col("text"))),
+        "lang_id", "doc_id", perStratum = 50)
+        .select("doc_id", "lang_id")),
+
+    // --- token-budget shard packing per language stratum --------------------
+    "pack_shards" -> ((s, d) =>
+      Sampling.packShards(
+        Tables.documents(s, d)
+          .withColumn("lang_id", TextAnalysis.langId(col("text")))
+          .withColumn("tokens",
+            size(TextAnalysis.tokens(col("text"))).cast("long")),
+        "lang_id", "doc_id", "tokens", budget = 2000L)
+        .select("doc_id", "lang_id", "shard_id")),
+
     // --- multimodal: columnar binary metadata ----------------------------------------------
     "mm_binary_meta" -> ((s, d) =>
       Multimodal.binaryMeta(Tables.documents(s, d), "text")
@@ -234,6 +257,20 @@ object PipelineQueries {
     val langHits = TextAnalysis.stopwords.map { case (lang, words) =>
       s"len(list_filter(toks, x -> list_contains(${sqlStringList(words)}, x))) AS hits_$lang"
     }.mkString(",\n       ")
+    // language-id CTE shared by the sampling/packing oracles (keep the
+    // CASE in lock-step with the text_langid oracle below)
+    val langCase =
+      """CASE WHEN greatest(hits_en, hits_es, hits_fr, hits_de) = 0 THEN 'und'
+        |     WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+        |     WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+        |     WHEN hits_es >= hits_fr THEN 'es'
+        |     ELSE 'fr' END""".stripMargin
+    val langCte =
+      s"""$toksCte,
+         |hh AS (SELECT doc_id, toks,
+         |       $langHits
+         |       FROM t),
+         |lang AS (SELECT doc_id, toks, $langCase AS lang_id FROM hh)""".stripMargin
 
     Map(
       "dedup_exact" ->
@@ -541,6 +578,32 @@ object PipelineQueries {
           |         round(list_dot_product(a.v, b.v), 6) AS score
           |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
           |WHERE score >= 0.35""".stripMargin),
+
+      "sample_split" ->
+        """SELECT doc_id,
+          |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+          |            THEN 'train' ELSE 'val' END AS split
+          |FROM documents""".stripMargin,
+
+      "sample_stratified" ->
+        s"""WITH $langCte
+           |SELECT doc_id, lang_id FROM (
+           |  SELECT doc_id, lang_id,
+           |         row_number() OVER (PARTITION BY lang_id
+           |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           |  FROM lang) WHERE rn <= 50""".stripMargin,
+
+      "pack_shards" ->
+        s"""WITH $langCte,
+           |tk AS (SELECT doc_id, lang_id,
+           |              CAST(len(toks) AS BIGINT) AS tokens FROM lang)
+           |SELECT doc_id, lang_id,
+           |       CAST(floor(coalesce(sum(tokens) OVER (
+           |           PARTITION BY lang_id
+           |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |         / 2000) AS BIGINT) AS shard_id
+           |FROM tk""".stripMargin,
 
       "mm_binary_meta" ->
         """SELECT doc_id,

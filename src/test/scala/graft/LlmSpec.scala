@@ -138,6 +138,50 @@ class LlmSpec extends SparkSpec {
     assert(Similarity.rotationPlanes(4, 64, seed = 7L).flatten != a.flatten)
   }
 
+  test("sampling: splits are deterministic, disjoint, and add-stable") {
+    import graft.llm.Sampling
+    val ids = (0L until 400L).map(i => Tuple1(i)).toDF("doc_id")
+    val s1 = Sampling.split(ids, "doc_id", 0.8)
+      .as[(Long, String)].collect().toMap
+    // same ids → same split, independent of partitioning
+    val s2 = Sampling.split(ids.repartition(7), "doc_id", 0.8)
+      .as[(Long, String)].collect().toMap
+    assert(s1 == s2)
+    val trainFrac = s1.values.count(_ == "train").toDouble / s1.size
+    assert(trainFrac > 0.7 && trainFrac < 0.9) // ~0.797 granularity 1/256
+    // adding rows never flips an existing row's split
+    val s3 = Sampling.split((0L until 800L).map(Tuple1(_)).toDF("doc_id"),
+      "doc_id", 0.8).as[(Long, String)].collect().toMap
+    assert(s1.forall { case (k, v) => s3(k) == v })
+    // a different salt draws an independent split
+    val salted = Sampling.split(ids, "doc_id", 0.8, salt = "s2")
+      .as[(Long, String)].collect().toMap
+    assert(salted != s1)
+  }
+
+  test("sampling: stratified caps each stratum; packing respects budget") {
+    import graft.llm.Sampling
+    val rows = (0L until 300L).map(i => (i, s"g${i % 3}", 100L + (i % 7) * 50))
+      .toDF("doc_id", "grp", "tokens")
+    val capped = Sampling.stratified(rows, "grp", "doc_id", perStratum = 20)
+    val sizes = capped.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(sizes.values.toSet == Set(20L))
+    // packing: every shard except the stratum's last stops before budget+max
+    val packed = Sampling.packShards(rows, "grp", "doc_id", "tokens", 1000L)
+    val byShard = packed.groupBy("grp", "shard_id")
+      .agg(sum("tokens").as("t")).as[(String, Long, Long)].collect()
+    // a shard's preceding-sum start is < budget past the boundary, so its
+    // total is < budget + max single doc (450 here)
+    assert(byShard.forall(_._3 < 1000L + 450L))
+    // deterministic under repartition
+    val packed2 = Sampling.packShards(rows.repartition(5), "grp", "doc_id",
+      "tokens", 1000L).select("doc_id", "shard_id")
+      .as[(Long, Long)].collect().toMap
+    val packed1 = packed.select("doc_id", "shard_id")
+      .as[(Long, Long)].collect().toMap
+    assert(packed1 == packed2)
+  }
+
   test("language ID picks the stopword-dominant language, und when none") {
     val df = Seq(
       (1L, "the cat sat of the mat and the dog is that"),
