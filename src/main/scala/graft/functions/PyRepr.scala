@@ -23,21 +23,32 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object PyRepr {
 
-  /** Shortest round-trip significant digits + decimal exponent.
-    * Returns (digits-without-point, exp10 of the first digit). */
+  /** Shortest CORRECTLY-ROUNDED round-trip digits + decimal exponent.
+    * Returns (digits-without-point, exp10 of the first digit).
+    *
+    * Rounding matters, not just round-tripping: on decimal-tie doubles
+    * (exact value ending in …x.25 at the last kept digit) BOTH candidate
+    * strings round-trip, and CPython/DuckDB pick the correctly-rounded
+    * one (half-even on the EXACT binary value) while Java's `%.pe`
+    * formats HALF_UP — ~1.5e-4 of random doubles diverge. Rounding the
+    * exact `new BigDecimal(d)` expansion with HALF_EVEN reproduces the
+    * CPython choice digit-for-digit. */
   private def shortest(d: Double): (String, Int) = {
-    var p = 0
-    var sci = ""
-    var found = false
-    while (!found && p < 17) {
-      sci = String.format(java.util.Locale.ROOT, "%." + p + "e", Double.box(d))
-      if (java.lang.Double.parseDouble(sci) == d) found = true else p += 1
+    val exact = new java.math.BigDecimal(d) // exact binary expansion
+    var p = 1
+    while (p <= 17) {
+      val r = exact.round(
+        new java.math.MathContext(p, java.math.RoundingMode.HALF_EVEN))
+      if (r.doubleValue() == d) {
+        val c = r.stripTrailingZeros()
+        val digits = c.unscaledValue().abs().toString
+        val exp10 = digits.length - 1 - c.scale()
+        return (digits, exp10)
+      }
+      p += 1
     }
-    // sci = "d[.ddd]e±xx"; minimal precision ⇒ last digit nonzero
-    val e = sci.indexOf('e')
-    val mant = sci.substring(0, e).replace(".", "")
-    val exp10 = Integer.parseInt(sci.substring(e + 1))
-    (mant, exp10)
+    // unreachable: 17 significant digits always round-trip a double
+    throw new IllegalStateException(s"no shortest repr for $d")
   }
 
   /** CPython `repr(float)` (Python 3 shortest-repr semantics). */

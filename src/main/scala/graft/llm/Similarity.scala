@@ -132,11 +132,16 @@ object Similarity {
     }
     def render(bs: Seq[Column]): Column =
       concat(bs.map(bt => when(bt, lit("1")).otherwise(lit("0"))): _*)
-    val c = corpus.select(col(idCol).as("neighbor_id"),
+    // the axis family indexes components 1..b (ANSI: out-of-bounds kills
+    // the job); the rotated family would silently prefix-bucket a short
+    // vector. Same posture as ivfTopK: too-short vectors degrade OUT of
+    // the index on both sides rather than crashing or mis-bucketing.
+    val okLen = size(col(vecCol)) >= rotatedDim.getOrElse(b)
+    val c = corpus.filter(okLen).select(col(idCol).as("neighbor_id"),
       normalize(col(vecCol)).as("cv"),
       render(bits(col(vecCol))).as("bucket"))
     // queries: materialize the bit columns once, then explode the probe set
-    val q0 = queries.select(
+    val q0 = queries.filter(okLen).select(
       col(idCol).as("query_id") +: normalize(col(vecCol)).as("qv") +:
         bits(col(vecCol)).zipWithIndex.map { case (bc, i) => bc.as(s"__b$i") }: _*)
     val bitRefs = (0 until b).map(i => col(s"__b$i"))
@@ -145,8 +150,11 @@ object Similarity {
     val probes =
       if (multiProbe) probe(-1) +: (0 until b).map(probe)
       else Seq(probe(-1))
+    // array_distinct: a null BIT (null embedding element upstream) makes a
+    // flipped probe render identically to the unflipped one — deduping the
+    // probe set keeps the bucket join from emitting duplicate neighbors
     val q = q0.select(col("query_id"), col("qv"),
-      explode(array(probes: _*)).as("bucket"))
+      explode(array_distinct(array(probes: _*))).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score", dot(col("qv"), col("cv")))
@@ -232,9 +240,11 @@ object Similarity {
       case Some(dim) => signBucketRotated(col(vecCol), b, dim, seed)
       case None      => signBucket(col(vecCol), b)
     }
-    val withBucket = df.select(col(idCol),
-      normalize(col(vecCol)).as("nv"),
-      bucketCol.as("bucket"))
+    // same short-vector posture as signLshTopK: degrade out, don't crash
+    val withBucket = df.filter(size(col(vecCol)) >= rotatedDim.getOrElse(b))
+      .select(col(idCol),
+        normalize(col(vecCol)).as("nv"),
+        bucketCol.as("bucket"))
     val a = withBucket.select(col("bucket"), col(idCol).as("id_a"),
       col("nv").as("va"))
     val bb = withBucket.select(col("bucket"), col(idCol).as("id_b"),

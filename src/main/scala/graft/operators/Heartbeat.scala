@@ -34,9 +34,13 @@ object Heartbeat {
     */
   def metrics(resources: DataFrame, enrichment: DataFrame,
               clockTs: Column): DataFrame = {
+    // the reference's KV lookup returns ONE value per device — collapse
+    // duplicate enrichment rows (e.g. re-enrollment without cleanup) to
+    // the freshest, or the join would double-emit heartbeat metrics
     val hb = enrichment
       .filter(col("namespace") === Namespace && col("key") === Key)
-      .select(col("resource_id"), col("timestamp").as("__hb_ts"))
+      .groupBy(col("resource_id"))
+      .agg(max(col("timestamp")).as("__hb_ts"))
     resources.select(col("resource_id"))
       .join(broadcast(hb), Seq("resource_id"), "left")
       .select(

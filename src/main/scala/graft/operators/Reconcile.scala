@@ -120,14 +120,21 @@ object Reconcile {
       .select(key.map(col): _*)
     val removed = ch.filter(col("action").isin("delete", "update"))
       .select(key.map(col): _*)
-    val incUnique = incomingTsCol match {
-      case Some(ts) =>
-        import org.apache.spark.sql.expressions.Window
-        incoming.withColumn("__rn", row_number().over(
-          Window.partitionBy(key.map(col): _*).orderBy(col(ts).desc)))
-          .filter(col("__rn") === 1).drop("__rn")
-      case None => incoming.dropDuplicates(key)
+    // content-hash tiebreak: duplicate keys tied on the timestamp (or the
+    // None branch with no timestamp at all) must still collapse to the
+    // SAME row on every run/partitioning — dropDuplicates and an
+    // untiebroken row_number are both partition-order-dependent. Identical
+    // rows hash identically (either is fine); distinct payloads order by
+    // hash, deterministically.
+    import org.apache.spark.sql.expressions.Window
+    val contentHash = xxhash64(incoming.columns.map(col): _*)
+    val incOrder = incomingTsCol match {
+      case Some(ts) => Seq(col(ts).desc, contentHash)
+      case None     => Seq(contentHash)
     }
+    val incUnique = incoming.withColumn("__rn", row_number().over(
+      Window.partitionBy(key.map(col): _*).orderBy(incOrder: _*)))
+      .filter(col("__rn") === 1).drop("__rn")
     stored.join(removed, key, "left_anti")
       .unionByName(incUnique.join(replaced, key, "left_semi"))
   }

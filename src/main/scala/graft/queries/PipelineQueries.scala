@@ -43,16 +43,26 @@ object PipelineQueries {
     * Bench do — recomputing the signature pipeline three times is pure
     * waste. Memoize the `localCheckpoint`ed pair frame per (session, dir):
     * the first consumer pays for the pipeline, the rest reuse the
-    * materialized (tiny: one row per candidate pair) result. Entries die
-    * with their session; a new session or dir recomputes.
+    * materialized (tiny: one row per candidate pair) result.
+    *
+    * Lifecycle, honestly: entries are STRONG references held for the JVM
+    * lifetime unless [[clearCaches]] runs — `maxCacheEntries` bounds the
+    * leak for long-lived drivers cycling sessions/dirs. A caller that
+    * rewrites the parquet under a cached dir mid-session must
+    * [[clearCaches]] or the dedup queries serve stale pairs (same
+    * contract as any materialized view).
     */
+  private val maxCacheEntries = 8
+
   private val lshPairCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def sharedLshPairs(s: SparkSession, d: String): DataFrame =
+  private def sharedLshPairs(s: SparkSession, d: String): DataFrame = {
+    if (lshPairCache.size >= maxCacheEntries) clearCaches()
     lshPairCache.getOrElseUpdate((s, d),
       Dedup.minhashLsh(Tables.documents(s, d), "text", "doc_id",
         shingleN = 3, k = 8, bands = 4).localCheckpoint())
+  }
 
   /** Same sharing for the iterative connected-components stage: both
     * `dedup_clusters` and `dedup_keep` need the full label frame. The
@@ -61,15 +71,17 @@ object PipelineQueries {
   private val clusterCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def sharedClusters(s: SparkSession, d: String): DataFrame =
+  private def sharedClusters(s: SparkSession, d: String): DataFrame = {
+    if (clusterCache.size >= maxCacheEntries) clearCaches()
     clusterCache.getOrElseUpdate((s, d), Dedup.clusters(sharedLshPairs(s, d)))
+  }
 
-  /** Drop memoized intermediates (and free their checkpoint blocks).
-    * Bench calls this between passes so every pass pays the shared
-    * pipeline exactly once — timings stay honest. */
+  /** Drop memoized intermediates. Checkpoint BLOCKS are reclaimed by the
+    * ContextCleaner once the dropped frames' RDDs are unreachable (an
+    * explicit unpersist would be a no-op — localCheckpoint data is not in
+    * the CacheManager). Bench calls this between passes so every pass
+    * pays the shared pipeline exactly once — timings stay honest. */
   def clearCaches(): Unit = {
-    (lshPairCache.values ++ clusterCache.values)
-      .foreach(df => df.unpersist(blocking = false))
     lshPairCache.clear()
     clusterCache.clear()
   }

@@ -56,7 +56,16 @@ object KafkaIO {
   /** Source-side configuration — defaults mirror the reference consumer's
     * (`consumer.py:187-236`). `startingOffsets = "latest"` matches a group
     * consumer joining fresh; checkpointed restarts resume from the
-    * checkpoint regardless. */
+    * checkpoint regardless.
+    *
+    * NOTE: the reference's `max_poll_records=500` bounds ONE client poll —
+    * it has no Spark equivalent (the connector manages fetches itself) and
+    * deliberately does NOT map onto `maxOffsetsPerTrigger`, which caps the
+    * WHOLE micro-batch across all topic-partitions: a 500-records-per-60s
+    * cap would throttle an entire site fleet to ~8 records/s and build
+    * unbounded consumer lag. Leave `maxOffsetsPerTrigger` unset unless you
+    * are sizing micro-batches, and size it to trigger interval ×
+    * target throughput. */
   final case class SourceConfig(
       bootstrapServers: String,
       sites: Seq[String],
@@ -64,7 +73,7 @@ object KafkaIO {
       groupId: String,
       clientId: String = "",
       startingOffsets: String = "latest",
-      maxOffsetsPerTrigger: Option[Long] = Some(500L),
+      maxOffsetsPerTrigger: Option[Long] = None,
       sessionTimeoutMs: Long = 60000L,
       maxPartitionFetchBytes: Long = 1048576L,
       failOnDataLoss: Boolean = false)

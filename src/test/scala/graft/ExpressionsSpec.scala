@@ -70,6 +70,10 @@ class ExpressionsSpec extends SparkSpec {
       250.00000000000003 -> "250.00000000000003",
       0.0 -> "0.0", -0.0 -> "-0.0",
       5e-324 -> "5e-324", 1.7976931348623157e308 -> "1.7976931348623157e+308",
+      // decimal-tie double (exact …907.25): BOTH '…907.2' and '…907.3'
+      // round-trip; CPython/DuckDB pick half-EVEN on the exact value,
+      // Java's %.pe would pick HALF_UP ('…907.3')
+      1164376756402907.25 -> "1164376756402907.2",
       Double.NaN -> "nan", Double.PositiveInfinity -> "inf",
       Double.NegativeInfinity -> "-inf")
     goldens.foreach { case (d, want) =>

@@ -202,9 +202,12 @@ class PipelinesSpec extends SparkSpec {
     assert(so("kafka.bootstrap.servers") == "k1:9092,k2:9092")
     assert(so("kafka.group.id") == "metrics_processing_group")
     assert(so("kafka.client.id") == "metrics_processing_0")
-    // reference consumer defaults: 60s session, 500 records/poll, 1MiB fetch
+    // reference consumer defaults: 60s session, 1MiB fetch; the per-poll
+    // record cap deliberately does NOT map to maxOffsetsPerTrigger
     assert(so("kafka.session.timeout.ms") == "60000")
-    assert(so("maxOffsetsPerTrigger") == "500")
+    assert(!so.contains("maxOffsetsPerTrigger"))
+    assert(KafkaIO.sourceOptions(src.copy(maxOffsetsPerTrigger = Some(100000)))
+      .apply("maxOffsetsPerTrigger") == "100000")
     assert(so("kafka.max.partition.fetch.bytes") == "1048576")
     assert(so("failOnDataLoss") == "false")
 

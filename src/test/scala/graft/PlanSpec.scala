@@ -47,6 +47,37 @@ class PlanSpec extends SparkSpec {
         p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
       }
     assert(offenders.isEmpty, s"unintended cross joins in: $offenders")
+    // the memoized dedup queries expose only a LogicalRDD checkpoint scan
+    // above — sweep the UN-memoized pipelines too, so a cross join inside
+    // the LSH/cluster stages can't hide behind the cache
+    import graft.llm.Dedup
+    import graft.core.Tables
+    val rawPairs = Dedup.minhashLsh(Tables.documents(spark, sf001),
+      "text", "doc_id", shingleN = 3, k = 8, bands = 4)
+    val rawPlan = rawPairs.queryExecution.executedPlan.toString
+    assert(!rawPlan.contains("CartesianProduct") &&
+      !rawPlan.contains("BroadcastNestedLoopJoin"), rawPlan)
+  }
+
+  test("heartbeat enrichment lookup broadcasts the small side") {
+    val p = plan("a12_heartbeat")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("shard packing is a single hash-partitioned window, no joins") {
+    val p = plan("pack_shards")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    // exactly one shuffle: the stratum hash partitioning for the window
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("rotated multi-probe LSH broadcasts queries; corpus never shuffles") {
+    val p = plan("ann_sign_lsh")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the corpus side reaches the bucket join without an Exchange before it
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("sql surface: views + plain sql run the same engine") {

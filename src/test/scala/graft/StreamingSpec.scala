@@ -121,6 +121,34 @@ class StreamingSpec extends SparkSpec {
       Set((Some("k1"), false), (Some("k2"), true), (None, true)))
   }
 
+  test("decodeValidated drop counts surface per micro-batch on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val schema = StructType(Seq(
+      StructField("metric_name", StringType),
+      StructField("metric_value", DoubleType)))
+    val input = MemoryStream[(String, String)]
+    val decoded = KafkaShaped.decodeValidated(
+      input.toDS().toDF("key", "value"), schema,
+      requiredFields = Seq("metric_name", "metric_value"),
+      observationName = "decode_obs")
+    val q = decoded.writeStream.format("memory")
+      .queryName("decode_obs_out").outputMode("append").start()
+    try {
+      input.addData(
+        ("1", """{"metric_name":"a","metric_value":1.5}"""),
+        ("1", """{"metric_name":"b","metric_value":"wrong-type"}"""),
+        ("1", """{corrupt"""))
+      q.processAllAvailable()
+      // observed metrics ride the StreamingQueryProgress of the batch
+      val obs = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("decode_obs"))).last
+      assert(obs.getAs[Long]("dropped_corrupt") == 1)
+      assert(obs.getAs[Long]("dropped_schema") == 1)
+      assert(obs.getAs[Long]("passed") == 1)
+      assert(spark.table("decode_obs_out").count() == 1)
+    } finally q.stop()
+  }
+
   test("required-field enforcement drops null-field rows") {
     val schema = StructType(Seq(
       StructField("a", LongType), StructField("b", StringType)))
