@@ -87,6 +87,30 @@ object TextAnalysis {
         (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0))) * 0.2, 6))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, appendix A1.1):
+    * per document, the fraction of n-gram occurrences that are repeats
+    * (`dup_Ngram_frac`) and the share taken by the single most frequent
+    * n-gram (`top_Ngram_frac`), for n = 2 and 3. High values flag
+    * boilerplate, scraped navigation chrome, and degenerate generated
+    * text. Map-only: one codegen frequency-map pass per (doc, n) — see
+    * [[graft.functions.RepetitionUtil]]. Documents with fewer than n
+    * tokens score 0.0 (nothing is repeated in an empty n-gram stream). */
+  def repetitionSignals(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den, 6)).otherwise(lit(0.0))
+    Seq(2, 3).foldLeft(df) { (acc, n) =>
+      val st = s"__rep$n"
+      val total = element_at(col(st), 1)
+      val dist = element_at(col(st), 2)
+      val top = element_at(col(st), 3)
+      acc.withColumn(st, graft.functions.RepetitionUtil.ngramStats(toks, n))
+        .withColumn(s"dup_${n}gram_frac", frac(total - dist, total))
+        .withColumn(s"top_${n}gram_frac", frac(top, total))
+        .drop(st)
+    }
+  }
+
   /** Document fingerprints: full-content hash and bag-of-words hash (a
     * rolling-hash-class fingerprint that survives word reordering). */
   def fingerprints(df: DataFrame, textCol: String): DataFrame = {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Contamination, Dedup, Multimodal, Pii, Sampling, Similarity, TextAnalysis}
 
 /** The LLM-training-data-pipeline operator set (dedup, similarity search,
   * text analysis, multimodal plumbing) as oracle-checked queries over
@@ -154,6 +154,44 @@ object PipelineQueries {
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprints(Tables.documents(s, d), "text")
         .select("doc_id", "content_fp", "bow_fp")),
+
+    // --- Gopher-style repetition signals (dup/top n-gram fractions) --------
+    "text_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionSignals(Tables.documents(s, d), "text")
+        .select("doc_id", "dup_2gram_frac", "top_2gram_frac",
+          "dup_3gram_frac", "top_3gram_frac")),
+
+    // --- PII detect + redact. The synthetic corpus carries no organic PII,
+    // so the query plants deterministic contact strings derived from
+    // existing columns (same derivation in the oracle) — the operator under
+    // test is the regex scrub, not the planting. ----------------------------
+    "text_pii" -> ((s, d) => {
+      val id = col("doc_id")
+      val email = concat(col("source"), lit("_"), id.cast("string"),
+        lit("@example.com"))
+      val ip = concat(lit("10."), (id % 256).cast("string"), lit("."),
+        ((id * 7) % 256).cast("string"), lit(".5"))
+      val phone = concat(lit("+1-555-"),
+        lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad(((id * 3) % 10000).cast("string"), 4, "0"))
+      val planted = when(id % 3 === 0, col("text"))
+        .when(id % 3 === 1, concat(col("text"), lit(" contact "), email,
+          lit(" from "), ip, lit(" tel "), phone))
+        .otherwise(concat(col("text"), lit(" contact "), email))
+      Pii.scrub(Tables.documents(s, d).select(id, planted.as("text")), "text")
+        .select("doc_id", "n_emails", "n_ipv4", "n_phones", "text_redacted")
+    }),
+
+    // --- benchmark-contamination check: train docs sharing ≥2 distinct
+    // 3-grams with an eval doc (eval set = doc_id % 17, broadcast side) ----
+    "contamination_ngram" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Contamination.ngramOverlap(
+        train = docs.filter(col("doc_id") % 17 =!= 0),
+        test = docs.filter(col("doc_id") % 17 === 0),
+        "text", "doc_id", n = 3, minShared = 2)
+        .select("test_id", "train_id", "shared_ngrams", "overlap_frac")
+    }),
 
     // --- ANN: brute-force cosine top-k ------------------------------------------------
     "ann_brute_topk" -> ((s, d) => {
@@ -488,6 +526,83 @@ object PipelineQueries {
           |       md5(array_to_string(list_sort(list_distinct(
           |           string_split_regex(lower(text), '\s+'))), ' ')) AS bow_fp
           |FROM documents""".stripMargin,
+
+      "text_repetition" ->
+        s"""WITH $toksCte,
+           |g2 AS (SELECT doc_id, unnest(list_transform(
+           |         generate_series(1, len(toks) - 1),
+           |         i -> toks[i] || ' ' || toks[i+1])) AS g
+           |       FROM t WHERE len(toks) >= 2),
+           |c2 AS (SELECT doc_id, g, count(*) AS n FROM g2 GROUP BY 1, 2),
+           |a2 AS (SELECT doc_id, sum(n) AS total, count(*) AS dist,
+           |              max(n) AS top
+           |       FROM c2 GROUP BY 1),
+           |g3 AS (SELECT doc_id, unnest(list_transform(
+           |         generate_series(1, len(toks) - 2),
+           |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+           |       FROM t WHERE len(toks) >= 3),
+           |c3 AS (SELECT doc_id, g, count(*) AS n FROM g3 GROUP BY 1, 2),
+           |a3 AS (SELECT doc_id, sum(n) AS total, count(*) AS dist,
+           |              max(n) AS top
+           |       FROM c3 GROUP BY 1)
+           |SELECT d.doc_id,
+           |  round(coalesce(CAST(a2.total - a2.dist AS DOUBLE)
+           |                 / CAST(a2.total AS DOUBLE), 0), 6) AS dup_2gram_frac,
+           |  round(coalesce(CAST(a2.top AS DOUBLE)
+           |                 / CAST(a2.total AS DOUBLE), 0), 6) AS top_2gram_frac,
+           |  round(coalesce(CAST(a3.total - a3.dist AS DOUBLE)
+           |                 / CAST(a3.total AS DOUBLE), 0), 6) AS dup_3gram_frac,
+           |  round(coalesce(CAST(a3.top AS DOUBLE)
+           |                 / CAST(a3.total AS DOUBLE), 0), 6) AS top_3gram_frac
+           |FROM documents d
+           |LEFT JOIN a2 ON a2.doc_id = d.doc_id
+           |LEFT JOIN a3 ON a3.doc_id = d.doc_id""".stripMargin,
+
+      "text_pii" ->
+        s"""WITH p AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 3 = 0 THEN text
+           |         WHEN doc_id % 3 = 1 THEN
+           |           text || ' contact ' || source || '_' || doc_id
+           |             || '@example.com from 10.' || (doc_id % 256) || '.'
+           |             || ((doc_id * 7) % 256) || '.5 tel +1-555-'
+           |             || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+           |             || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+           |         ELSE text || ' contact ' || source || '_' || doc_id
+           |             || '@example.com'
+           |    END AS text
+           |  FROM documents),
+           |r AS (SELECT doc_id, text,
+           |        regexp_replace(text, '${Pii.emailPattern}',
+           |          '${Pii.emailToken}', 'g') AS t1
+           |      FROM p),
+           |r2 AS (SELECT doc_id, text, t1,
+           |         regexp_replace(t1, '${Pii.ipv4Pattern}',
+           |           '${Pii.ipToken}', 'g') AS t2
+           |       FROM r)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '${Pii.emailPattern}')) AS INT) AS n_emails,
+           |  CAST(len(regexp_extract_all(t1, '${Pii.ipv4Pattern}')) AS INT) AS n_ipv4,
+           |  CAST(len(regexp_extract_all(t2, '${Pii.phonePattern}')) AS INT) AS n_phones,
+           |  regexp_replace(t2, '${Pii.phonePattern}',
+           |    '${Pii.phoneToken}', 'g') AS text_redacted
+           |FROM r2""".stripMargin,
+
+      "contamination_ngram" ->
+        s"""WITH $shinglesCte,
+           |test AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 17 = 0),
+           |train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 17 != 0),
+           |sizes AS (SELECT doc_id AS test_id, count(*) AS n_test_ngrams
+           |          FROM test GROUP BY 1),
+           |pairs AS (
+           |  SELECT test.doc_id AS test_id, train.doc_id AS train_id,
+           |         count(*) AS shared_ngrams
+           |  FROM test JOIN train USING (shingle) GROUP BY 1, 2)
+           |SELECT test_id, train_id, shared_ngrams,
+           |       round(CAST(shared_ngrams AS DOUBLE) / n_test_ngrams, 6)
+           |         AS overlap_frac
+           |FROM pairs JOIN sizes USING (test_id)
+           |WHERE shared_ngrams >= 2""".stripMargin,
 
       "ann_brute_topk" ->
         """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Contamination, Dedup, Multimodal, Pii, Similarity, TextAnalysis}
 
 class LlmSpec extends SparkSpec {
   import spark.implicits._
@@ -191,6 +191,59 @@ class LlmSpec extends SparkSpec {
     val out = df.select($"doc_id", TextAnalysis.langId($"text").as("l"))
       .as[(Long, String)].collect().toMap
     assert(out == Map(1L -> "en", 2L -> "es", 3L -> "und"))
+  }
+
+  test("repetition signals: duplicate and top n-gram fractions, short docs 0") {
+    val df = Seq(
+      (1L, "a b a b a b"),     // 2-grams: [a b, b a, a b, b a, a b] → 5 total, 2 distinct, top=3
+      (2L, "v w x y z"),       // all 2-grams unique → dup 0, top 1/4
+      (3L, "solo")             // < 2 tokens → zeros
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df, "text")
+      .select("doc_id", "dup_2gram_frac", "top_2gram_frac")
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((0.6, 0.6))) // 1 - 2/5 duplicates; top 'a b' = 3/5
+    assert(out(2L) == ((0.0, 0.25)))
+    assert(out(3L) == ((0.0, 0.0)))
+  }
+
+  test("pii scrub: counts and class-token redaction, email pass runs first") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org or 192.168.0.1 tel +44-201-555-0199"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.io c@d.co one ip 10.0.0.7"),
+      // the dotted-quad inside the email domain must be eaten by the email
+      // pass, not split by the IP pass; 999.1.2.3 still redacts (documented)
+      (4L, "u@10.0.0.1.example.com and 999.1.2.3")
+    ).toDF("doc_id", "text")
+    val out = Pii.scrub(df, "text")
+      .select("doc_id", "n_emails", "n_ipv4", "n_phones", "text_redacted")
+      .as[(Long, Int, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1, 1, 1,
+      "mail <EMAIL> or <IP> tel <PHONE>")))
+    assert(out(2L) == ((2L, 0, 0, 0, "no pii here at all")))
+    assert(out(3L) == ((3L, 2, 1, 0, "two mails <EMAIL> <EMAIL> one ip <IP>")))
+    assert(out(4L) == ((4L, 1, 1, 0, "<EMAIL> and <IP>")))
+  }
+
+  test("contamination: shared distinct n-grams per (test, train) pair") {
+    val train = Seq(
+      (10L, "the quick brown fox jumps high"),  // shares 2 trigrams with test 1
+      (11L, "nothing in common with anything"),
+      (12L, "the quick brown fox jumps high")   // dup of 10 → same overlap
+    ).toDF("doc_id", "text")
+    val test = Seq(
+      (1L, "the quick brown fox sleeps"),       // trigrams: 3 distinct
+      (2L, "completely novel benchmark prompt")
+    ).toDF("doc_id", "text")
+    val out = Contamination.ngramOverlap(train, test, "text", "doc_id",
+      n = 3, minShared = 2)
+      .select("test_id", "train_id", "shared_ngrams", "overlap_frac")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // test 1 has trigrams {the quick brown, quick brown fox, brown fox sleeps};
+    // train 10/12 share the first two → 2 shared over 3 test trigrams
+    assert(out == Set((1L, 10L, 2L, 0.666667), (1L, 12L, 2L, 0.666667)))
   }
 
   test("bow fingerprint is order-invariant; content fingerprint is not") {

@@ -73,6 +73,23 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("contamination broadcasts the eval side; train corpus join is hash") {
+    val p = plan("contamination_ngram")
+    // both the shingle join and the test-sizes join broadcast the tiny
+    // eval side — the 100 TB train side must never sort-merge on a shingle
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("text repetition and pii scrub are map-only single scans") {
+    Seq("text_repetition", "text_pii").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+      // executedPlan.toString renders whole-stage codegen spans as "*(n)"
+      assert(p.contains("*(1)"), p)
+    }
+  }
+
   test("rotated multi-probe LSH broadcasts queries; corpus never shuffles") {
     val p = plan("ann_sign_lsh")
     assert(p.contains("BroadcastHashJoin"), p)
