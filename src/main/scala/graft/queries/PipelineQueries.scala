@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.llm.{Contamination, Dedup, Multimodal, Pii, Sampling, Similarity, TextAnalysis}
+import graft.operators.Sessionize
 
 /** The LLM-training-data-pipeline operator set (dedup, similarity search,
   * text analysis, multimodal plumbing) as oracle-checked queries over
@@ -250,6 +251,37 @@ object PipelineQueries {
             size(TextAnalysis.tokens(col("text"))).cast("long")),
         "lang_id", "doc_id", "tokens", budget = 2000L)
         .select("doc_id", "lang_id", "shard_id")),
+
+    // --- clickstream sessionization (gap-based, 24 h) ----------------------
+    // ts is long nanos on the Spark side but DuckDB's TIMESTAMP truncates to
+    // microseconds at parquet read, so both engines quantize to exact µs
+    // (`ts div 1000` ↔ `epoch_us(ts)`) before comparing gaps.
+    "sessionize" -> ((s, d) =>
+      Sessionize.assign(
+        Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "ts_us", "event_id", gapMicros = 86400L * 1000000L)
+        .select("event_id", "user_id", "session_seq")),
+
+    // --- per-session aggregates ---------------------------------------------
+    "session_stats" -> ((s, d) =>
+      Sessionize.stats(
+        Sessionize.assign(
+          Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")),
+          "user_id", "ts_us", "event_id", gapMicros = 86400L * 1000000L),
+        "user_id", "ts_us", "event_type", "value")
+        .select("user_id", "session_seq", "n_events", "start_us", "end_us",
+          "duration_us", "n_types", "value_sum")),
+
+    // --- strict-order funnel: view → click → purchase per user --------------
+    "session_funnel" -> ((s, d) =>
+      Sessionize.funnel(
+        Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase"))
+        .select(col("user_id"), col("reached"),
+          coalesce(col("ts_step1"), lit(-1L)).as("ts_step1"),
+          coalesce(col("ts_step2"), lit(-1L)).as("ts_step2"),
+          coalesce(col("ts_step3"), lit(-1L)).as("ts_step3"))),
 
     // --- multimodal: columnar binary metadata ----------------------------------------------
     "mm_binary_meta" -> ((s, d) =>
@@ -731,6 +763,64 @@ object PipelineQueries {
            |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            |         / 2000) AS BIGINT) AS shard_id
            |FROM tk""".stripMargin,
+
+      "sessionize" ->
+        """WITH x AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS tsn,
+          |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+          |             ORDER BY epoch_us(ts), event_id) AS prev
+          |  FROM events)
+          |SELECT event_id, user_id,
+          |       CAST(sum(CASE WHEN prev IS NULL
+          |                       OR tsn - prev > 86400000000
+          |                     THEN 1 ELSE 0 END)
+          |            OVER (PARTITION BY user_id ORDER BY tsn, event_id
+          |                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+          |FROM x""".stripMargin,
+
+      "session_stats" ->
+        """WITH x AS (
+          |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tsn,
+          |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+          |             ORDER BY epoch_us(ts), event_id) AS prev
+          |  FROM events),
+          |s AS (
+          |  SELECT *, sum(CASE WHEN prev IS NULL
+          |                       OR tsn - prev > 86400000000
+          |                     THEN 1 ELSE 0 END)
+          |            OVER (PARTITION BY user_id ORDER BY tsn, event_id
+          |                  ROWS UNBOUNDED PRECEDING) AS session_seq
+          |  FROM x)
+          |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+          |       count(*) AS n_events,
+          |       min(tsn) AS start_us, max(tsn) AS end_us,
+          |       max(tsn) - min(tsn) AS duration_us,
+          |       count(DISTINCT event_type) AS n_types,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+          |FROM s GROUP BY 1, 2""".stripMargin,
+
+      "session_funnel" ->
+        """WITH ev AS (
+          |  SELECT user_id, epoch_us(ts) AS tsn, event_type FROM events
+          |  WHERE event_type IN ('view', 'click', 'purchase')),
+          |s1 AS (SELECT user_id, min(tsn) AS t1 FROM ev
+          |       WHERE event_type = 'view' GROUP BY 1),
+          |s2 AS (SELECT ev.user_id, min(tsn) AS t2 FROM ev JOIN s1 USING (user_id)
+          |       WHERE event_type = 'click' AND tsn > t1 GROUP BY 1),
+          |s3 AS (SELECT ev.user_id, min(tsn) AS t3 FROM ev JOIN s2 USING (user_id)
+          |       WHERE event_type = 'purchase' AND tsn > t2 GROUP BY 1),
+          |keys AS (SELECT DISTINCT user_id FROM ev)
+          |SELECT k.user_id,
+          |       CAST(CASE WHEN t3 IS NOT NULL THEN 3
+          |                 WHEN t2 IS NOT NULL THEN 2
+          |                 WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS reached,
+          |       coalesce(t1, -1) AS ts_step1,
+          |       coalesce(t2, -1) AS ts_step2,
+          |       coalesce(t3, -1) AS ts_step3
+          |FROM keys k
+          |LEFT JOIN s1 USING (user_id)
+          |LEFT JOIN s2 USING (user_id)
+          |LEFT JOIN s3 USING (user_id)""".stripMargin,
 
       "mm_binary_meta" ->
         """SELECT doc_id,
