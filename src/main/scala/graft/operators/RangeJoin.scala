@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join without a cartesian product. Spark plans a
+  * bare `p BETWEEN lo AND hi` join (no equi-key) as BroadcastNestedLoop —
+  * fine for a tiny interval table, fatal when both sides are big.
+  *
+  * Bucketize instead: pick a bucket width `w`; an interval [lo, hi] lands in
+  * every bucket it overlaps (`sequence(lo div w, hi div w)` exploded), a
+  * point lands in exactly `p div w`. The join becomes an equi-join on the
+  * bucket id followed by the exact BETWEEN filter — a plain hash shuffle
+  * whose cost is O(points + intervals · span/w + candidate pairs).
+  *
+  * 100 TB posture: choose `w` near the median interval span so each
+  * interval replicates into O(1) buckets; a uniform time axis then gives
+  * near-uniform bucket load. Candidate pairs — not input size — dominate:
+  * dense overlapping intervals produce genuinely quadratic output and no
+  * algorithm avoids that. A pathological mega-interval (spanning the whole
+  * axis) would replicate into every bucket; cap with `maxBucketsPerInterval`
+  * which drops (and should be logged/observed upstream, not silently) —
+  * loud beats a job that never finishes.
+  */
+object RangeJoin {
+
+  /** Join `points` to every `intervals` row with lo <= point <= hi.
+    * `pointCol`, `loCol`, `hiCol` are integer columns in the same unit.
+    * Output: all point columns + all interval columns.
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      pointCol: String, loCol: String, hiCol: String,
+                      bucketWidth: Long,
+                      maxBucketsPerInterval: Int = 1024): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive (got $bucketWidth)")
+    val overlap = points.columns.intersect(intervals.columns)
+    require(overlap.isEmpty, s"column collision: ${overlap.mkString(",")}")
+
+    // Exact integer floor-division: `div` truncates toward zero, so shift
+    // negatives down one bucket. `/` would be double division — inexact
+    // beyond 2^53 (e.g. nanosecond timestamps).
+    def bucketOf(c: String) = {
+      val x = col(c).cast("long")
+      val q = expr(s"CAST($c AS BIGINT) div $bucketWidth")
+      when(x % bucketWidth < 0, q - 1).otherwise(q)
+    }
+    val iv = intervals
+      .filter(col(loCol) <= col(hiCol))
+      .filter(bucketOf(hiCol) - bucketOf(loCol) < maxBucketsPerInterval)
+      .withColumn("__bucket", explode(sequence(bucketOf(loCol), bucketOf(hiCol))))
+    val pt = points
+      .withColumn("__bucket", bucketOf(pointCol))
+    pt.join(iv, Seq("__bucket"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bucket")
+  }
+}
