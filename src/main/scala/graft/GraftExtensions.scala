@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, HammingDistance, L2Normalize}
+import graft.functions.{DotProduct, HammingDistance, L2Normalize, NfcNormalize}
 
 /** `SparkSessionExtensions` installer: registers the engine's custom
   * codegen expressions as SQL functions so `spark.sql` queries (and the
@@ -46,5 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hamming"),
       new ExpressionInfo(classOf[HammingDistance].getName, "hamming"),
       arity("hamming", 2)(args => HammingDistance(args(0), args(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc"),
+      arity("nfc", 1)(args => NfcNormalize(args.head))))
   }
 }

@@ -119,4 +119,16 @@ object TextAnalysis {
       .withColumn("bow_fp",
         md5(array_join(array_sort(array_distinct(tokens(lower(t)))), " ")))
   }
+
+  /** Canonical text normalization for corpus prep: Unicode NFC (composed
+    * form — see [[graft.functions.TextNorm]]), lowercase, whitespace runs
+    * collapsed to single spaces, leading/trailing space trimmed. Map-only,
+    * fully codegen'd; adds `text_norm` and its length. Downstream dedup /
+    * fingerprints run on `text_norm` so visually-identical docs collide. */
+  def normalize(df: DataFrame, textCol: String): DataFrame = {
+    val norm = graft.functions.TextNorm.nfcNormalize(
+      lower(trim(regexp_replace(col(textCol), "\\s+", " "))))
+    df.withColumn("text_norm", norm)
+      .withColumn("norm_len", length(col("text_norm")))
+  }
 }

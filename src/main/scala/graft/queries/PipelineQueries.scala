@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.llm.{Contamination, Dedup, Multimodal, Pii, Sampling, Similarity, TextAnalysis}
-import graft.operators.Sessionize
+import graft.operators.{AsofJoin, RangeJoin, Sessionize}
 
 /** The LLM-training-data-pipeline operator set (dedup, similarity search,
   * text analysis, multimodal plumbing) as oracle-checked queries over
@@ -53,6 +53,8 @@ object PipelineQueries {
     * [[clearCaches]] or the dedup queries serve stale pairs (same
     * contract as any materialized view).
     */
+  private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private val maxCacheEntries = 8
 
   private val lshPairCache =
@@ -150,6 +152,12 @@ object PipelineQueries {
     "text_langid" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"))),
+
+    // --- canonical normalization (NFC + lower + whitespace collapse) -------
+    "text_normalize" -> ((s, d) =>
+      TextAnalysis.normalize(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("text_norm"),
+          col("norm_len").cast("long").as("norm_len"))),
 
     // --- fingerprints ---------------------------------------------------------------
     "text_fingerprint" -> ((s, d) =>
@@ -282,6 +290,87 @@ object PipelineQueries {
           coalesce(col("ts_step1"), lit(-1L)).as("ts_step1"),
           coalesce(col("ts_step2"), lit(-1L)).as("ts_step2"),
           coalesce(col("ts_step3"), lit(-1L)).as("ts_step3"))),
+
+    // --- streaming: watermarked tumbling-window aggregation ----------------
+    // The core Structured Streaming shape for event streams (windowed
+    // counts/sums with bounded state): 6 h tumbling windows on event time,
+    // 1 h watermark, append mode. Replayed through a chunked MemoryStream in
+    // ts order; a far-future sentinel batch advances the watermark past the
+    // last real window so append mode emits everything (that final window
+    // would otherwise stay open forever on a bounded replay). The oracle is
+    // the equivalent batch GROUP BY — streaming and batch must agree
+    // exactly on in-order data.
+    "stream_window" -> ((s, d) => {
+      // Child session: isolate the scoped-down state-store partition count
+      // (see stream_rate) from concurrent queries on the parent session.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      implicit val sqlCtx = ss.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import ss.implicits._
+      import scala.jdk.CollectionConverters._
+      val rows = Tables.events(ss, d)
+        .select(expr("ts div 1000").as("ts_us"), col("event_type"),
+          col("value").cast("double").as("value"))
+        .orderBy("ts_us")
+        .as[(Long, String, Double)]
+      val input = MemoryStream[(Long, String, Double)]
+      val agg = input.toDS().toDF("ts_us", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("value_sum"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n_events"), col("value_sum"))
+      val qname = "stream_window_" + streamSeq.incrementAndGet()
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      var maxTs = Long.MinValue
+      rows.toLocalIterator().asScala.grouped(8192).foreach { chunk =>
+        maxTs = math.max(maxTs, chunk.iterator.map(_._1).max)
+        input.addData(chunk)
+      }
+      q.processAllAvailable() // watermark advances AFTER this batch
+      input.addData(Seq((maxTs + 30L * 86400000000L, "__wm__", 0.0)))
+      q.processAllAvailable() // sentinel batch closes every real window
+      q.stop()
+      ss.table(qname).filter(col("event_type") =!= "__wm__")
+    }),
+
+    // --- as-of join: latest purchase at or before each view, per user ------
+    // Union+window (one shuffle, no range explosion) vs DuckDB's native
+    // ASOF JOIN — two independent algorithms, same answer.
+    "asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us").as("purchase_ts"))
+        .agg(max(col("value")).as("purchase_value"))
+      AsofJoin.leftAsof(views, purchases, "user_id", "ts_us", "purchase_ts",
+        asofTsName = "purchase_ts")
+        .select("event_id", "user_id", "ts_us", "purchase_ts",
+          "purchase_value")
+    }),
+
+    // --- range join: views within ±1 h of a (small-cohort) purchase --------
+    // Bucketized interval join (equi-join on 1 h buckets + exact filter) vs
+    // DuckDB's inequality join.
+    "range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val points = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("ts_us"))
+      val hourUs = 3600L * 1000000L
+      val intervals = ev
+        .filter(col("event_type") === "purchase" && col("user_id") < 10)
+        .select(col("event_id").as("purchase_id"),
+          (col("ts_us") - hourUs).as("lo"), (col("ts_us") + hourUs).as("hi"))
+      RangeJoin.pointInInterval(points, intervals, "ts_us", "lo", "hi",
+        bucketWidth = hourUs)
+        .select("view_id", "purchase_id", "ts_us", "lo", "hi")
+    }),
 
     // --- multimodal: columnar binary metadata ----------------------------------------------
     "mm_binary_meta" -> ((s, d) =>
@@ -559,6 +648,23 @@ object PipelineQueries {
           |           string_split_regex(lower(text), '\s+'))), ' ')) AS bow_fp
           |FROM documents""".stripMargin,
 
+      "text_normalize" ->
+        """SELECT doc_id,
+          |       nfc_normalize(lower(trim(
+          |           regexp_replace(text, '\s+', ' ', 'g')))) AS text_norm,
+          |       CAST(length(nfc_normalize(lower(trim(
+          |           regexp_replace(text, '\s+', ' ', 'g'))))) AS BIGINT)
+          |         AS norm_len
+          |FROM documents""".stripMargin,
+
+      "stream_window" ->
+        """SELECT (epoch_us(ts) // 21600000000) * 21600000000
+          |         AS window_start_us,
+          |       event_type, count(*) AS n_events,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          |         AS value_sum
+          |FROM events GROUP BY 1, 2""".stripMargin,
+
       "text_repetition" ->
         s"""WITH $toksCte,
            |g2 AS (SELECT doc_id, unnest(list_transform(
@@ -821,6 +927,31 @@ object PipelineQueries {
           |LEFT JOIN s1 USING (user_id)
           |LEFT JOIN s2 USING (user_id)
           |LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+      "asof_join" ->
+        """WITH l AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+          |  WHERE event_type = 'view'),
+          |r AS (
+          |  SELECT user_id, epoch_us(ts) AS purchase_ts,
+          |         max(value) AS purchase_value
+          |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+          |SELECT l.event_id, l.user_id, l.ts_us,
+          |       r.purchase_ts, r.purchase_value
+          |FROM l ASOF LEFT JOIN r
+          |  ON l.user_id = r.user_id AND l.ts_us >= r.purchase_ts""".stripMargin,
+
+      "range_join" ->
+        """WITH p AS (
+          |  SELECT event_id AS view_id, epoch_us(ts) AS ts_us FROM events
+          |  WHERE event_type = 'view'),
+          |iv AS (
+          |  SELECT event_id AS purchase_id,
+          |         epoch_us(ts) - 3600000000 AS lo,
+          |         epoch_us(ts) + 3600000000 AS hi
+          |  FROM events WHERE event_type = 'purchase' AND user_id < 10)
+          |SELECT view_id, purchase_id, ts_us, lo, hi
+          |FROM p JOIN iv ON p.ts_us BETWEEN iv.lo AND iv.hi""".stripMargin,
 
       "mm_binary_meta" ->
         """SELECT doc_id,

@@ -128,4 +128,30 @@ class ExpressionsSpec extends SparkSpec {
     // correct arity still builds
     build(Seq(ColumnBridge.expression(lit(1)), ColumnBridge.expression(lit(2))))
   }
+
+  test("nfc normalization composes combining marks and is ASCII-identity") {
+    val decomposed = "e\u0301clair" // e + COMBINING ACUTE ACCENT
+    val composed = "\u00e9clair"      // \u00e9 as one codepoint
+    val df = Seq((decomposed, 1), (composed, 2), ("plain ascii", 3))
+      .toDF("s", "id")
+    val out = df.select(col("id"),
+      graft.functions.TextNorm.nfcNormalize(col("s")).as("n"))
+      .as[(Int, String)].collect().toMap
+    assert(out(1) == composed) // decomposed → composed
+    assert(out(2) == composed) // already NFC → unchanged
+    assert(out(3) == "plain ascii")
+    assert(out(1).length == composed.length)
+  }
+
+  test("nfc injects cleanly and nulls propagate") {
+    // injection surface (the shared test session has no extensions conf;
+    // live registration is covered by Verify/Bench sessions)
+    new GraftExtensions().apply(new SparkSessionExtensions)
+    val r = spark.range(1).select(
+      graft.functions.TextNorm.nfcNormalize(lit("e\u0301")),
+      graft.functions.TextNorm.nfcNormalize(lit(null).cast("string")))
+      .collect()(0)
+    assert(r.getString(0) == "\u00e9")
+    assert(r.isNullAt(1))
+  }
 }
