@@ -1,0 +1,100 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level term statistics: TF-IDF ranking and a unigram-LM
+  * surprisal score (the cheap, trainable-nothing stand-in for the
+  * perplexity filters used to quality-gate web-scale training corpora).
+  *
+  * Scale shape (100 TB): everything is two hash aggregations and one
+  * shuffle join on `term`. The (doc, term) explode never materializes the
+  * corpus — partial aggregation combines counts map-side before the first
+  * shuffle. The vocabulary frame is orders of magnitude smaller than the
+  * corpus (heaps law); it shuffle-joins on `term` by default and AQE
+  * downgrades to broadcast when it fits. The single-row corpus totals
+  * frame is always broadcast — no driver-side `.count()` action breaks
+  * the plan into separate jobs.
+  */
+object Corpus {
+
+  /** Term frequency in long form: one row per (id, term) with its count.
+    * One shuffle on (id, term); map-side partial aggregation first. */
+  def termFreq(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Smoothed idf — `ln((N+1)/(df+1)) + 1` (sklearn's `smooth_idf`
+    * formulation: never zero, never divides by zero, deterministic). */
+  private def idf(nDocs: Column, dft: Column): Column =
+    log((nDocs.cast("double") + 1.0) / (dft.cast("double") + 1.0)) + 1.0
+
+  /** Top-`k` TF-IDF terms per document: (id, term, rank, score) with
+    * score rounded to 6 dp and rank decided by (rounded score DESC, term)
+    * so the ordering is reproducible across engines.
+    *
+    * Document frequency comes from `count(*) OVER (PARTITION BY term)` on
+    * the tf frame rather than a groupBy+self-join: Catalyst cannot share
+    * the tf subplan between two consumers, so the join formulation would
+    * scan and re-aggregate the whole corpus TWICE (and carry a
+    * vocabulary-sized broadcast). The window keeps it to one scan and
+    * three shuffles ((id,term) → term → id), with no assumption that the
+    * vocabulary fits in memory. The doc-count branch re-reads only parquet
+    * row-group metadata (zero columns). The rank filter is eligible for
+    * WindowGroupLimit rank-limit pushdown: each shuffle partition keeps
+    * only its top-k candidates per doc before the final window sort. */
+  def tfidfTopK(df: DataFrame, textCol: String, idCol: String,
+                k: Int): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val tf = termFreq(df, textCol, idCol)
+    val nDocs = df.agg(count(lit(1)).as("__n_docs"))
+    val dft = count(lit(1)).over(Window.partitionBy(col("term")))
+    val scored = tf
+      .withColumn("dft", dft)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * idf(col("__n_docs"), col("dft")), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("rank"), col("score"))
+  }
+
+  /** Per-document unigram surprisal: mean −ln p(term) over the document's
+    * tokens, where p is the maximum-likelihood unigram model of the WHOLE
+    * corpus (p(w) = corpus_count(w) / total_tokens). High values flag
+    * documents full of corpus-rare tokens — the classic cheap proxy for
+    * "perplexity under a reference LM" quality filtering. Swapping in an
+    * externally-trained LM changes only the probability join.
+    *
+    * Output: (id, n_tokens, avg_nll) with avg_nll rounded to 6 dp.
+    * Determinism: each term's nll is rounded to 9 dp and summed as an
+    * exact decimal (the stream_window pattern) — the per-doc mean never
+    * depends on double-addition order across shuffle partitions; the only
+    * engine sensitivity left is a single ln() ulp at a rounding boundary. */
+  def unigramSurprisal(df: DataFrame, textCol: String,
+                       idCol: String): DataFrame = {
+    val tf = termFreq(df, textCol, idCol)
+    // corpus term count via window (same single-scan rationale as
+    // tfidfTopK); the total-token branch is a plain global count of the
+    // exploded tokens — map-side partial counts, one row out.
+    val ctf = sum(col("tf")).over(Window.partitionBy(col("term")))
+    val total = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .agg(count(lit(1)).as("__total"))
+    tf.withColumn("ctf", ctf)
+      .crossJoin(broadcast(total))
+      .withColumn("nll9",
+        round(-log(col("ctf").cast("double") / col("__total").cast("double")),
+          9).cast("decimal(28,9)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(
+          sum(col("tf").cast("decimal(9,0)") * col("nll9")).cast("double")
+            / sum(col("tf")).cast("double"), 6).as("avg_nll"))
+  }
+}

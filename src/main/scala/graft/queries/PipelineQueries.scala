@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.llm.{Contamination, Dedup, Multimodal, Pii, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Contamination, Corpus, Dedup, Multimodal, Pii, Quantize, Sampling, Similarity, TextAnalysis}
 import graft.operators.{AsofJoin, RangeJoin, Sessionize}
 
 /** The LLM-training-data-pipeline operator set (dedup, similarity search,
@@ -394,6 +394,68 @@ object PipelineQueries {
         .toDF()
         .select("media_id", "media_type", "byte_len", "content_hash",
           "width", "height", "n_frames")
+    }),
+
+    // --- corpus stats: top-5 TF-IDF terms per document ---------------------
+    // Two hash aggregations + one vocab join; rank filter is
+    // WindowGroupLimit-eligible (per-partition top-k before the final sort).
+    "tfidf_topk" -> ((s, d) =>
+      Corpus.tfidfTopK(Tables.documents(s, d), "text", "doc_id", k = 5)),
+
+    // --- corpus stats: unigram-LM surprisal (perplexity-proxy filter) ------
+    "lm_surprisal" -> ((s, d) =>
+      Corpus.unigramSurprisal(Tables.documents(s, d), "text", "doc_id")),
+
+    // --- int8 embedding quantization fidelity report -----------------------
+    // Map-side only: per-vector scale + mean squared reconstruction error.
+    "embed_quantize" -> ((s, d) =>
+      Quantize.int8Stats(Tables.embeddings(s, d), "embedding", "vec_id")),
+
+    // --- exact per-type value percentiles ----------------------------------
+    // Exact `percentile` matches DuckDB's quantile_cont (linear
+    // interpolation at rank p·(n−1)). At 100 TB swap in approx_percentile —
+    // the t-digest sketch merges map-side instead of collecting per-group
+    // value multisets (same columns, bounded memory, documented in SCALE.md).
+    "event_percentiles" -> ((s, d) =>
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.5D)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9D)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99D)"), 6).as("p99"))),
+
+    // --- streaming exact dedup (dropDuplicatesWithinWatermark) -------------
+    // Replays the event subset with every third event duplicated; the
+    // dedup state keeps one fingerprint per key until the watermark passes,
+    // so duplicates drop without unbounded state. Oracle = the base subset
+    // (exact duplicates removed). Same child-session pattern as stream_rate.
+    "stream_dedup" -> ((s, d) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      implicit val sqlCtx = ss.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import ss.implicits._
+      import scala.jdk.CollectionConverters._
+      val base = Tables.events(ss, d).filter(col("user_id") < 20)
+        .select(expr("ts div 1000").as("ts_us"), col("event_id"),
+          col("event_type"), col("value").cast("double").as("value"))
+      val dups = base.filter(col("event_id") % 3 === 0)
+      val rows = base.union(dups).orderBy("ts_us", "event_id")
+        .as[(Long, Long, String, Double)]
+      val input = MemoryStream[(Long, Long, String, Double)]
+      val deduped = input.toDS().toDF("ts_us", "event_id", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("ts_us"), col("event_type"),
+          col("value"))
+      val qname = "stream_dedup_" + streamSeq.incrementAndGet()
+      val q = deduped.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      rows.toLocalIterator().asScala.grouped(8192)
+        .foreach(chunk => input.addData(chunk))
+      q.processAllAvailable()
+      q.stop()
+      ss.table(qname)
     })
   )
 
@@ -974,7 +1036,82 @@ object PipelineQueries {
           |       64 + ord(substr(text, 1, 1)) % 192 AS width,
           |       64 + ord(substr(text, 2, 1)) % 192 AS height,
           |       CAST(1 + octet_length(encode(text)) % 16 AS INT) AS n_frames
-          |FROM documents""".stripMargin
+          |FROM documents""".stripMargin,
+
+      "tfidf_topk" ->
+        s"""WITH $toksCte,
+           |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |n AS (SELECT count(*) AS n_docs FROM documents),
+           |df AS (SELECT term, count(*) AS dft FROM tf GROUP BY 1),
+           |scored AS (
+           |  SELECT doc_id, term,
+           |         round(tf * (ln((n_docs + 1.0) / (dft + 1.0)) + 1.0), 6)
+           |           AS score
+           |  FROM tf JOIN df USING (term), n),
+           |ranked AS (
+           |  SELECT doc_id, term, score,
+           |         CAST(row_number() OVER (
+           |           PARTITION BY doc_id ORDER BY score DESC, term) AS INT)
+           |           AS rank
+           |  FROM scored)
+           |SELECT doc_id, term, rank, score FROM ranked
+           |WHERE rank <= 5""".stripMargin,
+
+      "lm_surprisal" ->
+        s"""WITH $toksCte,
+           |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |ctf AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY 1),
+           |tot AS (SELECT sum(ctf) AS total FROM ctf),
+           |nll AS (
+           |  SELECT term,
+           |         CAST(round(-ln(CAST(ctf AS DOUBLE) / CAST(total AS DOUBLE)),
+           |           9) AS DECIMAL(28,9)) AS nll9
+           |  FROM ctf, tot)
+           |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           |       round(CAST(sum(CAST(tf AS DECIMAL(9,0)) * nll9) AS DOUBLE)
+           |             / CAST(sum(tf) AS DOUBLE), 6) AS avg_nll
+           |FROM tf JOIN nll USING (term)
+           |GROUP BY 1""".stripMargin,
+
+      // the quantized grid mirrors Quantize.int8Codes: q = clamp(round(
+      // x·127/amax)); dequantized q·(amax/127); both engines round
+      // half-away-from-zero on identical doubles, and the error fold runs
+      // in array order in both.
+      "embed_quantize" ->
+        """WITH e AS (
+          |  SELECT vec_id, embedding,
+          |         CAST(len(embedding) AS INT) AS n_dims,
+          |         list_max(list_transform(embedding,
+          |           x -> abs(CAST(x AS DOUBLE)))) AS amax
+          |  FROM embeddings),
+          |d AS (
+          |  SELECT vec_id, n_dims, amax,
+          |         list_transform(embedding, x ->
+          |           CAST(x AS DOUBLE)
+          |           - greatest(-127.0, least(127.0,
+          |               round(CAST(x AS DOUBLE) * 127.0 / amax)))
+          |             * (amax / 127.0)) AS diffs
+          |  FROM e)
+          |SELECT vec_id, n_dims, round(amax, 6) AS amax,
+          |       CASE WHEN amax IS NULL OR amax = 0 THEN 0.0
+          |            ELSE round(list_aggregate(
+          |                   list_transform(diffs, y -> y * y), 'sum')
+          |                 / n_dims, 12) END AS mse
+          |FROM d""".stripMargin,
+
+      "event_percentiles" ->
+        """SELECT event_type, count(*) AS n,
+          |       round(quantile_cont(value, 0.5), 6) AS p50,
+          |       round(quantile_cont(value, 0.9), 6) AS p90,
+          |       round(quantile_cont(value, 0.99), 6) AS p99
+          |FROM events GROUP BY 1""".stripMargin,
+
+      // exact duplicates removed = the base subset itself
+      "stream_dedup" ->
+        """SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+          |FROM events WHERE user_id < 20""".stripMargin
     )
   }
 }

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Corpus, Quantize, Similarity}
+
+class CorpusQuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a a b"),
+    (2L, "a c")
+  ).toDF("doc_id", "text")
+
+  test("tfidf: hand-computed scores, rank by (score desc, term)") {
+    // N=2; dft: a=2, b=1, c=1; idf(a)=ln(3/3)+1=1, idf(b|c)=ln(3/2)+1
+    val out = Corpus.tfidfTopK(docs, "text", "doc_id", k = 5)
+      .as[(Long, String, Int, Double)].collect().toSet
+    val rare = BigDecimal(math.log(1.5) + 1.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Set(
+      (1L, "a", 1, 2.0),       // tf 2 × idf 1
+      (1L, "b", 2, rare),
+      (2L, "c", 1, rare),      // rarer term outranks...
+      (2L, "a", 2, 1.0)))      // ...the common one
+  }
+
+  test("tfidf: k truncates per doc, ties broken by term") {
+    val out = Corpus.tfidfTopK(docs, "text", "doc_id", k = 1)
+      .as[(Long, String, Int, Double)].collect().toSet
+    assert(out.map(r => (r._1, r._2)) == Set((1L, "a"), (2L, "c")))
+  }
+
+  test("tfidf plan: single corpus tokenize + WindowGroupLimit pushdown") {
+    val plan = Corpus.tfidfTopK(docs, "text", "doc_id", k = 5)
+      .queryExecution.executedPlan.toString
+    // document frequency must come from the window, not a second
+    // explode+aggregate branch of the same corpus
+    assert("Generate explode".r.findAllIn(plan).size == 1, plan)
+    // rank<=k is pushed into per-partition top-k before the final sort
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("unigram surprisal: hand-computed corpus NLL means") {
+    // ctf: a=3, b=1, c=1; total=5
+    val out = Corpus.unigramSurprisal(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def nll9(p: Double) = BigDecimal(-math.log(p))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: BigDecimal) = x.setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    val d1 = r6((nll9(3.0 / 5) * 2 + nll9(1.0 / 5)) / 3)
+    val d2 = r6((nll9(3.0 / 5) + nll9(1.0 / 5)) / 2)
+    assert(out(1L) == ((3L, d1)))
+    assert(out(2L) == ((2L, d2)))
+    assert(out(2L)._2 > out(1L)._2) // rarer-token doc is more surprising
+  }
+
+  test("int8 codes: grid, clamp, half-away-from-zero rounding") {
+    val df = Seq((1L, Seq(1.0f, -0.5f, 0.0f)), (2L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "vec")
+    val out = df.select(col("vec_id"), Quantize.int8Codes(col("vec")))
+      .as[(Long, Seq[Int])].collect().toMap
+    // -0.5·127 = -63.5 rounds AWAY from zero → -64
+    assert(out(1L) == Seq(127, -64, 0))
+    assert(out(2L) == Seq(0, 0))      // zero vector → zero codes
+  }
+
+  test("int8 stats: reconstruction error bounded by half a grid step") {
+    val vecs = Similarity.rotationPlanes(b = 20, dim = 16, seed = 7L)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v.map(_.toFloat).toSeq) }
+    val df = vecs.toDF("vec_id", "vec")
+    val stats = Quantize.int8Stats(df, "vec", "vec_id")
+      .as[(Long, Int, Double, Double)].collect()
+    assert(stats.length == 20)
+    stats.foreach { case (_, n, amax, mse) =>
+      assert(n == 16)
+      // per-element error ≤ (scale/2), so mse ≤ (amax/254)² (+ rounding slop)
+      val bound = math.pow(amax / 254.0, 2) + 1e-9
+      assert(mse <= bound, s"mse $mse > $bound")
+    }
+  }
+
+  test("quantized search: top-5 overlap vs exact ≥ 0.9 on seeded vectors") {
+    val vecs = Similarity.rotationPlanes(b = 60, dim = 12, seed = 42L)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v.map(_.toFloat).toSeq) }
+    val corpus = vecs.toDF("vec_id", "vec")
+    val queries = vecs.take(8).toDF("vec_id", "vec")
+    def topk(c: org.apache.spark.sql.DataFrame,
+             q: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(c, q, "vec_id", "vec", k = 5)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+    val exact = topk(corpus, queries)
+    val dq = Quantize.quantize(corpus, "vec", "vec_id")
+      .select(col("vec_id"),
+        Quantize.dequantize(col("codes"), col("scale")).as("vec"))
+    val qdq = Quantize.quantize(queries, "vec", "vec_id")
+      .select(col("vec_id"),
+        Quantize.dequantize(col("codes"), col("scale")).as("vec"))
+    val quant = topk(dq, qdq)
+    val overlap = exact.intersect(quant).size.toDouble / exact.size
+    assert(overlap >= 0.9, s"quantized top-k overlap $overlap < 0.9")
+  }
+}

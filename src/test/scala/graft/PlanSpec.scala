@@ -38,8 +38,10 @@ class PlanSpec extends SparkSpec {
   test("no query plans an accidental cartesian product") {
     // intentional cross products: brute-force ANN scores query×corpus by
     // design (broadcast nested loop); the top-level DSL packs 1-row
-    // aggregate frames side by side
-    val intended = Set("ann_brute_topk", "snmp_dsl_toplevel")
+    // aggregate frames side by side; the corpus-stat queries attach a
+    // 1-row broadcast scalar (doc count / total tokens) the same way
+    val intended = Set("ann_brute_topk", "snmp_dsl_toplevel",
+      "tfidf_topk", "lm_surprisal")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intended)
       .filter { name =>
