@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.llm.{Contamination, Corpus, Dedup, Multimodal, Pii, Quantize, Sampling, Similarity, TextAnalysis}
 import graft.operators.{AsofJoin, RangeJoin, Sessionize}
+import graft.streaming.{SessionEvent, StreamingSessionize}
 
 /** The LLM-training-data-pipeline operator set (dedup, similarity search,
   * text analysis, multimodal plumbing) as oracle-checked queries over
@@ -456,6 +457,53 @@ object PipelineQueries {
       q.processAllAvailable()
       q.stop()
       ss.table(qname)
+    }),
+
+    // --- streaming gap sessionization (flatMapGroupsWithState) -------------
+    // The stateful-custom-logic counterpart of stream_window: sessions close
+    // either when a past-gap successor arrives or when the watermark passes
+    // end+gap (event-time timeout). Oracle = the batch sessionize→stats SQL
+    // on the same subset — streaming and batch must emit identical sessions
+    // on in-order data. Sentinel advances the watermark so tail sessions
+    // flush (the sentinel's own session never emits; it is filtered by key).
+    "stream_sessionize" -> ((s, d) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      implicit val sqlCtx = ss.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import ss.implicits._
+      import scala.jdk.CollectionConverters._
+      val rows = Tables.events(ss, d).filter(col("user_id") < 50)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("value_cents"))
+        .orderBy("ts_us", "event_id")
+        .as[(Long, Long, Long, String, Long)]
+      val input = MemoryStream[(Long, Long, Long, String, Long)]
+      val evs = input.toDS()
+        .toDF("user_id", "ts_us", "event_id", "event_type", "value_cents")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id").as("userId"), col("ts"),
+          col("ts_us").as("tsUs"), col("event_id").as("eventId"),
+          col("event_type").as("eventType"),
+          col("value_cents").as("valueCents"))
+        .as[SessionEvent]
+      val sessions = StreamingSessionize(evs, gapMicros = 86400L * 1000000L)
+      val qname = "stream_sessionize_" + streamSeq.incrementAndGet()
+      val q = sessions.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      var maxTs = Long.MinValue
+      rows.toLocalIterator().asScala.grouped(8192).foreach { chunk =>
+        maxTs = math.max(maxTs, chunk.iterator.map(_._2).max)
+        input.addData(chunk)
+      }
+      q.processAllAvailable() // watermark advances AFTER this batch
+      input.addData(Seq((-1L, maxTs + 30L * 86400000000L, -1L, "__wm__", 0L)))
+      q.processAllAvailable() // timeout pass closes every open session
+      q.stop()
+      ss.table(qname).filter(col("user_id") >= 0)
     })
   )
 
@@ -952,6 +1000,29 @@ object PipelineQueries {
           |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
           |             ORDER BY epoch_us(ts), event_id) AS prev
           |  FROM events),
+          |s AS (
+          |  SELECT *, sum(CASE WHEN prev IS NULL
+          |                       OR tsn - prev > 86400000000
+          |                     THEN 1 ELSE 0 END)
+          |            OVER (PARTITION BY user_id ORDER BY tsn, event_id
+          |                  ROWS UNBOUNDED PRECEDING) AS session_seq
+          |  FROM x)
+          |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+          |       count(*) AS n_events,
+          |       min(tsn) AS start_us, max(tsn) AS end_us,
+          |       max(tsn) - min(tsn) AS duration_us,
+          |       count(DISTINCT event_type) AS n_types,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+          |FROM s GROUP BY 1, 2""".stripMargin,
+
+      // identical session semantics as session_stats, restricted to the
+      // replayed subset — the streaming path must reproduce batch exactly
+      "stream_sessionize" ->
+        """WITH x AS (
+          |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tsn,
+          |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+          |             ORDER BY epoch_us(ts), event_id) AS prev
+          |  FROM events WHERE user_id < 50),
           |s AS (
           |  SELECT *, sum(CASE WHEN prev IS NULL
           |                       OR tsn - prev > 86400000000

@@ -4,7 +4,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.streaming.{KafkaShaped, MetricSample, RateGuards, StreamingRate}
+import graft.streaming.{KafkaShaped, MetricSample, RateGuards, SessionEvent,
+  SessionOut, StreamingRate, StreamingSessionize}
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -73,6 +74,91 @@ class StreamingSpec extends SparkSpec {
       (None, Some(0.2))) // TTL
     assert(RateGuards.compute(Some((1200.0, 1550.0)), 100.0, 1660.0, 60) ==
       (None, Some(0.55))) // reset
+  }
+
+  test("streaming sessions close on gap arrival and on watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(user: Long, tsUs: Long, id: Long, tp: String, cents: Long) =
+      SessionEvent(user, new java.sql.Timestamp(tsUs / 1000L), tsUs, id, tp,
+        cents)
+    val gap = 100L // micros
+    val input = MemoryStream[SessionEvent]
+    // Non-zero watermark delay: rows with event time <= watermark are
+    // dropped as late, and the ms-truncated test timestamps tie at batch
+    // boundaries — the delay keeps boundary ties alive (as in production).
+    val sessions = StreamingSessionize(
+      input.toDS().withWatermark("ts", "1 hour"), gap)
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // batch 1: u1 opens a session (2 events), u2 opens one
+      input.addData(
+        ev(1, 10000000L, 1, "view", 100),
+        ev(1, 10000050L, 2, "click", 50),
+        ev(2, 10000000L, 3, "view", 10))
+      q.processAllAvailable()
+      // batch 2: u1's next event is past the gap → session 1 closes NOW
+      // (gap-arrival path); u2's event continues its session
+      input.addData(
+        ev(1, 10001000L, 4, "purchase", 900),
+        ev(2, 10000080L, 5, "click", 20))
+      q.processAllAvailable()
+      val afterGap = spark.table("sess").as[SessionOut].collect().toSet
+      assert(afterGap == Set(
+        SessionOut(1, 1, 2, 10000000L, 10000050L, 50, 2, 1.5)))
+      // far-future event advances the watermark → open sessions time out
+      input.addData(ev(99, 20000000000L, 6, "__wm__", 0))
+      q.processAllAvailable()
+      val all = spark.table("sess").filter($"user_id" < 99)
+        .as[SessionOut].collect().toSet
+      assert(all == Set(
+        SessionOut(1, 1, 2, 10000000L, 10000050L, 50, 2, 1.5),
+        SessionOut(1, 2, 1, 10001000L, 10001000L, 0, 1, 9.0),
+        SessionOut(2, 1, 2, 10000000L, 10000080L, 80, 2, 0.3)))
+    } finally q.stop()
+  }
+
+  test("streaming sessions match the batch operator on in-order replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sessionize
+    // deterministic synthetic clickstream: 5 users × 40 events, gaps mixed
+    val evs = for {
+      u <- 0L until 5L; i <- 0L until 40L
+    } yield {
+      // base offset keeps every event time strictly above the initial
+      // watermark (0): an event at exactly 0 ms is "late" from batch one
+      val ts = 3600000000L + 1000000L * u + i * 60L + (i / 7) * 5000L
+      (u, ts, u * 100 + i, if (i % 3 == 0) "view" else "click",
+        (i * 7 % 100) + 1)
+    }
+    val gap = 1000L
+    val input = MemoryStream[SessionEvent]
+    val q = StreamingSessionize(
+      input.toDS().withWatermark("ts", "1 minute"), gap)
+      .writeStream.format("memory").queryName("sess_eq")
+      .outputMode("append").start()
+    try {
+      evs.sortBy(e => (e._2, e._3)).grouped(37).foreach { chunk =>
+        input.addData(chunk.map(e => SessionEvent(e._1,
+          new java.sql.Timestamp(e._2 / 1000L), e._2, e._3, e._4, e._5)))
+        q.processAllAvailable()
+      }
+      input.addData(Seq(SessionEvent(-1L,
+        new java.sql.Timestamp(999999999L), 999999999000L, -1L, "__wm__", 0L)))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_eq").filter($"user_id" >= 0)
+        .as[SessionOut].collect().toSet
+      val batchDf = Sessionize.stats(
+        Sessionize.assign(
+          evs.toDF("user_id", "ts_us", "event_id", "event_type", "cents")
+            .withColumn("value", $"cents" / 100.0),
+          "user_id", "ts_us", "event_id", gap),
+        "user_id", "ts_us", "event_type", "value")
+      val batch = batchDf.select($"user_id", $"session_seq", $"n_events",
+        $"start_us", $"end_us", $"duration_us", $"n_types", $"value_sum")
+        .as[SessionOut].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
   }
 
   test("kafka fan-out encode: per-site topic + global topic, series key") {
