@@ -1,0 +1,129 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Deterministic distributed k-means over an embedding column, and SemDeDup
+  * (cluster-then-prune semantic deduplication, Abbas et al. 2023) built on
+  * it.
+  *
+  * Engine-exact by construction — every step is reproducible bit-for-bit in
+  * another engine (the DuckDB oracle), across cluster sizes, and across
+  * partition orders:
+  *
+  *  - Components quantize to dyadic rationals (`floor(x·2^20)/2^20`), so
+  *    per-cluster component sums are EXACT doubles in any addition order
+  *    while `|sum| < 2^33` — the one order-dependent step of Lloyd's
+  *    algorithm (the centroid mean) becomes order-free.
+  *  - Cluster scoring uses `c·c − 2·(w·c)` (the rank-equivalent part of
+  *    squared distance) via the sequential-fold dot kernel
+  *    ([[graft.functions.DotProduct]] ≡ DuckDB `list_dot_product`).
+  *  - Argmin tie-breaks on the lowest cluster index; init is the k
+  *    lowest-id vectors; empty clusters carry their previous centroid.
+  *
+  * Scale shape: assignment is map-side (centroids are literals in the plan);
+  * the update aggregates (cluster, component) partial sums map-side, so only
+  * `k × dim × partitions` rows shuffle; the driver holds k×dim doubles per
+  * iteration and nothing else. This is the canonical 1000-executor k-means
+  * plan — data never leaves its partitions except as tiny partial sums.
+  */
+object Clustering {
+
+  /** 2^20 — quantization denominator. 20 fractional bits keeps unit-scale
+    * embeddings exact under summation up to ~2^33 total magnitude. */
+  val Q = 1048576.0
+
+  /** Dyadic quantization: `floor(x·2^20)/2^20`. Float widens to double
+    * (exact), ×2^20 is exact (power of two), floor and the final division
+    * are exact — identical in any IEEE-754 engine. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(Q)) / lit(Q))
+
+  /** Lloyd's k-means: `iters` assignment passes with a centroid update
+    * between consecutive passes. Returns (idCol, cluster) — cluster ∈
+    * [0, k), long. Vectors not exactly `dim` long degrade out (same
+    * posture as the ANN operators: don't crash the job, don't mis-assign).
+    */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String,
+             k: Int, iters: Int, dim: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, s"k=$k, iters=$iters must be >= 1")
+    val base = df.filter(size(col(vecCol)) === dim)
+      .select(col(idCol).as("__id"), quantize(col(vecCol)).as("__w"))
+
+    // Deterministic init: the k lowest-id quantized vectors. k rows to the
+    // driver — the only data that ever leaves the executors.
+    var centroids: IndexedSeq[Array[Double]] =
+      base.orderBy(col("__id")).limit(k).collect()
+        .map(_.getSeq[Double](1).toArray).toIndexedSeq
+
+    // score_j = c_j·c_j − 2·(w·c_j); argmin with first-index tie-break via
+    // array_position(scores, min) — 1-based, so −1. c_j·c_j is built from
+    // the SAME fold the per-row kernel uses (constant-folded by Catalyst),
+    // not driver math, so its rounding provably matches the oracle's
+    // list_dot_product(c, c).
+    def assignCol: Column = {
+      val scores = centroids.map { c =>
+        val cl = typedlit(c.toSeq)
+        VectorOps.dot(cl, cl) - lit(2.0) * VectorOps.dot(col("__w"), cl)
+      }
+      val arr = array(scores: _*)
+      array_position(arr, array_min(arr)) - lit(1L)
+    }
+
+    var assigned = base.withColumn("cluster", assignCol)
+    for (_ <- 1 until iters) {
+      // Update: component sums are exact (dyadic inputs), so the map-side
+      // partial aggregation order is irrelevant. k×dim rows collect.
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("__w")))
+        .groupBy("cluster", "pos")
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCluster = sums.groupBy(_.getLong(0))
+      centroids = centroids.zipWithIndex.map { case (prev, j) =>
+        byCluster.get(j.toLong) match {
+          case Some(rows) =>
+            val arr = new Array[Double](dim)
+            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+            arr
+          case None => prev // empty cluster: carry the previous centroid
+        }
+      }
+      assigned = base.withColumn("cluster", assignCol)
+    }
+    assigned.select(col("__id").as(idCol), col("cluster"))
+  }
+
+  /** SemDeDup: k-means-cluster the embeddings, then within each cluster
+    * drop every vector that has a LOWER-id neighbor with cosine ≥
+    * `threshold` (rounded to `roundScore` decimals before the comparison,
+    * keeping the boundary engine-stable). Returns the KEPT rows as
+    * (idCol, cluster).
+    *
+    * The clustering is what makes this scale: the near-dup self-join runs
+    * per cluster (the SemDeDup paper's core trick), never all-pairs. The
+    * keep-lowest-id rule makes the pruned set deterministic — no dependence
+    * on which member a traversal happens to visit first.
+    */
+  def semdedup(df: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int, dim: Int, threshold: Double,
+               roundScore: Int = 6): DataFrame = {
+    val clusters = kmeans(df, idCol, vecCol, k, iters, dim)
+    val nv = df.filter(size(col(vecCol)) === dim)
+      .select(col(idCol), Similarity.normalize(col(vecCol)).as("__nv"))
+      .join(clusters, idCol)
+    val a = nv.select(col("cluster"), col(idCol).as("id_a"),
+      col("__nv").as("__va"))
+    val b = nv.select(col("cluster"), col(idCol).as("id_b"),
+      col("__nv").as("__vb"))
+    val dominated = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(VectorOps.dot(col("__va"), col("__vb")), roundScore)
+        >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    nv.join(dominated, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cluster"))
+  }
+}

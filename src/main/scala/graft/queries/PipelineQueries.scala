@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.llm.{Contamination, Corpus, Dedup, Multimodal, Pii, Quantize, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Clustering, Contamination, Corpus, Dedup, Multimodal, Pii, Quantize, Sampling, Similarity, TextAnalysis}
 import graft.operators.{AsofJoin, RangeJoin, Sessionize}
 import graft.streaming.{SessionEvent, StreamingSessionize}
 
@@ -237,6 +237,21 @@ object PipelineQueries {
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
         "vec_id", "embedding", threshold = 0.35, b = 2, rotatedDim = Some(64))
         .select("id_a", "id_b", "score")),
+
+    // --- deterministic k-means over embeddings ------------------------------
+    // Lloyd's with dyadic quantization (exact centroid sums in any addition
+    // order), lowest-id init, lowest-index argmin tie-break — the oracle
+    // replays the identical two rounds in SQL.
+    "embed_kmeans" -> ((s, d) =>
+      Clustering.kmeans(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 8, iters = 2, dim = 64)),
+
+    // --- SemDeDup: cluster-then-prune semantic dedup -------------------------
+    // Within each k-means cluster, drop vectors with a lower-id cosine>=τ
+    // neighbor; output the kept rows. The clustering bounds the pair join.
+    "semdedup" -> ((s, d) =>
+      Clustering.semdedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 8, iters = 2, dim = 64, threshold = 0.35)),
 
     // --- deterministic train/val split (hash of id, engine-portable) --------
     "sample_split" -> ((s, d) =>
@@ -525,6 +540,40 @@ object PipelineQueries {
       val lst = p.map(java.lang.Double.toString).mkString("[", ", ", "]")
       s"CASE WHEN list_dot_product($v, $lst) >= 0 THEN 1 ELSE 0 END AS b$i"
     }.mkString(",\n       ")
+
+  /** The k-means CTE chain, mirroring [[graft.llm.Clustering.kmeans]] step
+    * for step: `wq` = dyadic-quantized vectors, `c0` = lowest-id init,
+    * then per round i: `s_i` scores (c·c − 2·w·c, the same sequential-fold
+    * dot), `a_i` argmin assignment (ORDER BY s, j ≡ first-index tie-break),
+    * and between rounds the exact-sum mean `c_i` with empty clusters
+    * carrying the previous centroid via the LEFT JOIN + coalesce. The final
+    * assignment is `a$iters`. */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""wq AS (SELECT vec_id,
+       list_transform(embedding,
+         x -> floor(CAST(x AS DOUBLE) * 1048576.0) / 1048576.0) AS w
+     FROM embeddings WHERE len(embedding) = $dim),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, w AS c
+       FROM (SELECT vec_id, w FROM wq ORDER BY vec_id LIMIT $k))"""
+    for (i <- 1 to iters) {
+      sb ++= s""",
+s$i AS (SELECT wq.vec_id, wq.w, c.j,
+         list_dot_product(c.c, c.c) - 2 * list_dot_product(wq.w, c.c) AS s
+       FROM wq CROSS JOIN c${i - 1} c),
+a$i AS (SELECT vec_id, w, j AS cluster FROM (
+         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s, j) AS rn
+         FROM s$i) WHERE rn = 1)"""
+      if (i < iters) sb ++= s""",
+g$i AS (SELECT cluster, idx.i AS pos, sum(w[idx.i]) / count(*) AS mu
+       FROM a$i, (SELECT unnest(generate_series(1, $dim)) AS i) idx
+       GROUP BY 1, 2),
+n$i AS (SELECT cluster AS j, list(mu ORDER BY pos) AS c FROM g$i GROUP BY 1),
+c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
+       FROM c${i - 1} p LEFT JOIN n$i n ON n.j = p.j)"""
+    }
+    sb.toString
+  }
 
   /** Bucket string from bit columns, with bit `flip` inverted (-1 = none). */
   private def bucketFromBitsSql(b: Int, flip: Int): String =
@@ -953,6 +1002,24 @@ object PipelineQueries {
           |         round(list_dot_product(a.v, b.v), 6) AS score
           |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
           |WHERE score >= 0.35""".stripMargin),
+
+      "embed_kmeans" ->
+        (s"WITH ${kmeansCtes(8, 2, 64)}\n" +
+          "SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a2"),
+
+      "semdedup" ->
+        (s"WITH ${kmeansCtes(8, 2, 64)},\n" +
+          """nv AS (SELECT e.vec_id, a2.cluster,
+            |        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+            |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            |            FROM embeddings WHERE len(embedding) = 64) e
+            |      JOIN a2 ON a2.vec_id = e.vec_id),
+            |dom AS (SELECT DISTINCT b.vec_id
+            |       FROM nv a JOIN nv b
+            |         ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            |       WHERE round(list_dot_product(a.nv, b.nv), 6) >= 0.35)
+            |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM nv
+            |WHERE vec_id NOT IN (SELECT vec_id FROM dom)""".stripMargin),
 
       "sample_split" ->
         """SELECT doc_id,

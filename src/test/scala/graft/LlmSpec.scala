@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Contamination, Dedup, Multimodal, Pii, Similarity, TextAnalysis}
+import graft.llm.{Clustering, Contamination, Dedup, Multimodal, Pii, Similarity, TextAnalysis}
 
 class LlmSpec extends SparkSpec {
   import spark.implicits._
@@ -281,5 +281,61 @@ class LlmSpec extends SparkSpec {
       .collect().map(f => f.media_id -> f.feature).toMap
     assert(feats.values.forall(_.length == 8))
     assert(feats(1L).toSeq == feats(2L).toSeq) // identical bytes
+  }
+
+  // two tight groups around (1,0,…) and (0,1,…); ids interleaved so the
+  // lowest-id init (ids 1,2) seeds one centroid in each group
+  private def kmeansFixture = Seq(
+    (1L, Array(1.0f, 0.1f, 0.0f, 0.0f)),
+    (2L, Array(0.1f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(0.9f, 0.0f, 0.1f, 0.0f)),
+    (4L, Array(0.0f, 0.9f, 0.1f, 0.0f)),
+    (5L, Array(1.1f, 0.2f, 0.0f, 0.1f)),
+    (6L, Array(0.2f, 1.1f, 0.0f, 0.1f))
+  ).toDF("vec_id", "embedding")
+
+  test("kmeans separates well-separated groups; assignment deterministic") {
+    val out = Clustering.kmeans(kmeansFixture, "vec_id", "embedding",
+      k = 2, iters = 3, dim = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == out(3L) && out(3L) == out(5L))
+    assert(out(2L) == out(4L) && out(4L) == out(6L))
+    assert(out(1L) != out(2L))
+    // init = lowest ids → id 1's group takes cluster 0
+    assert(out(1L) == 0L && out(2L) == 1L)
+    val again = Clustering.kmeans(kmeansFixture, "vec_id", "embedding",
+      k = 2, iters = 3, dim = 4).as[(Long, Long)].collect().toMap
+    assert(again == out)
+  }
+
+  test("kmeans: wrong-dimension vectors degrade out instead of failing") {
+    val mixed = kmeansFixture.union(
+      Seq((7L, Array(9.9f, 9.9f))).toDF("vec_id", "embedding"))
+    val out = Clustering.kmeans(mixed, "vec_id", "embedding",
+      k = 2, iters = 2, dim = 4).as[(Long, Long)].collect().toMap
+    assert(!out.contains(7L) && out.size == 6)
+  }
+
+  test("kmeans carries an empty cluster's previous centroid") {
+    // k=3 on the 2-group fixture: init centroids are ids 1,2,3 — id 3's
+    // cluster is emptied by round 2 (its members prefer the id-1 side mean);
+    // the run must not throw and every point still lands in a cluster
+    val out = Clustering.kmeans(kmeansFixture, "vec_id", "embedding",
+      k = 3, iters = 3, dim = 4).as[(Long, Long)].collect().toMap
+    assert(out.size == 6 && out.values.forall(c => c >= 0 && c < 3))
+  }
+
+  test("semdedup drops exactly the lower-id-dominated near-duplicates") {
+    // ids 1/3/5 are mutual cosine≈1 near-dups (same direction), as are
+    // 2/4/6: within each cluster only the lowest id survives τ=0.95
+    val kept = Clustering.semdedup(kmeansFixture, "vec_id", "embedding",
+      k = 2, iters = 2, dim = 4, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+    // a high threshold keeps everything
+    val all = Clustering.semdedup(kmeansFixture, "vec_id", "embedding",
+      k = 2, iters = 2, dim = 4, threshold = 0.999999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L, 3L, 4L, 5L, 6L))
   }
 }
