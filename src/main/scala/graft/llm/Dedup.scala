@@ -311,4 +311,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  // ----------------------------------------------- chunk (paragraph) dedup
+
+  /** Sub-document dedup: split each document into fixed-width word chunks
+    * (the word-stream analog of paragraph dedup — swap the chunker for a
+    * `split(text, '\n\n')` on corpora with real paragraph breaks), keep
+    * only the globally FIRST occurrence of each distinct chunk (ordered by
+    * (id, chunk_idx)), and reassemble the surviving chunks in document
+    * order. Returns (id, n_chunks, n_kept, clean_text); documents whose
+    * every chunk was seen earlier drop out entirely.
+    *
+    * Scale shape: the explode is map-side; the only shuffles are the
+    * first-occurrence window on the chunk hash (uniform md5 keys — no
+    * skew) and the per-document reassembly groupBy. Both are
+    * hash-partitioned with no driver state; shuffle volume ≈ corpus size,
+    * the floor for any global sub-document dedup. */
+  def chunkDedup(df: DataFrame, textCol: String, idCol: String,
+                 w: Int): DataFrame = {
+    require(w >= 1, s"chunk width $w must be >= 1")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val chunks = df
+      .select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) >= 1) // sequence(0,-1) would run backwards
+      .withColumn("n_chunks",
+        ceil(size(col("__toks")) / lit(w.toDouble)).cast("long"))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("chunk", array_join(
+        slice(col("__toks"), (col("chunk_idx") * w + 1).cast("int"), lit(w)),
+        " "))
+      .drop("__toks")
+    val firstW = Window.partitionBy(md5(col("chunk")))
+      .orderBy(col(idCol), col("chunk_idx"))
+    chunks
+      .withColumn("__rn", row_number().over(firstW))
+      .filter(col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        first(col("n_chunks")).as("n_chunks"),
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          s => s.getField("chunk")), " ").as("clean_text"))
+  }
 }

@@ -48,6 +48,25 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Mixture-weighted downsampling: each source keeps its target fraction
+    * of rows (1/256 granularity), decided only by md5(id) — the standard
+    * way to hit a corpus mixture (e.g. 10% of crawl, all of books) while
+    * keeping the sample reproducible and add-stable per source. Sources
+    * not in `rates` keep `default`. Map-side only. */
+  def mixture(df: DataFrame, idCol: String, sourceCol: String,
+              rates: Seq[(String, Double)], default: Double = 1.0,
+              salt: String = ""): DataFrame = {
+    def keepFor(rate: Double): Column =
+      if (rate >= 1.0) lit(true)
+      else if (rate <= 0.0) lit(false)
+      else substring(hashKey(col(idCol), salt), 1, 2) <
+        lit(f"${math.floor(rate * 256).toInt}%02x")
+    val cond = rates.foldRight(keepFor(default)) { case ((src, r), acc) =>
+      when(col(sourceCol) === src, keepFor(r)).otherwise(acc)
+    }
+    df.filter(cond)
+  }
+
   /** Pack documents into token-budget shards per stratum: rows are laid
     * out in the stable (md5(id), id) order, and a document starts a new
     * shard when the RUNNING token count before it crosses a `budget`

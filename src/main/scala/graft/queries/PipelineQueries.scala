@@ -253,6 +253,17 @@ object PipelineQueries {
       Clustering.semdedup(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 8, iters = 2, dim = 64, threshold = 0.35)),
 
+    // --- chunk-level (paragraph-style) global dedup --------------------------
+    "dedup_chunks" -> ((s, d) =>
+      Dedup.chunkDedup(Tables.documents(s, d), "text", "doc_id", w = 3)
+        .select("doc_id", "n_chunks", "n_kept", "clean_text")),
+
+    // --- mixture-weighted per-source downsampling ----------------------------
+    "sample_mixture" -> ((s, d) =>
+      Sampling.mixture(Tables.documents(s, d), "doc_id", "source",
+        Seq("src0" -> 0.125, "src1" -> 0.25, "src2" -> 0.5, "src3" -> 0.75))
+        .select("doc_id", "source")),
+
     // --- deterministic train/val split (hash of id, engine-portable) --------
     "sample_split" -> ((s, d) =>
       Sampling.split(Tables.documents(s, d), "doc_id", trainPct = 0.8)
@@ -1020,6 +1031,36 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
             |       WHERE round(list_dot_product(a.nv, b.nv), 6) >= 0.35)
             |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM nv
             |WHERE vec_id NOT IN (SELECT vec_id FROM dom)""".stripMargin),
+
+      "dedup_chunks" ->
+        """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+          |           FROM documents WHERE len(string_split_regex(text, '\s+')) >= 1),
+          |c AS (SELECT doc_id,
+          |             CAST(ceil(len(toks) / 3.0) AS BIGINT) AS n_chunks,
+          |             i AS chunk_idx,
+          |             array_to_string(toks[(i*3+1):(i*3+3)], ' ') AS chunk
+          |      FROM (SELECT doc_id, toks,
+          |                   unnest(generate_series(
+          |                     0, CAST(ceil(len(toks) / 3.0) AS BIGINT) - 1)) AS i
+          |            FROM t)),
+          |k AS (SELECT * FROM (
+          |        SELECT *, row_number() OVER (PARTITION BY md5(chunk)
+          |                    ORDER BY doc_id, chunk_idx) AS rn
+          |        FROM c) WHERE rn = 1)
+          |SELECT doc_id, any_value(n_chunks) AS n_chunks,
+          |       count(*) AS n_kept,
+          |       array_to_string(list(chunk ORDER BY chunk_idx), ' ')
+          |         AS clean_text
+          |FROM k GROUP BY doc_id""".stripMargin,
+
+      "sample_mixture" ->
+        """SELECT doc_id, source FROM documents
+          |WHERE CASE source
+          |  WHEN 'src0' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
+          |  WHEN 'src1' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+          |  WHEN 'src2' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+          |  WHEN 'src3' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0'
+          |  ELSE TRUE END""".stripMargin,
 
       "sample_split" ->
         """SELECT doc_id,

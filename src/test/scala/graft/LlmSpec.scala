@@ -283,6 +283,41 @@ class LlmSpec extends SparkSpec {
     assert(feats(1L).toSeq == feats(2L).toSeq) // identical bytes
   }
 
+  test("chunk dedup keeps first global occurrence and reassembles in order") {
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"),   // first chunk duplicates doc 1's
+      (3L, "a b c"),         // fully duplicate → drops out entirely
+      (4L, "p q r p q r")    // in-doc duplicate chunk
+    ).toDF("doc_id", "text")
+    val out = graft.llm.Dedup.chunkDedup(df, "text", "doc_id", w = 3)
+      .select("doc_id", "n_chunks", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(out == Set(
+      (1L, 2L, 2L, "a b c d e f"),
+      (2L, 2L, 1L, "x y z"),
+      (4L, 2L, 1L, "p q r")))
+  }
+
+  test("mixture sampling: rates nest, edges keep all/none, add-stable") {
+    val df = (0L until 400L).map(i => (i, s"s${i % 2}"))
+      .toDF("doc_id", "source")
+    def kept(r0: Double) = graft.llm.Sampling
+      .mixture(df, "doc_id", "source", Seq("s0" -> r0), default = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    val k25 = kept(0.25); val k50 = kept(0.5)
+    assert(k25.subsetOf(k50))                  // thresholds nest
+    assert(kept(0.0).isEmpty && kept(1.0).size == 200)
+    assert(k25.nonEmpty && k25.size < k50.size)
+    // membership is a pure function of the id — adding rows changes nothing
+    val more = (0L until 800L).map(i => (i, s"s${i % 2}"))
+      .toDF("doc_id", "source")
+    val keptMore = graft.llm.Sampling
+      .mixture(more, "doc_id", "source", Seq("s0" -> 0.25), default = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptMore.filter(_ < 400L) == k25)
+  }
+
   // two tight groups around (1,0,…) and (0,1,…); ids interleaved so the
   // lowest-id init (ids 1,2) seeds one centroid in each group
   private def kmeansFixture = Seq(
