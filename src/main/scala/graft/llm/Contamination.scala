@@ -46,4 +46,46 @@ object Contamination {
       .withColumn("overlap_frac",
         round(col("shared_ngrams").cast("double") / col("n_test_ngrams"), 6))
   }
+
+  /** Same result as [[ngramOverlap]] — EXACT, because a Bloom filter has
+    * no false negatives and an exact join confirms the survivors — but
+    * built for eval sets too large to broadcast as a hash relation: a
+    * Bloom over the eval shingle hashes costs ~10 bits/key vs ~30
+    * bytes/key for a broadcast hash map (≈20× larger eval sets at the
+    * same executor memory). The train corpus is scanned once, ≥(1−fpp)
+    * of its non-matching shingles die map-side against the Bloom, and
+    * only the survivors (true matches + fpp noise) enter the exact
+    * shuffle join.
+    *
+    * The Bloom is built with one tree-aggregated pass over the (small)
+    * eval side and broadcast explicitly; nothing here depends on the fpp
+    * for correctness — a higher fpp only shuffles more confirm-side rows.
+    */
+  def ngramOverlapBloom(train: DataFrame, test: DataFrame,
+                        textCol: String, idCol: String,
+                        n: Int = 3, minShared: Int = 2,
+                        fpp: Double = 0.01): DataFrame = {
+    def shingled(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(as),
+        explode(graft.functions.Shingles.distinctShingles(
+          TextAnalysis.tokens(col(textCol)), n)).as("shingle"))
+        .select(col(as), xxhash64(col("shingle")).as("sh"))
+    val testSh = shingled(test, "test_id")
+    val expected = math.max(1L, testSh.select("sh").distinct().count())
+    val bloom = testSh.stat.bloomFilter("sh", expected, fpp)
+    val bloomBc = train.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
+    val testSizes = test.select(col(idCol).as("test_id"),
+      size(graft.functions.Shingles.distinctShingles(
+        TextAnalysis.tokens(col(textCol)), n)).as("n_test_ngrams"))
+    shingled(train, "train_id")
+      .filter(mightContain(col("sh"))) // map-side kill of non-matches
+      .join(testSh, Seq("sh")) // exact confirm; planner picks the strategy
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+      .join(broadcast(testSizes), Seq("test_id"))
+      .withColumn("overlap_frac",
+        round(col("shared_ngrams").cast("double") / col("n_test_ngrams"), 6))
+  }
 }

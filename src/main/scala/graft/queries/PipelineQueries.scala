@@ -203,6 +203,19 @@ object PipelineQueries {
         .select("test_id", "train_id", "shared_ngrams", "overlap_frac")
     }),
 
+    // --- bloom-prefiltered decontamination: same answer, different plan -----
+    // Exact despite the Bloom (no false negatives + exact confirm join);
+    // shares contamination_ngram's oracle semantics — two independent
+    // algorithms, one SQL truth.
+    "contamination_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Contamination.ngramOverlapBloom(
+        train = docs.filter(col("doc_id") % 17 =!= 0),
+        test = docs.filter(col("doc_id") % 17 === 0),
+        "text", "doc_id", n = 3, minShared = 2)
+        .select("test_id", "train_id", "shared_ngrams", "overlap_frac")
+    }),
+
     // --- ANN: brute-force cosine top-k ------------------------------------------------
     "ann_brute_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -530,6 +543,52 @@ object PipelineQueries {
       q.processAllAvailable() // timeout pass closes every open session
       q.stop()
       ss.table(qname).filter(col("user_id") >= 0)
+    }),
+
+    // --- stream-stream interval join ----------------------------------------
+    // Views join purchases by user within [view_ts, view_ts + 24 h] — the
+    // canonical Structured Streaming two-stream shape. Both sides are
+    // watermarked and the range rides the event-time columns, so join state
+    // is bounded (Spark evicts a buffered row once the other side's
+    // watermark passes its match window). INNER join: matches emit as soon
+    // as both rows exist — no sentinel needed for completeness. Oracle =
+    // the equivalent batch interval join.
+    "stream_join" -> ((s, d) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      implicit val sqlCtx = ss.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import ss.implicits._
+      import scala.jdk.CollectionConverters._
+      def replay(tp: String) = Tables.events(ss, d)
+        .filter(col("user_id") < 30 && col("event_type") === tp)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"))
+        .orderBy("ts_us", "event_id").as[(Long, Long, Long)]
+      val vIn = MemoryStream[(Long, Long, Long)]
+      val pIn = MemoryStream[(Long, Long, Long)]
+      val v = vIn.toDS().toDF("user_id", "view_ts_us", "view_id")
+        .withColumn("vts", timestamp_micros(col("view_ts_us")))
+        .withWatermark("vts", "1 hour")
+      val p = pIn.toDS().toDF("p_user_id", "purchase_ts_us", "purchase_id")
+        .withColumn("pts", timestamp_micros(col("purchase_ts_us")))
+        .withWatermark("pts", "1 hour")
+      val joined = v.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("pts") >= col("vts") &&
+          col("pts") <= col("vts") + expr("INTERVAL 24 HOURS"))
+        .select(col("view_id"), col("purchase_id"), col("user_id"),
+          col("view_ts_us"), col("purchase_ts_us"))
+      val qname = "stream_join_" + streamSeq.incrementAndGet()
+      val q = joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      replay("view").toLocalIterator().asScala.grouped(8192)
+        .foreach(chunk => vIn.addData(chunk))
+      replay("purchase").toLocalIterator().asScala.grouped(8192)
+        .foreach(chunk => pIn.addData(chunk))
+      q.processAllAvailable()
+      q.stop()
+      ss.table(qname)
     })
   )
 
@@ -912,6 +971,24 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |FROM pairs JOIN sizes USING (test_id)
            |WHERE shared_ngrams >= 2""".stripMargin,
 
+      // deliberately the SAME oracle as contamination_ngram: the Bloom
+      // path must reproduce the exact-join answer bit for bit
+      "contamination_bloom" ->
+        s"""WITH $shinglesCte,
+           |test AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 17 = 0),
+           |train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 17 != 0),
+           |sizes AS (SELECT doc_id AS test_id, count(*) AS n_test_ngrams
+           |          FROM test GROUP BY 1),
+           |pairs AS (
+           |  SELECT test.doc_id AS test_id, train.doc_id AS train_id,
+           |         count(*) AS shared_ngrams
+           |  FROM test JOIN train USING (shingle) GROUP BY 1, 2)
+           |SELECT test_id, train_id, shared_ngrams,
+           |       round(CAST(shared_ngrams AS DOUBLE) / n_test_ngrams, 6)
+           |         AS overlap_frac
+           |FROM pairs JOIN sizes USING (test_id)
+           |WHERE shared_ngrams >= 2""".stripMargin,
+
       "ann_brute_topk" ->
         """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           |e AS (SELECT vec_id,
@@ -1145,6 +1222,18 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |       count(DISTINCT event_type) AS n_types,
           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
           |FROM s GROUP BY 1, 2""".stripMargin,
+
+      "stream_join" ->
+        """WITH v AS (SELECT user_id, epoch_us(ts) AS view_ts_us,
+          |                  event_id AS view_id
+          |           FROM events WHERE event_type = 'view' AND user_id < 30),
+          |p AS (SELECT user_id, epoch_us(ts) AS purchase_ts_us,
+          |             event_id AS purchase_id
+          |      FROM events WHERE event_type = 'purchase' AND user_id < 30)
+          |SELECT view_id, purchase_id, user_id, view_ts_us, purchase_ts_us
+          |FROM v JOIN p USING (user_id)
+          |WHERE purchase_ts_us BETWEEN view_ts_us
+          |  AND view_ts_us + 86400000000""".stripMargin,
 
       "session_funnel" ->
         """WITH ev AS (

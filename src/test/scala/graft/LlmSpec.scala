@@ -283,6 +283,27 @@ class LlmSpec extends SparkSpec {
     assert(feats(1L).toSeq == feats(2L).toSeq) // identical bytes
   }
 
+  test("bloom-prefiltered contamination equals the exact-join result") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (17L, "alpha beta gamma delta something else"), // test doc (17 % 17 = 0)
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "nothing in common with anything here at all")
+    ).toDF("doc_id", "text")
+    val train = corpus.filter($"doc_id" % 17 =!= 0)
+    val test17 = corpus.filter($"doc_id" % 17 === 0)
+    val exact = graft.llm.Contamination
+      .ngramOverlap(train, test17, "text", "doc_id", n = 3, minShared = 2)
+      .select("test_id", "train_id", "shared_ngrams", "overlap_frac")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val bloom = graft.llm.Contamination
+      .ngramOverlapBloom(train, test17, "text", "doc_id", n = 3,
+        minShared = 2)
+      .select("test_id", "train_id", "shared_ngrams", "overlap_frac")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty && bloom == exact)
+  }
+
   test("chunk dedup keeps first global occurrence and reassembles in order") {
     val df = Seq(
       (1L, "a b c d e f"),

@@ -161,6 +161,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch join across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // (user, ts_us, id): views on one stream, purchases on the other —
+    // purchase 201 matches views 101+102 (within 100 µs), 202 matches
+    // nothing (past the window), 203 arrives a batch AFTER its matching
+    // view (cross-batch buffering)
+    val vIn = MemoryStream[(Long, Long, Long)]
+    val pIn = MemoryStream[(Long, Long, Long)]
+    val v = vIn.toDS().toDF("user_id", "view_ts_us", "view_id")
+      .withColumn("vts", timestamp_micros(col("view_ts_us")))
+      .withWatermark("vts", "1 hour")
+    val p = pIn.toDS().toDF("p_user_id", "purchase_ts_us", "purchase_id")
+      .withColumn("pts", timestamp_micros(col("purchase_ts_us")))
+      .withWatermark("pts", "1 hour")
+    val joined = v.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("pts") >= col("vts") &&
+        col("pts") <= col("vts") + expr("INTERVAL 100 MICROSECONDS"))
+      .select("view_id", "purchase_id")
+    val q = joined.writeStream.format("memory").queryName("sj")
+      .outputMode("append").start()
+    try {
+      vIn.addData((1L, 1000000L, 101L), (1L, 1000050L, 102L),
+        (2L, 1000000L, 103L))
+      pIn.addData((1L, 1000080L, 201L), (2L, 2000000L, 202L))
+      q.processAllAvailable()
+      assert(spark.table("sj").as[(Long, Long)].collect().toSet ==
+        Set((101L, 201L), (102L, 201L)))
+      pIn.addData(Seq((2L, 1000090L, 203L))) // late-side arrival, buffered view
+      q.processAllAvailable()
+      assert(spark.table("sj").as[(Long, Long)].collect().toSet ==
+        Set((101L, 201L), (102L, 201L), (103L, 203L)))
+    } finally q.stop()
+  }
+
   test("kafka fan-out encode: per-site topic + global topic, series key") {
     val df = Seq(("dc1", "r1|int|if|eth0", 42.0), ("dc2", "r2|int|if|eth1", 7.0))
       .toDF("site", "series", "v")
