@@ -64,6 +64,27 @@ object Corpus {
       .select(col(idCol), col("term"), col("rank"), col("score"))
   }
 
+  /** Corpus-wide top-`k` n-gram document frequencies — the boilerplate
+    * detector: shingles shared by many documents are navigation chrome,
+    * license headers, cookie banners (the strings web-corpus pipelines
+    * strip before training). Per-doc DISTINCT shingles come from the
+    * codegen'd one-pass [[graft.functions.Shingles]] kernel (map-side,
+    * no per-occurrence blowup); counting is one hash aggregate with
+    * map-side partials; the global top-k compiles to
+    * TakeOrderedAndProject (per-partition partial top-k, k-row driver
+    * merge — never a full sort of the vocabulary). Ties break on the
+    * shingle text, so the cut is deterministic. */
+  def ngramDocFreqTopK(df: DataFrame, textCol: String, idCol: String,
+                       n: Int, k: Int): DataFrame = {
+    require(n > 0 && k > 0, s"n=$n, k=$k must be positive")
+    df.select(explode(graft.functions.Shingles.distinctShingles(
+        TextAnalysis.tokens(col(textCol)), n)).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("shingle"))
+      .limit(k)
+  }
+
   /** Per-document unigram surprisal: mean −ln p(term) over the document's
     * tokens, where p is the maximum-likelihood unigram model of the WHOLE
     * corpus (p(w) = corpus_count(w) / total_tokens). High values flag

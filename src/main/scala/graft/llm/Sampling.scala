@@ -67,6 +67,40 @@ object Sampling {
     df.filter(cond)
   }
 
+  /** Deterministic weighted sample of `k` rows without replacement —
+    * sequential Poisson sampling (Ohlsson 1998, the estimator behind
+    * πps surveys): each row draws priority `u / w` where `u` is a 52-bit
+    * uniform from md5(salt ∥ id) and `w` its weight; the `k` smallest
+    * priorities win. Inclusion probability is approximately proportional
+    * to weight — the quality-weighted corpus subsampling shape ("sample
+    * 1M docs, prefer high-quality ones").
+    *
+    * Why `u/w` and not the exact Efraimidis–Spirakis key `u^(1/w)`:
+    * E-S needs pow/ln, whose last-ulp behavior is libm-specific — two
+    * engines could rank near-tied rows differently. `u/w` is one exact
+    * power-of-two scaling plus one correctly-rounded IEEE division, so
+    * the ranking (and therefore the SAMPLE) is bit-reproducible in any
+    * IEEE-754 engine. Same add-stability as the other samplers: a new
+    * row displaces at most one previously-selected row.
+    *
+    * Global top-k compiles to TakeOrderedAndProject: per-partition
+    * partial top-k, then a k-row merge — no full sort, no full shuffle,
+    * driver holds k rows. */
+  def weighted(df: DataFrame, idCol: String, weightCol: String, k: Int,
+               salt: String = ""): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val u52 = conv(substring(hashKey(col(idCol), salt), 1, 13), 16, 10)
+      .cast("long").cast("double")
+    // /2^52 is exact (power-of-two scaling); the /w division is the one
+    // correctly-rounded step — mirror this exact expression in oracles
+    val pri = (u52 / lit(4503599627370496.0)) /
+      col(weightCol).cast("double")
+    df.withColumn("priority", pri)
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+      .withColumn("priority", round(col("priority"), 12))
+  }
+
   /** Pack documents into token-budget shards per stratum: rows are laid
     * out in the stable (md5(id), id) order, and a document starts a new
     * shard when the RUNNING token count before it crosses a `budget`

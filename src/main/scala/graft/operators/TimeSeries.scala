@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series analytics over metric/event streams: per-series anomaly
+  * scoring and gap-filling resample — the query-side counterparts of the
+  * reference's polled-metrics model (fixed-cadence series keyed by
+  * resource × metric, e.g. `plugin_polling_device_interface_metrics`
+  * emitting one sample per interface per 60 s cycle; missed polls leave
+  * holes a downstream consumer has to tolerate or fill).
+  *
+  * Scale shape (100 TB): both operators are a single shuffle on the
+  * series key followed by map-side work. Nothing aggregates across
+  * series, so the plans parallelize per-series and AQE handles skewed
+  * series (one chatty device) by splitting its partition.
+  */
+object TimeSeries {
+
+  /** Per-series z-score anomaly flags: each row gets its series' mean and
+    * sample stddev, its z-score, and a flag when |z| exceeds `threshold`.
+    *
+    * Float discipline — stronger than rounding: the mean and variance are
+    * derived from EXACT decimal sums (`valueScale` = the decimal scale of
+    * the measurements; 2 for 2-dp gauges), converted to double once, then
+    * combined with a fixed tree of correctly-rounded IEEE ops (-, *, /,
+    * sqrt — all required-correctly-rounded by IEEE-754). Every output is
+    * therefore BIT-identical in any IEEE engine, with no `round()` call
+    * whose half-up/half-even tie behavior could differ at a midpoint
+    * (plain `round(avg(value), 4)` provably diverges between Spark and
+    * DuckDB when a series mean lands on a 4-dp midpoint, which 2-dp
+    * inputs hit constantly). Exactness headroom: Σ(value·10^scale) and
+    * Σ(value²·10^2scale) must stay under 2^53 per series — at 100 TB,
+    * series are single resources' histories, orders of magnitude below
+    * that.
+    *
+    * Single-sample and constant series yield null stddev/z — null never
+    * flags. One shuffle on the series key; the window aggregates share
+    * one exchange. */
+  def zscore(df: DataFrame, seriesCols: Seq[String], valueCol: String,
+             threshold: Double = 3.0, valueScale: Int = 2): DataFrame = {
+    require(seriesCols.nonEmpty, "zscore needs at least one series column")
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+    val dec = col(valueCol).cast(s"decimal(18,$valueScale)")
+    val n = count(lit(1)).over(w)
+    val nD = n.cast("double")
+    val sumD = sum(dec).over(w).cast("double")
+    val sumSqD = sum(dec * dec).over(w).cast("double")
+    val mean = sumD / nD
+    val variance = (sumSqD - sumD * sumD / nD) / (nD - lit(1.0))
+    val std = when(n >= 2 && variance > 0, sqrt(variance))
+    val z = (col(valueCol) - mean) / std
+    df.withColumn("series_avg", mean)
+      .withColumn("series_std", std)
+      .withColumn("zscore", z)
+      .withColumn("is_anomaly",
+        coalesce(abs(z) > lit(threshold), lit(false)))
+  }
+
+  /** Gap-filling resample: snap each series to a fixed `stepMicros` grid
+    * (per-bucket value = MAX — exact, order-free; no float summation to
+    * drift between engines), then linearly interpolate the missing
+    * buckets between consecutive observations.
+    *
+    * Output: series cols + `bucket` (epoch micros, grid-aligned) +
+    * `value` (6 dp) + `filled` (false = observed, true = interpolated).
+    * Buckets before a series' first or after its last observation are NOT
+    * invented — interpolation needs both endpoints (that's also what
+    * keeps the operator bounded: a series absent for a month does not
+    * fabricate a month of rows on re-appearance).
+    *
+    * Plan shape — ONE pass: bucketize is map-side integer math; one hash
+    * aggregate on (series, bucket); one lag window on the series key;
+    * then every output row — observed AND interpolated — comes from a
+    * single map-side `sequence`/`explode` over each (prev, current)
+    * observation pair (a row with no predecessor explodes to just
+    * itself). No union (a union of observed+gap branches would scan the
+    * source twice — Catalyst does not share subplans across union
+    * sides), no join, no second shuffle. Interpolation arithmetic is a
+    * fixed tree of correctly-rounded IEEE ops on exact longs, so values
+    * are bit-reproducible across engines. */
+  def gapfill(df: DataFrame, seriesCols: Seq[String], tsMicrosCol: String,
+              valueCol: String, stepMicros: Long): DataFrame = {
+    require(stepMicros > 0, s"stepMicros=$stepMicros must be positive")
+    val sc = seriesCols.map(col)
+    val ts = col(tsMicrosCol)
+    // exact integer grid-snap (ts - ts % step); no double division
+    val bucketed = df
+      .withColumn("bucket", (ts - pmod(ts, lit(stepMicros))).cast("long"))
+      .groupBy(sc :+ col("bucket"): _*)
+      .agg(max(col(valueCol).cast("double")).as("v"))
+    val w = Window.partitionBy(sc: _*).orderBy(col("bucket"))
+    val paired = bucketed
+      .withColumn("prev_bucket", lag(col("bucket"), 1).over(w))
+      .withColumn("prev_v", lag(col("v"), 1).over(w))
+    // each pair emits (prev_bucket, current] on the grid: the interior
+    // fills plus the current observation; the series head emits itself
+    val exploded = paired.select(sc ++ Seq(
+      col("bucket").as("next_bucket"), col("prev_bucket"),
+      col("prev_v"), col("v"),
+      explode(
+        when(col("prev_bucket").isNull, array(col("bucket")))
+          .otherwise(sequence(col("prev_bucket") + stepMicros,
+            col("bucket"), lit(stepMicros)))).as("bucket")): _*)
+    exploded.select(sc ++ Seq(
+      col("bucket"),
+      when(col("bucket") === col("next_bucket"), round(col("v"), 6))
+        .otherwise(round(col("prev_v") +
+          (col("v") - col("prev_v")) *
+            (col("bucket") - col("prev_bucket")).cast("double") /
+            (col("next_bucket") - col("prev_bucket")).cast("double"),
+          6)).as("value"),
+      (col("bucket") =!= col("next_bucket")).as("filled")): _*)
+  }
+}

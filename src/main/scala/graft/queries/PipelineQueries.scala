@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.llm.{Clustering, Contamination, Corpus, Dedup, Multimodal, Pii, Quantize, Sampling, Similarity, TextAnalysis}
-import graft.operators.{AsofJoin, RangeJoin, Sessionize}
+import graft.operators.{AsofJoin, RangeJoin, Sessionize, TimeSeries}
 import graft.streaming.{SessionEvent, StreamingSessionize}
 
 /** The LLM-training-data-pipeline operator set (dedup, similarity search,
@@ -589,8 +589,78 @@ object PipelineQueries {
       q.processAllAvailable()
       q.stop()
       ss.table(qname)
-    })
+    }),
+
+    // --- OLAP cube over the corpus: docs/chars by every (source, lang)
+    // subset. One pass: Spark expands grouping sets inside a single
+    // hash aggregate (map-side partials per set), no self-union of
+    // per-dimension scans. Coalesced labels + GROUPING flags keep the
+    // output unambiguous when a dimension value could literally be
+    // 'ALL'. Exact aggregates only (count, long sum) — nothing float. --
+    "corpus_rollup" -> ((s, d) =>
+      Tables.documents(s, d)
+        .cube(col("source"), col("lang"))
+        .agg(
+          grouping(col("source")).cast("int").as("g_source"),
+          grouping(col("lang")).cast("int").as("g_lang"),
+          count(lit(1)).as("docs"),
+          sum(col("n_chars")).as("chars"))
+        .select(
+          coalesce(col("source"), lit("ALL")).as("source"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("g_source"), col("g_lang"), col("docs"), col("chars"))),
+
+    // --- pivot: source rows × language columns. Values are DECLARED
+    // (no discovery pass over the data — the two-job groupBy().pivot()
+    // shape is the 100 TB anti-pattern); absent cells are 0, not null. --
+    "corpus_pivot" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .pivot("lang", PivotLangs)
+        .agg(count(lit(1)))
+        .na.fill(0L, PivotLangs)),
+
+    // --- weighted corpus sampling: 100 docs, inclusion probability
+    // ∝ n_chars (sequential Poisson sampling; bit-reproducible priority,
+    // global top-k = TakeOrderedAndProject, no full sort) ---------------
+    "sample_weighted" -> ((s, d) =>
+      Sampling.weighted(
+        Tables.documents(s, d).select("doc_id", "n_chars"),
+        "doc_id", "n_chars", k = 100)
+        .select(col("doc_id"), col("n_chars").as("weight"),
+          col("priority"))),
+
+    // --- corpus-wide boilerplate detector: top-50 word-3-gram document
+    // frequencies (distinct per doc via the codegen Shingles kernel) ----
+    "ngram_boilerplate" -> ((s, d) =>
+      Corpus.ngramDocFreqTopK(Tables.documents(s, d), "text", "doc_id",
+        n = 3, k = 50)),
+
+    // --- per-series anomaly flags over events: z-score vs the series'
+    // own mean/stddev, |z| > 2 on the ROUNDED z so both engines
+    // threshold the same quantity -------------------------------------
+    "events_zscore" -> ((s, d) =>
+      TimeSeries.zscore(
+        Tables.events(s, d)
+          .select("event_id", "user_id", "event_type", "value"),
+        Seq("user_id", "event_type"), "value", threshold = 2.0)),
+
+    // --- gap-filling resample: one-day grid per (user, event_type)
+    // series, max-downsample per bucket, linear interpolation for
+    // missing days between observations (no join — gaps explode from a
+    // lag pair, reusing the aggregate's series-key shuffle) -------------
+    "ts_gapfill" -> ((s, d) =>
+      TimeSeries.gapfill(
+        Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")),
+        Seq("user_id", "event_type"), "ts_us", "value",
+        stepMicros = DayMicros))
   )
+
+  /** Declared pivot columns for `corpus_pivot` (the driver corpus' five
+    * languages; declaring them skips pivot's value-discovery job). */
+  private val PivotLangs = Seq("de", "en", "es", "fr", "zh")
+
+  private val DayMicros = 86400000000L
 
   /** DuckDB bucket expression for the SAME rotated planes the Spark side
     * uses: Double.toString round-trips, so the SQL literals parse back to
@@ -1379,7 +1449,107 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       // exact duplicates removed = the base subset itself
       "stream_dedup" ->
         """SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
-          |FROM events WHERE user_id < 20""".stripMargin
+          |FROM events WHERE user_id < 20""".stripMargin,
+
+      // DuckDB sums BIGINT into HUGEINT — cast back to Spark's long
+      "corpus_rollup" ->
+        """SELECT coalesce(source, 'ALL') AS source,
+          |       coalesce(lang, 'ALL') AS lang,
+          |       CAST(GROUPING(source) AS INT) AS g_source,
+          |       CAST(GROUPING(lang) AS INT) AS g_lang,
+          |       count(*) AS docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS chars
+          |FROM documents
+          |GROUP BY CUBE (source, lang)""".stripMargin,
+
+      "corpus_pivot" ->
+        """SELECT source,
+          |       count(CASE WHEN lang = 'de' THEN 1 END) AS de,
+          |       count(CASE WHEN lang = 'en' THEN 1 END) AS en,
+          |       count(CASE WHEN lang = 'es' THEN 1 END) AS es,
+          |       count(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
+          |       count(CASE WHEN lang = 'zh' THEN 1 END) AS zh
+          |FROM documents GROUP BY 1""".stripMargin,
+
+      // mirror Sampling.weighted exactly: u52/2^52 (exact) then /w (one
+      // correctly-rounded IEEE division) — the ranking is bit-identical
+      "sample_weighted" ->
+        """WITH p AS (
+          |  SELECT doc_id, n_chars,
+          |         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+          |            ::BIGINT / 4503599627370496.0)
+          |           / CAST(n_chars AS DOUBLE) AS pri
+          |  FROM documents)
+          |SELECT doc_id, n_chars AS weight, round(pri, 12) AS priority
+          |FROM p ORDER BY pri, doc_id LIMIT 100""".stripMargin,
+
+      "ngram_boilerplate" ->
+        s"""WITH $shinglesCte
+           |SELECT shingle, count(*) AS doc_freq
+           |FROM sh GROUP BY 1
+           |ORDER BY doc_freq DESC, shingle LIMIT 50""".stripMargin,
+
+      // mirror TimeSeries.zscore's exact-decimal-sum formulation: every
+      // double op below is correctly-rounded IEEE from identical inputs,
+      // so outputs are bit-identical with NO round() anywhere (round(avg)
+      // ties break differently between the engines on 2-dp inputs)
+      "events_zscore" ->
+        """WITH s AS (
+          |  SELECT event_id, user_id, event_type, value,
+          |         CAST(count(*) OVER w AS DOUBLE) AS n_d,
+          |         count(*) OVER w AS n,
+          |         CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w
+          |              AS DOUBLE) AS sum_d,
+          |         CAST(sum(CAST(value AS DECIMAL(18,2))
+          |                  * CAST(value AS DECIMAL(18,2))) OVER w
+          |              AS DOUBLE) AS sumsq_d
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id, event_type)),
+          |t AS (
+          |  SELECT *, sum_d / n_d AS mean,
+          |         (sumsq_d - sum_d * sum_d / n_d) / (n_d - 1.0) AS var
+          |  FROM s),
+          |u AS (
+          |  SELECT *, CASE WHEN n >= 2 AND var > 0 THEN sqrt(var) END
+          |              AS std
+          |  FROM t)
+          |SELECT event_id, user_id, event_type, value,
+          |       mean AS series_avg, std AS series_std,
+          |       (value - mean) / std AS zscore,
+          |       coalesce(abs((value - mean) / std) > 2.0, false)
+          |         AS is_anomaly
+          |FROM u""".stripMargin,
+
+      // single-pass mirror of TimeSeries.gapfill: each (prev, current)
+      // pair explodes to its interior grid fills plus the current
+      // observation; the series head explodes to itself
+      "ts_gapfill" ->
+        """WITH b AS (
+          |  SELECT user_id, event_type,
+          |         epoch_us(ts) - epoch_us(ts) % 86400000000 AS bucket,
+          |         max(value) AS v
+          |  FROM events GROUP BY 1, 2, 3),
+          |p AS (
+          |  SELECT *, lag(bucket) OVER w AS prev_bucket,
+          |         lag(v) OVER w AS prev_v
+          |  FROM b
+          |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY bucket)),
+          |g AS (
+          |  SELECT user_id, event_type, prev_bucket, prev_v, v,
+          |         bucket AS next_bucket,
+          |         unnest(CASE WHEN prev_bucket IS NULL THEN [bucket]
+          |                     ELSE generate_series(
+          |                       prev_bucket + 86400000000, bucket,
+          |                       86400000000) END) AS bucket
+          |  FROM p)
+          |SELECT user_id, event_type, bucket,
+          |       CASE WHEN bucket = next_bucket THEN round(v, 6)
+          |            ELSE round(prev_v + (v - prev_v)
+          |                   * CAST(bucket - prev_bucket AS DOUBLE)
+          |                   / CAST(next_bucket - prev_bucket AS DOUBLE),
+          |                 6) END AS value,
+          |       bucket <> next_bucket AS filled
+          |FROM g""".stripMargin
     )
   }
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Corpus, Sampling}
+import graft.operators.TimeSeries
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zscore flags the outlier and leaves constant series null") {
+    // series A: nine 10.00s and one 100.00 (clear outlier);
+    // series B: constant → null std/z, flag false; series C: one sample
+    val df = ((1 to 9).map(i => (i.toLong, "A", 10.00)) ++
+      Seq((10L, "A", 100.00), (11L, "B", 5.00), (12L, "B", 5.00),
+        (13L, "C", 7.00)))
+      .toDF("id", "series", "value")
+    val out = TimeSeries.zscore(df, Seq("series"), "value",
+        threshold = 2.0)
+      .select("id", "zscore", "is_anomaly")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), r.getBoolean(2)))).toMap
+    assert(out(10L)._2, "the 100.0 sample must flag")
+    assert(out(10L)._1.exists(_.asInstanceOf[Double] > 2.8))
+    assert((1L to 9L).forall(!out(_)._2))
+    assert(out(11L) == ((None, false)) && out(13L) == ((None, false)))
+    // mean/std come from exact decimal sums: avg(A) is exactly 19.0
+    val a = TimeSeries.zscore(df, Seq("series"), "value", 2.0)
+      .filter($"series" === "A").select("series_avg", "series_std")
+      .head()
+    assert(a.getDouble(0) == 19.0)
+    assert(math.abs(a.getDouble(1) - 28.4604989415154) < 1e-9)
+  }
+
+  test("gapfill interpolates interior buckets and emits heads as-is") {
+    // one series, step 10: observations at 0 (v=1.0) and 30 (v=4.0) →
+    // fills at 10 (2.0) and 20 (3.0); lone series D emits only itself
+    val df = Seq(("s", 0L, 1.0), ("s", 30L, 4.0), ("d", 5L, 9.0))
+      .toDF("series", "ts_us", "value")
+    val out = TimeSeries.gapfill(df, Seq("series"), "ts_us", "value", 10L)
+      .select("series", "bucket", "value", "filled")
+      .as[(String, Long, Double, Boolean)].collect().toSet
+    assert(out == Set(
+      ("s", 0L, 1.0, false), ("s", 10L, 2.0, true),
+      ("s", 20L, 3.0, true), ("s", 30L, 4.0, false),
+      ("d", 0L, 9.0, false)))
+  }
+
+  test("gapfill max-downsamples multiple observations in one bucket") {
+    val df = Seq(("s", 0L, 1.0), ("s", 3L, 7.0), ("s", 9L, 2.0))
+      .toDF("series", "ts_us", "value")
+    val out = TimeSeries.gapfill(df, Seq("series"), "ts_us", "value", 10L)
+      .as[(String, Long, Double, Boolean)].collect().toSet
+    assert(out == Set(("s", 0L, 7.0, false)))
+  }
+
+  test("weighted sample prefers heavy rows and is add-stable") {
+    val rows = (1 to 400).map(i =>
+      (i.toLong, if (i <= 200) 1L else 100L)) // half light, half heavy
+    val df = rows.toDF("id", "w")
+    val picked = Sampling.weighted(df, "id", "w", k = 50)
+      .select("id").as[Long].collect().toSet
+    assert(picked.size == 50)
+    val heavy = picked.count(_ > 200)
+    assert(heavy >= 40, s"100× weights should dominate the sample: $heavy")
+    // determinism + add-stability: re-running and adding rows never
+    // reshuffles previously-ranked priorities (pure function of id)
+    val again = Sampling.weighted(df, "id", "w", k = 50)
+      .select("id").as[Long].collect().toSet
+    assert(again == picked)
+    val more = Sampling.weighted(
+      (rows ++ Seq((401L, 1000000L))).toDF("id", "w"), "id", "w", k = 50)
+      .select("id").as[Long].collect().toSet
+    assert((picked -- more).size <= 1,
+      "one new row displaces at most one selected row")
+  }
+
+  test("ngram doc-freq ranks shared shingles above unique ones") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown dog sits"),
+      (3L, "the quick brown cat naps over the quick brown cat"))
+      .toDF("doc_id", "text")
+    val top = Corpus.ngramDocFreqTopK(docs, "text", "doc_id", n = 3, k = 2)
+      .as[(String, Long)].collect()
+    // "the quick brown" in all 3 docs (distinct per doc despite doc 3's
+    // repeat); tie group at 1 broken alphabetically
+    assert(top(0) == (("the quick brown", 3L)))
+    assert(top(1)._2 == 1L)
+  }
+}
