@@ -83,19 +83,28 @@ object Sampling {
     * IEEE-754 engine. Same add-stability as the other samplers: a new
     * row displaces at most one previously-selected row.
     *
+    * Rows whose weight is NULL or <= 0 are dropped before sampling —
+    * they have no meaningful inclusion probability (see inline comment).
+    *
     * Global top-k compiles to TakeOrderedAndProject: per-partition
     * partial top-k, then a k-row merge — no full sort, no full shuffle,
     * driver holds k rows. */
   def weighted(df: DataFrame, idCol: String, weightCol: String, k: Int,
                salt: String = ""): DataFrame = {
     require(k > 0, s"k=$k must be positive")
+    // rows with weight <= 0 or NULL are excluded up front: a negative or
+    // zero weight would yield a negative/infinite priority (ranking
+    // FIRST, inverting the sample), and a NULL weight a NULL priority
+    // whose sort position differs between engines (Spark NULLS FIRST vs
+    // DuckDB NULLS LAST) — neither has a meaningful inclusion probability
+    val positive = df.filter(col(weightCol).cast("double") > 0)
     val u52 = conv(substring(hashKey(col(idCol), salt), 1, 13), 16, 10)
       .cast("long").cast("double")
     // /2^52 is exact (power-of-two scaling); the /w division is the one
     // correctly-rounded step — mirror this exact expression in oracles
     val pri = (u52 / lit(4503599627370496.0)) /
       col(weightCol).cast("double")
-    df.withColumn("priority", pri)
+    positive.withColumn("priority", pri)
       .orderBy(col("priority"), col(idCol))
       .limit(k)
       .withColumn("priority", round(col("priority"), 12))

@@ -85,9 +85,11 @@ object TimeSeries {
     require(stepMicros > 0, s"stepMicros=$stepMicros must be positive")
     val sc = seriesCols.map(col)
     val ts = col(tsMicrosCol)
-    // exact integer grid-snap (ts - ts % step); no double division
+    // exact integer grid-snap (ts - ts % step); `%` truncates toward
+    // zero in both Spark and DuckDB, so negative timestamps bucket the
+    // same in either engine (pmod's floor semantics would not)
     val bucketed = df
-      .withColumn("bucket", (ts - pmod(ts, lit(stepMicros))).cast("long"))
+      .withColumn("bucket", (ts - (ts % lit(stepMicros))).cast("long"))
       .groupBy(sc :+ col("bucket"): _*)
       .agg(max(col(valueCol).cast("double")).as("v"))
     val w = Window.partitionBy(sc: _*).orderBy(col("bucket"))

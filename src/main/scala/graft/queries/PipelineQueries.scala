@@ -531,14 +531,21 @@ object PipelineQueries {
         .as[SessionEvent]
       val sessions = StreamingSessionize(evs, gapMicros = 86400L * 1000000L)
       val qname = "stream_sessionize_" + streamSeq.incrementAndGet()
-      val q = sessions.writeStream.format("memory").queryName(qname)
-        .outputMode("append").start()
+      // All chunks are added BEFORE start(): MemoryStream serves every
+      // available block to the first micro-batch, so the whole replay is
+      // one batch whose watermark is still the initial value — the
+      // event-time timeout cannot fire mid-stream and drop/renumber
+      // sessions no matter how the driver interleaves. Only the sentinel
+      // (added after the first processAllAvailable) advances the
+      // watermark, in a second batch that flushes every open session.
       var maxTs = Long.MinValue
       rows.toLocalIterator().asScala.grouped(8192).foreach { chunk =>
         maxTs = math.max(maxTs, chunk.iterator.map(_._2).max)
         input.addData(chunk)
       }
-      q.processAllAvailable() // watermark advances AFTER this batch
+      val q = sessions.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      q.processAllAvailable() // one batch; watermark advances AFTER it
       input.addData(Seq((-1L, maxTs + 30L * 86400000000L, -1L, "__wm__", 0L)))
       q.processAllAvailable() // timeout pass closes every open session
       q.stop()
@@ -637,8 +644,9 @@ object PipelineQueries {
         n = 3, k = 50)),
 
     // --- per-series anomaly flags over events: z-score vs the series'
-    // own mean/stddev, |z| > 2 on the ROUNDED z so both engines
-    // threshold the same quantity -------------------------------------
+    // own mean/stddev, |z| > 2 on the unrounded z — the exact-decimal
+    // sum formulation makes mean/std/z bit-identical across engines, so
+    // no round() appears anywhere in either formulation -----------------
     "events_zscore" -> ((s, d) =>
       TimeSeries.zscore(
         Tables.events(s, d)
