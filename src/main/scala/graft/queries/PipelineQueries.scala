@@ -286,7 +286,10 @@ object PipelineQueries {
     "sample_stratified" -> ((s, d) =>
       Sampling.stratified(
         Tables.documents(s, d)
-          .withColumn("lang_id", TextAnalysis.langId(col("text"))),
+          .withColumn("lang_id", TextAnalysis.langId(col("text")))
+          // project BEFORE the window: only (doc_id, lang_id) ride the
+          // stratum exchange, not the full document text
+          .select("doc_id", "lang_id"),
         "lang_id", "doc_id", perStratum = 50)
         .select("doc_id", "lang_id")),
 
@@ -365,14 +368,19 @@ object PipelineQueries {
         .select(unix_micros(col("window.start")).as("window_start_us"),
           col("event_type"), col("n_events"), col("value_sum"))
       val qname = "stream_window_" + streamSeq.incrementAndGet()
-      val q = agg.writeStream.format("memory").queryName(qname)
-        .outputMode("append").start()
+      // All chunks added BEFORE start(): one micro-batch holds the whole
+      // replay (watermark still initial → nothing emits early), then the
+      // sentinel batch advances the watermark past every real window.
+      // Two batches total instead of one per addData-while-running race —
+      // deterministic AND skips ~10 micro-batch spin-ups.
       var maxTs = Long.MinValue
       rows.toLocalIterator().asScala.grouped(8192).foreach { chunk =>
         maxTs = math.max(maxTs, chunk.iterator.map(_._1).max)
         input.addData(chunk)
       }
-      q.processAllAvailable() // watermark advances AFTER this batch
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      q.processAllAvailable() // one batch; watermark advances AFTER it
       input.addData(Seq((maxTs + 30L * 86400000000L, "__wm__", 0.0)))
       q.processAllAvailable() // sentinel batch closes every real window
       q.stop()
@@ -489,10 +497,14 @@ object PipelineQueries {
         .select(col("event_id"), col("ts_us"), col("event_type"),
           col("value"))
       val qname = "stream_dedup_" + streamSeq.incrementAndGet()
-      val q = deduped.writeStream.format("memory").queryName(qname)
-        .outputMode("append").start()
+      // Pre-load before start(): dedup state lives within the single
+      // batch (dropDuplicates emits survivors on arrival, not on
+      // watermark), so one batch is both correct and ~10× fewer
+      // micro-batch spin-ups than chunk-feeding a running query.
       rows.toLocalIterator().asScala.grouped(8192)
         .foreach(chunk => input.addData(chunk))
+      val q = deduped.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
       q.processAllAvailable()
       q.stop()
       ss.table(qname)
@@ -587,12 +599,16 @@ object PipelineQueries {
         .select(col("view_id"), col("purchase_id"), col("user_id"),
           col("view_ts_us"), col("purchase_ts_us"))
       val qname = "stream_join_" + streamSeq.incrementAndGet()
-      val q = joined.writeStream.format("memory").queryName(qname)
-        .outputMode("append").start()
+      // Pre-load both sides before start(): the first micro-batch sees
+      // every view AND every purchase, so the inner join emits all
+      // matches in one pass (watermark never evicts a row before its
+      // partner arrives — both sides are complete by construction).
       replay("view").toLocalIterator().asScala.grouped(8192)
         .foreach(chunk => vIn.addData(chunk))
       replay("purchase").toLocalIterator().asScala.grouped(8192)
         .foreach(chunk => pIn.addData(chunk))
+      val q = joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
       q.processAllAvailable()
       q.stop()
       ss.table(qname)

@@ -631,15 +631,17 @@ object ReferenceQueries {
         .as[MetricSample]
       val input = MemoryStream[MetricSample]
       val qname = "stream_rate_" + streamSeq.incrementAndGet()
+      // Chunked feed off toLocalIterator: the driver holds one chunk of
+      // rows at a time instead of collect()ing the whole replay (which
+      // grows linearly with sf). All chunks are added BEFORE start() so
+      // the whole replay is ONE micro-batch — StreamingRate sorts each
+      // group's batch by ts, so a single batch is order-correct, and the
+      // ~12 extra micro-batch spin-ups of feeding a running query go away.
+      samples.toLocalIterator().asScala.grouped(8192)
+        .foreach(chunk => input.addData(chunk))
       val q = StreamingRate(input.toDS(), stateTtl = false)
         .writeStream.format("memory").queryName(qname)
         .outputMode("append").start()
-      // Chunked feed off toLocalIterator: the driver holds one chunk of
-      // rows at a time instead of collect()ing the whole replay (which
-      // grows linearly with sf); earlier chunks stream through the state
-      // store while later partitions are still being fetched.
-      samples.toLocalIterator().asScala.grouped(8192)
-        .foreach(chunk => input.addData(chunk))
       q.processAllAvailable()
       q.stop()
       ss.table(qname).select("series", "ts", "rate", "confidence")
