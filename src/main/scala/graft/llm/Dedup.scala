@@ -92,7 +92,17 @@ object Dedup {
     * one-pass codegen'd [[graft.functions.MinHashUtil]] (same values as
     * [[minhashSignatures]], zero shuffles before banding). */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
-                 shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
+                 shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame =
+    lshCandidatePairs(bandRows(df, textCol, idCol, shingleN, k, bands), idCol)
+
+  // ------------------------------------------------- cross-corpus dedup
+
+  /** MinHash-LSH band rows for a corpus via the one-pass codegen kernel
+    * (same (band, band_hash) values as [[minhashSignatures]]+[[lshBands]]).
+    * Shared by [[minhashLsh]]-style within-corpus pairing and
+    * [[crossCorpusKeep]]. */
+  private def bandRows(df: DataFrame, textCol: String, idCol: String,
+                       shingleN: Int, k: Int, bands: Int): DataFrame = {
     val ws = TextAnalysis.tokens(col(textCol))
     val sigs = df.filter(size(ws) >= shingleN)
       .select(col(idCol),
@@ -101,7 +111,33 @@ object Dedup {
           .as("__sig"))
       .select(col(idCol) +:
         (0 until k).map(i => element_at(col("__sig"), i + 1).as(s"sig_$i")): _*)
-    lshCandidatePairs(lshBands(sigs, idCol, k, bands), idCol)
+    lshBands(sigs, idCol, k, bands)
+  }
+
+  /** Cross-corpus dedup: rows of `df` that do NOT near-duplicate anything
+    * in `refDf` — the "dedup the new crawl against the corpus you already
+    * trained on" (or against an eval benchmark) operator. A row is dropped
+    * when any of its MinHash-LSH bands collides with a reference band.
+    *
+    * Plan shape at 100 TB: both corpora reduce to band rows (map-side
+    * codegen signatures, no shuffle before banding); the reference side
+    * further collapses to its DISTINCT (band, band_hash) set — typically
+    * orders of magnitude smaller than the reference corpus itself, and
+    * re-usable across many incoming batches if persisted. The collision
+    * check is a semi-join + anti-join, both hash-partitioned; neither
+    * corpus' text ever shuffles.
+    *
+    * Docs shorter than `shingleN` tokens have no signature and always
+    * survive (nothing to collide on) — same convention as [[minhashLsh]]. */
+  def crossCorpusKeep(df: DataFrame, refDf: DataFrame, textCol: String,
+                      idCol: String, shingleN: Int = 3, k: Int = 8,
+                      bands: Int = 4): DataFrame = {
+    val refBands = bandRows(refDf, textCol, idCol, shingleN, k, bands)
+      .select("band", "band_hash").distinct()
+    val collided = bandRows(df, textCol, idCol, shingleN, k, bands)
+      .join(refBands, Seq("band", "band_hash"), "left_semi")
+      .select(col(idCol)).distinct()
+    df.join(collided, Seq(idCol), "left_anti")
   }
 
   // ------------------------------------------------------ dedup clusters

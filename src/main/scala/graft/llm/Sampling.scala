@@ -130,4 +130,37 @@ object Sampling {
       lit(0L))
     df.withColumn("shard_id", floor(before / lit(budget)).cast("long"))
   }
+
+  /** Curriculum buckets: split each group into `buckets` difficulty tiers
+    * by descending score (ntile — bucket 1 = hardest/highest-score tier,
+    * ties broken by id so the cut is deterministic). The curriculum-
+    * learning shape: schedule training from easy buckets to hard ones, or
+    * mix buckets at fixed rates per epoch.
+    *
+    * Bucketing is PER GROUP (e.g. per source/domain) rather than global:
+    * a global ntile needs a total order — one partition sorting the whole
+    * corpus — while the per-group window shuffles once on the group key
+    * and scales with the largest group. For a global curriculum at 100 TB
+    * compute approximate score quantiles first and assign buckets with a
+    * map-side range lookup. */
+  def curriculum(df: DataFrame, groupCol: String, scoreCol: String,
+                 idCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets=$buckets must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("curriculum_bucket", ntile(buckets).over(w))
+  }
+
+  /** Best-of-corpus curation: the top `k` rows per group by descending
+    * score (ties → smallest id). The "keep the k highest-quality documents
+    * per domain" selection — one shuffle on the group key; with a
+    * rank-pushdown-friendly plan the per-partition sort stops early. */
+  def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                   idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -115,4 +115,39 @@ object TimeSeries {
           6)).as("value"),
       (col("bucket") =!= col("next_bucket")).as("filled")): _*)
   }
+
+  /** Rolling mean over a fixed trailing time window: snap to a
+    * `stepMicros` grid, aggregate each bucket (exact decimal sum + count),
+    * then average the last `windowSteps` buckets with a RANGE frame —
+    * RANGE, not ROWS, so series with missing buckets still average over
+    * the TIME window (a ROWS frame would silently stretch across gaps).
+    *
+    * Two shuffles total, both on the series key (the window reuses the
+    * aggregate's partitioning): per-bucket partial sums are map-side, and
+    * only one row per (series, bucket) enters the window — at 100 TB the
+    * window input is the downsampled series, not the raw events.
+    *
+    * Float discipline: bucket sums are DECIMAL(18,2) (exact, order-free);
+    * the single double division and the final 6-dp round are
+    * correctly-rounded IEEE ops on identical inputs in any engine. */
+  def rollingMean(df: DataFrame, seriesCols: Seq[String],
+                  tsMicrosCol: String, valueCol: String, stepMicros: Long,
+                  windowSteps: Int): DataFrame = {
+    require(stepMicros > 0, s"stepMicros=$stepMicros must be positive")
+    require(windowSteps > 0, s"windowSteps=$windowSteps must be positive")
+    val sc = seriesCols.map(col)
+    val ts = col(tsMicrosCol)
+    val bucketed = df
+      .withColumn("bucket", (ts - (ts % lit(stepMicros))).cast("long"))
+      .groupBy(sc :+ col("bucket"): _*)
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("bsum"),
+        count(lit(1)).as("bn"))
+    val w = Window.partitionBy(sc: _*).orderBy(col("bucket"))
+      .rangeBetween(-(windowSteps - 1) * stepMicros, 0)
+    bucketed.select(sc ++ Seq(
+      col("bucket"),
+      sum(col("bn")).over(w).as("window_n"),
+      round(sum(col("bsum")).over(w).cast("double") /
+        sum(col("bn")).over(w).cast("double"), 6).as("moving_avg")): _*)
+  }
 }

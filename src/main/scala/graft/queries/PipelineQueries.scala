@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.llm.{Clustering, Contamination, Corpus, Dedup, Multimodal, Pii, Quantize, Sampling, Similarity, TextAnalysis}
-import graft.operators.{AsofJoin, RangeJoin, Sessionize, TimeSeries}
+import graft.operators.{AsofJoin, RangeJoin, Sessionize, Skew, TimeSeries}
 import graft.streaming.{SessionEvent, StreamingSessionize}
 
 /** The LLM-training-data-pipeline operator set (dedup, similarity search,
@@ -37,6 +37,37 @@ object PipelineQueries {
 
   private def sqlStringList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** SQL fragment: per-doc quality score `q(doc_id, quality_score)` (keep
+    * in lock-step with [[TextAnalysis.qualityScore]] and the text_quality
+    * oracle). Requires [[toksCte]]. */
+  private val qualityCte =
+    """qst AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS INT) AS token_count,
+      |    round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr,
+      |    round(CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+      |          / length(text), 6) AS punct_ratio
+      |  FROM t),
+      |q AS (
+      |  SELECT doc_id,
+      |         round(least(token_count / 50.0, 1.0) * 0.4 + ttr * 0.4 +
+      |               (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 6) AS quality_score
+      |  FROM qst)""".stripMargin
+
+  /** SQL fragment: MinHash signatures + LSH band rows
+    * `bands(doc_id, band, band_hash)` for k=8 / bands=4 (keep in
+    * lock-step with [[Dedup.minhashSignatures]]/[[Dedup.lshBands]]).
+    * Requires [[shinglesCte]]. */
+  private val minhashBandsCte =
+    s"""sig AS (SELECT doc_id,
+       |${(0 until 8).map(i => s"  min(md5('$i|' || shingle)) AS sig_$i").mkString(",\n")}
+       |        FROM sh GROUP BY doc_id),
+       |bands AS (
+       |${(0 until 4).map(b =>
+          s"  SELECT doc_id, $b AS band, md5(sig_${2 * b} || sig_${2 * b + 1}) AS band_hash FROM sig")
+          .mkString("\n  UNION ALL\n")}
+       |)""".stripMargin
 
   /** The MinHash-LSH candidate-pair stage is consumed by THREE queries
     * (`dedup_minhash_lsh`, `dedup_clusters`, `dedup_keep`). Each query must
@@ -677,7 +708,100 @@ object PipelineQueries {
       TimeSeries.gapfill(
         Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")),
         Seq("user_id", "event_type"), "ts_us", "value",
-        stepMicros = DayMicros))
+        stepMicros = DayMicros)),
+
+    // --- trailing 7-day rolling mean per series (RANGE frame: series with
+    // missing days still average over the TIME window, not the last 7
+    // observations) ----------------------------------------------------
+    "ts_moving" -> ((s, d) =>
+      TimeSeries.rollingMean(
+        Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")),
+        Seq("user_id", "event_type"), "ts_us", "value",
+        stepMicros = DayMicros, windowSteps = 7)),
+
+    // --- curriculum buckets: 4 per-source difficulty tiers by descending
+    // quality score (bucket 1 = highest-quality quartile) ----------------
+    "curriculum_buckets" -> ((s, d) =>
+      Sampling.curriculum(
+        TextAnalysis.qualityScore(Tables.documents(s, d), "text")
+          .select("doc_id", "source", "quality_score"),
+        "source", "quality_score", "doc_id", buckets = 4)
+        .select("doc_id", "source", "quality_score", "curriculum_bucket")),
+
+    // --- best-of-corpus curation: top-5 docs per source by quality ------
+    "group_topk" -> ((s, d) =>
+      Sampling.topKPerGroup(
+        TextAnalysis.qualityScore(Tables.documents(s, d), "text")
+          .select("doc_id", "source", "quality_score"),
+        "source", "quality_score", "doc_id", k = 5)
+        .select("doc_id", "source", "quality_score", "rank")),
+
+    // --- cross-corpus dedup: docs from the "new" sources (src10+) that
+    // do not MinHash-collide with the "reference" corpus (src0-src9) —
+    // the dedup-new-crawl-against-trained-corpus operator ----------------
+    "dedup_cross" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val srcNum = expr("cast(substring(source, 4) as int)")
+      Dedup.crossCorpusKeep(
+        docs.filter(srcNum >= 10), docs.filter(srcNum < 10),
+        "text", "doc_id", shingleN = 3, k = 8, bands = 4)
+        .select("doc_id", "source")
+    }),
+
+    // --- skew-hardened fact×dim equi-join: salted replication on the dim
+    // side spreads any hot user key over 8 salt partitions; the result is
+    // verified identical to the plain join (the oracle IS the plain join).
+    "skew_join_salted" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"))
+      val dim = ev.select(col("user_id")).distinct()
+        .withColumn("tier", col("user_id") % 5)
+      Skew.saltedJoin(ev, dim, "user_id", salt = 8, spreadCol = "event_id")
+        .select("event_id", "user_id", "tier", "value")
+    }),
+
+    // --- multimodal payload dedup: one row per distinct binary asset
+    // (content hash + byte length), keeper = smallest id — the asset-level
+    // dedup a multimodal pipeline runs before any decode ----------------
+    "mm_dedup" -> ((s, d) =>
+      Multimodal.binaryMeta(
+        Tables.documents(s, d)
+          .withColumn("payload", encode(col("text"), "utf-8")), "payload")
+        .groupBy(col("content_hash"), col("byte_len"))
+        .agg(min(col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("n_copies"))),
+
+    // --- stream-static enrichment join: the canonical Structured
+    // Streaming enrichment shape — a stream inner-joined to a broadcast
+    // static dimension (no watermark needed; the static side is planned
+    // per micro-batch). Oracle = the equivalent batch join. --------------
+    "stream_enrich" -> ((s, d) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      implicit val sqlCtx = ss.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import ss.implicits._
+      import scala.jdk.CollectionConverters._
+      val dim = Tables.events(ss, d).select(col("user_id")).distinct()
+        .withColumn("tier", col("user_id") % 5)
+      val rows = Tables.events(ss, d).filter(col("user_id") < 40)
+        .select(col("event_id"), col("user_id"),
+          col("value").cast("double").as("value"))
+        .orderBy("event_id")
+        .as[(Long, Long, Double)]
+      val input = MemoryStream[(Long, Long, Double)]
+      rows.toLocalIterator().asScala.grouped(8192)
+        .foreach(chunk => input.addData(chunk))
+      val enriched = input.toDS().toDF("event_id", "user_id", "value")
+        .join(broadcast(dim), Seq("user_id"))
+        .select("event_id", "user_id", "tier", "value")
+      val qname = "stream_enrich_" + streamSeq.incrementAndGet()
+      val q = enriched.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      ss.table(qname)
+    })
   )
 
   /** Declared pivot columns for `corpus_pivot` (the driver corpus' five
@@ -777,14 +901,7 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
 
       "dedup_minhash_lsh" ->
         s"""WITH $shinglesCte,
-           |sig AS (SELECT doc_id,
-           |${(0 until 8).map(i => s"  min(md5('$i|' || shingle)) AS sig_$i").mkString(",\n")}
-           |        FROM sh GROUP BY doc_id),
-           |bands AS (
-           |${(0 until 4).map(b =>
-              s"  SELECT doc_id, $b AS band, md5(sig_${2 * b} || sig_${2 * b + 1}) AS band_hash FROM sig")
-              .mkString("\n  UNION ALL\n")}
-           |)
+           |$minhashBandsCte
            |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |FROM bands a JOIN bands b
            |  ON a.band = b.band AND a.band_hash = b.band_hash
@@ -813,14 +930,7 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
 
       "dedup_clusters" ->
         s"""WITH RECURSIVE $shinglesCte,
-           |sig AS (SELECT doc_id,
-           |${(0 until 8).map(i => s"  min(md5('$i|' || shingle)) AS sig_$i").mkString(",\n")}
-           |        FROM sh GROUP BY doc_id),
-           |bands AS (
-           |${(0 until 4).map(b =>
-              s"  SELECT doc_id, $b AS band, md5(sig_${2 * b} || sig_${2 * b + 1}) AS band_hash FROM sig")
-              .mkString("\n  UNION ALL\n")}
-           |),
+           |$minhashBandsCte,
            |pairs AS (
            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM bands a JOIN bands b
@@ -838,14 +948,7 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
 
       "dedup_keep" ->
         s"""WITH RECURSIVE $shinglesCte,
-           |sig AS (SELECT doc_id,
-           |${(0 until 8).map(i => s"  min(md5('$i|' || shingle)) AS sig_$i").mkString(",\n")}
-           |        FROM sh GROUP BY doc_id),
-           |bands AS (
-           |${(0 until 4).map(b =>
-              s"  SELECT doc_id, $b AS band, md5(sig_${2 * b} || sig_${2 * b + 1}) AS band_hash FROM sig")
-              .mkString("\n  UNION ALL\n")}
-           |),
+           |$minhashBandsCte,
            |pairs AS (
            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM bands a JOIN bands b
@@ -938,17 +1041,8 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
 
       "text_quality" ->
         s"""WITH $toksCte,
-           |st AS (
-           |  SELECT doc_id,
-           |    CAST(len(toks) AS INT) AS token_count,
-           |    round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr,
-           |    round(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
-           |          / length(text), 6) AS punct_ratio
-           |  FROM t)
-           |SELECT doc_id,
-           |       round(least(token_count / 50.0, 1.0) * 0.4 + ttr * 0.4 +
-           |             (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 6) AS quality_score
-           |FROM st""".stripMargin,
+           |$qualityCte
+           |SELECT doc_id, quality_score FROM q""".stripMargin,
 
       "text_langid" ->
         s"""WITH $toksCte,
@@ -1573,7 +1667,87 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |                   / CAST(next_bucket - prev_bucket AS DOUBLE),
           |                 6) END AS value,
           |       bucket <> next_bucket AS filled
-          |FROM g""".stripMargin
+          |FROM g""".stripMargin,
+
+      // mirror TimeSeries.rollingMean: exact decimal bucket sums, RANGE
+      // frame of 6 days preceding, one correctly-rounded division
+      "ts_moving" ->
+        """WITH b AS (
+          |  SELECT user_id, event_type,
+          |         epoch_us(ts) - epoch_us(ts) % 86400000000 AS bucket,
+          |         sum(CAST(value AS DECIMAL(18,2))) AS bsum,
+          |         count(*) AS bn
+          |  FROM events GROUP BY 1, 2, 3)
+          |SELECT user_id, event_type, bucket,
+          |       CAST(sum(bn) OVER w AS BIGINT) AS window_n,
+          |       round(CAST(sum(bsum) OVER w AS DOUBLE)
+          |             / CAST(sum(bn) OVER w AS DOUBLE), 6) AS moving_avg
+          |FROM b
+          |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY bucket
+          |             RANGE BETWEEN 518400000000 PRECEDING
+          |                       AND CURRENT ROW)""".stripMargin,
+
+      "curriculum_buckets" ->
+        s"""WITH $toksCte,
+           |$qualityCte
+           |SELECT d.doc_id, d.source, q.quality_score,
+           |       CAST(ntile(4) OVER (PARTITION BY d.source
+           |           ORDER BY q.quality_score DESC, d.doc_id) AS INT)
+           |         AS curriculum_bucket
+           |FROM documents d JOIN q ON d.doc_id = q.doc_id""".stripMargin,
+
+      "group_topk" ->
+        s"""WITH $toksCte,
+           |$qualityCte,
+           |r AS (
+           |  SELECT d.doc_id, d.source, q.quality_score,
+           |         CAST(row_number() OVER (PARTITION BY d.source
+           |             ORDER BY q.quality_score DESC, d.doc_id) AS INT)
+           |           AS rank
+           |  FROM documents d JOIN q ON d.doc_id = q.doc_id)
+           |SELECT doc_id, source, quality_score, rank
+           |FROM r WHERE rank <= 5""".stripMargin,
+
+      // survivors of the new corpus (src10+): docs with no MinHash band
+      // collision against the reference corpus (src0-src9)
+      "dedup_cross" ->
+        s"""WITH $shinglesCte,
+           |$minhashBandsCte,
+           |src AS (SELECT doc_id, source,
+           |               CAST(substr(source, 4) AS INT) AS src_num
+           |        FROM documents),
+           |refb AS (SELECT DISTINCT band, band_hash
+           |         FROM bands JOIN src USING (doc_id)
+           |         WHERE src_num < 10),
+           |hit AS (SELECT DISTINCT bands.doc_id
+           |        FROM bands JOIN src USING (doc_id)
+           |             JOIN refb USING (band, band_hash)
+           |        WHERE src_num >= 10)
+           |SELECT doc_id, source FROM src
+           |WHERE src_num >= 10
+           |  AND doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin,
+
+      // the salted join must equal the PLAIN join — the oracle is the
+      // unsalted formulation
+      "skew_join_salted" ->
+        """WITH dim AS (
+          |  SELECT DISTINCT user_id, user_id % 5 AS tier FROM events)
+          |SELECT e.event_id, e.user_id, d.tier, e.value
+          |FROM events e JOIN dim d USING (user_id)""".stripMargin,
+
+      "mm_dedup" ->
+        """SELECT md5(text) AS content_hash,
+          |       CAST(octet_length(encode(text)) AS INT) AS byte_len,
+          |       min(doc_id) AS keeper_id, count(*) AS n_copies
+          |FROM documents GROUP BY 1, 2""".stripMargin,
+
+      // batch formulation of the stream-static enrichment join
+      "stream_enrich" ->
+        """WITH dim AS (
+          |  SELECT DISTINCT user_id, user_id % 5 AS tier FROM events)
+          |SELECT e.event_id, e.user_id, d.tier, e.value
+          |FROM events e JOIN dim d USING (user_id)
+          |WHERE e.user_id < 40""".stripMargin
     )
   }
 }

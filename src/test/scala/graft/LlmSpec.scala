@@ -28,6 +28,22 @@ class LlmSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated never pairs
   }
 
+  test("cross-corpus dedup drops reference collisions, keeps the rest") {
+    // reference corpus: doc 1's text. New corpus: an exact copy (11), a
+    // near dup (13, one word changed), an unrelated doc (14), and a
+    // too-short doc (15, < shingleN tokens → no signature → survives).
+    val ref = docs.filter($"doc_id" === 1L)
+    val fresh = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog"),
+      (13L, "the quick brown fox jumps over the lazy cat"),
+      (14L, "completely different words entirely unrelated text here now"),
+      (15L, "tiny doc")).toDF("doc_id", "text")
+    val kept = Dedup.crossCorpusKeep(fresh, ref, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(11L), "exact copy must collide on every band")
+    assert(kept.contains(14L) && kept.contains(15L))
+  }
+
   test("ngram jaccard: identical docs = 1.0, near dups high, unrelated absent") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
       n = 3, threshold = 0.3)

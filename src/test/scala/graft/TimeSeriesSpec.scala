@@ -75,6 +75,38 @@ class TimeSeriesSpec extends SparkSpec {
       "one new row displaces at most one selected row")
   }
 
+  test("rollingMean averages the trailing TIME window across gaps") {
+    // step 10, 3-step window (range -20..0). Series s: buckets 0, 10, 30.
+    // At bucket 30 the frame is [10, 30] → buckets 10 and 30 only — a
+    // ROWS frame would wrongly reach back to bucket 0 across the gap.
+    val df = Seq(("s", 0L, 1.00), ("s", 5L, 3.00), // both in bucket 0
+      ("s", 10L, 6.00), ("s", 30L, 10.00))
+      .toDF("series", "ts_us", "value")
+    val m = TimeSeries.rollingMean(df, Seq("series"), "ts_us", "value",
+        stepMicros = 10L, windowSteps = 3)
+      .select("bucket", "window_n", "moving_avg")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(0L) == ((2L, 2.0)))          // (1+3)/2
+    assert(m(10L)._1 == 3L)               // buckets 0 and 10 in frame
+    assert(math.abs(m(10L)._2 - 3.333333) < 1e-9)
+    assert(m(30L) == ((2L, 8.0)))         // (6+10)/2 — bucket 0 aged out
+  }
+
+  test("curriculum buckets tier by score within group; topK curates") {
+    val df = Seq(
+      (1L, "g", 0.9), (2L, "g", 0.8), (3L, "g", 0.7), (4L, "g", 0.6),
+      (5L, "h", 0.5), (6L, "h", 0.5)) // tie → id order
+      .toDF("id", "grp", "score")
+    val cur = Sampling.curriculum(df, "grp", "score", "id", buckets = 2)
+      .select("id", "curriculum_bucket").as[(Long, Int)].collect().toMap
+    assert(cur(1L) == 1 && cur(2L) == 1 && cur(3L) == 2 && cur(4L) == 2)
+    assert(cur(5L) == 1 && cur(6L) == 2)
+    val top = Sampling.topKPerGroup(df, "grp", "score", "id", k = 1)
+      .select("id").as[Long].collect().toSet
+    assert(top == Set(1L, 5L))
+  }
+
   test("ngram doc-freq ranks shared shingles above unique ones") {
     val docs = Seq(
       (1L, "the quick brown fox jumps"),
