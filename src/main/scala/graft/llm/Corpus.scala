@@ -118,4 +118,37 @@ object Corpus {
           sum(col("tf").cast("decimal(9,0)") * col("nll9")).cast("double")
             / sum(col("tf")).cast("double"), 6).as("avg_nll"))
   }
+
+  /** Per-document character-distribution Shannon entropy (nats): a cheap
+    * degenerate-text signal — near-zero entropy flags repeated-character
+    * runs and template junk; natural text sits in a narrow band per
+    * language/script.
+    *
+    * Float discipline mirrors [[unigramSurprisal]]: each character's
+    * −ln p is rounded to 9 dp and fixed as DECIMAL(28,9), so the weighted
+    * sum is exact decimal arithmetic — the per-doc entropy never depends
+    * on double-addition order across partitions.
+    *
+    * Plan shape: the char explode is map-side; the (doc, char) count
+    * partial-aggregates before its shuffle, so the exchange carries at
+    * most |alphabet| rows per document, not one per character. The n
+    * window and the final per-doc aggregate both hash on the doc key —
+    * one repartitioning for the whole tail. */
+  def charEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val chars = df.filter(length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(1), length(col(textCol)))).as("__i"))
+      .select(col(idCol), col(textCol).substr(col("__i"), lit(1)).as("ch"))
+    val cf = chars.groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("cnt"))
+    val n = sum(col("cnt")).over(Window.partitionBy(col(idCol)))
+    cf.withColumn("n", n)
+      .withColumn("ent9",
+        round(-log(col("cnt").cast("double") / col("n").cast("double")), 9)
+          .cast("decimal(28,9)"))
+      .groupBy(col(idCol))
+      .agg(max(col("n")).as("n_chars"),
+        round(
+          sum(col("cnt").cast("decimal(9,0)") * col("ent9")).cast("double")
+            / max(col("n")).cast("double"), 6).as("char_entropy"))
+  }
 }

@@ -128,7 +128,12 @@ object Sampling {
       sum(col(tokensCol)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)),
       lit(0L))
+    // shard_offset = the document's start position in its shard's token
+    // space (running count modulo the budget grid) — what a data loader
+    // needs to seek a document inside a packed shard without re-counting
     df.withColumn("shard_id", floor(before / lit(budget)).cast("long"))
+      .withColumn("shard_offset",
+        (before - col("shard_id") * lit(budget)).cast("long"))
   }
 
   /** Curriculum buckets: split each group into `buckets` difficulty tiers

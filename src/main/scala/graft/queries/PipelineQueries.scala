@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.llm.{Clustering, Contamination, Corpus, Dedup, Multimodal, Pii, Quantize, Sampling, Similarity, TextAnalysis}
-import graft.operators.{AsofJoin, RangeJoin, Sessionize, Skew, TimeSeries}
+import graft.operators.{AsofJoin, Cohorts, RangeJoin, Sessionize, Skew, TimeSeries}
 import graft.streaming.{SessionEvent, StreamingSessionize}
 
 /** The LLM-training-data-pipeline operator set (dedup, similarity search,
@@ -332,7 +332,7 @@ object PipelineQueries {
           .withColumn("tokens",
             size(TextAnalysis.tokens(col("text"))).cast("long")),
         "lang_id", "doc_id", "tokens", budget = 2000L)
-        .select("doc_id", "lang_id", "shard_id")),
+        .select("doc_id", "lang_id", "shard_id", "shard_offset")),
 
     // --- clickstream sessionization (gap-based, 24 h) ----------------------
     // ts is long nanos on the Spark side but DuckDB's TIMESTAMP truncates to
@@ -770,6 +770,20 @@ object PipelineQueries {
         .groupBy(col("content_hash"), col("byte_len"))
         .agg(min(col("doc_id")).as("keeper_id"),
           count(lit(1)).as("n_copies"))),
+
+    // --- cohort retention matrix: users active N days after their first
+    // active day, per first-day cohort — all-integer, two user-key
+    // shuffles, events collapse to distinct (user, day) up front --------
+    "cohort_retention" -> ((s, d) =>
+      Cohorts.retention(
+        Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "ts_us", stepMicros = DayMicros)
+        .select("cohort", "period_offset", "n_users")),
+
+    // --- per-document character entropy (degenerate-text signal) --------
+    "doc_entropy" -> ((s, d) =>
+      Corpus.charEntropy(Tables.documents(s, d), "text", "doc_id")
+        .select("doc_id", "n_chars", "char_entropy")),
 
     // --- stream-static enrichment join: the canonical Structured
     // Streaming enrichment shape — a stream inner-joined to a broadcast
@@ -1344,14 +1358,20 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       "pack_shards" ->
         s"""WITH $langCte,
            |tk AS (SELECT doc_id, lang_id,
-           |              CAST(len(toks) AS BIGINT) AS tokens FROM lang)
+           |              CAST(len(toks) AS BIGINT) AS tokens FROM lang),
+           |run AS (
+           |  SELECT doc_id, lang_id,
+           |         coalesce(sum(tokens) OVER (
+           |             PARTITION BY lang_id
+           |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |           AS before
+           |  FROM tk)
            |SELECT doc_id, lang_id,
-           |       CAST(floor(coalesce(sum(tokens) OVER (
-           |           PARTITION BY lang_id
-           |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           |         / 2000) AS BIGINT) AS shard_id
-           |FROM tk""".stripMargin,
+           |       CAST(floor(before / 2000) AS BIGINT) AS shard_id,
+           |       CAST(before - floor(before / 2000) * 2000 AS BIGINT)
+           |         AS shard_offset
+           |FROM run""".stripMargin,
 
       "sessionize" ->
         """WITH x AS (
@@ -1740,6 +1760,41 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |       CAST(octet_length(encode(text)) AS INT) AS byte_len,
           |       min(doc_id) AS keeper_id, count(*) AS n_copies
           |FROM documents GROUP BY 1, 2""".stripMargin,
+
+      "cohort_retention" ->
+        """WITH act AS (
+          |  SELECT DISTINCT user_id,
+          |         epoch_us(ts) - epoch_us(ts) % 86400000000 AS period
+          |  FROM events),
+          |first AS (
+          |  SELECT user_id, min(period) AS cohort FROM act GROUP BY 1)
+          |SELECT cohort, (period - cohort) // 86400000000 AS period_offset,
+          |       count(*) AS n_users
+          |FROM act JOIN first USING (user_id)
+          |GROUP BY 1, 2""".stripMargin,
+
+      // mirror Corpus.charEntropy: per-char −ln p rounded to 9 dp and
+      // fixed as decimal, weighted sum exact, one division + 6-dp round
+      "doc_entropy" ->
+        """WITH idx AS (
+          |  SELECT doc_id, text,
+          |         unnest(generate_series(1, length(text))) AS i
+          |  FROM documents WHERE length(text) > 0),
+          |ch AS (SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+          |       FROM idx),
+          |cf AS (SELECT doc_id, ch, count(*) AS cnt FROM ch GROUP BY 1, 2),
+          |w AS (SELECT doc_id, cnt,
+          |             sum(cnt) OVER (PARTITION BY doc_id) AS n
+          |      FROM cf),
+          |e AS (SELECT doc_id, cnt, n,
+          |             CAST(round(-ln(CAST(cnt AS DOUBLE)
+          |                            / CAST(n AS DOUBLE)), 9)
+          |                  AS DECIMAL(28,9)) AS ent9
+          |      FROM w)
+          |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+          |       round(CAST(sum(CAST(cnt AS DECIMAL(9,0)) * ent9) AS DOUBLE)
+          |             / CAST(max(n) AS DOUBLE), 6) AS char_entropy
+          |FROM e GROUP BY 1""".stripMargin,
 
       // batch formulation of the stream-static enrichment join
       "stream_enrich" ->

@@ -107,6 +107,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(top == Set(1L, 5L))
   }
 
+  test("cohort retention counts users per (cohort, offset) cell") {
+    // step 10. u1 first at 0, active at 0, 10, 30 → offsets 0, 1, 3.
+    // u2 first at 10, active at 10 (twice — must not double count) and 20.
+    val ev = Seq((1L, 0L), (1L, 12L), (1L, 33L), (2L, 15L), (2L, 17L),
+      (2L, 25L)).toDF("user_id", "ts_us")
+    val out = graft.operators.Cohorts.retention(ev, "user_id", "ts_us", 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((0L, 0L, 1L), (0L, 1L, 1L), (0L, 3L, 1L),
+      (10L, 0L, 1L), (10L, 1L, 1L)))
+  }
+
+  test("char entropy: uniform chars = ln(k), constant run = 0") {
+    val df = Seq((1L, "aaaa"), (2L, "abab"), (3L, "")).toDF("doc_id", "text")
+    val out = Corpus.charEntropy(df, "text", "doc_id")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((4L, 0.0)))
+    assert(math.abs(out(2L)._2 - math.log(2)) < 1e-6)
+    assert(!out.contains(3L), "empty docs have no distribution")
+  }
+
   test("ngram doc-freq ranks shared shingles above unique ones") {
     val docs = Seq(
       (1L, "the quick brown fox jumps"),
