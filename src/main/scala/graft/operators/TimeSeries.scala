@@ -77,7 +77,10 @@ object TimeSeries {
     * observation pair (a row with no predecessor explodes to just
     * itself). No union (a union of observed+gap branches would scan the
     * source twice — Catalyst does not share subplans across union
-    * sides), no join, no second shuffle. Interpolation arithmetic is a
+    * sides), no join, and ONE exchange: the explicit series-key
+    * repartition satisfies both the aggregate's clustering and the
+    * window's partitioning (without it Spark plans a second exchange
+    * between them). Interpolation arithmetic is a
     * fixed tree of correctly-rounded IEEE ops on exact longs, so values
     * are bit-reproducible across engines. */
   def gapfill(df: DataFrame, seriesCols: Seq[String], tsMicrosCol: String,
@@ -90,6 +93,7 @@ object TimeSeries {
     // same in either engine (pmod's floor semantics would not)
     val bucketed = df
       .withColumn("bucket", (ts - (ts % lit(stepMicros))).cast("long"))
+      .repartition(sc: _*)
       .groupBy(sc :+ col("bucket"): _*)
       .agg(max(col(valueCol).cast("double")).as("v"))
     val w = Window.partitionBy(sc: _*).orderBy(col("bucket"))
@@ -122,10 +126,15 @@ object TimeSeries {
     * RANGE, not ROWS, so series with missing buckets still average over
     * the TIME window (a ROWS frame would silently stretch across gaps).
     *
-    * Two shuffles total, both on the series key (the window reuses the
-    * aggregate's partitioning): per-bucket partial sums are map-side, and
-    * only one row per (series, bucket) enters the window — at 100 TB the
-    * window input is the downsampled series, not the raw events.
+    * ONE shuffle total: the explicit repartition on the series key
+    * satisfies both the bucket aggregate's clustering (a subset of its
+    * grouping keys) and the window's partitioning, so EnsureRequirements
+    * inserts no further exchange. Per-bucket partial sums are still
+    * map-side, and only one row per (series, bucket) enters the window —
+    * at 100 TB the window input is the downsampled series, not raw
+    * events. (Without the repartition Spark plans TWO exchanges: one on
+    * (series, bucket) for the aggregate, another on series for the
+    * window — verified with ExplainProbe.)
     *
     * Float discipline: bucket sums are DECIMAL(18,2) (exact, order-free);
     * the single double division and the final 6-dp round are
@@ -139,6 +148,7 @@ object TimeSeries {
     val ts = col(tsMicrosCol)
     val bucketed = df
       .withColumn("bucket", (ts - (ts % lit(stepMicros))).cast("long"))
+      .repartition(sc: _*)
       .groupBy(sc :+ col("bucket"): _*)
       .agg(sum(col(valueCol).cast("decimal(18,2)")).as("bsum"),
         count(lit(1)).as("bn"))

@@ -99,6 +99,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("series repartition serves aggregate AND window in one exchange") {
+    // without the explicit series-key repartition Spark plans two
+    // exchanges (aggregate on (series, bucket), window on series)
+    Seq("ts_moving", "ts_gapfill").foreach { q =>
+      val p = plan(q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"$q should shuffle exactly once:\n$p")
+    }
+  }
+
+  test("cohort retention: one scan, window-derived cohort (no self-join)") {
+    val p = plan("cohort_retention")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"events must be scanned once:\n$p")
+    assert(!p.contains("Join"), s"cohort must come from a window:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
+
   test("sql surface: views + plain sql run the same engine") {
     Graft.attachViews(spark, sf001)
     val n = spark.sql(
