@@ -94,4 +94,78 @@ class PropertySpec extends SparkSpec {
       assert(fn == rn, s"seed=$seed norm")
     }
   }
+
+  test("rollingMean == brute-force trailing-window reference on random series") {
+    import graft.operators.TimeSeries
+    val evGen = Gen.listOfN(60, for {
+      s <- Gen.oneOf("a", "b", "c")
+      t <- Gen.chooseNum(0L, 200L)
+      v <- Gen.chooseNum(0, 9999)
+    } yield (s, t, v / 100.0))
+    (1 to 10).foreach { seed =>
+      val evs = sample(evGen, seed)
+      val got = TimeSeries.rollingMean(evs.toDF("series", "ts_us", "value"),
+          Seq("series"), "ts_us", "value", stepMicros = 10L, windowSteps = 3)
+        .as[(String, Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      // reference: bucket sums in plain Scala (BigDecimal = exact), then
+      // average every bucket within [b-20, b]
+      val sums = evs.groupBy(e => (e._1, e._2 - e._2 % 10))
+        .map { case (k, es) =>
+          k -> ((es.map(e => BigDecimal(e._3).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP)).sum, es.size.toLong)) }
+      val expect = sums.map { case ((s, b), _) =>
+        val in = sums.filter { case ((s2, b2), _) =>
+          s2 == s && b2 >= b - 20 && b2 <= b }
+        val n = in.values.map(_._2).sum
+        val tot = in.values.map(_._1).sum
+        (s, b) -> ((n, BigDecimal(tot.toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
+  test("retention invariants: offset-0 diagonal counts each cohort once") {
+    import graft.operators.Cohorts
+    val evGen = Gen.listOfN(80, for {
+      u <- Gen.chooseNum(1L, 12L)
+      t <- Gen.chooseNum(0L, 300L)
+    } yield (u, t))
+    (1 to 10).foreach { seed =>
+      val evs = sample(evGen, seed)
+      val cells = Cohorts.retention(evs.toDF("user_id", "ts_us"),
+          "user_id", "ts_us", stepMicros = 10L)
+        .as[(Long, Long, Long)].collect()
+      val users = evs.map(_._1).distinct.size.toLong
+      // every user is active in their own first period, so the offset-0
+      // column partitions the user set exactly
+      assert(cells.filter(_._2 == 0L).map(_._3).sum == users, s"seed=$seed")
+      // no cell exceeds its cohort's size and offsets are non-negative
+      val cohortSize = cells.filter(_._2 == 0L).map(c => c._1 -> c._3).toMap
+      assert(cells.forall(c => c._2 >= 0 && c._3 <= cohortSize(c._1)),
+        s"seed=$seed")
+    }
+  }
+
+  test("crossCorpusKeep: survivors subset input; exact ref copies never survive") {
+    import graft.llm.Dedup
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+    val docGen = Gen.listOfN(6, word).map(_.mkString(" "))
+    (1 to 10).foreach { seed =>
+      val refTexts = (1 to 5).map(i => sample(docGen, seed * 100 + i))
+      val ref = refTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      // fresh corpus: half exact copies of ref docs, half random
+      val fresh = (refTexts.take(2) ++
+        (1 to 3).map(i => sample(docGen, seed * 991 + i)))
+        .zipWithIndex.map { case (t, i) => (100L + i, t) }
+      val freshDf = fresh.toDF("doc_id", "text")
+      val kept = Dedup.crossCorpusKeep(freshDf, ref, "text", "doc_id")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept.subsetOf(fresh.map(_._1).toSet), s"seed=$seed")
+      // ids 100, 101 are verbatim reference texts → all bands collide
+      assert(!kept.contains(100L) && !kept.contains(101L), s"seed=$seed")
+    }
+  }
 }
