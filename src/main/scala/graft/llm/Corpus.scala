@@ -119,6 +119,56 @@ object Corpus {
             / sum(col("tf")).cast("double"), 6).as("avg_nll"))
   }
 
+  /** Corpus-wide top-`k` bigram collocations by pointwise mutual
+    * information: PMI(w1,w2) = ln(p(w1,w2) / (p(w1)·p(w2))) with the
+    * joint from bigram counts and the marginals from unigram counts —
+    * the classic collocation detector ("New York", "machine learning"
+    * score high; chance co-occurrences of frequent words score ≈ 0).
+    * `minCount` suppresses the unstable rare-pair tail.
+    *
+    * Plan shape: bigrams explode map-side (0-based array walk, no
+    * shuffle), then ONE hash aggregate per granularity (bigram, unigram,
+    * and the two scalar totals, each with map-side partials); the
+    * marginal lookups are plain equi-joins on the token key and the two
+    * 1-row totals attach as broadcast scalars. Top-k compiles to
+    * TakeOrderedAndProject.
+    *
+    * Float discipline: all counts are exact longs; the PMI argument is
+    * the fixed double tree ((c12·N1)/(c1·c2))·(N1/N2) — every step a
+    * correctly-rounded IEEE op on identical inputs, mirrored verbatim in
+    * the oracle — followed by one ln and a 6-dp round (the surprisal
+    * precedent: both engines' ln agree on identical doubles). */
+  def collocationsPmi(df: DataFrame, textCol: String, idCol: String,
+                      minCount: Long, k: Int): DataFrame = {
+    require(minCount >= 1 && k > 0, s"minCount=$minCount, k=$k")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val words = df.select(toks.as("w"))
+    val uni = words.select(explode(col("w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val n1 = uni.agg(sum(col("c")).as("__n1"))
+    val bg = words.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val n2 = words.filter(size(col("w")) >= 2)
+      .agg(sum(size(col("w")) - 1).as("__n2"))
+    val joined = bg
+      .join(uni.select(col("tok").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+    val d = (c: Column) => c.cast("double")
+    val pmi = round(log(
+      d(col("c12")) * d(col("__n1")) / (d(col("c1")) * d(col("c2"))) *
+        (d(col("__n1")) / d(col("__n2")))), 6)
+    joined.withColumn("pmi", pmi)
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select("w1", "w2", "c12", "pmi")
+  }
+
   /** Per-document character-distribution Shannon entropy (nats): a cheap
     * degenerate-text signal — near-zero entropy flags repeated-character
     * runs and template junk; natural text sits in a narrow band per

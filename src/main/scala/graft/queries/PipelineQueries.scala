@@ -780,6 +780,11 @@ object PipelineQueries {
         "user_id", "ts_us", stepMicros = DayMicros)
         .select("cohort", "period_offset", "n_users")),
 
+    // --- top-50 bigram collocations by pointwise mutual information -----
+    "collocation_pmi" -> ((s, d) =>
+      Corpus.collocationsPmi(Tables.documents(s, d), "text", "doc_id",
+        minCount = 5L, k = 50)),
+
     // --- per-document character entropy (degenerate-text signal) --------
     "doc_entropy" -> ((s, d) =>
       Corpus.charEntropy(Tables.documents(s, d), "text", "doc_id")
@@ -1772,6 +1777,30 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |       count(*) AS n_users
           |FROM act JOIN first USING (user_id)
           |GROUP BY 1, 2""".stripMargin,
+
+      // mirror Corpus.collocationsPmi's exact double tree:
+      // ((c12·N1)/(c1·c2))·(N1/N2), one ln, 6-dp round
+      "collocation_pmi" ->
+        """WITH ws AS (
+          |  SELECT string_split_regex(text, '\s+') AS w FROM documents),
+          |uni AS (SELECT unnest(w) AS tok FROM ws),
+          |uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+          |n1t AS (SELECT CAST(sum(c) AS BIGINT) AS n1 FROM uc),
+          |bi AS (SELECT w[i] AS w1, w[i + 1] AS w2
+          |       FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+          |             FROM ws WHERE len(w) >= 2)),
+          |bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2
+          |       HAVING count(*) >= 5),
+          |n2t AS (SELECT CAST(sum(len(w) - 1) AS BIGINT) AS n2
+          |        FROM ws WHERE len(w) >= 2)
+          |SELECT w1, w2, c12,
+          |       round(ln(CAST(c12 AS DOUBLE) * CAST(n1 AS DOUBLE)
+          |                / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))
+          |                * (CAST(n1 AS DOUBLE) / CAST(n2 AS DOUBLE))), 6)
+          |         AS pmi
+          |FROM bc JOIN uc a ON bc.w1 = a.tok
+          |        JOIN uc b ON bc.w2 = b.tok, n1t, n2t
+          |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
 
       // mirror Corpus.charEntropy: per-char −ln p rounded to 9 dp and
       // fixed as decimal, weighted sum exact, one division + 6-dp round

@@ -335,6 +335,32 @@ object ReferenceQueries {
           count(lit(1)).as("count_order"))),
 
     // --- headline: shipping-priority join (Q3-style, deterministic top-10) ------
+    // TPC-H Q5 shape: six-table star join (two fact tables + four dims)
+    // with a region gate and a date-range gate — the multi-way join
+    // Catalyst's cost-based reorder + AQE exist for. Region/nation are
+    // declared broadcast (always tiny); supplier/customer joins are left
+    // to AQE, which broadcasts them at bench scale but shuffle-joins at
+    // 100 TB where customer scales with the fact data.
+    "q5_region_revenue" -> ((s, d) => {
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      Tables.lineitem(s, d)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+    }),
+
     "q3_shipping" -> ((s, d) => {
       val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.orders(s, d)
@@ -984,6 +1010,22 @@ object ReferenceQueries {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY 1, 2""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n.n_name,
+        |       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |               AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
 
     "q3_shipping" ->
       """WITH agg AS (

@@ -102,4 +102,20 @@ class CorpusQuantizeSpec extends SparkSpec {
     val overlap = exact.intersect(quant).size.toDouble / exact.size
     assert(overlap >= 0.9, s"quantized top-k overlap $overlap < 0.9")
   }
+
+  test("pmi: a dedicated collocation outranks chance pairs of common words") {
+    // "new york" always co-occur (5×, exclusively); filler words "the"/"x"
+    // co-occur by chance. PMI(new,york) = ln((5·N1²)/(N2·5·5)) — maximal.
+    val corpus = (1 to 5).map(i => (i.toLong, "the x new york the x"))
+      .toDF("doc_id", "text")
+    val out = Corpus.collocationsPmi(corpus, "text", "doc_id",
+        minCount = 5L, k = 3)
+      .as[(String, String, Long, Double)].collect()
+    assert(out.head._1 == "new" && out.head._2 == "york", out.mkString(";"))
+    assert(out.head._3 == 5L)
+    // hand value: N1=30, N2=25, c1=c2=5 → ln(5·30·30/(25·5·5)) = ln(7.2)
+    assert(math.abs(out.head._4 - math.log(7.2)) < 1e-6)
+    // every returned pair is above the rare-pair floor
+    assert(out.forall(_._3 >= 5L))
+  }
 }
