@@ -156,6 +156,29 @@ object Sampling {
     df.withColumn("curriculum_bucket", ntile(buckets).over(w))
   }
 
+  /** GLOBAL curriculum buckets — the scale path [[curriculum]]'s scaladoc
+    * promises: compute the (buckets−1) score quantile thresholds once
+    * (one tiny aggregate), broadcast them, and assign buckets with a
+    * map-side range lookup. No total sort, no single-partition window —
+    * the only non-map work is the threshold aggregate itself. Bucket 1 =
+    * highest-score tier, matching [[curriculum]].
+    *
+    * Uses exact `percentile` here (oracle-comparable); at 100 TB swap in
+    * `approx_percentile` — same output columns, bounded memory, and the
+    * assignment stage is unchanged. */
+  def curriculumGlobal(df: DataFrame, scoreCol: String,
+                       buckets: Int): DataFrame = {
+    require(buckets > 1, s"buckets=$buckets must be > 1")
+    val qs = (1 until buckets).map(i => i.toDouble / buckets)
+    val th = df.agg(expr(
+      s"percentile($scoreCol, array(${qs.mkString("D, ")}D))").as("__th"))
+    df.crossJoin(broadcast(th))
+      .withColumn("curriculum_bucket",
+        (lit(buckets) -
+          size(filter(col("__th"), t => col(scoreCol) > t))).cast("int"))
+      .drop("__th")
+  }
+
   /** Best-of-corpus curation: the top `k` rows per group by descending
     * score (ties → smallest id). The "keep the k highest-quality documents
     * per domain" selection — one shuffle on the group key; with a

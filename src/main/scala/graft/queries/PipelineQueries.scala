@@ -728,6 +728,15 @@ object PipelineQueries {
         "source", "quality_score", "doc_id", buckets = 4)
         .select("doc_id", "source", "quality_score", "curriculum_bucket")),
 
+    // --- GLOBAL curriculum: quantile thresholds + map-side assignment ---
+    // (the 100 TB path — no total sort; bucket 1 = highest quartile)
+    "curriculum_global" -> ((s, d) =>
+      Sampling.curriculumGlobal(
+        TextAnalysis.qualityScore(Tables.documents(s, d), "text")
+          .select("doc_id", "quality_score"),
+        "quality_score", buckets = 4)
+        .select("doc_id", "quality_score", "curriculum_bucket")),
+
     // --- best-of-corpus curation: top-5 docs per source by quality ------
     "group_topk" -> ((s, d) =>
       Sampling.topKPerGroup(
@@ -1720,6 +1729,18 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |           ORDER BY q.quality_score DESC, d.doc_id) AS INT)
            |         AS curriculum_bucket
            |FROM documents d JOIN q ON d.doc_id = q.doc_id""".stripMargin,
+
+      // quantile_cont matches Spark's exact percentile (linear interp at
+      // rank p·(n−1)); identical thresholds → identical bucket compares
+      "curriculum_global" ->
+        s"""WITH $toksCte,
+           |$qualityCte,
+           |th AS (SELECT quantile_cont(quality_score,
+           |                            [0.25, 0.5, 0.75]) AS ts FROM q)
+           |SELECT doc_id, quality_score,
+           |       CAST(4 - len(list_filter(ts, t -> quality_score > t))
+           |            AS INT) AS curriculum_bucket
+           |FROM q, th""".stripMargin,
 
       "group_topk" ->
         s"""WITH $toksCte,

@@ -105,6 +105,13 @@ class TimeSeriesSpec extends SparkSpec {
     val top = Sampling.topKPerGroup(df, "grp", "score", "id", k = 1)
       .select("id").as[Long].collect().toSet
     assert(top == Set(1L, 5L))
+    // global variant: quantile thresholds + map-side assign, bucket 1 =
+    // highest tier; 8 distinct scores into 4 buckets of 2
+    val g = (1 to 8).map(i => (i.toLong, i / 10.0)).toDF("id", "score")
+    val gb = Sampling.curriculumGlobal(g, "score", buckets = 4)
+      .select("id", "curriculum_bucket").as[(Long, Int)].collect().toMap
+    assert(gb(8L) == 1 && gb(7L) == 1 && gb(1L) == 4 && gb(2L) == 4)
+    assert((1 to 8).map(i => gb(i.toLong)).toSet == Set(1, 2, 3, 4))
   }
 
   test("cohort retention counts users per (cohort, offset) cell") {
