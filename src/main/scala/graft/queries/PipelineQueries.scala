@@ -799,6 +799,24 @@ object PipelineQueries {
       Corpus.charEntropy(Tables.documents(s, d), "text", "doc_id")
         .select("doc_id", "n_chars", "char_entropy")),
 
+    // --- the composed cleaning pipeline, as ONE plan: quality scoring →
+    // threshold filter → language gate → exact dedup (keep first) →
+    // token-budget shard packing. The operators chain as plain DataFrame
+    // transforms — scoring/gating fuse into the scan's codegen stage, and
+    // only the dedup and packing windows shuffle. -----------------------
+    "pipeline_clean" -> ((s, d) => {
+      val scored = TextAnalysis.qualityScore(Tables.documents(s, d), "text")
+        .filter(col("quality_score") >= 0.5)
+        .withColumn("lang_id", TextAnalysis.langId(col("text")))
+        .filter(col("lang_id") === "en")
+      val kept = Dedup.exact(scored, "text", "doc_id")
+        .filter(col("keep"))
+        .withColumn("tokens", col("token_count").cast("long"))
+      Sampling.packShards(kept, "lang_id", "doc_id", "tokens",
+        budget = 2000L)
+        .select("doc_id", "quality_score", "shard_id", "shard_offset")
+    }),
+
     // --- stream-static enrichment join: the canonical Structured
     // Streaming enrichment shape — a stream inner-joined to a broadcast
     // static dimension (no watermark needed; the static side is planned
@@ -1845,6 +1863,37 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |       round(CAST(sum(CAST(cnt AS DECIMAL(9,0)) * ent9) AS DOUBLE)
           |             / CAST(max(n) AS DOUBLE), 6) AS char_entropy
           |FROM e GROUP BY 1""".stripMargin,
+
+      // the composed cleaning pipeline: every stage reuses the CTEs the
+      // individual operators are verified against
+      "pipeline_clean" ->
+        s"""WITH $langCte,
+           |$qualityCte,
+           |f AS (
+           |  SELECT d.doc_id, d.text, q.quality_score,
+           |         CAST(qst.token_count AS BIGINT) AS tokens
+           |  FROM documents d
+           |  JOIN q ON q.doc_id = d.doc_id
+           |  JOIN qst ON qst.doc_id = d.doc_id
+           |  JOIN lang l ON l.doc_id = d.doc_id
+           |  WHERE q.quality_score >= 0.5 AND l.lang_id = 'en'),
+           |kept AS (
+           |  SELECT doc_id, quality_score, tokens FROM (
+           |    SELECT *, row_number() OVER (
+           |        PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           |    FROM f) WHERE rn = 1),
+           |run AS (
+           |  SELECT doc_id, quality_score,
+           |         coalesce(sum(tokens) OVER (
+           |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |           AS before
+           |  FROM kept)
+           |SELECT doc_id, quality_score,
+           |       CAST(floor(before / 2000) AS BIGINT) AS shard_id,
+           |       CAST(before - floor(before / 2000) * 2000 AS BIGINT)
+           |         AS shard_offset
+           |FROM run""".stripMargin,
 
       // batch formulation of the stream-static enrichment join
       "stream_enrich" ->
