@@ -57,6 +57,37 @@ object TextAnalysis {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Sliding token windows with overlap — the chunking stage of an
+    * embedding/RAG pipeline: windows of `window` tokens starting every
+    * `stride` tokens (stride < window ⇒ overlap of window − stride).
+    * A window is emitted only if it contributes tokens the previous
+    * window didn't already cover (`start == 0 OR remaining > window −
+    * stride`), so the tail is covered exactly once and short documents
+    * yield one chunk.
+    *
+    * Output rows: (id, chunk_idx, chunk_text, n_tokens). Map-only — the
+    * start-list generation, filter, and slice all run inside one codegen
+    * projection; no shuffle at any size. */
+  def slidingChunks(df: DataFrame, textCol: String, idCol: String,
+                    window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"window=$window, stride=$stride")
+    val toks = tokens(col(textCol))
+    df.filter(size(toks) >= 1)
+      .select(col(idCol), toks.as("__w"))
+      .select(col(idCol), explode(expr(
+        s"""transform(
+           |  filter(sequence(0, size(__w) - 1, $stride),
+           |         s -> s = 0 OR size(__w) - s > ${window - stride}),
+           |  s -> struct(
+           |    CAST(s div $stride AS INT) AS chunk_idx,
+           |    array_join(slice(__w, s + 1, $window), ' ') AS chunk_text,
+           |    CAST(least($window, size(__w) - s) AS INT) AS n_tokens))
+           |""".stripMargin)).as("c"))
+      .select(col(idCol), col("c.chunk_idx"), col("c.chunk_text"),
+        col("c.n_tokens"))
+  }
+
   /** Quality-scoring feature bundle; see reference-free heuristics used by
     * C4/Gopher-style filters (length, punctuation, stopword density,
     * type-token ratio). */

@@ -794,6 +794,12 @@ object PipelineQueries {
       Corpus.collocationsPmi(Tables.documents(s, d), "text", "doc_id",
         minCount = 5L, k = 50)),
 
+    // --- RAG/embedding chunking: 8-token windows, stride 4 (50% overlap);
+    // tail chunks emitted only when they add uncovered tokens -----------
+    "chunk_windows" -> ((s, d) =>
+      TextAnalysis.slidingChunks(Tables.documents(s, d), "text", "doc_id",
+        window = 8, stride = 4)),
+
     // --- per-document character entropy (degenerate-text signal) --------
     "doc_entropy" -> ((s, d) =>
       Corpus.charEntropy(Tables.documents(s, d), "text", "doc_id")
@@ -1840,6 +1846,21 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |FROM bc JOIN uc a ON bc.w1 = a.tok
           |        JOIN uc b ON bc.w2 = b.tok, n1t, n2t
           |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+
+      // mirror TextAnalysis.slidingChunks: starts every 4, keep a window
+      // iff it covers new tokens; DuckDB list slice w[a:b] clips like
+      // Spark's slice(w, a, len)
+      "chunk_windows" ->
+        """WITH ws AS (
+          |  SELECT doc_id, string_split_regex(text, '\s+') AS w
+          |  FROM documents),
+          |st AS (SELECT doc_id, w,
+          |              unnest(generate_series(0, len(w) - 1, 4)) AS s
+          |       FROM ws WHERE len(w) >= 1)
+          |SELECT doc_id, CAST(s // 4 AS INT) AS chunk_idx,
+          |       array_to_string(w[s + 1 : s + 8], ' ') AS chunk_text,
+          |       CAST(least(8, len(w) - s) AS INT) AS n_tokens
+          |FROM st WHERE s = 0 OR len(w) - s > 4""".stripMargin,
 
       // mirror Corpus.charEntropy: per-char −ln p rounded to 9 dp and
       // fixed as decimal, weighted sum exact, one division + 6-dp round

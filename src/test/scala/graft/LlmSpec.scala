@@ -198,6 +198,23 @@ class LlmSpec extends SparkSpec {
     assert(packed1 == packed2)
   }
 
+  test("sliding chunks: overlap, covered-tail suppression, short docs") {
+    // window 4, stride 2. 6 tokens: starts 0,2,4 → keep 0 (t1-4) and
+    // 2 (t3-6); start 4 adds nothing (t5-6 already covered) → dropped.
+    // 4 tokens: only start 0. 1 token: one short chunk.
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6"),
+      (2L, "a b c d"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.slidingChunks(docs, "text", "doc_id",
+        window = 4, stride = 2)
+      .as[(Long, Int, String, Int)].collect().toSet
+    assert(out == Set(
+      (1L, 0, "t1 t2 t3 t4", 4), (1L, 1, "t3 t4 t5 t6", 4),
+      (2L, 0, "a b c d", 4),
+      (3L, 0, "solo", 1)))
+  }
+
   test("language ID picks the stopword-dominant language, und when none") {
     val df = Seq(
       (1L, "the cat sat of the mat and the dog is that"),
