@@ -117,6 +117,13 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
   }
 
+  test("q5 star join: dims broadcast, date gate pushed to the orders scan") {
+    val p = plan("q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the o_orderdate range must reach the parquet scan as pushed filters
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p)
+  }
+
   test("sql surface: views + plain sql run the same engine") {
     Graft.attachViews(spark, sf001)
     val n = spark.sql(
