@@ -418,6 +418,47 @@ object PipelineQueries {
       ss.table(qname).filter(col("event_type") =!= "__wm__")
     }),
 
+    // --- streaming: SLIDING windows (6 h length, 3 h slide) — every event
+    // lands in exactly two windows, so the state/emission shape differs
+    // from the tumbling case (overlapping state entries per key). Same
+    // pre-loaded replay + sentinel flush as stream_window. -----------------
+    "stream_window_sliding" -> ((s, d) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      implicit val sqlCtx = ss.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import ss.implicits._
+      import scala.jdk.CollectionConverters._
+      val rows = Tables.events(ss, d)
+        .select(expr("ts div 1000").as("ts_us"), col("event_type"),
+          col("value").cast("double").as("value"))
+        .orderBy("ts_us")
+        .as[(Long, String, Double)]
+      val input = MemoryStream[(Long, String, Double)]
+      val agg = input.toDS().toDF("ts_us", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("value_sum"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n_events"), col("value_sum"))
+      val qname = "stream_window_sliding_" + streamSeq.incrementAndGet()
+      var maxTs = Long.MinValue
+      rows.toLocalIterator().asScala.grouped(8192).foreach { chunk =>
+        maxTs = math.max(maxTs, chunk.iterator.map(_._1).max)
+        input.addData(chunk)
+      }
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      input.addData(Seq((maxTs + 30L * 86400000000L, "__wm__", 0.0)))
+      q.processAllAvailable()
+      q.stop()
+      ss.table(qname).filter(col("event_type") =!= "__wm__")
+    }),
+
     // --- as-of join: latest purchase at or before each view, per user ------
     // Union+window (one shuffle, no range explosion) vs DuckDB's native
     // ASOF JOIN — two independent algorithms, same answer.
@@ -1133,6 +1174,22 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
           |         AS value_sum
           |FROM events GROUP BY 1, 2""".stripMargin,
+
+      // sliding 6 h / 3 h: every event belongs to exactly the two
+      // slide-aligned windows starting at t−(t%3h) and 3 h earlier
+      "stream_window_sliding" ->
+        """WITH e AS (
+          |  SELECT epoch_us(ts) AS ts_us, event_type, value FROM events),
+          |c AS (
+          |  SELECT *, unnest([
+          |      (ts_us // 10800000000) * 10800000000,
+          |      (ts_us // 10800000000) * 10800000000 - 10800000000])
+          |    AS window_start_us
+          |  FROM e)
+          |SELECT window_start_us, event_type, count(*) AS n_events,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          |         AS value_sum
+          |FROM c GROUP BY 1, 2""".stripMargin,
 
       "text_repetition" ->
         s"""WITH $toksCte,
