@@ -117,7 +117,11 @@ object Dedup {
   /** Cross-corpus dedup: rows of `df` that do NOT near-duplicate anything
     * in `refDf` — the "dedup the new crawl against the corpus you already
     * trained on" (or against an eval benchmark) operator. A row is dropped
-    * when any of its MinHash-LSH bands collides with a reference band.
+    * when any of its MinHash-LSH bands collides with a reference band —
+    * and, when `confirmJaccard` is set, only if some colliding reference
+    * doc ALSO passes an exact n-gram Jaccard check (band collision is
+    * probabilistic; the confirm stage restores precision at the cost of a
+    * shingle join over candidate pairs only).
     *
     * Plan shape at 100 TB: both corpora reduce to band rows (map-side
     * codegen signatures, no shuffle before banding); the reference side
@@ -125,19 +129,53 @@ object Dedup {
     * orders of magnitude smaller than the reference corpus itself, and
     * re-usable across many incoming batches if persisted. The collision
     * check is a semi-join + anti-join, both hash-partitioned; neither
-    * corpus' text ever shuffles.
+    * corpus' text ever shuffles. The optional confirm stage joins hashed
+    * shingles restricted to candidate ids — bounded by the collision set,
+    * never all-pairs.
     *
     * Docs shorter than `shingleN` tokens have no signature and always
     * survive (nothing to collide on) — same convention as [[minhashLsh]]. */
   def crossCorpusKeep(df: DataFrame, refDf: DataFrame, textCol: String,
                       idCol: String, shingleN: Int = 3, k: Int = 8,
-                      bands: Int = 4): DataFrame = {
+                      bands: Int = 4,
+                      confirmJaccard: Option[Double] = None): DataFrame = {
+    val newBands = bandRows(df, textCol, idCol, shingleN, k, bands)
     val refBands = bandRows(refDf, textCol, idCol, shingleN, k, bands)
-      .select("band", "band_hash").distinct()
-    val collided = bandRows(df, textCol, idCol, shingleN, k, bands)
-      .join(refBands, Seq("band", "band_hash"), "left_semi")
-      .select(col(idCol)).distinct()
-    df.join(collided, Seq(idCol), "left_anti")
+    val dropIds = confirmJaccard match {
+      case None =>
+        newBands
+          .join(refBands.select("band", "band_hash").distinct(),
+            Seq("band", "band_hash"), "left_semi")
+          .select(col(idCol)).distinct()
+      case Some(t) =>
+        // candidate (new, ref) pairs from band collisions, then exact
+        // Jaccard on hashed shingle sets for JUST those pairs
+        val pairs = newBands.select(col("band"), col("band_hash"),
+            col(idCol).as("__new_id"))
+          .join(refBands.select(col("band"), col("band_hash"),
+            col(idCol).as("__ref_id")), Seq("band", "band_hash"))
+          .select("__new_id", "__ref_id").distinct()
+        def hashedShingles(x: DataFrame, as: String) =
+          shingles(x, textCol, idCol, shingleN)
+            .select(col(idCol).as(as), xxhash64(col("shingle")).as("sh_h"))
+        def sizes(x: DataFrame, as: String, n: String) = {
+          val ws = TextAnalysis.tokens(col(textCol))
+          x.filter(size(ws) >= shingleN).select(col(idCol).as(as),
+            size(graft.functions.Shingles.distinctShingles(ws, shingleN))
+              .cast("long").as(n))
+        }
+        val inter = hashedShingles(df, "__new_id")
+          .join(pairs, Seq("__new_id"))
+          .join(hashedShingles(refDf, "__ref_id"), Seq("__ref_id", "sh_h"))
+          .groupBy("__new_id", "__ref_id").agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes(df, "__new_id", "na"), Seq("__new_id"))
+          .join(sizes(refDf, "__ref_id", "nb"), Seq("__ref_id"))
+          .filter(col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")) >= t)
+          .select(col("__new_id").as(idCol)).distinct()
+    }
+    df.join(dropIds, Seq(idCol), "left_anti")
   }
 
   // ------------------------------------------------------ dedup clusters

@@ -798,6 +798,18 @@ object PipelineQueries {
         .select("doc_id", "source")
     }),
 
+    // --- cross-corpus dedup WITH the exact-Jaccard confirm stage: band
+    // collision nominates, exact shingle overlap ≥ 0.5 convicts ----------
+    "dedup_cross_confirm" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val srcNum = expr("cast(substring(source, 4) as int)")
+      Dedup.crossCorpusKeep(
+        docs.filter(srcNum >= 10), docs.filter(srcNum < 10),
+        "text", "doc_id", shingleN = 3, k = 8, bands = 4,
+        confirmJaccard = Some(0.5))
+        .select("doc_id", "source")
+    }),
+
     // --- skew-hardened fact×dim equi-join: salted replication on the dim
     // side spreads any hot user key over 8 salt partitions; the result is
     // verified identical to the plain join (the oracle IS the plain join).
@@ -1853,6 +1865,38 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |SELECT doc_id, source FROM src
            |WHERE src_num >= 10
            |  AND doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin,
+
+      // confirm stage mirrored exactly: band-collision candidates, exact
+      // DISTINCT-shingle Jaccard ≥ 0.5 convicts (sh is already distinct
+      // per doc, matching the xxhash64-keyed Spark intersection)
+      "dedup_cross_confirm" ->
+        s"""WITH $shinglesCte,
+           |$minhashBandsCte,
+           |src AS (SELECT doc_id, source,
+           |               CAST(substr(source, 4) AS INT) AS src_num
+           |        FROM documents),
+           |pairs AS (
+           |  SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
+           |  FROM bands n
+           |  JOIN src sn ON sn.doc_id = n.doc_id AND sn.src_num >= 10
+           |  JOIN bands r ON n.band = r.band AND n.band_hash = r.band_hash
+           |  JOIN src sr ON sr.doc_id = r.doc_id AND sr.src_num < 10),
+           |iv AS (
+           |  SELECT p.new_id, p.ref_id, count(*) AS inter
+           |  FROM pairs p
+           |  JOIN sh a ON a.doc_id = p.new_id
+           |  JOIN sh b ON b.doc_id = p.ref_id AND b.shingle = a.shingle
+           |  GROUP BY 1, 2),
+           |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+           |dropids AS (
+           |  SELECT DISTINCT i.new_id FROM iv i
+           |  JOIN sz a ON a.doc_id = i.new_id
+           |  JOIN sz b ON b.doc_id = i.ref_id
+           |  WHERE CAST(i.inter AS DOUBLE)
+           |        / (a.n_sh + b.n_sh - i.inter) >= 0.5)
+           |SELECT doc_id, source FROM src
+           |WHERE src_num >= 10
+           |  AND doc_id NOT IN (SELECT new_id FROM dropids)""".stripMargin,
 
       // the salted join must equal the PLAIN join — the oracle is the
       // unsalted formulation

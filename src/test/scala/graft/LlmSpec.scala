@@ -42,6 +42,15 @@ class LlmSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(!kept.contains(11L), "exact copy must collide on every band")
     assert(kept.contains(14L) && kept.contains(15L))
+    // confirm stage: at jaccard 1.0 only the VERBATIM copy drops; the
+    // near dup (13) band-collides but fails the exact check and survives
+    val confirmed = Dedup.crossCorpusKeep(fresh, ref, "text", "doc_id",
+        confirmJaccard = Some(1.0))
+      .select("doc_id").as[Long].collect().toSet
+    assert(!confirmed.contains(11L))
+    assert(confirmed.contains(13L),
+      "near dup below the confirm threshold must survive")
+    assert(confirmed.contains(14L) && confirmed.contains(15L))
   }
 
   test("ngram jaccard: identical docs = 1.0, near dups high, unrelated absent") {
