@@ -95,6 +95,58 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("DSL precedence: random AND/OR chains match a reference evaluator") {
+    import graft.dsl.ResourceFilter
+    // 8-row truth table over three 2-valued fields
+    val combos = for (s <- Seq("s1", "s2"); t <- Seq("t1", "t2");
+                      c <- Seq("c1", "c2")) yield (s, t, c)
+    val df = combos.zipWithIndex.map { case ((s, t, c), i) =>
+      (i.toString, s, t, c, Map.empty[String, String]) }
+      .toDF("resource_id", "resource_site", "resource_type",
+        "resource_class", "resource_metadata")
+    val fields = Vector(
+      ("resource_site", (r: (String, String, String)) => r._1, Seq("s1", "s2", "zz")),
+      ("resource_type", (r: (String, String, String)) => r._2, Seq("t1", "t2", "zz")),
+      ("resource_class", (r: (String, String, String)) => r._3, Seq("c1", "c2", "zz")))
+    val condGen = for {
+      fi <- Gen.chooseNum(0, 2)
+      vi <- Gen.chooseNum(0, 2)
+      eq <- Gen.oneOf(true, false)
+    } yield (fi, vi, eq)
+    val chainGen = for {
+      conds <- Gen.listOfN(5, condGen)
+      ops <- Gen.listOfN(4, Gen.oneOf("AND", "OR"))
+    } yield (conds, ops)
+    (1 to 25).foreach { seed =>
+      val (conds, ops) = sample(chainGen, seed)
+      val dsl = conds.map { case (fi, vi, eq) =>
+        val (name, _, vals) = fields(fi)
+        s"""$name ${if (eq) "=" else "!="} "${vals(vi)}""""
+      }.zipAll(ops, "", "").map { case (c, o) => s"$c $o" }
+        .mkString(" ").trim
+      // reference eval: AND binds tighter — split the chain at ORs, a row
+      // passes if any AND-run is all-true
+      def rowPasses(r: (String, String, String)): Boolean = {
+        val truths = conds.map { case (fi, vi, eq) =>
+          val (_, get, vals) = fields(fi)
+          if (eq) get(r) == vals(vi) else get(r) != vals(vi)
+        }
+        val runs = scala.collection.mutable.ListBuffer(
+          scala.collection.mutable.ListBuffer(truths.head))
+        ops.zip(truths.tail).foreach { case (op, t) =>
+          if (op == "AND") runs.last += t
+          else runs += scala.collection.mutable.ListBuffer(t)
+        }
+        runs.exists(_.forall(identity))
+      }
+      val expect = combos.zipWithIndex.collect {
+        case (r, i) if rowPasses(r) => i.toString }.toSet
+      val got = df.filter(ResourceFilter.parse(dsl))
+        .select("resource_id").as[String].collect().toSet
+      assert(got == expect, s"seed=$seed dsl=[$dsl]")
+    }
+  }
+
   test("rollingMean == brute-force trailing-window reference on random series") {
     import graft.operators.TimeSeries
     val evGen = Gen.listOfN(60, for {
