@@ -94,6 +94,30 @@ object Similarity {
       (next() >>> 11) * (2.0 / (1L << 53)) - 1.0))
   }
 
+  /** Johnson–Lindenstrauss-style random projection to `dimOut`
+    * dimensions: component j = ⟨vec, plane_j⟩ / √dimOut against the same
+    * seeded deterministic planes as [[signBucketRotated]]. The standard
+    * cheap dimensionality reduction before clustering/ANN — pairwise
+    * distances are preserved in expectation, and a 64→8 projection cuts
+    * every downstream distance computation 8×.
+    *
+    * Map-side only: `dimOut` codegen'd dot products against FOLDABLE
+    * literal planes, no shuffle at any scale. Vectors shorter than
+    * `dimIn` degrade OUT (same posture as [[signLshTopK]]/[[ivfTopK]]).
+    * Components round to 6 dp — the fold order and the √dimOut scale
+    * constant are identical in any IEEE engine. */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+                       dimIn: Int, dimOut: Int,
+                       seed: Long = DefaultSeed): DataFrame = {
+    require(dimIn > 0 && dimOut > 0, s"dimIn=$dimIn, dimOut=$dimOut")
+    val planes = rotationPlanes(dimOut, dimIn, seed)
+    val scale = 1.0 / math.sqrt(dimOut.toDouble)
+    val comps = planes.map(p =>
+      round(dot(col(vecCol), typedlit(p.toSeq)) * lit(scale), 6))
+    df.filter(size(col(vecCol)) >= dimIn)
+      .select(col(idCol), array(comps: _*).as("projected"))
+  }
+
   /** Sign-LSH bucket from `b` random-rotation hyperplanes: bit i =
     * sign(⟨vec, plane_i⟩). The dot products run in the codegen'd
     * [[dot]] kernel against FOLDABLE array literals — map-side only, and

@@ -526,6 +526,12 @@ object PipelineQueries {
     "lm_surprisal" -> ((s, d) =>
       Corpus.unigramSurprisal(Tables.documents(s, d), "text", "doc_id")),
 
+    // --- JL random projection 64→8: the cheap dim reduction before
+    // clustering/ANN (map-side dot products against literal planes) ------
+    "embed_project" -> ((s, d) =>
+      Similarity.randomProjection(Tables.embeddings(s, d),
+        "vec_id", "embedding", dimIn = 64, dimOut = 8)),
+
     // --- int8 embedding quantization fidelity report -----------------------
     // Map-side only: per-vector scale + mean squared reconstruction error.
     "embed_quantize" -> ((s, d) =>
@@ -925,6 +931,17 @@ object PipelineQueries {
       val lst = p.map(java.lang.Double.toString).mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product($v, $lst) >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
+
+  /** Mirror of [[Similarity.randomProjection]]: component j as a DuckDB
+    * select item — same planes, same √dimOut scale constant (rendered via
+    * Double.toString, which round-trips exactly), same 6-dp round. */
+  private def projectionSql(v: String, dimOut: Int, dimIn: Int): String = {
+    val scale = java.lang.Double.toString(1.0 / math.sqrt(dimOut.toDouble))
+    Similarity.rotationPlanes(dimOut, dimIn).map { p =>
+      val lst = p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+      s"round(list_dot_product($v, $lst) * $scale, 6)"
+    }.mkString("[", ",\n        ", "]")
+  }
 
   /** Same planes as 0/1 INT select items (`b0..b{b-1}`), for oracle
     * queries that need to derive the hamming-1 multi-probe bucket set. */
@@ -1399,6 +1416,13 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |         round(list_dot_product(a.v, b.v), 6) AS score
           |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
           |WHERE score >= 0.35""".stripMargin),
+
+      "embed_project" ->
+        (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |           FROM embeddings WHERE len(embedding) >= 64)
+           |SELECT vec_id,
+           |       ${projectionSql("v", 8, 64)} AS projected
+           |FROM e""".stripMargin),
 
       "embed_kmeans" ->
         (s"WITH ${kmeansCtes(8, 2, 64)}\n" +

@@ -153,6 +153,35 @@ class LlmSpec extends SparkSpec {
     assert(rotRecall > 0.0)
   }
 
+  test("random projection: deterministic, dim-guarded, distance-sane") {
+    import graft.llm.Similarity
+    val rnd = new scala.util.Random(7)
+    val vecs = (1 to 40).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextDouble() * 2 - 1))) :+
+      (99L, Seq.fill(8)(1.0)) // too short → degrades out
+    val df = vecs.toDF("vec_id", "embedding")
+    val p = Similarity.randomProjection(df, "vec_id", "embedding", 64, 8)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(!p.contains(99L) && p.size == 40)
+    assert(p.values.forall(_.size == 8))
+    // determinism in the seed
+    val p2 = Similarity.randomProjection(df, "vec_id", "embedding", 64, 8)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(p == p2)
+    // JL sanity: average projected pairwise distance correlates with the
+    // original — identical vectors project identically, and the mean
+    // distance ratio sits in a loose band around 1
+    def dist(a: Seq[Double], b: Seq[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val ids = p.keys.toSeq.sorted.take(10)
+    val orig = vecs.toMap
+    val ratios = for {
+      i <- ids; j <- ids if i < j
+    } yield dist(p(i), p(j)) / dist(orig(i), orig(j))
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.5 && mean < 1.5, s"mean distance ratio $mean")
+  }
+
   test("rotation planes are deterministic in (b, dim, seed)") {
     val a = Similarity.rotationPlanes(4, 64)
     val b = Similarity.rotationPlanes(4, 64)
