@@ -4,7 +4,11 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, HammingDistance, L2Normalize, NfcNormalize}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{DistinctShingles, DotProduct, HammingDistance,
+  L2Normalize, MinHashSignature, NfcNormalize, NgramStats, SimHash64}
 
 /** `SparkSessionExtensions` installer: registers the engine's custom
   * codegen expressions as SQL functions so `spark.sql` queries (and the
@@ -28,6 +32,23 @@ object GraftExtensions {
           .wrongNumArgs(name, n, args.length)
       build(args)
     }
+
+  /** Kernel parameters (shingle n, signature k) are constructor Ints on
+    * the expression, not child expressions — a SQL call must pass them as
+    * INT literals, extracted here at resolution time. */
+  private[graft] def litInt(fn: String, argName: String, e: Expression): Int =
+    e match {
+      case Literal(v: Int, IntegerType) => v
+      // any other foldable INT (e.g. a bridge-wrapped or folded literal)
+      case f if f.foldable && f.dataType == IntegerType =>
+        f.eval() match {
+          case v: Int => v
+          case _ => throw new IllegalArgumentException(
+            s"$fn: $argName must be a non-null INT literal")
+        }
+      case other => throw new IllegalArgumentException(
+        s"$fn: $argName must be an INT literal, got $other")
+    }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -50,5 +71,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc"),
       arity("nfc", 1)(args => NfcNormalize(args.head))))
+    ext.injectFunction((
+      FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[DistinctShingles].getName, "shingles"),
+      arity("shingles", 2)(args => DistinctShingles(args(0),
+        GraftExtensions.litInt("shingles", "n", args(1))))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName,
+        "minhash_signature"),
+      arity("minhash_signature", 2)(args => MinHashSignature(args(0),
+        GraftExtensions.litInt("minhash_signature", "k", args(1))))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      arity("simhash64", 1)(args => SimHash64(args.head))))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_stats"),
+      new ExpressionInfo(classOf[NgramStats].getName, "ngram_stats"),
+      arity("ngram_stats", 2)(args => NgramStats(args(0),
+        GraftExtensions.litInt("ngram_stats", "n", args(1))))))
   }
 }

@@ -117,6 +117,22 @@ class ExpressionsSpec extends SparkSpec {
     assert(out(2).getInt(0) == 0)
   }
 
+  test("SQL kernel params: INT literals extract, non-literals reject") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal => L}
+    import org.apache.spark.sql.types.IntegerType
+    assert(GraftExtensions.litInt("shingles", "n", L(3)) == 3)
+    val ex = intercept[IllegalArgumentException] {
+      GraftExtensions.litInt("shingles", "n",
+        AttributeReference("x", IntegerType)())
+    }
+    assert(ex.getMessage.contains("shingles"))
+    // the builders compose with extracted params
+    val b = GraftExtensions.arity("shingles", 2)(args =>
+      graft.functions.DistinctShingles(args(0),
+        GraftExtensions.litInt("shingles", "n", args(1))))
+    b(Seq(L.create(Array("a", "b", "c")), L(2)))
+  }
+
   test("wrong-arity function builder raises WRONG_NUM_ARGS analysis error") {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val build = GraftExtensions.arity("vec_dot", 2)(
