@@ -200,6 +200,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("slidingChunks: every token covered, no chunk redundant") {
+    import graft.llm.TextAnalysis
+    val paramGen = for {
+      nTok <- Gen.chooseNum(1, 40)
+      window <- Gen.chooseNum(1, 12)
+      stride <- Gen.chooseNum(1, 12) if stride <= window
+    } yield (nTok, window, stride)
+    (1 to 30).foreach { seed =>
+      val (nTok, window, stride) = sample(paramGen, seed)
+      val toks = (1 to nTok).map(i => s"t$i")
+      val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val chunks = TextAnalysis.slidingChunks(df, "text", "doc_id",
+          window, stride)
+        .select("chunk_idx", "chunk_text", "n_tokens")
+        .as[(Int, String, Int)].collect().sortBy(_._1)
+      val covered = chunks.flatMap(_._2.split(" ")).toSet
+      assert(covered == toks.toSet,
+        s"seed=$seed n=$nTok w=$window s=$stride: coverage hole")
+      // chunk_idx consecutive from 0; every chunk contributes new tokens
+      assert(chunks.map(_._1).toSeq == chunks.indices.toSeq, s"seed=$seed")
+      val ends = chunks.map(c => c._1 * stride + c._3)
+      assert(ends.toSeq == ends.sorted.distinct.toSeq,
+        s"seed=$seed: a chunk added no new tokens")
+    }
+  }
+
   test("crossCorpusKeep: survivors subset input; exact ref copies never survive") {
     import graft.llm.Dedup
     val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
