@@ -124,6 +124,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p)
   }
 
+  test("every query has a DuckDB oracle (full-strength correctness gate)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"queries without an oracle: $missing")
+    assert(orphans.isEmpty, s"oracles without a query: $orphans")
+  }
+
   test("sql surface: views + plain sql run the same engine") {
     Graft.attachViews(spark, sf001)
     val n = spark.sql(
