@@ -475,6 +475,40 @@ object PipelineQueries {
           "purchase_value")
     }),
 
+    // --- as-of join with a tolerance: latest purchase at or before each
+    // view AND within 7 days — stale matches age out (the reference-data
+    // freshness guard every point-in-time lookup wants) ------------------
+    "asof_join_tol" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us").as("purchase_ts"))
+        .agg(max(col("value")).as("purchase_value"))
+      AsofJoin.leftAsof(views, purchases, "user_id", "ts_us", "purchase_ts",
+        asofTsName = "purchase_ts",
+        tolerance = Some(7L * 86400000000L))
+        .select("event_id", "user_id", "ts_us", "purchase_ts",
+          "purchase_value")
+    }),
+
+    // --- corpus vector hygiene: one-row report a pipeline runs before
+    // ANN/clustering (dim mismatches, zero vectors, norm distribution) ---
+    "embed_stats" -> ((s, d) => {
+      val v = col("embedding")
+      val ok = size(v) === 64
+      val norm6 = when(ok, round(sqrt(graft.functions.VectorOps.dot(v, v)), 6)
+        .cast("decimal(18,6)"))
+      Tables.embeddings(s, d).agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(!ok, 1L).otherwise(0L)).as("n_wrong_dim"),
+        sum(when(norm6 === 0, 1L).otherwise(0L)).as("n_zero"),
+        round(sum(norm6).cast("double") / count(norm6).cast("double"), 6)
+          .as("norm_avg"),
+        min(norm6).cast("double").as("norm_min"),
+        max(norm6).cast("double").as("norm_max"))
+    }),
+
     // --- range join: views within ±1 h of a (small-cohort) purchase --------
     // Bucketized interval join (equi-join on 1 h buckets + exact filter) vs
     // DuckDB's inequality join.
@@ -1596,6 +1630,47 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |LEFT JOIN s1 USING (user_id)
           |LEFT JOIN s2 USING (user_id)
           |LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+      // tolerance can't ride DuckDB's ASOF JOIN — the LATERAL top-1 is
+      // the equivalent formulation (latest in-window match, else NULLs)
+      "asof_join_tol" ->
+        """WITH l AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+          |  WHERE event_type = 'view'),
+          |r AS (
+          |  SELECT user_id, epoch_us(ts) AS purchase_ts,
+          |         max(value) AS purchase_value
+          |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+          |SELECT l.event_id, l.user_id, l.ts_us,
+          |       pb.purchase_ts, pb.purchase_value
+          |FROM l LEFT JOIN LATERAL (
+          |  SELECT purchase_ts, purchase_value FROM r
+          |  WHERE r.user_id = l.user_id AND r.purchase_ts <= l.ts_us
+          |    AND r.purchase_ts >= l.ts_us - 604800000000
+          |  ORDER BY r.purchase_ts DESC LIMIT 1) pb ON true""".stripMargin,
+
+      // per-row 6-dp norm fixed as decimal, then exact aggregates — the
+      // one division and final casts are correctly-rounded identical ops
+      "embed_stats" ->
+        """WITH e AS (
+          |  SELECT CAST(embedding AS DOUBLE[]) AS v,
+          |         len(embedding) AS d
+          |  FROM embeddings),
+          |n AS (
+          |  SELECT d, CASE WHEN d = 64 THEN
+          |           CAST(round(sqrt(list_dot_product(v, v)), 6)
+          |                AS DECIMAL(18,6)) END AS norm6
+          |  FROM e)
+          |SELECT count(*) AS n_vectors,
+          |       CAST(sum(CASE WHEN d != 64 THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_wrong_dim,
+          |       CAST(sum(CASE WHEN norm6 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_zero,
+          |       round(CAST(sum(norm6) AS DOUBLE)
+          |             / CAST(count(norm6) AS DOUBLE), 6) AS norm_avg,
+          |       CAST(min(norm6) AS DOUBLE) AS norm_min,
+          |       CAST(max(norm6) AS DOUBLE) AS norm_max
+          |FROM n""".stripMargin,
 
       "asof_join" ->
         """WITH l AS (
