@@ -826,6 +826,31 @@ object PipelineQueries {
         "source", "quality_score", "doc_id", k = 5)
         .select("doc_id", "source", "quality_score", "rank")),
 
+    // --- MinHash-ESTIMATED Jaccard on the LSH candidate pairs: the
+    // matching-component fraction whose expectation IS the Jaccard — the
+    // quantity the (k, bands) collision threshold is derived from,
+    // surfaced next to dedup_ngram_jaccard's exact values -----------------
+    "dedup_minhash_est" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ws = TextAnalysis.tokens(col("text"))
+      val sigs = docs.filter(size(ws) >= 3)
+        .select(col("doc_id"),
+          graft.functions.MinHashUtil.signatures(
+            graft.functions.Shingles.distinctShingles(ws, 3), 8)
+            .as("sig"))
+      val pairs = sharedLshPairs(s, d)
+      val matches = (1 to 8).map(i =>
+        when(element_at(col("sig_a"), i) === element_at(col("sig_b"), i), 1)
+          .otherwise(0)).reduce(_ + _)
+      pairs
+        .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")),
+          Seq("id_a"))
+        .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(matches.cast("double") / 8.0, 6).as("est_jaccard"))
+    }),
+
     // --- cross-corpus dedup: docs from the "new" sources (src10+) that
     // do not MinHash-collide with the "reference" corpus (src0-src9) —
     // the dedup-new-crawl-against-trained-corpus operator ----------------
@@ -1945,6 +1970,22 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |  FROM documents d JOIN q ON d.doc_id = q.doc_id)
            |SELECT doc_id, source, quality_score, rank
            |FROM r WHERE rank <= 5""".stripMargin,
+
+      "dedup_minhash_est" ->
+        s"""WITH $shinglesCte,
+           |$minhashBandsCte,
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.band_hash = b.band_hash
+           |   AND a.doc_id < b.doc_id)
+           |SELECT p.id_a, p.id_b,
+           |       round((${(0 until 8).map(i =>
+                s"CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END")
+                .mkString(" + ")}) / 8.0, 6) AS est_jaccard
+           |FROM pairs p
+           |JOIN sig sa ON sa.doc_id = p.id_a
+           |JOIN sig sb ON sb.doc_id = p.id_b""".stripMargin,
 
       // survivors of the new corpus (src10+): docs with no MinHash band
       // collision against the reference corpus (src0-src9)
