@@ -898,6 +898,29 @@ object PipelineQueries {
         .agg(min(col("doc_id")).as("keeper_id"),
           count(lit(1)).as("n_copies"))),
 
+    // --- global leaderboard: top-20 users by exact total spend — the
+    // TakeOrderedAndProject shape (per-partition heaps, k-row driver
+    // merge; never a full sort) over an exact decimal aggregate ----------
+    "events_leaderboard" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_spend"))
+        .orderBy(col("total_spend").desc, col("user_id"))
+        .limit(20)),
+
+    // --- corpus length histogram per language: fixed 100-char-wide bins
+    // capped at bin 5 — map-side integer binning + one hash aggregate ----
+    "corpus_length_hist" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"),
+          least(floor(col("n_chars") / 100), lit(5L)).cast("long")
+            .as("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))),
+
     // --- cohort retention matrix: users active N days after their first
     // active day, per first-day cohort — all-integer, two user-key
     // shuffles, events collapse to distinct (user, day) up front --------
@@ -2050,6 +2073,19 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
         """SELECT md5(text) AS content_hash,
           |       CAST(octet_length(encode(text)) AS INT) AS byte_len,
           |       min(doc_id) AS keeper_id, count(*) AS n_copies
+          |FROM documents GROUP BY 1, 2""".stripMargin,
+
+      "events_leaderboard" ->
+        """SELECT user_id, count(*) AS n_purchases,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          |         AS total_spend
+          |FROM events WHERE event_type = 'purchase'
+          |GROUP BY 1 ORDER BY total_spend DESC, user_id LIMIT 20""".stripMargin,
+
+      "corpus_length_hist" ->
+        """SELECT lang, least(n_chars // 100, 5) AS bin,
+          |       count(*) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS total_chars
           |FROM documents GROUP BY 1, 2""".stripMargin,
 
       "cohort_retention" ->
