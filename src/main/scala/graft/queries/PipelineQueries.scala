@@ -562,9 +562,15 @@ object PipelineQueries {
 
     // --- JL random projection 64→8: the cheap dim reduction before
     // clustering/ANN (map-side dot products against literal planes) ------
+    // The API returns ARRAY<double>; the verification entry posexplodes it
+    // to (vec_id, pos, component) scalar rows so the cross-engine hash
+    // gate can canonicalize the result (array cells are unsortable there).
     "embed_project" -> ((s, d) =>
       Similarity.randomProjection(Tables.embeddings(s, d),
-        "vec_id", "embedding", dimIn = 64, dimOut = 8)),
+        "vec_id", "embedding", dimIn = 64, dimOut = 8)
+        .select(col("vec_id"), posexplode(col("projected")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("col").as("component"))),
 
     // --- int8 embedding quantization fidelity report -----------------------
     // Map-side only: per-vector scale + mean squared reconstruction error.
@@ -1501,10 +1507,14 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
 
       "embed_project" ->
         (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-           |           FROM embeddings WHERE len(embedding) >= 64)
-           |SELECT vec_id,
+           |           FROM embeddings WHERE len(embedding) >= 64),
+           |p AS (SELECT vec_id,
            |       ${projectionSql("v", 8, 64)} AS projected
-           |FROM e""".stripMargin),
+           |FROM e)
+           |SELECT vec_id,
+           |       generate_subscripts(projected, 1) - 1 AS pos,
+           |       unnest(projected) AS component
+           |FROM p""".stripMargin),
 
       "embed_kmeans" ->
         (s"WITH ${kmeansCtes(8, 2, 64)}\n" +
