@@ -1,7 +1,11 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
 
 /** Benchmark-contamination detection: which training documents share
   * enough word n-grams with an evaluation/benchmark document that the
@@ -57,9 +61,10 @@ object Contamination {
     * only the survivors (true matches + fpp noise) enter the exact
     * shuffle join.
     *
-    * The Bloom is built with one tree-aggregated pass over the (small)
-    * eval side and broadcast explicitly; nothing here depends on the fpp
-    * for correctness — a higher fpp only shuffles more confirm-side rows.
+    * The Bloom is built with one aggregate pass over the (small) eval
+    * side and embedded as a plan constant; nothing here depends on the
+    * fpp for correctness — a higher fpp only shuffles more confirm-side
+    * rows.
     */
   def ngramOverlapBloom(train: DataFrame, test: DataFrame,
                         textCol: String, idCol: String,
@@ -72,14 +77,26 @@ object Contamination {
         .select(col(as), xxhash64(col("shingle")).as("sh"))
     val testSh = shingled(test, "test_id")
     val expected = math.max(1L, testSh.select("sh").distinct().count())
-    val bloom = testSh.stat.bloomFilter("sh", expected, fpp)
-    val bloomBc = train.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
+    // Build the Bloom with Spark's native BloomFilterAggregate (the same
+    // expression runtime row-level filtering uses) and probe with the
+    // codegen'd BloomFilterMightContain — the probe stays inside
+    // whole-stage codegen instead of breaking the span with a Scala UDF.
+    // The bloom binary rides as a foldable literal (MightContain requires
+    // a constant); at fpp=1% that is ~1.2 bytes per eval shingle.
+    val numBits = math.max(64L,
+      math.ceil(-expected * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomBin = testSh.agg(ColumnBridge.column(
+        new BloomFilterAggregate(ColumnBridge.expression(col("sh")),
+          Literal(expected), Literal(numBits)).toAggregateExpression())
+        .as("b"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloomBin, BinaryType), ColumnBridge.expression(col("sh"))))
     val testSizes = test.select(col(idCol).as("test_id"),
       size(graft.functions.Shingles.distinctShingles(
         TextAnalysis.tokens(col(textCol)), n)).as("n_test_ngrams"))
     shingled(train, "train_id")
-      .filter(mightContain(col("sh"))) // map-side kill of non-matches
+      .filter(mightContain) // map-side kill of non-matches
       .join(testSh, Seq("sh")) // exact confirm; planner picks the strategy
       .groupBy(col("test_id"), col("train_id"))
       .agg(count(lit(1)).as("shared_ngrams"))

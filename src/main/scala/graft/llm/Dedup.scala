@@ -359,11 +359,17 @@ object Dedup {
     // realistic shingle cardinality and only perturb candidate blocking).
     val sh = shingles(df, textCol, idCol, n)
       .select(col(idCol), xxhash64(col("shingle")).as("sh_h"))
-    val filtered = sh
-      .withColumn("df_cnt",
-        count(lit(1)).over(Window.partitionBy(col("sh_h"))))
-      .filter(col("df_cnt") <= maxDocsPerShingle)
-      .drop("df_cnt")
+    // Stop-shingle cap WITHOUT a window: a window partitioned on sh_h would
+    // route every row of a hot shingle to one partition before the cap can
+    // drop it — the exact straggler the cap exists to prevent. groupBy gets
+    // map-side partial aggregation (each partition contributes one partial
+    // count per shingle), the over-cap set is tiny by construction, and the
+    // broadcast anti-join removes hot shingles with no skewed exchange.
+    val hot = sh.groupBy(col("sh_h"))
+      .agg(count(lit(1)).as("df_cnt"))
+      .filter(col("df_cnt") > maxDocsPerShingle)
+      .select(col("sh_h"))
+    val filtered = sh.join(broadcast(hot), Seq("sh_h"), "left_anti")
     // |A| per doc straight off the text — a map-side scalar, no second
     // explode/shuffle of the shingle set.
     val ws = TextAnalysis.tokens(col(textCol))

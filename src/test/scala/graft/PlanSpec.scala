@@ -83,6 +83,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("bloom contamination probes with the native codegen expression") {
+    val p = plan("contamination_bloom")
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("UDF"), s"Scala UDF in the bloom hot path:\n$p")
+  }
+
   test("text repetition and pii scrub are map-only single scans") {
     Seq("text_repetition", "text_pii").foreach { q =>
       val p = plan(q)
@@ -115,6 +121,15 @@ class PlanSpec extends SparkSpec {
       s"events must be scanned once:\n$p")
     assert(!p.contains("Join"), s"cohort must come from a window:\n$p")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
+
+  test("stop-shingle cap never single-partitions a hot shingle") {
+    // the cap must come from a partial-aggregated groupBy + broadcast
+    // anti-join — a window partitioned on the shingle hash would pile every
+    // row of a hot shingle onto one task before the cap can drop it
+    val p = plan("dedup_ngram_jaccard")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("LeftAnti"), p)
   }
 
   test("q5 star join: dims broadcast, date gate pushed to the orders scan") {
