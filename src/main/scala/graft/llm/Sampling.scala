@@ -96,8 +96,11 @@ object Sampling {
     // zero weight would yield a negative/infinite priority (ranking
     // FIRST, inverting the sample), and a NULL weight a NULL priority
     // whose sort position differs between engines (Spark NULLS FIRST vs
-    // DuckDB NULLS LAST) — neither has a meaningful inclusion probability
-    val positive = df.filter(col(weightCol).cast("double") > 0)
+    // DuckDB NULLS LAST) — neither has a meaningful inclusion probability.
+    // NaN must be excluded explicitly: NaN > 0 is TRUE in Spark's
+    // ordering, and a NaN weight would yield a NaN priority.
+    val w = col(weightCol).cast("double")
+    val positive = df.filter(w > 0 && !isnan(w))
     val u52 = conv(substring(hashKey(col(idCol), salt), 1, 13), 16, 10)
       .cast("long").cast("double")
     // /2^52 is exact (power-of-two scaling); the /w division is the one
@@ -170,8 +173,10 @@ object Sampling {
                        buckets: Int): DataFrame = {
     require(buckets > 1, s"buckets=$buckets must be > 1")
     val qs = (1 until buckets).map(i => i.toDouble / buckets)
-    val th = df.agg(expr(
-      s"percentile($scoreCol, array(${qs.mkString("D, ")}D))").as("__th"))
+    // typed API — no SQL-string splice, so score columns needing quoting
+    // (dots, spaces) work, and the percentage list is a plain literal
+    val th = df.agg(
+      percentile(col(scoreCol), typedlit(qs)).as("__th"))
     df.crossJoin(broadcast(th))
       .withColumn("curriculum_bucket",
         (lit(buckets) -

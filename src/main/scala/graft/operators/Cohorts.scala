@@ -34,8 +34,10 @@ object Cohorts {
       .over(Window.partitionBy(col("__user")))
     act.withColumn("cohort", cohort)
       .groupBy(col("cohort"),
-        ((col("period") - col("cohort")) / lit(stepMicros)).cast("long")
-          .as("period_offset"))
+        // integer `div`, not `/`: double division then cast is only exact
+        // below 2^53 µs of period delta — div keeps this truly all-integer
+        expr(s"(period - cohort) div ${stepMicros}L")
+          .cast("long").as("period_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
 }

@@ -1881,7 +1881,8 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
           |            ::BIGINT / 4503599627370496.0)
           |           / CAST(n_chars AS DOUBLE) AS pri
-          |  FROM documents)
+          |  FROM documents
+          |  WHERE n_chars > 0)
           |SELECT doc_id, n_chars AS weight, round(pri, 12) AS priority
           |FROM p ORDER BY pri, doc_id LIMIT 100""".stripMargin,
 
