@@ -64,6 +64,53 @@ class ResourceFilterSpec extends SparkSpec {
     assert(ids(q) == Set("lb1", "sw1"))
   }
 
+  test("compiled Column goldens: every operator class pins its exact tree") {
+    // The reference locks its DSL compiler output with exact expected SQL
+    // strings (tests/test_framework.py:425-471). Same idea here: pin the
+    // rendered Column tree, so a grammar change that stays semantics-
+    // preserving on the small test corpus but rewrites the compiled
+    // predicate cannot slip through unnoticed.
+    def compiled(q: String): String = ResourceFilter.parse(q).toString
+    val goldens = Seq(
+      """resource_site = "dc1"""" ->
+        "=(resource_site, 'dc1')",
+      """resource_type != "a10"""" ->
+        "!(=(resource_type, 'a10'))",
+      """resource_site NE "dc1"""" -> // caseless keyword synonym
+        "!(=(resource_site, 'dc1'))",
+      """resource_endpoint LIKE "sw%"""" ->
+        "like(resource_endpoint, 'sw%')",
+      """resource_class NOT LIKE "net%"""" ->
+        "!(like(resource_class, 'net%'))",
+      """resource_site IN ("dc1", "dc3")""" ->
+        "in(resource_site, 'dc1', 'dc3')",
+      """resource_site NOT IN ("dc1")""" ->
+        "!(in(resource_site, 'dc1'))",
+      """resource_metadata.make = "Cisco"""" ->
+        "=(resource_metadata['make'], 'Cisco')",
+      """resource_metadata.os_version LIKE "4%"""" ->
+        "like(resource_metadata['os_version'], '4%')",
+      // precedence: a OR b AND c ⇒ a OR (b AND c)
+      """resource_type = "a10" OR resource_site = "dc1" AND resource_class = "system"""" ->
+        ("or(=(resource_type, 'a10'), " +
+          "and(=(resource_site, 'dc1'), =(resource_class, 'system')))"))
+    goldens.foreach { case (q, want) =>
+      assert(compiled(q) == want, s"compile drift for: $q")
+    }
+    // the all-code-paths mega query (reference test_framework.py:440-444)
+    val mega = """resource_class = "network" AND resource_subclass = "load-balancer" OR
+      resource_metadata.os_version LIKE "4%" AND resource_site NOT IN ("test_site")
+      AND resource_endpoint IN ("sw1.fqdn","test2") AND resource_type != "a10" OR
+      resource_metadata.make NOT LIKE "A10%" AND resource_metadata.model NOT IN ("test1", "test2")"""
+    assert(compiled(mega) ==
+      "or(or(and(=(resource_class, 'network'), =(resource_subclass, 'load-balancer')), " +
+        "and(and(and(like(resource_metadata['os_version'], '4%'), " +
+        "!(in(resource_site, 'test_site'))), " +
+        "in(resource_endpoint, 'sw1.fqdn', 'test2')), !(=(resource_type, 'a10')))), " +
+        "and(!(like(resource_metadata['make'], 'A10%')), " +
+        "!(in(resource_metadata['model'], 'test1', 'test2'))))")
+  }
+
   test("escaped quotes in values") {
     val df = Seq(("r1", """va"l""")).toDF("resource_id", "resource_site")
       .withColumn("resource_metadata", map())
