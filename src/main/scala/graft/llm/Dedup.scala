@@ -352,7 +352,36 @@ object Dedup {
     * "stop-shingle" practice). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int, threshold: Double,
-                        maxDocsPerShingle: Int = 1000): DataFrame = {
+                        maxDocsPerShingle: Int = 1000): DataFrame =
+    sharedShinglePairs(df, textCol, idCol, n, maxDocsPerShingle)
+      .withColumn("jaccard", round(
+        col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** Exact n-gram CONTAINMENT for pairs sharing ≥1 shingle:
+    * |A∩B| / min(|A|, |B|). Catches near-subset duplication Jaccard
+    * misses — a short document quoted whole inside a much longer one has
+    * containment ≈ 1 but Jaccard ≈ |short|/|long| ≈ 0, so a Jaccard
+    * gate never fires. Standard second gate in corpus dedup (containment
+    * ≥ 0.8-0.9 alongside Jaccard ≥ 0.7). Same blocking join, same
+    * de-skewed stop-shingle cap, same cost as [[ngramJaccardPairs]]. */
+  def ngramContainmentPairs(df: DataFrame, textCol: String, idCol: String,
+                            n: Int, threshold: Double,
+                            maxDocsPerShingle: Int = 1000): DataFrame =
+    sharedShinglePairs(df, textCol, idCol, n, maxDocsPerShingle)
+      .withColumn("containment", round(
+        col("inter").cast("double") / least(col("na"), col("nb")), 6))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+
+  /** Shared candidate machinery for the exact-overlap family:
+    * (id_a, id_b, inter, na, nb) for every pair sharing ≥1 surviving
+    * shingle, with the de-skewed hot-shingle cap applied. */
+  private def sharedShinglePairs(df: DataFrame, textCol: String,
+                                 idCol: String, n: Int,
+                                 maxDocsPerShingle: Int): DataFrame = {
     // The blocking join never needs the shingle TEXT — only equality — so
     // shuffle 8-byte xxhash64 keys instead of multi-word strings (several×
     // fewer shuffle bytes; 64-bit collisions are negligible at any
@@ -385,11 +414,6 @@ object Dedup {
     shared
       .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("na")), "id_a")
       .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("nb")), "id_b")
-      .withColumn("jaccard", round(
-        col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 
   // ----------------------------------------------- chunk (paragraph) dedup

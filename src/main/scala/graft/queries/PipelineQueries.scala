@@ -168,6 +168,12 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
         n = 3, threshold = 0.2, maxDocsPerShingle = 50)),
 
+    // --- n-gram containment pairs: the subset-duplication gate Jaccard
+    // misses (short doc quoted whole inside a long one) ---------------------
+    "dedup_containment" -> ((s, d) =>
+      Dedup.ngramContainmentPairs(Tables.documents(s, d), "text", "doc_id",
+        n = 3, threshold = 0.4, maxDocsPerShingle = 50)),
+
     // --- text statistics -----------------------------------------------------
     "text_stats" -> ((s, d) =>
       TextAnalysis.stats(Tables.documents(s, d), "text")
@@ -1233,6 +1239,25 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |  JOIN sizes sa ON sa.doc_id = id_a
            |  JOIN sizes sb ON sb.doc_id = id_b)
            |WHERE jaccard >= 0.2""".stripMargin,
+
+      "dedup_containment" ->
+        s"""WITH $shinglesCte,
+           |kept AS (
+           |  SELECT doc_id, shingle FROM sh
+           |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 50),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+           |shared AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           |  FROM kept a JOIN kept b
+           |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b, containment FROM (
+           |  SELECT id_a, id_b,
+           |         round(CAST(inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) AS containment
+           |  FROM shared
+           |  JOIN sizes sa ON sa.doc_id = id_a
+           |  JOIN sizes sb ON sb.doc_id = id_b)
+           |WHERE containment >= 0.4""".stripMargin,
 
       "text_stats" ->
         s"""WITH $toksCte

@@ -63,6 +63,28 @@ class LlmSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("ngram containment: fires on subset duplication where jaccard cannot") {
+    // doc 21 is quoted whole inside the much longer doc 22: containment
+    // is exactly 1.0 while jaccard dilutes toward |short|/|long|
+    val sub = Seq(
+      (21L, "alpha beta gamma delta epsilon"),
+      (22L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi"),
+      (23L, "unrelated words entirely different content here")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(sub, "text", "doc_id",
+      n = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(cont((21L, 22L)) == 1.0)
+    assert(!cont.keySet.exists(p => p._1 == 23L || p._2 == 23L))
+    // the jaccard gate at the same strictness never sees the pair
+    val jac = Dedup.ngramJaccardPairs(sub, "text", "doc_id",
+      n = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(jac.isEmpty)
+  }
+
   test("clusters: min-label propagation merges transitive chains") {
     // 1-2, 2-3, 3-4 chain + isolated pair 8-9 → roots 1 and 8
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L))
