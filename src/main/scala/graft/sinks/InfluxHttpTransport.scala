@@ -51,6 +51,37 @@ final class InfluxHttpTransport(
   } yield "Basic " + Base64.getEncoder.encodeToString(
     s"$u:$p".getBytes(StandardCharsets.UTF_8))
 
+  /** Connection probe — GET /ping, expecting 204 (`consumer.py:253`:
+    * the reference exits if the ping fails at startup). */
+  def ping(): Boolean =
+    try {
+      val req = HttpRequest.newBuilder(
+          URI.create(endpoint.stripSuffix("/") + "/ping"))
+        .timeout(requestTimeout).GET().build()
+      val code = client.send(req,
+        HttpResponse.BodyHandlers.discarding()).statusCode()
+      code >= 200 && code < 300
+    } catch { case _: java.io.IOException => false }
+
+  /** Create the target database if missing — `CREATE DATABASE` is
+    * idempotent in the v1 API, so no list-then-create race
+    * (`consumer.py:259-267` lists first purely for logging). Returns
+    * false on any non-2xx / transport failure; the caller decides whether
+    * that is fatal (the reference exits). */
+  def ensureDatabase(): Boolean =
+    try {
+      val q = java.net.URLEncoder.encode(
+        "CREATE DATABASE \"" + database.replace("\"", "\\\"") + "\"", "UTF-8")
+      val builder = HttpRequest.newBuilder(
+          URI.create(endpoint.stripSuffix("/") + "/query?q=" + q))
+        .timeout(requestTimeout)
+        .POST(HttpRequest.BodyPublishers.noBody())
+      authHeader.foreach(builder.header("Authorization", _))
+      val code = client.send(builder.build(),
+        HttpResponse.BodyHandlers.discarding()).statusCode()
+      code >= 200 && code < 300
+    } catch { case _: java.io.IOException => false }
+
   def apply(lines: Seq[String]): InfluxSink.WriteResult = {
     val body = lines.mkString("\n")
     val builder = HttpRequest.newBuilder(writeUri)

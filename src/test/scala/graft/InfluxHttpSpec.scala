@@ -117,6 +117,24 @@ class InfluxHttpSpec extends SparkSpec with BeforeAndAfterAll {
       Option(ex.getCause).exists(_.getMessage.contains("influx write failed")))
   }
 
+  test("ping and idempotent database creation (startup init)") {
+    reset()
+    server.createContext("/ping", (ex: HttpExchange) => {
+      ex.sendResponseHeaders(204, -1); ex.close()
+    })
+    server.createContext("/query", (ex: HttpExchange) => {
+      queries.add(Option(ex.getRequestURI.getQuery).getOrElse(""))
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    val t = transport()
+    assert(t.ping())
+    assert(t.ensureDatabase())
+    // getQuery decodes %22 but leaves the + form-encoding intact
+    assert(queries.peek() == "q=CREATE+DATABASE+\"panoptes\"")
+    val dead = new InfluxHttpTransport("http://127.0.0.1:1", "panoptes")
+    assert(!dead.ping() && !dead.ensureDatabase())
+  }
+
   test("connection refused maps to TransportError, not poison fallback") {
     // a port with nothing listening — transport must classify the IOException
     val dead = new InfluxHttpTransport("http://127.0.0.1:1", "panoptes")
