@@ -321,15 +321,31 @@ object Dedup {
 
   /** SimHash near-dup candidates: block on 4 chunks of 16 bits (two docs
     * within hamming distance 3 must agree on ≥1 chunk), then exact hamming
-    * over the bit strings. */
+    * over the bit strings.
+    *
+    * `maxDocsPerBucket` caps (chunk, value) bucket density the same way
+    * the stop-shingle cap does (partial-aggregated count + broadcast
+    * anti-join — no skewed window): a bucket of d docs yields d²/2
+    * candidate pairs, so one boilerplate-heavy 16-bit value can dominate
+    * the whole job. Pairs inside a dropped bucket still surface through
+    * any of their other 3 chunks unless those are over-cap too — and a
+    * content population dense enough to saturate all four chunks is
+    * exact-duplicate-grade, which [[exact]] dedup (run FIRST — the
+    * composed pipeline does) removes before this stage ever sees it. */
   def simhashPairs(sig: DataFrame, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val chunks = sig.select(col(idCol), col("simhash_bits"),
+                   maxHamming: Int = 3,
+                   maxDocsPerBucket: Int = 100000): DataFrame = {
+    val raw = sig.select(col(idCol), col("simhash_bits"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk"),
           substring(col("simhash_bits"), i * 16 + 1, 16).as("cv"))): _*))
         .as("c"))
       .select(col(idCol), col("simhash_bits"), col("c.chunk"), col("c.cv"))
+    val hot = raw.groupBy(col("chunk"), col("cv"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxDocsPerBucket)
+      .select(col("chunk"), col("cv"))
+    val chunks = raw.join(broadcast(hot), Seq("chunk", "cv"), "left_anti")
     val a = chunks.select(col("chunk"), col("cv"),
       col(idCol).as("id_a"), col("simhash_bits").as("bits_a"))
     val b = chunks.select(col("chunk"), col("cv"),

@@ -254,27 +254,52 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, LSH-blocked:
     * only same-bucket pairs are scored (id_a < id_b). `rotatedDim` selects
-    * the bucket family exactly as in [[signLshTopK]]. */
+    * the bucket family exactly as in [[signLshTopK]].
+    *
+    * `bands` is the scale knob (OR-amplification): band j hashes with an
+    * independent seeded plane family, and a pair is a candidate if it
+    * collides in ANY band. The sf1 rehearsal (SCALE.md §10a) measured why
+    * this matters: bucket bits b must grow ~log₂(N) to keep per-bucket
+    * occupancy — and therefore pair cost — constant, but raising b alone
+    * drops recall (a near-dup pair straddles a hyperplane with
+    * probability ∝ b·θ/π). Multiple independent bands restore it:
+    * P[candidate] = 1 − (1 − p^b)^bands. b=8, bands=4 is a reasonable
+    * 100 TB start; bands=1 (default) reproduces the single-family
+    * behavior. Cost is `bands` map-side bucket columns and a
+    * candidate-pair dedup before scoring — never an extra corpus scan. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, b: Int,
                          rotatedDim: Option[Int] = None,
                          seed: Long = DefaultSeed,
-                         roundScore: Int = 6): DataFrame = {
-    val bucketCol = rotatedDim match {
-      case Some(dim) => signBucketRotated(col(vecCol), b, dim, seed)
-      case None      => signBucket(col(vecCol), b)
+                         roundScore: Int = 6,
+                         bands: Int = 1): DataFrame = {
+    require(bands >= 1, s"bands=$bands must be >= 1")
+    require(bands == 1 || rotatedDim.isDefined,
+      "multi-band blocking needs the seeded rotated family (rotatedDim)")
+    val bandCols = (0 until bands).map { j =>
+      val bucket = rotatedDim match {
+        case Some(dim) => signBucketRotated(col(vecCol), b, dim, seed + j)
+        case None      => signBucket(col(vecCol), b)
+      }
+      struct(lit(j).as("band"), bucket.as("bucket"))
     }
     // same short-vector posture as signLshTopK: degrade out, don't crash
     val withBucket = df.filter(size(col(vecCol)) >= rotatedDim.getOrElse(b))
-      .select(col(idCol),
-        normalize(col(vecCol)).as("nv"),
-        bucketCol.as("bucket"))
-    val a = withBucket.select(col("bucket"), col(idCol).as("id_a"),
-      col("nv").as("va"))
-    val bb = withBucket.select(col("bucket"), col(idCol).as("id_b"),
-      col("nv").as("vb"))
-    a.join(bb, Seq("bucket"))
+      .select(col(idCol), normalize(col(vecCol)).as("nv"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("nv"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = withBucket.select(col("band"), col("bucket"),
+      col(idCol).as("id_a"), col("nv").as("va"))
+    val bb = withBucket.select(col("band"), col("bucket"),
+      col(idCol).as("id_b"), col("nv").as("vb"))
+    val joined = a.join(bb, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+    // a pair colliding in several bands must score once; with one band
+    // pairs are already unique, so skip the dedup exchange
+    val pairs =
+      if (bands == 1) joined else joined.dropDuplicates("id_a", "id_b")
+    pairs
       .withColumn("score", round(dot(col("va"), col("vb")), roundScore))
       .filter(col("score") >= threshold)
       .select("id_a", "id_b", "score")

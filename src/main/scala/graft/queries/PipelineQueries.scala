@@ -288,6 +288,15 @@ object PipelineQueries {
         "vec_id", "embedding", threshold = 0.35, b = 2, rotatedDim = Some(64))
         .select("id_a", "id_b", "score")),
 
+    // --- banded (OR-amplified) variant: the 100 TB shape — more bucket
+    // bits (occupancy ∝ N/2^b) with independent bands restoring the
+    // recall that extra bits alone would lose --------------------------------
+    "embed_neardup_banded" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
+        "vec_id", "embedding", threshold = 0.35, b = 4,
+        rotatedDim = Some(64), bands = 2)
+        .select("id_a", "id_b", "score")),
+
     // --- deterministic k-means over embeddings ------------------------------
     // Lloyd's with dyadic quantization (exact centroid sums in any addition
     // order), lowest-id init, lowest-index argmin tie-break — the oracle
@@ -1020,8 +1029,9 @@ object PipelineQueries {
     * bit-identical doubles, and `list_dot_product` folds sequentially like
     * the codegen [[graft.functions.DotProduct]]. `v` must be a DOUBLE[]
     * column reference in the surrounding query. */
-  private def rotatedBucketSql(v: String, b: Int, dim: Int): String =
-    Similarity.rotationPlanes(b, dim).map { p =>
+  private def rotatedBucketSql(v: String, b: Int, dim: Int,
+                               seed: Long = Similarity.DefaultSeed): String =
+    Similarity.rotationPlanes(b, dim, seed).map { p =>
       val lst = p.map(java.lang.Double.toString).mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product($v, $lst) >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
@@ -1528,6 +1538,26 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           |         round(list_dot_product(a.v, b.v), 6) AS score
           |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+          |WHERE score >= 0.35""".stripMargin),
+
+      "embed_neardup_banded" ->
+        (s"""WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |            FROM embeddings WHERE len(embedding) >= 64),
+           |e0 AS (
+           |  SELECT vec_id, v,
+           |         ${rotatedBucketSql("v", 4, 64)} AS bk0,
+           |         ${rotatedBucketSql("v", 4, 64, Similarity.DefaultSeed + 1)} AS bk1
+           |  FROM ec),""".stripMargin + "\n" +
+        """e AS (SELECT vec_id,
+          |        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v,
+          |        bk0, bk1
+          |      FROM e0)
+          |SELECT id_a, id_b, score FROM (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |         round(list_dot_product(a.v, b.v), 6) AS score
+          |  FROM e a JOIN e b
+          |    ON a.vec_id < b.vec_id
+          |   AND (a.bk0 = b.bk0 OR a.bk1 = b.bk1))
           |WHERE score >= 0.35""".stripMargin),
 
       "embed_project" ->

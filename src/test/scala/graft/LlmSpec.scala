@@ -175,6 +175,23 @@ class LlmSpec extends SparkSpec {
     assert(rotRecall > 0.0)
   }
 
+  test("banded near-dup: candidates are the union of the per-band families") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    def pairs(bands: Int, seed: Long = Similarity.DefaultSeed) =
+      Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
+        threshold = 0.35, b = 4, rotatedDim = Some(64),
+        seed = seed, bands = bands)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val banded = pairs(bands = 2)
+    val band0 = pairs(bands = 1)
+    val band1 = pairs(bands = 1, seed = Similarity.DefaultSeed + 1)
+    // OR-amplification exactly: no pair appears or disappears beyond the
+    // union, and each single family is a subset (strictly more recall)
+    assert(banded == (band0 | band1))
+    assert(band0.subsetOf(banded) && band1.subsetOf(banded))
+    info(s"band0=${band0.size} band1=${band1.size} union=${banded.size}")
+  }
+
   test("random projection: deterministic, dim-guarded, distance-sane") {
     import graft.llm.Similarity
     val rnd = new scala.util.Random(7)
