@@ -169,6 +169,40 @@ object Corpus {
       .select("w1", "w2", "c12", "pmi")
   }
 
+  /** Corpus vocabulary head: the `k` most frequent tokens with their rank
+    * and CUMULATIVE corpus-coverage fraction — the first chart anyone
+    * draws before sizing a tokenizer vocabulary ("how much of the corpus
+    * do the top 32k tokens cover?"). Zipf makes the head tiny and the
+    * coverage curve steep; the knee locates the useful vocab size.
+    *
+    * Plan shape: ONE hash aggregate on the token (map-side partials —
+    * shuffle volume is the vocabulary, not the corpus), a single-row
+    * broadcast total, and the running sum over the global rank order runs
+    * on the k-row FRAME ONLY — `limit(k)` collapses to the
+    * TakeOrderedAndProject heap-merge before the window, so no
+    * single-partition pass over the full vocabulary ever happens.
+    * Coverage derives from exact integer sums divided once at the end. */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val toks = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("__total"))
+    val top = counts
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token"))))
+      .withColumn("cum_frac",
+        round(sum(col("cnt")).over(w).cast("double")
+          / col("__total").cast("double"), 6))
+      .select("rank", "token", "cnt", "cum_frac")
+  }
+
   /** Per-document character-distribution Shannon entropy (nats): a cheap
     * degenerate-text signal — near-zero entropy flags repeated-character
     * runs and template junk; natural text sits in a narrow band per

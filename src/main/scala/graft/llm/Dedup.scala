@@ -178,6 +178,25 @@ object Dedup {
     df.join(dropIds, Seq(idCol), "left_anti")
   }
 
+  /** Duplication-multiplicity histogram: for each multiplicity m, how
+    * many distinct contents occur exactly m times and how many documents
+    * they account for. THE first corpus-health number a pipeline reports
+    * (a heavy m≥2 tail says run exact dedup before anything pairwise —
+    * see SCALE.md §10a for what duplication multiplicity does to
+    * candidate-pair stages).
+    *
+    * Two hash aggregates, both with map-side partials: content hashes
+    * (16-byte digests, uniform — no skew) collapse to (hash, count),
+    * then counts collapse to the histogram, whose cardinality is at most
+    * the largest multiplicity. Document text never shuffles. */
+  def duplicationHistogram(df: DataFrame, textCol: String,
+                           idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("multiplicity"))
+      .groupBy(col("multiplicity"))
+      .agg(count(lit(1)).as("n_groups"))
+      .withColumn("n_docs", col("multiplicity") * col("n_groups"))
+
   // ------------------------------------------------------ dedup clusters
 
   /** Connected components over candidate near-duplicate pairs: every doc

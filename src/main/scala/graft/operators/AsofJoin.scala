@@ -29,6 +29,27 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** Forward (nearest-successor) as-of join: for each left row, the
+    * EARLIEST right row of the same key at or after the left timestamp —
+    * the labeling lookup ("next purchase after this view", "next failure
+    * after this deploy"). `tolerance` bounds right.ts − left.ts.
+    *
+    * Implemented by running [[leftAsof]] on negated timestamps (ts must
+    * be an integer epoch column, the library convention): negation maps
+    * nearest-successor onto nearest-predecessor exactly, including the
+    * inclusive-equality and tolerance semantics, so both directions share
+    * one verified kernel and one plan shape. */
+  def leftAsofForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: String, rightTs: String,
+                      asofTsName: String = "asof_ts",
+                      tolerance: Option[Long] = None): DataFrame =
+    leftAsof(
+      left.withColumn(leftTs, -col(leftTs)),
+      right.withColumn(rightTs, -col(rightTs)),
+      key, leftTs, rightTs, asofTsName, tolerance)
+      .withColumn(leftTs, -col(leftTs))
+      .withColumn(asofTsName, -col(asofTsName))
+
   /** Left as-of join. Output = every `left` row + `right`'s payload columns
     * (right minus `key` minus `rightTs`) + `asofTsName` (the matched right
     * timestamp), all null when no right row is at or before the left row.

@@ -174,6 +174,15 @@ object PipelineQueries {
       Dedup.ngramContainmentPairs(Tables.documents(s, d), "text", "doc_id",
         n = 3, threshold = 0.4, maxDocsPerShingle = 50)),
 
+    // --- duplication-multiplicity histogram: the corpus-health number
+    // that says whether exact dedup must precede the pairwise stages -------
+    "dedup_multiplicity" -> ((s, d) =>
+      Dedup.duplicationHistogram(Tables.documents(s, d), "text", "doc_id")),
+
+    // --- vocabulary head with cumulative corpus coverage ------------------
+    "vocab_topk" -> ((s, d) =>
+      Corpus.vocabTopK(Tables.documents(s, d), "text", k = 100)),
+
     // --- text statistics -----------------------------------------------------
     "text_stats" -> ((s, d) =>
       TextAnalysis.stats(Tables.documents(s, d), "text")
@@ -522,6 +531,20 @@ object PipelineQueries {
           .as("norm_avg"),
         min(norm6).cast("double").as("norm_min"),
         max(norm6).cast("double").as("norm_max"))
+    }),
+
+    // --- forward as-of: next purchase at-or-after each view (labeling) -----
+    "asof_join_fwd" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us").as("purchase_ts"))
+        .agg(max(col("value")).as("purchase_value"))
+      AsofJoin.leftAsofForward(views, purchases, "user_id", "ts_us",
+        "purchase_ts", asofTsName = "purchase_ts")
+        .select("event_id", "user_id", "ts_us", "purchase_ts",
+          "purchase_value")
     }),
 
     // --- range join: views within ±1 h of a (small-cohort) purchase --------
@@ -1269,6 +1292,27 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |  JOIN sizes sb ON sb.doc_id = id_b)
            |WHERE containment >= 0.4""".stripMargin,
 
+      "dedup_multiplicity" ->
+        """WITH g AS (SELECT md5(text) AS h, count(*) AS multiplicity
+          |           FROM documents GROUP BY 1)
+          |SELECT multiplicity, count(*) AS n_groups,
+          |       multiplicity * count(*) AS n_docs
+          |FROM g GROUP BY 1""".stripMargin,
+
+      "vocab_topk" ->
+        s"""WITH $toksCte,
+           |tok AS (SELECT unnest(toks) AS token FROM t),
+           |counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+           |total AS (SELECT count(*) AS n FROM tok),
+           |top AS (SELECT token, cnt,
+           |          CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank
+           |        FROM counts ORDER BY cnt DESC, token LIMIT 100)
+           |SELECT rank, token, cnt,
+           |       round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+           |               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           |             / (SELECT CAST(n AS DOUBLE) FROM total), 6) AS cum_frac
+           |FROM top""".stripMargin,
+
       "text_stats" ->
         s"""WITH $toksCte
            |SELECT doc_id,
@@ -1797,6 +1841,19 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |       r.purchase_ts, r.purchase_value
           |FROM l ASOF LEFT JOIN r
           |  ON l.user_id = r.user_id AND l.ts_us >= r.purchase_ts""".stripMargin,
+
+      "asof_join_fwd" ->
+        """WITH l AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+          |  WHERE event_type = 'view'),
+          |r AS (
+          |  SELECT user_id, epoch_us(ts) AS purchase_ts,
+          |         max(value) AS purchase_value
+          |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+          |SELECT l.event_id, l.user_id, l.ts_us,
+          |       r.purchase_ts, r.purchase_value
+          |FROM l ASOF LEFT JOIN r
+          |  ON l.user_id = r.user_id AND l.ts_us <= r.purchase_ts""".stripMargin,
 
       "range_join" ->
         """WITH p AS (

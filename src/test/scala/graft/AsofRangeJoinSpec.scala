@@ -47,6 +47,33 @@ class AsofRangeJoinSpec extends SparkSpec {
     assert(out("t4").isEmpty)      // 100-20=80 > 10
   }
 
+  test("leftAsofForward matches the earliest right row at or after left ts") {
+    val out = AsofJoin.leftAsofForward(trades, quotes, "k", "tts", "qts")
+      .select("tag", "asof_ts", "price", "note")
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out("t0") == ((Some(10L), Some(1.0), Some("a")))) // next is 10
+    assert(out("t1") == ((Some(10L), Some(1.0), Some("a")))) // inclusive
+    assert(out("t2") == ((Some(30L), Some(3.0), None)))      // next is 30
+    assert(out("t3") == ((None, None, None)))   // nothing after 35
+    assert(out("t4") == ((None, None, None)))   // nothing after 100
+    assert(out("t5") == ((None, None, None)))
+    // original timestamps come back un-negated
+    val ts = AsofJoin.leftAsofForward(trades, quotes, "k", "tts", "qts")
+      .select("tts").as[Long].collect().toSet
+    assert(ts == Set(5L, 10L, 29L, 35L, 100L, 50L))
+  }
+
+  test("leftAsofForward tolerance bounds the look-ahead") {
+    val out = AsofJoin.leftAsofForward(trades, quotes, "k", "tts", "qts",
+      tolerance = Some(3L))
+      .select("tag", "asof_ts").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("t0").isEmpty)      // 10-5=5 > 3
+    assert(out("t1") == Some(10L)) // 0 <= 3
+    assert(out("t2") == Some(30L)) // 30-29=1 <= 3
+  }
+
   test("leftAsof preserves every left row exactly once") {
     val out = AsofJoin.leftAsof(trades, quotes, "k", "tts", "qts")
     assert(out.count() == 6)

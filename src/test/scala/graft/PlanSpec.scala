@@ -41,7 +41,8 @@ class PlanSpec extends SparkSpec {
     // aggregate frames side by side; the corpus-stat queries attach a
     // 1-row broadcast scalar (doc count / total tokens) the same way
     val intended = Set("ann_brute_topk", "snmp_dsl_toplevel",
-      "tfidf_topk", "lm_surprisal", "collocation_pmi", "curriculum_global")
+      "tfidf_topk", "lm_surprisal", "collocation_pmi", "curriculum_global",
+      "vocab_topk")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intended)
       .filter { name =>
