@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, rng}
 
 import graft.functions.{Shingles, VectorOps}
-import graft.operators.RateTransform
+import graft.operators.{AsofJoin, RateTransform}
 import graft.streaming.RateGuards
 
 /** Deterministic property tests (scalacheck generators, fixed seeds):
@@ -244,6 +244,45 @@ class PropertySpec extends SparkSpec {
       assert(kept.subsetOf(fresh.map(_._1).toSet), s"seed=$seed")
       // ids 100, 101 are verbatim reference texts → all bands collide
       assert(!kept.contains(100L) && !kept.contains(101L), s"seed=$seed")
+    }
+  }
+
+  test("asof joins == brute-force nearest match on random timelines") {
+    // Both directions of the union+window kernel against an O(n·m)
+    // in-memory reference, over randomized keys/timestamps with ties
+    // across sides (equality must match inclusively) and sparse keys.
+    val rowGen = for {
+      k <- Gen.chooseNum(1, 4)
+      ts <- Gen.chooseNum(0L, 40L) // small range → frequent ts collisions
+    } yield (k.toLong, ts)
+    (1 to 15).foreach { seed =>
+      val leftRows = sample(Gen.listOfN(25, rowGen), seed * 7 + 1)
+        .zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
+      // right unique per (key, ts) — the operator's documented contract
+      val rightRows = sample(Gen.listOfN(25, rowGen), seed * 13 + 5)
+        .distinct.map { case (k, ts) => (k, ts, k * 1000.0 + ts) }
+      val left = leftRows.toDF("lid", "k", "lts")
+      val right = rightRows.toDF("k", "rts", "payload")
+
+      def brute(forward: Boolean): Map[Long, Option[Long]] =
+        leftRows.map { case (lid, k, lts) =>
+          val cands = rightRows.filter(r => r._1 == k &&
+            (if (forward) r._2 >= lts else r._2 <= lts)).map(_._2)
+          lid -> (if (cands.isEmpty) None
+                  else Some(if (forward) cands.min else cands.max))
+        }.toMap
+
+      val back = AsofJoin.leftAsof(left, right, "k", "lts", "rts")
+        .select("lid", "asof_ts").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+        .toMap
+      assert(back == brute(forward = false), s"backward seed=$seed")
+
+      val fwd = AsofJoin.leftAsofForward(left, right, "k", "lts", "rts")
+        .select("lid", "asof_ts").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+        .toMap
+      assert(fwd == brute(forward = true), s"forward seed=$seed")
     }
   }
 }
