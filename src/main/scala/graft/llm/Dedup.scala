@@ -388,7 +388,13 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int, threshold: Double,
                         maxDocsPerShingle: Int = 1000): DataFrame =
-    sharedShinglePairs(df, textCol, idCol, n, maxDocsPerShingle)
+    jaccardFrom(overlapCandidates(df, textCol, idCol, n, maxDocsPerShingle),
+      threshold)
+
+  /** Jaccard finisher over an [[overlapCandidates]] frame — split out so a
+    * pipeline computing BOTH gates pays the candidate join once. */
+  def jaccardFrom(candidates: DataFrame, threshold: Double): DataFrame =
+    candidates
       .withColumn("jaccard", round(
         col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")), 6))
@@ -405,7 +411,13 @@ object Dedup {
   def ngramContainmentPairs(df: DataFrame, textCol: String, idCol: String,
                             n: Int, threshold: Double,
                             maxDocsPerShingle: Int = 1000): DataFrame =
-    sharedShinglePairs(df, textCol, idCol, n, maxDocsPerShingle)
+    containmentFrom(
+      overlapCandidates(df, textCol, idCol, n, maxDocsPerShingle), threshold)
+
+  /** Containment finisher over an [[overlapCandidates]] frame. */
+  def containmentFrom(candidates: DataFrame,
+                      threshold: Double): DataFrame =
+    candidates
       .withColumn("containment", round(
         col("inter").cast("double") / least(col("na"), col("nb")), 6))
       .filter(col("containment") >= threshold)
@@ -413,10 +425,12 @@ object Dedup {
 
   /** Shared candidate machinery for the exact-overlap family:
     * (id_a, id_b, inter, na, nb) for every pair sharing ≥1 surviving
-    * shingle, with the de-skewed hot-shingle cap applied. */
-  private def sharedShinglePairs(df: DataFrame, textCol: String,
-                                 idCol: String, n: Int,
-                                 maxDocsPerShingle: Int): DataFrame = {
+    * shingle, with the de-skewed hot-shingle cap applied. Public so a
+    * pipeline applying several gates (Jaccard + containment) computes
+    * the blocking join once. */
+  def overlapCandidates(df: DataFrame, textCol: String,
+                        idCol: String, n: Int,
+                        maxDocsPerShingle: Int = 1000): DataFrame = {
     // The blocking join never needs the shingle TEXT — only equality — so
     // shuffle 8-byte xxhash64 keys instead of multi-word strings (several×
     // fewer shuffle bytes; 64-bit collisions are negligible at any

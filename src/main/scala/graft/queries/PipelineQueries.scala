@@ -111,6 +111,18 @@ object PipelineQueries {
     clusterCache.getOrElseUpdate((s, d), Dedup.clusters(sharedLshPairs(s, d)))
   }
 
+  /** Same sharing for the exact-overlap candidate join: the Jaccard and
+    * containment gates are finishers over one blocking-join frame. */
+  private val overlapCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def sharedOverlapCandidates(s: SparkSession, d: String): DataFrame = {
+    if (overlapCache.size >= maxCacheEntries) clearCaches()
+    overlapCache.getOrElseUpdate((s, d),
+      Dedup.overlapCandidates(Tables.documents(s, d), "text", "doc_id",
+        n = 3, maxDocsPerShingle = 50).localCheckpoint())
+  }
+
   /** Drop memoized intermediates. Checkpoint BLOCKS are reclaimed by the
     * ContextCleaner once the dropped frames' RDDs are unreachable (an
     * explicit unpersist would be a no-op — localCheckpoint data is not in
@@ -119,6 +131,7 @@ object PipelineQueries {
   def clearCaches(): Unit = {
     lshPairCache.clear()
     clusterCache.clear()
+    overlapCache.clear()
   }
 
   val queries: Map[String, Q] = Map(
@@ -165,14 +178,13 @@ object PipelineQueries {
 
     // --- n-gram Jaccard near-dup pairs --------------------------------------
     "dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
-        n = 3, threshold = 0.2, maxDocsPerShingle = 50)),
+      Dedup.jaccardFrom(sharedOverlapCandidates(s, d), threshold = 0.2)),
 
     // --- n-gram containment pairs: the subset-duplication gate Jaccard
-    // misses (short doc quoted whole inside a long one) ---------------------
+    // misses (short doc quoted whole inside a long one); same memoized
+    // candidate frame as the Jaccard gate -----------------------------------
     "dedup_containment" -> ((s, d) =>
-      Dedup.ngramContainmentPairs(Tables.documents(s, d), "text", "doc_id",
-        n = 3, threshold = 0.4, maxDocsPerShingle = 50)),
+      Dedup.containmentFrom(sharedOverlapCandidates(s, d), threshold = 0.4)),
 
     // --- duplication-multiplicity histogram: the corpus-health number
     // that says whether exact dedup must precede the pairwise stages -------

@@ -127,8 +127,14 @@ class PlanSpec extends SparkSpec {
   test("stop-shingle cap never single-partitions a hot shingle") {
     // the cap must come from a partial-aggregated groupBy + broadcast
     // anti-join — a window partitioned on the shingle hash would pile every
-    // row of a hot shingle onto one task before the cap can drop it
-    val p = plan("dedup_ngram_jaccard")
+    // row of a hot shingle onto one task before the cap can drop it.
+    // Assert on the raw operator: the queries() entry memoizes the
+    // candidate frame behind a checkpoint scan that hides the join.
+    import graft.llm.Dedup
+    import graft.core.Tables
+    val p = Dedup.ngramJaccardPairs(Tables.documents(spark, sf001),
+      "text", "doc_id", n = 3, threshold = 0.2, maxDocsPerShingle = 50)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("Window"), p)
     assert(p.contains("LeftAnti"), p)
   }
