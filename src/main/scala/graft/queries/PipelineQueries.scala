@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.llm.{Clustering, Contamination, Corpus, Dedup, Multimodal, Pii, Quantize, Sampling, Similarity, TextAnalysis}
 import graft.operators.{AsofJoin, Cohorts, RangeJoin, Sessionize, Skew, TimeSeries}
-import graft.streaming.{SessionEvent, StreamingSessionize}
+import graft.streaming.{SessionEvent, StreamingSessionize, StreamingZscore, ZscoreEvent}
 
 /** The LLM-training-data-pipeline operator set (dedup, similarity search,
   * text analysis, multimodal plumbing) as oracle-checked queries over
@@ -730,6 +730,45 @@ object PipelineQueries {
       q.processAllAvailable() // timeout pass closes every open session
       q.stop()
       ss.table(qname).filter(col("user_id") >= 0)
+    }),
+
+    // --- streaming online z-score: per-series running anomaly detection ----
+    // Each event scores against its series' PRIOR distribution only (an
+    // online detector cannot see the future). State = three exact integer
+    // moments per series; the double math happens at emission from exact
+    // inputs, so the oracle's decimal prefix-window formulation matches
+    // bit for bit. Single-batch replay: every event emits immediately, no
+    // sentinel needed.
+    "stream_zscore" -> ((s, d) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      implicit val sqlCtx = ss.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import ss.implicits._
+      import scala.jdk.CollectionConverters._
+      val rows = Tables.events(ss, d).filter(col("user_id") < 50)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("value").cast("double").as("value"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("value_cents"))
+        .orderBy("ts_us", "event_id")
+        .as[(Long, Long, Long, Double, Long)]
+      val input = MemoryStream[(Long, Long, Long, Double, Long)]
+      val evs = input.toDS()
+        .toDF("user_id", "ts_us", "event_id", "value", "value_cents")
+        .select(col("user_id").as("userId"), col("ts_us").as("tsUs"),
+          col("event_id").as("eventId"), col("value"),
+          col("value_cents").as("valueCents"))
+        .as[ZscoreEvent]
+      val scored = StreamingZscore(evs, threshold = 2.0)
+      val qname = "stream_zscore_" + streamSeq.incrementAndGet()
+      rows.toLocalIterator().asScala.grouped(8192)
+        .foreach(chunk => input.addData(chunk))
+      val q = scored.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      ss.table(qname)
     }),
 
     // --- stream-stream interval join ----------------------------------------
@@ -2020,6 +2059,35 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       // double op below is correctly-rounded IEEE from identical inputs,
       // so outputs are bit-identical with NO round() anywhere (round(avg)
       // ties break differently between the engines on 2-dp inputs)
+      "stream_zscore" ->
+        """WITH e AS (
+          |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+          |         CAST(value AS DECIMAL(18,2)) AS vd
+          |  FROM events WHERE user_id < 50),
+          |w AS (
+          |  SELECT user_id, event_id, ts_us, value,
+          |         count(*) OVER win AS n_prior,
+          |         CAST(count(*) OVER win AS DOUBLE) AS n_d,
+          |         CAST(coalesce(sum(vd) OVER win, 0) AS DOUBLE) AS sum_d,
+          |         CAST(coalesce(sum(vd * vd) OVER win, 0) AS DOUBLE)
+          |           AS sumsq_d
+          |  FROM e
+          |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING
+          |                          AND 1 PRECEDING)),
+          |t AS (
+          |  SELECT *,
+          |         sum_d / n_d AS mean,
+          |         (sumsq_d - sum_d * sum_d / n_d) / (n_d - 1.0) AS var
+          |  FROM w),
+          |u AS (
+          |  SELECT *, CASE WHEN n_prior >= 2 AND var > 0
+          |                 THEN (value - mean) / sqrt(var) END AS zscore
+          |  FROM t)
+          |SELECT user_id, event_id, ts_us, value, n_prior, zscore,
+          |       coalesce(abs(zscore) > 2.0, false) AS is_anomaly
+          |FROM u""".stripMargin,
+
       "events_zscore" ->
         """WITH s AS (
           |  SELECT event_id, user_id, event_type, value,

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.streaming.{KafkaShaped, MetricSample, RateGuards, SessionEvent,
-  SessionOut, StreamingRate, StreamingSessionize}
+  SessionOut, StreamingRate, StreamingSessionize, StreamingZscore,
+  ZscoreEvent, ZscoreOut}
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -197,6 +198,40 @@ class StreamingSpec extends SparkSpec {
         .as[SessionOut].collect().toSet
       assert(streamed == batch)
     } finally q.stop()
+  }
+
+  test("streaming zscore: moments carry across batches, prior-only scoring") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, ts: Long, v: Double) =
+      ZscoreEvent(1L, ts, id, v, math.round(v * 100))
+    val events = Seq(
+      ev(1, 10, 10.0), ev(2, 20, 12.0), // first two: no z (n_prior < 2)
+      ev(3, 30, 11.0),                  // z vs {10,12}
+      ev(4, 40, 50.0))                  // blatant anomaly vs {10,12,11}
+
+    def run(batches: Seq[Seq[ZscoreEvent]], name: String): Map[Long, ZscoreOut] = {
+      val input = MemoryStream[ZscoreEvent]
+      val q = StreamingZscore(input.toDS(), threshold = 2.0)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).as[ZscoreOut].collect()
+        .map(o => o.event_id -> o).toMap
+    }
+
+    // one batch vs one-event-per-batch must agree exactly: the exact
+    // integer moments in state make scoring replay-partition-invariant
+    val whole = run(Seq(events), "z_whole")
+    val split = run(events.map(Seq(_)), "z_split")
+    assert(whole == split)
+
+    assert(whole(1).zscore.isEmpty && whole(2).zscore.isEmpty)
+    assert(whole(1).n_prior == 0 && whole(2).n_prior == 1)
+    // z3 vs {10,12}: mean 11, var 2 → z = 0
+    assert(whole(3).zscore == Some(0.0) && !whole(3).is_anomaly)
+    // z4 vs {10,12,11}: mean 11, var 1 → z = 39
+    assert(whole(4).zscore == Some(39.0) && whole(4).is_anomaly)
   }
 
   test("stream-stream interval join matches the batch join across batches") {
