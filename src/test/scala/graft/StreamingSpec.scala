@@ -234,6 +234,39 @@ class StreamingSpec extends SparkSpec {
     assert(whole(4).zscore == Some(39.0) && whole(4).is_anomaly)
   }
 
+  test("zscore moments survive a query RESTART from checkpoint (ST1)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ZscoreEvent]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_zscore_ckpt").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, Option[Double])]()
+    def start() = StreamingZscore(input.toDS(), threshold = 2.0)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[ZscoreOut], _: Long) =>
+        df.collect().foreach(o => seen.add((o.event_id, o.n_prior, o.zscore)))
+      }.start()
+    def ev(id: Long, ts: Long, v: Double) =
+      ZscoreEvent(1L, ts, id, v, math.round(v * 100))
+    input.addData(ev(1, 10, 10.0), ev(2, 20, 12.0), ev(3, 30, 11.0))
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    input.addData(ev(4, 40, 50.0))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val byId = seen.asScala.map(t => t._1 -> ((t._2, t._3))).toMap
+      // event 4 scores against the RECOVERED moments {10,12,11}:
+      // mean 11, var 1 → z = 39. A restart with empty state would
+      // report n_prior = 0 and no z.
+      assert(byId(4L) == ((3L, Some(39.0))), byId)
+    } finally q2.stop()
+  }
+
   test("stream-stream interval join matches the batch join across batches") {
     implicit val sqlCtx = spark.sqlContext
     // (user, ts_us, id): views on one stream, purchases on the other —
