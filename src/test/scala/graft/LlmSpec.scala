@@ -85,6 +85,24 @@ class LlmSpec extends SparkSpec {
     assert(jac.isEmpty)
   }
 
+  test("duplication histogram: multiplicity buckets with doc accounting") {
+    // fixture: ids 1,2 identical; 3,4 unique → one group of 2, two of 1
+    val out = Dedup.duplicationHistogram(docs, "text", "doc_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 2L), (2L, 1L, 2L)))
+  }
+
+  test("vocab head: rank by (count desc, token), exact cumulative coverage") {
+    import graft.llm.Corpus
+    val corpus = Seq("a b a", "b a c").toDF("text") // a:3 b:2 c:1
+    val out = Corpus.vocabTopK(corpus, "text", k = 2)
+      .as[(Int, String, Long, Double)].collect().toList
+    assert(out == List((1, "a", 3L, 0.5), (2, "b", 2L, round(5.0 / 6, 6))))
+  }
+
+  private def round(x: Double, dp: Int): Double =
+    BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("clusters: min-label propagation merges transitive chains") {
     // 1-2, 2-3, 3-4 chain + isolated pair 8-9 → roots 1 and 8
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L))
