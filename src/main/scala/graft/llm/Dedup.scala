@@ -354,28 +354,65 @@ object Dedup {
   def simhashPairs(sig: DataFrame, idCol: String,
                    maxHamming: Int = 3,
                    maxDocsPerBucket: Int = 100000): DataFrame = {
-    val raw = sig.select(col(idCol), col("simhash_bits"),
+    require(maxHamming >= 0, s"maxHamming=$maxHamming must be >= 0")
+    // Canonicalize to DISTINCT signatures before the quadratic stage: a
+    // group of d exact/near-exact duplicates shares one signature, so
+    // running the chunk join per-document costs d² rows per group where
+    // one row does. The sf1 rehearsal corpus (duplicate-heavy by
+    // construction, like any web crawl) cut the candidate join ~(N/D)²
+    // this way. n_docs rides along so the bucket-density cap keeps its
+    // original unit (documents, not signatures).
+    val members = sig.select(col(idCol), col("simhash_bits"))
+    val sigs = members.groupBy("simhash_bits")
+      .agg(count(lit(1)).as("n_docs"))
+    val raw = sigs.select(col("simhash_bits"), col("n_docs"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk"),
           substring(col("simhash_bits"), i * 16 + 1, 16).as("cv"))): _*))
         .as("c"))
-      .select(col(idCol), col("simhash_bits"), col("c.chunk"), col("c.cv"))
+      .select(col("simhash_bits"), col("n_docs"), col("c.chunk"), col("c.cv"))
     val hot = raw.groupBy(col("chunk"), col("cv"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n_docs")).as("n"))
       .filter(col("n") > maxDocsPerBucket)
       .select(col("chunk"), col("cv"))
     val chunks = raw.join(broadcast(hot), Seq("chunk", "cv"), "left_anti")
-    val a = chunks.select(col("chunk"), col("cv"),
-      col(idCol).as("id_a"), col("simhash_bits").as("bits_a"))
-    val b = chunks.select(col("chunk"), col("cv"),
-      col(idCol).as("id_b"), col("simhash_bits").as("bits_b"))
     val hamming =
       graft.functions.VectorOps.hamming(col("bits_a"), col("bits_b"))
-    a.join(b, Seq("chunk", "cv"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
-      .distinct()
+    // hamming-filter BEFORE the cross-chunk distinct: hamming is a
+    // deterministic function of the pair, so filter∘distinct ≡
+    // distinct∘filter — but filtering first kills the (vast) majority of
+    // candidates map-side instead of shuffling them through the dedup
+    // exchange.
+    val sigPairs = chunks.select(col("chunk"), col("cv"),
+        col("simhash_bits").as("bits_a"))
+      .join(chunks.select(col("chunk"), col("cv"),
+        col("simhash_bits").as("bits_b")), Seq("chunk", "cv"))
+      .filter(col("bits_a") < col("bits_b"))
+      .select(col("bits_a"), col("bits_b"), hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
+    // expand signature pairs back to document pairs (each doc has exactly
+    // one signature, so no pair is produced twice)
+    val cross = sigPairs
+      .join(members.select(col("simhash_bits").as("bits_a"),
+        col(idCol).as("ida")), Seq("bits_a"))
+      .join(members.select(col("simhash_bits").as("bits_b"),
+        col(idCol).as("idb")), Seq("bits_b"))
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"), col("hamming"))
+    // identical-signature groups: hamming 0 by definition. Restricted to
+    // signatures with ≥1 surviving (under-cap) chunk — the same visibility
+    // rule the per-document join had, where an all-chunks-hot signature's
+    // pairs never surfaced.
+    val visible = chunks.select("simhash_bits").distinct()
+    val within = members.join(visible, Seq("simhash_bits"))
+      .select(col("simhash_bits"), col(idCol).as("ida"))
+      .join(members.select(col("simhash_bits"), col(idCol).as("idb")),
+        Seq("simhash_bits"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida").as("id_a"), col("idb").as("id_b"),
+        lit(0).as("hamming"))
+    cross.unionByName(within)
   }
 
   // ------------------------------------------------------ n-gram Jaccard

@@ -293,15 +293,18 @@ object Similarity {
       col(idCol).as("id_a"), col("nv").as("va"))
     val bb = withBucket.select(col("band"), col("bucket"),
       col(idCol).as("id_b"), col("nv").as("vb"))
-    val joined = a.join(bb, Seq("band", "bucket"))
+    // Score and threshold INSIDE the bucket join, BEFORE any pair dedup:
+    // a pair colliding in several bands recomputes its (deterministic) dot
+    // once per band, but only the above-threshold survivors — three thin
+    // columns — ever reach a dedup exchange. Deduping first would shuffle
+    // every candidate pair with both dim-wide vectors attached (the sf1
+    // rehearsal measured that plan at 211 s vs ~bands× dot cost here).
+    val scored = a.join(bb, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-    // a pair colliding in several bands must score once; with one band
-    // pairs are already unique, so skip the dedup exchange
-    val pairs =
-      if (bands == 1) joined else joined.dropDuplicates("id_a", "id_b")
-    pairs
       .withColumn("score", round(dot(col("va"), col("vb")), roundScore))
       .filter(col("score") >= threshold)
       .select("id_a", "id_b", "score")
+    // with one band pairs are already unique, so skip the dedup exchange
+    if (bands == 1) scored else scored.dropDuplicates("id_a", "id_b")
   }
 }
