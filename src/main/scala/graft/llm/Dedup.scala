@@ -502,6 +502,69 @@ object Dedup {
       .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("nb")), "id_b")
   }
 
+  // --------------------------------------------------------- winnowing
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    * SIGMOD'03, the MOSS local fingerprinting algorithm): hash every word
+    * k-gram, slide a w-wide window over the positional hash sequence, and
+    * keep each window's MINIMUM. The selection guarantee: any token run of
+    * length ≥ w+k−1 shared by two documents contributes at least one
+    * shared fingerprint, while only ~2/(w+1) of the gram hashes are
+    * stored. Output: one (id, fp) row per distinct selected fingerprint.
+    *
+    * The fingerprint SET is tie-break-invariant — tied minima select the
+    * same VALUE — so the derivation is engine-portable without pinning the
+    * paper's rightmost-occurrence rule (which only matters for position
+    * reporting). Hashes are the first 16 hex chars of md5(gram), a string
+    * any engine derives and orders identically.
+    *
+    * Plan shape: map-only per-row HOF pipeline (positional gram hashes →
+    * window minima → distinct) + one explode; no shuffle until a consumer
+    * joins. Documents with fewer than k tokens have no grams and degrade
+    * out; documents with fewer than w windows get one clamped window so
+    * every gram-bearing doc yields ≥1 fingerprint. */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+                         k: Int = 4, w: Int = 5): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(w >= 1, s"w=$w must be >= 1")
+    val toks = TextAnalysis.tokens(col(textCol))
+    // positional (non-distinct) gram hashes — winnowing needs the sequence
+    val grams = transform(sequence(lit(0), size(toks) - k),
+      i => substring(md5(array_join(slice(toks, i + 1, lit(k)), " ")), 1, 16))
+    df.filter(size(toks) >= k)
+      .select(col(idCol), grams.as("gh"))
+      .select(col(idCol),
+        transform(sequence(lit(0), greatest(size(col("gh")) - w, lit(0))),
+          j => array_min(slice(col("gh"), j + 1, lit(w)))).as("sel"))
+      .select(col(idCol), explode(array_distinct(col("sel"))).as("fp"))
+  }
+
+  /** Near-dup pairs by shared winnowing fingerprints: (id_a, id_b,
+    * shared_fps) for pairs sharing ≥ `minShared` selected fingerprints.
+    * The fingerprint equality join IS the blocking step (no separate
+    * candidate stage), with the standard de-skewed hot-key cap: a
+    * fingerprint selected by more than `maxDocsPerFp` documents is
+    * boilerplate and is dropped via partial-agg count + broadcast
+    * anti-join — same rationale as the stop-shingle cap, no skewed
+    * exchange. Winnowing's ~2/(w+1) compression makes this join
+    * (w+1)/2 × cheaper than the full-shingle overlap join at the same
+    * detection guarantee for runs ≥ w+k−1 tokens. */
+  def winnowPairs(df: DataFrame, textCol: String, idCol: String,
+                  k: Int = 4, w: Int = 5, minShared: Int = 2,
+                  maxDocsPerFp: Int = 1000): DataFrame = {
+    val fps = winnowFingerprints(df, textCol, idCol, k, w)
+    val hot = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxDocsPerFp)
+      .select(col("fp"))
+    val kept = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    kept.select(col("fp"), col(idCol).as("id_a"))
+      .join(kept.select(col("fp"), col(idCol).as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   // ----------------------------------------------- chunk (paragraph) dedup
 
   /** Sub-document dedup: split each document into fixed-width word chunks

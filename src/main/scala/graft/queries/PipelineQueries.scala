@@ -191,6 +191,16 @@ object PipelineQueries {
     "dedup_multiplicity" -> ((s, d) =>
       Dedup.duplicationHistogram(Tables.documents(s, d), "text", "doc_id")),
 
+    // --- winnowing fingerprints (MOSS): per-doc selected k-gram hashes ----
+    "winnow_fp" -> ((s, d) =>
+      Dedup.winnowFingerprints(Tables.documents(s, d), "text", "doc_id",
+        k = 4, w = 5)),
+
+    // --- near-dup pairs by shared winnowing fingerprints ------------------
+    "dedup_winnow" -> ((s, d) =>
+      Dedup.winnowPairs(Tables.documents(s, d), "text", "doc_id",
+        k = 4, w = 5, minShared = 2)),
+
     // --- vocabulary head with cumulative corpus coverage ------------------
     "vocab_topk" -> ((s, d) =>
       Corpus.vocabTopK(Tables.documents(s, d), "text", k = 100)),
@@ -1349,6 +1359,52 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |SELECT multiplicity, count(*) AS n_groups,
           |       multiplicity * count(*) AS n_docs
           |FROM g GROUP BY 1""".stripMargin,
+
+      // winnowing: positional 4-gram md5-prefix hashes, window-5 minima,
+      // distinct per doc. The window join (i BETWEEN j AND j+4) is the
+      // O(L·w) oracle formulation of the same selection the Spark side
+      // does with per-row array ops.
+      "winnow_fp" ->
+        """WITH ws AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+          |            FROM documents),
+          |gi AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - 4)) AS i
+          |       FROM ws WHERE len(w) >= 4),
+          |g AS (SELECT doc_id, i,
+          |        substring(md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+          |                      || ' ' || w[i+4]), 1, 16) AS gh
+          |      FROM gi),
+          |ng AS (SELECT doc_id, max(i) + 1 AS n FROM g GROUP BY 1),
+          |wi AS (SELECT doc_id, unnest(generate_series(0, greatest(n - 5, 0))) AS j
+          |       FROM ng),
+          |sel AS (SELECT wi.doc_id, wi.j, min(g.gh) AS fp
+          |        FROM wi JOIN g ON g.doc_id = wi.doc_id
+          |                      AND g.i BETWEEN wi.j AND wi.j + 4
+          |        GROUP BY 1, 2)
+          |SELECT DISTINCT doc_id, fp FROM sel""".stripMargin,
+
+      "dedup_winnow" ->
+        """WITH ws AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+          |            FROM documents),
+          |gi AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - 4)) AS i
+          |       FROM ws WHERE len(w) >= 4),
+          |g AS (SELECT doc_id, i,
+          |        substring(md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+          |                      || ' ' || w[i+4]), 1, 16) AS gh
+          |      FROM gi),
+          |ng AS (SELECT doc_id, max(i) + 1 AS n FROM g GROUP BY 1),
+          |wi AS (SELECT doc_id, unnest(generate_series(0, greatest(n - 5, 0))) AS j
+          |       FROM ng),
+          |sel AS (SELECT wi.doc_id, wi.j, min(g.gh) AS fp
+          |        FROM wi JOIN g ON g.doc_id = wi.doc_id
+          |                      AND g.i BETWEEN wi.j AND wi.j + 4
+          |        GROUP BY 1, 2),
+          |fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+          |kept AS (SELECT doc_id, fp FROM fps
+          |         QUALIFY count(*) OVER (PARTITION BY fp) <= 1000)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+          |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          |GROUP BY 1, 2
+          |HAVING count(*) >= 2""".stripMargin,
 
       "vocab_topk" ->
         s"""WITH $toksCte,

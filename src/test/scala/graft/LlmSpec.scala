@@ -522,4 +522,38 @@ class LlmSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(all == Set(1L, 2L, 3L, 4L, 5L, 6L))
   }
+
+  test("winnowing: shared run >= w+k-1 tokens guarantees a shared fp") {
+    val k = 4; val w = 5
+    // docs 1/2 share an 8-token run (= w+k-1) embedded in different
+    // surroundings; doc 3 shares nothing; doc 4 is below k tokens
+    val run = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val wd = Seq(
+      (1L, s"one two $run nine ten"),
+      (2L, s"zzz yyy xxx $run www vvv uuu"),
+      (3L, "completely unrelated content with no common window at all really"),
+      (4L, "too short")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(wd, "text", "doc_id", k, w)
+      .as[(Long, String)].collect().groupBy(_._1)
+      .map { case (id, xs) => id -> xs.map(_._2).toSet }
+    // the MOSS guarantee: at least one selected fingerprint in common
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+    assert(!fps.contains(4L)) // < k tokens: no grams, degrades out
+    // compression: never more fps than windows
+    val nToks = 12
+    assert(fps(1L).size <= nToks - k + 1 - w + 1)
+
+    // the pair gate surfaces exactly the guaranteed pair
+    val pairs = Dedup.winnowPairs(wd, "text", "doc_id", k, w, minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+
+    // hot-fp cap: with every fp over-cap, no pairs survive (and no skewed
+    // window is involved in dropping them)
+    val none = Dedup.winnowPairs(wd, "text", "doc_id", k, w,
+      minShared = 1, maxDocsPerFp = 1)
+    assert(none.count() == 0)
+  }
 }
