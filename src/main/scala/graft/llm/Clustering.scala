@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
@@ -47,7 +48,19 @@ object Clustering {
     * posture as the ANN operators: don't crash the job, don't mis-assign).
     */
   def kmeans(df: DataFrame, idCol: String, vecCol: String,
-             k: Int, iters: Int, dim: Int): DataFrame = {
+             k: Int, iters: Int, dim: Int): DataFrame =
+    // column pruning drops the unused d2 expression from the plan
+    kmeansScored(df, idCol, vecCol, k, iters, dim)
+      .select(col(idCol), col("cluster"))
+
+  /** [[kmeans]] plus the exact squared distance to the assigned centroid:
+    * `d2 = round(w·w + min_j(c_j·c_j − 2·w·c_j), 6)` on the quantized
+    * vector. Every term is the same sequential-fold dot kernel the
+    * assignment uses, so d2 is bit-reproducible in the oracle — the basis
+    * for distance-ranked outlier detection ([[farthestPerCluster]]).
+    * Returns (idCol, cluster, d2). */
+  def kmeansScored(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int, dim: Int): DataFrame = {
     require(k >= 1 && iters >= 1, s"k=$k, iters=$iters must be >= 1")
     val base = df.filter(size(col(vecCol)) === dim)
       .select(col(idCol).as("__id"), quantize(col(vecCol)).as("__w"))
@@ -63,20 +76,16 @@ object Clustering {
     // the SAME fold the per-row kernel uses (constant-folded by Catalyst),
     // not driver math, so its rounding provably matches the oracle's
     // list_dot_product(c, c).
-    def assignCol: Column = {
-      val scores = centroids.map { c =>
-        val cl = typedlit(c.toSeq)
-        VectorOps.dot(cl, cl) - lit(2.0) * VectorOps.dot(col("__w"), cl)
-      }
-      val arr = array(scores: _*)
-      array_position(arr, array_min(arr)) - lit(1L)
-    }
-
-    var assigned = base.withColumn("cluster", assignCol)
+    def scoresArr: Column = array(centroids.map { c =>
+      val cl = typedlit(c.toSeq)
+      VectorOps.dot(cl, cl) - lit(2.0) * VectorOps.dot(col("__w"), cl)
+    }: _*)
+    def assignCol: Column =
+      array_position(scoresArr, array_min(scoresArr)) - lit(1L)
     for (_ <- 1 until iters) {
       // Update: component sums are exact (dyadic inputs), so the map-side
       // partial aggregation order is irrelevant. k×dim rows collect.
-      val sums = assigned
+      val sums = base.withColumn("cluster", assignCol)
         .select(col("cluster"), posexplode(col("__w")))
         .groupBy("cluster", "pos")
         .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
@@ -91,9 +100,32 @@ object Clustering {
           case None => prev // empty cluster: carry the previous centroid
         }
       }
-      assigned = base.withColumn("cluster", assignCol)
     }
-    assigned.select(col("__id").as(idCol), col("cluster"))
+    // one scores array per row; cluster and d2 both derive from it
+    base.withColumn("__s", scoresArr)
+      .select(col("__id").as(idCol),
+        (array_position(col("__s"), array_min(col("__s"))) - lit(1L))
+          .as("cluster"),
+        round(VectorOps.dot(col("__w"), col("__w")) + array_min(col("__s")), 6)
+          .as("d2"))
+  }
+
+  /** Per-cluster farthest-from-centroid ranking — the candidate
+    * mislabeled/noise examples a curation pass reviews first. Top
+    * `perCluster` rows per cluster by (d2 desc, id asc); deterministic,
+    * and the window runs on the k-partitioned assignment output, so the
+    * only added cost over [[kmeansScored]] is one k-keyed top-k
+    * (WindowGroupLimit pushes the limit map-side). */
+  def farthestPerCluster(df: DataFrame, idCol: String, vecCol: String,
+                         k: Int, iters: Int, dim: Int,
+                         perCluster: Int): DataFrame = {
+    val scored = kmeansScored(df, idCol, vecCol, k, iters, dim)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("d2").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perCluster)
+      .select(col("cluster"), col("rank").cast("long").as("rank"),
+        col(idCol), col("d2"))
   }
 
   /** SemDeDup: k-means-cluster the embeddings, then within each cluster

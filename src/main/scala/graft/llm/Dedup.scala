@@ -178,6 +178,54 @@ object Dedup {
     df.join(dropIds, Seq(idCol), "left_anti")
   }
 
+  /** [[crossCorpusKeep]] with the probe flipped map-side: the reference
+    * corpus collapses to its distinct band-hash set, broadcast once, and
+    * each new-corpus row carries its `bands` band hashes as COLUMNS (no
+    * explode), checked through `bands` broadcast anti-joins. Two reasons
+    * to prefer this shape:
+    *
+    *  - at batch scale the new corpus never leaves its scan partitions —
+    *    each anti-join is a broadcast hash probe inside the same stage,
+    *    where [[crossCorpusKeep]] shuffles the new corpus' band rows;
+    *  - it is STATELESS-STREAMING compatible: with `df` a readStream
+    *    source this runs in append mode with no watermark and no state
+    *    store (stream-static anti-joins, static set on the right) —
+    *    continuous ingest dedup against the corpus already trained on.
+    *
+    * Requires the distinct reference band set to fit in a broadcast
+    * (roughly 40 bytes × bands × |ref distinct|; beyond that fall back
+    * to [[crossCorpusKeep]]'s shuffle join). Drop rule is identical to
+    * [[crossCorpusKeep]] without confirm: ANY band collision drops the
+    * row; sub-`shingleN`-token docs have no signature and survive. */
+  def crossCorpusKeepBroadcast(df: DataFrame, refDf: DataFrame,
+                               textCol: String, idCol: String,
+                               shingleN: Int = 3, k: Int = 8,
+                               bands: Int = 4): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val rows = k / bands
+    val ws = TextAnalysis.tokens(col(textCol))
+    val refSet = bandRows(refDf, textCol, idCol, shingleN, k, bands)
+      .select(concat_ws("|", col("band"), col("band_hash")).as("__ref_bh"))
+      .distinct()
+    val sig = graft.functions.MinHashUtil.signatures(
+      graft.functions.Shingles.distinctShingles(ws, shingleN), k)
+    val withSig = df.withColumn("__sig", when(size(ws) >= shingleN, sig))
+    // same band hash as lshBands: md5 over the concatenated row-group
+    // signature components (hex strings), qualified by the band index
+    val banded = (0 until bands).foldLeft(withSig) { (acc, b) =>
+      acc.withColumn(s"__bh$b",
+        when(col("__sig").isNotNull,
+          concat_ws("|", lit(b),
+            md5(concat((0 until rows).map(r =>
+              element_at(col("__sig"), b * rows + r + 1)): _*)))))
+    }
+    val kept = (0 until bands).foldLeft(banded) { (acc, b) =>
+      acc.join(broadcast(refSet), acc(s"__bh$b") === col("__ref_bh"),
+        "left_anti")
+    }
+    kept.drop("__sig" +: (0 until bands).map("__bh" + _): _*)
+  }
+
   /** Duplication-multiplicity histogram: for each multiplicity m, how
     * many distinct contents occur exactly m times and how many documents
     * they account for. THE first corpus-health number a pipeline reports

@@ -67,6 +67,53 @@ object Sampling {
     df.filter(cond)
   }
 
+  /** Temperature-scaled source rebalancing — the multilingual-LM mixing
+    * rule (XLM-R / mT5: sample source s with mass ∝ n_s^(1/T), T > 1
+    * flattens the head so low-resource sources aren't drowned out).
+    * Derives per-source keep rates from the corpus' own counts such that
+    * the EXPECTED kept size is ≈ `frac`·N with source mass rebalanced,
+    * then gates each row with the same md5-stable 1/256-granularity
+    * uniform as [[mixture]] (reproducible, add-stable).
+    *
+    * Engine-exact rate derivation: weights are `floor(n^(1/T)·10^6)`
+    * longs — for the default T=2 the root is IEEE sqrt (correctly
+    * rounded, bit-identical in any engine); other T go through libm
+    * `pow`, whose last-ulp behavior is platform-typed (same caveat the
+    * scaladoc on [[weighted]] explains for Efraimidis–Spirakis). Weight
+    * and doc totals are exact long sums; the rate is one
+    * correctly-rounded double division, rounded to 6dp before the gate.
+    *
+    * Scale shape: one tiny per-source aggregate (|sources| rows, global
+    * window over that aggregate only), broadcast back onto the corpus —
+    * the gate itself is map-side; the corpus never shuffles. */
+  def temperature(df: DataFrame, idCol: String, sourceCol: String,
+                  temp: Double = 2.0, frac: Double = 1.0,
+                  salt: String = ""): DataFrame = {
+    require(temp > 0, s"temp=$temp must be positive")
+    require(frac > 0 && frac <= 1, s"frac=$frac not in (0,1]")
+    val alpha = 1.0 / temp
+    val root =
+      if (alpha == 0.5) sqrt(col("__n").cast("double"))
+      else pow(col("__n").cast("double"), lit(alpha))
+    val all = Window.partitionBy(lit(1))
+    val rates = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(root * lit(1000000.0)).cast("long"))
+      .withColumn("__tot", sum(col("__w")).over(all))
+      .withColumn("__budget",
+        floor(lit(frac) * sum(col("__n")).over(all).cast("double"))
+          .cast("double"))
+      .withColumn("__rate", round(least(lit(1.0),
+        (col("__budget") * col("__w").cast("double")) /
+          (col("__tot").cast("double") * col("__n").cast("double"))), 6))
+      .select(col(sourceCol), col("__rate"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(col("__rate") >= 1.0 ||
+        substring(hashKey(col(idCol), salt), 1, 2) <
+          format_string("%02x", floor(col("__rate") * 256).cast("int")))
+      .drop("__rate")
+  }
+
   /** Deterministic weighted sample of `k` rows without replacement —
     * sequential Poisson sampling (Ohlsson 1998, the estimator behind
     * πps surveys): each row draws priority `u / w` where `u` is a 52-bit

@@ -252,6 +252,29 @@ object Similarity {
         round(col("score"), roundScore).as("score"))
   }
 
+  /** Recall@k of an approximate ANN result against the exact baseline:
+    * per query, the fraction of the exact top-k the approximate result
+    * also returned. Both inputs are (query_id, rank, neighbor_id, …)
+    * frames as produced by the topK operators. Output: (query_id,
+    * n_hits, recall).
+    *
+    * This is the measurement that sizes the LSH knobs (b, bands, probes)
+    * for a corpus: run it on a query sample, then trade recall against
+    * bucket occupancy. Scale shape: both inputs are |Q|×k rows — the join
+    * and aggregate are negligible next to the topK computations that feed
+    * them, and the exact side only needs a SAMPLE of queries (recall is
+    * estimated, the sample mean). */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("__hit", lit(1L))
+    e.join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", round(col("n_hits") / lit(k.toDouble), 6))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, LSH-blocked:
     * only same-bucket pairs are scored (id_a < id_b). `rotatedDim` selects
     * the bucket family exactly as in [[signLshTopK]].

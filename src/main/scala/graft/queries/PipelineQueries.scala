@@ -212,6 +212,22 @@ object PipelineQueries {
           "distinct_tokens", "type_token_ratio", "avg_token_len",
           "punct_ratio", "stopword_ratio")),
 
+    // --- tokenizer fertility per language: subword-proxy tokens per
+    // whitespace word — how expensive a language is under a tokenizer
+    // (the fairness/sizing number multilingual pipelines report). One
+    // hash aggregate with map-side partials; exact long sums -------------
+    "tokenizer_fertility" -> ((s, d) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      Tables.documents(s, d).groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(toks).cast("long")).as("ws_tokens"),
+        sum(TextAnalysis.bpeishCount(col("text")).cast("long"))
+          .as("bpe_tokens"))
+        .withColumn("fertility", round(
+          col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"),
+          6))
+    }),
+
     // --- quality score ---------------------------------------------------------
     "text_quality" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d), "text")
@@ -313,6 +329,20 @@ object PipelineQueries {
           col("neighbor_id"))
     }),
 
+    // --- ANN: recall@k of the LSH path vs the exact baseline ---------------
+    // The measurement that sizes b/bands/probes for a corpus: exact top-k
+    // on a query sample vs the approximate result, per-query hit fraction.
+    "ann_recall_eval" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 50)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+        k = 3)
+      val approx = Similarity.signLshTopK(e, q, "vec_id", "embedding",
+        k = 3, b = 4, rotatedDim = Some(64), multiProbe = true)
+      Similarity.recallAtK(exact, approx, k = 3)
+        .select(col("query_id"), col("n_hits"), col("recall"))
+    }),
+
     // --- embedding-cosine near-dup pairs (rotated sign-LSH blocking) --------
     "embed_cosine_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
@@ -336,6 +366,13 @@ object PipelineQueries {
       Clustering.kmeans(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 8, iters = 2, dim = 64)),
 
+    // --- per-cluster farthest-from-centroid outliers ------------------------
+    // The curation review queue: exact squared distance to the assigned
+    // centroid (same fold as the assignment itself), top-3 per cluster.
+    "embed_outliers" -> ((s, d) =>
+      Clustering.farthestPerCluster(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = 8, iters = 2, dim = 64, perCluster = 3)),
+
     // --- SemDeDup: cluster-then-prune semantic dedup -------------------------
     // Within each k-means cluster, drop vectors with a lower-id cosine>=τ
     // neighbor; output the kept rows. The clustering bounds the pair join.
@@ -353,6 +390,14 @@ object PipelineQueries {
       Sampling.mixture(Tables.documents(s, d), "doc_id", "source",
         Seq("src0" -> 0.125, "src1" -> 0.25, "src2" -> 0.5, "src3" -> 0.75))
         .select("doc_id", "source")),
+
+    // --- temperature-scaled language rebalancing (T=2, half the corpus):
+    // rates derive from the corpus' own counts, head languages are
+    // downsampled hardest --------------------------------------------------
+    "sample_temperature" -> ((s, d) =>
+      Sampling.temperature(Tables.documents(s, d), "doc_id", "lang",
+        temp = 2.0, frac = 0.5)
+        .select("doc_id", "lang")),
 
     // --- deterministic train/val split (hash of id, engine-portable) --------
     "sample_split" -> ((s, d) =>
@@ -1099,6 +1144,38 @@ object PipelineQueries {
       q.processAllAvailable()
       q.stop()
       ss.table(qname)
+    }),
+
+    // --- streaming cross-corpus dedup: continuous ingest anti-joined
+    // against the trained corpus' broadcast band set — stateless (no
+    // watermark, no state store); the scale path for "dedup the crawl as
+    // it arrives". Batch-equivalent to dedup_cross by construction -------
+    "stream_crossdedup" -> ((s, d) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      implicit val sqlCtx = ss.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import ss.implicits._
+      import scala.jdk.CollectionConverters._
+      val docs = Tables.documents(ss, d)
+      val srcNum = expr("cast(substring(source, 4) as int)")
+      val ref = docs.filter(srcNum < 10)
+      val fresh = docs.filter(srcNum >= 10)
+        .select(col("doc_id"), col("text"), col("source"))
+        .orderBy("doc_id").as[(Long, String, String)]
+      val input = MemoryStream[(Long, String, String)]
+      fresh.toLocalIterator().asScala.grouped(256)
+        .foreach(chunk => input.addData(chunk))
+      val kept = Dedup.crossCorpusKeepBroadcast(
+        input.toDS().toDF("doc_id", "text", "source"), ref,
+        "text", "doc_id", shingleN = 3, k = 8, bands = 4)
+        .select("doc_id", "source")
+      val qname = "stream_crossdedup_" + streamSeq.incrementAndGet()
+      val q = kept.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      ss.table(qname)
     })
   )
 
@@ -1420,6 +1497,18 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |             / (SELECT CAST(n AS DOUBLE) FROM total), 6) AS cum_frac
            |FROM top""".stripMargin,
 
+      "tokenizer_fertility" ->
+        """WITH t AS (SELECT lang, string_split_regex(text, '\s+') AS toks,
+          |             len(regexp_extract_all(text,
+          |                 '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS bpe
+          |           FROM documents)
+          |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |       CAST(SUM(len(toks)) AS BIGINT) AS ws_tokens,
+          |       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+          |       round(CAST(SUM(bpe) AS DOUBLE)
+          |             / CAST(SUM(len(toks)) AS DOUBLE), 6) AS fertility
+          |FROM t GROUP BY 1""".stripMargin,
+
       "text_stats" ->
         s"""WITH $toksCte
            |SELECT doc_id,
@@ -1630,6 +1719,53 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
           |  FROM s) WHERE rank <= 3""".stripMargin),
 
+      // the LSH CTEs are ann_sign_lsh's verbatim; the exact side reuses the
+      // normalized corpus e and ranks without the bucket gate
+      "ann_recall_eval" ->
+        (s"""WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |            FROM embeddings),
+           |bt AS (
+           |  SELECT vec_id, v,
+           |       ${rotatedBitsSql("v", 4, 64)}
+           |  FROM ec),
+           |e AS (SELECT vec_id,
+           |        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v,
+           |        ${bucketFromBitsSql(4, -1)} AS bucket
+           |      FROM bt),
+           |q AS (SELECT vec_id AS query_id,
+           |        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS qv,
+           |        unnest([${(-1 to 3).map(bucketFromBitsSql(4, _)).mkString(",\n                ")}]) AS bucket
+           |      FROM bt WHERE vec_id < 50),""".stripMargin + "\n" +
+        """s AS (
+          |  SELECT q.query_id, e.vec_id AS neighbor_id,
+          |         list_dot_product(qv, e.v) AS score
+          |  FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
+          |lsh AS (SELECT query_id, neighbor_id FROM (
+          |  SELECT query_id, neighbor_id,
+          |         row_number() OVER (PARTITION BY query_id
+          |                            ORDER BY score DESC, neighbor_id) AS rank
+          |  FROM s) WHERE rank <= 3),
+          |q2 AS (SELECT vec_id AS query_id,
+          |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS qv
+          |       FROM ec WHERE vec_id < 50),
+          |x AS (
+          |  SELECT q2.query_id, e.vec_id AS neighbor_id,
+          |         list_dot_product(q2.qv, e.v) AS score
+          |  FROM e, q2 WHERE e.vec_id <> q2.query_id),
+          |ex AS (SELECT query_id, neighbor_id FROM (
+          |  SELECT query_id, neighbor_id,
+          |         row_number() OVER (PARTITION BY query_id
+          |                            ORDER BY score DESC, neighbor_id) AS rank
+          |  FROM x) WHERE rank <= 3)
+          |SELECT query_id, n_hits, round(n_hits / 3.0, 6) AS recall FROM (
+          |  SELECT ex.query_id,
+          |         CAST(sum(CASE WHEN lsh.neighbor_id IS NOT NULL
+          |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+          |  FROM ex LEFT JOIN lsh
+          |    ON lsh.query_id = ex.query_id
+          |   AND lsh.neighbor_id = ex.neighbor_id
+          |  GROUP BY 1)""".stripMargin),
+
       "ann_ivf_topk" ->
         """WITH e0 AS (
           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -1726,6 +1862,24 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
         (s"WITH ${kmeansCtes(8, 2, 64)}\n" +
           "SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a2"),
 
+      // same two Lloyd rounds; the final assignment re-derived from s2 so
+      // the chosen score s rides along, d2 = s + w·w (addition commutes,
+      // both terms are the shared sequential-fold dot)
+      "embed_outliers" ->
+        (s"WITH ${kmeansCtes(8, 2, 64)},\n" +
+          """f AS (SELECT vec_id, w, j AS cluster, s FROM (
+            |       SELECT *, row_number() OVER (PARTITION BY vec_id
+            |                                    ORDER BY s, j) AS rn
+            |       FROM s2) WHERE rn = 1)
+            |SELECT CAST(cluster AS BIGINT) AS cluster, rank, vec_id, d2
+            |FROM (
+            |  SELECT cluster, vec_id,
+            |         round(s + list_dot_product(w, w), 6) AS d2,
+            |         CAST(row_number() OVER (PARTITION BY cluster
+            |              ORDER BY round(s + list_dot_product(w, w), 6) DESC,
+            |                       vec_id) AS BIGINT) AS rank
+            |  FROM f) WHERE rank <= 3""".stripMargin),
+
       "semdedup" ->
         (s"WITH ${kmeansCtes(8, 2, 64)},\n" +
           """nv AS (SELECT e.vec_id, a2.cluster,
@@ -1769,6 +1923,31 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |  WHEN 'src2' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
           |  WHEN 'src3' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0'
           |  ELSE TRUE END""".stripMargin,
+
+      // rate derivation mirrors Sampling.temperature step for step:
+      // exact long weight/doc sums, one correctly-rounded double division,
+      // 6dp round, then the same md5 1/256 gate as sample_mixture
+      "sample_temperature" ->
+        """WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+          |w AS (SELECT lang, n,
+          |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+          |          AS w
+          |      FROM n),
+          |t AS (SELECT lang, n, w,
+          |        CAST(SUM(w) OVER () AS BIGINT) AS tot,
+          |        CAST(floor(0.5 * CAST(CAST(SUM(n) OVER () AS BIGINT)
+          |                              AS DOUBLE)) AS DOUBLE) AS budget
+          |      FROM w),
+          |r AS (SELECT lang,
+          |        round(least(1.0,
+          |          (budget * CAST(w AS DOUBLE))
+          |            / (CAST(tot AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+          |          AS rate
+          |      FROM t)
+          |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+          |WHERE rate >= 1.0
+          |   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          |        < printf('%02x', CAST(floor(rate * 256) AS INT))""".stripMargin,
 
       "sample_split" ->
         """SELECT doc_id,
@@ -2458,7 +2637,26 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |  SELECT DISTINCT user_id, user_id % 5 AS tier FROM events)
           |SELECT e.event_id, e.user_id, d.tier, e.value
           |FROM events e JOIN dim d USING (user_id)
-          |WHERE e.user_id < 40""".stripMargin
+          |WHERE e.user_id < 40""".stripMargin,
+
+      // batch-equivalence oracle: the streaming anti-join chain must drop
+      // exactly the band-colliding docs dedup_cross drops
+      "stream_crossdedup" ->
+        s"""WITH $shinglesCte,
+           |$minhashBandsCte,
+           |src AS (SELECT doc_id, source,
+           |               CAST(substr(source, 4) AS INT) AS src_num
+           |        FROM documents),
+           |refb AS (SELECT DISTINCT band, band_hash
+           |         FROM bands JOIN src USING (doc_id)
+           |         WHERE src_num < 10),
+           |hit AS (SELECT DISTINCT bands.doc_id
+           |        FROM bands JOIN src USING (doc_id)
+           |             JOIN refb USING (band, band_hash)
+           |        WHERE src_num >= 10)
+           |SELECT doc_id, source FROM src
+           |WHERE src_num >= 10
+           |  AND doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin
     )
   }
 }

@@ -53,6 +53,25 @@ class LlmSpec extends SparkSpec {
     assert(confirmed.contains(14L) && confirmed.contains(15L))
   }
 
+  test("broadcast cross-corpus dedup equals the shuffle-join variant") {
+    val ref = docs.filter($"doc_id" <= 2L)
+    val fresh = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog"),
+      (13L, "the quick brown fox jumps over the lazy cat"),
+      (14L, "completely different words entirely unrelated text here now"),
+      (15L, "tiny doc")).toDF("doc_id", "text")
+    val viaJoin = Dedup.crossCorpusKeep(fresh, ref, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val viaBcast = Dedup.crossCorpusKeepBroadcast(fresh, ref, "text",
+      "doc_id").select("doc_id").as[Long].collect().toSet
+    assert(viaBcast == viaJoin)
+    // the probe is map-side: band hashes are columns, so the plan keeps
+    // the broadcast anti-joins and never shuffles the fresh side's rows
+    val p = Dedup.crossCorpusKeepBroadcast(fresh, ref, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
   test("ngram jaccard: identical docs = 1.0, near dups high, unrelated absent") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
       n = 3, threshold = 0.3)
@@ -268,6 +287,31 @@ class LlmSpec extends SparkSpec {
     val salted = Sampling.split(ids, "doc_id", 0.8, salt = "s2")
       .as[(Long, String)].collect().toMap
     assert(salted != s1)
+  }
+
+  test("temperature sampling flattens the head, is deterministic") {
+    import graft.llm.Sampling
+    // skewed corpus: 160 docs of 'big', 40 of 'small'
+    val corpus = ((0L until 160L).map((_, "big")) ++
+      (160L until 200L).map((_, "small"))).toDF("doc_id", "src")
+    val kept = Sampling.temperature(corpus, "doc_id", "src",
+      temp = 2.0, frac = 0.5)
+    val bySrc = kept.groupBy("src").count()
+      .as[(String, Long)].collect().toMap
+    // T=2 keep rates: big ≈ B·√160·1e6/(tot·160) < small's — the kept
+    // corpus is closer to balanced than 160:40
+    val keptBig = bySrc.getOrElse("big", 0L).toDouble / 160.0
+    val keptSmall = bySrc.getOrElse("small", 0L).toDouble / 40.0
+    assert(keptSmall > keptBig,
+      s"head must be downsampled harder: big=$keptBig small=$keptSmall")
+    // reproducible: same corpus, same sample
+    val again = Sampling.temperature(corpus, "doc_id", "src",
+      temp = 2.0, frac = 0.5).select("doc_id").as[Long].collect().toSet
+    assert(again == kept.select("doc_id").as[Long].collect().toSet)
+    // frac=1, T=1 keeps everything (rate = N·n/(N·n) = 1)
+    val all = Sampling.temperature(corpus, "doc_id", "src",
+      temp = 1.0, frac = 1.0).count()
+    assert(all == 200L)
   }
 
   test("sampling: stratified caps each stratum; packing respects budget") {
@@ -521,6 +565,55 @@ class LlmSpec extends SparkSpec {
       k = 2, iters = 2, dim = 4, threshold = 0.999999)
       .select("vec_id").as[Long].collect().toSet
     assert(all == Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("kmeansScored: d2 agrees with kmeans assignment and brute distance") {
+    val scored = Clustering.kmeansScored(kmeansFixture, "vec_id",
+      "embedding", k = 2, iters = 3, dim = 4)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val plain = Clustering.kmeans(kmeansFixture, "vec_id", "embedding",
+      k = 2, iters = 3, dim = 4).as[(Long, Long)].collect().toMap
+    assert(scored.view.mapValues(_._1).toMap == plain) // same assignment
+    // ids 1 and 2 sit at their group's core: their distance to the
+    // converged centroid is strictly below every other group member's
+    assert(scored(1L)._2 < scored(3L)._2 && scored(1L)._2 < scored(5L)._2)
+    assert(scored(2L)._2 < scored(4L)._2 && scored(2L)._2 < scored(6L)._2)
+  }
+
+  test("farthestPerCluster ranks by d2 desc with id tie-break, caps per cluster") {
+    val out = Clustering.farthestPerCluster(kmeansFixture, "vec_id",
+      "embedding", k = 2, iters = 3, dim = 4, perCluster = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    val byCluster = out.groupBy(_._1)
+    assert(byCluster.keySet == Set(0L, 1L))
+    byCluster.values.foreach { rows =>
+      assert(rows.length == 2)
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == Seq(1L, 2L))       // ranks 1..perCluster
+      assert(sorted(0)._4 >= sorted(1)._4)                 // d2 descending
+    }
+    // the central points (ids 1, 2) are never in the farthest-2 of their
+    // 3-member clusters — the outlier queue contains the periphery
+    val ids = out.map(_._3).toSet
+    assert(ids == Set(3L, 5L, 4L, 6L))
+  }
+
+  test("recallAtK: self-recall is 1, disjoint recall is 0, partial counts hits") {
+    val exact = Seq((1L, 1L, 10L), (1L, 2L, 11L), (2L, 1L, 20L), (2L, 2L, 21L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val same = Similarity.recallAtK(exact, exact, k = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(same == Set((1L, 2L, 1.0), (2L, 2L, 1.0)))
+    val none = Seq((1L, 1L, 99L), (2L, 1L, 98L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val zero = Similarity.recallAtK(exact, none, k = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(zero == Set((1L, 0L, 0.0), (2L, 0L, 0.0)))
+    val half = Seq((1L, 1L, 10L), (2L, 1L, 77L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val part = Similarity.recallAtK(exact, half, k = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(part == Set((1L, 1L, 0.5), (2L, 0L, 0.0)))
   }
 
   test("winnowing: shared run >= w+k-1 tokens guarantees a shared fp") {
