@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.{DistinctShingles, DotProduct, HammingDistance,
-  L2Normalize, MinHashSignature, NfcNormalize, NgramStats, SimHash64}
+  L2Normalize, MinHashSignature, NfcNormalize, NgramStats, SimHash64,
+  WinnowFingerprints}
 
 /** `SparkSessionExtensions` installer: registers the engine's custom
   * codegen expressions as SQL functions so `spark.sql` queries (and the
@@ -91,5 +92,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NgramStats].getName, "ngram_stats"),
       arity("ngram_stats", 2)(args => NgramStats(args(0),
         GraftExtensions.litInt("ngram_stats", "n", args(1))))))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName,
+        "winnow_fingerprints"),
+      arity("winnow_fingerprints", 3)(args => WinnowFingerprints(args(0),
+        GraftExtensions.litInt("winnow_fingerprints", "k", args(1)),
+        GraftExtensions.litInt("winnow_fingerprints", "w", args(2))))))
   }
 }

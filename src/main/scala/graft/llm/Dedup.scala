@@ -576,40 +576,45 @@ object Dedup {
     require(k >= 1, s"k=$k must be >= 1")
     require(w >= 1, s"w=$w must be >= 1")
     val toks = TextAnalysis.tokens(col(textCol))
-    // positional (non-distinct) gram hashes — winnowing needs the sequence
-    val grams = transform(sequence(lit(0), size(toks) - k),
-      i => substring(md5(array_join(slice(toks, i + 1, lit(k)), " ")), 1, 16))
+    // one codegen'd pass per document (gram digests + window minima +
+    // distinct) — see [[graft.functions.WinnowUtil]]; equivalent to the
+    // declarative transform/array_min formulation but not interpreted
     df.filter(size(toks) >= k)
-      .select(col(idCol), grams.as("gh"))
       .select(col(idCol),
-        transform(sequence(lit(0), greatest(size(col("gh")) - w, lit(0))),
-          j => array_min(slice(col("gh"), j + 1, lit(w)))).as("sel"))
-      .select(col(idCol), explode(array_distinct(col("sel"))).as("fp"))
+        explode(graft.functions.Winnow.fingerprints(toks, k, w)).as("fp"))
   }
 
   /** Near-dup pairs by shared winnowing fingerprints: (id_a, id_b,
     * shared_fps) for pairs sharing ≥ `minShared` selected fingerprints.
-    * The fingerprint equality join IS the blocking step (no separate
-    * candidate stage), with the standard de-skewed hot-key cap: a
-    * fingerprint selected by more than `maxDocsPerFp` documents is
-    * boilerplate and is dropped via partial-agg count + broadcast
-    * anti-join — same rationale as the stop-shingle cap, no skewed
-    * exchange. Winnowing's ~2/(w+1) compression makes this join
-    * (w+1)/2 × cheaper than the full-shingle overlap join at the same
-    * detection guarantee for runs ≥ w+k−1 tokens. */
+    * The fingerprint grouping IS the blocking step, with the standard
+    * hot-key cap: a fingerprint selected by more than `maxDocsPerFp`
+    * documents is boilerplate and its whole group drops — same
+    * rationale as the stop-shingle cap. Winnowing's ~2/(w+1)
+    * compression makes this (w+1)/2 × cheaper than the full-shingle
+    * overlap join at the same detection guarantee for runs ≥ w+k−1
+    * tokens.
+    *
+    * Single-scan shape: the fingerprint stream shuffles ONCE into
+    * per-fp doc-id lists (bounded by the cap, so group state is capped
+    * memory and the cap check is a plain size() — no separate hot-set
+    * aggregate, no anti-join, no second scan of the corpus as a
+    * fp↔fp self-join would need), then a<b pairs explode map-side and
+    * one hash aggregate counts shared fingerprints per pair. */
   def winnowPairs(df: DataFrame, textCol: String, idCol: String,
                   k: Int = 4, w: Int = 5, minShared: Int = 2,
                   maxDocsPerFp: Int = 1000): DataFrame = {
     val fps = winnowFingerprints(df, textCol, idCol, k, w)
-    val hot = fps.groupBy(col("fp"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxDocsPerFp)
-      .select(col("fp"))
-    val kept = fps.join(broadcast(hot), Seq("fp"), "left_anti")
-    kept.select(col("fp"), col(idCol).as("id_a"))
-      .join(kept.select(col("fp"), col(idCol).as("id_b")), Seq("fp"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
+    val groups = fps.groupBy(col("fp"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDocsPerFp)
+    val pairs = groups.select(explode(flatten(
+      transform(col("ids"), (a, i) =>
+        transform(
+          slice(col("ids"), i + lit(2),
+            greatest(size(col("ids")) - i - 1, lit(0))),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+    pairs.groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
   }
 

@@ -102,6 +102,33 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("winnow fingerprints match the declarative HOF formulation exactly") {
+    import graft.functions.Winnow
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog and runs far away now",
+      "a b c d",                       // exactly k tokens → one gram
+      "alpha beta gamma delta epsilon", // nG < w → one short window
+      "x y repeated x y repeated x y repeated x y repeated x y repeated"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val k = 4; val w = 5
+    val toks = split(col("text"), "\\s+")
+    val grams = transform(sequence(lit(0), size(toks) - k),
+      i => substring(md5(array_join(slice(toks, i + 1, lit(k)), " ")), 1, 16))
+    val declarative = docs.filter(size(toks) >= k)
+      .select(col("id"), grams.as("gh"))
+      .select(col("id"),
+        transform(sequence(lit(0), greatest(size(col("gh")) - w, lit(0))),
+          j => array_min(slice(col("gh"), j + 1, lit(w)))).as("sel"))
+      .select(col("id"), explode(array_distinct(col("sel"))).as("fp"))
+      .as[(Long, String)].collect().toSet
+    val native = docs.filter(size(toks) >= k)
+      .select(col("id"),
+        explode(Winnow.fingerprints(toks, k, w)).as("fp"))
+      .as[(Long, String)].collect().toSet
+    assert(native == declarative)
+    assert(native.nonEmpty)
+  }
+
   test("extensions installer registers the SQL functions") {
     // a live session can't re-run injection; assert the injector wires
     // cleanly into a fresh SparkSessionExtensions instance
