@@ -302,6 +302,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cross-corpus dedup: stateless per-batch drops, batch-equal") {
+    import graft.llm.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog"),   // dup of ref
+      (12L, "completely different words entirely unrelated text here now"))
+    val b2 = Seq(
+      (13L, "the quick brown fox jumps over the lazy dog"),   // dup again
+      (14L, "yet more fresh material nothing shared with anything at all"),
+      (15L, "tiny doc"))                                      // sub-shingle
+    val input = MemoryStream[(Long, String)]
+    val kept = Dedup.crossCorpusKeepBroadcast(
+      input.toDS().toDF("doc_id", "text"), ref, "text", "doc_id")
+    val q = kept.select("doc_id").writeStream.format("memory")
+      .queryName("xdedup").outputMode("append").start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      val afterB1 = spark.table("xdedup").as[Long].collect().toSet
+      assert(afterB1 == Set(12L), s"batch 1 kept $afterB1")
+      input.addData(b2)
+      q.processAllAvailable()
+      val all = spark.table("xdedup").as[Long].collect().toSet
+      assert(all == Set(12L, 14L, 15L), s"after batch 2 kept $all")
+      // no state store involved: the same input through the BATCH path
+      // gives the same survivors
+      val batch = Dedup.crossCorpusKeepBroadcast(
+        (b1 ++ b2).toDF("doc_id", "text"), ref, "text", "doc_id")
+        .select("doc_id").as[Long].collect().toSet
+      assert(batch == all)
+    } finally q.stop()
+  }
+
   test("kafka fan-out encode: per-site topic + global topic, series key") {
     val df = Seq(("dc1", "r1|int|if|eth0", 42.0), ("dc2", "r2|int|if|eth1", 7.0))
       .toDF("site", "series", "v")
