@@ -140,6 +140,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("temperature sampling: rate table broadcasts; the corpus never shuffles") {
+    val p = plan("sample_temperature")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only Window in the plan is over the tiny per-source aggregate
+    // (it sits above a HashAggregate, never above the documents scan)
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"rate derivation should shuffle only the " +
+      s"per-source aggregate, got $exchanges hash exchanges:\n$p")
+  }
+
+  test("winnow pair stage: one fp shuffle, no anti-join, no self-join rescan") {
+    import graft.llm.Dedup
+    import graft.core.Tables
+    val p = Dedup.winnowPairs(Tables.documents(spark, sf001),
+      "text", "doc_id", k = 4, w = 5, minShared = 2)
+      .queryExecution.executedPlan.toString
+    // single-scan shape: the corpus parquet is read exactly once
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"fingerprint pipeline must not re-scan: $scans scans\n$p")
+    assert(!p.contains("LeftAnti"), p)      // cap is a group-size filter now
+    assert(!p.contains("SortMergeJoin"), p) // pairs explode map-side
+  }
+
+  test("broadcast cross-dedup probe plan holds on the full documents table") {
+    import graft.llm.Dedup
+    import graft.core.Tables
+    val docs = Tables.documents(spark, sf001)
+    val srcNum = org.apache.spark.sql.functions.expr(
+      "cast(substring(source, 4) as int)")
+    val p = Dedup.crossCorpusKeepBroadcast(
+      docs.filter(srcNum >= 10), docs.filter(srcNum < 10), "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    // every band probe is a broadcast anti-join; the fresh side is never
+    // exchanged between them (stateless-streaming compatible by shape)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q5 star join: dims broadcast, date gate pushed to the orders scan") {
     val p = plan("q5_region_revenue")
     assert(p.contains("BroadcastHashJoin"), p)
