@@ -299,35 +299,76 @@ object Similarity {
     require(bands >= 1, s"bands=$bands must be >= 1")
     require(bands == 1 || rotatedDim.isDefined,
       "multi-band blocking needs the seeded rotated family (rotatedDim)")
+    // Canonicalize on the RAW vector first (the simhashPairs trick,
+    // SCALE.md §10a): a d-duplicated vector costs one row in the bucket
+    // join instead of d², and the win grows as (N/D)² with duplication —
+    // exact duplicates are the norm in crawled embedding corpora. The
+    // ids array is bounded by per-vector duplication (same state bound
+    // argument as the winnow fp groups). Dup-free corpora pay one extra
+    // corpus exchange (the canonicalization aggregate) and nothing else.
+    val ok = df.filter(size(col(vecCol)) >= rotatedDim.getOrElse(b))
+    val groups = ok.groupBy(col(vecCol).as("__v"))
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      .select(col("__v"), col("__ids"),
+        element_at(col("__ids"), 1).as("__rep"),
+        normalize(col("__v")).as("nv"))
+    // [within-group] identical vectors share every bucket, so the original
+    // bucket join emits all their a<b pairs iff the self-score clears the
+    // threshold — reproduce that gate exactly (dot of the normalized
+    // vector with itself, rounded, NOT an assumed 1.0)
+    val within = groups.filter(size(col("__ids")) >= 2)
+      .withColumn("score", round(dot(col("nv"), col("nv")), roundScore))
+      .filter(col("score") >= threshold)
+      .select(explode(flatten(transform(col("__ids"), (a, i) =>
+        transform(
+          slice(col("__ids"), i + lit(2),
+            greatest(size(col("__ids")) - i - 1, lit(0))),
+          x => struct(a.as("id_a"), x.as("id_b")))))).as("p"),
+        col("score"))
+      .select(col("p.id_a"), col("p.id_b"), col("score"))
+    // [cross-group] band/bucket the DISTINCT vectors only
     val bandCols = (0 until bands).map { j =>
       val bucket = rotatedDim match {
-        case Some(dim) => signBucketRotated(col(vecCol), b, dim, seed + j)
-        case None      => signBucket(col(vecCol), b)
+        case Some(dim) => signBucketRotated(col("__v"), b, dim, seed + j)
+        case None      => signBucket(col("__v"), b)
       }
       struct(lit(j).as("band"), bucket.as("bucket"))
     }
-    // same short-vector posture as signLshTopK: degrade out, don't crash
-    val withBucket = df.filter(size(col(vecCol)) >= rotatedDim.getOrElse(b))
-      .select(col(idCol), normalize(col(vecCol)).as("nv"),
+    val withBucket = groups
+      .select(col("__rep"), col("__ids"), col("nv"),
         explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("nv"),
+      .select(col("__rep"), col("__ids"), col("nv"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val a = withBucket.select(col("band"), col("bucket"),
-      col(idCol).as("id_a"), col("nv").as("va"))
+      col("__rep").as("__rep_a"), col("__ids").as("__ids_a"),
+      col("nv").as("va"))
     val bb = withBucket.select(col("band"), col("bucket"),
-      col(idCol).as("id_b"), col("nv").as("vb"))
+      col("__rep").as("__rep_b"), col("__ids").as("__ids_b"),
+      col("nv").as("vb"))
     // Score and threshold INSIDE the bucket join, BEFORE any pair dedup:
-    // a pair colliding in several bands recomputes its (deterministic) dot
-    // once per band, but only the above-threshold survivors — three thin
-    // columns — ever reach a dedup exchange. Deduping first would shuffle
-    // every candidate pair with both dim-wide vectors attached (the sf1
-    // rehearsal measured that plan at 211 s vs ~bands× dot cost here).
-    val scored = a.join(bb, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+    // a vector pair colliding in several bands recomputes its
+    // (deterministic) dot once per band, but only the above-threshold
+    // survivors — thin rows — ever reach a dedup exchange. Deduping first
+    // would shuffle every candidate pair with both dim-wide vectors
+    // attached (the sf1 rehearsal measured that plan at 211 s vs ~bands×
+    // dot cost here).
+    val scoredGroups = a.join(bb, Seq("band", "bucket"))
+      .filter(col("__rep_a") < col("__rep_b"))
       .withColumn("score", round(dot(col("va"), col("vb")), roundScore))
       .filter(col("score") >= threshold)
-      .select("id_a", "id_b", "score")
-    // with one band pairs are already unique, so skip the dedup exchange
-    if (bands == 1) scored else scored.dropDuplicates("id_a", "id_b")
+      .select(col("__rep_a"), col("__rep_b"), col("__ids_a"),
+        col("__ids_b"), col("score"))
+    val distinctGroups =
+      if (bands == 1) scoredGroups
+      else scoredGroups.dropDuplicates("__rep_a", "__rep_b")
+    // expand group pairs to id pairs map-side; distinct groups are
+    // disjoint id sets, so every (a, b) orders via least/greatest
+    val cross = distinctGroups
+      .select(explode(flatten(transform(col("__ids_a"), av =>
+        transform(col("__ids_b"), bv =>
+          struct(least(av, bv).as("id_a"), greatest(av, bv).as("id_b"))))))
+        .as("p"), col("score"))
+      .select(col("p.id_a"), col("p.id_b"), col("score"))
+    within.unionByName(cross)
   }
 }
