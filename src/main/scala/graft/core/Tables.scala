@@ -16,6 +16,20 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Spread an under-partitioned input across the session's cores before
+    * a COMPUTE-heavy map stage. Parquet scan parallelism is bounded by
+    * row groups — a single-row-group file (the driver fixtures; any
+    * small-but-dense table) scans as ONE task, serializing kernels that
+    * do real per-row work (MinHash signatures, winnowing, simhash). One
+    * round-robin exchange of the projected columns unlocks cores×
+    * parallelism; when the scan already has enough partitions (the
+    * production case: many files × many row groups) this is a no-op and
+    * adds nothing to the plan. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")

@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+
+import graft.core.Tables.spread
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.BinaryType
 
@@ -17,7 +19,10 @@ import org.apache.spark.sql.types.BinaryType
   * and fixed (benchmarks are thousands of docs) while the train corpus is
   * the 100 TB side. Distinct n-grams are produced map-side by the codegen
   * shingle kernel, hashed to 8-byte keys, and the EVAL side is broadcast —
-  * the train corpus is scanned once, never shuffled, and only matching
+  * the train corpus is scanned once, never shuffled (the `spread` on the
+  * train scan is a no-op whenever the scan already has >= cores
+  * partitions — it exists for under-partitioned single-row-group files,
+  * where serial shingling would dominate), and only matching
   * (test, train) pairs reach the final aggregation.
   */
 object Contamination {
@@ -41,7 +46,7 @@ object Contamination {
     val testSizes = test.select(col(idCol).as("test_id"),
       size(graft.functions.Shingles.distinctShingles(
         TextAnalysis.tokens(col(textCol)), n)).as("n_test_ngrams"))
-    shingled(train, "train_id")
+    shingled(spread(train), "train_id")
       .join(broadcast(shingled(test, "test_id")), Seq("sh"))
       .groupBy(col("test_id"), col("train_id"))
       .agg(count(lit(1)).as("shared_ngrams"))
@@ -95,7 +100,7 @@ object Contamination {
     val testSizes = test.select(col(idCol).as("test_id"),
       size(graft.functions.Shingles.distinctShingles(
         TextAnalysis.tokens(col(textCol)), n)).as("n_test_ngrams"))
-    shingled(train, "train_id")
+    shingled(spread(train), "train_id")
       .filter(mightContain) // map-side kill of non-matches
       .join(testSh, Seq("sh")) // exact confirm; planner picks the strategy
       .groupBy(col("test_id"), col("train_id"))

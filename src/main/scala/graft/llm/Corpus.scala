@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Tables.spread
+
 /** Corpus-level term statistics: TF-IDF ranking and a unigram-LM
   * surprisal score (the cheap, trainable-nothing stand-in for the
   * perplexity filters used to quality-gate web-scale training corpora).
@@ -22,7 +24,7 @@ object Corpus {
   /** Term frequency in long form: one row per (id, term) with its count.
     * One shuffle on (id, term); map-side partial aggregation first. */
   def termFreq(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol),
+    spread(df).select(col(idCol),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -77,7 +79,7 @@ object Corpus {
   def ngramDocFreqTopK(df: DataFrame, textCol: String, idCol: String,
                        n: Int, k: Int): DataFrame = {
     require(n > 0 && k > 0, s"n=$n, k=$k must be positive")
-    df.select(explode(graft.functions.Shingles.distinctShingles(
+    spread(df).select(explode(graft.functions.Shingles.distinctShingles(
         TextAnalysis.tokens(col(textCol)), n)).as("shingle"))
       .groupBy(col("shingle"))
       .agg(count(lit(1)).as("doc_freq"))
@@ -104,7 +106,7 @@ object Corpus {
     // tfidfTopK); the total-token branch is a plain global count of the
     // exploded tokens — map-side partial counts, one row out.
     val ctf = sum(col("tf")).over(Window.partitionBy(col("term")))
-    val total = df
+    val total = spread(df)
       .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .agg(count(lit(1)).as("__total"))
     tf.withColumn("ctf", ctf)
@@ -142,7 +144,7 @@ object Corpus {
                       minCount: Long, k: Int): DataFrame = {
     require(minCount >= 1 && k > 0, s"minCount=$minCount, k=$k")
     val toks = TextAnalysis.tokens(col(textCol))
-    val words = df.select(toks.as("w"))
+    val words = spread(df).select(toks.as("w"))
     val uni = words.select(explode(col("w")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
     val n1 = uni.agg(sum(col("c")).as("__n1"))
@@ -184,7 +186,7 @@ object Corpus {
     * Coverage derives from exact integer sums divided once at the end. */
   def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k > 0, s"k=$k must be positive")
-    val toks = df
+    val toks = spread(df)
       .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
     val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val total = toks.agg(count(lit(1)).as("__total"))
@@ -219,7 +221,7 @@ object Corpus {
     * window and the final per-doc aggregate both hash on the doc key —
     * one repartitioning for the whole tail. */
   def charEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val chars = df.filter(length(col(textCol)) > 0)
+    val chars = spread(df.filter(length(col(textCol)) > 0))
       .select(col(idCol), col(textCol),
         explode(sequence(lit(1), length(col(textCol)))).as("__i"))
       .select(col(idCol), col(textCol).substr(col("__i"), lit(1)).as("ch"))

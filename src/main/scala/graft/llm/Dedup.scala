@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Tables.spread
+
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, and n-gram Jaccard.
   *
@@ -92,8 +94,60 @@ object Dedup {
     * one-pass codegen'd [[graft.functions.MinHashUtil]] (same values as
     * [[minhashSignatures]], zero shuffles before banding). */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
-                 shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame =
-    lshCandidatePairs(bandRows(df, textCol, idCol, shingleN, k, bands), idCol)
+                 shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val rows = k / bands
+    val ws = TextAnalysis.tokens(col(textCol))
+    // Canonicalize on the SIGNATURE vector (computed map-side, fixed
+    // k×16-char width — unlike grouping by text, this never shuffles
+    // document bytes): duplicated content shares a signature, so a
+    // d-duplicated doc costs one row in the band self-join instead of d,
+    // and d²-fold fewer candidate rows. Same (N/D)² argument as the
+    // cosine near-dup canonicalization (SCALE.md §10a); dup-free corpora
+    // pay one signature-width exchange and nothing else.
+    val sigd = spread(df.filter(size(ws) >= shingleN))
+      .select(col(idCol),
+        graft.functions.MinHashUtil.signatures(
+          graft.functions.Shingles.distinctShingles(ws, shingleN), k)
+          .as("__sig"))
+    val groups = sigd.groupBy(col("__sig"))
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      .withColumn("__rep", element_at(col("__ids"), 1))
+    // identical signatures collide in every band: all within-group a<b
+    // pairs are candidates by construction, emitted map-side
+    val within = groups.filter(size(col("__ids")) >= 2)
+      .select(explode(flatten(transform(col("__ids"), (x, i) =>
+        transform(
+          slice(col("__ids"), i + lit(2),
+            greatest(size(col("__ids")) - i - 1, lit(0))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+    // distinct signatures band as usual; candidate GROUP pairs expand to
+    // id pairs map-side (groups are disjoint id sets)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat((0 until rows).map(r =>
+          element_at(col("__sig"), b * rows + r + 1)): _*)).as("band_hash"))
+    }
+    val banded = groups.select(col("__rep"), col("__ids"),
+        explode(array(bandCols: _*)).as("bh"))
+      .select(col("__rep"), col("__ids"),
+        col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
+    val a = banded.select(col("band"), col("band_hash"),
+      col("__rep").as("__rep_a"), col("__ids").as("__ids_a"))
+    val b2 = banded.select(col("band"), col("band_hash"),
+      col("__rep").as("__rep_b"), col("__ids").as("__ids_b"))
+    val groupPairs = a.join(b2, Seq("band", "band_hash"))
+      .filter(col("__rep_a") < col("__rep_b"))
+      .dropDuplicates("__rep_a", "__rep_b")
+    val cross = groupPairs
+      .select(explode(flatten(transform(col("__ids_a"), xv =>
+        transform(col("__ids_b"), yv =>
+          struct(least(xv, yv).as("id_a"), greatest(xv, yv).as("id_b"))))))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+    within.unionByName(cross)
+  }
 
   // ------------------------------------------------- cross-corpus dedup
 
@@ -104,7 +158,7 @@ object Dedup {
   private def bandRows(df: DataFrame, textCol: String, idCol: String,
                        shingleN: Int, k: Int, bands: Int): DataFrame = {
     val ws = TextAnalysis.tokens(col(textCol))
-    val sigs = df.filter(size(ws) >= shingleN)
+    val sigs = spread(df.filter(size(ws) >= shingleN))
       .select(col(idCol),
         graft.functions.MinHashUtil.signatures(
           graft.functions.Shingles.distinctShingles(ws, shingleN), k)
@@ -381,7 +435,7 @@ object Dedup {
     * tokens → count → explode 64 positions → two aggregations) cost three
     * shuffles and a 64× row blowup for the same output. */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol),
+    spread(df).select(col(idCol),
       graft.functions.SimHashUtil
         .simhash64(TextAnalysis.tokens(col(textCol)))
         .as("simhash_bits"))
@@ -520,7 +574,7 @@ object Dedup {
     // shuffle 8-byte xxhash64 keys instead of multi-word strings (several×
     // fewer shuffle bytes; 64-bit collisions are negligible at any
     // realistic shingle cardinality and only perturb candidate blocking).
-    val sh = shingles(df, textCol, idCol, n)
+    val sh = shingles(spread(df), textCol, idCol, n)
       .select(col(idCol), xxhash64(col("shingle")).as("sh_h"))
     // Stop-shingle cap WITHOUT a window: a window partitioned on sh_h would
     // route every row of a hot shingle to one partition before the cap can
@@ -579,7 +633,7 @@ object Dedup {
     // one codegen'd pass per document (gram digests + window minima +
     // distinct) — see [[graft.functions.WinnowUtil]]; equivalent to the
     // declarative transform/array_min formulation but not interpreted
-    df.filter(size(toks) >= k)
+    spread(df.filter(size(toks) >= k))
       .select(col(idCol),
         explode(graft.functions.Winnow.fingerprints(toks, k, w)).as("fp"))
   }
@@ -637,7 +691,7 @@ object Dedup {
                  w: Int): DataFrame = {
     require(w >= 1, s"chunk width $w must be >= 1")
     val toks = TextAnalysis.tokens(col(textCol))
-    val chunks = df
+    val chunks = spread(df)
       .select(col(idCol), toks.as("__toks"))
       .filter(size(col("__toks")) >= 1) // sequence(0,-1) would run backwards
       .withColumn("n_chunks",

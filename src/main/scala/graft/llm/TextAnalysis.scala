@@ -3,6 +3,8 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.core.Tables.spread
+
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization stats, quality scoring, language ID, fingerprinting.
   *
@@ -73,7 +75,7 @@ object TextAnalysis {
     require(window > 0 && stride > 0 && stride <= window,
       s"window=$window, stride=$stride")
     val toks = tokens(col(textCol))
-    df.filter(size(toks) >= 1)
+    spread(df.filter(size(toks) >= 1))
       .select(col(idCol), toks.as("__w"))
       .select(col(idCol), explode(expr(
         s"""transform(

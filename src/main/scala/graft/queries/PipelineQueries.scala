@@ -407,7 +407,9 @@ object PipelineQueries {
     // --- stratified per-language cap: stable pseudo-random 50 per stratum ---
     "sample_stratified" -> ((s, d) =>
       Sampling.stratified(
-        Tables.documents(s, d)
+        // spread: langId's stopword scan is the heavy map stage here and
+        // the fixture parquet is a single row group (one scan task)
+        Tables.spread(Tables.documents(s, d))
           .withColumn("lang_id", TextAnalysis.langId(col("text")))
           // project BEFORE the window: only (doc_id, lang_id) ride the
           // stratum exchange, not the full document text
