@@ -90,7 +90,10 @@ object ReferenceQueries {
     // --- P7/P8/S5: Kafka-boundary decode — key filter + JSON-schema
     // validation drop corrupt and unconfigured records (consumer.py:383-405).
     "p7p8_kafka_decode" -> ((s, d) => {
-      val raw = Tables.events(s, d).select(
+      // spread: to_json/from_json round-trip is the heavy map stage and
+      // the fixture parquet is one row group (one scan task); a real
+      // Kafka source has a task per topic partition instead
+      val raw = Tables.spread(Tables.events(s, d)).select(
         (col("user_id") % 10).cast("string").as("key"),
         when(col("event_id") % 7 === 0, lit("{not json"))
           .otherwise(to_json(struct(col("event_id"), col("event_type"),
