@@ -633,6 +633,26 @@ object PipelineQueries {
         .select("view_id", "purchase_id", "ts_us", "lo", "hi")
     }),
 
+    // --- interval×interval overlap join: exposure windows × purchase
+    // windows (attribution candidates) — bucketized on both sides, each
+    // pair emitted once via the overlap-start-bucket filter ---------------
+    "interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val hourUs = 3600L * 1000000L
+      val views = ev.filter(col("event_type") === "view" &&
+          col("user_id") < 25)
+        .select(col("event_id").as("view_id"),
+          col("ts_us").as("v_lo"), (col("ts_us") + 2 * hourUs).as("v_hi"))
+      val purchases = ev.filter(col("event_type") === "purchase" &&
+          col("user_id") < 50)
+        .select(col("event_id").as("purchase_id"),
+          (col("ts_us") - hourUs).as("p_lo"),
+          (col("ts_us") + hourUs).as("p_hi"))
+      RangeJoin.intervalOverlap(views, purchases, "v_lo", "v_hi",
+        "p_lo", "p_hi", bucketWidth = hourUs)
+        .select("view_id", "purchase_id", "v_lo", "p_lo")
+    }),
+
     // --- multimodal: columnar binary metadata ----------------------------------------------
     "mm_binary_meta" -> ((s, d) =>
       Multimodal.binaryMeta(Tables.documents(s, d), "text")
@@ -2154,6 +2174,19 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |  FROM events WHERE event_type = 'purchase' AND user_id < 10)
           |SELECT view_id, purchase_id, ts_us, lo, hi
           |FROM p JOIN iv ON p.ts_us BETWEEN iv.lo AND iv.hi""".stripMargin,
+
+      "interval_join" ->
+        """WITH e AS (SELECT event_id, user_id, event_type,
+          |                  epoch_us(ts) AS ts_us FROM events),
+          |v AS (SELECT event_id AS view_id, ts_us AS v_lo,
+          |             ts_us + 7200000000 AS v_hi
+          |      FROM e WHERE event_type = 'view' AND user_id < 25),
+          |p AS (SELECT event_id AS purchase_id,
+          |             ts_us - 3600000000 AS p_lo,
+          |             ts_us + 3600000000 AS p_hi
+          |      FROM e WHERE event_type = 'purchase' AND user_id < 50)
+          |SELECT view_id, purchase_id, v_lo, p_lo
+          |FROM v JOIN p ON v_lo <= p_hi AND p_lo <= v_hi""".stripMargin,
 
       "mm_binary_meta" ->
         """SELECT doc_id,

@@ -107,6 +107,40 @@ class AsofRangeJoinSpec extends SparkSpec {
     assert(out == Set(20L)) // the mega-interval is dropped, not exploded
   }
 
+  test("intervalOverlap matches brute force and emits each pair once") {
+    val rng = new scala.util.Random(7)
+    val ls = (0 until 60).map(i =>
+      (i.toLong, rng.nextInt(200).toLong) match {
+        case (id, lo) => (id, lo, lo + rng.nextInt(40).toLong)
+      })
+    val rs = (100 until 160).map(i =>
+      (i.toLong, rng.nextInt(200).toLong) match {
+        case (id, lo) => (id, lo, lo + rng.nextInt(40).toLong)
+      })
+    val lDf = ls.toDF("lid", "l_lo", "l_hi")
+    val rDf = rs.toDF("rid", "r_lo", "r_hi")
+    val out = RangeJoin.intervalOverlap(lDf, rDf, "l_lo", "l_hi",
+      "r_lo", "r_hi", bucketWidth = 16L)
+      .select("lid", "rid").as[(Long, Long)].collect().toList
+    val brute = for {
+      (lid, llo, lhi) <- ls
+      (rid, rlo, rhi) <- rs
+      if llo <= rhi && rlo <= lhi
+    } yield (lid, rid)
+    assert(out.toSet == brute.toSet)
+    assert(out.size == out.distinct.size,
+      "a pair overlapping several buckets must be emitted exactly once")
+  }
+
+  test("intervalOverlap handles negative coordinates and the bucket cap") {
+    val l = Seq((1L, -20L, -5L)).toDF("lid", "l_lo", "l_hi")
+    val r = Seq((10L, -8L, 3L), (20L, -100L, 100L)).toDF("rid", "r_lo", "r_hi")
+    val out = RangeJoin.intervalOverlap(l, r, "l_lo", "l_hi",
+      "r_lo", "r_hi", bucketWidth = 7L, maxBucketsPerInterval = 10)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L))) // mega-interval 20 dropped loudly
+  }
+
   test("range join plans a shuffled equi-join, not a nested loop") {
     val pts = spark.range(100).select(col("id").as("p"))
     val ivs = spark.range(10).select(col("id").as("iid"),
