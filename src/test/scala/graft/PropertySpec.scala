@@ -285,4 +285,82 @@ class PropertySpec extends SparkSpec {
       assert(fwd == brute(forward = true), s"forward seed=$seed")
     }
   }
+
+  // --- the round-5 canonicalized pair generators against their primitive
+  // compositions: the rewrites collapse duplicates internally; these pin
+  // that the emitted PAIR SETS are unchanged on duplicate-heavy corpora
+
+  test("canonicalized minhashLsh == bandRows∘lshCandidatePairs composition") {
+    import graft.llm.Dedup
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docGen = Gen.listOfN(8, Gen.oneOf(vocab)).map(_.mkString(" "))
+    (1 to 12).foreach { seed =>
+      // corpus with forced duplication: each sampled text appears 1-3×
+      val texts = (0 until 8).flatMap { i =>
+        val t = sample(docGen, seed * 100 + i)
+        Seq.fill(1 + (seed + i) % 3)(t)
+      }.zipWithIndex.map { case (t, id) => (id.toLong, t) }
+      val df = texts.toDF("doc_id", "text")
+      val canonical = Dedup.minhashLsh(df, "text", "doc_id")
+        .as[(Long, Long)].collect().toSet
+      val sigs = Dedup.minhashSignatures(
+        Dedup.shingles(df, "text", "doc_id", 3), "doc_id", 8)
+      val composed = Dedup.lshCandidatePairs(
+        Dedup.lshBands(sigs, "doc_id", 8, 4), "doc_id")
+        .as[(Long, Long)].collect().toSet
+      assert(canonical == composed, s"seed=$seed")
+    }
+  }
+
+  test("canonicalized cosineNearDupPairs == per-id bucket-join formulation") {
+    import graft.llm.Similarity
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-1.0f, 1.0f))
+    (1 to 10).foreach { seed =>
+      val base = (0 until 10).map(i => sample(vecGen, seed * 50 + i).toArray)
+      // duplicate some vectors so the canonicalization path is exercised
+      val vecs = (base ++ base.take(4)).zipWithIndex
+        .map { case (v, id) => (id.toLong, v) }
+      val df = vecs.toDF("vec_id", "embedding")
+      val b = 2; val dim = 8; val threshold = 0.2
+      val canonical = Similarity.cosineNearDupPairs(df, "vec_id",
+        "embedding", threshold, b, rotatedDim = Some(dim))
+        .as[(Long, Long, Double)].collect().toSet
+      // reference: per-id bucket + pairwise score (the pre-round-5 shape)
+      val withB = df.filter(size(col("embedding")) >= dim)
+        .select(col("vec_id"),
+          Similarity.normalize(col("embedding")).as("nv"),
+          Similarity.signBucketRotated(col("embedding"), b, dim,
+            Similarity.DefaultSeed).as("bucket"))
+      val ref = withB.select(col("bucket"), col("vec_id").as("id_a"),
+          col("nv").as("va"))
+        .join(withB.select(col("bucket"), col("vec_id").as("id_b"),
+          col("nv").as("vb")), Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("score", round(Similarity.dot(col("va"), col("vb")), 6))
+        .filter(col("score") >= threshold)
+        .select(col("id_a"), col("id_b"), col("score"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(canonical == ref, s"seed=$seed")
+    }
+  }
+
+  test("single-scan winnowPairs == fingerprint-join formulation") {
+    import graft.llm.Dedup
+    val vocab = Seq("one", "two", "three", "four", "five", "six", "seven")
+    val docGen = Gen.listOfN(14, Gen.oneOf(vocab)).map(_.mkString(" "))
+    (1 to 12).foreach { seed =>
+      val texts = (0 until 10).map(i => sample(docGen, seed * 30 + i))
+        .zipWithIndex.map { case (t, id) => (id.toLong, t) }
+      val df = texts.toDF("doc_id", "text")
+      val fast = Dedup.winnowPairs(df, "text", "doc_id", k = 3, w = 4,
+        minShared = 1).as[(Long, Long, Long)].collect().toSet
+      val fps = Dedup.winnowFingerprints(df, "text", "doc_id", k = 3, w = 4)
+      val ref = fps.select(col("fp"), col("doc_id").as("id_a"))
+        .join(fps.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(fast == ref, s"seed=$seed")
+    }
+  }
 }
