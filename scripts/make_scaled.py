@@ -1,13 +1,21 @@
 #!/usr/bin/env python3
 """Replicate a testdata SF directory N× for bench-only scale rehearsals.
 
-Each copy shifts every key/foreign-key column by copy_index * (max+1), so
-the scaled corpus has N× the entities (more orders, more users, more docs)
-rather than N rows per key — per-series/per-key cardinalities stay
-constant, which is what a larger SF means. Document text and embeddings
-are NOT perturbed: a 10× corpus where every text recurs 10 times is a
-duplication-heavy worst case for the dedup/LSH family (real corpora are
-duplication-heavy too), and identical vectors stress the ANN bucket joins.
+Each copy shifts every key/foreign-key column by copy_index * domain
+stride, so the scaled corpus has N× the entities (more orders, more
+users, more docs) rather than N rows per key — per-series/per-key
+cardinalities stay constant, which is what a larger SF means.
+
+Strides are computed PER KEY DOMAIN from the domain's primary table
+(max+1), not per table: if the same stride weren't applied to both
+c_custkey and o_custkey, copies would dereference the WRONG customer
+whenever the primary's max key has no referencing rows (TPC-H leaves
+every third customer orderless), silently corrupting every scaled join.
+
+Document text and embeddings are NOT perturbed: a 10× corpus where every
+text recurs 10 times is a duplication-heavy worst case for the
+dedup/LSH family (real corpora are duplication-heavy too), and identical
+vectors stress the ANN bucket joins.
 
 Bench-only: the DuckDB oracle gate still runs against the driver's
 original directories. Usage: make_scaled.py <srcDir> <dstDir> <copies>
@@ -17,31 +25,53 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-SHIFT_COLS = {
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
-    "events": ["event_id", "user_id"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
-    "customer": ["c_custkey"],
-    "part": ["p_partkey"],
-    "supplier": ["s_suppkey"],
-    # nation, region: dimension tables, copied as-is
+# domain -> (primary table, primary key column): the stride source
+DOMAINS = {
+    "custkey": ("customer", "c_custkey"),
+    "orderkey": ("orders", "o_orderkey"),
+    "partkey": ("part", "p_partkey"),
+    "suppkey": ("supplier", "s_suppkey"),
+    "dockey": ("documents", "doc_id"),
+    "veckey": ("embeddings", "vec_id"),
+    "eventkey": ("events", "event_id"),
+    "userkey": ("events", "user_id"),
 }
+
+# table -> {column: domain}; nation/region are dimensions, copied as-is
+COL_DOMAIN = {
+    "documents": {"doc_id": "dockey"},
+    "embeddings": {"vec_id": "veckey"},
+    "events": {"event_id": "eventkey", "user_id": "userkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {"l_orderkey": "orderkey", "l_partkey": "partkey",
+                 "l_suppkey": "suppkey"},
+    "customer": {"c_custkey": "custkey"},
+    "part": {"p_partkey": "partkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+}
+
+
+def domain_strides(src):
+    strides = {}
+    for dom, (table, col) in DOMAINS.items():
+        path = os.path.join(src, f"{table}.parquet")
+        if os.path.exists(path):
+            t = pq.read_table(path, columns=[col])
+            strides[dom] = pc.max(t.column(col)).as_py() + 1
+    return strides
+
 
 def main(src, dst, copies):
     os.makedirs(dst, exist_ok=True)
+    strides = domain_strides(src)
     for path in sorted(glob.glob(os.path.join(src, "*.parquet"))):
         name = os.path.basename(path)[: -len(".parquet")]
         t = pq.read_table(path)
-        shift_cols = SHIFT_COLS.get(name, [])
-        if not shift_cols:
+        col_domain = COL_DOMAIN.get(name, {})
+        if not col_domain:
             pq.write_table(t, os.path.join(dst, f"{name}.parquet"))
             print(f"{name}: copied ({t.num_rows} rows)")
             continue
-        strides = {
-            c: pc.max(t.column(c)).as_py() + 1 for c in shift_cols
-        }
         parts = []
         for i in range(copies):
             if i == 0:
@@ -50,9 +80,9 @@ def main(src, dst, copies):
             cols = []
             for field in t.schema:
                 col = t.column(field.name)
-                if field.name in strides:
-                    col = pc.add(col, pa.scalar(i * strides[field.name],
-                                                type=field.type))
+                if field.name in col_domain:
+                    stride = strides[col_domain[field.name]]
+                    col = pc.add(col, pa.scalar(i * stride, type=field.type))
                 cols.append(col)
             parts.append(pa.table(cols, schema=t.schema))
         out = pa.concat_tables(parts)

@@ -56,10 +56,16 @@ object WinnowUtil {
     var i = 0
     while (i < nG) {
       digest.reset()
+      // null tokens are skipped with their separator, matching
+      // array_join's null handling in the declarative formulation
+      var first = true
       var j = 0
       while (j < k) {
-        if (j > 0) digest.update(space)
-        digest.update(toks.getUTF8String(i + j).getBytes)
+        if (!toks.isNullAt(i + j)) {
+          if (!first) digest.update(space)
+          digest.update(toks.getUTF8String(i + j).getBytes)
+          first = false
+        }
         j += 1
       }
       val d = digest.digest()
@@ -95,6 +101,10 @@ object WinnowUtil {
 
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
+  // validated here (not only in Dedup.winnowFingerprints) so the SQL
+  // surface rejects bad params at resolution instead of crashing the
+  // kernel inside an executor task
+  require(k >= 1 && w >= 1, s"winnow_fingerprints: k=$k, w=$w must be >= 1")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 

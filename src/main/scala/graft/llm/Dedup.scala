@@ -114,14 +114,17 @@ object Dedup {
       .agg(sort_array(collect_list(col(idCol))).as("__ids"))
       .withColumn("__rep", element_at(col("__ids"), 1))
     // identical signatures collide in every band: all within-group a<b
-    // pairs are candidates by construction, emitted map-side
+    // pairs are candidates by construction, emitted map-side. Two CHAINED
+    // explodes, not one flattened d²/2-element array: a d-duplicated
+    // group materializes rows of at most d ids each (the d² pair volume
+    // is inherent output; a single in-row array of it is not survivable
+    // for large d)
     val within = groups.filter(size(col("__ids")) >= 2)
-      .select(explode(flatten(transform(col("__ids"), (x, i) =>
-        transform(
-          slice(col("__ids"), i + lit(2),
-            greatest(size(col("__ids")) - i - 1, lit(0))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+      .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("__ids"), col("__i") + lit(2),
+          greatest(size(col("__ids")) - col("__i") - 1, lit(0))))
+          .as("id_b"))
     // distinct signatures band as usual; candidate GROUP pairs expand to
     // id pairs map-side (groups are disjoint id sets)
     val bandCols = (0 until bands).map { b =>
@@ -141,11 +144,10 @@ object Dedup {
       .filter(col("__rep_a") < col("__rep_b"))
       .dropDuplicates("__rep_a", "__rep_b")
     val cross = groupPairs
-      .select(explode(flatten(transform(col("__ids_a"), xv =>
-        transform(col("__ids_b"), yv =>
-          struct(least(xv, yv).as("id_a"), greatest(xv, yv).as("id_b"))))))
-        .as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+      .select(col("__ids_b"), explode(col("__ids_a")).as("__a"))
+      .select(col("__a"), explode(col("__ids_b")).as("__b"))
+      .select(least(col("__a"), col("__b")).as("id_a"),
+        greatest(col("__a"), col("__b")).as("id_b"))
     within.unionByName(cross)
   }
 
@@ -291,8 +293,7 @@ object Dedup {
     * (16-byte digests, uniform — no skew) collapse to (hash, count),
     * then counts collapse to the histogram, whose cardinality is at most
     * the largest multiplicity. Document text never shuffles. */
-  def duplicationHistogram(df: DataFrame, textCol: String,
-                           idCol: String): DataFrame =
+  def duplicationHistogram(df: DataFrame, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("multiplicity"))
       .groupBy(col("multiplicity"))
@@ -661,13 +662,14 @@ object Dedup {
     val groups = fps.groupBy(col("fp"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDocsPerFp)
-    val pairs = groups.select(explode(flatten(
-      transform(col("ids"), (a, i) =>
-        transform(
-          slice(col("ids"), i + lit(2),
-            greatest(size(col("ids")) - i - 1, lit(0))),
-          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+    // two chained explodes: per-row arrays stay O(group size), never
+    // O(pairs) — same shape as minhashLsh's within-group expansion
+    val pairs = groups
+      .select(col("ids"), posexplode(col("ids")).as(Seq("__i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("__i") + lit(2),
+          greatest(size(col("ids")) - col("__i") - 1, lit(0))))
+          .as("id_b"))
     pairs.groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
   }

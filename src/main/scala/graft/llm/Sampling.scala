@@ -72,8 +72,12 @@ object Sampling {
     * flattens the head so low-resource sources aren't drowned out).
     * Derives per-source keep rates from the corpus' own counts such that
     * the EXPECTED kept size is ≈ `frac`·N with source mass rebalanced,
-    * then gates each row with the same md5-stable 1/256-granularity
-    * uniform as [[mixture]] (reproducible, add-stable).
+    * then gates each row on the 52-bit md5 uniform ([[weighted]]'s
+    * construction — NOT [[mixture]]'s 1/256 hex prefix: these rates are
+    * data-derived and can be arbitrarily small, and a 1/256 grid would
+    * annihilate any source whose rate lands under 0.004 instead of
+    * sampling it thinly). Reproducible and add-stable like every
+    * sampler here.
     *
     * Engine-exact rate derivation: weights are `floor(n^(1/T)·10^6)`
     * longs — for the default T=2 the root is IEEE sqrt (correctly
@@ -107,10 +111,10 @@ object Sampling {
         (col("__budget") * col("__w").cast("double")) /
           (col("__tot").cast("double") * col("__n").cast("double"))), 6))
       .select(col(sourceCol), col("__rate"))
+    val u52 = conv(substring(hashKey(col(idCol), salt), 1, 13), 16, 10)
+      .cast("long").cast("double") / lit(4503599627370496.0)
     df.join(broadcast(rates), Seq(sourceCol))
-      .filter(col("__rate") >= 1.0 ||
-        substring(hashKey(col(idCol), salt), 1, 2) <
-          format_string("%02x", floor(col("__rate") * 256).cast("int")))
+      .filter(col("__rate") >= 1.0 || u52 < col("__rate"))
       .drop("__rate")
   }
 

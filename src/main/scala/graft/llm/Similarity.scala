@@ -267,12 +267,21 @@ object Similarity {
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
     val e = exact.select(col("query_id"), col("neighbor_id"))
+    // defensive dedup (cheap on |Q|×k rows): duplicate approx rows would
+    // inflate n_hits through join multiplication
     val a = approx.select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("__hit", lit(1L))
+    // denominator = the ACTUAL exact-result size per query, not k: a
+    // query with fewer than k true neighbors (tiny corpus, filters)
+    // must be able to score recall 1.0
     e.join(a, Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
-      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
-      .withColumn("recall", round(col("n_hits") / lit(k.toDouble), 6))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"),
+        count(lit(1)).as("__n_exact"))
+      .withColumn("recall",
+        round(col("n_hits") / col("__n_exact").cast("double"), 6))
+      .drop("__n_exact")
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, LSH-blocked:
@@ -316,16 +325,20 @@ object Similarity {
     // bucket join emits all their a<b pairs iff the self-score clears the
     // threshold — reproduce that gate exactly (dot of the normalized
     // vector with itself, rounded, NOT an assumed 1.0)
+    // two chained explodes keep per-row arrays O(d) — the d²/2 pair
+    // volume is inherent output, but a single in-row array of it is not
+    // survivable for heavily duplicated vectors
     val within = groups.filter(size(col("__ids")) >= 2)
       .withColumn("score", round(dot(col("nv"), col("nv")), roundScore))
       .filter(col("score") >= threshold)
-      .select(explode(flatten(transform(col("__ids"), (a, i) =>
-        transform(
-          slice(col("__ids"), i + lit(2),
-            greatest(size(col("__ids")) - i - 1, lit(0))),
-          x => struct(a.as("id_a"), x.as("id_b")))))).as("p"),
+      .select(col("__ids"), col("score"),
+        posexplode(col("__ids")).as(Seq("__i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("__ids"), col("__i") + lit(2),
+          greatest(size(col("__ids")) - col("__i") - 1, lit(0))))
+          .as("id_b"),
         col("score"))
-      .select(col("p.id_a"), col("p.id_b"), col("score"))
+      .select(col("id_a"), col("id_b"), col("score"))
     // [cross-group] band/bucket the DISTINCT vectors only
     val bandCols = (0 until bands).map { j =>
       val bucket = rotatedDim match {
@@ -364,11 +377,11 @@ object Similarity {
     // expand group pairs to id pairs map-side; distinct groups are
     // disjoint id sets, so every (a, b) orders via least/greatest
     val cross = distinctGroups
-      .select(explode(flatten(transform(col("__ids_a"), av =>
-        transform(col("__ids_b"), bv =>
-          struct(least(av, bv).as("id_a"), greatest(av, bv).as("id_b"))))))
-        .as("p"), col("score"))
-      .select(col("p.id_a"), col("p.id_b"), col("score"))
+      .select(col("__ids_b"), col("score"),
+        explode(col("__ids_a")).as("__a"))
+      .select(col("__a"), col("score"), explode(col("__ids_b")).as("__b"))
+      .select(least(col("__a"), col("__b")).as("id_a"),
+        greatest(col("__a"), col("__b")).as("id_b"), col("score"))
     within.unionByName(cross)
   }
 }

@@ -65,8 +65,10 @@ object RangeJoin {
     *
     * Same 100 TB posture as [[pointInInterval]]: width near the median
     * span keeps per-interval replication O(1); genuinely dense overlap
-    * sets produce quadratic output no algorithm avoids; mega-intervals
-    * are dropped loudly via `maxBucketsPerInterval`. */
+    * sets produce quadratic output no algorithm avoids; intervals wider
+    * than `maxBucketsPerInterval` buckets are dropped by a plain filter —
+    * like pointInInterval, the drop should be counted/observed upstream
+    * (e.g. `df.observe`) rather than trusted to be rare. */
   def intervalOverlap(left: DataFrame, right: DataFrame,
                       lLo: String, lHi: String, rLo: String, rHi: String,
                       bucketWidth: Long,

@@ -189,7 +189,7 @@ object PipelineQueries {
     // --- duplication-multiplicity histogram: the corpus-health number
     // that says whether exact dedup must precede the pairwise stages -------
     "dedup_multiplicity" -> ((s, d) =>
-      Dedup.duplicationHistogram(Tables.documents(s, d), "text", "doc_id")),
+      Dedup.duplicationHistogram(Tables.documents(s, d), "text")),
 
     // --- winnowing fingerprints (MOSS): per-doc selected k-gram hashes ----
     "winnow_fp" -> ((s, d) =>
@@ -1779,10 +1779,12 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |         row_number() OVER (PARTITION BY query_id
           |                            ORDER BY score DESC, neighbor_id) AS rank
           |  FROM x) WHERE rank <= 3)
-          |SELECT query_id, n_hits, round(n_hits / 3.0, 6) AS recall FROM (
+          |SELECT query_id, n_hits,
+          |       round(n_hits / CAST(n_exact AS DOUBLE), 6) AS recall FROM (
           |  SELECT ex.query_id,
           |         CAST(sum(CASE WHEN lsh.neighbor_id IS NOT NULL
-          |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+          |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+          |         COUNT(*) AS n_exact
           |  FROM ex LEFT JOIN lsh
           |    ON lsh.query_id = ex.query_id
           |   AND lsh.neighbor_id = ex.neighbor_id
@@ -1948,7 +1950,8 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
 
       // rate derivation mirrors Sampling.temperature step for step:
       // exact long weight/doc sums, one correctly-rounded double division,
-      // 6dp round, then the same md5 1/256 gate as sample_mixture
+      // 6dp round, then the 52-bit md5 uniform gate (sample_weighted's
+      // construction — fine enough that sub-0.4% rates still sample)
       "sample_temperature" ->
         """WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
           |w AS (SELECT lang, n,
@@ -1968,8 +1971,8 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |      FROM t)
           |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
           |WHERE rate >= 1.0
-          |   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
-          |        < printf('%02x', CAST(floor(rate * 256) AS INT))""".stripMargin,
+          |   OR (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+          |         ::BIGINT / 4503599627370496.0) < rate""".stripMargin,
 
       "sample_split" ->
         """SELECT doc_id,

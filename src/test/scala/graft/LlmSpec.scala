@@ -106,7 +106,7 @@ class LlmSpec extends SparkSpec {
 
   test("duplication histogram: multiplicity buckets with doc accounting") {
     // fixture: ids 1,2 identical; 3,4 unique → one group of 2, two of 1
-    val out = Dedup.duplicationHistogram(docs, "text", "doc_id")
+    val out = Dedup.duplicationHistogram(docs, "text")
       .as[(Long, Long, Long)].collect().toSet
     assert(out == Set((1L, 2L, 2L), (2L, 1L, 2L)))
   }
@@ -312,6 +312,12 @@ class LlmSpec extends SparkSpec {
     val all = Sampling.temperature(corpus, "doc_id", "src",
       temp = 1.0, frac = 1.0).count()
     assert(all == 200L)
+    // rates below 1/256 sample thinly instead of annihilating the
+    // source (the 52-bit gate, not a hex-prefix grid)
+    val big = (0L until 2000L).map((_, "only")).toDF("doc_id", "src")
+    val thin = Sampling.temperature(big, "doc_id", "src",
+      temp = 1.0, frac = 0.01).count()
+    assert(thin > 0L && thin < 100L, s"expected ~20 of 2000, got $thin")
   }
 
   test("sampling: stratified caps each stratum; packing respects budget") {
@@ -614,6 +620,12 @@ class LlmSpec extends SparkSpec {
     val part = Similarity.recallAtK(exact, half, k = 2)
       .as[(Long, Long, Double)].collect().toSet
     assert(part == Set((1L, 1L, 0.5), (2L, 0L, 0.0)))
+    // a query whose exact result is shorter than k still scores 1.0 —
+    // the denominator is the actual exact-result size, not k
+    val short = Seq((3L, 1L, 30L)).toDF("query_id", "rank", "neighbor_id")
+    val full = Similarity.recallAtK(short, short, k = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(full == Set((3L, 1L, 1.0)))
   }
 
   test("winnowing: shared run >= w+k-1 tokens guarantees a shared fp") {
