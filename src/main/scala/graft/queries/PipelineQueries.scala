@@ -142,6 +142,17 @@ object PipelineQueries {
           col("dup_rank").cast("long").as("dup_rank"),
           col("group_size"), col("keep"))),
 
+    // --- canonical (case/whitespace/NFC-insensitive) exact dedup — the
+    // C4-style "fuzzy exact" pass: normalize THEN hash, so visually
+    // identical docs collide; still map-side + one uniform-key window ----
+    "dedup_exact_norm" -> ((s, d) =>
+      Dedup.exact(
+        TextAnalysis.normalize(Tables.documents(s, d), "text"),
+        "text_norm", "doc_id")
+        .select(col("doc_id"), col("content_hash"),
+          col("dup_rank").cast("long").as("dup_rank"),
+          col("group_size"), col("keep"))),
+
     // --- MinHash + LSH candidate pairs ------------------------------------
     "dedup_minhash_lsh" -> ((s, d) => sharedLshPairs(s, d)),
 
@@ -1307,6 +1318,20 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |       (row_number() OVER w) = 1 AS keep
           |FROM documents
           |WINDOW w AS (PARTITION BY md5(text) ORDER BY doc_id)""".stripMargin,
+
+      // text_normalize's derivation composed under dedup_exact's window
+      "dedup_exact_norm" ->
+        """WITH n AS (
+          |  SELECT doc_id,
+          |         nfc_normalize(lower(trim(
+          |             regexp_replace(text, '\s+', ' ', 'g')))) AS tn
+          |  FROM documents)
+          |SELECT doc_id, md5(tn) AS content_hash,
+          |       CAST(row_number() OVER w AS BIGINT) AS dup_rank,
+          |       count(*) OVER (PARTITION BY md5(tn)) AS group_size,
+          |       (row_number() OVER w) = 1 AS keep
+          |FROM n
+          |WINDOW w AS (PARTITION BY md5(tn) ORDER BY doc_id)""".stripMargin,
 
       "dedup_minhash_lsh" ->
         s"""WITH $shinglesCte,
