@@ -26,6 +26,10 @@ object Tables {
     * production case: many files × many row groups) this is a no-op and
     * adds nothing to the plan. */
   def spread(df: DataFrame): DataFrame = {
+    // streaming frames: partitioning comes from the source (Kafka topic
+    // partitions etc.) and df.rdd would throw — pass through untouched,
+    // keeping the map-only operators streaming-compatible
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }

@@ -338,6 +338,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("spread-wrapped map operators stay streaming-compatible") {
+    import graft.llm.{Dedup, TextAnalysis}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDS().toDF("doc_id", "text")
+    // simhash and slidingChunks pass through Tables.spread — on a
+    // streaming frame it must be the identity, not a df.rdd crash
+    val sig = Dedup.simhash(stream, "text", "doc_id")
+    val chunks = TextAnalysis.slidingChunks(stream, "text", "doc_id",
+      window = 4, stride = 2)
+    val q1 = sig.writeStream.format("memory").queryName("spread_sig")
+      .outputMode("append").start()
+    val q2 = chunks.writeStream.format("memory").queryName("spread_chunks")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "alpha beta gamma delta epsilon zeta"))
+      q1.processAllAvailable(); q2.processAllAvailable()
+      assert(spark.table("spread_sig").count() == 1)
+      assert(spark.table("spread_chunks").count() >= 2)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("kafka fan-out encode: per-site topic + global topic, series key") {
     val df = Seq(("dc1", "r1|int|if|eth0", 42.0), ("dc2", "r2|int|if|eth1", 7.0))
       .toDF("site", "series", "v")
