@@ -340,6 +340,20 @@ object PipelineQueries {
           col("neighbor_id"))
     }),
 
+    // --- ANN over the int8-quantized corpus: the memory-bound serving
+    // path (4× smaller scan) — dequantized vectors through the same
+    // brute-force kernel, engine-exact because the quantized grid is ----
+    "ann_int8_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val deq = Quantize.quantize(e, "embedding", "vec_id")
+        .select(col("vec_id"),
+          Quantize.dequantize(col("codes"), col("scale")).as("embedding"))
+      Similarity.bruteForceTopK(deq, deq.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+    }),
+
     // --- ANN: recall@k of the LSH path vs the exact baseline ---------------
     // The measurement that sizes b/bands/probes for a corpus: exact top-k
     // on a query sample vs the approximate result, per-query hit fraction.
@@ -1724,6 +1738,38 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |         AS overlap_frac
            |FROM pairs JOIN sizes USING (test_id)
            |WHERE shared_ngrams >= 2""".stripMargin,
+
+      // the int8 grid from embed_quantize's oracle, dequantized, then
+      // ann_brute_topk's ranking verbatim
+      "ann_int8_topk" ->
+        """WITH e0 AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+          |         list_max(list_transform(embedding,
+          |           x -> abs(CAST(x AS DOUBLE)))) AS amax
+          |  FROM embeddings),
+          |dq AS (
+          |  SELECT vec_id,
+          |         CASE WHEN amax IS NULL OR amax = 0
+          |              THEN list_transform(v, x -> 0.0)
+          |              ELSE list_transform(v, x ->
+          |                greatest(-127.0, least(127.0,
+          |                    round(x * 127.0 / amax)))
+          |                  * (amax / 127.0))
+          |         END AS v
+          |  FROM e0),
+          |e AS (SELECT vec_id,
+          |        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+          |      FROM dq),
+          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+          |s AS (
+          |  SELECT q.query_id, e.vec_id AS neighbor_id,
+          |         list_dot_product(qv, e.v) AS score
+          |  FROM e, q WHERE e.vec_id <> q.query_id)
+          |SELECT query_id, rank, neighbor_id FROM (
+          |  SELECT query_id, neighbor_id,
+          |         CAST(row_number() OVER (PARTITION BY query_id
+          |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+          |  FROM s) WHERE rank <= 5""".stripMargin,
 
       "ann_brute_topk" ->
         """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

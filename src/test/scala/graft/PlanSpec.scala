@@ -40,7 +40,7 @@ class PlanSpec extends SparkSpec {
     // design (broadcast nested loop); the top-level DSL packs 1-row
     // aggregate frames side by side; the corpus-stat queries attach a
     // 1-row broadcast scalar (doc count / total tokens) the same way
-    val intended = Set("ann_brute_topk", "ann_recall_eval",
+    val intended = Set("ann_brute_topk", "ann_recall_eval", "ann_int8_topk",
       "snmp_dsl_toplevel",
       "tfidf_topk", "lm_surprisal", "collocation_pmi", "curriculum_global",
       "vocab_topk")
