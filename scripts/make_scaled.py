@@ -72,6 +72,15 @@ def main(src, dst, copies):
             pq.write_table(t, os.path.join(dst, f"{name}.parquet"))
             print(f"{name}: copied ({t.num_rows} rows)")
             continue
+        # a domain without its primary table has no FK-aligned stride; a
+        # per-table max+1 fallback would silently mis-align copies, so fail
+        missing = sorted(d for d in set(col_domain.values()) if d not in strides)
+        if missing:
+            raise SystemExit(
+                f"{name}: no stride for domain(s) "
+                + ", ".join(f"{d} (primary table {DOMAINS[d][0]}.parquet)"
+                            for d in missing)
+                + f" — add the primary table(s) to {src} or scale the full dir")
         parts = []
         for i in range(copies):
             if i == 0:

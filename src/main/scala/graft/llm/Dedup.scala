@@ -649,19 +649,30 @@ object Dedup {
     * overlap join at the same detection guarantee for runs ≥ w+k−1
     * tokens.
     *
-    * Single-scan shape: the fingerprint stream shuffles ONCE into
-    * per-fp doc-id lists (bounded by the cap, so group state is capped
-    * memory and the cap check is a plain size() — no separate hot-set
-    * aggregate, no anti-join, no second scan of the corpus as a
-    * fp↔fp self-join would need), then a<b pairs explode map-side and
-    * one hash aggregate counts shared fingerprints per pair. */
+    * Shape: a count-only pre-pass finds over-cap fingerprints (counts
+    * reduce map-side, so a hot fp costs one long per partition, never a
+    * row pileup), the tiny hot set is broadcast anti-joined away, and
+    * only then do the survivors shuffle into per-fp doc-id lists — so
+    * every materialized list is ≤ `maxDocsPerFp` ids by construction,
+    * on the map side as well as the reduce side. Then a<b pairs explode
+    * map-side and one hash aggregate counts shared fingerprints per
+    * pair. Two passes over the fingerprint stream instead of one, but
+    * the alternative (cap AFTER collect_list) buffers a boilerplate
+    * fingerprint's entire id list in one aggregation buffer before
+    * dropping it — exactly the unbounded state the cap exists to
+    * prevent. */
   def winnowPairs(df: DataFrame, textCol: String, idCol: String,
                   k: Int = 4, w: Int = 5, minShared: Int = 2,
                   maxDocsPerFp: Int = 1000): DataFrame = {
     val fps = winnowFingerprints(df, textCol, idCol, k, w)
-    val groups = fps.groupBy(col("fp"))
+    val hot = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxDocsPerFp)
+      .select(col("fp"))
+    val groups = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDocsPerFp)
+      .filter(size(col("ids")) >= 2)
     // two chained explodes: per-row arrays stay O(group size), never
     // O(pairs) — same shape as minhashLsh's within-group expansion
     val pairs = groups

@@ -85,7 +85,16 @@ object Sampling {
     * `pow`, whose last-ulp behavior is platform-typed (same caveat the
     * scaladoc on [[weighted]] explains for Efraimidis–Spirakis). Weight
     * and doc totals are exact long sums; the rate is one
-    * correctly-rounded double division, rounded to 6dp before the gate.
+    * correctly-rounded double division, rounded to 6dp before the gate
+    * and clamped to ≥ 10⁻⁶ — a source's true rate is always positive
+    * (it has rows, so its weight is ≥ 1), and without the clamp a
+    * source whose derived rate rounds below 5·10⁻⁷ would be annihilated
+    * by the rounding grid — the very failure mode that rules out
+    * [[mixture]]'s 1/256 grid here, just finer.
+    *
+    * Rows with a NULL source sample at the NULL group's own derived
+    * rate (the groupBy forms a NULL group; the gate join is null-safe),
+    * the same way any other source does.
     *
     * Scale shape: one tiny per-source aggregate (|sources| rows, global
     * window over that aggregate only), broadcast back onto the corpus —
@@ -107,15 +116,18 @@ object Sampling {
       .withColumn("__budget",
         floor(lit(frac) * sum(col("__n")).over(all).cast("double"))
           .cast("double"))
-      .withColumn("__rate", round(least(lit(1.0),
+      .withColumn("__rate", greatest(round(least(lit(1.0),
         (col("__budget") * col("__w").cast("double")) /
-          (col("__tot").cast("double") * col("__n").cast("double"))), 6))
-      .select(col(sourceCol), col("__rate"))
+          (col("__tot").cast("double") * col("__n").cast("double"))), 6),
+        lit(0.000001)))
+      .select(col(sourceCol).as("__src"), col("__rate"))
     val u52 = conv(substring(hashKey(col(idCol), salt), 1, 13), 16, 10)
       .cast("long").cast("double") / lit(4503599627370496.0)
-    df.join(broadcast(rates), Seq(sourceCol))
+    // null-safe: a NULL source matches its own NULL rate group instead
+    // of silently dropping out of an equi-join
+    df.join(broadcast(rates), col(sourceCol) <=> col("__src"))
       .filter(col("__rate") >= 1.0 || u52 < col("__rate"))
-      .drop("__rate")
+      .drop("__rate", "__src")
   }
 
   /** Deterministic weighted sample of `k` rows without replacement —

@@ -266,10 +266,15 @@ object Similarity {
     * estimated, the sample mean). */
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
-    val e = exact.select(col("query_id"), col("neighbor_id"))
+    // truncate BOTH sides to rank <= k (the topK output contract carries
+    // `rank`): a caller passing frames computed at a larger k would
+    // otherwise silently inflate n_hits/recall past the k being measured
+    val e = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
     // defensive dedup (cheap on |Q|×k rows): duplicate approx rows would
     // inflate n_hits through join multiplication
-    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val a = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("__hit", lit(1L))
     // denominator = the ACTUAL exact-result size per query, not k: a

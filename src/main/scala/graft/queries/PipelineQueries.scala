@@ -2021,8 +2021,11 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
 
       // rate derivation mirrors Sampling.temperature step for step:
       // exact long weight/doc sums, one correctly-rounded double division,
-      // 6dp round, then the 52-bit md5 uniform gate (sample_weighted's
-      // construction — fine enough that sub-0.4% rates still sample)
+      // 6dp round clamped to >= 1e-6 (a present source is never rounded
+      // to annihilation), then the 52-bit md5 uniform gate
+      // (sample_weighted's construction — fine enough that sub-0.4%
+      // rates still sample); null-safe join so NULL-source rows gate at
+      // their own group's rate
       "sample_temperature" ->
         """WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
           |w AS (SELECT lang, n,
@@ -2035,12 +2038,14 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |                              AS DOUBLE)) AS DOUBLE) AS budget
           |      FROM w),
           |r AS (SELECT lang,
-          |        round(least(1.0,
+          |        greatest(round(least(1.0,
           |          (budget * CAST(w AS DOUBLE))
-          |            / (CAST(tot AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+          |            / (CAST(tot AS DOUBLE) * CAST(n AS DOUBLE))), 6),
+          |          0.000001)
           |          AS rate
           |      FROM t)
-          |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+          |SELECT d.doc_id, d.lang FROM documents d
+          |JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
           |WHERE rate >= 1.0
           |   OR (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
           |         ::BIGINT / 4503599627370496.0) < rate""".stripMargin,

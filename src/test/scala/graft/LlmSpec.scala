@@ -318,6 +318,13 @@ class LlmSpec extends SparkSpec {
     val thin = Sampling.temperature(big, "doc_id", "src",
       temp = 1.0, frac = 0.01).count()
     assert(thin > 0L && thin < 100L, s"expected ~20 of 2000, got $thin")
+    // NULL-source rows form their own rate group and sample like any
+    // other source (null-safe gate join) instead of silently dropping
+    val withNull = Seq((1L, "a"), (2L, "a"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "src")
+    val keptNull = Sampling.temperature(withNull, "doc_id", "src",
+      temp = 1.0, frac = 1.0)
+    assert(keptNull.count() == 3L, "null-source rows must not be dropped")
   }
 
   test("sampling: stratified caps each stratum; packing respects budget") {
@@ -626,6 +633,15 @@ class LlmSpec extends SparkSpec {
     val full = Similarity.recallAtK(short, short, k = 2)
       .as[(Long, Long, Double)].collect().toSet
     assert(full == Set((3L, 1L, 1.0)))
+    // frames computed at a larger k are truncated to the k being
+    // measured: an approx hit at rank 2 earns no credit at k=1
+    val deepExact = Seq((1L, 1L, 10L), (1L, 2L, 11L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val deepApprox = Seq((1L, 1L, 99L), (1L, 2L, 10L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val strict = Similarity.recallAtK(deepExact, deepApprox, k = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(strict == Set((1L, 0L, 0.0)), s"got $strict")
   }
 
   test("winnowing: shared run >= w+k-1 tokens guarantees a shared fp") {
@@ -660,5 +676,16 @@ class LlmSpec extends SparkSpec {
     val none = Dedup.winnowPairs(wd, "text", "doc_id", k, w,
       minShared = 1, maxDocsPerFp = 1)
     assert(none.count() == 0)
+
+    // mixed: a boilerplate fingerprint (3 identical docs > cap 2) drops
+    // via the count pre-filter while an under-cap pair still surfaces
+    val runA = "one two three four five six seven eight"
+    val runB = "red orange yellow green blue indigo violet ultra"
+    val mixed = Seq((11L, runA), (12L, runA), (13L, runA),
+      (14L, runB), (15L, runB)).toDF("doc_id", "text")
+    val kept = Dedup.winnowPairs(mixed, "text", "doc_id", k, w,
+      minShared = 1, maxDocsPerFp = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(kept == Set((14L, 15L)), s"got $kept")
   }
 }

@@ -151,17 +151,21 @@ class PlanSpec extends SparkSpec {
       s"per-source aggregate, got $exchanges hash exchanges:\n$p")
   }
 
-  test("winnow pair stage: one fp shuffle, no anti-join, no self-join rescan") {
+  test("winnow pair stage: hot fps die in a broadcast anti-join BEFORE collect") {
     import graft.llm.Dedup
     import graft.core.Tables
     val p = Dedup.winnowPairs(Tables.documents(spark, sf001),
       "text", "doc_id", k = 4, w = 5, minShared = 2)
       .queryExecution.executedPlan.toString
-    // single-scan shape: the corpus parquet is read exactly once
-    val scans = p.linesIterator.count(_.contains("Scan parquet"))
-    assert(scans == 1, s"fingerprint pipeline must not re-scan: $scans scans\n$p")
-    assert(!p.contains("LeftAnti"), p)      // cap is a group-size filter now
+    // the over-cap fingerprint set comes from a count aggregate (partial
+    // map-side reduction — a hot fp is one long per partition, never a
+    // buffered id list) and is broadcast anti-joined away before any
+    // collect_list materializes; the kill join must be broadcast, not a
+    // shuffled join of the full fingerprint stream against itself
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
     assert(!p.contains("SortMergeJoin"), p) // pairs explode map-side
+    // no skewed window: nothing partitions a window by the fingerprint
+    assert(!p.contains("RunningWindowFunction"), p)
   }
 
   test("broadcast cross-dedup probe plan holds on the full documents table") {
