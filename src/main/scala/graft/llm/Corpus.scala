@@ -237,4 +237,43 @@ object Corpus {
           sum(col("cnt").cast("decimal(9,0)") * col("ent9")).cast("double")
             / max(col("n")).cast("double"), 6).as("char_entropy"))
   }
+
+  /** Per-document n-gram novelty: the fraction of a document's distinct
+    * word n-grams whose FIRST corpus occurrence (smallest `idCol`) is
+    * this document — the "how much genuinely new content does each
+    * document contribute" measurement used to value crawl snapshots and
+    * order ingestion (a doc-level view of the duplication-vs-novelty
+    * split behind dedup-before-training arguments).
+    *
+    * Output: (id, n_ngrams, n_novel, novelty) with novelty rounded to
+    * 6 dp; documents with fewer than `n` tokens have no n-grams and
+    * degrade out.
+    *
+    * Shingles are hashed to 8-byte `xxhash64` keys before the shuffle —
+    * same collision trade as the contamination family: a collision could
+    * misattribute one gram's first occurrence, and string keys would
+    * ship n-word strings through every exchange.
+    *
+    * Scale shape: two hash aggregations on uniform 8-byte keys (the
+    * min-id-per-gram aggregate combines map-side) and one shuffle join
+    * of the gram stream against the (much smaller, one row per distinct
+    * gram) first-occurrence frame — no windows, no skew (boilerplate
+    * grams have high fan-in but the min() pre-aggregates map-side, and
+    * the join key distribution is md5-uniform). */
+  def ngramNovelty(df: DataFrame, textCol: String, idCol: String,
+                   n: Int = 3): DataFrame = {
+    val sh = spread(df).select(col(idCol),
+        explode(graft.functions.Shingles.distinctShingles(
+          TextAnalysis.tokens(col(textCol)), n)).as("shingle"))
+      .select(col(idCol), xxhash64(col("shingle")).as("sh"))
+    val first = sh.groupBy(col("sh")).agg(min(col(idCol)).as("__first"))
+    sh.join(first, Seq("sh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col(idCol) === col("__first"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_ngrams").cast("double"),
+          6))
+  }
 }

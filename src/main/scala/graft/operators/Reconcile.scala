@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
   * newer than the incoming set's timestamp (conflict resolution: a fresher
   * discovery already wrote it).
   *
-  * Scale: both anti-joins and the inner join hash-partition on the identity
-  * key; at 100 TB the stored side is a bucketed/partitioned table so the
-  * shuffle is one-sided. The output is a MERGE-shaped change feed (apply
-  * with Delta `MERGE` or an overwrite-by-partition).
+  * Scale: the three-way classification is ONE full-outer join — each side
+  * shuffles exactly once on the identity key (the naive adds/deletes/
+  * updates formulation is three joins and re-scans both inputs three
+  * times); at 100 TB the stored side is a bucketed/partitioned table so
+  * the shuffle is one-sided. The output is a MERGE-shaped change feed
+  * (apply with Delta `MERGE` or an overwrite-by-partition).
   */
 object Reconcile {
 
@@ -47,42 +49,37 @@ object Reconcile {
     val key = identityCols
 
     // incoming is a SET in the reference (identity-deduped on build) —
-    // distinct here so a raw feed with repeated keys emits one add each
-    val adds = incoming
-      .select(key.map(col): _*).distinct()
-      .join(stored.select(key.map(col): _*), key, "left_anti")
-      .select(key.map(col) :+ lit("add").as("action"): _*)
-
-    // Delete guard: a stored row newer than the incoming SNAPSHOT wins
-    // (`manager.py:83-87`).
-    val deletes = stored
-      .join(incoming.select(key.map(col): _*), key, "left_anti")
-      .filter(col(storedTsCol) <= lit(incomingSetTs))
-      .select(key.map(col) :+ lit("delete").as("action"): _*)
-
-    // Update guard: the stored row must not be newer than the incoming
-    // ROW's own creation timestamp (`manager.py:121-135`).
-    val updates = incomingTsCol match {
+    // collapse repeated keys here so a raw feed emits one add/update per
+    // key; the update guard compares against the newest incoming row's
+    // own creation timestamp (`manager.py:121-135`), or the SET timestamp
+    // for feeds without a per-row timestamp
+    val incKeys = (incomingTsCol match {
       case Some(tsCol) =>
-        // one update per stored row even if the raw incoming feed repeats
-        // an identity key: the reference builds a key→resource dict, so
-        // duplicates collapse before comparison — keep the newest row's
-        // timestamp (a MERGE-shaped consumer requires unique source keys)
-        val incDeduped = incoming
-          .groupBy(key.map(col): _*)
-          .agg(max(col(tsCol)).as("__inc_ts"))
-        stored
-          .join(incDeduped, key, "inner")
-          .filter(col(storedTsCol) <= col("__inc_ts"))
-          .select(key.map(col) :+ lit("update").as("action"): _*)
+        incoming.groupBy(key.map(col): _*).agg(max(col(tsCol)).as("__inc_ts"))
       case None =>
-        stored
-          .join(incoming.select(key.map(col): _*), key, "left_semi")
-          .filter(col(storedTsCol) <= lit(incomingSetTs))
-          .select(key.map(col) :+ lit("update").as("action"): _*)
-    }
+        incoming.select(key.map(col): _*).distinct()
+          .withColumn("__inc_ts", lit(incomingSetTs))
+    }).withColumn("__inc", lit(true))
 
-    adds.unionByName(deletes).unionByName(updates)
+    // presence flags rather than timestamp-null tests: a legitimately NULL
+    // stored timestamp must not reclassify the row as an add
+    val st = stored
+      .select(key.map(col) :+ col(storedTsCol).as("__st_ts"): _*)
+      .withColumn("__st", lit(true))
+
+    // one full-outer join classifies all three actions: incoming-only →
+    // add; stored-only → delete, guarded by the incoming SNAPSHOT's
+    // timestamp (`manager.py:83-87`); both → update, guarded by the
+    // incoming row's timestamp. Guard-skipped rows yield NULL and drop.
+    st.join(incKeys, key, "full_outer")
+      .select(key.map(col) :+
+        when(col("__st").isNull, lit("add"))
+          .when(col("__inc").isNull,
+            when(col("__st_ts") <= lit(incomingSetTs), lit("delete")))
+          .otherwise(
+            when(col("__st_ts") <= col("__inc_ts"), lit("update")))
+          .as("action"): _*)
+      .filter(col("action").isNotNull)
   }
 
   /** APPLY the change feed: the post-MERGE inventory, as a frame — the
@@ -102,9 +99,13 @@ object Reconcile {
     * `partitionOverwriteMode=dynamic` and only partitions containing
     * changed keys rewrite.
     *
-    * Scale: two key-joins against the change feed, both hash-partitioned
-    * on the identity key; the change feed is |changes|-sized, typically ≪
-    * |stored|, so broadcast when small.
+    * `stored` is a keyed inventory — identity keys are unique (the
+    * reference store is a key→resource dict).
+    *
+    * Scale: ONE full-outer join on the identity key decides every row's
+    * fate (the change-feed-then-apply formulation costs three more key
+    * joins); the incoming-side window that collapses duplicate feed keys
+    * partitions on the same key, so its exchange feeds the join directly.
     */
   def applied(
       stored: DataFrame,
@@ -114,12 +115,6 @@ object Reconcile {
       incomingSetTs: Double,
       incomingTsCol: Option[String] = None): DataFrame = {
     val key = identityCols
-    val ch = changes(stored, incoming, identityCols, storedTsCol,
-      incomingSetTs, incomingTsCol)
-    val replaced = ch.filter(col("action").isin("add", "update"))
-      .select(key.map(col): _*)
-    val removed = ch.filter(col("action").isin("delete", "update"))
-      .select(key.map(col): _*)
     // content-hash tiebreak: duplicate keys tied on the timestamp (or the
     // None branch with no timestamp at all) must still collapse to the
     // SAME row on every run/partitioning — dropDuplicates and an
@@ -135,7 +130,29 @@ object Reconcile {
     val incUnique = incoming.withColumn("__rn", row_number().over(
       Window.partitionBy(key.map(col): _*).orderBy(incOrder: _*)))
       .filter(col("__rn") === 1).drop("__rn")
-    stored.join(removed, key, "left_anti")
-      .unionByName(incUnique.join(replaced, key, "left_semi"))
+
+    // pack each side's payload into a struct (aligned by stored's column
+    // order — the shared-schema requirement) so one full-outer join can
+    // pick the surviving row per key: a NULL struct marks an absent side.
+    val cols = stored.columns
+    val stS = stored
+      .select(key.map(col) :+ struct(cols.map(col): _*).as("__srow"): _*)
+    val incS = incUnique
+      .select(key.map(col) :+ struct(cols.map(col): _*).as("__irow"): _*)
+    val stTs = col("__srow").getField(storedTsCol)
+    val incTs = incomingTsCol match {
+      case Some(ts) => col("__irow").getField(ts)
+      case None     => lit(incomingSetTs)
+    }
+    val keep =
+      when(col("__srow").isNull, col("__irow")) // add
+        .when(col("__irow").isNull, // delete — unless the stored row is newer
+          when(stTs > lit(incomingSetTs), col("__srow")))
+        .otherwise(when(stTs <= incTs, col("__irow")) // update takes incoming
+          .otherwise(col("__srow"))) // guard-skipped update keeps stored
+    stS.join(incS, key, "full_outer")
+      .select(keep.as("__row"))
+      .filter(col("__row").isNotNull)
+      .select(cols.map(c => col("__row").getField(c).as(c)): _*)
   }
 }

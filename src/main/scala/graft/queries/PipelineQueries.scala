@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.llm.{Clustering, Contamination, Corpus, Dedup, Multimodal, Pii, Quantize, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Clustering, Contamination, Corpus, Dedup, Multimodal, Pii, QualityModel, Quantize, Sampling, Similarity, TextAnalysis}
 import graft.operators.{AsofJoin, Cohorts, RangeJoin, Sessionize, Skew, TimeSeries}
 import graft.streaming.{SessionEvent, StreamingSessionize, StreamingZscore, ZscoreEvent}
 
@@ -243,6 +243,13 @@ object PipelineQueries {
     "text_quality" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d), "text")
         .select("doc_id", "quality_score")),
+
+    // --- hashed-feature linear quality classifier (fastText-style gate
+    // plumbing; deterministic stand-in weights, map-only single scan) ----
+    "quality_classifier" -> ((s, d) =>
+      QualityModel.score(Tables.documents(s, d), "text", "doc_id",
+        buckets = 256)
+        .select("doc_id", "token_count", "score_linear", "quality_prob")),
 
     // --- language ID -------------------------------------------------------------
     "text_langid" -> ((s, d) =>
@@ -1142,6 +1149,13 @@ object PipelineQueries {
     "doc_entropy" -> ((s, d) =>
       Corpus.charEntropy(Tables.documents(s, d), "text", "doc_id")
         .select("doc_id", "n_chars", "char_entropy")),
+
+    // --- per-document n-gram novelty: fraction of a doc's distinct
+    // 3-grams first seen (smallest doc_id) in this doc — the snapshot-
+    // valuation measurement ---------------------------------------------
+    "ngram_novelty" -> ((s, d) =>
+      Corpus.ngramNovelty(Tables.documents(s, d), "text", "doc_id", n = 3)
+        .select("doc_id", "n_ngrams", "n_novel", "novelty")),
 
     // --- the composed cleaning pipeline, as ONE plan: quality scoring →
     // threshold filter → language gate → exact dedup (keep first) →
@@ -2713,6 +2727,41 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |       round(CAST(sum(CAST(cnt AS DECIMAL(9,0)) * ent9) AS DOUBLE)
           |             / CAST(max(n) AS DOUBLE), 6) AS char_entropy
           |FROM e GROUP BY 1""".stripMargin,
+
+      // bucket/weight arithmetic mirrors QualityModel.score exactly:
+      // 16-bit md5 prefix mod 256, integer weights summed exactly, one
+      // final division; only the logistic passes through libm exp
+      "quality_classifier" ->
+        s"""WITH $toksCte,
+           |s AS (SELECT doc_id, CAST(len(toks) AS INT) AS token_count,
+           |        list_aggregate(list_transform(toks, tok ->
+           |          ((('0x' || substr(md5(tok), 1, 4))::BIGINT % 256)
+           |            * 2654435761) % 1048576), 'sum') AS wsum
+           |      FROM t),
+           |l AS (SELECT doc_id, token_count,
+           |        CAST(wsum AS DOUBLE)
+           |          / (CAST(token_count AS DOUBLE) * 1048576.0) * 2 - 1
+           |          AS lin
+           |      FROM s)
+           |SELECT doc_id, token_count, round(lin, 6) AS score_linear,
+           |       round(1.0 / (1.0 + exp(lin * -4.0)), 6) AS quality_prob
+           |FROM l""".stripMargin,
+
+      // first-occurrence novelty over the shared shingle CTE: grouping by
+      // the shingle STRING here vs its 64-bit hash on the engine side —
+      // identical up to xxhash64 collisions (the documented trade)
+      "ngram_novelty" ->
+        s"""WITH $shinglesCte,
+           |first AS (SELECT shingle, min(doc_id) AS first_id
+           |          FROM sh GROUP BY 1)
+           |SELECT sh.doc_id, count(*) AS n_ngrams,
+           |       CAST(sum(CASE WHEN first_id = sh.doc_id THEN 1 ELSE 0 END)
+           |            AS BIGINT) AS n_novel,
+           |       round(CAST(sum(CASE WHEN first_id = sh.doc_id
+           |                           THEN 1 ELSE 0 END) AS DOUBLE)
+           |             / CAST(count(*) AS DOUBLE), 6) AS novelty
+           |FROM sh JOIN first USING (shingle)
+           |GROUP BY 1""".stripMargin,
 
       // the composed cleaning pipeline: every stage reuses the CTEs the
       // individual operators are verified against

@@ -118,4 +118,52 @@ class CorpusQuantizeSpec extends SparkSpec {
     // every returned pair is above the rare-pair floor
     assert(out.forall(_._3 >= 5L))
   }
+
+  test("ngram novelty: first occurrence wins, repeats score zero") {
+    // doc 1 introduces both of its 3-grams; doc 2 repeats doc 1 verbatim
+    // (novelty 0); doc 3 shares one gram with doc 1 and adds three new
+    val nd = Seq(
+      (1L, "a b c d"),            // grams: abc, bcd — both first here
+      (2L, "a b c d"),            // same grams — nothing novel
+      (3L, "x a b c y z")         // xab, abc, bcy, cyz — abc seen in doc 1
+    ).toDF("doc_id", "text")
+    val out = Corpus.ngramNovelty(nd, "text", "doc_id", n = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((2L, 2L, 1.0)))
+    assert(out(2L) == ((2L, 0L, 0.0)))
+    assert(out(3L) == ((4L, 3L, 0.75)))
+    // short doc (< n tokens) degrades out
+    val shortDoc = Seq((9L, "just two")).toDF("doc_id", "text")
+    assert(Corpus.ngramNovelty(shortDoc, "text", "doc_id").count() == 0)
+  }
+
+  test("quality classifier: exact integer-weight mean; injected weights") {
+    import graft.llm.QualityModel
+    // default path: hand-compute the mean weight for a two-token doc
+    def w(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+      val b = java.lang.Long.parseLong(hex, 16) % 256
+      (b * 2654435761L) % 1048576L
+    }
+    val d = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val row = QualityModel.score(d, "text", "doc_id")
+      .as[(Long, Int, Double, Double)].collect().head
+    val lin = (w("hello") + w("world")).toDouble / (2 * 1048576.0) * 2 - 1
+    assert(row._2 == 2)
+    assert(math.abs(row._3 - lin) < 1e-6, s"got ${row._3} want $lin")
+    val prob = 1.0 / (1.0 + math.exp(-4.0 * lin))
+    assert(math.abs(row._4 - prob) < 1e-6)
+    // injected weights: all-positive weights drive the probability up
+    val ws = Array.fill(16)(1.0)
+    val hi = QualityModel.score(d, "text", "doc_id", buckets = 16,
+        weights = Some(ws))
+      .select("quality_prob").as[Double].collect().head
+    assert(hi > 0.98) // sigmoid(4·1.0)
+    // deterministic: same input, same scores
+    val again = QualityModel.score(d, "text", "doc_id")
+      .as[(Long, Int, Double, Double)].collect().head
+    assert(again == row)
+  }
 }
