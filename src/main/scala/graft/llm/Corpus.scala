@@ -276,4 +276,89 @@ object Corpus {
         round(col("n_novel").cast("double") / col("n_ngrams").cast("double"),
           6))
   }
+
+  /** Per-source unigram-distribution KL divergence against the whole
+    * corpus: KL(p_source ‖ p_corpus) in nats — the mixture diagnostic
+    * that says how far each source's token distribution sits from the
+    * blend it is being mixed into (high = distinct register/domain, near
+    * zero = redundant with the mix; the number corpus-mixing work reads
+    * before re-weighting sources).
+    *
+    * Output: (source, n_tokens, kl_nats), kl rounded to 6 dp. KL is
+    * finite by construction — every source term is also a corpus term.
+    *
+    * Float discipline mirrors [[charEntropy]]: each term's contribution
+    * `p_s·ln(p_s/p_c)` is rounded to 9 dp, fixed as DECIMAL(28,9), and
+    * summed exactly — no double-addition-order dependence. Tokens hash
+    * to 8-byte `xxhash64` keys before any shuffle (collision trade as
+    * documented on [[ngramNovelty]]).
+    *
+    * Scale shape: two hash aggregations — (source, token) counts combine
+    * map-side before the first shuffle; the per-token corpus counts
+    * aggregate the already-collapsed (source, token) frame, not the raw
+    * stream. The per-source totals and the single-row corpus total are
+    * broadcast. The one data-sized shuffle join keys on the md5-uniform
+    * token hash; probability ratios are computed in doubles so no count
+    * product can overflow a long at corpus scale. */
+  def sourceDivergence(df: DataFrame, textCol: String,
+                       sourceCol: String): DataFrame = {
+    val tok = spread(df).select(col(sourceCol).as("source"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tokstr"))
+      .select(col("source"), xxhash64(col("tokstr")).as("t"))
+    val perSrc = tok.groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("c_st"))
+    val perTok = perSrc.groupBy(col("t")).agg(sum(col("c_st")).as("c_t"))
+    val srcTot = perSrc.groupBy(col("source"))
+      .agg(sum(col("c_st")).as("n_s"))
+    val total = perTok.agg(sum(col("c_t")).as("n_corpus"))
+    val ps = col("c_st").cast("double") / col("n_s").cast("double")
+    val ratio = (col("c_st").cast("double") * col("n_corpus").cast("double")) /
+      (col("n_s").cast("double") * col("c_t").cast("double"))
+    perSrc.join(perTok, Seq("t"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(total))
+      .withColumn("kl9", round(ps * log(ratio), 9).cast("decimal(28,9)"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        round(sum(col("kl9")).cast("double"), 6).as("kl_nats"))
+  }
+
+  /** Pairwise source content overlap: for every pair of sources sharing
+    * at least one distinct word n-gram, the shared-gram count and the
+    * Jaccard similarity of their gram sets — the crawl-snapshot /
+    * mixture-component duplication matrix (two snapshots of the same
+    * crawl show up as a high-Jaccard pair; downweight or cross-dedup
+    * before training).
+    *
+    * Output: (source_a, source_b, n_shared, jaccard) with source_a <
+    * source_b, jaccard rounded to 6 dp.
+    *
+    * Scale shape: the (source, gram-hash) frame collapses to distinct
+    * before anything else, so each source contributes each gram once;
+    * the self-join keys on the md5-uniform gram hash and fans out at
+    * most |sources-sharing-the-gram|² rows per gram. That is the right
+    * shape when `sourceCol` is a mixture label (dozens to hundreds of
+    * values — the intended use); for millions of groups (per-domain
+    * overlap) use the dedup_cross / MinHash family instead, which never
+    * enumerates group pairs. Per-pair sizes join broadcast. */
+  def sourceOverlap(df: DataFrame, textCol: String, sourceCol: String,
+                    n: Int = 3): DataFrame = {
+    val sg = spread(df).select(col(sourceCol).as("source"),
+        explode(graft.functions.Shingles.distinctShingles(
+          TextAnalysis.tokens(col(textCol)), n)).as("gram"))
+      .select(col("source"), xxhash64(col("gram")).as("g"))
+      .distinct()
+    val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val shared = sg.toDF("source_a", "g")
+      .join(sg.toDF("source_b", "g"), Seq("g"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.toDF("source_a", "n_a")), Seq("source_a"))
+      .join(broadcast(sizes.toDF("source_b", "n_b")), Seq("source_b"))
+      .withColumn("jaccard", round(col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6))
+      .select("source_a", "source_b", "n_shared", "jaccard")
+  }
 }

@@ -167,4 +167,76 @@ object TextAnalysis {
     df.withColumn("text_norm", norm)
       .withColumn("norm_len", length(col("text_norm")))
   }
+
+  /** The Gopher rule-based document filter (Rae et al. 2021, appendix
+    * A1.1): the canonical pre-model gate web-corpus pipelines apply
+    * before any learned quality score. Emits the measured value AND a
+    * boolean per rule plus the conjunction, so the caller can filter,
+    * audit per-rule kill rates, or relax individual thresholds:
+    *
+    *  - `rule_word_count`: token count in [minWords, maxWords]
+    *  - `rule_mean_word_len`: mean token length in [minMeanLen, maxMeanLen]
+    *  - `rule_symbol_ratio`: (# + ellipsis) occurrences / words ≤ 0.1
+    *  - `rule_bullet_lines`: < 90% of lines start with a bullet
+    *  - `rule_ellipsis_lines`: < 30% of lines end with an ellipsis
+    *  - `rule_alpha_words`: ≥ 80% of tokens contain a letter
+    *  - `rule_stopwords`: ≥ 2 distinct hits in a small English stop list
+    *  - `pass_gopher`: all of the above
+    *
+    * Empty / whitespace-only documents never pass (the word-count rule
+    * fails) and produce no NULL flags — every division is guarded, so
+    * the output is filter- and oracle-stable.
+    *
+    * Map-only, fully codegen'd (regex + HOF chain, no UDF): fuses with
+    * the scan at 100 TB like the rest of this module. */
+  def gopherRules(df: DataFrame, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0,
+                  maxMeanLen: Double = 10.0): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = when(length(trim(t)) === 0, 0).otherwise(size(toks))
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den.cast("double"), 6))
+        .otherwise(lit(0.0))
+    // occurrence counts by length delta (regexp_replace removes ALL
+    // matches in both Spark and, with the 'g' flag, DuckDB)
+    val hashes = length(t) - length(regexp_replace(t, "#", ""))
+    val ellipses =
+      (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3 +
+        (length(t) - length(regexp_replace(t, "…", "")))
+    val lines = split(t, "\n")
+    val nLines = size(lines)
+    val bulletLines = size(filter(lines, l => ltrim(l).rlike("^[-*•]")))
+    val ellipsisLines =
+      size(filter(lines, l => rtrim(l).rlike("(\\.\\.\\.|…)$")))
+    val alphaWords = size(filter(toks, w => w.rlike("[A-Za-z]")))
+    val stopHits = size(filter(
+      array(stopwords.head._2.map(lit): _*), s => array_contains(toks, s)))
+    df.withColumn("n_words", nTok)
+      .withColumn("mean_word_len",
+        ratio(length(regexp_replace(t, "\\s", "")), nTok))
+      .withColumn("symbol_ratio", ratio(hashes + ellipses, nTok))
+      .withColumn("bullet_line_frac", ratio(bulletLines, nLines))
+      .withColumn("ellipsis_line_frac", ratio(ellipsisLines, nLines))
+      .withColumn("alpha_word_frac", ratio(alphaWords, nTok))
+      .withColumn("stop_hits", stopHits)
+      .withColumn("rule_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("rule_mean_word_len",
+        col("n_words") > 0 && col("mean_word_len") >= minMeanLen &&
+          col("mean_word_len") <= maxMeanLen)
+      .withColumn("rule_symbol_ratio",
+        col("n_words") > 0 && col("symbol_ratio") <= 0.1)
+      .withColumn("rule_bullet_lines", col("bullet_line_frac") < 0.9)
+      .withColumn("rule_ellipsis_lines", col("ellipsis_line_frac") < 0.3)
+      .withColumn("rule_alpha_words",
+        col("n_words") > 0 && col("alpha_word_frac") >= 0.8)
+      .withColumn("rule_stopwords", col("stop_hits") >= 2)
+      .withColumn("pass_gopher",
+        col("rule_word_count") && col("rule_mean_word_len") &&
+          col("rule_symbol_ratio") && col("rule_bullet_lines") &&
+          col("rule_ellipsis_lines") && col("rule_alpha_words") &&
+          col("rule_stopwords"))
+  }
 }

@@ -251,6 +251,16 @@ object PipelineQueries {
         buckets = 256)
         .select("doc_id", "token_count", "score_linear", "quality_prob")),
 
+    // --- Gopher rule-based filter: measured values + per-rule flags +
+    // the conjunction (the canonical pre-model web-corpus gate) ----------
+    "quality_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(Tables.documents(s, d), "text")
+        .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+          "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+          "stop_hits", "rule_word_count", "rule_mean_word_len",
+          "rule_symbol_ratio", "rule_bullet_lines", "rule_ellipsis_lines",
+          "rule_alpha_words", "rule_stopwords", "pass_gopher")),
+
     // --- language ID -------------------------------------------------------------
     "text_langid" -> ((s, d) =>
       Tables.documents(s, d)
@@ -1156,6 +1166,18 @@ object PipelineQueries {
     "ngram_novelty" -> ((s, d) =>
       Corpus.ngramNovelty(Tables.documents(s, d), "text", "doc_id", n = 3)
         .select("doc_id", "n_ngrams", "n_novel", "novelty")),
+
+    // --- per-source unigram KL divergence vs the corpus blend: the
+    // mixture diagnostic read before re-weighting sources ----------------
+    "source_divergence" -> ((s, d) =>
+      Corpus.sourceDivergence(Tables.documents(s, d), "text", "source")
+        .select("source", "n_tokens", "kl_nats")),
+
+    // --- pairwise source n-gram overlap: the snapshot-duplication
+    // matrix (high-Jaccard pairs → cross-dedup before training) ----------
+    "source_overlap" -> ((s, d) =>
+      Corpus.sourceOverlap(Tables.documents(s, d), "text", "source", n = 3)
+        .select("source_a", "source_b", "n_shared", "jaccard")),
 
     // --- the composed cleaning pipeline, as ONE plan: quality scoring →
     // threshold filter → language gate → exact dedup (keep first) →
@@ -2746,6 +2768,99 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |SELECT doc_id, token_count, round(lin, 6) AS score_linear,
            |       round(1.0 / (1.0 + exp(lin * -4.0)), 6) AS quality_prob
            |FROM l""".stripMargin,
+
+      // Gopher rules: every measured value mirrors gopherRules' exact
+      // arithmetic (regexp_replace with 'g' = Spark's replace-all;
+      // DuckDB `/` is float division like Spark's Column `/`)
+      "quality_rules" ->
+        s"""WITH $toksCte,
+           |m AS (SELECT doc_id,
+           |  CASE WHEN length(trim(text)) = 0 THEN 0
+           |       ELSE CAST(len(toks) AS INT) END AS n_words,
+           |  length(text) - length(regexp_replace(text, '#', '', 'g'))
+           |    AS hashes,
+           |  (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3
+           |    + (length(text) - length(regexp_replace(text, '…', '', 'g')))
+           |    AS ellipses,
+           |  length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+           |  string_split(text, chr(10)) AS lines,
+           |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS INT)
+           |    AS alpha_words,
+           |  CAST(len(list_filter(['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that'],
+           |                       s -> list_contains(toks, s))) AS INT) AS stop_hits
+           |  FROM t),
+           |v AS (SELECT doc_id, n_words, stop_hits,
+           |  CASE WHEN n_words > 0
+           |       THEN round(CAST(nonspace AS DOUBLE) / n_words, 6)
+           |       ELSE 0.0 END AS mean_word_len,
+           |  CASE WHEN n_words > 0
+           |       THEN round(CAST(hashes + ellipses AS DOUBLE) / n_words, 6)
+           |       ELSE 0.0 END AS symbol_ratio,
+           |  round(CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+           |        / len(lines), 6) AS bullet_line_frac,
+           |  round(CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$$'))) AS DOUBLE)
+           |        / len(lines), 6) AS ellipsis_line_frac,
+           |  CASE WHEN n_words > 0
+           |       THEN round(CAST(alpha_words AS DOUBLE) / n_words, 6)
+           |       ELSE 0.0 END AS alpha_word_frac
+           |  FROM m)
+           |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+           |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stop_hits,
+           |  n_words BETWEEN 50 AND 100000 AS rule_word_count,
+           |  n_words > 0 AND mean_word_len BETWEEN 3.0 AND 10.0 AS rule_mean_word_len,
+           |  n_words > 0 AND symbol_ratio <= 0.1 AS rule_symbol_ratio,
+           |  bullet_line_frac < 0.9 AS rule_bullet_lines,
+           |  ellipsis_line_frac < 0.3 AS rule_ellipsis_lines,
+           |  n_words > 0 AND alpha_word_frac >= 0.8 AS rule_alpha_words,
+           |  stop_hits >= 2 AS rule_stopwords,
+           |  n_words BETWEEN 50 AND 100000
+           |    AND (n_words > 0 AND mean_word_len BETWEEN 3.0 AND 10.0)
+           |    AND (n_words > 0 AND symbol_ratio <= 0.1)
+           |    AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3
+           |    AND (n_words > 0 AND alpha_word_frac >= 0.8)
+           |    AND stop_hits >= 2 AS pass_gopher
+           |FROM v""".stripMargin,
+
+      // per-source KL vs corpus: grouping by the token STRING here vs
+      // its 64-bit hash on the engine side (the documented collision
+      // trade); per-term contributions fixed at 9 dp and summed as
+      // exact decimals on both sides
+      "source_divergence" ->
+        """WITH tok AS (SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
+          |             FROM documents),
+          |ps AS (SELECT source, tok, count(*) AS c_st FROM tok GROUP BY 1, 2),
+          |pt AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM ps GROUP BY 1),
+          |st AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM ps GROUP BY 1),
+          |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM pt),
+          |terms AS (SELECT ps.source, n_s,
+          |            CAST(round((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+          |              * ln((CAST(c_st AS DOUBLE) * CAST(n AS DOUBLE))
+          |                   / (CAST(n_s AS DOUBLE) * CAST(c_t AS DOUBLE))), 9)
+          |              AS DECIMAL(28,9)) AS kl9
+          |          FROM ps JOIN pt USING (tok) JOIN st USING (source) CROSS JOIN tot)
+          |SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+          |       round(CAST(sum(kl9) AS DOUBLE), 6) AS kl_nats
+          |FROM terms GROUP BY 1""".stripMargin,
+
+      // pairwise source overlap over the shared shingle CTE (string
+      // grams here vs 64-bit hashes engine-side — same trade as above)
+      "source_overlap" ->
+        s"""WITH $shinglesCte,
+           |sg AS (SELECT DISTINCT d.source, s.shingle
+           |       FROM sh s JOIN documents d USING (doc_id)),
+           |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+           |          FROM sg GROUP BY 1),
+           |shared AS (SELECT a.source AS source_a, b.source AS source_b,
+           |                  CAST(count(*) AS BIGINT) AS n_shared
+           |           FROM sg a JOIN sg b ON a.shingle = b.shingle
+           |             AND a.source < b.source
+           |           GROUP BY 1, 2)
+           |SELECT source_a, source_b, n_shared,
+           |       round(CAST(n_shared AS DOUBLE)
+           |             / (sa.n_grams + sb.n_grams - n_shared), 6) AS jaccard
+           |FROM shared
+           |JOIN sizes sa ON sa.source = source_a
+           |JOIN sizes sb ON sb.source = source_b""".stripMargin,
 
       // first-occurrence novelty over the shared shingle CTE: grouping by
       // the shingle STRING here vs its 64-bit hash on the engine side —

@@ -166,4 +166,75 @@ class CorpusQuantizeSpec extends SparkSpec {
       .as[(Long, Int, Double, Double)].collect().head
     assert(again == row)
   }
+
+  test("source divergence: identical sources → 0, disjoint ones diverge") {
+    // s1/s2 share one distribution (KL 0 against a blend of themselves
+    // only when the blend IS the distribution: give all sources the same
+    // tokens); s3 is disjoint → strictly positive, and larger than s1's
+    val same = Seq(("s1", "a b"), ("s2", "a b")).toDF("source", "text")
+    val out0 = Corpus.sourceDivergence(same, "text", "source")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out0("s1") == ((2L, 0.0)) && out0("s2") == ((2L, 0.0)))
+    val mixed = Seq(("s1", "a b"), ("s2", "a b"), ("s3", "z z"))
+      .toDF("source", "text")
+    val out = Corpus.sourceDivergence(mixed, "text", "source")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    // s3: p(z)=1, corpus q(z)=2/6 → KL = ln(3); s1: each of a,b has
+    // p=1/2, q=2/6 → KL = ln(3/2)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("s3") == r6(math.log(3.0)))
+    assert(out("s1") == r6(math.log(1.5)) && out("s1") < out("s3"))
+  }
+
+  test("source overlap: hand-computed shared grams and jaccard") {
+    // s1 grams: {a b c, b c d}; s2 grams: {a b c, b c x}; s3 disjoint
+    val d = Seq(
+      ("s1", "a b c d"), ("s2", "a b c x"), ("s3", "q r s t")
+    ).toDF("source", "text")
+    val out = Corpus.sourceOverlap(d, "text", "source", n = 3)
+      .as[(String, String, Long, Double)].collect()
+    assert(out.toSeq == Seq(("s1", "s2", 1L, 0.333333)))
+    // repeated docs per source don't inflate distinct gram sets
+    val dup = Seq(("s1", "a b c"), ("s1", "a b c"), ("s2", "a b c"))
+      .toDF("source", "text")
+    val o2 = Corpus.sourceOverlap(dup, "text", "source", n = 3)
+      .as[(String, String, Long, Double)].collect()
+    assert(o2.toSeq == Seq(("s1", "s2", 1L, 1.0)))
+  }
+
+  test("gopher rules: each rule trips on its crafted failure") {
+    import graft.llm.TextAnalysis
+    // 100 words, mean word length exactly 3.0, five stop-list hits/rep
+    val good = Seq.fill(10)("the fox and dog run in a field of grass")
+      .mkString(" ")
+    val rows = Seq(
+      (1L, good),                               // passes everything
+      (2L, "too short of a doc that is"),       // word count < 50
+      (3L, ("# " * 60).trim),                   // symbols + no alpha + stops
+      (4L, Seq.fill(60)("supercalifragilistic").mkString(" ")) // mean len > 10
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(rows, "text")
+      .select("doc_id", "rule_word_count", "rule_mean_word_len",
+        "rule_symbol_ratio", "rule_alpha_words", "rule_stopwords",
+        "pass_gopher")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._7, "good doc must pass the full gate")
+    assert(!out(2L)._2 && !out(2L)._7)
+    assert(!out(3L)._4 && !out(3L)._5 && !out(3L)._7)
+    assert(!out(4L)._3 && !out(4L)._7)
+    // line rules: 9/10 bullet lines and 4/10 ellipsis lines both trip
+    val liny = Seq(
+      (5L, (Seq.fill(9)("- item") :+ "plain").mkString("\n")),
+      (6L, (Seq.fill(4)("trailing...") ++ Seq.fill(6)("plain")).mkString("\n"))
+    ).toDF("doc_id", "text")
+    val l = TextAnalysis.gopherRules(liny, "text")
+      .select("doc_id", "rule_bullet_lines", "rule_ellipsis_lines")
+      .as[(Long, Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(!l(5L)._2 && l(5L)._3)
+    assert(l(6L)._2 && !l(6L)._3)
+  }
 }

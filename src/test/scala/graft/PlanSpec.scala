@@ -43,7 +43,7 @@ class PlanSpec extends SparkSpec {
     val intended = Set("ann_brute_topk", "ann_recall_eval", "ann_int8_topk",
       "snmp_dsl_toplevel",
       "tfidf_topk", "lm_surprisal", "collocation_pmi", "curriculum_global",
-      "vocab_topk")
+      "vocab_topk", "source_divergence")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intended)
       .filter { name =>
@@ -92,7 +92,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("text repetition and pii scrub are map-only single scans") {
-    Seq("text_repetition", "text_pii").foreach { q =>
+    Seq("text_repetition", "text_pii", "quality_rules").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
       // executedPlan.toString renders whole-stage codegen spans as "*(n)"
