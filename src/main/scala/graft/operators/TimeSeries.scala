@@ -120,6 +120,47 @@ object TimeSeries {
       (col("bucket") =!= col("next_bucket")).as("filled")): _*)
   }
 
+  /** OHLC downsample ("candles"): per series × fixed `stepMicros` bucket,
+    * the first/highest/lowest/last observed value plus event count and
+    * exact value sum — the standard market-data/telemetry compaction that
+    * turns a raw event firehose into a fixed-cadence summary a dashboard
+    * or a coarser pipeline stage can afford to read.
+    *
+    * Open/close are selected by `min_by`/`max_by` over a TOTAL ordering
+    * key — (ts, id) zero-padded into one string — so same-timestamp
+    * events never make the result engine- or partition-order-dependent.
+    * (A struct ordering key would be Spark-only; the padded-string key is
+    * the portable total order, and both engines' min_by/max_by agree on
+    * VARCHAR ordering.)
+    *
+    * Scale shape: ONE hash aggregate on (series, bucket) with map-side
+    * partial aggregation — min_by/max_by/min/max/count/sum all combine
+    * associatively, so the shuffle carries one partial row per (series,
+    * bucket, map task), not raw events. No window, no join; a hot series
+    * costs its bucket count, not its event count. The value sum is an
+    * exact DECIMAL(18,2) (order-free), divided once for the mean. */
+  def ohlc(df: DataFrame, seriesCols: Seq[String], tsMicrosCol: String,
+           idCol: String, valueCol: String, stepMicros: Long): DataFrame = {
+    require(stepMicros > 0, s"stepMicros=$stepMicros must be positive")
+    val sc = seriesCols.map(col)
+    val ts = col(tsMicrosCol)
+    val ord = concat(lpad(ts.cast("string"), 20, "0"),
+      lpad(col(idCol).cast("string"), 12, "0"))
+    val v = col(valueCol).cast("double")
+    df.withColumn("bucket", (ts - (ts % lit(stepMicros))).cast("long"))
+      .groupBy(sc :+ col("bucket"): _*)
+      .agg(
+        min_by(v, ord).as("open"),
+        max(v).as("high"),
+        min(v).as("low"),
+        max_by(v, ord).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("vsum"))
+      .withColumn("vavg", round(col("vsum").cast("double") /
+        col("n_events").cast("double"), 6))
+      .withColumn("vsum", col("vsum").cast("double"))
+  }
+
   /** Rolling mean over a fixed trailing time window: snap to a
     * `stepMicros` grid, aggregate each bucket (exact decimal sum + count),
     * then average the last `windowSteps` buckets with a RANGE frame —
