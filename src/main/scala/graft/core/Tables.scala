@@ -42,6 +42,27 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+
+  /** Epoch-microseconds Column for the events table's `ts`, whatever
+    * physical type the test-data generator shipped: parquet ns timestamps
+    * arrive as LONG nanos (under spark.sql.legacy.parquet.nanosAsLong),
+    * µs timestamps as TIMESTAMP/TIMESTAMP_NTZ (the session runs in UTC,
+    * so the NTZ→TZ cast is an epoch no-op). Centralized here because the
+    * driver has shipped BOTH encodings across rounds — every query goes
+    * through this instead of hand-dividing `ts`. */
+  def tsMicros(ev: DataFrame): org.apache.spark.sql.Column =
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+
+  /** events + a normalized `ts_us` (epoch µs) column; derive coarser
+    * grains downstream with exact integer division (`ts_us div 1000000`).
+    */
+  def eventsUs(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    ev.withColumn("ts_us", tsMicros(ev))
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -22,15 +22,26 @@ object Dedup {
 
   /** Exact dedup via content hash: every row keeps its group hash, group
     * size, and a `keep` flag on the smallest id (deterministic
-    * representative). Filter `keep` to materialize the deduplicated set. */
+    * representative). Filter `keep` to materialize the deduplicated set.
+    *
+    * Mega-duplicate hardening: raw crawls routinely carry one degenerate
+    * page (empty body, boilerplate error page) duplicated 10⁷-10⁸× —
+    * `dedup_multiplicity`'s histogram is the sizing input. A window over
+    * `content_hash` would sort that whole group inside ONE task; instead
+    * the group stats come from a map-side-combining `groupBy(hash)`
+    * (min(id) + count — each map task contributes one partial row per
+    * distinct hash, so the reduce side sees ~#tasks rows for the hot
+    * hash, not 10⁸), re-attached with a SHUFFLE_HASH join hint: the big
+    * side STREAMS through the hash-join probe without the per-partition
+    * sort a sort-merge join would reintroduce (which would be the same
+    * single-task straggler wearing a different plan node). */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val h = md5(col(textCol))
-    df.withColumn("content_hash", h)
-      .withColumn("dup_rank", row_number().over(
-        Window.partitionBy(col("content_hash")).orderBy(col(idCol))))
-      .withColumn("group_size",
-        count(lit(1)).over(Window.partitionBy(col("content_hash"))))
-      .withColumn("keep", col("dup_rank") === 1)
+    val withHash = df.withColumn("content_hash", md5(col(textCol)))
+    val groups = withHash.groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("group_size"))
+    withHash.join(groups.hint("shuffle_hash"), Seq("content_hash"))
+      .withColumn("keep", col(idCol) === col("__rep"))
+      .drop("__rep")
   }
 
   // ------------------------------------------------------------- shingles

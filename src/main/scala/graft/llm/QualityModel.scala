@@ -71,4 +71,61 @@ object QualityModel {
         round(lit(1.0) / (lit(1.0) + exp(col("__lin") * -4.0)), 6)
           .as("quality_prob"))
   }
+
+  /** [[score]] with the weights as a TABLE instead of a plan literal —
+    * the trained-model path for large vocabularies. A plan-literal
+    * `Array[Double]` is fine to ~10⁵ buckets; past that the serialized
+    * plan itself becomes the bottleneck (shipped per task, re-parsed per
+    * query), so a real fastText-style model (2²¹ buckets is the common
+    * default) must ride as data: broadcast-join each token's bucket
+    * against a `(bucket, weight)` frame and re-aggregate per document.
+    *
+    * Plan shape: explode(tokens) is map-side; the weights join is a
+    * BROADCAST hash join (a 2²¹-row double table is ~32 MB — well inside
+    * broadcast range; buckets absent from the table weigh 0.0, so sparse
+    * models ship only their support); the only shuffle is the final
+    * per-document aggregate, map-side-combined on the doc id. At 100 TB
+    * the shuffle carries one partial row per (doc, map task) — the same
+    * cost class as `text_stats`, not a pairwise stage.
+    *
+    * Determinism: per-token weights are summed as DECIMAL(38,18) — exact
+    * and order-free, unlike a double fold — then converted to double
+    * once for the mean. For weights exactly representable in ≤18
+    * decimal places (any quantized model; the spec uses dyadic weights)
+    * the sum equals [[score]]'s left-fold bit-for-bit, so the two paths
+    * produce identical output on every document with ≥1 token.
+    * Zero-token documents are DROPPED (nothing to explode — and a
+    * re-attach join would scan the source a second time for rows whose
+    * score is vacuous; the literal path scores them NaN from 0/0 —
+    * either way, filter `token_count > 0` before gating).
+    *
+    * @param weightsDf (bucket: integral, weight: double) — one row per
+    *                  bucket with nonzero weight; duplicate buckets are
+    *                  a caller error (the join would multiply tokens). */
+  def scoreTable(df: DataFrame, textCol: String, idCol: String,
+                 buckets: Int, weightsDf: DataFrame): DataFrame = {
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets=$buckets not in 1..65536 (bucket is a 16-bit md5 prefix)")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val w = broadcast(weightsDf.select(
+      col(weightsDf.columns(0)).cast("long").as("__bucket"),
+      col(weightsDf.columns(1)).cast("decimal(38,18)").as("__w")))
+    spread(df)
+      .select(col(idCol), size(toks).as("token_count"),
+        explode(toks).as("__tok"))
+      .withColumn("__bucket",
+        conv(substring(md5(col("__tok")), 1, 4), 16, 10).cast("long")
+          % buckets)
+      .join(w, Seq("__bucket"), "left")
+      .groupBy(col(idCol), col("token_count"))
+      .agg(sum(coalesce(col("__w"),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,18)")))
+        .as("__wsum"))
+      .withColumn("__lin",
+        col("__wsum").cast("double") / col("token_count").cast("double"))
+      .select(col(idCol), col("token_count"),
+        round(col("__lin"), 6).as("score_linear"),
+        round(lit(1.0) / (lit(1.0) + exp(col("__lin") * -4.0)), 6)
+          .as("quality_prob"))
+  }
 }

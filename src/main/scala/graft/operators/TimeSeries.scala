@@ -127,11 +127,28 @@ object TimeSeries {
     * or a coarser pipeline stage can afford to read.
     *
     * Open/close are selected by `min_by`/`max_by` over a TOTAL ordering
-    * key — (ts, id) zero-padded into one string — so same-timestamp
-    * events never make the result engine- or partition-order-dependent.
-    * (A struct ordering key would be Spark-only; the padded-string key is
-    * the portable total order, and both engines' min_by/max_by agree on
-    * VARCHAR ordering.)
+    * key — one string combining a sign-biased fixed-width timestamp with
+    * a length-prefixed id — so same-timestamp events never make the
+    * result engine- or partition-order-dependent. (A struct ordering key
+    * would be Spark-only; the string key is the portable total order, and
+    * both engines' min_by/max_by agree on binary VARCHAR ordering.)
+    * Key construction, and why each piece is there:
+    *   - timestamp: `lpad(ts + 2^63, 20, '0')` computed in DECIMAL — the
+    *     bias maps the full signed-long range onto [0, 2^64) so PRE-1970
+    *     (negative) timestamps order numerically too (a plain zero-pad
+    *     sorts '-2' after '-1'), and decimal arithmetic avoids the
+    *     long-overflow error ANSI mode would raise on `ts - Long.MinValue`;
+    *   - id: `lpad(length(id), 6, '0') || id` — a length prefix instead of
+    *     a fixed-width pad, because `lpad` TRUNCATES input longer than the
+    *     pad width (silently un-totalizing the order for 19-digit snowflake
+    *     ids or UUIDs sharing a prefix). Length-prefixed strings compare as
+    *     shortlex, which is a total order for any id type, numeric or not
+    *     (ids beyond 999,999 chars are out of contract).
+    *
+    * NULL values are dropped up front: a null is a missed measurement, not
+    * an observation, so it must not count in `n_events` (deflating `vavg`)
+    * nor be eligible as `open`/`close` while `high`/`low` skip it. A
+    * bucket whose every value is null produces no row.
     *
     * Scale shape: ONE hash aggregate on (series, bucket) with map-side
     * partial aggregation — min_by/max_by/min/max/count/sum all combine
@@ -144,10 +161,17 @@ object TimeSeries {
     require(stepMicros > 0, s"stepMicros=$stepMicros must be positive")
     val sc = seriesCols.map(col)
     val ts = col(tsMicrosCol)
-    val ord = concat(lpad(ts.cast("string"), 20, "0"),
-      lpad(col(idCol).cast("string"), 12, "0"))
+    // 2^63 as an exact decimal literal; decimal(20,0) + decimal(19,0)
+    // stays exact and in-range for every signed-long timestamp
+    val bias = lit(new java.math.BigDecimal("9223372036854775808"))
+    val tsKey = lpad((ts.cast("decimal(20,0)") + bias).cast("string"),
+      20, "0")
+    val idStr = col(idCol).cast("string")
+    val ord = concat(tsKey, lpad(length(idStr).cast("string"), 6, "0"),
+      idStr)
     val v = col(valueCol).cast("double")
-    df.withColumn("bucket", (ts - (ts % lit(stepMicros))).cast("long"))
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("bucket", (ts - (ts % lit(stepMicros))).cast("long"))
       .groupBy(sc :+ col("bucket"): _*)
       .agg(
         min_by(v, ord).as("open"),

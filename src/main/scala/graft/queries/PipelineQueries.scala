@@ -139,7 +139,6 @@ object PipelineQueries {
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "text", "doc_id")
         .select(col("doc_id"), col("content_hash"),
-          col("dup_rank").cast("long").as("dup_rank"),
           col("group_size"), col("keep"))),
 
     // --- canonical (case/whitespace/NFC-insensitive) exact dedup — the
@@ -150,7 +149,6 @@ object PipelineQueries {
         TextAnalysis.normalize(Tables.documents(s, d), "text"),
         "text_norm", "doc_id")
         .select(col("doc_id"), col("content_hash"),
-          col("dup_rank").cast("long").as("dup_rank"),
           col("group_size"), col("keep"))),
 
     // --- MinHash + LSH candidate pairs ------------------------------------
@@ -250,6 +248,19 @@ object PipelineQueries {
       QualityModel.score(Tables.documents(s, d), "text", "doc_id",
         buckets = 256)
         .select("doc_id", "token_count", "score_linear", "quality_prob")),
+
+    // --- the same gate with weights as a TABLE (broadcast join on the
+    // hashed bucket) — the trained-model path for vocabularies too large
+    // to ride as a plan literal; weights here are the deterministic
+    // dyadic stand-in k/2^17 − 1, k = (bucket·2654435761) mod 2^18 ------
+    "quality_classifier_table" -> ((s, d) => {
+      val w = s.range(256).select(col("id").as("bucket"),
+        (((col("id") * 2654435761L) % 262144L).cast("double")
+          / lit(131072.0) - lit(1.0)).as("weight"))
+      QualityModel.scoreTable(Tables.documents(s, d), "text", "doc_id",
+        buckets = 256, weightsDf = w)
+        .select("doc_id", "token_count", "score_linear", "quality_prob")
+    }),
 
     // --- Gopher rule-based filter: measured values + per-rule flags +
     // the conjunction (the canonical pre-model web-corpus gate) ----------
@@ -475,7 +486,7 @@ object PipelineQueries {
     // (`ts div 1000` ↔ `epoch_us(ts)`) before comparing gaps.
     "sessionize" -> ((s, d) =>
       Sessionize.assign(
-        Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")),
+        Tables.eventsUs(s, d),
         "user_id", "ts_us", "event_id", gapMicros = 86400L * 1000000L)
         .select("event_id", "user_id", "session_seq")),
 
@@ -483,7 +494,7 @@ object PipelineQueries {
     "session_stats" -> ((s, d) =>
       Sessionize.stats(
         Sessionize.assign(
-          Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")),
+          Tables.eventsUs(s, d),
           "user_id", "ts_us", "event_id", gapMicros = 86400L * 1000000L),
         "user_id", "ts_us", "event_type", "value")
         .select("user_id", "session_seq", "n_events", "start_us", "end_us",
@@ -492,7 +503,7 @@ object PipelineQueries {
     // --- strict-order funnel: view → click → purchase per user --------------
     "session_funnel" -> ((s, d) =>
       Sessionize.funnel(
-        Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")),
+        Tables.eventsUs(s, d),
         "user_id", "ts_us", "event_type",
         Seq("view", "click", "purchase"))
         .select(col("user_id"), col("reached"),
@@ -518,8 +529,8 @@ object PipelineQueries {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import ss.implicits._
       import scala.jdk.CollectionConverters._
-      val rows = Tables.events(ss, d)
-        .select(expr("ts div 1000").as("ts_us"), col("event_type"),
+      val rows = Tables.eventsUs(ss, d)
+        .select(col("ts_us"), col("event_type"),
           col("value").cast("double").as("value"))
         .orderBy("ts_us")
         .as[(Long, String, Double)]
@@ -564,8 +575,8 @@ object PipelineQueries {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import ss.implicits._
       import scala.jdk.CollectionConverters._
-      val rows = Tables.events(ss, d)
-        .select(expr("ts div 1000").as("ts_us"), col("event_type"),
+      val rows = Tables.eventsUs(ss, d)
+        .select(col("ts_us"), col("event_type"),
           col("value").cast("double").as("value"))
         .orderBy("ts_us")
         .as[(Long, String, Double)]
@@ -598,7 +609,7 @@ object PipelineQueries {
     // Union+window (one shuffle, no range explosion) vs DuckDB's native
     // ASOF JOIN — two independent algorithms, same answer.
     "asof_join" -> ((s, d) => {
-      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val ev = Tables.eventsUs(s, d)
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts_us"), col("event_id"))
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -614,7 +625,7 @@ object PipelineQueries {
     // view AND within 7 days — stale matches age out (the reference-data
     // freshness guard every point-in-time lookup wants) ------------------
     "asof_join_tol" -> ((s, d) => {
-      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val ev = Tables.eventsUs(s, d)
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts_us"), col("event_id"))
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -646,7 +657,7 @@ object PipelineQueries {
 
     // --- forward as-of: next purchase at-or-after each view (labeling) -----
     "asof_join_fwd" -> ((s, d) => {
-      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val ev = Tables.eventsUs(s, d)
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts_us"), col("event_id"))
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -662,7 +673,7 @@ object PipelineQueries {
     // Bucketized interval join (equi-join on 1 h buckets + exact filter) vs
     // DuckDB's inequality join.
     "range_join" -> ((s, d) => {
-      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val ev = Tables.eventsUs(s, d)
       val points = ev.filter(col("event_type") === "view")
         .select(col("event_id").as("view_id"), col("ts_us"))
       val hourUs = 3600L * 1000000L
@@ -679,7 +690,7 @@ object PipelineQueries {
     // windows (attribution candidates) — bucketized on both sides, each
     // pair emitted once via the overlap-start-bucket filter ---------------
     "interval_join" -> ((s, d) => {
-      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val ev = Tables.eventsUs(s, d)
       val hourUs = 3600L * 1000000L
       val views = ev.filter(col("event_type") === "view" &&
           col("user_id") < 25)
@@ -770,8 +781,8 @@ object PipelineQueries {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import ss.implicits._
       import scala.jdk.CollectionConverters._
-      val base = Tables.events(ss, d).filter(col("user_id") < 20)
-        .select(expr("ts div 1000").as("ts_us"), col("event_id"),
+      val base = Tables.eventsUs(ss, d).filter(col("user_id") < 20)
+        .select(col("ts_us"), col("event_id"),
           col("event_type"), col("value").cast("double").as("value"))
       val dups = base.filter(col("event_id") % 3 === 0)
       val rows = base.union(dups).orderBy("ts_us", "event_id")
@@ -811,8 +822,8 @@ object PipelineQueries {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import ss.implicits._
       import scala.jdk.CollectionConverters._
-      val rows = Tables.events(ss, d).filter(col("user_id") < 50)
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+      val rows = Tables.eventsUs(ss, d).filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts_us"),
           col("event_id"), col("event_type"),
           (col("value").cast("decimal(18,2)") * 100).cast("long")
             .as("value_cents"))
@@ -865,8 +876,8 @@ object PipelineQueries {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import ss.implicits._
       import scala.jdk.CollectionConverters._
-      val rows = Tables.events(ss, d).filter(col("user_id") < 50)
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+      val rows = Tables.eventsUs(ss, d).filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts_us"),
           col("event_id"), col("value").cast("double").as("value"),
           (col("value").cast("decimal(18,2)") * 100).cast("long")
             .as("value_cents"))
@@ -905,9 +916,9 @@ object PipelineQueries {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import ss.implicits._
       import scala.jdk.CollectionConverters._
-      def replay(tp: String) = Tables.events(ss, d)
+      def replay(tp: String) = Tables.eventsUs(ss, d)
         .filter(col("user_id") < 30 && col("event_type") === tp)
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        .select(col("user_id"), col("ts_us"),
           col("event_id"))
         .orderBy("ts_us", "event_id").as[(Long, Long, Long)]
       val vIn = MemoryStream[(Long, Long, Long)]
@@ -1001,7 +1012,7 @@ object PipelineQueries {
     // lag pair, reusing the aggregate's series-key shuffle) -------------
     "ts_gapfill" -> ((s, d) =>
       TimeSeries.gapfill(
-        Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")),
+        Tables.eventsUs(s, d),
         Seq("user_id", "event_type"), "ts_us", "value",
         stepMicros = DayMicros)),
 
@@ -1010,9 +1021,18 @@ object PipelineQueries {
     // observations) ----------------------------------------------------
     "ts_moving" -> ((s, d) =>
       TimeSeries.rollingMean(
-        Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")),
+        Tables.eventsUs(s, d),
         Seq("user_id", "event_type"), "ts_us", "value",
         stepMicros = DayMicros, windowSteps = 7)),
+
+    // --- OHLC candles: per (user, event_type) × day, first/high/low/last
+    // value + count/sum/mean; open/close chosen by a portable total-order
+    // key (sign-biased ts + length-prefixed id), one hash aggregate ------
+    "ts_ohlc" -> ((s, d) =>
+      TimeSeries.ohlc(
+        Tables.eventsUs(s, d),
+        Seq("user_id", "event_type"), "ts_us", "event_id", "value",
+        stepMicros = DayMicros)),
 
     // --- curriculum buckets: 4 per-source difficulty tiers by descending
     // quality score (bucket 1 = highest-quality quartile) ----------------
@@ -1140,7 +1160,7 @@ object PipelineQueries {
     // shuffles, events collapse to distinct (user, day) up front --------
     "cohort_retention" -> ((s, d) =>
       Cohorts.retention(
-        Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")),
+        Tables.eventsUs(s, d),
         "user_id", "ts_us", stepMicros = DayMicros)
         .select("cohort", "period_offset", "n_users")),
 
@@ -1210,7 +1230,7 @@ object PipelineQueries {
       import scala.jdk.CollectionConverters._
       val dim = Tables.events(ss, d).select(col("user_id")).distinct()
         .withColumn("tier", col("user_id") % 5)
-      val rows = Tables.events(ss, d).filter(col("user_id") < 40)
+      val rows = Tables.eventsUs(ss, d).filter(col("user_id") < 40)
         .select(col("event_id"), col("user_id"),
           col("value").cast("double").as("value"))
         .orderBy("event_id")
@@ -1363,11 +1383,10 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
     Map(
       "dedup_exact" ->
         """SELECT doc_id, md5(text) AS content_hash,
-          |       CAST(row_number() OVER w AS BIGINT) AS dup_rank,
-          |       count(*) OVER (PARTITION BY md5(text)) AS group_size,
-          |       (row_number() OVER w) = 1 AS keep
+          |       count(*) OVER w AS group_size,
+          |       doc_id = min(doc_id) OVER w AS keep
           |FROM documents
-          |WINDOW w AS (PARTITION BY md5(text) ORDER BY doc_id)""".stripMargin,
+          |WINDOW w AS (PARTITION BY md5(text))""".stripMargin,
 
       // text_normalize's derivation composed under dedup_exact's window
       "dedup_exact_norm" ->
@@ -1377,11 +1396,10 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |             regexp_replace(text, '\s+', ' ', 'g')))) AS tn
           |  FROM documents)
           |SELECT doc_id, md5(tn) AS content_hash,
-          |       CAST(row_number() OVER w AS BIGINT) AS dup_rank,
-          |       count(*) OVER (PARTITION BY md5(tn)) AS group_size,
-          |       (row_number() OVER w) = 1 AS keep
+          |       count(*) OVER w AS group_size,
+          |       doc_id = min(doc_id) OVER w AS keep
           |FROM n
-          |WINDOW w AS (PARTITION BY md5(tn) ORDER BY doc_id)""".stripMargin,
+          |WINDOW w AS (PARTITION BY md5(tn))""".stripMargin,
 
       "dedup_minhash_lsh" ->
         s"""WITH $shinglesCte,
@@ -2549,6 +2567,35 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |             RANGE BETWEEN 518400000000 PRECEDING
           |                       AND CURRENT ROW)""".stripMargin,
 
+      // mirror TimeSeries.ohlc: null values dropped up front; open/close
+      // via min_by/max_by on the same portable total-order key (HUGEINT
+      // bias ↔ Spark's decimal bias — identical digit strings), exact
+      // decimal volume sum, one correctly-rounded division for the mean
+      "ts_ohlc" ->
+        """WITH e AS (
+          |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+          |         event_id, value
+          |  FROM events WHERE value IS NOT NULL),
+          |k AS (
+          |  SELECT user_id, event_type, value,
+          |         ts_us - ts_us % 86400000000 AS bucket,
+          |         lpad(CAST(CAST(ts_us AS HUGEINT)
+          |                   + 9223372036854775808 AS VARCHAR), 20, '0')
+          |           || lpad(CAST(length(CAST(event_id AS VARCHAR))
+          |                        AS VARCHAR), 6, '0')
+          |           || CAST(event_id AS VARCHAR) AS ord
+          |  FROM e)
+          |SELECT user_id, event_type, bucket,
+          |       min_by(CAST(value AS DOUBLE), ord) AS open,
+          |       max(CAST(value AS DOUBLE)) AS high,
+          |       min(CAST(value AS DOUBLE)) AS low,
+          |       max_by(CAST(value AS DOUBLE), ord) AS close,
+          |       count(*) AS n_events,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum,
+          |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          |             / CAST(count(*) AS DOUBLE), 6) AS vavg
+          |FROM k GROUP BY 1, 2, 3""".stripMargin,
+
       "curriculum_buckets" ->
         s"""WITH $toksCte,
            |$qualityCte
@@ -2765,6 +2812,31 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |          / (CAST(token_count AS DOUBLE) * 1048576.0) * 2 - 1
            |          AS lin
            |      FROM s)
+           |SELECT doc_id, token_count, round(lin, 6) AS score_linear,
+           |       round(1.0 / (1.0 + exp(lin * -4.0)), 6) AS quality_prob
+           |FROM l""".stripMargin,
+
+      // table-path mirror: per-token weight k/2^17 − 1 summed exactly —
+      // the integer identity Σ(k_i/2^17 − 1) = (Σk_i − n·2^17)/2^17 keeps
+      // the oracle in BIGINT until ONE exact power-of-two double scaling,
+      // matching the engine's decimal(38,18) sum bit-for-bit
+      "quality_classifier_table" ->
+        s"""WITH $toksCte,
+           |wt AS (SELECT i AS bucket, (i * 2654435761) % 262144 AS k
+           |       FROM range(256) r(i)),
+           |tok AS (SELECT doc_id, CAST(len(toks) AS INT) AS token_count,
+           |               unnest(toks) AS tok
+           |        FROM t),
+           |b AS (SELECT doc_id, token_count,
+           |             ('0x' || substr(md5(tok), 1, 4))::BIGINT % 256
+           |               AS bucket
+           |      FROM tok),
+           |sagg AS (SELECT doc_id, token_count, sum(k) AS sk
+           |         FROM b JOIN wt USING (bucket) GROUP BY 1, 2),
+           |l AS (SELECT doc_id, token_count,
+           |             CAST(sk - token_count * 131072 AS DOUBLE) / 131072.0
+           |               / CAST(token_count AS DOUBLE) AS lin
+           |      FROM sagg)
            |SELECT doc_id, token_count, round(lin, 6) AS score_linear,
            |       round(1.0 / (1.0 + exp(lin * -4.0)), 6) AS quality_prob
            |FROM l""".stripMargin,

@@ -167,6 +167,39 @@ class CorpusQuantizeSpec extends SparkSpec {
     assert(again == row)
   }
 
+  test("quality classifier: weights-TABLE path == literal path bit-for-bit") {
+    import graft.llm.QualityModel
+    // dyadic weights (multiples of 1/1024, |w| ≤ 2): the literal path's
+    // double fold and the table path's decimal(38,18) sum are BOTH exact
+    // on them, so every score must match with == , not a tolerance
+    val buckets = 64
+    val ws = Array.tabulate(buckets)(b =>
+      (((b * 2654435761L) % 4096L) - 2048L).toDouble / 1024.0)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "hello world hello again world again hello"),
+      (3L, "one-token"),
+      (4L, "punctuation, heavy! text? with (many) symbols..."))
+      .toDF("doc_id", "text")
+    val lit_ = QualityModel.score(docs, "text", "doc_id", buckets,
+        weights = Some(ws))
+      .as[(Long, Int, Double, Double)].collect().sortBy(_._1)
+    val wdf = ws.zipWithIndex
+      .map { case (w, b) => (b.toLong, w) }.toSeq
+      .toDF("bucket", "weight")
+    val tab = QualityModel.scoreTable(docs, "text", "doc_id", buckets, wdf)
+      .as[(Long, Int, Double, Double)].collect().sortBy(_._1)
+    assert(tab.toSeq == lit_.toSeq,
+      s"table path diverged:\n  lit=${lit_.mkString(",")}\n  tab=${tab.mkString(",")}")
+    // sparse model: buckets absent from the table weigh 0.0 — equivalent
+    // to a literal array with zeros in those slots
+    val sparse = wdf.filter(col("weight") =!= 0.0)
+    val tabSparse = QualityModel.scoreTable(docs, "text", "doc_id",
+        buckets, sparse)
+      .as[(Long, Int, Double, Double)].collect().sortBy(_._1)
+    assert(tabSparse.toSeq == lit_.toSeq)
+  }
+
   test("source divergence: identical sources → 0, disjoint ones diverge") {
     // s1/s2 share one distribution (KL 0 against a blend of themselves
     // only when the blend IS the distribution: give all sources the same

@@ -190,6 +190,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p)
   }
 
+  test("exact dedup streams hot groups: hash join + agg, never a sort") {
+    // a mega-duplicate (one page × 10⁸ copies) must not become a
+    // single-task sort — neither a row_number window nor a sort-merge
+    // join re-attach may appear anywhere in the plan
+    val p = plan("dedup_exact")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
+    assert(p.contains("partial_min") || p.contains("partial_count"), p)
+  }
+
   test("every query has a DuckDB oracle (full-strength correctness gate)") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -363,4 +363,76 @@ class PropertySpec extends SparkSpec {
       assert(fast == ref, s"seed=$seed")
     }
   }
+
+  test("CC: star & label-prop match union-find truth on motif graphs") {
+    import graft.llm.Dedup
+    // structured adversaries for connected components: chains (deep
+    // diameter — the label-prop worst case), stars (hub fan-out), cliques
+    // (dense neighborhoods), plus random bridge edges that merge motifs.
+    // Ground truth is a plain union-find pointing larger roots at
+    // smaller, i.e. every node labels with its component MINIMUM — the
+    // exact output contract both cluster operators claim.
+    val motifGen = for {
+      kind <- Gen.oneOf(0, 1, 2)
+      n <- Gen.chooseNum(2, 14)
+    } yield (kind, math.min(n, if (kind == 2) 9 else 14))
+    val graphGen = for {
+      motifs <- Gen.listOfN(5, motifGen)
+      bridges <- Gen.chooseNum(0, 6)
+    } yield (motifs, bridges)
+    (1 to 2).foreach { seed =>
+      val (motifs, bridges) = sample(graphGen, seed.toLong)
+      val edges = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var base = 0L
+      var maxDiam = 1L
+      motifs.foreach { case (kind, n) =>
+        val ids = (0 until n).map(base + _)
+        kind match {
+          case 0 => // chain
+            ids.sliding(2).foreach { w => edges += ((w(0), w(1))) }
+            maxDiam = math.max(maxDiam, n - 1L)
+          case 1 => // star
+            ids.tail.foreach(b => edges += ((ids.head, b)))
+            maxDiam = math.max(maxDiam, 2L)
+          case 2 => // clique
+            for (i <- ids; j <- ids if i < j) edges += ((i, j))
+        }
+        base += n + 3 // id gap keeps motifs disjoint until a bridge joins
+      }
+      val rng = new scala.util.Random(seed * 97L)
+      (0 until bridges).foreach { _ =>
+        val a = rng.nextInt(base.toInt).toLong
+        val b = rng.nextInt(base.toInt).toLong
+        if (a != b) edges += ((a, b))
+      }
+      // union-find with larger-root-under-smaller union: find() = min id
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val truth = nodes.map(x => x -> find(x)).toMap
+      val df = edges.toSeq.toDF("id_a", "id_b")
+      val (starLabels, rounds) =
+        Dedup.clustersStarWithRounds(df, "id_a", "id_b", maxIters = 30)
+      assert(starLabels.as[(Long, Long)].collect().toMap == truth,
+        s"clustersStar != union-find (seed=$seed)")
+      assert(Dedup.clusters(df, maxIters = 60)
+        .as[(Long, Long)].collect().toMap == truth,
+        s"clusters != union-find (seed=$seed)")
+      // the O(log d) claim, with the paper's constant slack: path
+      // doubling halves depth per (large+small) alternation
+      val bound = 2 * (64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(2L, maxDiam))) + 4
+      assert(rounds <= bound,
+        s"rounds=$rounds exceeds log bound=$bound (diam≈$maxDiam, seed=$seed)")
+      info(s"seed=$seed: ${edges.size} edges, diam≈$maxDiam, " +
+        s"star rounds=$rounds (bound $bound)")
+    }
+  }
 }

@@ -148,4 +148,59 @@ class TimeSeriesSpec extends SparkSpec {
     assert(top(0) == (("the quick brown", 3L)))
     assert(top(1)._2 == 1L)
   }
+
+  test("ohlc buckets, orders open/close, and skips null values") {
+    // bucket [0,10): events at ts 1 (v=5.0), 3 (v=9.0), 7 (v=2.0), plus a
+    // null at ts 0 that must not count; bucket [10,20): single event
+    val df = Seq(
+      ("s", 0L, "e0", None: Option[Double]),
+      ("s", 1L, "e1", Some(5.0)), ("s", 3L, "e2", Some(9.0)),
+      ("s", 7L, "e3", Some(2.0)), ("s", 12L, "e4", Some(4.0)))
+      .toDF("series", "ts_us", "event_id", "value")
+    val out = TimeSeries.ohlc(df, Seq("series"), "ts_us", "event_id",
+        "value", 10L)
+      .select("series", "bucket", "open", "high", "low", "close",
+        "n_events", "vsum", "vavg")
+      .as[(String, Long, Double, Double, Double, Double, Long, Double,
+        Double)].collect().toSet
+    assert(out == Set(
+      ("s", 0L, 5.0, 9.0, 2.0, 2.0, 3L, 16.0, 5.333333),
+      ("s", 10L, 4.0, 4.0, 4.0, 4.0, 1L, 4.0, 4.0)))
+  }
+
+  test("ohlc same-timestamp ties resolve by id, immune to lpad truncation") {
+    // all three events share ts=0; ids include a 19-digit snowflake and a
+    // long-prefix pair that a 12-char lpad would truncate into a tie —
+    // the length-prefixed key must order deterministically: shortlex
+    // ranks the SHORT id first, then the two 19-char ids lexicographically
+    val df = Seq(
+      ("s", 0L, "9999999999999999999", 1.0),
+      ("s", 0L, "9999999999999999998", 2.0),
+      ("s", 0L, "42", 3.0))
+      .toDF("series", "ts_us", "event_id", "value")
+    val r = TimeSeries.ohlc(df, Seq("series"), "ts_us", "event_id",
+        "value", 10L)
+      .select("open", "close", "n_events").head()
+    assert(r.getDouble(0) == 3.0, "open = id '42' (shortest id)")
+    assert(r.getDouble(1) == 1.0, "close = id '…99' (lexic. max of 19-char)")
+    assert(r.getLong(2) == 3L)
+  }
+
+  test("ohlc orders negative (pre-1970) timestamps numerically") {
+    // ts −2 must precede ts −1 inside a bucket (a naive zero-pad of the
+    // signed decimal string would reverse them). Bucket ids follow the
+    // truncate-toward-zero % both engines share: ts in (−10, 10) snaps
+    // to bucket 0 (−2 − (−2 % 10) = 0), ts −12 to bucket −10 — pinned
+    // here so a floor-mod "fix" can't silently diverge from the oracle
+    val df = Seq(
+      ("s", -2L, "a", 7.0), ("s", -1L, "b", 8.0), ("s", -12L, "c", 6.0))
+      .toDF("series", "ts_us", "event_id", "value")
+    val out = TimeSeries.ohlc(df, Seq("series"), "ts_us", "event_id",
+        "value", 10L)
+      .select("bucket", "open", "close", "n_events")
+      .as[(Long, Double, Double, Long)].collect().toSet
+    assert(out == Set(
+      (0L, 7.0, 8.0, 2L),   // ts −2 then −1: open=7.0, close=8.0
+      (-10L, 6.0, 6.0, 1L)))
+  }
 }

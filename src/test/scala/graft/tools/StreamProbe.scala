@@ -40,8 +40,8 @@ object StreamProbe {
         import ss.implicits._
         import org.apache.spark.sql.functions._
         import scala.jdk.CollectionConverters._
-        val rows = graft.core.Tables.events(ss, sfDir)
-          .select(expr("ts div 1000").as("ts_us"), col("event_type"),
+        val rows = graft.core.Tables.eventsUs(ss, sfDir)
+          .select(col("ts_us"), col("event_type"),
             col("value").cast("double").as("value"))
           .orderBy("ts_us").as[(Long, String, Double)]
         val input = MemoryStream[(Long, String, Double)]
@@ -73,8 +73,8 @@ object StreamProbe {
     import scala.jdk.CollectionConverters._
     (1 to 2).foreach { r =>
       val t0 = System.nanoTime()
-      val rows = graft.core.Tables.events(spark, sfDir)
-        .select(expr("ts div 1000").as("ts_us"), col("event_type"),
+      val rows = graft.core.Tables.eventsUs(spark, sfDir)
+        .select(col("ts_us"), col("event_type"),
           col("value").cast("double").as("value"))
         .orderBy("ts_us")
         .as[(Long, String, Double)]
