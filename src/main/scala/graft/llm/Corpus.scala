@@ -361,4 +361,62 @@ object Corpus {
         (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6))
       .select("source_a", "source_b", "n_shared", "jaccard")
   }
+
+  /** Okapi BM25 retrieval: score every document against a literal term
+    * set and keep the global top-`k` — the standard ranking function for
+    * "find the documents most about X" over a training corpus (seed-set
+    * expansion, targeted-domain mining, eval-set curation), and a
+    * materially different scorer from [[tfidfTopK]]: BM25 saturates term
+    * frequency (k1) and penalizes long documents (b), which is why it,
+    * not raw TF-IDF, is the retrieval default.
+    *
+    * Plan shape: ONE corpus aggregate computes N, total length, and every
+    * term's document frequency as conditional sums (a single 1-row frame
+    * — not one job per term), broadcast-attached to the scan; per-term tf
+    * is a map-side HOF count over the token array (no explode — the
+    * corpus never shuffles on tokens); the global top-k compiles to
+    * TakeOrderedAndProject (per-partition heaps, k-row driver merge).
+    * Two passes over the corpus total (stats + scoring) — the
+    * irreducible cost of corpus-normalized scoring, same as tf-idf.
+    *
+    * Engine determinism: per-term contributions are a fixed tree of
+    * correctly-rounded IEEE ops on exact integers (tf, dl, df, N),
+    * rounded to 9 dp and summed as exact decimals ([[unigramSurprisal]]'s
+    * pattern), so only `ln` passes through libm. Ties in the final
+    * 6-dp score break on the id. Docs matching no term score 0 and are
+    * filtered before the top-k. */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    require(k > 0, s"k=$k must be positive")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val base = spread(df).select(col(idCol), toks.as("__toks"))
+      .withColumn("dl", size(col("__toks")))
+    val statAggs = Seq(count(lit(1)).as("__n_docs"),
+      sum(col("dl").cast("long")).as("__total_len")) ++
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("__toks"), t), 1L).otherwise(0L))
+          .as(s"__df_$i")
+      }
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val n = col("__n_docs").cast("double")
+    val avgdl = col("__total_len").cast("double") / n
+    val contribs = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("__toks"), x => x === lit(t)))
+        .cast("double")
+      val dfT = col(s"__df_$i").cast("double")
+      val idfT = log((n - dfT + 0.5) / (dfT + 0.5) + 1.0)
+      val denom = tf + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl)
+      round(idfT * tf * lit(k1 + 1.0) / denom, 9).cast("decimal(28,9)")
+    }
+    base.crossJoin(broadcast(stats))
+      .withColumn("__s", contribs.reduce(_ + _))
+      .withColumn("bm25", round(col("__s").cast("double"), 6))
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("dl"), col("bm25"))
+  }
 }

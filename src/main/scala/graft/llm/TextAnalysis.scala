@@ -123,6 +123,46 @@ object TextAnalysis {
         (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0))) * 0.2, 6))
   }
 
+  /** Flesch reading-ease + Flesch–Kincaid grade level — the classic
+    * readability gates (curriculum ordering by difficulty, child-content
+    * filtering, "too telegraphic / too baroque" outlier pruning).
+    * Syllables are approximated as vowel-letter groups with a one-
+    * syllable floor per word (the standard regex proxy; exact
+    * hyphenation dictionaries are language-specific model artifacts,
+    * out of scope for a corpus-wide scan); sentences as terminal-
+    * punctuation runs `[.!?]+` with a floor of 1, so fragments without
+    * punctuation read as one long sentence rather than dividing by zero.
+    *
+    * Map-only single scan: three regex counts + one HOF filter per
+    * document, no shuffle, no UDF — same cost class as [[stats]].
+    * All arithmetic is exact-integer counts entering a fixed tree of
+    * correctly-rounded double ops, 6-dp rounded: engine-portable.
+    * Zero-word documents yield null scores. */
+  def readability(df: DataFrame, textCol: String,
+                  idCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nWords = when(length(trim(t)) === 0, 0).otherwise(size(toks))
+    val vowelGroups = size(regexp_extract_all(t, lit("[aeiouyAEIOUY]+"),
+      lit(0)))
+    // one-syllable floor: words with no vowel letter still count 1
+    val novowel = size(filter(toks,
+      x => x.rlike("^[^aeiouyAEIOUY]*$") && length(x) > 0))
+    val nSyll = vowelGroups + novowel
+    val nSent = greatest(lit(1),
+      size(regexp_extract_all(t, lit("[.!?]+"), lit(0))))
+    val wps = nWords.cast("double") / nSent.cast("double")
+    val spw = nSyll.cast("double") / nWords.cast("double")
+    df.select(col(idCol), nWords.as("n_words"), nSent.as("n_sentences"),
+      nSyll.as("n_syllables"),
+      when(nWords > 0,
+        round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6))
+        .as("flesch"),
+      when(nWords > 0,
+        round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6))
+        .as("fk_grade"))
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021, appendix A1.1):
     * per document, the fraction of n-gram occurrences that are repeats
     * (`dup_Ngram_frac`) and the share taken by the single most frequent

@@ -38,6 +38,14 @@ object PipelineQueries {
   private def sqlStringList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
+  /** bm25_topk's query terms + Okapi constants — shared by the Spark
+    * registration and the oracle so the doubles in both engines parse
+    * from the SAME shortest-repr literals (a hand-written `2.2` in SQL
+    * can land one ulp away from Scala's `k1 + 1.0`). */
+  private val Bm25Terms = Seq("vector", "merge", "spark")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
   /** SQL fragment: per-doc quality score `q(doc_id, quality_score)` (keep
     * in lock-step with [[TextAnalysis.qualityScore]] and the text_quality
     * oracle). Requires [[toksCte]]. */
@@ -220,6 +228,17 @@ object PipelineQueries {
         .select("doc_id", "token_count", "bpeish_count", "char_count",
           "distinct_tokens", "type_token_ratio", "avg_token_len",
           "punct_ratio", "stopword_ratio")),
+
+    // --- Flesch / Flesch–Kincaid readability: map-only regex counts
+    // (vowel-group syllable proxy, terminal-punctuation sentences) -------
+    "text_readability" -> ((s, d) =>
+      TextAnalysis.readability(Tables.documents(s, d), "text", "doc_id")),
+
+    // --- Okapi BM25 retrieval: top-100 docs for a literal term set; one
+    // corpus stats aggregate broadcast onto a map-side tf scan -----------
+    "bm25_topk" -> ((s, d) =>
+      Corpus.bm25TopK(Tables.documents(s, d), "text", "doc_id",
+        terms = Bm25Terms, k = 100, k1 = Bm25K1, b = Bm25B)),
 
     // --- tokenizer fertility per language: subword-proxy tokens per
     // whitespace word — how expensive a language is under a tokenizer
@@ -1638,6 +1657,73 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |  round(CAST(len(list_filter(toks, x -> list_contains($allStops, x))) AS DOUBLE)
            |        / len(toks), 6) AS stopword_ratio
            |FROM t""".stripMargin,
+
+      // mirror TextAnalysis.readability: vowel-group syllables with a
+      // one-syllable floor, sentence floor of 1, same left-assoc double
+      // trees (NOT regexp_matches == Spark's ^[^vowels]*$ full match)
+      "text_readability" ->
+        s"""WITH $toksCte,
+           |m AS (SELECT doc_id,
+           |  CASE WHEN length(trim(text)) = 0 THEN 0
+           |       ELSE CAST(len(toks) AS INT) END AS n_words,
+           |  greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+           |                   AS INT)) AS n_sentences,
+           |  CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS INT)
+           |    + CAST(len(list_filter(toks, x ->
+           |        NOT regexp_matches(x, '[aeiouyAEIOUY]')
+           |        AND length(x) > 0)) AS INT) AS n_syllables
+           |  FROM t)
+           |SELECT doc_id, n_words, n_sentences, n_syllables,
+           |  CASE WHEN n_words > 0 THEN
+           |    round(206.835
+           |          - 1.015 * (CAST(n_words AS DOUBLE)
+           |                     / CAST(n_sentences AS DOUBLE))
+           |          - 84.6 * (CAST(n_syllables AS DOUBLE)
+           |                    / CAST(n_words AS DOUBLE)), 6) END AS flesch,
+           |  CASE WHEN n_words > 0 THEN
+           |    round(0.39 * (CAST(n_words AS DOUBLE)
+           |                  / CAST(n_sentences AS DOUBLE))
+           |          + 11.8 * (CAST(n_syllables AS DOUBLE)
+           |                    / CAST(n_words AS DOUBLE)) - 15.59, 6)
+           |  END AS fk_grade
+           |FROM m""".stripMargin,
+
+      // mirror Corpus.bm25TopK: one stats row (N, total length, per-term
+      // dfs), per-term 9-dp contributions summed as exact decimals; the
+      // k1/b/k1+1 constants interpolate from the SAME Scala doubles the
+      // engine plans, so both parsers see identical shortest-repr
+      // literals
+      "bm25_topk" -> {
+        val dfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+          s"sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df_$i"
+        }.mkString(",\n              ")
+        val contribs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+          s"""CAST(round(ln((CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5)
+             |          / (CAST(df_$i AS DOUBLE) + 0.5) + 1.0)
+             |     * CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)
+             |     * ${Bm25K1 + 1.0}
+             |     / (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)
+             |        + $Bm25K1 * (1.0 - $Bm25B + $Bm25B
+             |          * CAST(dl AS DOUBLE)
+             |          / (CAST(total_len AS DOUBLE)
+             |             / CAST(n_docs AS DOUBLE)))), 9) AS DECIMAL(28,9))"""
+            .stripMargin
+        }.mkString("\n   + ")
+        s"""WITH $toksCte,
+           |base AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS dl
+           |         FROM t),
+           |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_len,
+           |              $dfCols
+           |       FROM base),
+           |sc AS (SELECT doc_id, dl,
+           |   $contribs AS s
+           |   FROM base, st)
+           |SELECT doc_id, dl, round(CAST(s AS DOUBLE), 6) AS bm25
+           |FROM sc
+           |WHERE round(CAST(s AS DOUBLE), 6) > 0
+           |ORDER BY bm25 DESC, doc_id
+           |LIMIT 100""".stripMargin
+      },
 
       "text_quality" ->
         s"""WITH $toksCte,

@@ -200,6 +200,60 @@ class CorpusQuantizeSpec extends SparkSpec {
     assert(tabSparse.toSeq == lit_.toSeq)
   }
 
+  test("bm25: saturation + length normalization, hand-computed scores") {
+    // corpus: doc1 has 2×'a' (rare term), doc3 has 3×'c' (common term),
+    // doc2 one 'c'; expected scores recomputed with the operator's exact
+    // arithmetic (same double tree, 9-dp term round, 6-dp final)
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "c c c"))
+      .toDF("doc_id", "text")
+    val n = 3.0; val avgdl = 8.0 / 3.0; val k1 = 1.2; val b = 0.75
+    def contrib(tf: Int, dfT: Int, dl: Int): BigDecimal = {
+      if (tf == 0) return BigDecimal(0).setScale(9)
+      val idf = math.log((n - dfT + 0.5) / (dfT + 0.5) + 1.0)
+      val den = tf + k1 * (1.0 - b + b * dl.toDouble / avgdl)
+      BigDecimal(idf * tf * (k1 + 1.0) / den)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    def score(tfA: Int, tfC: Int, dl: Int): Double =
+      (contrib(tfA, 1, dl) + contrib(tfC, 2, dl))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = graft.llm.Corpus.bm25TopK(docs, "text", "doc_id",
+        terms = Seq("a", "c"), k = 3)
+      .as[(Long, Int, Double)].collect()
+    // rare 'a' twice beats common 'c' three times beats one 'c'
+    assert(out.map(_._1).toSeq == Seq(1L, 3L, 2L), out.mkString(","))
+    assert(out(0)._3 == score(2, 0, 3))
+    assert(out(1)._3 == score(0, 3, 3))
+    assert(out(2)._3 == score(0, 1, 2))
+    // k bounds the result; zero-match docs never appear
+    val top1 = graft.llm.Corpus.bm25TopK(docs, "text", "doc_id",
+        terms = Seq("a"), k = 5)
+      .as[(Long, Int, Double)].collect()
+    assert(top1.map(_._1).toSeq == Seq(1L), "only doc1 contains 'a'")
+  }
+
+  test("readability: vowel-group syllables, sentence floor, null on empty") {
+    import graft.llm.TextAnalysis
+    val docs = Seq(
+      (1L, "the cat sat. it ran fast! done"), // 7 w, 2 sent, 8 vowel runs
+      (2L, "grr shh"),                        // no vowels → 1-syll floor ×2
+      (3L, ""))                               // zero words → null scores
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3),
+          Option(r.get(4)), Option(r.get(5))))).toMap
+    def fl(w: Int, s: Int, sy: Int): Double =
+      BigDecimal(206.835 - 1.015 * (w.toDouble / s) -
+          84.6 * (sy.toDouble / w))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._1 == 7 && out(1L)._2 == 2 && out(1L)._3 == 8)
+    assert(out(1L)._4.contains(fl(7, 2, 8)))
+    assert(out(2L) == ((2, 1, 2, Some(fl(2, 1, 2)),
+      out(2L)._5)))
+    assert(out(3L)._1 == 0 && out(3L)._4.isEmpty && out(3L)._5.isEmpty)
+  }
+
   test("source divergence: identical sources → 0, disjoint ones diverge") {
     // s1/s2 share one distribution (KL 0 against a blend of themselves
     // only when the blend IS the distribution: give all sources the same

@@ -43,7 +43,7 @@ class PlanSpec extends SparkSpec {
     val intended = Set("ann_brute_topk", "ann_recall_eval", "ann_int8_topk",
       "snmp_dsl_toplevel",
       "tfidf_topk", "lm_surprisal", "collocation_pmi", "curriculum_global",
-      "vocab_topk", "source_divergence")
+      "vocab_topk", "source_divergence", "bm25_topk")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intended)
       .filter { name =>
@@ -92,12 +92,24 @@ class PlanSpec extends SparkSpec {
   }
 
   test("text repetition and pii scrub are map-only single scans") {
-    Seq("text_repetition", "text_pii", "quality_rules").foreach { q =>
+    Seq("text_repetition", "text_pii", "quality_rules",
+        "text_readability").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
       // executedPlan.toString renders whole-stage codegen spans as "*(n)"
       assert(p.contains("*(1)"), p)
     }
+  }
+
+  test("bm25: stats broadcast onto a map-side tf scan, heap-merged top-k") {
+    val p = plan("bm25_topk")
+    // global top-k must be per-partition heaps + k-row driver merge,
+    // never a full sort; tokens must never explode into a shuffle
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Generate"), s"bm25 must not explode tokens:\n$p")
+    // the 1-row stats frame rides a broadcast, not an exchange of the corpus
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
   test("rotated multi-probe LSH broadcasts queries; corpus never shuffles") {
