@@ -419,4 +419,59 @@ object Corpus {
       .limit(k)
       .select(col(idCol), col("dl"), col("bm25"))
   }
+
+  /** Zipf-law fit over the top-`topN` term frequencies: least-squares
+    * slope/intercept/R² of ln(count) against ln(rank) — the standard
+    * corpus health diagnostic (natural text sits near slope −1;
+    * template/generated corpora flatten, boilerplate-heavy crawls
+    * steepen; a LOW R² means the corpus isn't Zipfian at all — e.g.
+    * machine-generated key-value dumps).
+    *
+    * Plan shape: one hash aggregate over the exploded token stream
+    * (map-side partials — the corpus' only shuffle), a
+    * TakeOrderedAndProject top-N cut (per-partition heaps, N-row driver
+    * merge), then the regression runs on N rows: the rank window and
+    * moment sums are single-partition over the N-row frame, which is the
+    * POINT of fitting on the head — N is a constant, not a scale
+    * variable. Closed-form least squares from six moment sums, so no
+    * iteration.
+    *
+    * Engine determinism: ln(rank)/ln(count) are 9-dp-fixed decimals;
+    * products re-fix at 9 dp; sums are exact decimals cast to double
+    * once ([[unigramSurprisal]]'s discipline), then a fixed tree of
+    * correctly-rounded double ops. Rank ties break on the term text.
+    * Degenerate inputs (all head counts equal) report no fit: the
+    * covariance vanishes up to the 9-dp fixing residue, so R² collapses
+    * to ~0 — or NULL when the variance residue is exactly zero (Spark's
+    * division-by-zero null). Either way: never a fabricated fit. */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 100): DataFrame = {
+    require(topN >= 2, s"topN=$topN needs at least two points to fit")
+    val top = spread(df)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(topN)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+    def fix9(c: Column): Column = round(c, 9).cast("decimal(12,9)")
+    val pt = ranked.select(
+      fix9(log(col("rank").cast("double"))).as("x"),
+      fix9(log(col("cnt").cast("double"))).as("y"))
+    val sums = pt.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(round(col("x") * col("y"), 9).cast("decimal(14,9)")).as("sxy"),
+      sum(round(col("x") * col("x"), 9).cast("decimal(14,9)")).as("sxx"),
+      sum(round(col("y") * col("y"), 9).cast("decimal(14,9)")).as("syy"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val sxx = col("sxx").cast("double")
+    val syy = col("syy").cast("double")
+    val cov = n * sxy - sx * sy
+    val varx = n * sxx - sx * sx
+    val vary = n * syy - sy * sy
+    sums.select(col("n").as("n_terms"),
+      round(cov / varx, 6).as("zipf_slope"),
+      round((sy - cov / varx * sx) / n, 6).as("zipf_intercept"),
+      round(cov * cov / (varx * vary), 6).as("zipf_r2"))
+  }
 }

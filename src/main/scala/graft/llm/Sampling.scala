@@ -259,4 +259,40 @@ object Sampling {
     df.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Nucleus ("top-p") curation by TOKEN BUDGET: per group, walk rows in
+    * descending score order and keep documents while the tokens
+    * accumulated BEFORE each one stay under fraction `pNum/pDen` of the
+    * group's total — "keep the best half of every domain, measured in
+    * tokens, not documents" (doc-count selections like [[topKPerGroup]]
+    * over-serve domains with short documents; training budgets are token
+    * budgets). The first document of a group always keeps (its
+    * cum-before is 0), so an overweight head document cannot empty its
+    * group.
+    *
+    * The fraction rides as a RATIONAL (`pNum/pDen`), so the gate is
+    * `cum_before · pDen < total · pNum` — pure long arithmetic, exact in
+    * every engine, no float threshold to drift at group boundaries.
+    *
+    * One shuffle on the group key: the running-sum window and the
+    * group-total window share the exchange (same partitioning), ties
+    * break on the id, and each group's walk is an independent window —
+    * scales with the largest group like [[packShards]]. */
+  def topPByBudget(df: DataFrame, groupCol: String, scoreCol: String,
+                   idCol: String, tokensCol: String,
+                   pNum: Long, pDen: Long): DataFrame = {
+    require(pDen > 0 && pNum >= 0 && pNum <= pDen,
+      s"p=$pNum/$pDen must be a fraction in [0, 1]")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val before = coalesce(
+      sum(col(tokensCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    val total = sum(col(tokensCol)).over(Window.partitionBy(col(groupCol)))
+    df.withColumn("cum_before", before.cast("long"))
+      .withColumn("group_total", total.cast("long"))
+      .withColumn("kept",
+        col("cum_before") * lit(pDen) < col("group_total") * lit(pNum))
+  }
 }

@@ -1009,6 +1009,24 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_chars").as("weight"),
           col("priority"))),
 
+    // --- nucleus (top-p) curation by token budget: keep the best half of
+    // every source in TOKENS, ordered by quality — the gate is pure long
+    // arithmetic (cum_before·2 < total·1), no float threshold ------------
+    "sample_topp" -> ((s, d) =>
+      Sampling.topPByBudget(
+        TextAnalysis.qualityScore(Tables.documents(s, d), "text")
+          .select(col("doc_id"), col("source"), col("quality_score"),
+            col("token_count").cast("long").as("tokens")),
+        "source", "quality_score", "doc_id", "tokens",
+        pNum = 1, pDen = 2)
+        .select("doc_id", "source", "quality_score", "tokens",
+          "cum_before", "group_total", "kept")),
+
+    // --- Zipf-law fit on the top-100 term frequencies: slope/R² of
+    // ln(cnt) ~ ln(rank) — corpus naturalness diagnostic ----------------
+    "corpus_zipf" -> ((s, d) =>
+      Corpus.zipfFit(Tables.documents(s, d), "text", topN = 100)),
+
     // --- corpus-wide boilerplate detector: top-50 word-3-gram document
     // frequencies (distinct per doc via the codegen Shingles kernel) ----
     "ngram_boilerplate" -> ((s, d) =>
@@ -2537,6 +2555,68 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |  WHERE n_chars > 0)
           |SELECT doc_id, n_chars AS weight, round(pri, 12) AS priority
           |FROM p ORDER BY pri, doc_id LIMIT 100""".stripMargin,
+
+      // mirror Sampling.topPByBudget over the quality score: exact long
+      // cumulative sums, the rational gate cum_before·2 < total·1
+      "sample_topp" ->
+        s"""WITH $toksCte,
+           |$qualityCte,
+           |j AS (SELECT t.doc_id, d.source, q.quality_score,
+           |             CAST(len(t.toks) AS BIGINT) AS tokens
+           |      FROM t JOIN q ON t.doc_id = q.doc_id
+           |      JOIN documents d ON d.doc_id = t.doc_id),
+           |w AS (SELECT doc_id, source, quality_score, tokens,
+           |        coalesce(sum(tokens) OVER (
+           |          PARTITION BY source
+           |          ORDER BY quality_score DESC, doc_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |          0) AS cum_before,
+           |        sum(tokens) OVER (PARTITION BY source) AS group_total
+           |      FROM j)
+           |SELECT doc_id, source, quality_score, tokens,
+           |       CAST(cum_before AS BIGINT) AS cum_before,
+           |       CAST(group_total AS BIGINT) AS group_total,
+           |       cum_before * 2 < group_total * 1 AS kept
+           |FROM w""".stripMargin,
+
+      // mirror Corpus.zipfFit: 9-dp-fixed log points, exact decimal
+      // moment sums, one double conversion, identical least-squares tree
+      "corpus_zipf" ->
+        """WITH tok AS (SELECT unnest(string_split_regex(text, '\s+')) AS term
+          |             FROM documents),
+          |tc AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+          |top AS (SELECT term, cnt FROM tc
+          |        ORDER BY cnt DESC, term LIMIT 100),
+          |r AS (SELECT cnt,
+          |             row_number() OVER (ORDER BY cnt DESC, term) AS rank
+          |      FROM top),
+          |p AS (SELECT
+          |        CAST(round(ln(CAST(rank AS DOUBLE)), 9)
+          |             AS DECIMAL(12,9)) AS x,
+          |        CAST(round(ln(CAST(cnt AS DOUBLE)), 9)
+          |             AS DECIMAL(12,9)) AS y
+          |      FROM r),
+          |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+          |             sum(CAST(round(x * y, 9) AS DECIMAL(14,9))) AS sxy,
+          |             sum(CAST(round(x * x, 9) AS DECIMAL(14,9))) AS sxx,
+          |             sum(CAST(round(y * y, 9) AS DECIMAL(14,9))) AS syy
+          |      FROM p),
+          |d AS (SELECT CAST(n AS BIGINT) AS n_terms,
+          |             CAST(n AS DOUBLE) AS nd,
+          |             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+          |             CAST(sxy AS DOUBLE) AS sxyd,
+          |             CAST(sxx AS DOUBLE) AS sxxd,
+          |             CAST(syy AS DOUBLE) AS syyd
+          |      FROM s)
+          |SELECT n_terms,
+          |  round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6)
+          |    AS zipf_slope,
+          |  round((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+          |         * sxd) / nd, 6) AS zipf_intercept,
+          |  round((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+          |        / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
+          |    AS zipf_r2
+          |FROM d""".stripMargin,
 
       "ngram_boilerplate" ->
         s"""WITH $shinglesCte

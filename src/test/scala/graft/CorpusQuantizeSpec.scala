@@ -254,6 +254,53 @@ class CorpusQuantizeSpec extends SparkSpec {
     assert(out(3L)._1 == 0 && out(3L)._4.isEmpty && out(3L)._5.isEmpty)
   }
 
+  test("top-p budget: strict gate, overweight head keeps, per-group walk") {
+    import graft.llm.Sampling
+    val rows = Seq(
+      ("g", 1L, 0.9, 5L), ("g", 2L, 0.8, 3L), ("g", 3L, 0.7, 2L),
+      ("h", 4L, 0.5, 100L), ("h", 5L, 0.4, 1L))
+      .toDF("source", "doc_id", "score", "tokens")
+    def kept(pn: Long, pd: Long): Set[Long] =
+      Sampling.topPByBudget(rows, "source", "score", "doc_id", "tokens",
+          pn, pd)
+        .filter(col("kept")).select("doc_id")
+        .as[Long].collect().toSet
+    // g total 10: doc2's cum_before=5 → 5·2 < 10·1 is FALSE (strict <:
+    // exactly-half stops); h's overweight head (100 of 101) still keeps
+    assert(kept(1, 2) == Set(1L, 4L))
+    // p=3/5: doc2 (25 < 30) enters, doc3 (40 < 30) does not
+    assert(kept(3, 5) == Set(1L, 2L, 4L))
+    // p=1: everything keeps (cum_before < total for every row)
+    assert(kept(1, 1) == Set(1L, 2L, 3L, 4L, 5L))
+    // p=0: nothing keeps
+    assert(kept(0, 1) == Set.empty[Long])
+  }
+
+  test("zipf fit: exact power law → slope −1, R² ≈ 1; flat corpus → NaN") {
+    import graft.llm.Corpus
+    // counts 60/r for r=1..6 sit exactly on ln c = ln 60 − ln r
+    val counts = Seq("a" -> 60, "b" -> 30, "c" -> 20, "d" -> 15,
+      "e" -> 12, "f" -> 10)
+    val text = counts.flatMap { case (t, n) => Seq.fill(n)(t) }
+      .mkString(" ")
+    val fit = Corpus.zipfFit(Seq((1L, text)).toDF("doc_id", "text"),
+        "text", topN = 6)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(fit._1 == 6L)
+    assert(math.abs(fit._2 - (-1.0)) < 1e-5, s"slope ${fit._2}")
+    assert(math.abs(fit._3 - math.log(60.0)) < 1e-5, s"intercept ${fit._3}")
+    assert(fit._4 > 0.9999999, s"r2 ${fit._4}")
+    // uniform counts: no slope, no fit quality — covariance vanishes up
+    // to the 9-dp fixing residue, so slope rounds to 0 and R² collapses
+    // to ~0 (or null if the variance residue is exactly zero)
+    val flat = Corpus.zipfFit(
+        Seq((1L, "x y z x y z")).toDF("doc_id", "text"), "text", topN = 3)
+      .collect().head
+    assert(math.abs(flat.getDouble(1)) < 1e-5)
+    assert(flat.isNullAt(3) || math.abs(flat.getDouble(3)) < 1e-3,
+      s"flat corpus must not report a fit, got $flat")
+  }
+
   test("source divergence: identical sources → 0, disjoint ones diverge") {
     // s1/s2 share one distribution (KL 0 against a blend of themselves
     // only when the blend IS the distribution: give all sources the same
