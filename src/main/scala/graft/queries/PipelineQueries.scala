@@ -1286,6 +1286,36 @@ object PipelineQueries {
       ss.table(qname)
     }),
 
+    // --- streaming ingest quality gate: the Gopher rule conjunction
+    // applied AT INGEST over a document stream — stateless map-only
+    // filtering (no watermark, no state store), so the crawl is gated
+    // before it ever lands; batch-equivalent to quality_rules+filter by
+    // construction (same codegen'd expressions, streaming-planned) -------
+    "stream_quality" -> ((s, d) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      implicit val sqlCtx = ss.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import ss.implicits._
+      import scala.jdk.CollectionConverters._
+      val docs = Tables.documents(ss, d)
+        .select(col("doc_id"), col("text"), col("source"))
+        .orderBy("doc_id").as[(Long, String, String)]
+      val input = MemoryStream[(Long, String, String)]
+      docs.toLocalIterator().asScala.grouped(4096)
+        .foreach(chunk => input.addData(chunk))
+      val gated = TextAnalysis.gopherRules(
+          input.toDS().toDF("doc_id", "text", "source"), "text")
+        .filter(col("pass_gopher"))
+        .select("doc_id", "source", "n_words", "stop_hits")
+      val qname = "stream_quality_" + streamSeq.incrementAndGet()
+      val q = gated.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      ss.table(qname)
+    }),
+
     // --- streaming cross-corpus dedup: continuous ingest anti-joined
     // against the trained corpus' broadcast band set — stateless (no
     // watermark, no state store); the scale path for "dedup the crawl as
@@ -1416,6 +1446,57 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
          |       $langHits
          |       FROM t),
          |lang AS (SELECT doc_id, toks, $langCase AS lang_id FROM hh)""".stripMargin
+
+    // Gopher rule SQL shared by the batch gate (quality_rules) and
+    // the streaming-ingest gate oracle (stream_quality)
+    val gopherRulesSql =
+      s"""WITH $toksCte,
+           |m AS (SELECT doc_id,
+           |  CASE WHEN length(trim(text)) = 0 THEN 0
+           |       ELSE CAST(len(toks) AS INT) END AS n_words,
+           |  length(text) - length(regexp_replace(text, '#', '', 'g'))
+           |    AS hashes,
+           |  (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3
+           |    + (length(text) - length(regexp_replace(text, '…', '', 'g')))
+           |    AS ellipses,
+           |  length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+           |  string_split(text, chr(10)) AS lines,
+           |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS INT)
+           |    AS alpha_words,
+           |  CAST(len(list_filter(['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that'],
+           |                       s -> list_contains(toks, s))) AS INT) AS stop_hits
+           |  FROM t),
+           |v AS (SELECT doc_id, n_words, stop_hits,
+           |  CASE WHEN n_words > 0
+           |       THEN round(CAST(nonspace AS DOUBLE) / n_words, 6)
+           |       ELSE 0.0 END AS mean_word_len,
+           |  CASE WHEN n_words > 0
+           |       THEN round(CAST(hashes + ellipses AS DOUBLE) / n_words, 6)
+           |       ELSE 0.0 END AS symbol_ratio,
+           |  round(CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+           |        / len(lines), 6) AS bullet_line_frac,
+           |  round(CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$$'))) AS DOUBLE)
+           |        / len(lines), 6) AS ellipsis_line_frac,
+           |  CASE WHEN n_words > 0
+           |       THEN round(CAST(alpha_words AS DOUBLE) / n_words, 6)
+           |       ELSE 0.0 END AS alpha_word_frac
+           |  FROM m)
+           |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+           |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stop_hits,
+           |  n_words BETWEEN 50 AND 100000 AS rule_word_count,
+           |  n_words > 0 AND mean_word_len BETWEEN 3.0 AND 10.0 AS rule_mean_word_len,
+           |  n_words > 0 AND symbol_ratio <= 0.1 AS rule_symbol_ratio,
+           |  bullet_line_frac < 0.9 AS rule_bullet_lines,
+           |  ellipsis_line_frac < 0.3 AS rule_ellipsis_lines,
+           |  n_words > 0 AND alpha_word_frac >= 0.8 AS rule_alpha_words,
+           |  stop_hits >= 2 AS rule_stopwords,
+           |  n_words BETWEEN 50 AND 100000
+           |    AND (n_words > 0 AND mean_word_len BETWEEN 3.0 AND 10.0)
+           |    AND (n_words > 0 AND symbol_ratio <= 0.1)
+           |    AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3
+           |    AND (n_words > 0 AND alpha_word_frac >= 0.8)
+           |    AND stop_hits >= 2 AS pass_gopher
+           |FROM v""".stripMargin
 
     Map(
       "dedup_exact" ->
@@ -3010,54 +3091,15 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       // Gopher rules: every measured value mirrors gopherRules' exact
       // arithmetic (regexp_replace with 'g' = Spark's replace-all;
       // DuckDB `/` is float division like Spark's Column `/`)
-      "quality_rules" ->
-        s"""WITH $toksCte,
-           |m AS (SELECT doc_id,
-           |  CASE WHEN length(trim(text)) = 0 THEN 0
-           |       ELSE CAST(len(toks) AS INT) END AS n_words,
-           |  length(text) - length(regexp_replace(text, '#', '', 'g'))
-           |    AS hashes,
-           |  (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3
-           |    + (length(text) - length(regexp_replace(text, '…', '', 'g')))
-           |    AS ellipses,
-           |  length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
-           |  string_split(text, chr(10)) AS lines,
-           |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS INT)
-           |    AS alpha_words,
-           |  CAST(len(list_filter(['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that'],
-           |                       s -> list_contains(toks, s))) AS INT) AS stop_hits
-           |  FROM t),
-           |v AS (SELECT doc_id, n_words, stop_hits,
-           |  CASE WHEN n_words > 0
-           |       THEN round(CAST(nonspace AS DOUBLE) / n_words, 6)
-           |       ELSE 0.0 END AS mean_word_len,
-           |  CASE WHEN n_words > 0
-           |       THEN round(CAST(hashes + ellipses AS DOUBLE) / n_words, 6)
-           |       ELSE 0.0 END AS symbol_ratio,
-           |  round(CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
-           |        / len(lines), 6) AS bullet_line_frac,
-           |  round(CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$$'))) AS DOUBLE)
-           |        / len(lines), 6) AS ellipsis_line_frac,
-           |  CASE WHEN n_words > 0
-           |       THEN round(CAST(alpha_words AS DOUBLE) / n_words, 6)
-           |       ELSE 0.0 END AS alpha_word_frac
-           |  FROM m)
-           |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
-           |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stop_hits,
-           |  n_words BETWEEN 50 AND 100000 AS rule_word_count,
-           |  n_words > 0 AND mean_word_len BETWEEN 3.0 AND 10.0 AS rule_mean_word_len,
-           |  n_words > 0 AND symbol_ratio <= 0.1 AS rule_symbol_ratio,
-           |  bullet_line_frac < 0.9 AS rule_bullet_lines,
-           |  ellipsis_line_frac < 0.3 AS rule_ellipsis_lines,
-           |  n_words > 0 AND alpha_word_frac >= 0.8 AS rule_alpha_words,
-           |  stop_hits >= 2 AS rule_stopwords,
-           |  n_words BETWEEN 50 AND 100000
-           |    AND (n_words > 0 AND mean_word_len BETWEEN 3.0 AND 10.0)
-           |    AND (n_words > 0 AND symbol_ratio <= 0.1)
-           |    AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3
-           |    AND (n_words > 0 AND alpha_word_frac >= 0.8)
-           |    AND stop_hits >= 2 AS pass_gopher
-           |FROM v""".stripMargin,
+      "quality_rules" -> gopherRulesSql,
+
+      // the stream gate is map-only and stateless, so its oracle is
+      // simply the batch rule table filtered on the conjunction
+      "stream_quality" ->
+        s"""SELECT q.doc_id, d.source, q.n_words, q.stop_hits
+           |FROM ($gopherRulesSql) q
+           |JOIN documents d ON d.doc_id = q.doc_id
+           |WHERE q.pass_gopher""".stripMargin,
 
       // per-source KL vs corpus: grouping by the token STRING here vs
       // its 64-bit hash on the engine side (the documented collision

@@ -338,6 +338,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality gate: per-batch map-only drops, batch-equal") {
+    import graft.llm.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    // long-enough English filler passes all Gopher rules; the short and
+    // symbol-heavy docs fail word-count / symbol-ratio respectively
+    val good = (1 to 60).map(i => s"the quick brown fox number $i and")
+      .mkString(" ")
+    val b1 = Seq((1L, good), (2L, "too short"))
+    val b2 = Seq((3L, good + " again the end"), (4L, "### ## # ###"))
+    val input = MemoryStream[(Long, String)]
+    val gated = TextAnalysis.gopherRules(
+        input.toDS().toDF("doc_id", "text"), "text")
+      .filter(col("pass_gopher")).select("doc_id")
+    val q = gated.writeStream.format("memory").queryName("qgate")
+      .outputMode("append").start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      assert(spark.table("qgate").as[Long].collect().toSet == Set(1L))
+      input.addData(b2)
+      q.processAllAvailable()
+      val all = spark.table("qgate").as[Long].collect().toSet
+      assert(all == Set(1L, 3L), s"stream gate kept $all")
+      // stateless gate: the batch path over the union input agrees
+      val batch = TextAnalysis.gopherRules(
+          (b1 ++ b2).toDF("doc_id", "text"), "text")
+        .filter(col("pass_gopher")).select("doc_id")
+        .as[Long].collect().toSet
+      assert(batch == all)
+    } finally q.stop()
+  }
+
   test("spread-wrapped map operators stay streaming-compatible") {
     import graft.llm.{Dedup, TextAnalysis}
     implicit val sqlCtx = spark.sqlContext
