@@ -52,7 +52,12 @@ object Tables {
     * through this instead of hand-dividing `ts`. */
   def tsMicros(ev: DataFrame): org.apache.spark.sql.Column =
     ev.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      // FLOOR division, not `div`'s truncation-toward-zero: DuckDB's
+      // epoch_us FLOORS a negative ns timestamp's sub-µs part (-1500 ns
+      // → -2 µs), and pre-1970 timestamps are in contract (ohlc). For
+      // ts ≥ 0 the correction term is always 0.
+      case org.apache.spark.sql.types.LongType =>
+        expr("(ts div 1000) + (CASE WHEN ts % 1000 < 0 THEN -1 ELSE 0 END)")
       case _ => unix_micros(col("ts").cast("timestamp"))
     }
 

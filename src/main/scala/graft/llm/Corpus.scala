@@ -440,10 +440,14 @@ object Corpus {
     * products re-fix at 9 dp; sums are exact decimals cast to double
     * once ([[unigramSurprisal]]'s discipline), then a fixed tree of
     * correctly-rounded double ops. Rank ties break on the term text.
-    * Degenerate inputs (all head counts equal) report no fit: the
-    * covariance vanishes up to the 9-dp fixing residue, so R² collapses
-    * to ~0 — or NULL when the variance residue is exactly zero (Spark's
-    * division-by-zero null). Either way: never a fabricated fit. */
+    * Degenerate inputs report no fit, never a fabricated number and
+    * never an error: a single-distinct-term corpus has zero rank
+    * variance, and an all-equal head can have zero count variance — the
+    * divisions are explicitly guarded to NULL there (this session runs
+    * ANSI mode, where an unguarded x/0 THROWS rather than nulling; the
+    * DuckDB oracle nulls, so the guard is also what keeps the engines
+    * aligned). An all-equal head with nonzero 9-dp rounding residue
+    * instead reports slope ≈ 0, R² ≈ 0. */
   def zipfFit(df: DataFrame, textCol: String, topN: Int = 100): DataFrame = {
     require(topN >= 2, s"topN=$topN needs at least two points to fit")
     val top = spread(df)
@@ -470,8 +474,10 @@ object Corpus {
     val varx = n * sxx - sx * sx
     val vary = n * syy - sy * sy
     sums.select(col("n").as("n_terms"),
-      round(cov / varx, 6).as("zipf_slope"),
-      round((sy - cov / varx * sx) / n, 6).as("zipf_intercept"),
-      round(cov * cov / (varx * vary), 6).as("zipf_r2"))
+      when(varx =!= 0.0, round(cov / varx, 6)).as("zipf_slope"),
+      when(varx =!= 0.0,
+        round((sy - cov / varx * sx) / n, 6)).as("zipf_intercept"),
+      when(varx * vary =!= 0.0,
+        round(cov * cov / (varx * vary), 6)).as("zipf_r2"))
   }
 }

@@ -39,9 +39,15 @@ object Dedup {
     val withHash = df.withColumn("content_hash", md5(col(textCol)))
     val groups = withHash.groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("group_size"))
-    withHash.join(groups.hint("shuffle_hash"), Seq("content_hash"))
+      .withColumnRenamed("content_hash", "__gh")
+    // null-SAFE key: md5(NULL) = NULL, and a plain equi-join would
+    // silently drop every null-text row (null keys never match) — the
+    // null group must survive like any other (<=> remains a hash-join
+    // key, so the streaming-probe shape is unchanged)
+    withHash.join(groups.hint("shuffle_hash"),
+        col("content_hash") <=> col("__gh"))
       .withColumn("keep", col(idCol) === col("__rep"))
-      .drop("__rep")
+      .drop("__rep", "__gh")
   }
 
   // ------------------------------------------------------------- shingles

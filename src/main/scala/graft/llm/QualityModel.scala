@@ -73,12 +73,17 @@ object QualityModel {
   }
 
   /** [[score]] with the weights as a TABLE instead of a plan literal —
-    * the trained-model path for large vocabularies. A plan-literal
-    * `Array[Double]` is fine to ~10⁵ buckets; past that the serialized
-    * plan itself becomes the bottleneck (shipped per task, re-parsed per
-    * query), so a real fastText-style model (2²¹ buckets is the common
-    * default) must ride as data: broadcast-join each token's bucket
+    * the trained-model path for large weight sets. A plan-literal
+    * `Array[Double]` bloats the serialized plan (shipped per task,
+    * re-parsed per query) long before the feature space maxes out, so
+    * trained weights ride as data: broadcast-join each token's bucket
     * against a `(bucket, weight)` frame and re-aggregate per document.
+    * Both paths share the 16-bit md5-prefix bucket function, so 65536
+    * buckets is the ceiling HERE TOO — a full fastText-default space
+    * (2²¹ buckets) additionally needs the one-line wider-prefix swap
+    * (`substring(md5, 1, 8)` and the matching oracle change) on BOTH
+    * paths; the join shape below is already the right one at that size
+    * (a 2²¹-row double table broadcasts at ~32 MB).
     *
     * Plan shape: explode(tokens) is map-side; the weights join is a
     * BROADCAST hash join (a 2²¹-row double table is ~32 MB — well inside

@@ -271,8 +271,13 @@ object Sampling {
     * group.
     *
     * The fraction rides as a RATIONAL (`pNum/pDen`), so the gate is
-    * `cum_before · pDen < total · pNum` — pure long arithmetic, exact in
-    * every engine, no float threshold to drift at group boundaries.
+    * `cum_before · pDen < total · pNum` — exact integer arithmetic, no
+    * float threshold to drift at group boundaries. The products are
+    * compared as DECIMAL(38,0): a petascale group total (~10¹³ tokens)
+    * times a fine-grained denominator (ppm) overflows a long, and ANSI
+    * mode turns that overflow into a query-killing exception rather
+    * than a wrong answer — decimal keeps the gate exact at any real
+    * scale (DuckDB's HUGEINT window sums match).
     *
     * One shuffle on the group key: the running-sum window and the
     * group-total window share the exchange (same partitioning), ties
@@ -293,6 +298,7 @@ object Sampling {
     df.withColumn("cum_before", before.cast("long"))
       .withColumn("group_total", total.cast("long"))
       .withColumn("kept",
-        col("cum_before") * lit(pDen) < col("group_total") * lit(pNum))
+        col("cum_before").cast("decimal(38,0)") * lit(pDen) <
+          col("group_total").cast("decimal(38,0)") * lit(pNum))
   }
 }

@@ -2690,13 +2690,17 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |             CAST(syy AS DOUBLE) AS syyd
           |      FROM s)
           |SELECT n_terms,
-          |  round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6)
-          |    AS zipf_slope,
-          |  round((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
-          |         * sxd) / nd, 6) AS zipf_intercept,
-          |  round((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
-          |        / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
-          |    AS zipf_r2
+          |  CASE WHEN nd * sxxd - sxd * sxd <> 0.0 THEN
+          |    round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6)
+          |  END AS zipf_slope,
+          |  CASE WHEN nd * sxxd - sxd * sxd <> 0.0 THEN
+          |    round((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+          |           * sxd) / nd, 6) END AS zipf_intercept,
+          |  CASE WHEN (nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)
+          |            <> 0.0 THEN
+          |    round((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+          |          / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
+          |  END AS zipf_r2
           |FROM d""".stripMargin,
 
       "ngram_boilerplate" ->

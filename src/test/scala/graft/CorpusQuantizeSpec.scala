@@ -274,6 +274,18 @@ class CorpusQuantizeSpec extends SparkSpec {
     assert(kept(1, 1) == Set(1L, 2L, 3L, 4L, 5L))
     // p=0: nothing keeps
     assert(kept(0, 1) == Set.empty[Long])
+    // overflow hardening: petascale totals × a ppm-grained fraction
+    // exceed Long range in the gate product — the decimal comparison
+    // must survive where ANSI long multiplication would throw
+    val big = Seq(("g", 1L, 0.9, 5000000000000L),
+      ("g", 2L, 0.8, 15000000000000L))
+      .toDF("source", "doc_id", "score", "tokens")
+    val keptBig = Sampling.topPByBudget(big, "source", "score", "doc_id",
+        "tokens", pNum = 250001L, pDen = 1000000L)
+      .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    // total 2e13; doc1 (cum_before 0) keeps; doc2's cum_before 5e12 is
+    // exactly 0.25 of total < 0.250001 → keeps too
+    assert(keptBig == Set(1L, 2L))
   }
 
   test("zipf fit: exact power law → slope −1, R² ≈ 1; flat corpus → NaN") {
@@ -299,6 +311,15 @@ class CorpusQuantizeSpec extends SparkSpec {
     assert(math.abs(flat.getDouble(1)) < 1e-5)
     assert(flat.isNullAt(3) || math.abs(flat.getDouble(3)) < 1e-3,
       s"flat corpus must not report a fit, got $flat")
+    // single distinct term: rank variance is EXACTLY zero — ANSI mode
+    // would throw on the unguarded division; the guards must null all
+    // three fit columns instead (mirroring the oracle's CASE guards)
+    val one = Corpus.zipfFit(
+        Seq((1L, "x x x x")).toDF("doc_id", "text"), "text", topN = 5)
+      .collect().head
+    assert(one.getLong(0) == 1L)
+    assert(one.isNullAt(1) && one.isNullAt(2) && one.isNullAt(3),
+      s"single-term corpus must null the fit, got $one")
   }
 
   test("source divergence: identical sources → 0, disjoint ones diverge") {

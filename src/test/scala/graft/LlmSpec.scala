@@ -21,6 +21,20 @@ class LlmSpec extends SparkSpec {
       (3L, 1L, true), (4L, 1L, true)))
   }
 
+  test("exact dedup keeps null-text rows as their own group") {
+    // md5(NULL) = NULL: a plain equi-join re-attach would silently drop
+    // these rows (null keys never match) — the null-safe key must group
+    // them like the window formulation and the oracle's PARTITION BY do
+    val withNulls = Seq((1L, Some("same")), (2L, Some("same")),
+      (3L, None: Option[String]), (4L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(withNulls, "text", "doc_id")
+      .select("doc_id", "group_size", "keep")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out == Set((1L, 2L, true), (2L, 2L, false),
+      (3L, 2L, true), (4L, 2L, false)))
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated docs") {
     val pairs = Dedup.minhashLsh(docs, "text", "doc_id")
       .as[(Long, Long)].collect().toSet

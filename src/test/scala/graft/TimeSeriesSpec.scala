@@ -186,6 +186,16 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getLong(2) == 3L)
   }
 
+  test("tsMicros ns branch FLOORS negative timestamps like epoch_us") {
+    // -1500 ns is -2 µs under floor (DuckDB epoch_us) but -1 under
+    // `div`'s truncation — the correction term must close that gap;
+    // nonnegative values are untouched
+    val df = Seq(-1500L, -1000L, -999L, 0L, 999L, 1500L).toDF("ts")
+    val out = df.select(graft.core.Tables.tsMicros(df).as("us"))
+      .as[Long].collect().toSeq
+    assert(out == Seq(-2L, -1L, -1L, 0L, 0L, 1L))
+  }
+
   test("ohlc orders negative (pre-1970) timestamps numerically") {
     // ts −2 must precede ts −1 inside a bucket (a naive zero-pad of the
     // signed decimal string would reverse them). Bucket ids follow the
