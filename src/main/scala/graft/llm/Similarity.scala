@@ -30,9 +30,15 @@ object Similarity {
     * double). */
   def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
 
-  /** cosine(a, b) over array columns, in double precision. */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** cosine(a, b) over array columns, in double precision. A zero
+    * vector has no direction: the score is NULL (matching DuckDB's
+    * divide-by-zero null), not an ANSI DIVIDE_BY_ZERO error — a single
+    * failed-embedding row must not kill a corpus-wide job, and null
+    * scores fall out of every threshold filter and top-k downstream. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(denom =!= 0.0, dot(a, b) / denom)
+  }
 
   /** L2-normalize a vector column ONCE, map-side, so pair scoring is a
     * plain dot product — 3× fewer flops than cosine-per-pair, and at scale

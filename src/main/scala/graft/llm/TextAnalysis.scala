@@ -109,7 +109,12 @@ object TextAnalysis {
         round(nDistinct.cast("double") / nTok, 6))
       .withColumn("avg_token_len",
         round((nChar - nTok + 1).cast("double") / nTok, 6))
-      .withColumn("punct_ratio", round(punct.cast("double") / nChar, 6))
+      // empty text has nChar = 0, and ANSI mode THROWS on the 0/0 a
+      // bare division would produce (split("") is [""], so nTok is
+      // always ≥ 1 and the token-denominator ratios need no guard);
+      // null mirrors DuckDB's divide-by-zero null in the oracle
+      .withColumn("punct_ratio",
+        when(nChar > 0, round(punct.cast("double") / nChar, 6)))
       .withColumn("stopword_ratio", round(stop.cast("double") / nTok, 6))
   }
 

@@ -182,6 +182,29 @@ class LlmSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L))) // hamming 0
   }
 
+  test("degenerate inputs null out, never throw under ANSI mode") {
+    import graft.llm.{Similarity, TextAnalysis}
+    // empty text: nChar = 0 → punct_ratio must be null (0/0 would be a
+    // SparkArithmeticException in this ANSI session); quality_score
+    // stays defined because least() skips nulls IDENTICALLY in Spark
+    // and DuckDB (the null punct term contributes its best case, 0)
+    val stats = TextAnalysis.qualityScore(
+        Seq((1L, ""), (2L, "real words here")).toDF("doc_id", "text"),
+        "text")
+      .select("doc_id", "punct_ratio", "quality_score").collect()
+      .map(r => r.getLong(0) -> ((r.isNullAt(1), r.isNullAt(2)))).toMap
+    assert(stats(1L) == ((true, false)), "empty doc nulls ratio, no crash")
+    assert(stats(2L) == ((false, false)))
+    // zero vector: cosine is null (no direction), matching DuckDB's
+    // divide-by-zero null — and a null score passes no threshold
+    val vs = Seq((1L, Array(0.0, 0.0)), (2L, Array(1.0, 0.0)))
+      .toDF("id", "v")
+    val cos = vs.select(col("id"),
+        Similarity.cosine(col("v"), array(lit(1.0), lit(0.0))).as("c"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(cos(1L) && !cos(2L))
+  }
+
   test("brute-force cosine top-k ranks by true cosine") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)),
