@@ -156,19 +156,25 @@ object TimeSeries {
     * bucket, map task), not raw events. No window, no join; a hot series
     * costs its bucket count, not its event count. The value sum is an
     * exact DECIMAL(18,2) (order-free), divided once for the mean. */
-  def ohlc(df: DataFrame, seriesCols: Seq[String], tsMicrosCol: String,
-           idCol: String, valueCol: String, stepMicros: Long): DataFrame = {
-    require(stepMicros > 0, s"stepMicros=$stepMicros must be positive")
-    val sc = seriesCols.map(col)
-    val ts = col(tsMicrosCol)
+  /** The portable total-order key [[ohlc]] selects open/close with —
+    * exposed so the streaming OHLC query shares the exact construction
+    * (see [[ohlc]]'s scaladoc for why each piece exists). */
+  def ohlcOrderKey(ts: Column, id: Column): Column = {
     // 2^63 as an exact decimal literal; decimal(20,0) + decimal(19,0)
     // stays exact and in-range for every signed-long timestamp
     val bias = lit(new java.math.BigDecimal("9223372036854775808"))
     val tsKey = lpad((ts.cast("decimal(20,0)") + bias).cast("string"),
       20, "0")
-    val idStr = col(idCol).cast("string")
-    val ord = concat(tsKey, lpad(length(idStr).cast("string"), 6, "0"),
-      idStr)
+    val idStr = id.cast("string")
+    concat(tsKey, lpad(length(idStr).cast("string"), 6, "0"), idStr)
+  }
+
+  def ohlc(df: DataFrame, seriesCols: Seq[String], tsMicrosCol: String,
+           idCol: String, valueCol: String, stepMicros: Long): DataFrame = {
+    require(stepMicros > 0, s"stepMicros=$stepMicros must be positive")
+    val sc = seriesCols.map(col)
+    val ts = col(tsMicrosCol)
+    val ord = ohlcOrderKey(ts, col(idCol))
     val v = col(valueCol).cast("double")
     df.filter(col(valueCol).isNotNull)
       .withColumn("bucket", (ts - (ts % lit(stepMicros))).cast("long"))

@@ -583,6 +583,61 @@ object PipelineQueries {
       ss.table(qname).filter(col("event_type") =!= "__wm__")
     }),
 
+    // --- streaming OHLC compaction: the ts_ohlc candles computed AT
+    // INGEST — watermarked 1-day tumbling windows (epoch-aligned, so
+    // window.start IS the batch operator's bucket), min_by/max_by over
+    // the SAME portable total-order key, exact decimal volume sums.
+    // State per (series, open window) is one partial row; append mode
+    // emits each candle once when the watermark passes its window. ------
+    "stream_ohlc" -> ((s, d) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      implicit val sqlCtx = ss.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import ss.implicits._
+      import scala.jdk.CollectionConverters._
+      val rows = Tables.eventsUs(ss, d)
+        .filter(col("user_id") < 50 && col("value").isNotNull)
+        .select(col("ts_us"), col("user_id"), col("event_type"),
+          col("event_id"), col("value").cast("double").as("value"))
+        .orderBy("ts_us", "event_id")
+        .as[(Long, Long, String, Long, Double)]
+      val input = MemoryStream[(Long, Long, String, Long, Double)]
+      val v = col("value")
+      val agg = input.toDS()
+        .toDF("ts_us", "user_id", "event_type", "event_id", "value")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .withWatermark("ts", "1 hour")
+        .withColumn("__ord",
+          TimeSeries.ohlcOrderKey(col("ts_us"), col("event_id")))
+        .groupBy(window(col("ts"), "1 day"), col("user_id"),
+          col("event_type"))
+        .agg(min_by(v, col("__ord")).as("open"), max(v).as("high"),
+          min(v).as("low"), max_by(v, col("__ord")).as("close"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("__vsum"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("window.start")).as("bucket"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("n_events"), col("__vsum").cast("double").as("vsum"),
+          round(col("__vsum").cast("double") /
+            col("n_events").cast("double"), 6).as("vavg"))
+      val qname = "stream_ohlc_" + streamSeq.incrementAndGet()
+      var maxTs = Long.MinValue
+      rows.toLocalIterator().asScala.grouped(8192).foreach { chunk =>
+        maxTs = math.max(maxTs, chunk.iterator.map(_._1).max)
+        input.addData(chunk)
+      }
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      input.addData(Seq((maxTs + 30L * 86400000000L, -1L, "__wm__",
+        -1L, 0.0)))
+      q.processAllAvailable()
+      q.stop()
+      ss.table(qname).filter(col("user_id") >= 0)
+    }),
+
     // --- streaming: SLIDING windows (6 h length, 3 h slide) — every event
     // lands in exactly two windows, so the state/emission shape differs
     // from the tumbling case (overlapping state entries per key). Same
@@ -2827,6 +2882,33 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
           |         event_id, value
           |  FROM events WHERE value IS NOT NULL),
+          |k AS (
+          |  SELECT user_id, event_type, value,
+          |         ts_us - ts_us % 86400000000 AS bucket,
+          |         lpad(CAST(CAST(ts_us AS HUGEINT)
+          |                   + 9223372036854775808 AS VARCHAR), 20, '0')
+          |           || lpad(CAST(length(CAST(event_id AS VARCHAR))
+          |                        AS VARCHAR), 6, '0')
+          |           || CAST(event_id AS VARCHAR) AS ord
+          |  FROM e)
+          |SELECT user_id, event_type, bucket,
+          |       min_by(CAST(value AS DOUBLE), ord) AS open,
+          |       max(CAST(value AS DOUBLE)) AS high,
+          |       min(CAST(value AS DOUBLE)) AS low,
+          |       max_by(CAST(value AS DOUBLE), ord) AS close,
+          |       count(*) AS n_events,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum,
+          |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          |             / CAST(count(*) AS DOUBLE), 6) AS vavg
+          |FROM k GROUP BY 1, 2, 3""".stripMargin,
+
+      // streaming OHLC ≡ batch candles on the replayed slice: epoch-
+      // aligned 1-day windows make window.start the same bucket key
+      "stream_ohlc" ->
+        """WITH e AS (
+          |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+          |         event_id, value
+          |  FROM events WHERE value IS NOT NULL AND user_id < 50),
           |k AS (
           |  SELECT user_id, event_type, value,
           |         ts_us - ts_us % 86400000000 AS bucket,
