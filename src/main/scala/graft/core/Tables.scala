@@ -62,12 +62,19 @@ object Tables {
     }
 
   /** events + a normalized `ts_us` (epoch µs) column; derive coarser
-    * grains downstream with exact integer division (`ts_us div 1000000`).
-    */
+    * grains downstream with [[tsSecondsExpr]] (floor division — a bare
+    * `ts_us div 1000000` truncates toward zero and disagrees with the
+    * oracles' epoch_ns floor on pre-1970 rows). */
   def eventsUs(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
     ev.withColumn("ts_us", tsMicros(ev))
   }
+
+  /** Epoch-seconds from the normalized `ts_us`, as FLOOR division (the
+    * same negative-timestamp correction [[tsMicros]] applies one grain
+    * up; DuckDB's `epoch_ns(ts) // 1000000000` floors too). */
+  val tsSecondsExpr: String =
+    "(ts_us div 1000000) + (CASE WHEN ts_us % 1000000 < 0 THEN -1 ELSE 0 END)"
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

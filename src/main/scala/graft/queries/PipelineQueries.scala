@@ -588,7 +588,12 @@ object PipelineQueries {
     // window.start IS the batch operator's bucket), min_by/max_by over
     // the SAME portable total-order key, exact decimal volume sums.
     // State per (series, open window) is one partial row; append mode
-    // emits each candle once when the watermark passes its window. ------
+    // emits each candle once when the watermark passes its window.
+    // CONTRACT: nonnegative event time only (ts_us >= 0, enforced below
+    // and in the oracle) — Spark's initial watermark is epoch 0, so a
+    // pre-1970 window is born late and silently dropped, and window()
+    // floor-aligns where the batch bucket truncates; the batch ts_ohlc
+    // operator keeps the full signed range. ------------------------------
     "stream_ohlc" -> ((s, d) => {
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
@@ -597,7 +602,8 @@ object PipelineQueries {
       import ss.implicits._
       import scala.jdk.CollectionConverters._
       val rows = Tables.eventsUs(ss, d)
-        .filter(col("user_id") < 50 && col("value").isNotNull)
+        .filter(col("user_id") < 50 && col("value").isNotNull &&
+          col("ts_us") >= 0)
         .select(col("ts_us"), col("user_id"), col("event_type"),
           col("event_id"), col("value").cast("double").as("value"))
         .orderBy("ts_us", "event_id")
@@ -635,7 +641,9 @@ object PipelineQueries {
         -1L, 0.0)))
       q.processAllAvailable()
       q.stop()
-      ss.table(qname).filter(col("user_id") >= 0)
+      // remove the sentinel by its MARKER, not by user_id sign — the
+      // source predicate (user_id < 50) admits negative real user ids
+      ss.table(qname).filter(col("event_type") =!= "__wm__")
     }),
 
     // --- streaming: SLIDING windows (6 h length, 3 h slide) — every event
@@ -2903,12 +2911,14 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |FROM k GROUP BY 1, 2, 3""".stripMargin,
 
       // streaming OHLC ≡ batch candles on the replayed slice: epoch-
-      // aligned 1-day windows make window.start the same bucket key
+      // aligned 1-day windows make window.start the same bucket key for
+      // the NONNEGATIVE event times the streaming contract admits
       "stream_ohlc" ->
         """WITH e AS (
           |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
           |         event_id, value
-          |  FROM events WHERE value IS NOT NULL AND user_id < 50),
+          |  FROM events
+          |  WHERE value IS NOT NULL AND user_id < 50 AND epoch_us(ts) >= 0),
           |k AS (
           |  SELECT user_id, event_type, value,
           |         ts_us - ts_us % 86400000000 AS bucket,

@@ -254,7 +254,7 @@ object ReferenceQueries {
     // --- A1/A2/W1/J8: counter→gauge rate with guards ----------------------
     "a1_rate" -> ((s, d) => {
       val e = Tables.eventsUs(s, d) // ts_us normalized in Tables.eventsUs
-        .withColumn("ts_s", expr("ts_us div 1000000")) // exact integer division
+        .withColumn("ts_s", expr(Tables.tsSecondsExpr)) // exact FLOOR division
       RateTransform.batch(e, Seq("user_id", "event_type"),
         "value", "ts_s", "event_id", lit(3600))
         .select("event_id", "user_id", "event_type", "rate", "confidence")
@@ -440,7 +440,7 @@ object ReferenceQueries {
               lit("user"), col("user_id").cast("string")),
             concat(lit("value__gauge="),
               format_string("%.2f", col("value"))),
-            expr("ts_us div 1000000")).as("line"))),
+            expr(Tables.tsSecondsExpr)).as("line"))),
 
     // --- F9: Python-repr field rendering — ints bare, floats via CPython
     // shortest-repr ({!r} at consumer.py:142). The field values sweep both
@@ -462,7 +462,7 @@ object ReferenceQueries {
               concat(lit("neg__gauge="), pyRepr(-col("value") / lit(3.0))),
               concat(lit("temp__gauge="), pyRepr(col("value"))),
               concat(lit("tiny__gauge="), pyRepr(col("value") / lit(1.0e7)))),
-            expr("ts_us div 1000000")).as("line"))
+            expr(Tables.tsSecondsExpr)).as("line"))
     }),
 
     // --- F1-F16: scalar function pack ------------------------------------------------

@@ -274,18 +274,21 @@ class CorpusQuantizeSpec extends SparkSpec {
     assert(kept(1, 1) == Set(1L, 2L, 3L, 4L, 5L))
     // p=0: nothing keeps
     assert(kept(0, 1) == Set.empty[Long])
-    // overflow hardening: petascale totals × a ppm-grained fraction
-    // exceed Long range in the gate product — the decimal comparison
-    // must survive where ANSI long multiplication would throw
-    val big = Seq(("g", 1L, 0.9, 5000000000000L),
-      ("g", 2L, 0.8, 15000000000000L))
+    // overflow hardening: the gate products genuinely exceed Long range
+    // (cum_before·pDen = 2e13·1e6 = 2e19 > Long.MaxValue ≈ 9.22e18) —
+    // long multiplication under ANSI would throw ARITHMETIC_OVERFLOW
+    // here, so this passes only through the decimal(38,0) comparison
+    val big = Seq(("g", 1L, 0.9, 20000000000000L),
+      ("g", 2L, 0.8, 20000000000000L))
       .toDF("source", "doc_id", "score", "tokens")
-    val keptBig = Sampling.topPByBudget(big, "source", "score", "doc_id",
-        "tokens", pNum = 250001L, pDen = 1000000L)
-      .filter(col("kept")).select("doc_id").as[Long].collect().toSet
-    // total 2e13; doc1 (cum_before 0) keeps; doc2's cum_before 5e12 is
-    // exactly 0.25 of total < 0.250001 → keeps too
-    assert(keptBig == Set(1L, 2L))
+    def keptBig(pn: Long): Set[Long] =
+      Sampling.topPByBudget(big, "source", "score", "doc_id",
+          "tokens", pNum = pn, pDen = 1000000L)
+        .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    // total 4e13; doc2's cum_before 2e13 is exactly half: p just above
+    // ½ admits it (2e19 < 4e13·500001), p just below does not
+    assert(keptBig(500001L) == Set(1L, 2L))
+    assert(keptBig(499999L) == Set(1L))
   }
 
   test("zipf fit: exact power law → slope −1, R² ≈ 1; flat corpus → NaN") {

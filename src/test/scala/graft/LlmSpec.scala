@@ -187,7 +187,8 @@ class LlmSpec extends SparkSpec {
     // empty text: nChar = 0 → punct_ratio must be null (0/0 would be a
     // SparkArithmeticException in this ANSI session); quality_score
     // stays defined because least() skips nulls IDENTICALLY in Spark
-    // and DuckDB (the null punct term contributes its best case, 0)
+    // and DuckDB: least(NULL, 1.0) = 1.0, so the punct term lands at
+    // its WORST case, (1 − 1.0)·0.2 = 0 — full punctuation penalty
     val stats = TextAnalysis.qualityScore(
         Seq((1L, ""), (2L, "real words here")).toDF("doc_id", "text"),
         "text")
