@@ -751,6 +751,23 @@ object PipelineQueries {
           "purchase_value")
     }),
 
+    // --- NEAREST as-of: the closest purchase on either side of each
+    // view (ties → the earlier one) — both directions in ONE window
+    // pass over the union frame; oracle is a per-row lateral min-
+    // distance lookup, a genuinely different algorithm -------------------
+    "asof_join_near" -> ((s, d) => {
+      val ev = Tables.eventsUs(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us").as("purchase_ts"))
+        .agg(max(col("value")).as("purchase_value"))
+      AsofJoin.leftAsofNearest(views, purchases, "user_id", "ts_us",
+        "purchase_ts", asofTsName = "purchase_ts")
+        .select("event_id", "user_id", "ts_us", "purchase_ts",
+          "purchase_value")
+    }),
+
     // --- range join: views within ±1 h of a (small-cohort) purchase --------
     // Bucketized interval join (equi-join on 1 h buckets + exact filter) vs
     // DuckDB's inequality join.
@@ -2543,6 +2560,28 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |       r.purchase_ts, r.purchase_value
           |FROM l ASOF LEFT JOIN r
           |  ON l.user_id = r.user_id AND l.ts_us <= r.purchase_ts""".stripMargin,
+
+      // nearest-on-either-side via a correlated lateral min-distance
+      // pick (ORDER BY distance, ts LIMIT 1 — tie → earlier), vs the
+      // engine's one-pass two-frame window kernel
+      "asof_join_near" ->
+        """WITH l AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+          |  WHERE event_type = 'view'),
+          |r AS (
+          |  SELECT user_id, epoch_us(ts) AS purchase_ts,
+          |         max(value) AS purchase_value
+          |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+          |SELECT l.event_id, l.user_id, l.ts_us,
+          |       m.purchase_ts, m.purchase_value
+          |FROM l LEFT JOIN LATERAL (
+          |  SELECT r.purchase_ts, r.purchase_value
+          |  FROM r WHERE r.user_id = l.user_id
+          |  ORDER BY CASE WHEN l.ts_us >= r.purchase_ts
+          |                THEN l.ts_us - r.purchase_ts
+          |                ELSE r.purchase_ts - l.ts_us END,
+          |           r.purchase_ts
+          |  LIMIT 1) m ON TRUE""".stripMargin,
 
       "range_join" ->
         """WITH p AS (

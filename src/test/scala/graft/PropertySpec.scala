@@ -283,6 +283,25 @@ class PropertySpec extends SparkSpec {
         .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
         .toMap
       assert(fwd == brute(forward = true), s"forward seed=$seed")
+
+      // nearest: min |Δ|, tie → the EARLIER right ts (with/without a
+      // symmetric tolerance) — brute-forced per left row
+      def bruteNearest(tol: Option[Long]): Map[Long, Option[Long]] =
+        leftRows.map { case (lid, k, lts) =>
+          val cands = rightRows.filter(_._1 == k).map(_._2)
+            .filter(r => tol.forall(t => math.abs(r - lts) <= t))
+          lid -> (if (cands.isEmpty) None
+                  else Some(cands.minBy(r => (math.abs(r - lts), r))))
+        }.toMap
+      Seq(None, Some(5L)).foreach { tol =>
+        val near = AsofJoin.leftAsofNearest(left, right, "k", "lts",
+            "rts", tolerance = tol)
+          .select("lid", "asof_ts").collect()
+          .map(r => r.getLong(0) ->
+            Option(r.get(1)).map(_.asInstanceOf[Long]))
+          .toMap
+        assert(near == bruteNearest(tol), s"nearest seed=$seed tol=$tol")
+      }
     }
   }
 
