@@ -305,6 +305,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ohlc == brute-force candles on random series with ts collisions") {
+    import graft.operators.TimeSeries
+    val evGen = for {
+      series <- Gen.oneOf("a", "b")
+      ts <- Gen.chooseNum(-25L, 25L) // negatives + frequent collisions
+      v <- Gen.chooseNum(-99, 99)
+    } yield (series, ts, v / 4.0)
+    (1 to 10).foreach { seed =>
+      val rows = sample(Gen.listOfN(40, evGen), seed * 11 + 3)
+        .zipWithIndex.map { case ((s, ts, v), i) => (s, ts, i.toLong, v) }
+      val df = rows.toDF("series", "ts_us", "event_id", "value")
+      val got = TimeSeries.ohlc(df, Seq("series"), "ts_us", "event_id",
+          "value", stepMicros = 10L)
+        .select("series", "bucket", "open", "high", "low", "close",
+          "n_events")
+        .as[(String, Long, Double, Double, Double, Double, Long)]
+        .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6,
+          r._7))).toMap
+      // brute force: truncate-toward-zero bucket; open/close by the
+      // total order (ts, then shortlex id — ids here share one width,
+      // so plain numeric order)
+      val want = rows.groupBy(r => (r._1, r._2 - r._2 % 10L))
+        .map { case (k, grp) =>
+          val sorted = grp.sortBy(r => (r._2, r._3))
+          k -> ((sorted.head._4, grp.map(_._4).max, grp.map(_._4).min,
+            sorted.last._4, grp.size.toLong))
+        }
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   // --- the round-5 canonicalized pair generators against their primitive
   // compositions: the rewrites collapse duplicates internally; these pin
   // that the emitted PAIR SETS are unchanged on duplicate-heavy corpora
