@@ -128,6 +128,32 @@ object TextAnalysis {
         (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0))) * 0.2, 6))
   }
 
+  /** Per-language stopword-hit mix — the language-MIXTURE view [[langId]]
+    * collapses to an argmax: per document, each language's
+    * frequency-weighted stopword hits plus its share of all hits
+    * (6 dp; null shares when no language hits at all — "und" territory).
+    * Catches the code-switched and boilerplate-mixed documents a single
+    * label hides, which matters for "mostly-English with a French
+    * navigation bar" crawl pages. Map-only single scan (one codegen'd
+    * HOF count per language), same cost class as [[langId]]. */
+  def langMix(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val hits = stopwords.map { case (lang, words) =>
+      lang -> hitCount(toks, words)
+    }
+    val total = hits.map(_._2).reduce(_ + _)
+    val base = df.select(
+      (col(idCol) +: hits.map { case (l, c) => c.as(s"hits_$l") }) :+
+        total.as("total_hits"): _*)
+    base.select(
+      (col(idCol) +: stopwords.map { case (l, _) => col(s"hits_$l") }) ++
+        (col("total_hits") +: stopwords.map { case (l, _) =>
+          when(col("total_hits") > 0,
+            round(col(s"hits_$l").cast("double") /
+              col("total_hits").cast("double"), 6)).as(s"share_$l")
+        }): _*)
+  }
+
   /** Flesch reading-ease + Flesch–Kincaid grade level — the classic
     * readability gates (curriculum ordering by difficulty, child-content
     * filtering, "too telegraphic / too baroque" outlier pruning).

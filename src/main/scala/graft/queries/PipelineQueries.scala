@@ -296,6 +296,11 @@ object PipelineQueries {
       Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"))),
 
+    // --- language MIXTURE: per-language stopword hits + shares — the
+    // code-switch/boilerplate-mix view langId's argmax collapses --------
+    "text_lang_mix" -> ((s, d) =>
+      TextAnalysis.langMix(Tables.documents(s, d), "text", "doc_id")),
+
     // --- canonical normalization (NFC + lower + whitespace collapse) -------
     "text_normalize" -> ((s, d) =>
       TextAnalysis.normalize(Tables.documents(s, d), "text")
@@ -1262,6 +1267,17 @@ object PipelineQueries {
         .orderBy(col("total_spend").desc, col("user_id"))
         .limit(20)),
 
+    // --- per-type value histogram: fixed 5-unit bins, one hash aggregate
+    // with map-side partials; floor() is the identical IEEE op in both
+    // engines, and the per-bin sum stays an exact decimal ----------------
+    "events_histogram" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          floor(col("value") / lit(5.0)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("value_sum"))),
+
     // --- corpus length histogram per language: fixed 100-char-wide bins
     // capped at bin 5 — map-side integer binning + one hash aggregate ----
     "corpus_length_hist" -> ((s, d) =>
@@ -1821,6 +1837,46 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |       round(CAST(SUM(bpe) AS DOUBLE)
           |             / CAST(SUM(len(toks)) AS DOUBLE), 6) AS fertility
           |FROM t GROUP BY 1""".stripMargin,
+
+      // mirror TextAnalysis.langMix: the langHits fragment (occurrence-
+      // weighted stopword counts) + shares guarded on total > 0
+      "text_lang_mix" ->
+        s"""WITH $toksCte,
+           |h AS (SELECT doc_id,
+           |       $langHits
+           |       FROM t),
+           |tt AS (SELECT doc_id,
+           |        CAST(hits_en AS INT) AS hits_en,
+           |        CAST(hits_es AS INT) AS hits_es,
+           |        CAST(hits_fr AS INT) AS hits_fr,
+           |        CAST(hits_de AS INT) AS hits_de,
+           |        CAST(hits_en + hits_es + hits_fr + hits_de AS INT)
+           |          AS total_hits
+           |       FROM h)
+           |SELECT doc_id, hits_en, hits_es, hits_fr, hits_de, total_hits,
+           |  CASE WHEN total_hits > 0
+           |       THEN round(CAST(hits_en AS DOUBLE) / total_hits, 6)
+           |  END AS share_en,
+           |  CASE WHEN total_hits > 0
+           |       THEN round(CAST(hits_es AS DOUBLE) / total_hits, 6)
+           |  END AS share_es,
+           |  CASE WHEN total_hits > 0
+           |       THEN round(CAST(hits_fr AS DOUBLE) / total_hits, 6)
+           |  END AS share_fr,
+           |  CASE WHEN total_hits > 0
+           |       THEN round(CAST(hits_de AS DOUBLE) / total_hits, 6)
+           |  END AS share_de
+           |FROM tt""".stripMargin,
+
+      // mirror the events_histogram aggregate: identical IEEE floor on
+      // the same double division, exact decimal per-bin sums
+      "events_histogram" ->
+        """SELECT event_type,
+          |       CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          |         AS value_sum
+          |FROM events GROUP BY 1, 2""".stripMargin,
 
       "text_stats" ->
         s"""WITH $toksCte

@@ -405,6 +405,26 @@ class LlmSpec extends SparkSpec {
       (3L, 0, "solo", 1)))
   }
 
+  test("language mix: per-language hit counts, shares, null when no hits") {
+    import graft.llm.TextAnalysis
+    // 3×'the' (en) + 1×'der' (de); 'la' counts for BOTH es and fr — the
+    // mix view must show the overlap a single langId label hides
+    val docs = Seq(
+      (1L, "the cat the dog the der la"),
+      (2L, "zzz qqq")) // no stopword of any language
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.langMix(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getInt(1) == 3 && r1.getInt(2) == 1 &&
+      r1.getInt(3) == 1 && r1.getInt(4) == 1, r1.toString) // en es fr de
+    assert(r1.getInt(5) == 6)
+    assert(r1.getDouble(6) == 0.5) // share_en = 3/6
+    val r2 = out(2L)
+    assert(r2.getInt(5) == 0 && r2.isNullAt(6) && r2.isNullAt(9),
+      "no hits → null shares, not 0/0")
+  }
+
   test("language ID picks the stopword-dominant language, und when none") {
     val df = Seq(
       (1L, "the cat sat of the mat and the dog is that"),
