@@ -480,4 +480,49 @@ object Corpus {
       when(varx * vary =!= 0.0,
         round(cov * cov / (varx * vary), 6)).as("zipf_r2"))
   }
+
+  /** Sketch-based per-source corpus profile: HyperLogLog vocabulary
+    * cardinality and approximate length quantiles — the 100 TB answer to
+    * "how big is each source's vocabulary and what does its length
+    * distribution look like". Exact `count(DISTINCT term)` per source
+    * shuffles the full (source, term) universe (tens of billions of keys
+    * at web scale) and an exact percentile sorts every group; the HLL++
+    * and quantile sketches here are CONSTANT-size per source
+    * (~1.5/ε² registers, ~O(1/ε · log n) summary entries), mergeable, so
+    * every map task contributes one fixed-size buffer per source and the
+    * reduce side merges buffers — the shuffle volume is #tasks ×
+    * #sources × sketch-size regardless of corpus size. Both sketches are
+    * order/partitioning-insensitive on merge (HLL registers max-merge),
+    * so the estimate is reproducible across cluster sizes.
+    *
+    * Emits per source: exact `docs`/`tokens` (cheap long sums), `vocab_est`
+    * (HLL, relative sd `rsd`), and `len_p50/p90/p99` (approximate
+    * quantiles of `lenCol`, accuracy = 1/ε). Approximate values have no
+    * cross-engine oracle — correctness is spec-bound (estimate within the
+    * sketch's published error of the exact answer), not hash-matched.
+    *
+    * Token rows explode map-side and feed the HLL partials directly; the
+    * doc-grain stats aggregate separately (quantiles over docs must not be
+    * token-weighted) and the two tiny per-source frames broadcast-join. */
+  def sketchProfile(df: DataFrame, sourceCol: String, textCol: String,
+                    lenCol: String, rsd: Double = 0.02,
+                    quantileAccuracy: Int = 10000): DataFrame = {
+    val vocab = spread(df)
+      .select(col(sourceCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col(sourceCol))
+      .agg(approx_count_distinct(col("term"), rsd).as("vocab_est"),
+        count(lit(1)).as("tokens"))
+    val lens = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("docs"),
+        percentile_approx(col(lenCol),
+          array(lit(0.5), lit(0.9), lit(0.99)),
+          lit(quantileAccuracy)).as("__pcts"))
+      .select(col(sourceCol), col("docs"),
+        element_at(col("__pcts"), 1).as("len_p50"),
+        element_at(col("__pcts"), 2).as("len_p90"),
+        element_at(col("__pcts"), 3).as("len_p99"))
+    lens.join(broadcast(vocab), Seq(sourceCol))
+      .select(col(sourceCol), col("docs"), col("tokens"),
+        col("vocab_est"), col("len_p50"), col("len_p90"), col("len_p99"))
+  }
 }

@@ -174,8 +174,8 @@ object Dedup {
     * (same (band, band_hash) values as [[minhashSignatures]]+[[lshBands]]).
     * Shared by [[minhashLsh]]-style within-corpus pairing and
     * [[crossCorpusKeep]]. */
-  private def bandRows(df: DataFrame, textCol: String, idCol: String,
-                       shingleN: Int, k: Int, bands: Int): DataFrame = {
+  private[llm] def bandRows(df: DataFrame, textCol: String, idCol: String,
+                            shingleN: Int, k: Int, bands: Int): DataFrame = {
     val ws = TextAnalysis.tokens(col(textCol))
     val sigs = spread(df.filter(size(ws) >= shingleN))
       .select(col(idCol),

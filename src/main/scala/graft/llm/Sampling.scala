@@ -301,4 +301,88 @@ object Sampling {
         col("cum_before").cast("decimal(38,0)") * lit(pDen) <
           col("group_total").cast("decimal(38,0)") * lit(pNum))
   }
+
+  // ------------------------------------------------------- split hygiene
+
+  /** Exact train→val leakage audit: validation-split rows whose NORMALIZED
+    * content hash also occurs in the training split. A held-out set that
+    * shares verbatim documents with the training set silently inflates
+    * eval numbers — the standard hygiene check run right after
+    * [[split]] and before any loss/benchmark is trusted. Normalization
+    * (NFC + lowercase + whitespace collapse, same canon as
+    * `dedup_exact_norm`) catches the trivially-reformatted copies an
+    * exact byte hash would miss.
+    *
+    * Emits one AUDIT row per validation document: (id, content_hash,
+    * n_train_dups = how many training docs share the hash, leaked =
+    * n_train_dups > 0) — the same annotate-then-filter contract as
+    * [[Dedup.exact]]: `filter(col("leaked"))` materializes the leak set,
+    * the unfiltered frame feeds clean-rate dashboards. Documents with
+    * null text hash to null and never match (nothing meaningful leaks
+    * from an empty page).
+    *
+    * Plan shape at 100 TB: hashing is map-side (text never shuffles —
+    * the projection to (id, split, 32-hex hash) happens before any
+    * exchange); the hash-group count and the probe join both
+    * hash-partition on `content_hash`, so the aggregate output is
+    * co-partitioned with the probe side and the join adds no extra
+    * exchange. The mega-duplicate argument from [[Dedup.exact]] carries
+    * over: the group count is map-side combining, so a 10⁸-duplicated
+    * boilerplate page costs ~#tasks partial rows, not 10⁸. The corpus is
+    * scanned twice (count branch + probe branch); a pipeline running
+    * several hygiene passes should persist the hashed projection once. */
+  def splitLeakageExact(df: DataFrame, textCol: String, idCol: String,
+                        trainPct: Double, salt: String = ""): DataFrame = {
+    val norm = graft.functions.TextNorm.nfcNormalize(
+      lower(trim(regexp_replace(col(textCol), "\\s+", " "))))
+    val hashed = split(df, idCol, trainPct, salt)
+      .select(col(idCol), col("split"), md5(norm).as("content_hash"))
+    val trainCounts = hashed
+      .groupBy(col("content_hash"))
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L))
+        .as("__n_train"))
+      .filter(col("__n_train") > 0)
+    hashed.filter(col("split") === "val")
+      .join(trainCounts, Seq("content_hash"), "left")
+      .withColumn("n_train_dups", coalesce(col("__n_train"), lit(0L)))
+      .withColumn("leaked", col("n_train_dups") > 0)
+      .select(col(idCol), col("content_hash"), col("n_train_dups"),
+        col("leaked"))
+  }
+
+  /** Near-duplicate train→val leakage audit: validation documents whose
+    * MinHash-LSH bands collide with at least one training document —
+    * the paraphrase/boilerplate-variant leakage [[splitLeakageExact]]'s
+    * byte hash cannot see (the within-corpus analogue of
+    * [[Dedup.crossCorpusKeep]]'s benchmark-decontamination check).
+    *
+    * Emits (id, n_train_cands = distinct training docs sharing ≥1 band)
+    * per SUSPECT validation doc; band collision is probabilistic, so
+    * treat hits as candidates and confirm with an exact Jaccard pass
+    * ([[Dedup.jaccardFrom]]) when precision matters. Docs shorter than
+    * `shingleN` tokens have no signature and never flag — same
+    * convention as [[Dedup.minhashLsh]].
+    *
+    * Plan shape at 100 TB: signatures are computed map-side by the
+    * codegen'd MinHash kernel (no shuffle before banding; document text
+    * never shuffles — only k×16-char signatures and their band hashes).
+    * The val→train band join hash-partitions on (band, band_hash), with
+    * bucket sizes bounding the pair blowup exactly as in LSH dedup; the
+    * distinct-candidate count is a map-side-combining aggregate on the
+    * val id. Both splits derive from one band-row lineage — persist it
+    * when running leakage alongside other LSH consumers. */
+  def splitLeakageNear(df: DataFrame, textCol: String, idCol: String,
+                       trainPct: Double, shingleN: Int = 3, k: Int = 8,
+                       bands: Int = 4, salt: String = ""): DataFrame = {
+    val bandRows = split(
+      Dedup.bandRows(df, textCol, idCol, shingleN, k, bands),
+      idCol, trainPct, salt)
+    val train = bandRows.filter(col("split") === "train")
+      .select(col("band"), col("band_hash"), col(idCol).as("__train_id"))
+    bandRows.filter(col("split") === "val")
+      .select(col("band"), col("band_hash"), col(idCol))
+      .join(train, Seq("band", "band_hash"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__train_id")).as("n_train_cands"))
+  }
 }

@@ -481,6 +481,23 @@ object PipelineQueries {
       Sampling.split(Tables.documents(s, d), "doc_id", trainPct = 0.8)
         .select("doc_id", "split")),
 
+    // --- split hygiene: exact + near-dup train→val leakage audits -----------
+    "split_leakage" -> ((s, d) =>
+      Sampling.splitLeakageExact(Tables.documents(s, d), "text", "doc_id",
+        trainPct = 0.8)),
+
+    "split_leakage_near" -> ((s, d) =>
+      Sampling.splitLeakageNear(Tables.documents(s, d), "text", "doc_id",
+        trainPct = 0.8, shingleN = 3, k = 8, bands = 4)),
+
+    // --- sketch profile: HLL vocab + approximate quantiles per source -------
+    // approximate values have no cross-engine oracle (HLL/quantile sketch
+    // internals differ per engine); SplitHygieneSpec bounds the estimates
+    // against exact answers instead, and the driver records rows>0.
+    "sketch_profile" -> ((s, d) =>
+      Corpus.sketchProfile(Tables.documents(s, d), "source", "text",
+        "n_chars")),
+
     // --- stratified per-language cap: stable pseudo-random 50 per stratum ---
     "sample_stratified" -> ((s, d) =>
       Sampling.stratified(
@@ -2430,6 +2447,36 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
           |            THEN 'train' ELSE 'val' END AS split
           |FROM documents""".stripMargin,
+
+      "split_leakage" ->
+        """WITH n AS (
+          |  SELECT doc_id,
+          |         md5(nfc_normalize(lower(trim(
+          |             regexp_replace(text, '\s+', ' ', 'g'))))) AS content_hash,
+          |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+          |              THEN 'train' ELSE 'val' END AS split
+          |  FROM documents),
+          |tr AS (SELECT content_hash, count(*) AS n_train
+          |       FROM n WHERE split = 'train' GROUP BY 1)
+          |SELECT v.doc_id, v.content_hash,
+          |       coalesce(tr.n_train, 0) AS n_train_dups,
+          |       coalesce(tr.n_train, 0) > 0 AS leaked
+          |FROM n v LEFT JOIN tr ON tr.content_hash = v.content_hash
+          |WHERE v.split = 'val'""".stripMargin,
+
+      "split_leakage_near" ->
+        s"""WITH $shinglesCte,
+           |$minhashBandsCte,
+           |sp AS (SELECT doc_id,
+           |              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+           |                   THEN 'train' ELSE 'val' END AS split
+           |       FROM documents)
+           |SELECT v.doc_id, count(DISTINCT t.doc_id) AS n_train_cands
+           |FROM bands v
+           |JOIN sp sv ON sv.doc_id = v.doc_id AND sv.split = 'val'
+           |JOIN bands t ON t.band = v.band AND t.band_hash = v.band_hash
+           |JOIN sp st ON st.doc_id = t.doc_id AND st.split = 'train'
+           |GROUP BY v.doc_id""".stripMargin,
 
       "sample_stratified" ->
         s"""WITH $langCte

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Corpus, Dedup, Sampling}
+
+/** Split-hygiene audits (exact + near-dup train→val leakage) and the
+  * sketch-based corpus profile. Expectations are brute-forced in Scala
+  * from the SAME deterministic split assignment the operators use, so the
+  * tests hold for whatever way the md5 gate happens to cut the fixture. */
+class SplitHygieneSpec extends SparkSpec {
+  import spark.implicits._
+
+  // texts 1/2/3 are the same document modulo case + whitespace (the
+  // normalization canon must identify them); 4/5 are an unrelated dup
+  // pair; 6 is a singleton; 7 is a null text.
+  private val docs = Seq(
+    (1L, "The quick   brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),
+    (3L, "  THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG  "),
+    (4L, "an unrelated second document body repeated verbatim"),
+    (5L, "an unrelated second document body repeated verbatim"),
+    (6L, "a singleton document that duplicates nothing at all"),
+    (7L, null.asInstanceOf[String])
+  ).toDF("doc_id", "text")
+
+  private def normKey(s: String): String =
+    if (s == null) null
+    else java.text.Normalizer.normalize(
+      s.toLowerCase.replaceAll("\\s+", " ").trim,
+      java.text.Normalizer.Form.NFC)
+
+  private def splitOf(trainPct: Double): Map[Long, String] =
+    Sampling.split(docs, "doc_id", trainPct)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+
+  test("splitLeakageExact matches a brute-forced audit at several cuts") {
+    for (pct <- Seq(0.2, 0.5, 0.8)) {
+      val split = splitOf(pct)
+      val texts = docs.select("doc_id", "text").as[(Long, String)]
+        .collect().toMap
+      val trainKeys = texts.collect {
+        case (id, t) if split(id) == "train" && t != null => normKey(t)
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expected = texts.collect { case (id, t) if split(id) == "val" =>
+        val n = if (t == null) 0L
+                else trainKeys.getOrElse(normKey(t), 0L)
+        (id, n, n > 0)
+      }.toSet
+
+      val got = Sampling.splitLeakageExact(docs, "text", "doc_id", pct)
+        .select("doc_id", "n_train_dups", "leaked")
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(got == expected, s"trainPct=$pct split=$split")
+    }
+  }
+
+  test("splitLeakageExact emits one audit row per val doc, none for train") {
+    val split = splitOf(0.5)
+    val ids = Sampling.splitLeakageExact(docs, "text", "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSeq
+    val valIds = split.collect { case (id, "val") => id }.toSeq
+    assert(ids.sorted == valIds.sorted)
+  }
+
+  test("splitLeakageNear flags exact copies across the cut, not singletons") {
+    // brute-force from the operator's own band rows (identical texts share
+    // every band by construction, so any cross-split identical pair MUST
+    // collide; singletons must never appear)
+    for (pct <- Seq(0.3, 0.5, 0.7)) {
+      val split = splitOf(pct)
+      val bands = Dedup.lshBands(
+          Dedup.minhashSignatures(Dedup.shingles(docs, "text", "doc_id", 3),
+            "doc_id", 8), "doc_id", 8, 4)
+        .select("doc_id", "band", "band_hash")
+        .as[(Long, Int, String)].collect()
+      val trainBands = bands.filter(r => split(r._1) == "train")
+      val expected = bands.filter(r => split(r._1) == "val")
+        .flatMap { case (id, b, h) =>
+          trainBands.collect { case (tid, tb, th) if tb == b && th == h => (id, tid) }
+        }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.length.toLong)
+        .toMap
+
+      val got = Sampling.splitLeakageNear(docs, "text", "doc_id", pct)
+        .select("doc_id", "n_train_cands").as[(Long, Long)]
+        .collect().toMap
+      assert(got == expected, s"trainPct=$pct split=$split")
+    }
+  }
+
+  test("sketchProfile: exact counts exact, sketches inside error bounds") {
+    val docsTbl = spark.read.parquet(s"$sf001/documents.parquet")
+    val prof = Corpus.sketchProfile(docsTbl, "source", "text", "n_chars")
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    val exact = docsTbl
+      .select(col("source"), col("n_chars"),
+        graft.llm.TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("source"), col("n_chars"),
+        size(col("toks")).as("n_toks"), explode(col("toks")).as("tok"))
+      .groupBy("source")
+      .agg(countDistinct(col("tok")).as("vocab"),
+        count(lit(1)).as("tokens"),
+        countDistinct(col("n_chars")).as("_ignore"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+
+    val lens = docsTbl.select("source", "n_chars").as[(String, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+
+    assert(prof.keySet == exact.keySet)
+    for ((src, r) <- prof) {
+      val (vExact, tokExact) = exact(src)
+      assert(r.getAs[Long]("tokens") == tokExact, s"$src tokens")
+      // HLL at rsd=0.02: allow a generous 5× the target sd
+      assert(math.abs(r.getAs[Long]("vocab_est") - vExact) <=
+        math.max(2L, (vExact * 0.10).toLong), s"$src vocab")
+      val sortedLens = lens(src)
+      val n = sortedLens.length
+      for ((cname, p) <- Seq(("len_p50", 0.5), ("len_p90", 0.9),
+                             ("len_p99", 0.99))) {
+        val got = r.getAs[Long](cname)
+        // percentile_approx guarantees a value whose rank is within
+        // n/accuracy of ceil(p*n); at n≈thousands and accuracy=10000
+        // that is ±1 rank
+        val target = math.ceil(p * n).toInt.max(1)
+        val lo = sortedLens((target - 2).max(0))
+        val hi = sortedLens((target + 1).min(n - 1))
+        assert(got >= lo && got <= hi, s"$src $cname got=$got lo=$lo hi=$hi")
+      }
+    }
+  }
+}
