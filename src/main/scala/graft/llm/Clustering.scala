@@ -158,4 +158,54 @@ object Clustering {
     nv.join(dominated, Seq(idCol), "left_anti")
       .select(col(idCol), col("cluster"))
   }
+
+  /** Pairwise centroid drift between labeled embedding groups: the mean
+    * vector per label (source, time-slice, pipeline version …) and the
+    * cosine similarity between every label pair — the standard
+    * distribution-shift monitor for a training corpus ("did this month's
+    * crawl move away from the reference mix?", "are two sources
+    * semantically redundant?"). Low `cos_sim` between time slices flags
+    * drift; ~1.0 between sources flags redundancy a mixture weight
+    * should know about.
+    *
+    * Engine-exact like [[kmeans]]: components quantize to dyadic
+    * rationals so per-label component sums are exact in any addition
+    * order; each centroid component is then ONE correctly-rounded
+    * division, and the cosine runs on the sequential-fold dot kernel
+    * (≡ DuckDB `list_dot_product`). Vectors not exactly `dim` long
+    * degrade out (the ANN posture); a degenerate all-zero centroid
+    * yields null `cos_sim` rather than a division error.
+    *
+    * Plan shape at 100 TB: the component explode partial-aggregates
+    * map-side, so only `labels × dim × partitions` partial rows shuffle
+    * (the k-means update shape — data never leaves its partitions except
+    * as tiny sums); centroid assembly groups `labels × dim` rows; the
+    * pair join is over the `labels`-row centroid frame (broadcast NLJ on
+    * label_a < label_b, |labels|² pairs of dim-length arrays — trivial
+    * for the dozens-to-hundreds of labels this is for). */
+  def centroidDrift(df: DataFrame, labelCol: String, vecCol: String,
+                    dim: Int): DataFrame = {
+    val comps = df.filter(size(col(vecCol)) === dim)
+      .select(col(labelCol), posexplode(quantize(col(vecCol))))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(sum(col("col")).as("sc"), count(lit(1)).as("n"))
+    val cents = comps.groupBy(col(labelCol))
+      .agg(
+        transform(
+          sort_array(collect_list(struct(col("pos"),
+            (col("sc") / col("n")).as("c")))),
+          s => s.getField("c")).as("cv"),
+        min(col("n")).as("n"))
+    val a = cents.select(col(labelCol).as("label_a"), col("cv").as("__va"),
+      col("n").as("n_a"))
+    val b = cents.select(col(labelCol).as("label_b"), col("cv").as("__vb"),
+      col("n").as("n_b"))
+    val denom = sqrt(VectorOps.dot(col("__va"), col("__va"))) *
+      sqrt(VectorOps.dot(col("__vb"), col("__vb")))
+    a.join(b, col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        when(denom =!= 0.0,
+          round(VectorOps.dot(col("__va"), col("__vb")) / denom, 6))
+          .as("cos_sim"))
+  }
 }

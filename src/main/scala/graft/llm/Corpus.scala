@@ -121,6 +121,67 @@ object Corpus {
             / sum(col("tf")).cast("double"), 6).as("avg_nll"))
   }
 
+  /** Per-document bigram-LM negative log-likelihood: mean −ln p(w2|w1)
+    * over the document's bigram positions, under an add-k-smoothed
+    * bigram model of the WHOLE corpus — one modeling step up from
+    * [[unigramSurprisal]] toward the CCNet-style "perplexity under a
+    * reference LM" quality gate (word-order-scrambled or templated text
+    * scores high even when its unigrams are common; swapping in an
+    * externally-trained LM changes only the probability join).
+    * p(w2|w1) = (c(w1,w2) + k) / (ctx(w1) + k·V) with ctx(w1) the
+    * corpus count of bigram positions starting at w1 (so probabilities
+    * sum to 1 over the V-word vocabulary) and V the exact distinct
+    * unigram count. Documents with fewer than 2 tokens have no bigram
+    * positions and emit no row.
+    *
+    * Output: (id, n_bigrams, avg_nll), avg_nll rounded to 6 dp.
+    * Determinism: per-bigram nll is 9-dp-fixed and summed as an exact
+    * decimal weighted by the doc's pair count — the [[unigramSurprisal]]
+    * discipline, so only a single ln() ulp separates engines.
+    *
+    * Plan shape at 100 TB: bigrams explode map-side and partial-aggregate
+    * to (doc, pair) counts before the first shuffle; corpus pair counts
+    * and context counts are two further hash aggregates of
+    * ALREADY-COLLAPSED frames (vocabulary², then vocabulary — heaps-law
+    * small vs the corpus). Probability lookups are equi-joins on the pair
+    * / context key where a hot bigram ("of the") is one PROBE-side
+    * streaming key, never an in-memory window partition — the reason this
+    * uses groupBy+join rather than [[unigramSurprisal]]'s count window.
+    * V attaches as a broadcast scalar; the per-doc regroup is the last
+    * of the four vocabulary-or-smaller shuffles. */
+  def bigramNll(df: DataFrame, textCol: String, idCol: String,
+                addK: Double = 1.0): DataFrame = {
+    require(addK > 0, s"addK=$addK must be positive (unsmoothed MLE " +
+      "assigns zero probability to unseen pairs)")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val bg = spread(df).filter(size(toks) >= 2)
+      .select(col(idCol), toks.as("w"))
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))"))
+        .as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tfb"))
+    val pairCounts = bg.groupBy("w1", "w2").agg(sum(col("tfb")).as("c12"))
+    val ctxCounts = pairCounts.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val vocab = spread(df)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .agg(countDistinct(col("tok")).as("__v"))
+    val d = (c: Column) => c.cast("double")
+    bg.join(pairCounts, Seq("w1", "w2"))
+      .join(ctxCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll9",
+        round(-log((d(col("c12")) + lit(addK)) /
+          (d(col("c1")) + lit(addK) * d(col("__v")))), 9)
+          .cast("decimal(28,9)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tfb")).as("n_bigrams"),
+        round(
+          sum(col("tfb").cast("decimal(9,0)") * col("nll9")).cast("double")
+            / sum(col("tfb")).cast("double"), 6).as("avg_nll"))
+  }
+
   /** Corpus-wide top-`k` bigram collocations by pointwise mutual
     * information: PMI(w1,w2) = ln(p(w1,w2) / (p(w1)·p(w2))) with the
     * joint from bigram counts and the marginals from unigram counts —

@@ -302,6 +302,44 @@ object Sampling {
           col("group_total").cast("decimal(38,0)") * lit(pNum))
   }
 
+  /** Deterministic mixture interleave: a global training-order key that
+    * serves each source at its mixture rate ("3 code docs per 7 web docs",
+    * smoothly interleaved) without any driver-side scheduling. Every doc
+    * gets `sched_key = rank_in_source × (L / weight_source)` — the
+    * classic weighted-fair-queueing virtual finish time, with rank the
+    * doc's 1-based position in its source's stable md5 order and L the
+    * LCM of all weights so the key stays EXACT long arithmetic (no float
+    * thresholds; ANSI overflow would need rank·L > 2^63 — petascale rank
+    * with pathological weights — and fails loudly, not wrongly). Sorting
+    * by (sched_key, source, id) yields the interleaved order; writers
+    * range-partition on the key (the distributed sort Spark already
+    * does for `orderBy`) rather than collecting it.
+    *
+    * Sources absent from `weights` get `defaultWeight`; a zero/negative
+    * weight is rejected (a source you want OUT of the mix is a filter,
+    * not a zero rate). One shuffle on the source key for the rank
+    * window; a skewed source is one window partition — same posture as
+    * [[packShards]], and the window carries only (id, source), never
+    * text. */
+  def mixtureSchedule(df: DataFrame, idCol: String, sourceCol: String,
+                      weights: Seq[(String, Long)], defaultWeight: Long = 1L,
+                      salt: String = ""): DataFrame = {
+    require(defaultWeight > 0, s"defaultWeight=$defaultWeight must be > 0")
+    weights.foreach { case (s, w) =>
+      require(w > 0, s"weight $w for source '$s' must be > 0") }
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate sources in $weights")
+    val lcm = (defaultWeight +: weights.map(_._2))
+      .reduce((a, b) => a / BigInt(a).gcd(BigInt(b)).toLong * b)
+    val stride = weights.foldRight(lit(lcm / defaultWeight)) {
+      case ((src, w), acc) =>
+        when(col(sourceCol) === src, lit(lcm / w)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(hashKey(col(idCol), salt), col(idCol))
+    df.withColumn("sched_key", row_number().over(w).cast("long") * stride)
+  }
+
   // ------------------------------------------------------- split hygiene
 
   /** Exact train→val leakage audit: validation-split rows whose NORMALIZED

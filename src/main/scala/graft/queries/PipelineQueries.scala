@@ -443,6 +443,11 @@ object PipelineQueries {
       Clustering.kmeans(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 8, iters = 2, dim = 64)),
 
+    // --- per-label centroid drift: distribution-shift / redundancy monitor --
+    "embed_source_drift" -> ((s, d) =>
+      Clustering.centroidDrift(Tables.embeddings(s, d), "label",
+        "embedding", dim = 64)),
+
     // --- per-cluster farthest-from-centroid outliers ------------------------
     // The curation review queue: exact squared distance to the assigned
     // centroid (same fold as the assignment itself), top-3 per cluster.
@@ -480,6 +485,12 @@ object PipelineQueries {
     "sample_split" -> ((s, d) =>
       Sampling.split(Tables.documents(s, d), "doc_id", trainPct = 0.8)
         .select("doc_id", "split")),
+
+    // --- weighted-fair mixture interleave: global training-order key --------
+    "mixture_schedule" -> ((s, d) =>
+      Sampling.mixtureSchedule(Tables.documents(s, d), "doc_id", "source",
+        weights = Seq("src0" -> 5L, "src1" -> 3L), defaultWeight = 1L)
+        .select("doc_id", "source", "sched_key")),
 
     // --- split hygiene: exact + near-dup train→val leakage audits -----------
     "split_leakage" -> ((s, d) =>
@@ -860,6 +871,10 @@ object PipelineQueries {
     // --- corpus stats: unigram-LM surprisal (perplexity-proxy filter) ------
     "lm_surprisal" -> ((s, d) =>
       Corpus.unigramSurprisal(Tables.documents(s, d), "text", "doc_id")),
+
+    // --- bigram LM with add-one smoothing: word-order-aware quality gate ---
+    "lm_bigram_nll" -> ((s, d) =>
+      Corpus.bigramNll(Tables.documents(s, d), "text", "doc_id")),
 
     // --- JL random projection 64→8: the cheap dim reduction before
     // clustering/ANN (map-side dot products against literal planes) ------
@@ -2349,6 +2364,34 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
         (s"WITH ${kmeansCtes(8, 2, 64)}\n" +
           "SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a2"),
 
+      // dyadic-quantized component sums (exact in any order) → one
+      // correctly-rounded division per centroid component → the shared
+      // sequential-fold dot for the cosine; mirrors Clustering.centroidDrift
+      "embed_source_drift" ->
+        """WITH e AS (
+          |  SELECT label,
+          |         list_transform(CAST(embedding AS DOUBLE[]),
+          |           x -> floor(x * 1048576.0) / 1048576.0) AS v
+          |  FROM embeddings WHERE len(embedding) = 64),
+          |x AS (SELECT label, i, v[i] AS c
+          |      FROM (SELECT label, v,
+          |                   unnest(generate_series(1, len(v))) AS i
+          |            FROM e)),
+          |s AS (SELECT label, i, sum(c) AS sc, count(*) AS n
+          |      FROM x GROUP BY 1, 2),
+          |cent AS (SELECT label, list(sc / n ORDER BY i) AS cv,
+          |                min(n) AS n
+          |         FROM s GROUP BY 1)
+          |SELECT a.label AS label_a, b.label AS label_b,
+          |       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+          |       CASE WHEN sqrt(list_dot_product(a.cv, a.cv)) *
+          |                 sqrt(list_dot_product(b.cv, b.cv)) != 0
+          |            THEN round(list_dot_product(a.cv, b.cv) /
+          |                 (sqrt(list_dot_product(a.cv, a.cv)) *
+          |                  sqrt(list_dot_product(b.cv, b.cv))), 6)
+          |       END AS cos_sim
+          |FROM cent a JOIN cent b ON a.label < b.label""".stripMargin,
+
       // same two Lloyd rounds; the final assignment re-derived from s2 so
       // the chosen score s rides along, d2 = s + w·w (addition commutes,
       // both terms are the shared sequential-fold dot)
@@ -2447,6 +2490,21 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
           |            THEN 'train' ELSE 'val' END AS split
           |FROM documents""".stripMargin,
+
+      // lcm(1,5,3)=15 → strides src0=3, src1=5, default 15 (mirror of
+      // Sampling.mixtureSchedule's exact-long virtual finish times)
+      "mixture_schedule" ->
+        """WITH r AS (
+          |  SELECT doc_id, source,
+          |         row_number() OVER (PARTITION BY source
+          |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+          |  FROM documents)
+          |SELECT doc_id, source,
+          |       CAST(rnk AS BIGINT) *
+          |       CASE source WHEN 'src0' THEN 3
+          |                   WHEN 'src1' THEN 5
+          |                   ELSE 15 END AS sched_key
+          |FROM r""".stripMargin,
 
       "split_leakage" ->
         """WITH n AS (
@@ -2770,6 +2828,35 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |             / CAST(sum(tf) AS DOUBLE), 6) AS avg_nll
            |FROM tf JOIN nll USING (term)
            |GROUP BY 1""".stripMargin,
+
+      // add-one smoothed p(w2|w1) with context counts as the denominator
+      // base and the exact distinct-unigram count as V — mirrored from
+      // Corpus.bigramNll's double tree (counts exact, one ln, 9-dp-fixed
+      // decimal sum per doc)
+      "lm_bigram_nll" ->
+        """WITH ws AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+          |            FROM documents),
+          |bgx AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+          |        FROM (SELECT doc_id, w,
+          |                     unnest(generate_series(1, len(w) - 1)) AS i
+          |              FROM ws WHERE len(w) >= 2)),
+          |bg AS (SELECT doc_id, w1, w2, count(*) AS tfb
+          |       FROM bgx GROUP BY 1, 2, 3),
+          |c12 AS (SELECT w1, w2, sum(tfb) AS c12 FROM bg GROUP BY 1, 2),
+          |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+          |v AS (SELECT count(DISTINCT tok) AS v
+          |      FROM (SELECT unnest(string_split_regex(text, '\s+')) AS tok
+          |            FROM documents)),
+          |nll AS (
+          |  SELECT bg.doc_id, bg.tfb,
+          |         CAST(round(-ln((CAST(c12.c12 AS DOUBLE) + 1.0) /
+          |           (CAST(c1.c1 AS DOUBLE) + 1.0 * v.v)), 9)
+          |           AS DECIMAL(28,9)) AS nll9
+          |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v)
+          |SELECT doc_id, CAST(sum(tfb) AS BIGINT) AS n_bigrams,
+          |       round(CAST(sum(CAST(tfb AS DECIMAL(9,0)) * nll9) AS DOUBLE)
+          |             / CAST(sum(tfb) AS DOUBLE), 6) AS avg_nll
+          |FROM nll GROUP BY 1""".stripMargin,
 
       // the quantized grid mirrors Quantize.int8Codes: q = clamp(round(
       // x·127/amax)); dequantized q·(amax/127); both engines round

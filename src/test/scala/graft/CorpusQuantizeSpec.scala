@@ -56,6 +56,40 @@ class CorpusQuantizeSpec extends SparkSpec {
     assert(out(2L)._2 > out(1L)._2) // rarer-token doc is more surprising
   }
 
+  test("bigram NLL: hand-computed add-one model, short docs drop") {
+    // corpus "a a b" + "a c": bigram positions (a,a) (a,b) (a,c);
+    // ctx(a)=3; V=3 (a,b,c); add-one: p = (c12+1)/(ctx+V)
+    val withShort = docs.union(Seq((3L, "solo")).toDF("doc_id", "text"))
+    val out = Corpus.bigramNll(withShort, "text", "doc_id")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def nll9(p: Double) = BigDecimal(-math.log(p))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: BigDecimal) = x.setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    // V counts "solo" too → V=4, ctx(a)=3 unchanged
+    val pAA = 2.0 / 7; val pAB = 2.0 / 7; val pAC = 2.0 / 7
+    assert(out.keySet == Set(1L, 2L))      // 1-token doc emits no row
+    assert(out(1L) == ((2L, r6((nll9(pAA) + nll9(pAB)) / 2))))
+    assert(out(2L) == ((1L, r6(nll9(pAC) / 1))))
+  }
+
+  test("bigram NLL: scrambled word order scores worse than natural order") {
+    // same unigrams, different order: the bigram model must separate them
+    // where the unigram model cannot
+    val natural = (1 to 20).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog"))
+    val scrambled = Seq((99L, "dog the over quick lazy brown the jumps fox"))
+    val corpus = (natural ++ scrambled).toDF("doc_id", "text")
+    val out = Corpus.bigramNll(corpus, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val uni = Corpus.unigramSurprisal(corpus, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(99L) > out(1L) + 0.5, s"bigram: ${out(99L)} vs ${out(1L)}")
+    assert(math.abs(uni(99L) - uni(1L)) < 1e-6,
+      "unigram model must NOT separate them (same token multiset)")
+  }
+
   test("int8 codes: grid, clamp, half-away-from-zero rounding") {
     val df = Seq((1L, Seq(1.0f, -0.5f, 0.0f)), (2L, Seq(0.0f, 0.0f)))
       .toDF("vec_id", "vec")

@@ -624,6 +624,42 @@ class LlmSpec extends SparkSpec {
     assert(out.size == 6 && out.values.forall(c => c >= 0 && c < 3))
   }
 
+  test("centroid drift: identical groups ≈1, orthogonal 0, guards hold") {
+    val groups = Seq(
+      ("a", Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      ("a", Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      ("b", Array(1.0f, 0.0f, 0.0f, 0.0f)),   // same direction as a
+      ("c", Array(0.0f, 2.0f, 0.0f, 0.0f)),   // orthogonal to a/b
+      ("d", Array(0.0f, 0.0f, 0.0f, 0.0f)),   // zero centroid → null
+      ("d", Array(1.0f, 1.0f)),               // wrong dim → degrades out
+      ("e", Array(1.0f, 1.0f))                // whole label wrong-dim → gone
+    ).toDF("label", "embedding")
+    val out = Clustering.centroidDrift(groups, "label", "embedding", dim = 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    // 4 surviving labels → 6 pairs; label e never appears
+    assert(out.keySet == Set(("a","b"), ("a","c"), ("a","d"), ("b","c"),
+      ("b","d"), ("c","d")))
+    assert(out(("a","b")) == ((2L, 1L, Some(1.0))))
+    assert(out(("a","c")) == ((2L, 1L, Some(0.0))))
+    assert(out(("a","d"))._3.isEmpty)         // zero centroid → null, no error
+    assert(out(("c","d"))._3.isEmpty)
+  }
+
+  test("centroid drift: mean is the exact per-component average") {
+    // two vectors whose mean is (0.5, 1.0): cos vs (1, 2) must be exactly 1
+    val groups = Seq(
+      ("m", Array(0.0f, 0.5f, 0.0f, 0.0f)),
+      ("m", Array(1.0f, 1.5f, 0.0f, 0.0f)),
+      ("n", Array(1.0f, 2.0f, 0.0f, 0.0f))
+    ).toDF("label", "embedding")
+    val out = Clustering.centroidDrift(groups, "label", "embedding", dim = 4)
+      .select("label_a", "label_b", "cos_sim")
+      .as[(String, String, Double)].collect().toSeq
+    assert(out == Seq(("m", "n", 1.0)))
+  }
+
   test("semdedup drops exactly the lower-id-dominated near-duplicates") {
     // ids 1/3/5 are mutual cosine≈1 near-dups (same direction), as are
     // 2/4/6: within each cluster only the lowest id survives τ=0.95

@@ -40,10 +40,14 @@ class PlanSpec extends SparkSpec {
     // design (broadcast nested loop); the top-level DSL packs 1-row
     // aggregate frames side by side; the corpus-stat queries attach a
     // 1-row broadcast scalar (doc count / total tokens) the same way
+    // embed_source_drift pair-joins the k-row centroid frame on label_a <
+    // label_b — a pairwise matrix over dozens of rows, broadcast NLJ by
+    // design
     val intended = Set("ann_brute_topk", "ann_recall_eval", "ann_int8_topk",
       "snmp_dsl_toplevel",
-      "tfidf_topk", "lm_surprisal", "collocation_pmi", "curriculum_global",
-      "vocab_topk", "source_divergence", "bm25_topk")
+      "tfidf_topk", "lm_surprisal", "lm_bigram_nll", "collocation_pmi",
+      "curriculum_global", "vocab_topk", "source_divergence", "bm25_topk",
+      "embed_source_drift")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intended)
       .filter { name =>

@@ -87,6 +87,48 @@ class SplitHygieneSpec extends SparkSpec {
     }
   }
 
+  test("mixtureSchedule: exact WFQ prefix counts at every threshold") {
+    val corpus = (1L to 60L).map(i =>
+      (i, if (i % 3 == 0) "code" else "web")).toDF("doc_id", "source")
+    // weights web=3, code=1 → lcm 3 → strides web=1, code=3
+    val out = Sampling.mixtureSchedule(corpus, "doc_id", "source",
+        weights = Seq("web" -> 3L, "code" -> 1L))
+      .select("doc_id", "source", "sched_key")
+      .as[(Long, String, Long)].collect()
+    // virtual-finish-time invariant: among keys <= K, source i has served
+    // exactly floor(K / stride_i) docs — the 3:1 rate holds in EVERY
+    // prefix, not just in aggregate
+    for (k <- 1L to 60L) {
+      val served = out.filter(_._3 <= k).groupBy(_._2)
+        .view.mapValues(_.length.toLong).toMap
+      assert(served.getOrElse("web", 0L) == math.min(k / 1, 40),
+        s"web at K=$k")
+      assert(served.getOrElse("code", 0L) == math.min(k / 3, 20),
+        s"code at K=$k")
+    }
+    // ranks are the stable md5 order per source
+    val webKeys = out.filter(_._2 == "web").map(_._3).sorted
+    assert(webKeys.toSeq == (1L to 40L).map(_ * 1).toSeq)
+  }
+
+  test("mixtureSchedule: lcm strides, unknown source gets default, guards") {
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "mystery"))
+      .toDF("doc_id", "source")
+    val out = Sampling.mixtureSchedule(corpus, "doc_id", "source",
+        weights = Seq("a" -> 4L, "b" -> 6L), defaultWeight = 2L)
+      .select("source", "sched_key").as[(String, Long)].collect().toMap
+    // lcm(2,4,6)=12 → strides a=3, b=2, default=6; single doc per source
+    assert(out == Map("a" -> 3L, "b" -> 2L, "mystery" -> 6L))
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSchedule(corpus, "doc_id", "source",
+        weights = Seq("a" -> 0L))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSchedule(corpus, "doc_id", "source",
+        weights = Seq("a" -> 1L, "a" -> 2L))
+    }
+  }
+
   test("sketchProfile: exact counts exact, sketches inside error bounds") {
     val docsTbl = spark.read.parquet(s"$sf001/documents.parquet")
     val prof = Corpus.sketchProfile(docsTbl, "source", "text", "n_chars")
