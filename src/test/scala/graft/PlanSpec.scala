@@ -105,6 +105,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("split leakage: hash-key join shapes, no window anywhere") {
+    // exact: the train-count aggregate must partial-combine map-side
+    // (the mega-duplicate cap) and re-attach as a hash join — never a
+    // window over content_hash (the single-task-sort straggler)
+    val pe = plan("split_leakage")
+    assert(!pe.contains("Window"), pe)
+    assert(pe.contains("partial_sum") || pe.contains("partial_count"), pe)
+    // near: band self-join on (band, band_hash); distinct-candidate
+    // count partial-aggregates before the val-id exchange
+    val pn = plan("split_leakage_near")
+    assert(!pn.contains("Window"), pn)
+    assert(!pn.contains("CartesianProduct"), pn)
+  }
+
+  test("mixture schedule: one exchange (the per-source rank window)") {
+    val p = plan("mixture_schedule")
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("bigram NLL: corpus counts stream through joins, not windows") {
+    // the deliberate flip side of lm_surprisal's window (SCALE.md §9b):
+    // a hot bigram must be a streaming join probe, never a buffered
+    // window partition
+    val p = plan("lm_bigram_nll")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count"), p)  // map-side bigram combine
+  }
+
   test("bm25: stats broadcast onto a map-side tf scan, heap-merged top-k") {
     val p = plan("bm25_topk")
     // global top-k must be per-partition heaps + k-row driver merge,

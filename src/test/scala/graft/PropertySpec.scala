@@ -485,4 +485,110 @@ class PropertySpec extends SparkSpec {
         s"star rounds=$rounds (bound $bound)")
     }
   }
+
+  test("mixtureSchedule: WFQ prefix invariant on random weights/corpora") {
+    import graft.llm.Sampling
+    val caseGen = for {
+      nSources <- Gen.chooseNum(2, 5)
+      weights <- Gen.listOfN(nSources, Gen.chooseNum(1L, 9L))
+      sizes <- Gen.listOfN(nSources, Gen.chooseNum(0, 40))
+    } yield (weights, sizes)
+
+    (1 to 10).foreach { seed =>
+      val (ws, sizes) = sample(caseGen, seed)
+      val sources = ws.indices.map(i => s"s$i")
+      val rows = sources.zip(sizes).flatMap { case (src, n) =>
+        (1 to n).map(i => (s"$src-$i".hashCode.toLong * 1000 + i, src))
+      }
+      if (rows.nonEmpty) {
+        val out = Sampling.mixtureSchedule(
+            rows.toDF("doc_id", "source"), "doc_id", "source",
+            weights = sources.zip(ws))
+          .select("source", "sched_key").as[(String, Long)].collect()
+        val lcm = ws.reduce((a, b) => a / BigInt(a).gcd(BigInt(b)).toLong * b)
+        val stride = sources.zip(ws.map(lcm / _)).toMap
+        // invariant: among keys <= K, source i served exactly
+        // min(floor(K/stride_i), |i|) docs — the mixture holds in EVERY
+        // prefix of the schedule
+        val counts = sources.zip(sizes).toMap
+        val checkpoints = out.map(_._2).distinct.sorted.take(50)
+        for (k <- checkpoints; src <- sources) {
+          val served = out.count(r => r._1 == src && r._2 <= k)
+          val want = math.min(k / stride(src), counts(src).toLong)
+          assert(served == want, s"seed=$seed src=$src K=$k")
+        }
+      }
+    }
+  }
+
+  test("splitLeakageExact == brute force on random corpora with dups") {
+    import graft.llm.Sampling
+    val corpusGen = for {
+      n <- Gen.chooseNum(5, 60)
+      // small text universe → guaranteed cross-split duplicate pressure;
+      // occasional whitespace/case variants exercise normalization
+      texts <- Gen.listOfN(n, Gen.oneOf(
+        "alpha beta", "ALPHA   beta", "gamma delta", "gamma  DELTA",
+        "epsilon", "zeta eta theta", "unique words here"))
+      pct <- Gen.oneOf(0.3, 0.5, 0.8)
+    } yield (texts, pct)
+
+    def norm(s: String) =
+      java.text.Normalizer.normalize(
+        s.toLowerCase.replaceAll("\\s+", " ").trim,
+        java.text.Normalizer.Form.NFC)
+
+    (1 to 10).foreach { seed =>
+      val (texts, pct) = sample(corpusGen, seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      val split = Sampling.split(df, "doc_id", pct)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      val trainCounts = docs.filter(d => split(d._1) == "train")
+        .groupBy(d => norm(d._2)).view.mapValues(_.size.toLong).toMap
+      val expected = docs.filter(d => split(d._1) == "val").map { d =>
+        val n = trainCounts.getOrElse(norm(d._2), 0L)
+        (d._1, n, n > 0)
+      }.toSet
+      val got = Sampling.splitLeakageExact(df, "text", "doc_id", pct)
+        .select("doc_id", "n_train_dups", "leaked")
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(got == expected, s"seed=$seed pct=$pct")
+    }
+  }
+
+  test("bigramNll == brute-force add-one bigram model on random corpora") {
+    import graft.llm.Corpus
+    val vocabWords = Vector("a", "b", "c", "dd", "ee")
+    val corpusGen = for {
+      n <- Gen.chooseNum(2, 12)
+      docs <- Gen.listOfN(n, Gen.chooseNum(1, 8).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocabWords)).map(_.mkString(" "))))
+    } yield docs
+
+    (1 to 8).foreach { seed =>
+      val texts = sample(corpusGen, seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }
+      val v = toks.flatMap(_._2).distinct.size
+      val bigrams = toks.flatMap { case (id, ws) =>
+        ws.sliding(2).filter(_.size == 2).map(p => (id, p(0), p(1))) }
+      val c12 = bigrams.groupBy(b => (b._2, b._3)).view.mapValues(_.size).toMap
+      val c1 = bigrams.groupBy(_._2).view.mapValues(_.size).toMap
+      def nll9(w1: String, w2: String) =
+        BigDecimal(-math.log((c12((w1, w2)) + 1.0) / (c1(w1) + 1.0 * v)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      val expected = bigrams.groupBy(_._1).map { case (id, bs) =>
+        val s = bs.map(b => nll9(b._2, b._3)).sum
+        // engine divides the decimal sum AS A DOUBLE by the count (then
+        // rounds to 6 dp) — mirror that, not BigDecimal division
+        (id, bs.size.toLong,
+          BigDecimal(s.toDouble / bs.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSet
+      val got = Corpus.bigramNll(docs.toDF("doc_id", "text"), "text", "doc_id")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == expected, s"seed=$seed")
+    }
+  }
 }
