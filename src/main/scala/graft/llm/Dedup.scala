@@ -251,6 +251,40 @@ object Dedup {
     df.join(dropIds, Seq(idCol), "left_anti")
   }
 
+  /** The corpus reduced to its DISTINCT (band, band_hash) set — the
+    * PERSISTABLE artifact of incremental cross-corpus dedup. Store this
+    * (parquet/lakehouse table) once for the trained/reference corpus and
+    * run every incoming batch through [[keepAgainstBandSet]] without
+    * touching the reference corpus again; because banding is computed
+    * per document, the set is ADD-ONLY under reference appends —
+    * refreshing it is `union(bandSet(newRefDocs)).distinct`, never a
+    * recompute (spec-pinned in LlmSpec). Orders of magnitude smaller
+    * than the corpus: 2×16-byte-hash rows × bands per DISTINCT
+    * signature. */
+  def bandSet(df: DataFrame, textCol: String, idCol: String,
+              shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame =
+    bandRows(df, textCol, idCol, shingleN, k, bands)
+      .select("band", "band_hash").distinct()
+
+  /** [[crossCorpusKeep]]'s drop rule (no-confirm form) against a
+    * PRECOMPUTED reference band set — the steady-state daily-ingest
+    * path: yesterday's [[bandSet]] comes off storage, today's crawl
+    * pays only its own map-side banding plus one semi-join + one
+    * anti-join. The set frame may contain duplicates (a raw union of
+    * incremental refreshes); it is re-distincted here — a cheap
+    * aggregate of the small side, never the corpus. */
+  def keepAgainstBandSet(df: DataFrame, bandSetDf: DataFrame,
+                         textCol: String, idCol: String,
+                         shingleN: Int = 3, k: Int = 8,
+                         bands: Int = 4): DataFrame = {
+    val newBands = bandRows(df, textCol, idCol, shingleN, k, bands)
+    val dropIds = newBands
+      .join(bandSetDf.select("band", "band_hash").distinct(),
+        Seq("band", "band_hash"), "left_semi")
+      .select(col(idCol)).distinct()
+    df.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** [[crossCorpusKeep]] with the probe flipped map-side: the reference
     * corpus collapses to its distinct band-hash set, broadcast once, and
     * each new-corpus row carries its `bands` band hashes as COLUMNS (no

@@ -154,6 +154,36 @@ object TextAnalysis {
         }): _*)
   }
 
+  /** Blocklist tagger: per-document count/fraction of tokens from a
+    * curated term list (NSFW, spam, boilerplate markers — the standard
+    * tag-then-filter gate every web-corpus pipeline runs). Emits counts
+    * and a `flagged` bool (more than `maxHits` hits) rather than
+    * dropping rows, so kill rates are auditable per list before any
+    * filter commits — the same posture as [[gopherRules]]. Matching is
+    * case-insensitive whole-token membership; null text propagates null
+    * (un-taggable, not clean).
+    *
+    * Map-only single scan, no shuffle, no UDF: one lowered tokenize +
+    * one codegen'd HOF membership count per document. The term list
+    * rides the plan as a literal OR-chain — right up to a few hundred
+    * terms; a 10⁵+-term list should hash tokens and broadcast-join a
+    * (term) table instead (the [[QualityModel]] weights-table swap,
+    * same reasoning). */
+  def blocklist(df: DataFrame, textCol: String, idCol: String,
+                terms: Seq[String], maxHits: Long = 0L): DataFrame = {
+    require(terms.nonEmpty, "empty blocklist")
+    val lowered = terms.map(_.toLowerCase).distinct.sorted
+    val toks = tokens(lower(col(textCol)))
+    val n = size(toks).cast("long")
+    val hits = hitCount(toks, lowered).cast("long")
+    df.select(col(idCol),
+      n.as("n_tokens"),
+      hits.as("n_blocked"),
+      when(n > 0,
+        round(hits.cast("double") / n.cast("double"), 6)).as("blocked_frac"),
+      (hits > maxHits).as("flagged"))
+  }
+
   /** Flesch reading-ease + Flesch–Kincaid grade level — the classic
     * readability gates (curriculum ordering by difficulty, child-content
     * filtering, "too telegraphic / too baroque" outlier pruning).

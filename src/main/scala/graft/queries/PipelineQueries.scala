@@ -261,6 +261,11 @@ object PipelineQueries {
       TextAnalysis.qualityScore(Tables.documents(s, d), "text")
         .select("doc_id", "quality_score")),
 
+    // --- blocklist tagger: tag-then-filter term gate (map-only) -------------
+    "text_blocklist" -> ((s, d) =>
+      TextAnalysis.blocklist(Tables.documents(s, d), "text", "doc_id",
+        terms = Seq("slow", "crash", "stale"), maxHits = 1L)),
+
     // --- hashed-feature linear quality classifier (fastText-style gate
     // plumbing; deterministic stand-in weights, map-only single scan) ----
     "quality_classifier" -> ((s, d) =>
@@ -1251,6 +1256,18 @@ object PipelineQueries {
         .select("doc_id", "source")
     }),
 
+    // --- same drop rule via the PERSISTED band set: the incremental /
+    // steady-state ingest path (reference corpus never recomputed) ----------
+    "dedup_cross_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val srcNum = expr("cast(substring(source, 4) as int)")
+      val refSet = Dedup.bandSet(docs.filter(srcNum < 10), "text", "doc_id",
+        shingleN = 3, k = 8, bands = 4)
+      Dedup.keepAgainstBandSet(docs.filter(srcNum >= 10), refSet,
+        "text", "doc_id", shingleN = 3, k = 8, bands = 4)
+        .select("doc_id", "source")
+    }),
+
     // --- cross-corpus dedup WITH the exact-Jaccard confirm stage: band
     // collision nominates, exact shingle overlap ≥ 0.5 convicts ----------
     "dedup_cross_confirm" -> ((s, d) => {
@@ -1996,6 +2013,22 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
         s"""WITH $toksCte,
            |$qualityCte
            |SELECT doc_id, quality_score FROM q""".stripMargin,
+
+      "text_blocklist" ->
+        """WITH b AS (SELECT doc_id,
+          |                  string_split_regex(lower(text), '\s+') AS toks
+          |            FROM documents),
+          |h AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+          |             CAST(len(list_filter(toks, t ->
+          |               list_contains(['crash', 'slow', 'stale'], t)))
+          |               AS BIGINT) AS n_blocked
+          |      FROM b)
+          |SELECT doc_id, n_tokens, n_blocked,
+          |       CASE WHEN n_tokens > 0
+          |            THEN round(CAST(n_blocked AS DOUBLE) / n_tokens, 6)
+          |       END AS blocked_frac,
+          |       n_blocked > 1 AS flagged
+          |FROM h""".stripMargin,
 
       "text_langid" ->
         s"""WITH $toksCte,
@@ -3220,6 +3253,26 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       // survivors of the new corpus (src10+): docs with no MinHash band
       // collision against the reference corpus (src0-src9)
       "dedup_cross" ->
+        s"""WITH $shinglesCte,
+           |$minhashBandsCte,
+           |src AS (SELECT doc_id, source,
+           |               CAST(substr(source, 4) AS INT) AS src_num
+           |        FROM documents),
+           |refb AS (SELECT DISTINCT band, band_hash
+           |         FROM bands JOIN src USING (doc_id)
+           |         WHERE src_num < 10),
+           |hit AS (SELECT DISTINCT bands.doc_id
+           |        FROM bands JOIN src USING (doc_id)
+           |             JOIN refb USING (band, band_hash)
+           |        WHERE src_num >= 10)
+           |SELECT doc_id, source FROM src
+           |WHERE src_num >= 10
+           |  AND doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin,
+
+      // the incremental path drops EXACTLY the same rows as dedup_cross
+      // (the band set is the same distinct (band, band_hash) relation
+      // whether computed inline or off storage) — identical oracle
+      "dedup_cross_incr" ->
         s"""WITH $shinglesCte,
            |$minhashBandsCte,
            |src AS (SELECT doc_id, source,

@@ -624,6 +624,28 @@ class LlmSpec extends SparkSpec {
     assert(out.size == 6 && out.values.forall(c => c >= 0 && c < 3))
   }
 
+  test("blocklist: case-insensitive whole-token hits, threshold, nulls") {
+    val fixture = Seq(
+      (1L, "the CRASH took the server down, crash again"),
+      (2L, "perfectly clean text with no banned terms"),
+      (3L, "crashing is not crash-adjacent but crash is"),  // substrings don't hit
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.blocklist(fixture, "text", "doc_id",
+        terms = Seq("Crash", "banned"), maxHits = 1L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: "crash" hits once ("CRASH" lowercased) + "crash" once... but
+    // "down," carries punctuation — whole-token matching counts exactly
+    // the bare tokens: "CRASH" and "crash" (the trailing "again" keeps
+    // "crash" bare)
+    assert(out(1L).getLong(2) == 2L)
+    assert(out(1L).getBoolean(4))                   // 2 > maxHits=1
+    assert(out(2L).getLong(2) == 1L)                // "banned" appears
+    assert(!out(2L).getBoolean(4))                  // 1 hit not > 1
+    assert(out(3L).getLong(2) == 1L)                // only the bare "crash"
+    assert(out(4L).isNullAt(2) && out(4L).isNullAt(4)) // null text → null
+  }
+
   test("centroid drift: identical groups ≈1, orthogonal 0, guards hold") {
     val groups = Seq(
       ("a", Array(1.0f, 0.0f, 0.0f, 0.0f)),

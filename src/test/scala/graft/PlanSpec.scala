@@ -97,7 +97,7 @@ class PlanSpec extends SparkSpec {
 
   test("text repetition and pii scrub are map-only single scans") {
     Seq("text_repetition", "text_pii", "quality_rules",
-        "text_readability", "text_lang_mix").foreach { q =>
+        "text_readability", "text_lang_mix", "text_blocklist").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
       // executedPlan.toString renders whole-stage codegen spans as "*(n)"

@@ -244,6 +244,24 @@ class PropertySpec extends SparkSpec {
       assert(kept.subsetOf(fresh.map(_._1).toSet), s"seed=$seed")
       // ids 100, 101 are verbatim reference texts → all bands collide
       assert(!kept.contains(100L) && !kept.contains(101L), s"seed=$seed")
+
+      // the incremental path — a precomputed bandSet — drops EXACTLY the
+      // same rows as the inline reference computation
+      val viaSet = Dedup.keepAgainstBandSet(freshDf,
+          Dedup.bandSet(ref, "text", "doc_id"), "text", "doc_id")
+        .select("doc_id").as[Long].collect().toSet
+      assert(viaSet == kept, s"seed=$seed")
+
+      // band sets are ADD-ONLY under reference appends: refreshing with
+      // the new docs' set alone equals recomputing over the union
+      val (refA, refB) = refTexts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.splitAt(3)
+      val unioned = Dedup.bandSet(refA.toDF("doc_id", "text"), "text", "doc_id")
+        .union(Dedup.bandSet(refB.toDF("doc_id", "text"), "text", "doc_id"))
+        .distinct().as[(Int, String)].collect().toSet
+      val recomputed = Dedup.bandSet(ref, "text", "doc_id")
+        .as[(Int, String)].collect().toSet
+      assert(unioned == recomputed, s"seed=$seed")
     }
   }
 
