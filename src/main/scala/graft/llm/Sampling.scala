@@ -176,6 +176,37 @@ object Sampling {
       .withColumn("priority", round(col("priority"), 12))
   }
 
+  /** Per-GROUP weighted sample: [[weighted]]'s sequential-Poisson
+    * priorities ranked within each group — "k documents per domain,
+    * preferring high-quality ones", the stratified version of the
+    * quality-weighted subsample (a global top-k over-serves whichever
+    * domain happens to hold the best scores; per-domain caps are how
+    * real mixtures are built). Same bit-reproducible `u / w` priority,
+    * same add-stability (a new row displaces at most one row of its own
+    * group), same NULL/<=0/NaN weight exclusion.
+    *
+    * One shuffle on the group key; WindowGroupLimit keeps each
+    * partition's local top-k per group before the exchange, so the
+    * window never sees more than k × groups × partitions rows — the
+    * [[stratified]] plan shape with a weighted order. */
+  def weightedPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                       weightCol: String, k: Int,
+                       salt: String = ""): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val w = col(weightCol).cast("double")
+    val positive = df.filter(w > 0 && !isnan(w))
+    val u52 = conv(substring(hashKey(col(idCol), salt), 1, 13), 16, 10)
+      .cast("long").cast("double")
+    val pri = (u52 / lit(4503599627370496.0)) /
+      col(weightCol).cast("double")
+    val win = Window.partitionBy(col(groupCol))
+      .orderBy(pri, col(idCol))
+    positive.withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+      .withColumn("priority", round(pri, 12))
+  }
+
   /** Pack documents into token-budget shards per stratum: rows are laid
     * out in the stable (md5(id), id) order, and a document starts a new
     * shard when the RUNNING token count before it crosses a `budget`
@@ -301,6 +332,27 @@ object Sampling {
         col("cum_before").cast("decimal(38,0)") * lit(pDen) <
           col("group_total").cast("decimal(38,0)") * lit(pNum))
   }
+
+  /** Materialize a packed corpus as loader-ready shard files — the last
+    * mile after [[packShards]] computed (shard_id, shard_offset): one
+    * directory per shard (`shard_id=N/`), rows inside each file in
+    * shard_offset order, so a data loader seeks by the offsets
+    * [[packShards]] emitted. `sortWithinPartitions` after the shard
+    * repartition gives the in-file order WITHOUT a global sort — each
+    * shard sorts independently inside its write task, and
+    * `maxRecordsPerFile` bounds file sizes without another shuffle.
+    * One exchange total (the shard hash repartition); at 100 TB shard
+    * count scales with corpus/budget, so tasks stay uniform by
+    * construction (shards are token-budget-balanced). */
+  def writeShards(df: DataFrame, shardCol: String, offsetCol: String,
+                  outDir: String, maxRecordsPerFile: Long = 1000000L): Unit =
+    df.repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol), col(offsetCol))
+      .write
+      .partitionBy(shardCol)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .parquet(outDir)
 
   /** Deterministic mixture interleave: a global training-order key that
     * serves each source at its mixture rate ("3 code docs per 7 web docs",

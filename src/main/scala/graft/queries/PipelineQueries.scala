@@ -1131,6 +1131,14 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_chars").as("weight"),
           col("priority"))),
 
+    // --- per-domain weighted caps: the stratified quality-weighted sample ---
+    "sample_weighted_group" -> ((s, d) =>
+      Sampling.weightedPerGroup(
+        Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+        "source", "doc_id", "n_chars", k = 10)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").as("weight"), col("priority"))),
+
     // --- nucleus (top-p) curation by token budget: keep the best half of
     // every source in TOKENS, ordered by quality — the gate is pure long
     // arithmetic (cum_before·2 < total·1), no float threshold ------------
@@ -2961,6 +2969,21 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |  WHERE n_chars > 0)
           |SELECT doc_id, n_chars AS weight, round(pri, 12) AS priority
           |FROM p ORDER BY pri, doc_id LIMIT 100""".stripMargin,
+
+      "sample_weighted_group" ->
+        """WITH p AS (
+          |  SELECT doc_id, source, n_chars,
+          |         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+          |            ::BIGINT / 4503599627370496.0)
+          |           / CAST(n_chars AS DOUBLE) AS pri
+          |  FROM documents
+          |  WHERE n_chars > 0)
+          |SELECT doc_id, source, n_chars AS weight,
+          |       round(pri, 12) AS priority
+          |FROM (SELECT *, row_number() OVER (PARTITION BY source
+          |                  ORDER BY pri, doc_id) AS rn
+          |      FROM p)
+          |WHERE rn <= 10""".stripMargin,
 
       // mirror Sampling.topPByBudget over the quality score: exact long
       // cumulative sums, the rational gate cum_before·2 < total·1

@@ -124,6 +124,13 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size == 1, p)
   }
 
+  test("per-group weighted sample: WindowGroupLimit before the exchange") {
+    // rank<=k must push into per-partition top-k so the group window
+    // never buffers more than k × groups × partitions rows
+    val p = plan("sample_weighted_group")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("bigram NLL: corpus counts stream through joins, not windows") {
     // the deliberate flip side of lm_surprisal's window (SCALE.md §9b):
     // a hot bigram must be a streaming join probe, never a buffered

@@ -87,6 +87,61 @@ class SplitHygieneSpec extends SparkSpec {
     }
   }
 
+  test("weightedPerGroup == per-group brute force; caps each group at k") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val rows = (1L to 40L).map(i =>
+      (i, if (i <= 25) "big" else "small", (i % 7 + 1).toDouble))
+    val df = rows.toDF("doc_id", "grp", "w")
+    val got = Sampling.weightedPerGroup(df, "grp", "doc_id", "w", k = 5)
+      .select("grp", "doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = rows.groupBy(_._2).view.mapValues { rs =>
+      rs.sortBy { case (id, _, w) =>
+        val u = java.lang.Long.parseLong(md5hex(id.toString).take(13), 16)
+        ((u / 4503599627370496.0) / w, id)
+      }.take(5).map(_._1).toSet
+    }.toMap
+    assert(got == expected)
+    assert(got.values.forall(_.size == 5))
+  }
+
+  test("writeShards: one dir per shard, offset order inside each file") {
+    val docs = (1L to 50L).map(i => (i, s"src${i % 3}", 100L))
+      .toDF("doc_id", "lang", "tokens")
+    val packed = Sampling.packShards(docs, "lang", "doc_id", "tokens",
+      budget = 1000L)
+    val tmp = java.nio.file.Files.createTempDirectory("shards_").toString
+    try {
+      Sampling.writeShards(packed, "shard_id", "shard_offset", tmp)
+      val back = spark.read.parquet(tmp)
+      // round-trip: every (doc, shard, offset) survives exactly
+      val want = packed.select("doc_id", "shard_id", "shard_offset")
+        .as[(Long, String, Long)].collect().toSet
+      val got = back.select("doc_id", "shard_id", "shard_offset")
+        .as[(Long, String, Long)].collect().toSet
+      assert(got == want)
+      // layout: hive-style one directory per shard id
+      val dirs = new java.io.File(tmp).listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(dirs == want.map(w => s"shard_id=${w._2}"))
+      // in-file order: rows come back in ascending shard_offset per file
+      for (d <- new java.io.File(tmp).listFiles() if d.isDirectory;
+           f <- d.listFiles() if f.getName.endsWith(".parquet")) {
+        val offs = spark.read.parquet(f.getAbsolutePath)
+          .select("shard_offset").as[Long].collect().toSeq
+        assert(offs == offs.sorted, s"unsorted file in ${d.getName}")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   test("mixtureSchedule: exact WFQ prefix counts at every threshold") {
     val corpus = (1L to 60L).map(i =>
       (i, if (i % 3 == 0) "code" else "web")).toDF("doc_id", "source")
