@@ -586,4 +586,104 @@ object Corpus {
       .select(col(sourceCol), col("docs"), col("tokens"),
         col("vocab_est"), col("len_p50"), col("len_p90"), col("len_p99"))
   }
+
+  /** DSIR-style importance resampling (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): pick the
+    * `n` raw-corpus documents whose hashed-n-gram feature distribution
+    * looks most like a TARGET corpus, with Gumbel noise so the pick is a
+    * SAMPLE proportional to the importance weight, not a diversity-
+    * collapsing argmax of it.
+    *
+    * Model: features are unigrams AND adjacent bigrams hashed into
+    * `buckets` ids (16-bit md5 prefix mod `buckets` — [[QualityModel]]'s
+    * bucket function). Both corpora reduce to add-`addK`-smoothed bucket
+    * multinomials; a document's log importance weight is
+    * `Σ_f tf(f) · [ln p_target(f) − ln p_raw(f)]`. Gumbel-top-k then
+    * samples ∝ exp(logw): `priority = logw + (−ln(−ln u))` with `u` the
+    * 52-bit md5 uniform of (salt ∥ id) — deterministic, add-stable, and
+    * engine-portable like every sampler in [[Sampling]].
+    *
+    * Output: the selected rows as (id, n_feats, logw, priority), priority
+    * descending then id. Raw documents whose text yields zero features
+    * cannot be scored and are not candidates. Float discipline: counts
+    * are exact longs; each bucket's log-ratio is 9-dp-fixed decimal and
+    * the per-doc sum is an exact decimal weighted sum (the
+    * [[unigramSurprisal]] discipline); the Gumbel term is two `ln`s on an
+    * exactly-dyadic uniform, rounded to 6 dp before ranking with the id
+    * as the total-order tiebreak (the [[bm25TopK]] precedent: only a
+    * value landing within an ulp of a 6-dp rounding boundary could ever
+    * rank differently across engines).
+    *
+    * Plan shape at 100 TB: both corpora collapse map-side to ≤ `buckets`
+    * rows (two tiny hash aggregates — partial-combined explodes, nothing
+    * doc-grained shuffles); the log-ratio table (≤ `buckets` rows) and
+    * the two scalar totals broadcast onto the per-doc bucket counts
+    * (map-side-combined groupBy); one per-doc regroup, then the top-n is
+    * TakeOrderedAndProject (per-partition heaps, n-row driver merge — no
+    * global sort). The raw corpus is scanned twice (once for the raw
+    * model, once for scoring) — cache the feature frame if the pipeline
+    * runs both from the same job. */
+  def dsirSample(raw: DataFrame, target: DataFrame, textCol: String,
+                 idCol: String, n: Int, buckets: Int = 4096,
+                 addK: Double = 1.0, salt: String = ""): DataFrame = {
+    require(n > 0, s"n=$n must be positive")
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets=$buckets not in 1..65536 (bucket is a 16-bit md5 prefix)")
+    require(addK > 0, s"addK=$addK must be positive (unsmoothed ratios " +
+      "are undefined on buckets unseen in either corpus)")
+    def bucket(t: Column): Column =
+      conv(substring(md5(t), 1, 4), 16, 10).cast("long") % buckets
+    // unigram + adjacent-bigram feature buckets of one document (the
+    // size guard matters: sequence(0, -1) would generate a DESCENDING
+    // two-element sequence, not an empty one)
+    def feats(text: Column): Column = {
+      val toks = TextAnalysis.tokens(text)
+      val bi = transform(sequence(lit(0), size(toks) - 2), i =>
+        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
+      concat(transform(toks, bucket(_)),
+        when(size(toks) >= 2, transform(bi, bucket(_)))
+          .otherwise(array().cast("array<long>")))
+    }
+    def bucketCounts(df: DataFrame): DataFrame = spread(df)
+      .select(explode(feats(col(textCol))).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+    val tCounts = bucketCounts(target)
+      .withColumnRenamed("__c", "__ct")
+    val rCounts = bucketCounts(raw).withColumnRenamed("__c", "__cr")
+    val tTotal = tCounts.agg(sum(col("__ct")).as("__nt"))
+    val rTotal = rCounts.agg(sum(col("__cr")).as("__nr"))
+    val d = (c: Column) => c.cast("double")
+    // every scorable bucket occurs in the raw corpus, so the ratio table
+    // is raw-anchored with target counts left-joined (absent → 0)
+    val ratios = rCounts
+      .join(tCounts, Seq("__b"), "left")
+      .crossJoin(broadcast(tTotal)).crossJoin(broadcast(rTotal))
+      .select(col("__b"),
+        round(
+          log((d(coalesce(col("__ct"), lit(0L))) + lit(addK)) /
+            (d(col("__nt")) + lit(addK * buckets))) -
+          log((d(col("__cr")) + lit(addK)) /
+            (d(col("__nr")) + lit(addK * buckets))), 9)
+          .cast("decimal(28,9)").as("__r9"))
+    val docBuckets = spread(raw)
+      .select(col(idCol), explode(feats(col(textCol))).as("__b"))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__tf"))
+    val scored = docBuckets
+      .join(broadcast(ratios), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).as("n_feats"),
+        sum(col("__tf").cast("decimal(9,0)") * col("__r9")).as("__lw"))
+    // u strictly inside (0,1): (k + 0.5) / 2^52 — exactly dyadic, so
+    // both engines feed ln identical doubles
+    val u = (conv(substring(md5(concat(lit(salt),
+      col(idCol).cast("string"))), 1, 13), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    scored
+      .withColumn("logw", round(col("__lw").cast("double"), 6))
+      .withColumn("priority",
+        round(col("__lw").cast("double") - log(-log(u)), 6))
+      .select(col(idCol), col("n_feats"), col("logw"), col("priority"))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(n)
+  }
 }

@@ -286,6 +286,17 @@ object PipelineQueries {
         .select("doc_id", "token_count", "score_linear", "quality_prob")
     }),
 
+    // --- DSIR importance resampling: the 100 docs (of the non-src0 pool)
+    // whose hashed-n-gram distribution looks most like the src0 target,
+    // Gumbel-sampled ∝ importance weight (Xie et al. 2023) ---------------
+    "sample_dsir" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Corpus.dsirSample(
+        raw = docs.filter(col("source") =!= "src0"),
+        target = docs.filter(col("source") === "src0"),
+        "text", "doc_id", n = 100, buckets = 4096, salt = "dsir")
+    }),
+
     // --- Gopher rule-based filter: measured values + per-rule flags +
     // the conjunction (the canonical pre-model web-corpus gate) ----------
     "quality_rules" -> ((s, d) =>
@@ -3444,6 +3455,58 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |       round(CAST(sum(CAST(cnt AS DECIMAL(9,0)) * ent9) AS DOUBLE)
           |             / CAST(max(n) AS DOUBLE), 6) AS char_entropy
           |FROM e GROUP BY 1""".stripMargin,
+
+      // mirrors Corpus.dsirSample: uni+bigram features bucketed by the
+      // 16-bit md5 prefix mod 4096; 9-dp-fixed log-ratios summed as exact
+      // decimals per doc; Gumbel priority from the 52-bit md5 uniform,
+      // rounded to 6 dp before the (priority DESC, doc_id) top-100
+      "sample_dsir" ->
+        """WITH td AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+          |            FROM documents WHERE source = 'src0'),
+          |rd AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+          |       FROM documents WHERE source != 'src0'),
+          |tfeat AS (SELECT ('0x' || substr(md5(f), 1, 4))::BIGINT % 4096
+          |            AS b
+          |          FROM (SELECT unnest(w) AS f FROM td
+          |                UNION ALL
+          |                SELECT w[i] || ' ' || w[i + 1]
+          |                FROM (SELECT w,
+          |                        unnest(generate_series(1, len(w) - 1))
+          |                          AS i
+          |                      FROM td WHERE len(w) >= 2))),
+          |tc AS (SELECT b, count(*) AS ct FROM tfeat GROUP BY 1),
+          |rfeat AS (SELECT doc_id,
+          |            ('0x' || substr(md5(f), 1, 4))::BIGINT % 4096 AS b
+          |          FROM (SELECT doc_id, unnest(w) AS f FROM rd
+          |                UNION ALL
+          |                SELECT doc_id, w[i] || ' ' || w[i + 1]
+          |                FROM (SELECT doc_id, w,
+          |                        unnest(generate_series(1, len(w) - 1))
+          |                          AS i
+          |                      FROM rd WHERE len(w) >= 2))),
+          |rc AS (SELECT b, count(*) AS cr FROM rfeat GROUP BY 1),
+          |nt AS (SELECT sum(ct) AS nt FROM tc),
+          |nr AS (SELECT sum(cr) AS nr FROM rc),
+          |rat AS (SELECT rc.b,
+          |          CAST(round(
+          |            ln((CAST(coalesce(tc.ct, 0) AS DOUBLE) + 1.0) /
+          |               (CAST(nt.nt AS DOUBLE) + 4096.0)) -
+          |            ln((CAST(rc.cr AS DOUBLE) + 1.0) /
+          |               (CAST(nr.nr AS DOUBLE) + 4096.0)), 9)
+          |            AS DECIMAL(28,9)) AS r9
+          |        FROM rc LEFT JOIN tc USING (b), nt, nr),
+          |db AS (SELECT doc_id, b, count(*) AS tf FROM rfeat GROUP BY 1, 2),
+          |sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_feats,
+          |              sum(CAST(tf AS DECIMAL(9,0)) * r9) AS lw
+          |       FROM db JOIN rat USING (b) GROUP BY 1)
+          |SELECT doc_id, n_feats,
+          |       round(CAST(lw AS DOUBLE), 6) AS logw,
+          |       round(CAST(lw AS DOUBLE) - ln(-ln(
+          |         (('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)),
+          |             1, 13))::BIGINT + 0.5) / 4503599627370496.0)), 6)
+          |         AS priority
+          |FROM sc
+          |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin,
 
       // bucket/weight arithmetic mirrors QualityModel.score exactly:
       // 16-bit md5 prefix mod 256, integer weights summed exactly, one

@@ -429,4 +429,39 @@ class CorpusQuantizeSpec extends SparkSpec {
     assert(!l(5L)._2 && l(5L)._3)
     assert(l(6L)._2 && !l(6L)._3)
   }
+
+  test("dsir: target-like docs outweigh target-unlike; features = uni+bi") {
+    import graft.llm.Corpus
+    // target corpus speaks "alpha beta gamma"; the raw pool holds docs in
+    // the target's vocabulary and docs in a disjoint one
+    val target = Seq.tabulate(8)(i => (100L + i, "alpha beta gamma alpha beta"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha beta alpha beta"),
+      (3L, "zeta omega rho sigma"),
+      (4L, "omega zeta sigma rho")).toDF("doc_id", "text")
+    val all = Corpus.dsirSample(raw, target, "text", "doc_id", n = 4,
+      buckets = 4096, salt = "t")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(all.size == 4)
+    // n_feats = tokens + bigrams = 4 + 3 for every doc here
+    all.values.foreach(r => assert(r._2 == 7L, r))
+    // every in-vocabulary doc scores a higher importance weight than
+    // every out-of-vocabulary doc
+    val inV = Seq(all(1L)._3, all(2L)._3)
+    val outV = Seq(all(3L)._3, all(4L)._3)
+    assert(inV.min > outV.max, s"in=$inV out=$outV")
+    // top-2 selection keeps the target-like docs even with Gumbel noise
+    // this large a gap apart
+    val top2 = Corpus.dsirSample(raw, target, "text", "doc_id", n = 2,
+      buckets = 4096, salt = "t").select("doc_id")
+      .as[Long].collect().toSet
+    assert(top2 == Set(1L, 2L), top2)
+    // deterministic under repartitioning
+    val again = Corpus.dsirSample(raw.repartition(7), target.repartition(3),
+      "text", "doc_id", n = 4, buckets = 4096, salt = "t")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(again == all)
+  }
 }
