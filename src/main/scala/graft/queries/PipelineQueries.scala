@@ -422,6 +422,24 @@ object PipelineQueries {
           col("neighbor_id"))
     }),
 
+    // --- product quantization: 64 floats → 8 codes (32×), map-only encode
+    // against seeded literal codebooks (Jégou et al. 2011) ----------------
+    "embed_pq_codes" -> ((s, d) =>
+      graft.llm.Pq.encode(Tables.embeddings(s, d), "vec_id", "embedding",
+        m = 8, k = 16, subDim = 8)
+        .select(col("vec_id"), posexplode(col("codes")))
+        .select(col("vec_id"), col("pos").cast("long").as("subspace"),
+          col("col").cast("long").as("code"))),
+
+    // --- ANN over the PQ-compressed corpus: asymmetric-distance (ADC)
+    // top-k — exact queries vs reconstructed codewords, the RAM-bound
+    // billion-vector serving shape ----------------------------------------
+    "ann_pq_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.llm.Pq.adcTopK(e, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", topK = 5, m = 8, k = 16, subDim = 8)
+    }),
+
     // --- ANN: recall@k of the LSH path vs the exact baseline ---------------
     // The measurement that sizes b/bands/probes for a corpus: exact top-k
     // on a query sample vs the approximate result, per-query hit fraction.
@@ -1534,6 +1552,39 @@ object PipelineQueries {
   /** Mirror of [[Similarity.randomProjection]]: component j as a DuckDB
     * select item — same planes, same √dimOut scale constant (rendered via
     * Double.toString, which round-trips exactly), same 6-dp round. */
+  /** Mirror of [[graft.llm.Pq.encode]]: CTEs `e` (doubled vectors), `cb`
+    * (the m×k seeded codebooks + their self-dots as VALUES literals —
+    * stringified from the SAME arrays the Spark plan inlines), `sub`
+    * (per-subspace slices), and `a` (the argmin code per (vec, subspace),
+    * ties toward the lower code). */
+  private def pqEncodeCtes(m: Int, k: Int, subDim: Int): String = {
+    val cbs = graft.llm.Pq.codebooks(m, k, subDim)
+    val values = (for { j <- 0 until m; c <- 0 until k } yield {
+      val cb = cbs(j)(c)
+      val lst = cb.map(java.lang.Double.toString).mkString("[", ", ", "]")
+      val l = java.lang.Double.toString(graft.llm.Pq.selfDot(cb))
+      s"($j, $c, $lst, $l)"
+    }).mkString(",\n      ")
+    val dim = m * subDim
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |      FROM embeddings WHERE len(embedding) >= $dim),
+       |cb(j, c, cv, l) AS (VALUES
+       |      $values),
+       |sub AS (SELECT vec_id, js.j,
+       |          list_slice(v, js.j * $subDim + 1, js.j * $subDim + $subDim)
+       |            AS sv
+       |        FROM e, (SELECT unnest(generate_series(0, ${m - 1})) AS j)
+       |               js),
+       |s AS (SELECT vec_id, sub.j, c,
+       |        l - 2.0 * list_dot_product(sv, cv) AS s
+       |      FROM sub JOIN cb ON cb.j = sub.j),
+       |a AS (SELECT vec_id, j, c FROM (
+       |        SELECT vec_id, j, c,
+       |               row_number() OVER (PARTITION BY vec_id, j
+       |                                  ORDER BY s, c) AS rn
+       |        FROM s) WHERE rn = 1)""".stripMargin
+  }
+
   private def projectionSql(v: String, dimOut: Int, dimIn: Int): String = {
     val scale = java.lang.Double.toString(1.0 / math.sqrt(dimOut.toDouble))
     Similarity.rotationPlanes(dimOut, dimIn).map { p =>
@@ -2199,6 +2250,35 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |WHERE shared_ngrams >= 2""".stripMargin,
 
       // the int8 grid from embed_quantize's oracle, dequantized, then
+      "embed_pq_codes" ->
+        (s"WITH ${pqEncodeCtes(8, 16, 8)}\n" +
+          """SELECT vec_id, CAST(j AS BIGINT) AS subspace,
+            |       CAST(c AS BIGINT) AS code
+            |FROM a""".stripMargin),
+
+      // ADC: dot(recon,recon) − 2·dot(q,recon) — both the shared
+      // sequential-fold dot on literal-derived doubles, so the ranking
+      // (and the sample) is bit-identical across engines
+      "ann_pq_topk" ->
+        (s"WITH ${pqEncodeCtes(8, 16, 8)},\n" +
+          """recon AS (SELECT vec_id, flatten(list(cv ORDER BY a.j)) AS rv
+            |          FROM a JOIN cb ON cb.j = a.j AND cb.c = a.c
+            |          GROUP BY vec_id),
+            |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[])
+            |        AS qv
+            |      FROM embeddings WHERE vec_id < 20
+            |        AND len(embedding) >= 64),
+            |sc AS (SELECT q.query_id, r.vec_id AS neighbor_id,
+            |         list_dot_product(rv, rv)
+            |           - 2.0 * list_dot_product(qv, rv) AS d
+            |       FROM recon r, q WHERE r.vec_id <> q.query_id)
+            |SELECT query_id, rank, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id,
+            |         CAST(row_number() OVER (PARTITION BY query_id
+            |                                 ORDER BY d, neighbor_id)
+            |           AS BIGINT) AS rank
+            |  FROM sc) WHERE rank <= 5""".stripMargin),
+
       // ann_brute_topk's ranking verbatim
       "ann_int8_topk" ->
         """WITH e0 AS (

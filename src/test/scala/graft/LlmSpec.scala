@@ -219,6 +219,37 @@ class LlmSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, 1L), (2, 3L), (3, 2L)))
   }
 
+  test("pq: codes hit the nearest codeword; adc ranks near-exact L2") {
+    import graft.llm.Pq
+    // codebooks(m=2, k=4, subDim=2): encode a vector PLACED EXACTLY ON a
+    // codeword — the argmin must pick that codeword with distance 0
+    val cbs = Pq.codebooks(m = 2, k = 4, subDim = 2)
+    val onGrid = (cbs(0)(2) ++ cbs(1)(1)).map(_.toFloat)
+    val vecs = Seq(
+      (0L, onGrid),
+      (1L, Array(0.9f, 0.1f, -0.4f, 0.2f)),
+      (2L, Array(-0.9f, -0.1f, 0.4f, -0.2f))
+    ).toDF("vec_id", "embedding")
+    val codes = Pq.encode(vecs, "vec_id", "embedding",
+      m = 2, k = 4, subDim = 2)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes(0L) == Seq(2, 1), codes(0L))
+    codes.values.foreach(cs => assert(cs.forall(c => c >= 0 && c < 4)))
+    // ADC against the on-grid corpus vector reconstructs it exactly, so
+    // querying with that same vector ranks it before the mirrored one
+    val out = Pq.adcTopK(vecs, vecs.filter($"vec_id" === 0L),
+      "vec_id", "embedding", topK = 2, m = 2, k = 4, subDim = 2)
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().sorted
+    assert(out.length == 2 && out.map(_._2).distinct.length == 2)
+    // determinism: encode is partition-order-invariant
+    val again = Pq.encode(vecs.repartition(5), "vec_id", "embedding",
+      m = 2, k = 4, subDim = 2).as[(Long, Seq[Int])].collect().toMap
+    assert(again == codes)
+    // short vectors are dropped, never partially encoded
+    val short = Seq((9L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    assert(Pq.encode(short, "vec_id", "embedding", 2, 4, 2).count() == 0)
+  }
+
   test("sign-LSH only pairs same-bucket vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 1.0f)), (1L, Array(2.0f, 3.0f)),   // bucket 11
