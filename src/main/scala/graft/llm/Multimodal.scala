@@ -62,6 +62,45 @@ object Multimodal {
     df.withColumn("byte_len", octet_length(col(binCol)))
       .withColumn("content_hash", md5(col(binCol)))
 
+  /** Fuzzy binary-asset fingerprint: SimHash over overlapping byte
+    * shingles — the codec-free near-duplicate signature for media
+    * payloads ([[binaryMeta]]'s content hash catches only EXACT copies;
+    * re-muxed/retagged assets differ in a few bytes and need a
+    * locality-sensitive signature; perceptual hashes need a decoder this
+    * container doesn't ship — byte-shingle SimHash is the portable
+    * stand-in with the same blocking/pairing machinery).
+    *
+    * Shingling runs on the BASE64 text of the payload (both engines
+    * render RFC-4648 without line breaks): windows of `window` chars
+    * every `stride` chars (defaults 8/4 = 6 bytes every 3 — byte-aligned
+    * since 4 base64 chars = 3 bytes). The signature is the shared
+    * [[graft.functions.SimHashUtil]] kernel, so
+    * [[Dedup.simhashPairs]]' chunk blocking, density cap, and hamming
+    * verification compose unchanged. Payloads shorter than one window
+    * emit no signature.
+    *
+    * Map-only single scan (codegen'd scalar per row, no shuffle); the
+    * pair stage inherits simhashPairs' bounded-join shape. At 100 TB the
+    * signature (16 chars) replaces the blob in every downstream
+    * exchange — run [[binaryMeta]]+exact dedup first, then this on the
+    * survivors. */
+  def binarySimhash(df: DataFrame, idCol: String, binCol: String,
+                    window: Int = 8, stride: Int = 4): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"window=$window stride=$stride")
+    // Spark's base64 emits RFC-2045 MIME chunking (CRLF every 76 chars);
+    // strip it so the shingle stream matches the RFC-4648 text DuckDB
+    // and most other engines render
+    val b64 = translate(base64(col(binCol)), "\r\n", "")
+    val shingles = transform(
+      sequence(lit(0), ((length(b64) - window) / stride).cast("int")),
+      i => b64.substr(i * stride + 1, lit(window)))
+    graft.core.Tables.spread(df)
+      .filter(length(b64) >= window)
+      .select(col(idCol),
+        graft.functions.SimHashUtil.simhash64(shingles).as("simhash_bits"))
+  }
+
   /** Decode stage: mapPartitions over (id, bytes) in fixed-size batches —
     * the Scala analogue of an Arrow-batched `mapInPandas` decode. The
     * batching bound (`batchSize`) is what keeps peak memory flat when rows

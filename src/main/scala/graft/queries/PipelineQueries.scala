@@ -38,6 +38,46 @@ object PipelineQueries {
   private def sqlStringList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
+  /** SQL fragment: SimHash signature + chunk-blocked pairing from a CTE
+    * `toks(doc_id, tok)` — the shared tail of every SimHash-family oracle
+    * (keep in sync with [[graft.functions.SimHashUtil]] and
+    * [[Dedup.simhashPairs]]). Expects to be appended after `WITH …,`. */
+  private val simhashPairsFromToksSql =
+    """tf AS (
+      |  SELECT doc_id, tok, count(*) AS cnt, md5(tok) AS h
+      |  FROM toks GROUP BY 1, 2),
+      |bits AS (
+      |  SELECT doc_id, pos,
+      |         sum(CASE WHEN CAST(floor(
+      |               (strpos('0123456789abcdef',
+      |                       substr(h, CAST(pos // 4 AS INT) + 1, 1)) - 1)
+      |               / 2 ** (3 - pos % 4)) AS INT) % 2 = 1
+      |             THEN cnt ELSE -cnt END) AS s
+      |  FROM tf, generate_series(0, 63) t(pos)
+      |  GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT doc_id,
+      |         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+      |                    ORDER BY pos) AS bits
+      |  FROM bits GROUP BY doc_id),
+      |chunks AS (
+      |  SELECT doc_id, bits, i AS chunk,
+      |         substr(bits, i * 16 + 1, 16) AS cv
+      |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS i) t),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         a.bits AS ba, b.bits AS bb
+      |  FROM chunks a JOIN chunks b
+      |    ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id),
+      |h AS (
+      |  SELECT id_a, id_b,
+      |         CAST(list_sum(list_transform(generate_series(1, 64),
+      |           i -> CASE WHEN substr(ba, CAST(i AS INT), 1)
+      |                          = substr(bb, CAST(i AS INT), 1)
+      |                     THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+      |  FROM pairs)
+      |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 3""".stripMargin
+
   /** bm25_topk's query terms + Okapi constants — shared by the Spark
     * registration and the oracle so the doubles in both engines parse
     * from the SAME shortest-repr literals (a hand-written `2.2` in SQL
@@ -192,6 +232,19 @@ object PipelineQueries {
         "doc_id", maxHamming = 3)
         .select(col("id_a"), col("id_b"),
           col("hamming").cast("long").as("hamming"))),
+
+    // --- fuzzy binary-asset near-dup: byte-shingle SimHash over the
+    // base64 payload (codec-free media near-dup; exact copies are
+    // mm_dedup's job), through the same chunk-blocked pair stage --------
+    "mm_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("payload", encode(col("text"), "utf-8"))
+      Dedup.simhashPairs(
+        Multimodal.binarySimhash(docs, "doc_id", "payload"),
+        "doc_id", maxHamming = 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+    }),
 
     // --- n-gram Jaccard near-dup pairs --------------------------------------
     "dedup_ngram_jaccard" -> ((s, d) =>
@@ -1802,43 +1855,25 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |WHERE doc_id NOT IN (SELECT id FROM dupes)""".stripMargin,
 
       "dedup_simhash_pairs" ->
-        """WITH toks AS (
+        ("""WITH toks AS (
           |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
           |  FROM documents),
-          |tf AS (
-          |  SELECT doc_id, tok, count(*) AS cnt, md5(tok) AS h
-          |  FROM toks GROUP BY 1, 2),
-          |bits AS (
-          |  SELECT doc_id, pos,
-          |         sum(CASE WHEN CAST(floor(
-          |               (strpos('0123456789abcdef',
-          |                       substr(h, CAST(pos // 4 AS INT) + 1, 1)) - 1)
-          |               / 2 ** (3 - pos % 4)) AS INT) % 2 = 1
-          |             THEN cnt ELSE -cnt END) AS s
-          |  FROM tf, generate_series(0, 63) t(pos)
-          |  GROUP BY 1, 2),
-          |sig AS (
-          |  SELECT doc_id,
-          |         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
-          |                    ORDER BY pos) AS bits
-          |  FROM bits GROUP BY doc_id),
-          |chunks AS (
-          |  SELECT doc_id, bits, i AS chunk,
-          |         substr(bits, i * 16 + 1, 16) AS cv
-          |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS i) t),
-          |pairs AS (
-          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-          |         a.bits AS ba, b.bits AS bb
-          |  FROM chunks a JOIN chunks b
-          |    ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id),
-          |h AS (
-          |  SELECT id_a, id_b,
-          |         CAST(list_sum(list_transform(generate_series(1, 64),
-          |           i -> CASE WHEN substr(ba, CAST(i AS INT), 1)
-          |                          = substr(bb, CAST(i AS INT), 1)
-          |                     THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
-          |  FROM pairs)
-          |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 3""".stripMargin,
+          |""".stripMargin + simhashPairsFromToksSql),
+
+      // identical signature+blocking derivation, fed by base64 byte
+      // shingles (window 8 / stride 4) instead of word tokens — mirrors
+      // Multimodal.binarySimhash ∘ Dedup.simhashPairs
+      "mm_neardup" ->
+        ("""WITH b AS (SELECT doc_id, to_base64(encode(text)) AS b64
+          |           FROM documents),
+          |toks AS (
+          |  SELECT doc_id, substr(b64, i * 4 + 1, 8) AS tok
+          |  FROM (SELECT doc_id, b64,
+          |          unnest(generate_series(0,
+          |            CAST((len(b64) - 8) // 4 AS INT))) AS i
+          |        FROM b WHERE len(b64) >= 8)),
+          |""".stripMargin + simhashPairsFromToksSql),
+
 
       "dedup_ngram_jaccard" ->
         s"""WITH $shinglesCte,

@@ -182,6 +182,28 @@ class LlmSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L))) // hamming 0
   }
 
+  test("binary simhash: retagged payload pairs with original, cross-asset not") {
+    import graft.llm.Multimodal
+    val base = ("header" + ("the quick brown fox jumps over the dog " * 20))
+    val rows = Seq(
+      (1L, base),
+      (2L, "HEADER" + base.drop(6)),     // same body, 6-byte "tag" change
+      (3L, scala.util.Random.javaRandomToRandom(
+        new java.util.Random(7)).alphanumeric.take(800).mkString),
+      (4L, "ab")                          // 4 base64 chars < one window
+    ).toDF("doc_id", "text")
+      .withColumn("payload", encode($"text", "utf-8"))
+    val sig = Multimodal.binarySimhash(rows, "doc_id", "payload")
+    val sigs = sig.as[(Long, String)].collect().toMap
+    assert(!sigs.contains(4L), "sub-window payload must emit no signature")
+    assert(sigs(1L).length == 64 && sigs(1L).matches("[01]+"))
+    val pairs = graft.llm.Dedup.simhashPairs(sig, "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"near-identical payloads must pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"random payload must not pair: $pairs")
+  }
+
   test("degenerate inputs null out, never throw under ANSI mode") {
     import graft.llm.{Similarity, TextAnalysis}
     // empty text: nChar = 0 → punct_ratio must be null (0/0 would be a
