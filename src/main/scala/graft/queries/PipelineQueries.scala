@@ -38,6 +38,35 @@ object PipelineQueries {
   private def sqlStringList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
+  /** SQL fragment: per-document add-one bigram-LM NLL as CTE
+    * `bnll(doc_id, n_bigrams, avg_nll)` (keep in sync with
+    * [[Corpus.bigramNll]]). Expects to follow `WITH `. */
+  private val bigramNllCtes =
+    """ws AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+      |            FROM documents),
+      |bgx AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      |        FROM (SELECT doc_id, w,
+      |                     unnest(generate_series(1, len(w) - 1)) AS i
+      |              FROM ws WHERE len(w) >= 2)),
+      |bg AS (SELECT doc_id, w1, w2, count(*) AS tfb
+      |       FROM bgx GROUP BY 1, 2, 3),
+      |c12 AS (SELECT w1, w2, sum(tfb) AS c12 FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+      |v AS (SELECT count(DISTINCT tok) AS v
+      |      FROM (SELECT unnest(string_split_regex(text, '\s+')) AS tok
+      |            FROM documents)),
+      |nll AS (
+      |  SELECT bg.doc_id, bg.tfb,
+      |         CAST(round(-ln((CAST(c12.c12 AS DOUBLE) + 1.0) /
+      |           (CAST(c1.c1 AS DOUBLE) + 1.0 * v.v)), 9)
+      |           AS DECIMAL(28,9)) AS nll9
+      |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v),
+      |bnll AS (
+      |  SELECT doc_id, CAST(sum(tfb) AS BIGINT) AS n_bigrams,
+      |         round(CAST(sum(CAST(tfb AS DECIMAL(9,0)) * nll9) AS DOUBLE)
+      |               / CAST(sum(tfb) AS DOUBLE), 6) AS avg_nll
+      |  FROM nll GROUP BY 1)""".stripMargin
+
   /** SQL fragment: SimHash signature + chunk-blocked pairing from a CTE
     * `toks(doc_id, tok)` — the shared tail of every SimHash-family oracle
     * (keep in sync with [[graft.functions.SimHashUtil]] and
@@ -962,6 +991,23 @@ object PipelineQueries {
     // --- bigram LM with add-one smoothing: word-order-aware quality gate ---
     "lm_bigram_nll" -> ((s, d) =>
       Corpus.bigramNll(Tables.documents(s, d), "text", "doc_id")),
+
+    // --- CCNet perplexity buckets (Wenzek et al. 2020): per-language
+    // head/middle/tail terciles of the bigram-LM fluency score — the
+    // composed gate CCNet cuts crawl data with (docs with no bigram
+    // positions are unscoreable and drop, as in bigramNll) ---------------
+    "ccnet_buckets" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = Corpus.bigramNll(docs, "text", "doc_id")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .withColumn("__fluency", -col("avg_nll"))
+      Sampling.curriculum(scored, "lang", "__fluency", "doc_id",
+        buckets = 3)
+        .select(col("doc_id"), col("lang"), col("avg_nll"),
+          when(col("curriculum_bucket") === 1, "head")
+            .when(col("curriculum_bucket") === 2, "middle")
+            .otherwise("tail").as("ppl_bucket"))
+    }),
 
     // --- JL random projection 64→8: the cheap dim reduction before
     // clustering/ANN (map-side dot products against literal planes) ------
@@ -3001,29 +3047,25 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       // Corpus.bigramNll's double tree (counts exact, one ln, 9-dp-fixed
       // decimal sum per doc)
       "lm_bigram_nll" ->
-        """WITH ws AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
-          |            FROM documents),
-          |bgx AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
-          |        FROM (SELECT doc_id, w,
-          |                     unnest(generate_series(1, len(w) - 1)) AS i
-          |              FROM ws WHERE len(w) >= 2)),
-          |bg AS (SELECT doc_id, w1, w2, count(*) AS tfb
-          |       FROM bgx GROUP BY 1, 2, 3),
-          |c12 AS (SELECT w1, w2, sum(tfb) AS c12 FROM bg GROUP BY 1, 2),
-          |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
-          |v AS (SELECT count(DISTINCT tok) AS v
-          |      FROM (SELECT unnest(string_split_regex(text, '\s+')) AS tok
-          |            FROM documents)),
-          |nll AS (
-          |  SELECT bg.doc_id, bg.tfb,
-          |         CAST(round(-ln((CAST(c12.c12 AS DOUBLE) + 1.0) /
-          |           (CAST(c1.c1 AS DOUBLE) + 1.0 * v.v)), 9)
-          |           AS DECIMAL(28,9)) AS nll9
-          |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v)
-          |SELECT doc_id, CAST(sum(tfb) AS BIGINT) AS n_bigrams,
-          |       round(CAST(sum(CAST(tfb AS DECIMAL(9,0)) * nll9) AS DOUBLE)
-          |             / CAST(sum(tfb) AS DOUBLE), 6) AS avg_nll
-          |FROM nll GROUP BY 1""".stripMargin,
+        (s"WITH $bigramNllCtes\n" +
+          "SELECT doc_id, n_bigrams, avg_nll FROM bnll"),
+
+      // the CCNet gate (Wenzek et al. 2020): per-language perplexity
+      // terciles over the same bigram-LM score — head = most fluent.
+      // Negating avg_nll is exact, so ORDER BY avg_nll ASC mirrors the
+      // engine's fluency DESC ordering bit-for-bit
+      "ccnet_buckets" ->
+        (s"WITH $bigramNllCtes,\n" +
+          """j AS (SELECT b.doc_id, d.lang, b.avg_nll
+            |      FROM bnll b JOIN documents d USING (doc_id)),
+            |nt AS (SELECT doc_id, lang, avg_nll,
+            |         ntile(3) OVER (PARTITION BY lang
+            |                        ORDER BY avg_nll, doc_id) AS t
+            |       FROM j)
+            |SELECT doc_id, lang, avg_nll,
+            |       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            |              ELSE 'tail' END AS ppl_bucket
+            |FROM nt""".stripMargin),
 
       // the quantized grid mirrors Quantize.int8Codes: q = clamp(round(
       // x·127/amax)); dequantized q·(amax/127); both engines round

@@ -430,6 +430,24 @@ class CorpusQuantizeSpec extends SparkSpec {
     assert(l(6L)._2 && !l(6L)._3)
   }
 
+  test("ccnet buckets: heads are the most fluent docs of their language") {
+    val q = graft.queries.PipelineQueries.queries("ccnet_buckets")
+    val out = q(spark, "/root/testdata/sf0.001")
+      .as[(Long, String, Double, String)].collect()
+    assert(out.nonEmpty)
+    val byLang = out.groupBy(_._2)
+    byLang.foreach { case (lang, rows) =>
+      val head = rows.filter(_._4 == "head").map(_._3)
+      val tail = rows.filter(_._4 == "tail").map(_._3)
+      if (head.nonEmpty && tail.nonEmpty)
+        assert(head.max <= tail.min,
+          s"$lang: head nll ${head.max} > tail nll ${tail.min}")
+      // terciles are balanced to within one row
+      val sizes = rows.groupBy(_._4).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1, s"$lang sizes $sizes")
+    }
+  }
+
   test("dsir: target-like docs outweigh target-unlike; features = uni+bi") {
     import graft.llm.Corpus
     // target corpus speaks "alpha beta gamma"; the raw pool holds docs in
