@@ -97,15 +97,21 @@ object Pq {
     * posture. At 100 TB the production composition is IVF-then-PQ
     * ([[Similarity.ivfTopK]]'s coarse quantizer bucketing this scan down
     * to `probes/m` of the corpus); the ADC kernel is unchanged there. */
+  /** Codeword reconstruction of an encoded vector — the m·subDim array
+    * ADC scores against. Literal-derived doubles throughout. */
+  private def reconCol(codes: Column, m: Int,
+                       cbs: IndexedSeq[IndexedSeq[Array[Double]]]): Column =
+    flatten(array((0 until m).map { j =>
+      element_at(typedlit(cbs(j).map(_.toSeq)), element_at(codes, j + 1) + 1)
+    }: _*))
+
   def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, topK: Int, m: Int, k: Int, subDim: Int,
               seed: Long = Similarity.DefaultSeed): DataFrame = {
     require(topK > 0, s"topK=$topK")
     val cbs = codebooks(m, k, subDim, seed)
     val codes = codesCol(col(vecCol), m, k, subDim, cbs)
-    val recon = flatten(array((0 until m).map { j =>
-      element_at(typedlit(cbs(j).map(_.toSeq)), element_at(codes, j + 1) + 1)
-    }: _*))
+    val recon = reconCol(codes, m, cbs)
     val enc = spread(corpus).filter(size(col(vecCol)) >= m * subDim)
       .select(col(idCol).as("neighbor_id"), recon.as("__recon"))
     val q = queries.filter(size(col(vecCol)) >= m * subDim)
@@ -113,6 +119,49 @@ object Pq {
         col(vecCol).cast("array<double>").as("__qv"))
     val scored = enc.join(broadcast(q),
         col("neighbor_id") =!= col("query_id"))
+      .withColumn("__d",
+        Similarity.dot(col("__recon"), col("__recon")) -
+          lit(2.0) * Similarity.dot(col("__qv"), col("__recon")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+  }
+
+  /** IVF-then-PQ — the FAISS `IVFx,PQy` architecture and the actual
+    * billion-vector serving shape: [[Similarity.axisCells]]' coarse
+    * quantizer prunes the scan to the query's `probes` cells, and the
+    * ADC kernel ranks only within them. Same determinism argument as
+    * [[adcTopK]] (cell selection compares exact doubles; scores are
+    * sequential-fold dots on literal-derived values).
+    *
+    * Scale shape: the corpus is bucketed by its ONE home cell at write
+    * time (partition/bucket by `cell` — a query batch then reads only
+    * probed buckets); queries broadcast with `probes` rows each. Nothing
+    * here is query×corpus: the join is an equi-join on `cell`, cutting
+    * ADC work to ~probes/cells of the corpus, and swapping the axis
+    * cells for trained k-means centroids changes one expression. */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, topK: Int, m: Int, k: Int, subDim: Int,
+                 cellsM: Int = 4, probes: Int = 2,
+                 seed: Long = Similarity.DefaultSeed): DataFrame = {
+    require(topK > 0, s"topK=$topK")
+    require(probes >= 1 && probes <= 2, s"probes=$probes not in 1..2")
+    val cbs = codebooks(m, k, subDim, seed)
+    val codes = codesCol(col(vecCol), m, k, subDim, cbs)
+    val (cw, cr) = Similarity.axisCells(col(vecCol), cellsM)
+    val okLen = size(col(vecCol)) >= math.max(m * subDim, cellsM)
+    val enc = spread(corpus).filter(okLen)
+      .select(col(idCol).as("neighbor_id"), cw.as("cell"),
+        reconCol(codes, m, cbs).as("__recon"))
+    val q = queries.filter(okLen)
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("__qv"),
+        explode(array(Seq(cw, cr).take(probes): _*)).as("cell"))
+    val scored = enc.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("__d",
         Similarity.dot(col("__recon"), col("__recon")) -
           lit(2.0) * Similarity.dot(col("__qv"), col("__recon")))

@@ -522,6 +522,14 @@ object PipelineQueries {
         "vec_id", "embedding", topK = 5, m = 8, k = 16, subDim = 8)
     }),
 
+    // --- IVF-then-PQ: coarse cells prune the scan, ADC ranks within —
+    // the FAISS IVFx,PQy architecture (the true billion-vector shape) ----
+    "ann_ivfpq_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.llm.Pq.ivfAdcTopK(e, e.filter(col("vec_id") < 50),
+        "vec_id", "embedding", topK = 3, m = 8, k = 16, subDim = 8)
+    }),
+
     // --- ANN: recall@k of the LSH path vs the exact baseline ---------------
     // The measurement that sizes b/bands/probes for a corpus: exact top-k
     // on a query sample vs the approximate result, per-query hit fraction.
@@ -2359,6 +2367,58 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
             |                                 ORDER BY d, neighbor_id)
             |           AS BIGINT) AS rank
             |  FROM sc) WHERE rank <= 5""".stripMargin),
+
+      // the ann_ivf_topk cell derivation (axis argmax/runner-up, raw
+      // component sign) over the PQ reconstructions; ADC as in ann_pq_topk
+      "ann_ivfpq_topk" ->
+        (s"WITH ${pqEncodeCtes(8, 16, 8)},\n" +
+          """recon AS (SELECT vec_id, flatten(list(cv ORDER BY a.j)) AS rv
+            |          FROM a JOIN cb ON cb.j = a.j AND cb.c = a.c
+            |          GROUP BY vec_id),
+            |x AS (SELECT vec_id, v,
+            |        abs(v[1]) AS a0, abs(v[2]) AS a1,
+            |        abs(v[3]) AS a2, abs(v[4]) AS a3
+            |      FROM e),
+            |w2 AS (
+            |  SELECT *, CASE WHEN a0 >= a1 AND a0 >= a2 AND a0 >= a3 THEN 0
+            |                 WHEN a1 >= a2 AND a1 >= a3 THEN 1
+            |                 WHEN a2 >= a3 THEN 2 ELSE 3 END AS win
+            |  FROM x),
+            |r2 AS (
+            |  SELECT *, CASE win
+            |    WHEN 0 THEN (CASE WHEN a1 >= a2 AND a1 >= a3 THEN 1
+            |                      WHEN a2 >= a3 THEN 2 ELSE 3 END)
+            |    WHEN 1 THEN (CASE WHEN a0 >= a2 AND a0 >= a3 THEN 0
+            |                      WHEN a2 >= a3 THEN 2 ELSE 3 END)
+            |    WHEN 2 THEN (CASE WHEN a0 >= a1 AND a0 >= a3 THEN 0
+            |                      WHEN a1 >= a3 THEN 1 ELSE 3 END)
+            |    ELSE (CASE WHEN a0 >= a1 AND a0 >= a2 THEN 0
+            |               WHEN a1 >= a2 THEN 1 ELSE 2 END)
+            |  END AS run
+            |  FROM w2),
+            |cells AS (
+            |  SELECT vec_id, v,
+            |         2 * win + CASE WHEN v[win + 1] >= 0 THEN 1 ELSE 0 END
+            |           AS cell_w,
+            |         2 * run + CASE WHEN v[run + 1] >= 0 THEN 1 ELSE 0 END
+            |           AS cell_r
+            |  FROM r2),
+            |q AS (SELECT vec_id AS query_id, v AS qv,
+            |             unnest([cell_w, cell_r]) AS cell
+            |      FROM cells WHERE vec_id < 50),
+            |c AS (SELECT cells.vec_id AS neighbor_id, cell_w AS cell, rv
+            |      FROM cells JOIN recon ON recon.vec_id = cells.vec_id),
+            |sc AS (SELECT q.query_id, c.neighbor_id,
+            |         list_dot_product(rv, rv)
+            |           - 2.0 * list_dot_product(qv, rv) AS d
+            |       FROM c JOIN q ON c.cell = q.cell
+            |                    AND c.neighbor_id <> q.query_id)
+            |SELECT query_id, rank, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id,
+            |         CAST(row_number() OVER (PARTITION BY query_id
+            |                                 ORDER BY d, neighbor_id)
+            |           AS BIGINT) AS rank
+            |  FROM sc) WHERE rank <= 3""".stripMargin),
 
       // ann_brute_topk's ranking verbatim
       "ann_int8_topk" ->

@@ -272,6 +272,34 @@ class LlmSpec extends SparkSpec {
     assert(Pq.encode(short, "vec_id", "embedding", 2, 4, 2).count() == 0)
   }
 
+  test("ivf+pq: returns only cell-mates, ranked like the unpruned adc") {
+    import graft.llm.Pq
+    val e = graft.core.Tables.embeddings(spark, sf001)
+    val q = e.filter($"vec_id" < 10)
+    val ivf = Pq.ivfAdcTopK(e, q, "vec_id", "embedding", topK = 3,
+      m = 8, k = 16, subDim = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(ivf.nonEmpty)
+    // ranks are contiguous from 1 per query
+    ivf.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // pruning only ever REMOVES candidates: each ivf result ranked at
+    // least as well in the unpruned ADC ranking over the same corpus
+    val full = Pq.adcTopK(e, q, "vec_id", "embedding", topK = 500,
+      m = 8, k = 16, subDim = 8)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._3) -> r._2).toMap
+    ivf.groupBy(_._1).values.foreach { rows =>
+      rows.sortBy(_._2).foldLeft(0L) { case (prev, (qid, _, nid)) =>
+        val fullRank = full((qid, nid))
+        assert(fullRank > prev,
+          s"cell pruning reordered ($qid, $nid): full=$fullRank prev=$prev")
+        fullRank
+      }
+    }
+  }
+
   test("sign-LSH only pairs same-bucket vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 1.0f)), (1L, Array(2.0f, 3.0f)),   // bucket 11
