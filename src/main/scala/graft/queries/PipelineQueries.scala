@@ -1605,6 +1605,37 @@ object PipelineQueries {
       ss.table(qname)
     }),
 
+    // --- streaming PQ encode: compress vectors to codes AT INGEST (the
+    // index-build-on-arrival path — encode is map-only and stateless, so
+    // the streaming plan is the batch plan under a micro-batch trigger;
+    // batch-equivalent to embed_pq_codes, same oracle) -------------------
+    "stream_pq" -> ((s, d) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      implicit val sqlCtx = ss.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import ss.implicits._
+      import scala.jdk.CollectionConverters._
+      val vecs = Tables.embeddings(ss, d)
+        .select(col("vec_id"), col("embedding").cast("array<float>"))
+        .orderBy("vec_id").as[(Long, Array[Float])]
+      val input = MemoryStream[(Long, Array[Float])]
+      vecs.toLocalIterator().asScala.grouped(4096)
+        .foreach(chunk => input.addData(chunk))
+      val enc = graft.llm.Pq.encode(
+          input.toDS().toDF("vec_id", "embedding"),
+          "vec_id", "embedding", m = 8, k = 16, subDim = 8)
+        .select(col("vec_id"), posexplode(col("codes")))
+        .select(col("vec_id"), col("pos").cast("long").as("subspace"),
+          col("col").cast("long").as("code"))
+      val qname = "stream_pq_" + streamSeq.incrementAndGet()
+      val q = enc.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      ss.table(qname)
+    }),
+
     // --- streaming cross-corpus dedup: continuous ingest anti-joined
     // against the trained corpus' broadcast band set — stateless (no
     // watermark, no state store); the scale path for "dedup the crawl as
@@ -3776,6 +3807,14 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
 
       // the stream gate is map-only and stateless, so its oracle is
       // simply the batch rule table filtered on the conjunction
+      // ingest-time PQ encode is the batch encode under a micro-batch
+      // trigger — same codes, same oracle as embed_pq_codes
+      "stream_pq" ->
+        (s"WITH ${pqEncodeCtes(8, 16, 8)}\n" +
+          """SELECT vec_id, CAST(j AS BIGINT) AS subspace,
+            |       CAST(c AS BIGINT) AS code
+            |FROM a""".stripMargin),
+
       "stream_quality" ->
         s"""SELECT q.doc_id, d.source, q.n_words, q.stop_hits
            |FROM ($gopherRulesSql) q
