@@ -620,9 +620,9 @@ object Corpus {
     * the two scalar totals broadcast onto the per-doc bucket counts
     * (map-side-combined groupBy); one per-doc regroup, then the top-n is
     * TakeOrderedAndProject (per-partition heaps, n-row driver merge — no
-    * global sort). The raw corpus is scanned twice (once for the raw
-    * model, once for scoring) — cache the feature frame if the pipeline
-    * runs both from the same job. */
+    * global sort). The raw corpus is featurized ONCE: the raw model's
+    * bucket counts roll up from the checkpointed per-doc counts, so the
+    * dominant explode+hash stage is never repeated. */
   def dsirSample(raw: DataFrame, target: DataFrame, textCol: String,
                  idCol: String, n: Int, buckets: Int = 4096,
                  addK: Double = 1.0, salt: String = ""): DataFrame = {
@@ -633,23 +633,28 @@ object Corpus {
       "are undefined on buckets unseen in either corpus)")
     def bucket(t: Column): Column =
       conv(substring(md5(t), 1, 4), 16, 10).cast("long") % buckets
-    // unigram + adjacent-bigram feature buckets of one document (the
-    // size guard matters: sequence(0, -1) would generate a DESCENDING
-    // two-element sequence, not an empty one)
+    // unigram + adjacent-bigram features of one document — the codegen'd
+    // AllShingles kernel (duplicates kept: features are frequency-
+    // weighted); bucketing happens AFTER the explode so md5/conv run as
+    // codegen'd scalars, not per-element lambdas
     def feats(text: Column): Column = {
       val toks = TextAnalysis.tokens(text)
-      val bi = transform(sequence(lit(0), size(toks) - 2), i =>
-        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
-      concat(transform(toks, bucket(_)),
-        when(size(toks) >= 2, transform(bi, bucket(_)))
-          .otherwise(array().cast("array<long>")))
+      concat(toks, graft.functions.AllShingles.allShingles(toks, 2))
     }
-    def bucketCounts(df: DataFrame): DataFrame = spread(df)
-      .select(explode(feats(col(textCol))).as("__b"))
-      .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
-    val tCounts = bucketCounts(target)
-      .withColumnRenamed("__c", "__ct")
-    val rCounts = bucketCounts(raw).withColumnRenamed("__c", "__cr")
+    val tCounts = spread(target)
+      .select(explode(feats(col(textCol))).as("__f"))
+      .select(bucket(col("__f")).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    // per-doc bucket counts are computed ONCE; the raw model's bucket
+    // counts roll up from them (a second full-corpus feature scan would
+    // double the dominant cost for an identical aggregate)
+    val docBuckets = spread(raw)
+      .select(col(idCol), explode(feats(col(textCol))).as("__f"))
+      .select(col(idCol), bucket(col("__f")).as("__b"))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__tf"))
+      .localCheckpoint()
+    val rCounts = docBuckets.groupBy(col("__b"))
+      .agg(sum(col("__tf")).as("__cr"))
     val tTotal = tCounts.agg(sum(col("__ct")).as("__nt"))
     val rTotal = rCounts.agg(sum(col("__cr")).as("__nr"))
     val d = (c: Column) => c.cast("double")
@@ -665,9 +670,6 @@ object Corpus {
           log((d(col("__cr")) + lit(addK)) /
             (d(col("__nr")) + lit(addK * buckets))), 9)
           .cast("decimal(28,9)").as("__r9"))
-    val docBuckets = spread(raw)
-      .select(col(idCol), explode(feats(col(textCol))).as("__b"))
-      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__tf"))
     val scored = docBuckets
       .join(broadcast(ratios), Seq("__b"))
       .groupBy(col(idCol))

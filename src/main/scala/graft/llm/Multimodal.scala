@@ -90,11 +90,12 @@ object Multimodal {
       s"window=$window stride=$stride")
     // Spark's base64 emits RFC-2045 MIME chunking (CRLF every 76 chars);
     // strip it so the shingle stream matches the RFC-4648 text DuckDB
-    // and most other engines render
+    // and most other engines render. Windowing is the codegen'd
+    // CharWindows kernel — the transform/sequence/substr HOF chain ran
+    // interpreted and cost ~10× (11.5 s → see SCALE.md) at bench scale.
     val b64 = translate(base64(col(binCol)), "\r\n", "")
-    val shingles = transform(
-      sequence(lit(0), ((length(b64) - window) / stride).cast("int")),
-      i => b64.substr(i * stride + 1, lit(window)))
+    val shingles =
+      graft.functions.CharWindows.charWindows(b64, window, stride)
     graft.core.Tables.spread(df)
       .filter(length(b64) >= window)
       .select(col(idCol),
