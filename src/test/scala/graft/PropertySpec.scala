@@ -609,4 +609,64 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"seed=$seed")
     }
   }
+
+  test("CharWindows/AllShingles kernels == sliding reference on random input") {
+    import graft.functions.{AllShingles, CharWindows}
+    val strGen = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    (1 to 30).foreach { seed =>
+      val s = sample(strGen, seed)
+      val window = 1 + seed % 9
+      val stride = 1 + (seed / 3) % window
+      val expectedW =
+        if (s.length < window) Seq.empty
+        else (0 to (s.length - window) by stride)
+          .map(i => s.substring(i, i + window))
+      val gotW = Seq(s).toDF("s")
+        .select(CharWindows.charWindows(col("s"), window, stride))
+        .as[Seq[String]].head()
+      assert(gotW == expectedW, s"seed=$seed s=$s w=$window st=$stride")
+
+      val toks = sample(Gen.listOfN(seed % 12,
+        Gen.oneOf("a", "bb", "ccc", "dd")), seed + 1000)
+      val n = 1 + seed % 3
+      val expectedS =
+        if (toks.length < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      val gotS = Seq(toks).toDF("t")
+        .select(AllShingles.allShingles(col("t"), n))
+        .as[Seq[String]].head()
+      assert(gotS == expectedS, s"seed=$seed toks=$toks n=$n")
+    }
+  }
+
+  test("pq encode == brute-force argmin over the same codebooks") {
+    import graft.llm.Pq
+    val m = 4; val k = 8; val subDim = 4
+    val cbs = Pq.codebooks(m, k, subDim)
+    val vecGen = Gen.listOfN(m * subDim,
+      Gen.chooseNum(-1000, 1000).map(_ / 250.0f))
+    (1 to 15).foreach { seed =>
+      val vecs = (0 until 20).map(i =>
+        (i.toLong, sample(vecGen, seed * 100 + i).toArray))
+      val got = Pq.encode(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", m, k, subDim)
+        .as[(Long, Seq[Int])].collect().toMap
+      vecs.foreach { case (id, v) =>
+        val expected = (0 until m).map { j =>
+          val sub = v.slice(j * subDim, (j + 1) * subDim).map(_.toDouble)
+          // same comparison idiom: dot(c,c) − 2·dot(sub,c), ties → low c
+          val scores = (0 until k).map { c =>
+            val cb = cbs(j)(c)
+            var dsc = 0.0
+            var i = 0
+            while (i < subDim) { dsc += sub(i) * cb(i); i += 1 }
+            (Pq.selfDot(cb) - 2.0 * dsc, c)
+          }
+          scores.min._2
+        }
+        assert(got(id) == expected, s"seed=$seed id=$id")
+      }
+    }
+  }
 }
