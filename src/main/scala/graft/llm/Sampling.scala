@@ -475,4 +475,62 @@ object Sampling {
       .groupBy(col(idCol))
       .agg(countDistinct(col("__train_id")).as("n_train_cands"))
   }
+
+  /** Epoch allocation under a token budget — the data-constrained
+    * planning step (Muennighoff et al., "Scaling Data-Constrained
+    * Language Models", NeurIPS 2023 showed repeating data up to ~4
+    * epochs is nearly as good as fresh tokens; past that returns decay
+    * fast, so a budget should spill away from exhausted sources): given
+    * a total training budget and target mixture weights, each source's
+    * target is its weight share; a source whose target exceeds
+    * `maxEpochs`× its unique tokens caps there and the shortfall is
+    * reported (re-run with renormalized weights to spill it, an explicit
+    * policy decision rather than silent redistribution).
+    *
+    * Output per source: `n_docs`, `n_tokens` (unique corpus tokens),
+    * `target_tokens` (floor of the weight share), `served_tokens`
+    * (capped), `epochs` (served/unique, 6 dp), `capped`, `shortfall`.
+    * All counts are exact longs; the one division per source is
+    * correctly rounded then 6-dp-fixed — engine-exact.
+    *
+    * Scale shape: ONE map-side-combined aggregate to |sources| rows;
+    * everything after is arithmetic on that tiny frame (the weight share
+    * attaches per-row from the plan-literal weight map — no second pass,
+    * no driver collect). Feed `epochs` to a repeat-loader or expand via
+    * [[mixtureSchedule]] keyed per epoch. */
+  def epochAllocation(df: DataFrame, sourceCol: String, tokenCol: String,
+                      budget: Long, weights: Seq[(String, Long)],
+                      defaultWeight: Long = 1L,
+                      maxEpochs: Double = 4.0): DataFrame = {
+    require(budget > 0, s"budget=$budget must be positive")
+    require(maxEpochs > 0, s"maxEpochs=$maxEpochs must be positive")
+    require(defaultWeight >= 0, s"defaultWeight=$defaultWeight")
+    weights.foreach { case (s, w) =>
+      require(w >= 0, s"weight $w for source '$s' must be >= 0") }
+    val wCol = weights.foldRight(lit(defaultWeight)) {
+      case ((src, w), acc) =>
+        when(col(sourceCol) === src, lit(w)).otherwise(acc)
+    }
+    val all = Window.partitionBy(lit(1))
+    df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol).cast("long")).as("n_tokens"))
+      .withColumn("__w", wCol)
+      .withColumn("__wtot", sum(col("__w")).over(all))
+      .withColumn("target_tokens",
+        floor(lit(budget).cast("double") * col("__w").cast("double")
+          / col("__wtot").cast("double")).cast("long"))
+      .withColumn("__cap",
+        floor(lit(maxEpochs) * col("n_tokens").cast("double")).cast("long"))
+      .withColumn("served_tokens",
+        least(col("target_tokens"), col("__cap")))
+      .withColumn("epochs",
+        round(col("served_tokens").cast("double")
+          / col("n_tokens").cast("double"), 6))
+      .withColumn("capped", col("target_tokens") > col("__cap"))
+      .withColumn("shortfall", col("target_tokens") - col("served_tokens"))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        col("target_tokens"), col("served_tokens"), col("epochs"),
+        col("capped"), col("shortfall"))
+  }
 }

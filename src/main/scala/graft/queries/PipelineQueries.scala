@@ -368,6 +368,15 @@ object PipelineQueries {
         .select("doc_id", "token_count", "score_linear", "quality_prob")
     }),
 
+    // --- data-constrained epoch allocation (Muennighoff et al. 2023):
+    // weight-share token targets per source, capped at maxEpochs× the
+    // source's unique tokens, shortfall reported (chars as the budget
+    // unit here — the op is unit-agnostic) -------------------------------
+    "pack_epochs" -> ((s, d) =>
+      Sampling.epochAllocation(Tables.documents(s, d), "source", "n_chars",
+        budget = 1000000L, weights = Seq("src0" -> 3L, "src1" -> 2L),
+        maxEpochs = 4.0)),
+
     // --- DSIR importance resampling: the 100 docs (of the non-src0 pool)
     // whose hashed-n-gram distribution looks most like the src0 target,
     // Gumbel-sampled ∝ importance weight (Xie et al. 2023) ---------------
@@ -3703,6 +3712,31 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |       round(CAST(sum(CAST(cnt AS DECIMAL(9,0)) * ent9) AS DOUBLE)
           |             / CAST(max(n) AS DOUBLE), 6) AS char_entropy
           |FROM e GROUP BY 1""".stripMargin,
+
+      // mirrors Sampling.epochAllocation: exact long counts; one double
+      // multiply/divide tree per source, floored; 6-dp epochs
+      "pack_epochs" ->
+        """WITH s AS (SELECT source, count(*) AS n_docs,
+          |                  CAST(sum(n_chars) AS BIGINT) AS n_tokens
+          |           FROM documents GROUP BY 1),
+          |w AS (SELECT *, CASE source WHEN 'src0' THEN 3
+          |                            WHEN 'src1' THEN 2
+          |                            ELSE 1 END AS wt
+          |      FROM s),
+          |t AS (SELECT *,
+          |        CAST(floor(1000000.0 * CAST(wt AS DOUBLE)
+          |             / CAST((SELECT sum(wt) FROM w) AS DOUBLE))
+          |          AS BIGINT) AS target_tokens,
+          |        CAST(floor(4.0 * CAST(n_tokens AS DOUBLE)) AS BIGINT)
+          |          AS cap
+          |      FROM w)
+          |SELECT source, n_docs, n_tokens, target_tokens,
+          |       least(target_tokens, cap) AS served_tokens,
+          |       round(CAST(least(target_tokens, cap) AS DOUBLE)
+          |             / CAST(n_tokens AS DOUBLE), 6) AS epochs,
+          |       target_tokens > cap AS capped,
+          |       target_tokens - least(target_tokens, cap) AS shortfall
+          |FROM t""".stripMargin,
 
       // mirrors Corpus.dsirSample: uni+bigram features bucketed by the
       // 16-bit md5 prefix mod 4096; 9-dp-fixed log-ratios summed as exact

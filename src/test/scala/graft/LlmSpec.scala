@@ -446,6 +446,24 @@ class LlmSpec extends SparkSpec {
     assert(keptNull.count() == 3L, "null-source rows must not be dropped")
   }
 
+  test("epoch allocation: weight shares, maxEpochs cap, shortfall reported") {
+    import graft.llm.Sampling
+    val docs = Seq(
+      ("web", 100L), ("web", 300L),     // 400 tokens
+      ("code", 50L), ("code", 50L),     // 100 tokens
+      ("tiny", 10L)                     // 10 tokens — will cap
+    ).toDF("source", "n_toks")
+    val out = Sampling.epochAllocation(docs, "source", "n_toks",
+      budget = 900L, weights = Seq("web" -> 1L, "code" -> 1L, "tiny" -> 1L),
+      maxEpochs = 2.0)
+      .as[(String, Long, Long, Long, Long, Double, Boolean, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // equal weights: each source targets floor(900/3) = 300
+    assert(out("web") == ("web", 2L, 400L, 300L, 300L, 0.75, false, 0L))
+    assert(out("code") == ("code", 2L, 100L, 300L, 200L, 2.0, true, 100L))
+    assert(out("tiny") == ("tiny", 1L, 10L, 300L, 20L, 2.0, true, 280L))
+  }
+
   test("sampling: stratified caps each stratum; packing respects budget") {
     import graft.llm.Sampling
     val rows = (0L until 300L).map(i => (i, s"g${i % 3}", 100L + (i % 7) * 50))
