@@ -368,6 +368,29 @@ object PipelineQueries {
         .select("doc_id", "token_count", "score_linear", "quality_prob")
     }),
 
+    // --- stacked quality gate (the FineWeb-style filter stack): rule
+    // gate AND model gate AND LM-fluency gate (corpus-quantile
+    // threshold), with every signal kept so kill reasons are auditable.
+    // Unscoreable docs (no bigram positions) fail the fluency leg -------
+    "quality_ensemble" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val g = TextAnalysis.gopherRules(docs, "text")
+        .select(col("doc_id"), col("pass_gopher"))
+      val c = QualityModel.score(docs, "text", "doc_id", buckets = 256)
+        .select(col("doc_id"), col("quality_prob"))
+      val b = Corpus.bigramNll(docs, "text", "doc_id")
+        .select(col("doc_id"), col("avg_nll"))
+      val th = b.agg(percentile(col("avg_nll"), lit(0.75)).as("__th"))
+      g.join(c, Seq("doc_id"))
+        .join(b, Seq("doc_id"), "left")
+        .crossJoin(broadcast(th))
+        .select(col("doc_id"), col("pass_gopher"), col("quality_prob"),
+          col("avg_nll"),
+          (col("pass_gopher") && col("quality_prob") >= 0.5 &&
+            col("avg_nll").isNotNull &&
+            col("avg_nll") <= col("__th")).as("keep"))
+    }),
+
     // --- data-constrained epoch allocation (Muennighoff et al. 2023):
     // weight-share token targets per source, capped at maxEpochs× the
     // source's unique tokens, shortfall reported (chars as the budget
@@ -1859,6 +1882,24 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |    AND (n_words > 0 AND alpha_word_frac >= 0.8)
            |    AND stop_hits >= 2 AS pass_gopher
            |FROM v""".stripMargin
+
+    // hashed-feature classifier SQL shared by quality_classifier and
+    // the ensemble gate oracle
+    val qualityClassifierSql =
+      s"""WITH $toksCte,
+           |s AS (SELECT doc_id, CAST(len(toks) AS INT) AS token_count,
+           |        list_aggregate(list_transform(toks, tok ->
+           |          ((('0x' || substr(md5(tok), 1, 4))::BIGINT % 256)
+           |            * 2654435761) % 1048576), 'sum') AS wsum
+           |      FROM t),
+           |l AS (SELECT doc_id, token_count,
+           |        CAST(wsum AS DOUBLE)
+           |          / (CAST(token_count AS DOUBLE) * 1048576.0) * 2 - 1
+           |          AS lin
+           |      FROM s)
+           |SELECT doc_id, token_count, round(lin, 6) AS score_linear,
+           |       round(1.0 / (1.0 + exp(lin * -4.0)), 6) AS quality_prob
+           |FROM l""".stripMargin
 
     Map(
       "dedup_exact" ->
@@ -3713,6 +3754,22 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |             / CAST(max(n) AS DOUBLE), 6) AS char_entropy
           |FROM e GROUP BY 1""".stripMargin,
 
+      // the three verified signal oracles joined on doc_id; the fluency
+      // threshold is quantile_cont over the 6-dp avg_nll (matches
+      // Spark's exact percentile); unscoreable docs fail the fluency leg
+      "quality_ensemble" ->
+        (s"WITH $bigramNllCtes,\n" +
+          s"""th AS (SELECT quantile_cont(avg_nll, 0.75) AS th FROM bnll),
+             |cls AS (SELECT doc_id, quality_prob
+             |        FROM ($qualityClassifierSql) x),
+             |g AS (SELECT doc_id, pass_gopher FROM ($gopherRulesSql) y)
+             |SELECT g.doc_id, g.pass_gopher, cls.quality_prob, b.avg_nll,
+             |       (g.pass_gopher AND cls.quality_prob >= 0.5
+             |        AND b.avg_nll IS NOT NULL AND b.avg_nll <= th.th)
+             |         AS keep
+             |FROM g JOIN cls USING (doc_id)
+             |LEFT JOIN bnll b USING (doc_id), th""".stripMargin),
+
       // mirrors Sampling.epochAllocation: exact long counts; one double
       // multiply/divide tree per source, floored; 6-dp epochs
       "pack_epochs" ->
@@ -3793,21 +3850,7 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       // bucket/weight arithmetic mirrors QualityModel.score exactly:
       // 16-bit md5 prefix mod 256, integer weights summed exactly, one
       // final division; only the logistic passes through libm exp
-      "quality_classifier" ->
-        s"""WITH $toksCte,
-           |s AS (SELECT doc_id, CAST(len(toks) AS INT) AS token_count,
-           |        list_aggregate(list_transform(toks, tok ->
-           |          ((('0x' || substr(md5(tok), 1, 4))::BIGINT % 256)
-           |            * 2654435761) % 1048576), 'sum') AS wsum
-           |      FROM t),
-           |l AS (SELECT doc_id, token_count,
-           |        CAST(wsum AS DOUBLE)
-           |          / (CAST(token_count AS DOUBLE) * 1048576.0) * 2 - 1
-           |          AS lin
-           |      FROM s)
-           |SELECT doc_id, token_count, round(lin, 6) AS score_linear,
-           |       round(1.0 / (1.0 + exp(lin * -4.0)), 6) AS quality_prob
-           |FROM l""".stripMargin,
+      "quality_classifier" -> qualityClassifierSql,
 
       // table-path mirror: per-token weight k/2^17 − 1 summed exactly —
       // the integer identity Σ(k_i/2^17 − 1) = (Σk_i − n·2^17)/2^17 keeps

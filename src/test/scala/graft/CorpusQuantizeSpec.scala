@@ -430,6 +430,25 @@ class CorpusQuantizeSpec extends SparkSpec {
     assert(l(6L)._2 && !l(6L)._3)
   }
 
+  test("quality ensemble: keep is the auditable conjunction of its legs") {
+    val q = graft.queries.PipelineQueries.queries("quality_ensemble")
+    val out = q(spark, "/root/testdata/sf0.001")
+      .as[(Long, Boolean, Double, Option[Double], Boolean)].collect()
+    assert(out.nonEmpty)
+    val nll = out.flatMap(_._4)
+    val th = {
+      val s = nll.sorted
+      val r = 0.75 * (s.length - 1)
+      val lo = s(r.toInt)
+      lo + (r - r.toInt) * (s(math.min(r.toInt + 1, s.length - 1)) - lo)
+    }
+    out.foreach { case (id, gopher, prob, nllOpt, keep) =>
+      val expected = gopher && prob >= 0.5 &&
+        nllOpt.exists(_ <= th)
+      assert(keep == expected, s"doc $id")
+    }
+  }
+
   test("ccnet buckets: heads are the most fluent docs of their language") {
     val q = graft.queries.PipelineQueries.queries("ccnet_buckets")
     val out = q(spark, "/root/testdata/sf0.001")

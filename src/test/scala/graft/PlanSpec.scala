@@ -47,7 +47,8 @@ class PlanSpec extends SparkSpec {
       "snmp_dsl_toplevel",
       "tfidf_topk", "lm_surprisal", "lm_bigram_nll", "collocation_pmi",
       "curriculum_global", "vocab_topk", "source_divergence", "bm25_topk",
-      "embed_source_drift", "sample_dsir", "ann_pq_topk", "ccnet_buckets")
+      "embed_source_drift", "sample_dsir", "ann_pq_topk", "ccnet_buckets",
+      "quality_ensemble")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intended)
       .filter { name =>
