@@ -106,6 +106,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pq encode is map-only; ivf+pq joins on cell, dsir broadcasts ratios") {
+    // encode: literal codebooks ride the plan — no shuffle beyond the
+    // spread round-robin, no join, inside whole-stage codegen
+    // (the spread round-robin exchange wraps the plan in a not-yet-final
+    // AdaptiveSparkPlan, so codegen spans don't render here — the
+    // no-join/no-window shape is the guard)
+    val pe = plan("embed_pq_codes")
+    assert(!pe.contains("Join") && !pe.contains("Window"), pe)
+    // ivf+pq: the candidate stage is an EQUI-join on cell with the
+    // query side broadcast — never a nested-loop over the corpus
+    val pi = plan("ann_ivfpq_topk")
+    assert(pi.contains("BroadcastHashJoin"), pi)
+    assert(!pi.contains("BroadcastNestedLoopJoin") &&
+      !pi.contains("CartesianProduct"), pi)
+    // dsir: the bucket-ratio table attaches as a broadcast hash join
+    // onto the per-doc counts; the top-n is a TakeOrderedAndProject
+    val pd = plan("sample_dsir")
+    assert(pd.contains("BroadcastHashJoin"), pd)
+    assert(pd.contains("TakeOrderedAndProject"), pd)
+  }
+
   test("split leakage: hash-key join shapes, no window anywhere") {
     // exact: the train-count aggregate must partial-combine map-side
     // (the mega-duplicate cap) and re-attach as a hash join — never a
