@@ -587,6 +587,34 @@ object Corpus {
         col("vocab_est"), col("len_p50"), col("len_p90"), col("len_p99"))
   }
 
+  /** BPE merge-candidate table: corpus-weighted adjacent character-pair
+    * frequencies — the statistic one iteration of byte-pair-encoding
+    * tokenizer training greedily maximizes (Sennrich et al. 2016). The
+    * top pair is the next merge; re-running after applying merges is the
+    * full training loop (driver-side loop over this operator, each round
+    * a new plan — BPE's sequential-merge dependency is irreducible, but
+    * each ROUND is one distributed pass).
+    *
+    * Scale shape — the char-level work never touches the corpus: tokens
+    * collapse to the VOCABULARY (one map-side-combined aggregate; Heaps'
+    * law makes it orders of magnitude smaller), and the [[
+    * graft.functions.CharWindows]] pair explode + weighted count run
+    * over that tiny frame. Top-k compiles to TakeOrderedAndProject.
+    * All counts exact longs; ties break on the pair text. */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val vocab = spread(df)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("__wc"))
+    vocab
+      .select(col("__wc"),
+        explode(graft.functions.CharWindows.charWindows(col("word"), 2, 1))
+          .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("__wc")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(k)
+  }
+
   /** DSIR-style importance resampling (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023): pick the
     * `n` raw-corpus documents whose hashed-n-gram feature distribution

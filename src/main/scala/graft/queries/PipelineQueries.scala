@@ -368,6 +368,12 @@ object PipelineQueries {
         .select("doc_id", "token_count", "score_linear", "quality_prob")
     }),
 
+    // --- BPE merge-candidate table: corpus-weighted adjacent char-pair
+    // counts over the VOCABULARY (Heaps-small), top-50 — one round of
+    // byte-pair-encoding tokenizer training (Sennrich et al. 2016) ------
+    "bpe_pair_counts" -> ((s, d) =>
+      Corpus.bpePairCounts(Tables.documents(s, d), "text", k = 50)),
+
     // --- stacked quality gate (the FineWeb-style filter stack): rule
     // gate AND model gate AND LM-fluency gate (corpus-quantile
     // threshold), with every signal kept so kill reasons are auditable.
@@ -3753,6 +3759,20 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |       round(CAST(sum(CAST(cnt AS DECIMAL(9,0)) * ent9) AS DOUBLE)
           |             / CAST(max(n) AS DOUBLE), 6) AS char_entropy
           |FROM e GROUP BY 1""".stripMargin,
+
+      // vocabulary-collapsed char bigrams weighted by word frequency;
+      // substr windows mirror the CharWindows(word, 2, 1) kernel
+      "bpe_pair_counts" ->
+        s"""WITH $toksCte,
+           |v AS (SELECT tok AS word, count(*) AS wc
+           |      FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+           |p AS (SELECT substr(word, i, 2) AS pair, wc
+           |      FROM (SELECT word, wc,
+           |              unnest(generate_series(1, length(word) - 1)) AS i
+           |            FROM v WHERE length(word) >= 2))
+           |SELECT pair, CAST(sum(wc) AS BIGINT) AS pair_count
+           |FROM p GROUP BY 1
+           |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
 
       // the three verified signal oracles joined on doc_id; the fluency
       // threshold is quantile_cont over the 6-dp avg_nll (matches

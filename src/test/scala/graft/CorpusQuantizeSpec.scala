@@ -430,6 +430,15 @@ class CorpusQuantizeSpec extends SparkSpec {
     assert(l(6L)._2 && !l(6L)._3)
   }
 
+  test("bpe pairs: corpus-weighted char bigrams over the vocabulary") {
+    import graft.llm.Corpus
+    // "abab" ×3 and "abc" ×1: ab = 2·3 + 1 = 7, ba = 3, bc = 1
+    val docs = Seq((1L, "abab abab abc"), (2L, "abab")).toDF("doc_id", "text")
+    val out = Corpus.bpePairCounts(docs, "text", k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("ab", 7L), ("ba", 3L), ("bc", 1L)), out)
+  }
+
   test("quality ensemble: keep is the auditable conjunction of its legs") {
     val q = graft.queries.PipelineQueries.queries("quality_ensemble")
     val out = q(spark, "/root/testdata/sf0.001")
