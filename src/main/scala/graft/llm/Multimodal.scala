@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -61,6 +61,39 @@ object Multimodal {
   def binaryMeta(df: DataFrame, binCol: String): DataFrame =
     df.withColumn("byte_len", octet_length(col(binCol)))
       .withColumn("content_hash", md5(col(binCol)))
+
+  /** Resize planning, fully columnar: per asset, the stub-decoded source
+    * dimensions (the [[FakeCodec.dims]] byte math expressed as plan
+    * columns — first two payload bytes via `hex`, portable to any
+    * engine), the fit-inside-target scale factor (never upscaling), and
+    * the output dimensions. The pixel work itself belongs to the codec
+    * stage ([[decodeMeta]]'s bounded mapPartitions); planning resize
+    * AHEAD of decode is what lets a pipeline budget decode output bytes
+    * and drop no-op resizes (scale = 1) before paying any codec CPU.
+    *
+    * Rounding: out dims use half-up on positive doubles — identical to
+    * DuckDB's half-away-from-zero there. Map-only single scan. */
+  def resizePlan(df: DataFrame, idCol: String, binCol: String,
+                 targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, s"target=$targetW x $targetH")
+    // missing bytes read as 0, matching FakeCodec.dims on short payloads
+    def byteAt(i: Int): Column =
+      when(octet_length(col(binCol)) > i,
+        conv(substring(hex(col(binCol)), i * 2 + 1, 2), 16, 10).cast("int"))
+        .otherwise(lit(0))
+    val w = (lit(64) + byteAt(0) % 192).as("width")
+    val h = (lit(64) + byteAt(1) % 192).as("height")
+    df.select(col(idCol), w, h)
+      .withColumn("scale",
+        least(lit(1.0), lit(targetW.toDouble) / col("width").cast("double"),
+          lit(targetH.toDouble) / col("height").cast("double")))
+      .select(col(idCol), col("width"), col("height"),
+        round(col("width").cast("double") * col("scale"), 0)
+          .cast("int").as("out_w"),
+        round(col("height").cast("double") * col("scale"), 0)
+          .cast("int").as("out_h"),
+        round(col("scale"), 6).as("scale"))
+  }
 
   /** Fuzzy binary-asset fingerprint: SimHash over overlapping byte
     * shingles — the codec-free near-duplicate signature for media

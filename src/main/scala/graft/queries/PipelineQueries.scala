@@ -1474,6 +1474,15 @@ object PipelineQueries {
         .select("event_id", "user_id", "tier", "value")
     }),
 
+    // --- resize planning ahead of decode: stub dims + fit-inside scale,
+    // all columnar — budget decode bytes and drop no-op resizes before
+    // any codec CPU is spent ---------------------------------------------
+    "mm_resize" -> ((s, d) =>
+      Multimodal.resizePlan(
+        Tables.documents(s, d)
+          .withColumn("payload", encode(col("text"), "utf-8")),
+        "doc_id", "payload", targetW = 224, targetH = 224)),
+
     // --- multimodal payload dedup: one row per distinct binary asset
     // (content hash + byte length), keeper = smallest id — the asset-level
     // dedup a multimodal pipeline runs before any decode ----------------
@@ -3666,6 +3675,27 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |  SELECT DISTINCT user_id, user_id % 5 AS tier FROM events)
           |SELECT e.event_id, e.user_id, d.tier, e.value
           |FROM events e JOIN dim d USING (user_id)""".stripMargin,
+
+      // byte math mirrors Multimodal.resizePlan (hex of the first two
+      // payload bytes); round on positive doubles is half-up in both
+      "mm_resize" ->
+        """WITH b AS (SELECT doc_id, encode(text) AS p FROM documents),
+          |d AS (SELECT doc_id,
+          |        64 + (CASE WHEN octet_length(p) > 0
+          |               THEN ('0x' || substr(hex(p), 1, 2))::INT
+          |               ELSE 0 END) % 192 AS width,
+          |        64 + (CASE WHEN octet_length(p) > 1
+          |               THEN ('0x' || substr(hex(p), 3, 2))::INT
+          |               ELSE 0 END) % 192 AS height
+          |      FROM b),
+          |s AS (SELECT *, least(1.0, 224.0 / width, 224.0 / height)
+          |        AS sc
+          |      FROM d)
+          |SELECT doc_id, width, height,
+          |       CAST(round(width * sc, 0) AS INT) AS out_w,
+          |       CAST(round(height * sc, 0) AS INT) AS out_h,
+          |       round(sc, 6) AS scale
+          |FROM s""".stripMargin,
 
       "mm_dedup" ->
         """SELECT md5(text) AS content_hash,

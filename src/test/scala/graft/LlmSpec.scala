@@ -182,6 +182,35 @@ class LlmSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L))) // hamming 0
   }
 
+  test("resize plan: stub dims, fit-inside scale, no upscaling") {
+    import graft.llm.Multimodal
+    val rows = Seq(
+      (1L, Array[Byte](0, 0)),          // 64x64 -> fits, scale 1
+      (2L, Array[Byte](-1, 63)),        // b0=255: 64+63=127? no: 255%192=63 -> 127; b1=63 -> 127
+      (3L, Array[Byte](191.toByte)),    // 191%192 -> w=255, missing b1 -> h=64
+      (4L, Array.empty[Byte])           // no bytes -> 64x64
+    ).toDF("media_id", "payload")
+    val out = Multimodal.resizePlan(rows, "media_id", "payload", 224, 224)
+      .as[(Long, Int, Int, Int, Int, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 64, 64, 64, 64, 1.0)))
+    assert(out(2L) == ((2L, 127, 127, 127, 127, 1.0)))
+    // 255 wide caps at 224: scale = 224/255, h = round(64*224/255) = 56
+    val r3 = out(3L)
+    assert(r3._2 == 255 && r3._3 == 64 && r3._4 == 224 && r3._5 == 56, r3)
+    assert(math.abs(r3._6 - 224.0 / 255.0) < 1e-6)
+    assert(out(4L) == ((4L, 64, 64, 64, 64, 1.0)))
+    // FakeCodec agreement: the columnar dims equal the codec's
+    Seq(Array[Byte](12, 34, 56), Array[Byte](7)).foreach { bs =>
+      val (w, h) = Multimodal.FakeCodec.dims(bs)
+      val got = Multimodal.resizePlan(
+        Seq((9L, bs)).toDF("media_id", "payload"),
+        "media_id", "payload", 10000, 10000)
+        .as[(Long, Int, Int, Int, Int, Double)].head()
+      assert((got._2, got._3) == ((w, h)), s"${bs.toSeq}")
+    }
+  }
+
   test("binary simhash: retagged payload pairs with original, cross-asset not") {
     import graft.llm.Multimodal
     val base = ("header" + ("the quick brown fox jumps over the dog " * 20))
