@@ -269,6 +269,42 @@ object TextAnalysis {
       .withColumn("norm_len", length(col("text_norm")))
   }
 
+  /** Main-text extraction from HTML markup — the very first step of a
+    * web-crawl pipeline (every downstream gate scores the ARTICLE text,
+    * not navigation chrome or JavaScript). A deterministic regex chain,
+    * all map-only codegen'd `regexp_replace`s portable across engines
+    * ((?is) inline flags and lazy quantifiers work in both Java regex
+    * and RE2):
+    *   1. script/style elements drop WITH their contents;
+    *   2. HTML comments drop;
+    *   3. block-element boundaries (`</p>`, `<br>`, headings, list
+    *      items, `</div>`) become newlines so words from adjacent
+    *      blocks don't fuse;
+    *   4. every remaining tag becomes a space;
+    *   5. the five predefined XML entities plus `&nbsp;` decode (the
+    *      long tail of named/numeric entities belongs to a real parser —
+    *      this is the deterministic columnar subset);
+    *   6. whitespace runs collapse, ends trim.
+    * Output column: `text_main`. */
+  def htmlExtract(df: DataFrame, htmlCol: String): DataFrame = {
+    var t: Column = col(htmlCol)
+    // two separate element rules — RE2 (the other engines' regex) has
+    // no backreferences, so <(script|style)>…</\1> is not portable
+    t = regexp_replace(t, "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    t = regexp_replace(t, "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    t = regexp_replace(t, "(?s)<!--.*?-->", " ")
+    t = regexp_replace(t,
+      "(?i)</?(p|br|div|li|ul|ol|h[1-6]|tr|table)\\b[^>]*>", "\n")
+    t = regexp_replace(t, "(?s)<[^>]*>", " ")
+    // entity strings contain no regex metacharacters — plain patterns
+    Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&apos;" -> "'", "&#39;" -> "'",
+      "&nbsp;" -> " ").foreach { case (e, r) =>
+      t = regexp_replace(t, e, r)
+    }
+    df.withColumn("text_main", trim(regexp_replace(t, "\\s+", " ")))
+  }
+
   /** The Gopher rule-based document filter (Rae et al. 2021, appendix
     * A1.1): the canonical pre-model gate web-corpus pipelines apply
     * before any learned quality score. Emits the measured value AND a

@@ -343,6 +343,22 @@ object PipelineQueries {
       TextAnalysis.qualityScore(Tables.documents(s, d), "text")
         .select("doc_id", "quality_score")),
 
+    // --- main-text extraction from HTML: the crawl pipeline's first
+    // step (markup synthesized deterministically around the fixture
+    // text; the regex chain is the operator) ----------------------------
+    "text_html_extract" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><style>p{color:red}</style>" +
+          "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+          "</head><body><h1 class=\"t\">Doc &amp; title</h1><p>"),
+        col("text"),
+        lit("</p><!-- footer --><div>&copy; nav&nbsp;bar</div>" +
+          "</body></html>"))
+      TextAnalysis.htmlExtract(
+        Tables.documents(s, d).withColumn("html", html), "html")
+        .select("doc_id", "text_main")
+    }),
+
     // --- blocklist tagger: tag-then-filter term gate (map-only) -------------
     "text_blocklist" -> ((s, d) =>
       TextAnalysis.blocklist(Tables.documents(s, d), "text", "doc_id",
@@ -3953,6 +3969,39 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |       round(CAST(sum(CAST(cnt AS DECIMAL(9,0)) * ent9) AS DOUBLE)
           |             / CAST(max(n) AS DOUBLE), 6) AS char_entropy
           |FROM e GROUP BY 1""".stripMargin,
+
+      // the same markup wrap + regex chain, step by step — RE2-safe
+      // patterns (no backreferences; inline (?is) flags work in both)
+      "text_html_extract" ->
+        """WITH h AS (SELECT doc_id,
+          |  '<html><head><style>p{color:red}</style>' ||
+          |  '<script type="text/javascript">var x = 1 < 2;</script>' ||
+          |  '</head><body><h1 class="t">Doc &amp; title</h1><p>' ||
+          |  text ||
+          |  '</p><!-- footer --><div>&copy; nav&nbsp;bar</div>' ||
+          |  '</body></html>' AS t
+          |  FROM documents),
+          |s1 AS (SELECT doc_id, regexp_replace(t,
+          |  '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g') AS t FROM h),
+          |s2 AS (SELECT doc_id, regexp_replace(t,
+          |  '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS t FROM s1),
+          |s3 AS (SELECT doc_id, regexp_replace(t,
+          |  '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+          |s4 AS (SELECT doc_id, regexp_replace(t,
+          |  '(?i)</?(p|br|div|li|ul|ol|h[1-6]|tr|table)\b[^>]*>',
+          |  chr(10), 'g') AS t FROM s3),
+          |s5 AS (SELECT doc_id, regexp_replace(t,
+          |  '(?s)<[^>]*>', ' ', 'g') AS t FROM s4),
+          |s6 AS (SELECT doc_id,
+          |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          |  regexp_replace(regexp_replace(regexp_replace(t,
+          |    '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+          |    '&quot;', '"', 'g'), '&apos;', '''', 'g'),
+          |    '&#39;', '''', 'g'), '&nbsp;', ' ', 'g') AS t
+          |  FROM s5)
+          |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g'))
+          |         AS text_main
+          |FROM s6""".stripMargin,
 
       // vocabulary-collapsed char bigrams weighted by word frequency;
       // substr windows mirror the CharWindows(word, 2, 1) kernel

@@ -182,6 +182,26 @@ class LlmSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L))) // hamming 0
   }
 
+  test("html extract: scripts die with contents, blocks break, entities decode") {
+    import graft.llm.TextAnalysis
+    val html =
+      """<html><head><title>T</title><style>p { color: red }</style>
+        |<script>if (1 < 2) { alert("<p>not text</p>"); }</script></head>
+        |<body><h1>Head &amp; line</h1>
+        |<p>first  para</p><p>second &lt;tag&gt; &quot;q&quot;</p>
+        |<!-- hidden --><ul><li>a</li><li>b</li></ul>
+        |&nbsp;tail&#39;s &copy; stays</body></html>""".stripMargin
+    val out = TextAnalysis.htmlExtract(
+      Seq((1L, html)).toDF("doc_id", "html"), "html")
+      .select("text_main").as[String].head()
+    assert(out == "T Head & line first para second <tag> \"q\" a b " +
+      "tail's &copy; stays", s"[$out]")
+    // script CONTENTS are gone even though they contain markup-like text
+    assert(!out.contains("alert") && !out.contains("not text"))
+    // adjacent blocks don't fuse words
+    assert(out.contains("para second"))
+  }
+
   test("resize plan: stub dims, fit-inside scale, no upscaling") {
     import graft.llm.Multimodal
     val rows = Seq(
