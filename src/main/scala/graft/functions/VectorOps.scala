@@ -160,6 +160,93 @@ case class L2Normalize(child: Expression)
     copy(child = newChild)
 }
 
+/** `int8_snap(v)`: the int8 symmetric quantize→dequantize round trip in
+  * ONE codegen pass — `y_i = clamp(round(x_i·127/amax), ±127)·amax/127`
+  * — for serving paths that dequantize immediately (ann_int8_topk). The
+  * composable `dequantize(int8Codes(v), scale)` chain evaluates THREE
+  * interpreted `transform` lambdas per row; this loop produced the same
+  * doubles bit-for-bit (round is half-away-from-zero —
+  * signum·floor(|t|+0.5) — matching Spark's and DuckDB's `round`)
+  * at a fraction of the cost. A zero/empty amax
+  * yields the all-zero vector (nothing to encode), null elements null
+  * the row out like the other kernels. */
+case class Int8Snap(child: Expression)
+    extends UnaryExpression with VectorArrayAccess {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      if (mayHaveNullElems(child) && x.isNullAt(i)) return null
+      val a = math.abs(get(child, x, i))
+      if (a > amax) amax = a
+      i += 1
+    }
+    val out = new Array[Double](n)
+    if (amax > 0.0) {
+      val scale = amax / 127.0
+      i = 0
+      while (i < n) {
+        val t = get(child, x, i) * 127.0 / amax
+        val r = math.signum(t) * math.floor(math.abs(t) + 0.5)
+        val q = math.max(-127.0, math.min(127.0, r))
+        // + 0.0 canonicalizes the -0.0 a negative tiny value rounds to
+        out(i) = q * scale + 0.0
+        i += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val amax = ctx.freshName("amax")
+      val a = ctx.freshName("a")
+      val scale = ctx.freshName("scale")
+      val q = ctx.freshName("q")
+      val t = ctx.freshName("t")
+      val res = ctx.freshName("res")
+      val nullCheck =
+        if (mayHaveNullElems(child))
+          s"if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |int $n = $v.numElements();
+         |double $amax = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
+         |  double $a = java.lang.Math.abs(${getter(child, v, i)});
+         |  if ($a > $amax) $amax = $a;
+         |}
+         |if (!${ev.isNull}) {
+         |  double[] $res = new double[$n];
+         |  if ($amax > 0.0) {
+         |    double $scale = $amax / 127.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      double $t = (${getter(child, v, i)}) * 127.0 / $amax;
+         |      double $q = java.lang.Math.max(-127.0, java.lang.Math.min(127.0,
+         |        java.lang.Math.signum($t) * java.lang.Math.floor(java.lang.Math.abs($t) + 0.5)));
+         |      $res[$i] = $q * $scale + 0.0;
+         |    }
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($res);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `hamming(a, b)` = number of positions where two equal-length strings
   * differ (bit-signature distance for SimHash). Codegen'd byte loop —
   * the `zip_with(split(a, ""), split(b, ""), ...)` formulation allocates
@@ -222,4 +309,7 @@ object VectorOps {
   def hamming(a: Column, b: Column): Column =
     ColumnBridge.column(HammingDistance(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def int8Snap(v: Column): Column =
+    ColumnBridge.column(Int8Snap(ColumnBridge.expression(v)))
 }

@@ -49,6 +49,14 @@ object Quantize {
   def dequantize(codesCol: Column, scaleCol: Column): Column =
     transform(codesCol, q => q.cast("double") * scaleCol)
 
+  /** The quantize→dequantize round trip in ONE codegen pass
+    * ([[graft.functions.Int8Snap]]) — for serving paths that dequantize
+    * immediately; bit-identical to `dequantize(int8Codes(v), scale)`
+    * (property-pinned) without the three interpreted `transform`
+    * lambdas. */
+  def snap(vecCol: Column): Column =
+    graft.functions.VectorOps.int8Snap(vecCol)
+
   /** Per-vector quantization report: dimension count, amax, and the mean
     * squared reconstruction error — the fidelity audit a corpus-wide
     * quantization job should emit. Rounded (6/12 dp) for cross-engine

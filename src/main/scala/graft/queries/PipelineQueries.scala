@@ -549,9 +549,8 @@ object PipelineQueries {
     // brute-force kernel, engine-exact because the quantized grid is ----
     "ann_int8_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val deq = Quantize.quantize(e, "embedding", "vec_id")
-        .select(col("vec_id"),
-          Quantize.dequantize(col("codes"), col("scale")).as("embedding"))
+      val deq = e.select(col("vec_id"),
+        Quantize.snap(col("embedding")).as("embedding"))
       Similarity.bruteForceTopK(deq, deq.filter(col("vec_id") < 20),
         "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("rank").cast("long").as("rank"),

@@ -640,6 +640,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("int8 snap kernel == dequantize∘int8Codes chain bit-for-bit") {
+    import graft.llm.Quantize
+    val vecGen = Gen.chooseNum(0, 24).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf(
+        Gen.chooseNum(-1000000, 1000000).map(_ / 9999.0f),
+        Gen.oneOf(0.0f, -0.0f, 127.5f, -127.5f, 63.5f))))
+    (1 to 40).foreach { seed =>
+      val v = sample(vecGen, seed)
+      val df = Seq(Tuple1(v)).toDF("v")
+      val chain = df.select(Quantize.dequantize(
+        graft.llm.Quantize.int8Codes(col("v")),
+        graft.llm.Quantize.absMax(col("v")) / 127.0)).as[Seq[Double]].head()
+      val snap = df.select(Quantize.snap(col("v"))).as[Seq[Double]].head()
+      assert(snap.map(java.lang.Double.doubleToLongBits(_)) ==
+        chain.map(java.lang.Double.doubleToLongBits(_)),
+        s"seed=$seed v=$v chain=$chain snap=$snap")
+    }
+  }
+
   test("pq encode == brute-force argmin over the same codebooks") {
     import graft.llm.Pq
     val m = 4; val k = 8; val subDim = 4
