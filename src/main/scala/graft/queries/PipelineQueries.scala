@@ -268,9 +268,13 @@ object PipelineQueries {
     "mm_neardup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .withColumn("payload", encode(col("text"), "utf-8"))
-      Dedup.simhashPairs(
-        Multimodal.binarySimhash(docs, "doc_id", "payload"),
-        "doc_id", maxHamming = 3)
+      // checkpoint the signature frame: simhashPairs consumes it from
+      // five subplans (distinct-sig collapse, both chunk-join sides, two
+      // member re-joins) and Catalyst shares no subplans — without this
+      // the base64+window+md5 signature scan runs ~5× (11 s → 4 s at sf1)
+      val sig = Multimodal.binarySimhash(docs, "doc_id", "payload")
+        .localCheckpoint()
+      Dedup.simhashPairs(sig, "doc_id", maxHamming = 3)
         .select(col("id_a"), col("id_b"),
           col("hamming").cast("long").as("hamming"))
     }),
