@@ -342,6 +342,17 @@ class LlmSpec extends SparkSpec {
     assert(cbs.length == 8 && cbs.forall(_.length == 16))
   }
 
+  test("codebook training is partition-order-invariant") {
+    import graft.llm.{Clustering, Pq}
+    val e = graft.core.Tables.embeddings(spark, sf001)
+      .select($"vec_id", Clustering.quantize($"embedding").as("qvec"))
+    val a = Pq.trainCodebooks(e, "vec_id", "qvec", 4, 8, 16, iters = 2)
+    val b = Pq.trainCodebooks(e.repartition(13), "vec_id", "qvec",
+      4, 8, 16, iters = 2)
+    assert(a.flatten.flatten.map(java.lang.Double.doubleToLongBits(_)) ==
+      b.flatten.flatten.map(java.lang.Double.doubleToLongBits(_)))
+  }
+
   test("pq table-path codes == literal-path codes bit-for-bit") {
     import graft.llm.Pq
     val e = graft.core.Tables.embeddings(spark, sf001)
