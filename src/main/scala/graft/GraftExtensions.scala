@@ -7,9 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DistinctShingles, DotProduct, HammingDistance,
-  L2Normalize, MinHashSignature, NfcNormalize, NgramStats, SimHash64,
-  WinnowFingerprints}
+import graft.functions.{AllShinglesExpr, CharWindowsExpr, DistinctShingles,
+  DotProduct, HammingDistance, Int8Snap, L2Normalize, MinHashSignature,
+  NfcNormalize, NgramStats, SimHash64, WinnowFingerprints}
 
 /** `SparkSessionExtensions` installer: registers the engine's custom
   * codegen expressions as SQL functions so `spark.sql` queries (and the
@@ -92,6 +92,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NgramStats].getName, "ngram_stats"),
       arity("ngram_stats", 2)(args => NgramStats(args(0),
         GraftExtensions.litInt("ngram_stats", "n", args(1))))))
+    ext.injectFunction((
+      FunctionIdentifier("int8_snap"),
+      new ExpressionInfo(classOf[Int8Snap].getName, "int8_snap"),
+      arity("int8_snap", 1)(args => Int8Snap(args.head))))
+    ext.injectFunction((
+      FunctionIdentifier("char_windows"),
+      new ExpressionInfo(classOf[CharWindowsExpr].getName, "char_windows"),
+      arity("char_windows", 3)(args => CharWindowsExpr(args(0),
+        GraftExtensions.litInt("char_windows", "window", args(1)),
+        GraftExtensions.litInt("char_windows", "stride", args(2))))))
+    ext.injectFunction((
+      FunctionIdentifier("all_shingles"),
+      new ExpressionInfo(classOf[AllShinglesExpr].getName, "all_shingles"),
+      arity("all_shingles", 2)(args => AllShinglesExpr(args(0),
+        GraftExtensions.litInt("all_shingles", "n", args(1))))))
     ext.injectFunction((
       FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName,
