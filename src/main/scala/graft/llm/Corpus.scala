@@ -633,7 +633,10 @@ object Corpus {
     *
     * Output: the selected rows as (id, n_feats, logw, priority), priority
     * descending then id. Raw documents whose text yields zero features
-    * cannot be scored and are not candidates. Float discipline: counts
+    * cannot be scored and are not candidates. An EMPTY target corpus has
+    * no distribution to match: every log-weight (and priority) is null —
+    * surfaced, never thrown — and the selection is id-ordered noise;
+    * callers gate on `logw IS NOT NULL` or validate the target first. Float discipline: counts
     * are exact longs; each bucket's log-ratio is 9-dp-fixed decimal and
     * the per-doc sum is an exact decimal weighted sum (the
     * [[unigramSurprisal]] discipline); the Gumbel term is two `ln`s on an

@@ -275,6 +275,21 @@ class LlmSpec extends SparkSpec {
         Similarity.cosine(col("v"), array(lit(1.0), lit(0.0))).as("c"))
       .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
     assert(cos(1L) && !cos(2L))
+    // round-7 ops on degenerate inputs: empty DSIR target → null
+    // (unscored) log-weights, no throw; empty-corpus BPE → zero rows;
+    // null/empty html → null/empty main text
+    import graft.llm.Corpus
+    val docs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val emptyT = docs.filter(col("doc_id") < 0)
+    val d = Corpus.dsirSample(docs, emptyT, "text", "doc_id", n = 5)
+      .collect()
+    assert(d.length == 2 && d.forall(_.isNullAt(2)),
+      "empty target: rows surface with null logw, never a crash")
+    assert(Corpus.bpePairCounts(emptyT, "text", 5).count() == 0)
+    val h = TextAnalysis.htmlExtract(
+      Seq((1L, null: String), (2L, "")).toDF("doc_id", "html"), "html")
+      .select("text_main").collect()
+    assert(h(0).isNullAt(0) && h(1).getString(0) == "")
   }
 
   test("brute-force cosine top-k ranks by true cosine") {
