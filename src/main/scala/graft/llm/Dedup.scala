@@ -753,19 +753,7 @@ object Dedup {
     * the floor for any global sub-document dedup. */
   def chunkDedup(df: DataFrame, textCol: String, idCol: String,
                  w: Int): DataFrame = {
-    require(w >= 1, s"chunk width $w must be >= 1")
-    val toks = TextAnalysis.tokens(col(textCol))
-    val chunks = spread(df)
-      .select(col(idCol), toks.as("__toks"))
-      .filter(size(col("__toks")) >= 1) // sequence(0,-1) would run backwards
-      .withColumn("n_chunks",
-        ceil(size(col("__toks")) / lit(w.toDouble)).cast("long"))
-      .withColumn("chunk_idx",
-        explode(sequence(lit(0L), col("n_chunks") - 1)))
-      .withColumn("chunk", array_join(
-        slice(col("__toks"), (col("chunk_idx") * w + 1).cast("int"), lit(w)),
-        " "))
-      .drop("__toks")
+    val chunks = chunkStream(df, textCol, idCol, w)
     val firstW = Window.partitionBy(md5(col("chunk")))
       .orderBy(col(idCol), col("chunk_idx"))
     chunks
@@ -778,5 +766,75 @@ object Dedup {
         array_join(transform(
           array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
           s => s.getField("chunk")), " ").as("clean_text"))
+  }
+
+  /** Fixed-width word chunking shared by [[chunkDedup]] and
+    * [[chunkDupStats]]: one exploded row per (document, chunk) with the
+    * document's total chunk count. Map-side only — explode + slice on the
+    * token array, no shuffle. */
+  private def chunkStream(df: DataFrame, textCol: String, idCol: String,
+                          w: Int): DataFrame = {
+    require(w >= 1, s"chunk width $w must be >= 1")
+    val toks = TextAnalysis.tokens(col(textCol))
+    spread(df)
+      .select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) >= 1) // sequence(0,-1) would run backwards
+      .withColumn("n_chunks",
+        ceil(size(col("__toks")) / lit(w.toDouble)).cast("long"))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("chunk", array_join(
+        slice(col("__toks"), (col("chunk_idx") * w + 1).cast("int"), lit(w)),
+        " "))
+      .drop("__toks")
+  }
+
+  /** Per-document duplicated-content scoring (the RefinedWeb/MassiveText
+    * drop policy and the SoftDeDup loss-reweighting input in one pass):
+    * chunk each document ([[chunkStream]] — swap in a paragraph splitter
+    * on corpora with real breaks), count each distinct chunk's corpus-wide
+    * multiplicity, and fold back per document:
+    *
+    *   - `n_dup` / `dup_ratio` — how many of the document's chunks occur
+    *     more than once in the corpus (including within-document repeats —
+    *     a page that repeats its own boilerplate is duplicated content
+    *     too), as count and fraction. Filtering `dup_ratio > τ` is the
+    *     "drop documents that are mostly duplicated elsewhere" policy that
+    *     document-level exact/near dedup misses (a unique wrapper around a
+    *     copied body hashes as unique).
+    *   - `sum_mult` / `soft_weight = n_chunks / sum_mult` — inverse mean
+    *     chunk multiplicity in (0, 1], 1 ⟺ every chunk is corpus-unique.
+    *     Feeding it to a loss- or sampling-weight column down-weights
+    *     duplicated text smoothly instead of dropping it (soft dedup);
+    *     `Sampling.weighted` accepts it directly. A ratio of two exact
+    *     longs — one correctly-rounded division, engine-portable.
+    *
+    * Scale shape: the explode is map-side and only (id, md5) pairs leave
+    * it — chunk text never rides a shuffle. Multiplicities come from a
+    * map-side-combining `groupBy(md5(chunk))` (uniform keys; the hot
+    * boilerplate chunk contributes one partial row per map task, not its
+    * 10⁸ occurrences), re-attached with a SHUFFLE_HASH join — same
+    * mega-duplicate hardening as [[exact]]. The join's probe side streams;
+    * a single pathological chunk key lands as one probe partition of
+    * occurrence rows with no sort, and AQE's skew split can further divide
+    * it because the build side is one row per hash. Final per-document
+    * fold is one hash aggregate. Shuffle volume ≈ corpus size — the floor
+    * for any corpus-wide multiplicity computation. */
+  def chunkDupStats(df: DataFrame, textCol: String, idCol: String,
+                    w: Int): DataFrame = {
+    val chunks = chunkStream(df, textCol, idCol, w)
+      .select(col(idCol), col("n_chunks"), md5(col("chunk")).as("__h"))
+    val mult = chunks.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__mult"))
+    chunks.join(mult.hint("SHUFFLE_HASH"), "__h")
+      .groupBy(col(idCol))
+      .agg(
+        first(col("n_chunks")).as("n_chunks"),
+        sum(when(col("__mult") > 1L, 1L).otherwise(0L)).as("n_dup"),
+        sum(col("__mult")).as("sum_mult"))
+      .withColumn("dup_ratio",
+        round(col("n_dup").cast("double") / col("n_chunks"), 6))
+      .withColumn("soft_weight",
+        round(col("n_chunks").cast("double") / col("sum_mult"), 6))
   }
 }

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables.spread
@@ -132,5 +133,42 @@ object QualityModel {
         round(col("__lin"), 6).as("score_linear"),
         round(lit(1.0) / (lit(1.0) + exp(col("__lin") * -4.0)), 6)
           .as("quality_prob"))
+  }
+
+  /** Percentile calibration of a raw quality score within each group
+    * (per-source, per-language): raw classifier/heuristic scores are not
+    * comparable across sources — a 0.6 on arXiv and a 0.6 on raw crawl
+    * mean different things — so threshold-based filtering uses the score's
+    * percentile WITHIN its source instead ("keep every source's top 80%").
+    * Emits `pct` = SQL `percent_rank() OVER (PARTITION BY group ORDER BY
+    * score)`: ties share a value, `(rank-1)/(n-1)`, 0 for a single-row
+    * group.
+    *
+    * Scale shape: a naive per-row window would sort each group in one
+    * task — a straggler when one source is most of the corpus. Instead the
+    * row grain collapses FIRST to distinct (group, score) cells with
+    * counts (a map-side-combining aggregate; a 6-dp score in [0,1] has
+    * ≤ 10⁶ cells per group regardless of corpus size), percent ranks are
+    * computed on the collapsed frame via a cumulative-count window (tiny:
+    * cells, not rows), and the cell table broadcasts back onto the rows —
+    * the corpus itself is scanned, aggregated, and map-side joined, never
+    * sorted. */
+  def calibrate(df: DataFrame, scoreCol: String, groupCol: String)
+      : DataFrame = {
+    val cells = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val byScore = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pctTable = cells
+      .withColumn("__below", coalesce(sum(col("__cnt")).over(byScore),
+        lit(0L)))
+      .withColumn("__n", sum(col("__cnt")).over(whole))
+      .withColumn("pct", when(col("__n") > 1L,
+        round(col("__below").cast("double") / (col("__n") - 1L), 6))
+        .otherwise(lit(0.0)))
+      .select(col(groupCol), col(scoreCol), col("pct"))
+    df.join(broadcast(pctTable), Seq(groupCol, scoreCol))
   }
 }

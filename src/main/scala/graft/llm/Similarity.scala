@@ -395,4 +395,47 @@ object Similarity {
         greatest(col("__a"), col("__b")).as("id_b"), col("score"))
     within.unionByName(cross)
   }
+
+  // -------------------------------------------- hybrid retrieval fusion
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N ranked
+    * retrieval lists — the standard way to combine a sparse (BM25) and a
+    * dense (embedding ANN) leg without calibrating their incomparable
+    * scores: each list contributes `1/(k0 + rank)` for the items it
+    * ranked, fused items sort by the sum. `k0 = 60` is the paper's
+    * constant; larger values flatten the head.
+    *
+    * `lists` maps a leg name to a frame holding (`idCol`, `rankCol`) with
+    * rank 1-based; the output carries one nullable `<name>_rank` column
+    * per leg (null ⟺ that leg didn't rank the item), plus `rrf` and the
+    * fused top-`k` cut (ties broken by id — deterministic). The reciprocal
+    * terms are added in `lists` order: each term is one correctly-rounded
+    * division and the left-to-right double sum is fixed by that order, so
+    * the fused scores are engine-portable (the oracle adds in the same
+    * order).
+    *
+    * Scale shape: inputs are top-k lists — thousands of rows at most, by
+    * construction — so the outer-join chain stays broadcast-sized no
+    * matter the corpus behind the legs; all the heavy lifting (corpus
+    * scans, ANN buckets) happened inside the legs. The final order is a
+    * TakeOrderedAndProject, not a total sort. */
+  def rrfFuse(lists: Seq[(String, DataFrame)], idCol: String,
+              rankCol: String, k0: Int, k: Int): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k0 > 0 && k > 0, s"k0=$k0 and k=$k must be positive")
+    val named = lists.map { case (name, df) =>
+      name -> df.select(col(idCol), col(rankCol).cast("long")
+        .as(s"${name}_rank"))
+    }
+    val joined = named.map(_._2).reduce { (a, b) =>
+      a.join(b, Seq(idCol), "full_outer")
+    }
+    val terms = named.map { case (name, _) =>
+      coalesce(lit(1.0) / (lit(k0.toLong) + col(s"${name}_rank")), lit(0.0))
+    }
+    joined
+      .withColumn("rrf", round(terms.reduce(_ + _), 9))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -25,6 +26,28 @@ object PipelineQueries {
   private val toksCte =
     """t AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks
       |      FROM documents)""".stripMargin
+
+  /** SQL fragment: the w=3 chunker from the dedup_chunks oracle plus
+    * corpus-wide chunk-hash multiplicities folded per document (`sdp`) —
+    * shared by the dedup_dupratio and softdedup_weights oracles (keep in
+    * sync with [[Dedup.chunkDupStats]]). */
+  private val chunkMultCtes =
+    """t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      |      FROM documents WHERE len(string_split_regex(text, '\s+')) >= 1),
+      |c AS (SELECT doc_id,
+      |             CAST(ceil(len(toks) / 3.0) AS BIGINT) AS n_chunks,
+      |             md5(array_to_string(toks[(i*3+1):(i*3+3)], ' ')) AS h
+      |      FROM (SELECT doc_id, toks,
+      |                   unnest(generate_series(
+      |                     0, CAST(ceil(len(toks) / 3.0) AS BIGINT) - 1)) AS i
+      |            FROM t)),
+      |m AS (SELECT h, count(*) AS mult FROM c GROUP BY h),
+      |sdp AS (SELECT c.doc_id,
+      |               any_value(c.n_chunks) AS n_chunks,
+      |               CAST(sum(CASE WHEN m.mult > 1 THEN 1 ELSE 0 END)
+      |                 AS BIGINT) AS n_dup,
+      |               CAST(sum(m.mult) AS BIGINT) AS sum_mult
+      |        FROM c JOIN m USING (h) GROUP BY c.doc_id)""".stripMargin
 
   /** SQL fragment: distinct word-3-gram shingles (keep in sync with
     * [[Dedup.shingles]]). */
@@ -114,6 +137,43 @@ object PipelineQueries {
   private val Bm25Terms = Seq("vector", "merge", "spark")
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
+
+  /** DuckDB CTE fragment scoring every document against [[Bm25Terms]]
+    * (`base`, `st`, `sc`; requires [[toksCte]]) plus the final top-100
+    * SELECT — shared by the bm25_topk oracle and hybrid_rrf's sparse leg
+    * so both ranked lists come from the one fragment. */
+  private val Bm25OracleCtes: String = {
+    val dfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df_$i"
+    }.mkString(",\n              ")
+    val contribs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"""CAST(round(ln((CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5)
+         |          / (CAST(df_$i AS DOUBLE) + 0.5) + 1.0)
+         |     * CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)
+         |     * ${Bm25K1 + 1.0}
+         |     / (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)
+         |        + $Bm25K1 * (1.0 - $Bm25B + $Bm25B
+         |          * CAST(dl AS DOUBLE)
+         |          / (CAST(total_len AS DOUBLE)
+         |             / CAST(n_docs AS DOUBLE)))), 9) AS DECIMAL(28,9))"""
+        .stripMargin
+    }.mkString("\n   + ")
+    s"""base AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS dl
+       |         FROM t),
+       |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_len,
+       |              $dfCols
+       |       FROM base),
+       |sc AS (SELECT doc_id, dl,
+       |   $contribs AS s
+       |   FROM base, st)""".stripMargin
+  }
+
+  private val Bm25OracleTop: String =
+    """SELECT doc_id, dl, round(CAST(s AS DOUBLE), 6) AS bm25
+      |FROM sc
+      |WHERE round(CAST(s AS DOUBLE), 6) > 0
+      |ORDER BY bm25 DESC, doc_id
+      |LIMIT 100""".stripMargin
 
   /** SQL fragment: per-doc quality score `q(doc_id, quality_score)` (keep
     * in lock-step with [[TextAnalysis.qualityScore]] and the text_quality
@@ -326,6 +386,25 @@ object PipelineQueries {
       Corpus.bm25TopK(Tables.documents(s, d), "text", "doc_id",
         terms = Bm25Terms, k = 100, k1 = Bm25K1, b = Bm25B)),
 
+    // --- hybrid retrieval: reciprocal-rank fusion of the BM25 sparse leg
+    // and a dense cosine leg (doc 0's embedding as the query — vec_id
+    // aligns with doc_id in the fixtures). The rank windows run on
+    // top-100 lists, not the corpus -----------------------------------------
+    "hybrid_rrf" -> ((s, d) => {
+      val sparse = Corpus.bm25TopK(Tables.documents(s, d), "text", "doc_id",
+        terms = Bm25Terms, k = 100, k1 = Bm25K1, b = Bm25B)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select("doc_id", "rank")
+      val e = Tables.embeddings(s, d)
+      val dense = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 100)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(Seq("sparse" -> sparse, "dense" -> dense),
+        "doc_id", "rank", k0 = 60, k = 20)
+        .select("doc_id", "sparse_rank", "dense_rank", "rrf")
+    }),
+
     // --- tokenizer fertility per language: subword-proxy tokens per
     // whitespace word — how expensive a language is under a tokenizer
     // (the fairness/sizing number multilingual pipelines report). One
@@ -346,6 +425,16 @@ object PipelineQueries {
     "text_quality" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d), "text")
         .select("doc_id", "quality_score")),
+
+    // --- per-source percentile calibration of the quality score: the
+    // threshold-free "keep every source's top 80%" gate ----------------------
+    "quality_calibrate" -> ((s, d) => {
+      val scored = TextAnalysis.qualityScore(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("source"), col("quality_score"))
+      QualityModel.calibrate(scored, "quality_score", "source")
+        .withColumn("keep", col("pct") >= 0.2)
+        .select("doc_id", "source", "quality_score", "pct", "keep")
+    }),
 
     // --- main-text extraction from HTML: the crawl pipeline's first
     // step (markup synthesized deterministically around the fixture
@@ -689,6 +778,18 @@ object PipelineQueries {
     "dedup_chunks" -> ((s, d) =>
       Dedup.chunkDedup(Tables.documents(s, d), "text", "doc_id", w = 3)
         .select("doc_id", "n_chunks", "n_kept", "clean_text")),
+
+    // --- per-document duplicated-content fraction (the RefinedWeb-style
+    // "drop documents that are mostly duplicated elsewhere" gate) ------------
+    "dedup_dupratio" -> ((s, d) =>
+      Dedup.chunkDupStats(Tables.documents(s, d), "text", "doc_id", w = 3)
+        .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+          col("dup_ratio"), (col("dup_ratio") <= 0.5).as("keep"))),
+
+    // --- soft dedup: inverse-mean-multiplicity loss/sampling weights --------
+    "softdedup_weights" -> ((s, d) =>
+      Dedup.chunkDupStats(Tables.documents(s, d), "text", "doc_id", w = 3)
+        .select("doc_id", "sum_mult", "soft_weight")),
 
     // --- mixture-weighted per-source downsampling ----------------------------
     "sample_mixture" -> ((s, d) =>
@@ -2397,42 +2498,60 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       // k1/b/k1+1 constants interpolate from the SAME Scala doubles the
       // engine plans, so both parsers see identical shortest-repr
       // literals
-      "bm25_topk" -> {
-        val dfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
-          s"sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df_$i"
-        }.mkString(",\n              ")
-        val contribs = Bm25Terms.zipWithIndex.map { case (t, i) =>
-          s"""CAST(round(ln((CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5)
-             |          / (CAST(df_$i AS DOUBLE) + 0.5) + 1.0)
-             |     * CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)
-             |     * ${Bm25K1 + 1.0}
-             |     / (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)
-             |        + $Bm25K1 * (1.0 - $Bm25B + $Bm25B
-             |          * CAST(dl AS DOUBLE)
-             |          / (CAST(total_len AS DOUBLE)
-             |             / CAST(n_docs AS DOUBLE)))), 9) AS DECIMAL(28,9))"""
-            .stripMargin
-        }.mkString("\n   + ")
-        s"""WITH $toksCte,
-           |base AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS dl
-           |         FROM t),
-           |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_len,
-           |              $dfCols
-           |       FROM base),
-           |sc AS (SELECT doc_id, dl,
-           |   $contribs AS s
-           |   FROM base, st)
-           |SELECT doc_id, dl, round(CAST(s AS DOUBLE), 6) AS bm25
-           |FROM sc
-           |WHERE round(CAST(s AS DOUBLE), 6) > 0
-           |ORDER BY bm25 DESC, doc_id
-           |LIMIT 100""".stripMargin
-      },
+      "bm25_topk" ->
+        s"WITH $toksCte,\n$Bm25OracleCtes\n$Bm25OracleTop",
+
+      // sparse leg = the bm25_topk fragment verbatim; dense leg = the
+      // ann_brute ranking with vec 0 as the query; reciprocal terms add
+      // sparse-then-dense to match the engine's left-to-right fold
+      "hybrid_rrf" ->
+        (s"WITH $toksCte,\n$Bm25OracleCtes,\n" +
+          """sr AS (SELECT doc_id, CAST(row_number() OVER (
+            |          ORDER BY bm25 DESC, doc_id) AS BIGINT) AS sparse_rank
+            |       FROM (""".stripMargin + Bm25OracleTop + """)),
+            |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            |       FROM embeddings),
+            |en AS (SELECT vec_id,
+            |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+            |       FROM e0),
+            |qv AS (SELECT v AS q FROM en WHERE vec_id = 0),
+            |dr AS (SELECT * FROM (
+            |         SELECT vec_id AS doc_id,
+            |                CAST(row_number() OVER (
+            |                  ORDER BY list_dot_product(en.v, q) DESC,
+            |                           vec_id) AS BIGINT) AS dense_rank
+            |         FROM en, qv WHERE vec_id <> 0)
+            |       WHERE dense_rank <= 100),
+            |f AS (SELECT coalesce(sr.doc_id, dr.doc_id) AS doc_id,
+            |             sr.sparse_rank, dr.dense_rank,
+            |             round(coalesce(1.0 / (60 + sr.sparse_rank), 0.0)
+            |                 + coalesce(1.0 / (60 + dr.dense_rank), 0.0), 9)
+            |               AS rrf
+            |      FROM sr FULL OUTER JOIN dr ON sr.doc_id = dr.doc_id)
+            |SELECT doc_id, sparse_rank, dense_rank, rrf
+            |FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id)
+            |        AS rn FROM f)
+            |WHERE rn <= 20""".stripMargin),
 
       "text_quality" ->
         s"""WITH $toksCte,
            |$qualityCte
            |SELECT doc_id, quality_score FROM q""".stripMargin,
+
+      // percent_rank ties share a value (no per-row tiebreak), so the
+      // engine's collapsed-cell formulation matches the window verbatim
+      "quality_calibrate" ->
+        s"""WITH $toksCte,
+           |$qualityCte,
+           |j AS (SELECT d.doc_id, d.source, q.quality_score
+           |      FROM documents d JOIN q ON d.doc_id = q.doc_id),
+           |p AS (SELECT doc_id, source, quality_score,
+           |             round(percent_rank() OVER (PARTITION BY source
+           |                     ORDER BY quality_score), 6) AS pct
+           |      FROM j)
+           |SELECT doc_id, source, quality_score, pct,
+           |       pct >= 0.2 AS keep
+           |FROM p""".stripMargin,
 
       "text_blocklist" ->
         """WITH b AS (SELECT doc_id,
@@ -2996,6 +3115,23 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |       array_to_string(list(chunk ORDER BY chunk_idx), ' ')
           |         AS clean_text
           |FROM k GROUP BY doc_id""".stripMargin,
+
+      // shares dedup_chunks' chunker CTE; multiplicity is corpus-wide
+      // occurrence count of the chunk hash (within-document repeats
+      // included — see Dedup.chunkDupStats)
+      "dedup_dupratio" ->
+        s"""WITH $chunkMultCtes
+           |SELECT doc_id, n_chunks, n_dup,
+           |       round(CAST(n_dup AS DOUBLE) / n_chunks, 6) AS dup_ratio,
+           |       round(CAST(n_dup AS DOUBLE) / n_chunks, 6) <= 0.5 AS keep
+           |FROM sdp""".stripMargin,
+
+      "softdedup_weights" ->
+        s"""WITH $chunkMultCtes
+           |SELECT doc_id, sum_mult,
+           |       round(CAST(n_chunks AS DOUBLE) / sum_mult, 6)
+           |         AS soft_weight
+           |FROM sdp""".stripMargin,
 
       "sample_mixture" ->
         """SELECT doc_id, source FROM documents

@@ -1012,4 +1012,62 @@ class LlmSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(kept == Set((14L, 15L)), s"got $kept")
   }
+
+  test("dup-ratio: corpus-wide chunk multiplicity incl. within-doc repeats") {
+    val d = Seq(
+      (1L, "a b c d e f"),  // shares "a b c" with doc 2
+      (2L, "a b c x y z"),
+      (3L, "p q r s t u"),  // fully unique
+      (4L, "m m m m m m")   // duplicates ITSELF: both chunks identical
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDupStats(d, "text", "doc_id", w = 3)
+      .select("doc_id", "n_chunks", "n_dup", "sum_mult", "dup_ratio",
+        "soft_weight")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 1L, 3L, 0.5, 0.666667)))
+    assert(out(2L) == ((2L, 2L, 1L, 3L, 0.5, 0.666667)))
+    assert(out(3L) == ((3L, 2L, 0L, 2L, 0.0, 1.0)))
+    // within-doc repeat: the chunk occurs twice corpus-wide, so BOTH
+    // occurrences are duplicated content and the weight halves
+    assert(out(4L) == ((4L, 2L, 2L, 4L, 1.0, 0.5)))
+  }
+
+  test("rrf fusion: sum of reciprocal ranks, null rank for a missing leg") {
+    val sparse = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val dense = Seq((20L, 1), (30L, 2), (40L, 3)).toDF("doc_id", "rank")
+    val out = Similarity.rrfFuse(
+      Seq("sparse" -> sparse, "dense" -> dense), "doc_id", "rank",
+      k0 = 60, k = 4)
+      .select("doc_id", "sparse_rank", "dense_rank", "rrf")
+      .as[(Long, Option[Long], Option[Long], Double)].collect()
+    // id 20 leads (1/62 + 1/61); ids 10 and 40 tie at 1/61 exactly —
+    // the id tiebreak must order 10 before 40 deterministically
+    assert(out.map(_._1).toSeq == Seq(20L, 30L, 10L, 40L))
+    assert(out(2)._3.isEmpty && out(3)._2.isEmpty) // single-leg items
+    val expected20 = BigDecimal(1.0 / 62 + 1.0 / 61)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0)._4 == expected20)
+  }
+
+  test("quality calibrate == percent_rank: ties share, singleton is 0") {
+    import graft.llm.QualityModel
+    val d = Seq(
+      (1L, "a", 0.1), (2L, "a", 0.2), (3L, "a", 0.2), (4L, "a", 0.4),
+      (5L, "b", 0.9)
+    ).toDF("doc_id", "source", "score")
+    val out = QualityModel.calibrate(d, "score", "source")
+      .select("doc_id", "pct").as[(Long, Double)].collect().toMap
+    assert(out(1L) == 0.0)
+    assert(out(2L) == 0.333333 && out(3L) == 0.333333) // tied cell shares
+    assert(out(4L) == 1.0)
+    assert(out(5L) == 0.0) // single-row group: percent_rank is 0, not 0/0
+    // and the engine formulation must equal Spark's own window function
+    val viaWindow = d.withColumn("pct",
+      org.apache.spark.sql.functions.round(percent_rank().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy("score")), 6))
+      .select("doc_id", "pct").as[(Long, Double)].collect().toMap
+    assert(out == viaWindow)
+  }
 }

@@ -48,7 +48,10 @@ class PlanSpec extends SparkSpec {
       "tfidf_topk", "lm_surprisal", "lm_bigram_nll", "collocation_pmi",
       "curriculum_global", "vocab_topk", "source_divergence", "bm25_topk",
       "embed_source_drift", "sample_dsir", "ann_pq_topk", "ccnet_buckets",
-      "quality_ensemble", "ann_pq_recall", "ann_pqt_topk")
+      "quality_ensemble", "ann_pq_recall", "ann_pqt_topk",
+      // both legs score by design: bm25's 1-row stat attach + brute-force
+      // dense scan; the fusion itself is an equi outer join of top-k lists
+      "hybrid_rrf")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intended)
       .filter { name =>
@@ -271,6 +274,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
     assert(p.contains("partial_min") || p.contains("partial_count"), p)
+  }
+
+  test("dup-ratio streams hot chunks: hash-join re-attach, never a sort") {
+    // same mega-duplicate hardening as dedup_exact, at chunk grain: the
+    // multiplicity re-attach must be a hash join over map-side-combined
+    // counts — no sort-merge join, no window over the chunk hash
+    val p = plan("dedup_dupratio")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("quality calibrate: cell table broadcasts; rows never sort") {
+    // the percentile table must come from collapsed (source, score) cells
+    // and broadcast back onto the row grain — the corpus is scanned and
+    // hash-aggregated, never sorted (the only Sort is inside the window
+    // over the tiny cell frame, upstream of the broadcast exchange)
+    val p = plan("quality_calibrate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_count"), p)
   }
 
   test("every query has a DuckDB oracle (full-strength correctness gate)") {
