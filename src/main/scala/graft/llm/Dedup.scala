@@ -789,6 +789,40 @@ object Dedup {
       .drop("__toks")
   }
 
+  /** Boilerplate removal with document rebuild: drop EVERY occurrence of
+    * any chunk whose corpus-wide multiplicity reaches `maxMult` (nav
+    * bars, cookie banners, license footers — text repeated across the
+    * corpus verbatim), then reassemble the surviving chunks in document
+    * order. The complement of [[chunkDedup]]: that keeps a duplicated
+    * chunk's FIRST occurrence (dedup), this keeps NONE (the repeated text
+    * is noise, not content — the CCNet/RefinedWeb cleaning posture).
+    * Returns (id, n_chunks, n_kept, clean_text); a document that was all
+    * boilerplate drops out entirely.
+    *
+    * Scale shape: identical to [[chunkDupStats]] — map-side explode,
+    * hash-only shuffle keys, map-side-combining multiplicity count,
+    * SHUFFLE_HASH re-attach (hot boilerplate chunks stream through the
+    * hash probe; no sort, no window) — plus the per-document reassembly
+    * groupBy, the same floor as [[chunkDedup]]. */
+  def deboilerplate(df: DataFrame, textCol: String, idCol: String,
+                    w: Int, maxMult: Long): DataFrame = {
+    require(maxMult >= 2, s"maxMult=$maxMult must be >= 2 " +
+      "(1 would drop every chunk)")
+    val chunks = chunkStream(df, textCol, idCol, w)
+      .withColumn("__h", md5(col("chunk")))
+    val mult = chunks.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__mult"))
+    chunks.join(mult.hint("SHUFFLE_HASH"), "__h")
+      .filter(col("__mult") < maxMult)
+      .groupBy(col(idCol))
+      .agg(
+        first(col("n_chunks")).as("n_chunks"),
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          s => s.getField("chunk")), " ").as("clean_text"))
+  }
+
   /** Per-document duplicated-content scoring (the RefinedWeb/MassiveText
     * drop policy and the SoftDeDup loss-reweighting input in one pass):
     * chunk each document ([[chunkStream]] — swap in a paragraph splitter

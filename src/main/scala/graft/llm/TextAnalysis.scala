@@ -376,4 +376,55 @@ object TextAnalysis {
           col("rule_ellipsis_lines") && col("rule_alpha_words") &&
           col("rule_stopwords"))
   }
+
+  // ------------------------------------------------ URL canonicalization
+
+  /** Query parameters stripped by [[urlNormalize]]: tracking params that
+    * vary per click without changing the resource — the #1 source of
+    * spurious URL-level "uniqueness" in crawl dedup. */
+  val trackingParamPattern = "^(utm_[^=]*|ref|fbclid|gclid)="
+
+  /** Host (lowercased, `www.` and an explicit default port stripped) from
+    * a raw URL — the key for per-domain accounting and mixing. */
+  def urlHost(url: Column): Column = {
+    val raw = lower(regexp_extract(trim(url),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    val scheme = lower(regexp_extract(trim(url),
+      "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val noWww = regexp_replace(raw, "^www\\.", "")
+    when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
+  }
+
+  /** Canonical URL for crawl-level dedup: lowercase the scheme and host
+    * (NOT the path — paths are case-sensitive), strip `www.`, the
+    * scheme's default port, the fragment, and tracking query params
+    * ([[trackingParamPattern]]), sort surviving params (order never
+    * distinguishes resources), and collapse a trailing slash. Two crawl
+    * records of one page normalize to one string, so exact-hash dedup on
+    * `url_norm` collapses them BEFORE any content fetch/compare — the
+    * cheapest dedup tier, upstream of content hashing.
+    *
+    * Pure column expression (regex + array HOFs, no UDF): fuses with the
+    * scan like every other op in this module. */
+  def urlNormalize(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val host = urlHost(u)
+    // everything after host, fragment dropped
+    val pathq = regexp_replace(
+      regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1),
+      "#.*$", "")
+    val path0 = regexp_extract(pathq, "^([^?]*)", 1)
+    val path = when(regexp_replace(path0, "/+$", "") === "", lit("/"))
+      .otherwise(regexp_replace(path0, "/+$", ""))
+    val query = regexp_extract(pathq, "\\?(.*)$", 1)
+    val params = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(trackingParamPattern)))
+    val qnorm = array_join(params, "&")
+    when(scheme === "", u) // not a hierarchical URL: leave untouched
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(qnorm === "", lit("")).otherwise(concat(lit("?"), qnorm))))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -48,6 +48,71 @@ object PipelineQueries {
       |                 AS BIGINT) AS n_dup,
       |               CAST(sum(m.mult) AS BIGINT) AS sum_mult
       |        FROM c JOIN m USING (h) GROUP BY c.doc_id)""".stripMargin
+
+  /** Deterministic crawl-record URL synthesized from fixture columns for
+    * the url_* queries — mixed case, www/default-port/fragment/tracking
+    * params and a trailing slash so every normalize rule fires; multiples
+    * of 5 collide onto a shared path so n_urls < n_docs per domain. */
+  private def synthUrl: Column = concat(
+    when(col("doc_id") % 2 === 0, lit("HTTP://WWW.")).otherwise(lit("HTTPS://")),
+    col("source"), lit(".Example.COM"),
+    when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")),
+    lit("/Docs/"),
+    when(col("doc_id") % 5 === 0, expr("doc_id div 100"))
+      .otherwise(col("doc_id")).cast("string"),
+    when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+    lit("?utm_source=feed&b=2&ref="), col("lang"), lit("&a=1#sec-"),
+    col("lang"))
+
+  /** SQL fragment: the same synthesized URL plus the normalize chain
+    * (`un(doc_id, url, host, url_norm)`) — keep in lock-step with
+    * [[synthUrl]], [[TextAnalysis.urlNormalize]], and
+    * [[TextAnalysis.urlHost]]. */
+  private val urlCtes =
+    """uraw AS (SELECT doc_id,
+      |  concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.'
+      |              ELSE 'HTTPS://' END,
+      |         source, '.Example.COM',
+      |         CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END,
+      |         '/Docs/',
+      |         CAST(CASE WHEN doc_id % 5 = 0 THEN doc_id // 100
+      |                   ELSE doc_id END AS VARCHAR),
+      |         CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+      |         '?utm_source=feed&b=2&ref=', lang, '&a=1#sec-', lang)
+      |    AS url
+      |  FROM documents),
+      |up AS (SELECT doc_id, url,
+      |         lower(regexp_extract(url,
+      |           '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+      |         regexp_replace(lower(regexp_extract(url,
+      |           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
+      |           '^www\.', '') AS h0,
+      |         regexp_replace(regexp_extract(url,
+      |           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1),
+      |           '#.*$', '') AS pathq
+      |       FROM uraw),
+      |uh AS (SELECT *, CASE WHEN scheme = 'http'
+      |                        THEN regexp_replace(h0, ':80$', '')
+      |                      WHEN scheme = 'https'
+      |                        THEN regexp_replace(h0, ':443$', '')
+      |                      ELSE h0 END AS host,
+      |         regexp_extract(pathq, '^([^?]*)', 1) AS path0,
+      |         regexp_extract(pathq, '\?(.*)$', 1) AS qs
+      |       FROM up),
+      |un AS (SELECT doc_id, url, host,
+      |         CASE WHEN scheme = '' THEN url ELSE
+      |           concat(scheme, '://', host,
+      |             CASE WHEN regexp_replace(path0, '/+$', '') = ''
+      |                  THEN '/'
+      |                  ELSE regexp_replace(path0, '/+$', '') END,
+      |             CASE WHEN qnorm = '' THEN ''
+      |                  ELSE concat('?', qnorm) END)
+      |         END AS url_norm
+      |       FROM (SELECT *, array_to_string(list_sort(list_filter(
+      |               string_split(qs, '&'), p -> p <> '' AND NOT
+      |               regexp_matches(p,
+      |                 '^(utm_[^=]*|ref|fbclid|gclid)='))), '&') AS qnorm
+      |             FROM uh))""".stripMargin
 
   /** SQL fragment: distinct word-3-gram shingles (keep in sync with
     * [[Dedup.shingles]]). */
@@ -456,6 +521,35 @@ object PipelineQueries {
     "text_blocklist" -> ((s, d) =>
       TextAnalysis.blocklist(Tables.documents(s, d), "text", "doc_id",
         terms = Seq("slow", "crash", "stale"), maxHits = 1L)),
+
+    // --- URL canonicalization (crawl-record synthesis over the fixture
+    // columns; the normalize chain is the operator — case folding, www/
+    // default-port/fragment/tracking-param strip, param sort, trailing
+    // slash). Map-only, fuses with the scan -------------------------------
+    "url_normalize" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("url", synthUrl)
+        .withColumn("url_norm", TextAnalysis.urlNormalize(col("url")))
+        .withColumn("host", TextAnalysis.urlHost(col("url")))
+        .select("doc_id", "url", "url_norm", "host")),
+
+    // --- per-domain accounting on the canonical URLs: the crawl-side
+    // sizing input for domain mixing and URL-level dedup ------------------
+    "url_domain_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("url", synthUrl)
+        .withColumn("url_norm", TextAnalysis.urlNormalize(col("url")))
+        .withColumn("host", TextAnalysis.urlHost(col("url")))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url_norm")).as("n_urls"))),
+
+    // --- boilerplate removal with rebuild: drop ALL occurrences of any
+    // chunk repeated corpus-wide, reassemble survivors ---------------------
+    "text_deboilerplate" -> ((s, d) =>
+      Dedup.deboilerplate(Tables.documents(s, d), "text", "doc_id",
+        w = 3, maxMult = 2)
+        .select("doc_id", "n_chunks", "n_kept", "clean_text")),
 
     // --- hashed-feature linear quality classifier (fastText-style gate
     // plumbing; deterministic stand-in weights, map-only single scan) ----
@@ -3132,6 +3226,40 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |       round(CAST(n_chunks AS DOUBLE) / sum_mult, 6)
            |         AS soft_weight
            |FROM sdp""".stripMargin,
+
+      // dedup_chunks' chunker, but EVERY occurrence of a chunk with
+      // corpus multiplicity >= 2 dies (boilerplate posture), then the
+      // same ordered reassembly
+      "text_deboilerplate" ->
+        """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+          |           FROM documents WHERE len(string_split_regex(text, '\s+')) >= 1),
+          |c AS (SELECT doc_id,
+          |             CAST(ceil(len(toks) / 3.0) AS BIGINT) AS n_chunks,
+          |             i AS chunk_idx,
+          |             array_to_string(toks[(i*3+1):(i*3+3)], ' ') AS chunk
+          |      FROM (SELECT doc_id, toks,
+          |                   unnest(generate_series(
+          |                     0, CAST(ceil(len(toks) / 3.0) AS BIGINT) - 1)) AS i
+          |            FROM t)),
+          |m AS (SELECT md5(chunk) AS h, count(*) AS mult
+          |      FROM c GROUP BY md5(chunk)),
+          |k AS (SELECT c.* FROM c JOIN m ON md5(c.chunk) = m.h
+          |      WHERE m.mult < 2)
+          |SELECT doc_id, any_value(n_chunks) AS n_chunks,
+          |       count(*) AS n_kept,
+          |       array_to_string(list(chunk ORDER BY chunk_idx), ' ')
+          |         AS clean_text
+          |FROM k GROUP BY doc_id""".stripMargin,
+
+      "url_normalize" ->
+        s"""WITH $urlCtes
+           |SELECT doc_id, url, url_norm, host FROM un""".stripMargin,
+
+      "url_domain_stats" ->
+        s"""WITH $urlCtes
+           |SELECT host, count(*) AS n_docs,
+           |       count(DISTINCT url_norm) AS n_urls
+           |FROM un GROUP BY host""".stripMargin,
 
       "sample_mixture" ->
         """SELECT doc_id, source FROM documents

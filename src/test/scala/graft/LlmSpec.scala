@@ -1050,6 +1050,52 @@ class LlmSpec extends SparkSpec {
     assert(out(0)._4 == expected20)
   }
 
+  test("deboilerplate drops ALL occurrences of repeated chunks, rebuilds") {
+    val d = Seq(
+      (1L, "a b c d e f"),   // "a b c" repeats corpus-wide -> dies here too
+      (2L, "a b c x y z"),
+      (3L, "a b c a b c")    // all boilerplate: document drops out
+    ).toDF("doc_id", "text")
+    val out = Dedup.deboilerplate(d, "text", "doc_id", w = 3, maxMult = 2)
+      .select("doc_id", "n_chunks", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 1L, "d e f")))
+    assert(out(2L) == ((2L, 2L, 1L, "x y z")))
+    assert(!out.contains(3L))
+    // contrast with chunkDedup: FIRST occurrence survives there
+    val kept = Dedup.chunkDedup(d, "text", "doc_id", w = 3)
+      .filter(col("doc_id") === 1L).select("clean_text").as[String].head()
+    assert(kept == "a b c d e f")
+  }
+
+  test("url normalize: every rule fires; non-default ports and case survive") {
+    val cases = Seq(
+      // case fold scheme+host only, www+default port+fragment+tracking
+      // strip, param sort, trailing slash collapse
+      ("HTTPS://WWW.Example.COM:443/A/b/?utm_source=x&b=2&a=1#frag",
+        "https://example.com/A/b?a=1&b=2", "example.com"),
+      // bare host, default http port: path normalizes to "/"
+      ("http://Host.com:80", "http://host.com/", "host.com"),
+      // tracking-only query disappears entirely
+      ("https://h.io/p?utm_x=1&ref=z&fbclid=q", "https://h.io/p", "h.io"),
+      // NON-default port is identity, not noise
+      ("https://h.io:8080/p", "https://h.io:8080/p", "h.io:8080"),
+      // :80 is only default for http — on https it stays
+      ("https://h.io:80/p", "https://h.io:80/p", "h.io:80"),
+      // not a hierarchical URL: left untouched
+      ("mailto:x@y.z", "mailto:x@y.z", "")
+    ).toDF("url", "want_norm", "want_host")
+    val got = cases.select(
+      TextAnalysis.urlNormalize(col("url")).as("norm"),
+      TextAnalysis.urlHost(col("url")).as("host"),
+      col("want_norm"), col("want_host"))
+      .as[(String, String, String, String)].collect()
+    got.foreach { case (norm, host, wantNorm, wantHost) =>
+      assert(norm == wantNorm, s"norm: $norm != $wantNorm")
+      assert(host == wantHost, s"host: $host != $wantHost")
+    }
+  }
+
   test("quality calibrate == percent_rank: ties share, singleton is 0") {
     import graft.llm.QualityModel
     val d = Seq(

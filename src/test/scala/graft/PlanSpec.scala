@@ -101,7 +101,8 @@ class PlanSpec extends SparkSpec {
 
   test("text repetition and pii scrub are map-only single scans") {
     Seq("text_repetition", "text_pii", "quality_rules",
-        "text_readability", "text_lang_mix", "text_blocklist").foreach { q =>
+        "text_readability", "text_lang_mix", "text_blocklist",
+        "url_normalize").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
       // executedPlan.toString renders whole-stage codegen spans as "*(n)"
