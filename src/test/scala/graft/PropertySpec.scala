@@ -688,4 +688,59 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("chunkDupStats == brute-force multiplicity fold on random corpora") {
+    import graft.llm.Dedup
+    // tiny vocab forces chunk collisions within AND across docs
+    val docGen = Gen.listOfN(12,
+      Gen.chooseNum(1, 9).flatMap(n =>
+        Gen.listOfN(n * 3, Gen.oneOf("a", "b", "c", "d"))
+          .map(_.mkString(" "))))
+    val w = 3
+    (1 to 8).foreach { seed =>
+      val texts = sample(docGen, seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // brute force: chunk every doc, count multiplicities globally
+      val allChunks = docs.flatMap { case (id, t) =>
+        t.split("\\s+").grouped(w).map(c => (id, c.mkString(" ")))
+      }
+      val mult = allChunks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val expected = docs.map { case (id, t) =>
+        val cs = t.split("\\s+").grouped(w).map(_.mkString(" ")).toSeq
+        val nDup = cs.count(c => mult(c) > 1).toLong
+        val sumMult = cs.map(mult).sum
+        id -> ((cs.size.toLong, nDup, sumMult))
+      }.toMap
+      val got = Dedup.chunkDupStats(docs.toDF("doc_id", "text"),
+        "text", "doc_id", w)
+        .select("doc_id", "n_chunks", "n_dup", "sum_mult")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("urlNormalize is idempotent on randomized crawl URLs") {
+    import graft.llm.TextAnalysis
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- Gen.oneOf("Example.COM", "sub.Host.io", "h.io")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/A/b", "/Docs/1/", "/p//")
+      params <- Gen.someOf(Seq("b=2", "a=1", "utm_source=x", "ref=z",
+        "fbclid=q", "z=9")).map(_.toList)
+      frag <- Gen.oneOf("", "#frag", "#a/b?c")
+    } yield s"$scheme://$www$host$port$path" +
+      (if (params.isEmpty) "" else params.mkString("?", "&", "")) + frag
+    val urls = (1 to 60).map(seed => sample(urlGen, seed)).distinct
+    val out = urls.toDF("url")
+      .select(TextAnalysis.urlNormalize(col("url")).as("n1"))
+      .select(col("n1"),
+        TextAnalysis.urlNormalize(col("n1")).as("n2"))
+      .as[(String, String)].collect()
+    out.foreach { case (n1, n2) =>
+      assert(n1 == n2, s"not idempotent: $n1 -> $n2")
+    }
+  }
 }
