@@ -56,6 +56,46 @@ object Contamination {
         round(col("shared_ngrams").cast("double") / col("n_test_ngrams"), 6))
   }
 
+  /** [[ngramOverlap]] plus EVIDENCE: the matched n-grams themselves per
+    * flagged (test, train) pair — sorted, capped at `maxGrams`, rendered
+    * as one `'|'`-joined string — what a decontamination audit actually
+    * reviews before dropping training documents (a high `overlap_frac`
+    * from boilerplate grams reads very differently from verbatim answer
+    * text).
+    *
+    * The gram STRINGS ride only the broadcast eval side; the train corpus
+    * still ships 8-byte hashes, so the scale shape is [[ngramOverlap]]'s
+    * unchanged. Evidence per pair is bounded by the eval doc's gram count
+    * pre-cap (benchmarks are short) and by `maxGrams` after. */
+  def ngramOverlapReport(train: DataFrame, test: DataFrame,
+                         textCol: String, idCol: String,
+                         n: Int = 3, minShared: Int = 2,
+                         maxGrams: Int = 10): DataFrame = {
+    require(maxGrams >= 1, s"maxGrams=$maxGrams")
+    val testSh = test.select(col(idCol).as("test_id"),
+      explode(graft.functions.Shingles.distinctShingles(
+        TextAnalysis.tokens(col(textCol)), n)).as("shingle"))
+      .select(col("test_id"), col("shingle"),
+        xxhash64(col("shingle")).as("sh"))
+    val trainSh = spread(train).select(col(idCol).as("train_id"),
+      explode(graft.functions.Shingles.distinctShingles(
+        TextAnalysis.tokens(col(textCol)), n)).as("shingle"))
+      .select(col("train_id"), xxhash64(col("shingle")).as("sh"))
+    val testSizes = test.select(col(idCol).as("test_id"),
+      size(graft.functions.Shingles.distinctShingles(
+        TextAnalysis.tokens(col(textCol)), n)).as("n_test_ngrams"))
+    trainSh
+      .join(broadcast(testSh), Seq("sh"))
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(count(lit(1)).as("shared_ngrams"),
+        array_join(slice(array_sort(collect_set(col("shingle"))),
+          1, maxGrams), "|").as("evidence"))
+      .filter(col("shared_ngrams") >= minShared)
+      .join(broadcast(testSizes), Seq("test_id"))
+      .withColumn("overlap_frac",
+        round(col("shared_ngrams").cast("double") / col("n_test_ngrams"), 6))
+  }
+
   /** Same result as [[ngramOverlap]] — EXACT, because a Bloom filter has
     * no false negatives and an exact join confirms the survivors — but
     * built for eval sets too large to broadcast as a hash relation: a

@@ -152,10 +152,19 @@ object QualityModel {
     * computed on the collapsed frame via a cumulative-count window (tiny:
     * cells, not rows), and the cell table broadcasts back onto the rows —
     * the corpus itself is scanned, aggregated, and map-side joined, never
-    * sorted. */
+    * sorted.
+    *
+    * The input is materialized once (`localCheckpoint`): the cell
+    * aggregate and the row-side probe are separate subplans, and without
+    * the checkpoint Catalyst re-runs the upstream scoring scan for each
+    * (the sf1 rehearsal measured the un-checkpointed plan at ~2× — the
+    * mm_neardup/memoized-dedup precedent). Pass a PROJECTED frame (id,
+    * group, score), not one still carrying document text: what you pass
+    * is what gets materialized. */
   def calibrate(df: DataFrame, scoreCol: String, groupCol: String)
       : DataFrame = {
-    val cells = df.groupBy(col(groupCol), col(scoreCol))
+    val base = df.localCheckpoint()
+    val cells = base.groupBy(col(groupCol), col(scoreCol))
       .agg(count(lit(1)).as("__cnt"))
     val byScore = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -169,6 +178,6 @@ object QualityModel {
         round(col("__below").cast("double") / (col("__n") - 1L), 6))
         .otherwise(lit(0.0)))
       .select(col(groupCol), col(scoreCol), col("pct"))
-    df.join(broadcast(pctTable), Seq(groupCol, scoreCol))
+    base.join(broadcast(pctTable), Seq(groupCol, scoreCol))
   }
 }

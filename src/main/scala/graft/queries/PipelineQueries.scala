@@ -689,6 +689,28 @@ object PipelineQueries {
         .select("test_id", "train_id", "shared_ngrams", "overlap_frac")
     }),
 
+    // --- decontamination audit report: the pairs PLUS the matched grams
+    // themselves (sorted, capped) — gram strings ride only the broadcast
+    // eval side -------------------------------------------------------------
+    "contamination_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Contamination.ngramOverlapReport(
+        train = docs.filter(col("doc_id") % 17 =!= 0),
+        test = docs.filter(col("doc_id") % 17 === 0),
+        "text", "doc_id", n = 3, minShared = 2, maxGrams = 5)
+        .select("test_id", "train_id", "shared_ngrams", "evidence",
+          "overlap_frac")
+    }),
+
+    // --- generic key-skew diagnostic: order-of-magnitude histogram of
+    // per-key counts + the hottest keys (the sizing inputs behind every
+    // salt / cap / broadcast decision) --------------------------------------
+    "skew_profile" -> ((s, d) =>
+      Skew.keyProfile(Tables.events(s, d), "user_id")),
+
+    "skew_hot_keys" -> ((s, d) =>
+      Skew.hotKeys(Tables.events(s, d), "user_id", topN = 20)),
+
     // --- bloom-prefiltered decontamination: same answer, different plan -----
     // Exact despite the Bloom (no false negatives + exact confirm join);
     // shares contamination_ngram's oracle semantics — two independent
@@ -2793,6 +2815,38 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |         AS overlap_frac
            |FROM pairs JOIN sizes USING (test_id)
            |WHERE shared_ngrams >= 2""".stripMargin,
+
+      "contamination_report" ->
+        s"""WITH $shinglesCte,
+           |test AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 17 = 0),
+           |train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 17 != 0),
+           |sizes AS (SELECT doc_id AS test_id, count(*) AS n_test_ngrams
+           |          FROM test GROUP BY 1),
+           |pairs AS (
+           |  SELECT test.doc_id AS test_id, train.doc_id AS train_id,
+           |         count(*) AS shared_ngrams,
+           |         array_to_string(
+           |           (list_sort(list(DISTINCT shingle)))[1:5], '|')
+           |           AS evidence
+           |  FROM test JOIN train USING (shingle) GROUP BY 1, 2)
+           |SELECT test_id, train_id, shared_ngrams, evidence,
+           |       round(CAST(shared_ngrams AS DOUBLE) / n_test_ngrams, 6)
+           |         AS overlap_frac
+           |FROM pairs JOIN sizes USING (test_id)
+           |WHERE shared_ngrams >= 2""".stripMargin,
+
+      "skew_profile" ->
+        """WITH c AS (SELECT user_id, count(*) AS cnt
+          |           FROM events GROUP BY user_id)
+          |SELECT CAST(length(CAST(cnt AS VARCHAR)) AS INT) AS digits,
+          |       count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+          |       max(cnt) AS max_count
+          |FROM c GROUP BY 1""".stripMargin,
+
+      "skew_hot_keys" ->
+        """SELECT user_id, count(*) AS key_count FROM events
+          |GROUP BY user_id
+          |ORDER BY key_count DESC, user_id LIMIT 20""".stripMargin,
 
       // deliberately the SAME oracle as contamination_ngram: the Bloom
       // path must reproduce the exact-join answer bit for bit

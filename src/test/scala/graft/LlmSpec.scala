@@ -697,6 +697,24 @@ class LlmSpec extends SparkSpec {
     assert(out == Set((1L, 10L, 2L, 0.666667), (1L, 12L, 2L, 0.666667)))
   }
 
+  test("contamination report carries the matched grams, sorted and capped") {
+    val train = Seq(
+      (10L, "the quick brown fox jumps high"),
+      (11L, "nothing in common with anything")
+    ).toDF("doc_id", "text")
+    val test = Seq((1L, "the quick brown fox sleeps")).toDF("doc_id", "text")
+    val out = Contamination.ngramOverlapReport(train, test, "text", "doc_id",
+      n = 3, minShared = 2, maxGrams = 10)
+      .select("test_id", "train_id", "shared_ngrams", "evidence")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq((1L, 10L, 2L, "quick brown fox|the quick brown")))
+    // the cap truncates the sorted list deterministically
+    val capped = Contamination.ngramOverlapReport(train, test, "text",
+      "doc_id", n = 3, minShared = 2, maxGrams = 1)
+      .select("evidence").as[String].head()
+    assert(capped == "quick brown fox")
+  }
+
   test("bow fingerprint is order-invariant; content fingerprint is not") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"))
       .toDF("doc_id", "text")

@@ -119,6 +119,23 @@ class OperatorsSpec extends SparkSpec {
     assert(hotSalts > 1, s"hot key stayed on $hotSalts salt(s)")
   }
 
+  test("key-skew profile buckets by count digits; hot keys rank with ties") {
+    import graft.operators.Skew
+    // a: 3 rows (1 digit), b: 12 rows (2 digits), c: 12, d: 120 (3 digits)
+    val rows = (Seq.fill(3)("a") ++ Seq.fill(12)("b") ++ Seq.fill(12)("c") ++
+      Seq.fill(120)("d")).zipWithIndex.map { case (k, i) => (k, i.toLong) }
+    val df = rows.toDF("k", "row_id")
+    val hist = Skew.keyProfile(df, "k")
+      .select("digits", "n_keys", "n_rows", "max_count")
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(hist == Set((1, 1L, 3L, 3L), (2, 2L, 24L, 12L),
+      (3, 1L, 120L, 120L)))
+    // top-3: d first, then the b/c tie resolved by key ascending
+    val hot = Skew.hotKeys(df, "k", topN = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(hot == Seq(("d", 120L), ("b", 12L), ("c", 12L)))
+  }
+
   test("influx escaping and sorted-tag line rendering") {
     // reference consumers/influxdb/consumer.py:84-169
     val df = Seq(("cpu util", Map("host b" -> "x=1", "a" -> "v,2"), 42.5, 1700000000L))

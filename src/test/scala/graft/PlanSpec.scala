@@ -298,6 +298,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("skew profile is two hash aggregates — no join, no sort") {
+    val p = plan("skew_profile")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Join") && !p.contains("Sort"), p)
+  }
+
+  test("contamination report broadcasts the eval side like the base op") {
+    val p = plan("contamination_report")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("every query has a DuckDB oracle (full-strength correctness gate)") {
     // Sketch outputs (HLL registers, quantile summaries) are approximate
     // and engine-specific — no cross-engine value oracle EXISTS. Each name
