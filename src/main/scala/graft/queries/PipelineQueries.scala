@@ -907,6 +907,17 @@ object PipelineQueries {
       Dedup.chunkDupStats(Tables.documents(s, d), "text", "doc_id", w = 3)
         .select("doc_id", "sum_mult", "soft_weight")),
 
+    // --- soft dedup in action: duplication-aware weighted sampling — the
+    // down-weight-instead-of-drop pipeline (chunkDupStats → weighted);
+    // duplicated documents survive, at inclusion odds scaled by how
+    // corpus-unique their content is -----------------------------------------
+    "sample_softdedup" -> ((s, d) =>
+      Sampling.weighted(
+        Dedup.chunkDupStats(Tables.documents(s, d), "text", "doc_id", w = 3)
+          .select("doc_id", "soft_weight"),
+        "doc_id", "soft_weight", k = 100)
+        .select(col("doc_id"), col("soft_weight"), col("priority"))),
+
     // --- mixture-weighted per-source downsampling ----------------------------
     "sample_mixture" -> ((s, d) =>
       Sampling.mixture(Tables.documents(s, d), "doc_id", "source",
@@ -3280,6 +3291,20 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |       round(CAST(n_chunks AS DOUBLE) / sum_mult, 6)
            |         AS soft_weight
            |FROM sdp""".stripMargin,
+
+      // sample_weighted's priority construction over the soft weights
+      "sample_softdedup" ->
+        s"""WITH $chunkMultCtes,
+           |sw AS (SELECT doc_id,
+           |         round(CAST(n_chunks AS DOUBLE) / sum_mult, 6)
+           |           AS soft_weight
+           |       FROM sdp),
+           |p AS (SELECT doc_id, soft_weight,
+           |        (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+           |           ::BIGINT / 4503599627370496.0) / soft_weight AS pri
+           |      FROM sw WHERE soft_weight > 0)
+           |SELECT doc_id, soft_weight, round(pri, 12) AS priority
+           |FROM p ORDER BY pri, doc_id LIMIT 100""".stripMargin,
 
       // dedup_chunks' chunker, but EVERY occurrence of a chunk with
       // corpus multiplicity >= 2 dies (boilerplate posture), then the

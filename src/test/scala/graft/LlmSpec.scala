@@ -290,6 +290,19 @@ class LlmSpec extends SparkSpec {
       Seq((1L, null: String), (2L, "")).toDF("doc_id", "html"), "html")
       .select("text_main").collect()
     assert(h(0).isNullAt(0) && h(1).getString(0) == "")
+    // chunk family: null text drops (tokens(null) is null, size -1 fails
+    // the >=1 gate — a doc with no text has no duplication score); ""
+    // tokenizes to one ""-token chunk and scores normally
+    val nd = Seq((1L, null: String), (2L, ""), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val cds = Dedup.chunkDupStats(nd, "text", "doc_id", w = 2)
+      .select("doc_id", "n_chunks").as[(Long, Long)].collect().toMap
+    assert(cds == Map(2L -> 1L, 3L -> 2L))
+    // url kernels: null propagates, never throws
+    val un = Seq(Tuple1(null: String)).toDF("u")
+      .select(TextAnalysis.urlNormalize(col("u")).as("n"),
+        TextAnalysis.urlHost(col("u")).as("h")).collect()
+    assert(un(0).isNullAt(0) && un(0).isNullAt(1))
   }
 
   test("brute-force cosine top-k ranks by true cosine") {
