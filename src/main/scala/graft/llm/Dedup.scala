@@ -789,6 +789,39 @@ object Dedup {
       .drop("__toks")
   }
 
+  /** WITHIN-document repetition removal — the map-only member of the
+    * chunk family: drop repeats of a chunk inside the SAME document
+    * (scraped pages that loop their own nav/footer, generation artifacts
+    * that stutter paragraphs), keeping each chunk's first occurrence in
+    * document order. No cross-document state, so unlike [[chunkDedup]] /
+    * [[deboilerplate]] there is NOTHING to shuffle: the chunk array, the
+    * first-occurrence filter (`array_distinct` preserves first-occurrence
+    * order), and the rebuild all evaluate inside the row, fused with the
+    * scan. Run this BEFORE the global passes — it shrinks what they
+    * shuffle.
+    *
+    * Returns (id, n_chunks, n_kept, clean_text) like the other rebuild
+    * ops; a document is never dropped (its first chunk always survives).
+    */
+  def dedupWithinDoc(df: DataFrame, textCol: String, idCol: String,
+                     w: Int): DataFrame = {
+    require(w >= 1, s"chunk width $w must be >= 1")
+    val toks = TextAnalysis.tokens(col(textCol))
+    spread(df)
+      .select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) >= 1) // sequence(0,-1) would run backwards
+      .withColumn("n_chunks",
+        ceil(size(col("__toks")) / lit(w.toDouble)).cast("long"))
+      .withColumn("__chunks", transform(
+        sequence(lit(0L), col("n_chunks") - 1),
+        i => array_join(
+          slice(col("__toks"), (i * w + 1).cast("int"), lit(w)), " ")))
+      .withColumn("__kept", array_distinct(col("__chunks")))
+      .select(col(idCol), col("n_chunks"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), " ").as("clean_text"))
+  }
+
   /** Boilerplate removal with document rebuild: drop EVERY occurrence of
     * any chunk whose corpus-wide multiplicity reaches `maxMult` (nav
     * bars, cookie banners, license footers — text repeated across the

@@ -551,6 +551,12 @@ object PipelineQueries {
         w = 3, maxMult = 2)
         .select("doc_id", "n_chunks", "n_kept", "clean_text")),
 
+    // --- WITHIN-document repetition removal: the map-only chunk op (no
+    // cross-document state, nothing shuffles) ------------------------------
+    "dedup_within" -> ((s, d) =>
+      Dedup.dedupWithinDoc(Tables.documents(s, d), "text", "doc_id", w = 3)
+        .select("doc_id", "n_chunks", "n_kept", "clean_text")),
+
     // --- hashed-feature linear quality classifier (fastText-style gate
     // plumbing; deterministic stand-in weights, map-only single scan) ----
     "quality_classifier" -> ((s, d) =>
@@ -3324,6 +3330,30 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |      FROM c GROUP BY md5(chunk)),
           |k AS (SELECT c.* FROM c JOIN m ON md5(c.chunk) = m.h
           |      WHERE m.mult < 2)
+          |SELECT doc_id, any_value(n_chunks) AS n_chunks,
+          |       count(*) AS n_kept,
+          |       array_to_string(list(chunk ORDER BY chunk_idx), ' ')
+          |         AS clean_text
+          |FROM k GROUP BY doc_id""".stripMargin,
+
+      // per-doc first-occurrence keep ordered by chunk_idx — the window
+      // formulation, because DuckDB's list_distinct does not document
+      // order preservation (Spark's array_distinct does)
+      "dedup_within" ->
+        """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+          |           FROM documents WHERE len(string_split_regex(text, '\s+')) >= 1),
+          |c AS (SELECT doc_id,
+          |             CAST(ceil(len(toks) / 3.0) AS BIGINT) AS n_chunks,
+          |             i AS chunk_idx,
+          |             array_to_string(toks[(i*3+1):(i*3+3)], ' ') AS chunk
+          |      FROM (SELECT doc_id, toks,
+          |                   unnest(generate_series(
+          |                     0, CAST(ceil(len(toks) / 3.0) AS BIGINT) - 1)) AS i
+          |            FROM t)),
+          |k AS (SELECT * FROM (
+          |        SELECT *, row_number() OVER (PARTITION BY doc_id, chunk
+          |                    ORDER BY chunk_idx) AS rn
+          |        FROM c) WHERE rn = 1)
           |SELECT doc_id, any_value(n_chunks) AS n_chunks,
           |       count(*) AS n_kept,
           |       array_to_string(list(chunk ORDER BY chunk_idx), ' ')

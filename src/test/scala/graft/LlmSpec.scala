@@ -1044,6 +1044,18 @@ class LlmSpec extends SparkSpec {
     assert(kept == Set((14L, 15L)), s"got $kept")
   }
 
+  test("within-doc dedup keeps first occurrences; cross-doc repeats stay") {
+    val d = Seq(
+      (1L, "a b c a b c d e f"),  // repeats its own first chunk
+      (2L, "a b c x y z")         // shares a chunk with doc 1 — NOT dropped
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupWithinDoc(d, "text", "doc_id", w = 3)
+      .select("doc_id", "n_chunks", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 2L, "a b c d e f")))
+    assert(out(2L) == ((2L, 2L, 2L, "a b c x y z")))
+  }
+
   test("dup-ratio: corpus-wide chunk multiplicity incl. within-doc repeats") {
     val d = Seq(
       (1L, "a b c d e f"),  // shares "a b c" with doc 2

@@ -298,6 +298,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("within-doc dedup is row-local: no join, window, agg, or shuffle") {
+    val p = plan("dedup_within")
+    assert(!p.contains("Join") && !p.contains("Window") &&
+      !p.contains("HashAggregate"), p)
+    // the only exchange allowed is spread's round-robin; nothing may
+    // hash-partition (that would mean cross-row state crept in)
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
   test("skew profile is two hash aggregates — no join, no sort") {
     val p = plan("skew_profile")
     assert(p.contains("partial_count"), p)
