@@ -103,4 +103,37 @@ object Sessionize {
       d.withColumn(s"ts_step${i + 1}", element_at(col("steps_ts"), i + 1))
     }.drop("evs", "steps_ts")
   }
+
+  /** Top event-type PATHS: each session's ordered event-type sequence,
+    * capped at the first `maxSteps` events (long sessions share prefixes,
+    * which is what makes paths countable), counted corpus-wide, top `topN`
+    * by frequency — the "what do users actually do" drill-down that
+    * funnels (which presuppose an expected order) can't answer.
+    *
+    * Scale shape: rides [[assign]]'s one shuffle + per-key sort window;
+    * the path itself assembles inside the per-session aggregate
+    * (`array_sort` over (ts, tie, type) structs — the canonical-ordering
+    * pattern, exact total order, no second window), path counting is a
+    * map-side-combining aggregate on the path string, and the top-N
+    * compiles to TakeOrderedAndProject (per-partition heaps, an N-row
+    * driver merge). A mega-session costs its own array sort but is capped
+    * by `maxSteps` at emission; a mega-POPULAR path is a hot aggregate
+    * key, combined map-side. */
+  def pathsTopK(df: DataFrame, keyCol: String, tsCol: String,
+                tieCol: String, typeCol: String, gapMicros: Long,
+                maxSteps: Int, topN: Int): DataFrame = {
+    require(maxSteps >= 1, s"maxSteps=$maxSteps")
+    require(topN >= 1, s"topN=$topN")
+    val sess = assign(df, keyCol, tsCol, tieCol, gapMicros)
+    val paths = sess
+      .groupBy(col(keyCol), col("session_seq"))
+      .agg(array_join(slice(transform(
+        array_sort(collect_list(
+          struct(col(tsCol), col(tieCol), col(typeCol)))),
+        s => s.getField(typeCol)), 1, maxSteps), ">").as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topN)
+  }
 }

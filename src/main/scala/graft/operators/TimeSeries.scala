@@ -58,6 +58,70 @@ object TimeSeries {
         coalesce(abs(z) > lit(threshold), lit(false)))
   }
 
+  /** Per-series ROBUST anomaly score (modified z, Iglewicz–Hoaglin):
+    * `0.6745·(x − median) / MAD`, flagged over `threshold` (3.5 is the
+    * literature default). Where [[zscore]]'s mean/stddev are dragged by
+    * the very outliers being hunted (one 10⁶× spike inflates σ until
+    * nothing else flags), median and MAD have a 50% breakdown point — the
+    * right detector for spiky telemetry.
+    *
+    * Median semantics: LOWER median (the value at 1-based position
+    * ⌈n/2⌉ in sorted order) for both the median and the MAD — a pure
+    * order statistic, NO interpolation, so both engines pick the same
+    * element and every downstream double op (−, abs, ·, /) is a
+    * correctly-rounded IEEE step on identical operands: bit-identical
+    * results with no `round()` anywhere. A series whose MAD is 0 (half
+    * or more of its values identical) yields null scores — null never
+    * flags, matching [[zscore]]'s constant-series posture.
+    *
+    * Scale shape: the quality-calibrate cells pattern, twice. Rows
+    * collapse map-side to distinct (series, value) cells with counts;
+    * the cumulative-count window that locates the median position runs
+    * over CELL frames (bounded by value cardinality, e.g. ≤10⁴ for 2-dp
+    * gauges in [0,100), regardless of row count); deviation cells derive
+    * from value cells by a broadcast join (|cells|, not |rows|); medians
+    * broadcast back onto the rows. The corpus is scanned and
+    * hash-aggregated — never sorted, no per-row window. */
+  def robustZscore(df: DataFrame, seriesCols: Seq[String], valueCol: String,
+                   threshold: Double = 3.5): DataFrame = {
+    require(seriesCols.nonEmpty, "robustZscore needs a series column")
+    val sc = seriesCols.map(col)
+    val v = col(valueCol)
+
+    // lower median of a (series, value-like, cnt) cell frame
+    def lowerMedian(cells: DataFrame, vCol: String, as: String): DataFrame = {
+      val byV = Window.partitionBy(sc: _*).orderBy(col(vCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy(sc: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      cells
+        .withColumn("__cum", sum(col("__cnt")).over(byV))
+        .withColumn("__n", sum(col("__cnt")).over(whole))
+        // ⌈n/2⌉ = truncating (n+1)/2; exact in double for any real n
+        .filter(col("__cum") >=
+          ((col("__n") + lit(1L)) / lit(2L)).cast("long"))
+        .groupBy(sc: _*)
+        .agg(min(col(vCol)).as(as))
+    }
+
+    val cells = df.filter(v.isNotNull)
+      .groupBy(sc :+ v.as("__v"): _*).agg(count(lit(1)).as("__cnt"))
+    val med = lowerMedian(cells, "__v", "series_med")
+    val devCells = cells.join(broadcast(med), seriesCols)
+      .select(sc ++ Seq(abs(col("__v") - col("series_med")).as("__dv"),
+        col("__cnt")): _*)
+      .groupBy(sc :+ col("__dv"): _*).agg(sum(col("__cnt")).as("__cnt"))
+    val mad = lowerMedian(devCells, "__dv", "series_mad")
+
+    val z = when(col("series_mad") > 0,
+      lit(0.6745) * (v - col("series_med")) / col("series_mad"))
+    df.join(broadcast(med), seriesCols)
+      .join(broadcast(mad), seriesCols)
+      .withColumn("robust_z", z)
+      .withColumn("is_anomaly",
+        coalesce(abs(z) > lit(threshold), lit(false)))
+  }
+
   /** Gap-filling resample: snap each series to a fixed `stepMicros` grid
     * (per-bucket value = MAX — exact, order-free; no float summation to
     * drift between engines), then linearly interpolate the missing

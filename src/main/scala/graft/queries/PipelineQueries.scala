@@ -999,6 +999,14 @@ object PipelineQueries {
         "user_id", "ts_us", "event_id", gapMicros = 86400L * 1000000L)
         .select("event_id", "user_id", "session_seq")),
 
+    // --- top session paths: ordered event-type sequences, capped at 5
+    // steps, counted corpus-wide ---------------------------------------------
+    "session_paths" -> ((s, d) =>
+      Sessionize.pathsTopK(
+        Tables.eventsUs(s, d),
+        "user_id", "ts_us", "event_id", "event_type",
+        gapMicros = 86400L * 1000000L, maxSteps = 5, topN = 20)),
+
     // --- per-session aggregates ---------------------------------------------
     "session_stats" -> ((s, d) =>
       Sessionize.stats(
@@ -1636,6 +1644,14 @@ object PipelineQueries {
     // own mean/stddev, |z| > 2 on the unrounded z — the exact-decimal
     // sum formulation makes mean/std/z bit-identical across engines, so
     // no round() appears anywhere in either formulation -----------------
+    // --- robust (median/MAD) anomaly scores: 50% breakdown point where
+    // mean/σ are dragged by the outliers being hunted ------------------------
+    "events_robustz" -> ((s, d) =>
+      TimeSeries.robustZscore(Tables.eventsUs(s, d), Seq("event_type"),
+        "value")
+        .select("event_id", "event_type", "value", "series_med",
+          "series_mad", "robust_z", "is_anomaly")),
+
     "events_zscore" -> ((s, d) =>
       TimeSeries.zscore(
         Tables.events(s, d)
@@ -3501,6 +3517,28 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
           |FROM x""".stripMargin,
 
+      "session_paths" ->
+        """WITH x AS (
+          |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsn,
+          |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+          |             ORDER BY epoch_us(ts), event_id) AS prev
+          |  FROM events),
+          |g AS (
+          |  SELECT *, sum(CASE WHEN prev IS NULL
+          |                       OR tsn - prev > 86400000000
+          |                     THEN 1 ELSE 0 END)
+          |            OVER (PARTITION BY user_id ORDER BY tsn, event_id
+          |                  ROWS UNBOUNDED PRECEDING) AS session_seq
+          |  FROM x),
+          |p AS (
+          |  SELECT user_id, session_seq,
+          |         array_to_string(
+          |           (list(event_type ORDER BY tsn, event_id))[1:5], '>')
+          |           AS path
+          |  FROM g GROUP BY 1, 2)
+          |SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+          |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
       "session_stats" ->
         """WITH x AS (
           |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tsn,
@@ -3969,6 +4007,40 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |SELECT user_id, event_id, ts_us, value, n_prior, zscore,
           |       coalesce(abs(zscore) > 2.0, false) AS is_anomaly
           |FROM u""".stripMargin,
+
+      // lower-median order statistics on collapsed cells — no
+      // interpolation, no round(): every double op is correctly rounded
+      // on identical operands, so results are bit-identical
+      "events_robustz" ->
+        """WITH c AS (SELECT event_type, value AS v, count(*) AS cnt
+          |           FROM events GROUP BY 1, 2),
+          |t AS (SELECT event_type, v, cnt,
+          |        sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+          |                       ROWS UNBOUNDED PRECEDING) AS cum,
+          |        sum(cnt) OVER (PARTITION BY event_type) AS n
+          |      FROM c),
+          |med AS (SELECT event_type, min(v) AS series_med
+          |        FROM t WHERE cum >= (n + 1) // 2 GROUP BY 1),
+          |dc AS (SELECT c.event_type, abs(c.v - m.series_med) AS dv,
+          |              CAST(sum(c.cnt) AS BIGINT) AS cnt
+          |       FROM c JOIN med m USING (event_type) GROUP BY 1, 2),
+          |t2 AS (SELECT event_type, dv, cnt,
+          |         sum(cnt) OVER (PARTITION BY event_type ORDER BY dv
+          |                        ROWS UNBOUNDED PRECEDING) AS cum,
+          |         sum(cnt) OVER (PARTITION BY event_type) AS n
+          |       FROM dc),
+          |mad AS (SELECT event_type, min(dv) AS series_mad
+          |        FROM t2 WHERE cum >= (n + 1) // 2 GROUP BY 1)
+          |SELECT e.event_id, e.event_type, e.value,
+          |       m.series_med, d.series_mad,
+          |       CASE WHEN d.series_mad > 0
+          |            THEN 0.6745 * (e.value - m.series_med) / d.series_mad
+          |       END AS robust_z,
+          |       coalesce(abs(CASE WHEN d.series_mad > 0
+          |            THEN 0.6745 * (e.value - m.series_med) / d.series_mad
+          |       END) > 3.5, false) AS is_anomaly
+          |FROM events e JOIN med m USING (event_type)
+          |              JOIN mad d USING (event_type)""".stripMargin,
 
       "events_zscore" ->
         """WITH s AS (

@@ -307,6 +307,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), p)
   }
 
+  test("robust z: medians from broadcast cell tables, rows never sort") {
+    val p = plan("events_robustz")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("skew profile is two hash aggregates — no join, no sort") {
     val p = plan("skew_profile")
     assert(p.contains("partial_count"), p)

@@ -59,4 +59,18 @@ class SessionizeSpec extends SparkSpec {
       Seq("view", "click", "purchase")).select("reached").as[Long].head()
     assert(r == 1L)
   }
+
+  test("paths assemble in (ts, tie) order, cap at maxSteps, rank by count") {
+    // sessions: u1s1 = view>click, u1s2 = purchase>view, u2s1 = view>click
+    // (tie at ts 1000 resolved by event_id: 4 before 5)
+    val out = Sessionize.pathsTopK(events, "user_id", "ts_us", "event_id",
+      "event_type", gapMicros = 5000L, maxSteps = 5, topN = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("view>click", 2L), ("purchase>view", 1L)))
+    // the cap truncates to the session's FIRST steps
+    val capped = Sessionize.pathsTopK(events, "user_id", "ts_us", "event_id",
+      "event_type", gapMicros = 5000L, maxSteps = 1, topN = 10)
+      .as[(String, Long)].collect().toMap
+    assert(capped == Map("view" -> 2L, "purchase" -> 1L))
+  }
 }

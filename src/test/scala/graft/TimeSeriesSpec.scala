@@ -213,4 +213,28 @@ class TimeSeriesSpec extends SparkSpec {
       (0L, 7.0, 8.0, 2L),   // ts −2 then −1: open=7.0, close=8.0
       (-10L, 6.0, 6.0, 1L)))
   }
+
+  test("robust z: lower-median/MAD, outlier flags, MAD=0 nulls out") {
+    val df = Seq(
+      // series a: sorted [1,2,2,3,100] → med=2 (pos ⌈5/2⌉=3); devs
+      // [1,0,0,1,98] → sorted cells [0×2, 1×2, 98] → MAD=1 (pos 3)
+      ("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 3.0), ("a", 100.0),
+      // series b: half the values identical → MAD=0 → null z, no flag
+      ("b", 5.0), ("b", 5.0), ("b", 9.0),
+      // series c: even n → LOWER median (pos ⌈2/2⌉=1) = 1
+      ("c", 1.0), ("c", 3.0)
+    ).toDF("series", "value")
+    val out = TimeSeries.robustZscore(df, Seq("series"), "value")
+      .select("series", "value", "series_med", "series_mad", "robust_z",
+        "is_anomaly").collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          r.getBoolean(5)))).toMap
+    assert(out(("a", 100.0)) ==
+      ((2.0, 1.0, Some(0.6745 * 98.0), true)))
+    assert(out(("a", 1.0)) == ((2.0, 1.0, Some(-0.6745), false)))
+    assert(out(("b", 9.0)) == ((5.0, 0.0, None, false)))
+    assert(out(("c", 1.0))._1 == 1.0) // lower median, not interpolated 2.0
+  }
 }
