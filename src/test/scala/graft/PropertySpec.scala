@@ -720,6 +720,73 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("robustZscore == brute-force lower-median/MAD on random multisets") {
+    import graft.operators.TimeSeries
+    val gen = Gen.listOfN(40, for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.chooseNum(-20, 20).map(_ / 4.0) // duplicates and ties likely
+    } yield (g, v))
+    def lowerMedian(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s((s.size + 1) / 2 - 1)
+    }
+    (1 to 8).foreach { seed =>
+      val data = sample(gen, seed)
+      val df = data.zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+        .toDF("id", "series", "value")
+      val expected = data.groupBy(_._1).map { case (g, gvs) =>
+        val vs = gvs.map(_._2)
+        val med = lowerMedian(vs)
+        g -> ((med, lowerMedian(vs.map(v => math.abs(v - med)))))
+      }
+      val out = TimeSeries.robustZscore(df, Seq("series"), "value")
+      val got = out.select("series", "series_med", "series_mad")
+        .distinct().as[(String, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == expected, s"seed=$seed")
+      // and every row's score is exactly the formula on those order stats
+      out.select("series", "value", "robust_z").collect().foreach { r =>
+        val (med, mad) = expected(r.getString(0))
+        if (mad > 0)
+          assert(r.getDouble(2) == 0.6745 * (r.getDouble(1) - med) / mad)
+        else assert(r.isNullAt(2), s"seed=$seed MAD=0 must null out")
+      }
+    }
+  }
+
+  test("session paths == brute-force session walk on random event logs") {
+    import graft.operators.Sessionize
+    val gen = Gen.listOfN(50, for {
+      u <- Gen.chooseNum(1, 4)
+      t <- Gen.chooseNum(0L, 500L) // dense range → ts collisions happen
+      e <- Gen.oneOf("v", "c", "p")
+    } yield (u.toLong, t, e))
+    val gap = 50L
+    (1 to 8).foreach { seed =>
+      val data = sample(gen, seed).zipWithIndex
+        .map { case ((u, t, e), i) => (i.toLong, u, t, e) }
+      val expected = data.groupBy(_._2).values.flatMap { evs =>
+        val sorted = evs.sortBy(ev => (ev._3, ev._1)) // (ts, id) tie order
+        val sessions =
+          scala.collection.mutable.ListBuffer(Vector.empty[String])
+        var prev = Long.MinValue / 2
+        sorted.foreach { case (_, _, t, e) =>
+          if (sessions.last.nonEmpty && t - prev > gap)
+            sessions += Vector.empty[String]
+          sessions(sessions.size - 1) = sessions.last :+ e
+          prev = t
+        }
+        sessions.map(_.take(3).mkString(">"))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (p, n) => (-n, p) }.take(10)
+      val got = Sessionize.pathsTopK(
+        data.toDF("event_id", "user_id", "ts_us", "event_type"),
+        "user_id", "ts_us", "event_id", "event_type",
+        gapMicros = gap, maxSteps = 3, topN = 10)
+        .as[(String, Long)].collect().toSeq
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("urlNormalize is idempotent on randomized crawl URLs") {
     import graft.llm.TextAnalysis
     val urlGen = for {
