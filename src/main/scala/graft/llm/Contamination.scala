@@ -96,6 +96,43 @@ object Contamination {
         round(col("shared_ngrams").cast("double") / col("n_test_ngrams"), 6))
   }
 
+  /** Coverage of a TARGET (domain sample, eval suite, style exemplar) by
+    * the training corpus: per target document, the fraction of its
+    * distinct word n-grams that appear ANYWHERE in the corpus — the
+    * data-acquisition inverse of decontamination's overlap. Low coverage
+    * means the corpus doesn't speak the target's language yet (acquire
+    * more of that domain); contamination asks the opposite question of
+    * the same join. Target docs with zero matches surface with coverage
+    * 0.0, not silently dropped.
+    *
+    * Scale shape: [[ngramOverlap]]'s asymmetry — the target broadcasts,
+    * the corpus is scanned once and never shuffled; only MATCHED
+    * (target_id, gram-hash) pairs (bounded by |target grams|, not the
+    * corpus) reach the distinct-collapse and the per-target fold. */
+  def targetCoverage(corpus: DataFrame, target: DataFrame,
+                     textCol: String, idCol: String,
+                     n: Int = 3): DataFrame = {
+    def shingled(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(as),
+        explode(graft.functions.Shingles.distinctShingles(
+          TextAnalysis.tokens(col(textCol)), n)).as("shingle"))
+        .select(col(as), xxhash64(col("shingle")).as("sh"))
+    val targetSizes = target.select(col(idCol).as("target_id"),
+      size(graft.functions.Shingles.distinctShingles(
+        TextAnalysis.tokens(col(textCol)), n)).as("n_target_ngrams"))
+    val matched = shingled(spread(corpus), "corpus_id")
+      .join(broadcast(shingled(target, "target_id")), Seq("sh"))
+      .select(col("target_id"), col("sh")).distinct()
+      .groupBy(col("target_id"))
+      .agg(count(lit(1)).as("covered_ngrams"))
+    targetSizes.join(matched, Seq("target_id"), "left")
+      .withColumn("covered_ngrams",
+        coalesce(col("covered_ngrams"), lit(0L)))
+      .withColumn("coverage",
+        round(col("covered_ngrams").cast("double")
+          / col("n_target_ngrams"), 6))
+  }
+
   /** Same result as [[ngramOverlap]] — EXACT, because a Bloom filter has
     * no false negatives and an exact join confirms the survivors — but
     * built for eval sets too large to broadcast as a hash relation: a

@@ -708,6 +708,18 @@ object PipelineQueries {
           "overlap_frac")
     }),
 
+    // --- target-domain coverage: fraction of each target doc's n-grams
+    // the corpus covers — the data-acquisition inverse of contamination --
+    "target_coverage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Contamination.targetCoverage(
+        corpus = docs.filter(col("doc_id") % 17 =!= 0),
+        target = docs.filter(col("doc_id") % 17 === 0),
+        "text", "doc_id", n = 3)
+        .select("target_id", "n_target_ngrams", "covered_ngrams",
+          "coverage")
+    }),
+
     // --- generic key-skew diagnostic: order-of-magnitude histogram of
     // per-key counts + the hottest keys (the sizing inputs behind every
     // salt / cap / broadcast decision) --------------------------------------
@@ -2867,6 +2879,22 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |         AS overlap_frac
            |FROM pairs JOIN sizes USING (test_id)
            |WHERE shared_ngrams >= 2""".stripMargin,
+
+      "target_coverage" ->
+        s"""WITH $shinglesCte,
+           |test AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 17 = 0),
+           |train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 17 != 0),
+           |sizes AS (SELECT doc_id AS target_id, count(*) AS n_target_ngrams
+           |          FROM test GROUP BY 1),
+           |m AS (SELECT target_id, count(*) AS covered_ngrams FROM (
+           |        SELECT DISTINCT test.doc_id AS target_id, shingle
+           |        FROM test JOIN train USING (shingle))
+           |      GROUP BY 1)
+           |SELECT target_id, n_target_ngrams,
+           |       coalesce(covered_ngrams, 0) AS covered_ngrams,
+           |       round(CAST(coalesce(covered_ngrams, 0) AS DOUBLE)
+           |             / n_target_ngrams, 6) AS coverage
+           |FROM sizes LEFT JOIN m USING (target_id)""".stripMargin,
 
       "skew_profile" ->
         """WITH c AS (SELECT user_id, count(*) AS cnt

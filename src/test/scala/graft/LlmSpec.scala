@@ -710,6 +710,21 @@ class LlmSpec extends SparkSpec {
     assert(out == Set((1L, 10L, 2L, 0.666667), (1L, 12L, 2L, 0.666667)))
   }
 
+  test("target coverage: corpus-covered gram fraction; zero-match stays 0") {
+    val corpus = Seq((10L, "the quick brown fox jumps high"))
+      .toDF("doc_id", "text")
+    val target = Seq(
+      (1L, "the quick brown fox sleeps"),      // 3 grams, 2 in corpus
+      (2L, "totally novel domain text here")   // 3 grams, none — kept at 0
+    ).toDF("doc_id", "text")
+    val out = Contamination.targetCoverage(corpus, target, "text",
+      "doc_id", n = 3)
+      .select("target_id", "n_target_ngrams", "covered_ngrams", "coverage")
+      .as[(Long, Int, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3, 2L, 0.666667)))
+    assert(out(2L) == ((2L, 3, 0L, 0.0)))
+  }
+
   test("contamination report carries the matched grams, sorted and capped") {
     val train = Seq(
       (10L, "the quick brown fox jumps high"),
