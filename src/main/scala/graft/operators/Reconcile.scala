@@ -155,4 +155,35 @@ object Reconcile {
       .filter(col("__row").isNotNull)
       .select(cols.map(c => col("__row").getField(c).as(c)): _*)
   }
+
+  /** CONTENT-hash snapshot diff — [[changes]]' sibling for corpus
+    * versioning, where there are no per-row timestamps to arbitrate and
+    * the question is simply "what changed between snapshot A and B":
+    * every id classifies as `added` (only in new), `removed` (only in
+    * old), `changed` (both, different content hash), or `unchanged`. The
+    * ingestion-delta feed every incremental pipeline stage keys off —
+    * re-embed/re-score only `added ∪ changed`, tombstone `removed`.
+    *
+    * Scale shape: hashes are computed map-side (the content column never
+    * rides the shuffle), then ONE full-outer join on the id — each
+    * snapshot shuffles exactly once, the floor for any id-keyed diff; at
+    * 100 TB with both snapshots bucketed by id it is shuffle-free. */
+  def contentDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                  contentCol: String): DataFrame = {
+    // presence flags, NOT hash nullness: md5(NULL) is NULL, so a row
+    // PRESENT with null content would otherwise masquerade as absent
+    // (classifying a no-content row in both snapshots as "added")
+    val o = oldDf.select(col(idCol), md5(col(contentCol)).as("old_hash"),
+      lit(true).as("__in_old"))
+    val n = newDf.select(col(idCol), md5(col(contentCol)).as("new_hash"),
+      lit(true).as("__in_new"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          // null-safe: two null-content rows are the same (no content)
+          .when(col("old_hash") <=> col("new_hash"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .drop("__in_old", "__in_new")
+  }
 }

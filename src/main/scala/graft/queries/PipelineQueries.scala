@@ -533,6 +533,31 @@ object PipelineQueries {
         .withColumn("host", TextAnalysis.urlHost(col("url")))
         .select("doc_id", "url", "url_norm", "host")),
 
+    // --- URL-level dedup: collapse crawl records on the canonical URL,
+    // keep the smallest doc id — the pre-content dedup tier completed ------
+    "url_dedup" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("url_norm", TextAnalysis.urlNormalize(synthUrl))
+        .groupBy("url_norm")
+        .agg(min(col("doc_id")).as("keep_doc"),
+          count(lit(1)).as("n_records"))),
+
+    // --- snapshot diff: added/removed/changed/unchanged between corpus
+    // versions — the ingestion delta incremental stages key off -----------
+    "corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldSnap = docs.filter(col("doc_id") % 2 === 0)
+      val newSnap = docs.filter(col("doc_id") % 2 === 0 &&
+          col("doc_id") % 10 =!= 4) // removals
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text"))) // edits
+        .unionByName(docs.filter(col("doc_id") % 2 === 1 &&
+          col("doc_id") % 10 === 5)) // additions
+      graft.operators.Reconcile.contentDiff(oldSnap, newSnap,
+        "doc_id", "text")
+        .select("doc_id", "status")
+    }),
+
     // --- per-domain accounting on the canonical URLs: the crawl-side
     // sizing input for domain mixing and URL-level dedup ------------------
     "url_domain_stats" -> ((s, d) =>
@@ -3413,6 +3438,32 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |SELECT host, count(*) AS n_docs,
            |       count(DISTINCT url_norm) AS n_urls
            |FROM un GROUP BY host""".stripMargin,
+
+      "url_dedup" ->
+        s"""WITH $urlCtes
+           |SELECT url_norm, min(doc_id) AS keep_doc,
+           |       count(*) AS n_records
+           |FROM un GROUP BY url_norm""".stripMargin,
+
+      // presence flags, not hash nullness — in lock-step with
+      // Reconcile.contentDiff's null-content handling
+      "corpus_diff" ->
+        """WITH old AS (SELECT doc_id, md5(text) AS h, TRUE AS p
+          |             FROM documents WHERE doc_id % 2 = 0),
+          |new AS (SELECT doc_id,
+          |          md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+          |              ELSE text END) AS h, TRUE AS p
+          |        FROM documents
+          |        WHERE doc_id % 2 = 0 AND doc_id % 10 != 4
+          |        UNION ALL
+          |        SELECT doc_id, md5(text) AS h, TRUE AS p FROM documents
+          |        WHERE doc_id % 2 = 1 AND doc_id % 10 = 5)
+          |SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+          |       CASE WHEN old.p IS NULL THEN 'added'
+          |            WHEN new.p IS NULL THEN 'removed'
+          |            WHEN old.h IS NOT DISTINCT FROM new.h THEN 'unchanged'
+          |            ELSE 'changed' END AS status
+          |FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id""".stripMargin,
 
       "sample_mixture" ->
         """SELECT doc_id, source FROM documents

@@ -119,6 +119,18 @@ class OperatorsSpec extends SparkSpec {
     assert(hotSalts > 1, s"hot key stayed on $hotSalts salt(s)")
   }
 
+  test("content diff classifies added/removed/changed/unchanged, null-safe") {
+    import graft.operators.Reconcile
+    val oldS = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")),
+      (5L, None: Option[String])).toDF("id", "text")
+    val newS = Seq((2L, Some("b")), (3L, Some("C2")), (4L, Some("d")),
+      (5L, None: Option[String])).toDF("id", "text")
+    val out = Reconcile.contentDiff(oldS, newS, "id", "text")
+      .select("id", "status").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "added", 5L -> "unchanged")) // no-content == no-content
+  }
+
   test("key-skew profile buckets by count digits; hot keys rank with ties") {
     import graft.operators.Skew
     // a: 3 rows (1 digit), b: 12 rows (2 digits), c: 12, d: 120 (3 digits)
