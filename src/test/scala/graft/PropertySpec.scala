@@ -787,6 +787,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunk rebuilds == brute force: first-occurrence keep vs drop-all") {
+    import graft.llm.Dedup
+    val docGen = Gen.listOfN(10,
+      Gen.chooseNum(1, 6).flatMap(n =>
+        Gen.listOfN(n * 2, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))))
+    val w = 2
+    (1 to 8).foreach { seed =>
+      val texts = sample(docGen, seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      def chunksOf(t: String) =
+        t.split("\\s+").grouped(w).map(_.mkString(" ")).toVector
+      // brute chunkDedup: first occurrence in global (doc_id, idx) order
+      val seen = scala.collection.mutable.Set[String]()
+      val expectDedup = docs.flatMap { case (id, t) =>
+        val kept = chunksOf(t).filter(c => seen.add(c))
+        if (kept.isEmpty) None else Some(id -> kept.mkString(" "))
+      }.toMap
+      // brute deboilerplate: all occurrences of mult>=2 chunks die
+      val mult = docs.flatMap(d => chunksOf(d._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val expectDeboiler = docs.flatMap { case (id, t) =>
+        val kept = chunksOf(t).filter(c => mult(c) < 2)
+        if (kept.isEmpty) None else Some(id -> kept.mkString(" "))
+      }.toMap
+      val df = docs.toDF("doc_id", "text")
+      val gotDedup = Dedup.chunkDedup(df, "text", "doc_id", w)
+        .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+      val gotDeboiler = Dedup.deboilerplate(df, "text", "doc_id", w,
+        maxMult = 2)
+        .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+      assert(gotDedup == expectDedup, s"seed=$seed dedup")
+      assert(gotDeboiler == expectDeboiler, s"seed=$seed deboiler")
+    }
+  }
+
   test("urlNormalize is idempotent on randomized crawl URLs") {
     import graft.llm.TextAnalysis
     val urlGen = for {
