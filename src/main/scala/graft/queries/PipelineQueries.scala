@@ -1463,6 +1463,48 @@ object PipelineQueries {
       ss.table(qname)
     }),
 
+    // --- streaming URL-frontier compaction: crawl records dedup on the
+    // canonical URL AT INGEST. A dropDuplicates would keep an ARBITRARY
+    // survivor when same-URL records differ (shuffle order inside the
+    // batch), so this is a watermarked aggregate instead — min(doc_id) +
+    // count per url_norm, order-free and deterministic; the sentinel
+    // advances the watermark so append mode flushes the single window ----
+    "stream_urldedup" -> ((s, d) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      implicit val sqlCtx = ss.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import ss.implicits._
+      import scala.jdk.CollectionConverters._
+      val rows = Tables.documents(ss, d)
+        .select(col("doc_id"),
+          TextAnalysis.urlNormalize(synthUrl).as("url_norm"))
+        .orderBy("doc_id")
+        .as[(Long, String)]
+      val input = MemoryStream[(Long, String)]
+      val compacted = input.toDS().toDF("doc_id", "url_norm")
+        // synthetic event time: one record per second of crawl clock
+        .withColumn("ts", timestamp_micros(col("doc_id") * 1000000L))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "30 days"), col("url_norm"))
+        .agg(min(col("doc_id")).as("keep_doc"),
+          count(lit(1)).as("n_records"))
+        .select("url_norm", "keep_doc", "n_records")
+      val qname = "stream_urldedup_" + streamSeq.incrementAndGet()
+      var maxId = 0L
+      rows.toLocalIterator().asScala.grouped(8192).foreach { chunk =>
+        maxId = math.max(maxId, chunk.iterator.map(_._1).max)
+        input.addData(chunk)
+      }
+      val q = compacted.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      input.addData(Seq((maxId + 90L * 86400L, "__wm__")))
+      q.processAllAvailable()
+      q.stop()
+      ss.table(qname).filter(col("url_norm") =!= "__wm__")
+    }),
+
     // --- streaming gap sessionization (flatMapGroupsWithState) -------------
     // The stateful-custom-logic counterpart of stream_window: sessions close
     // either when a past-gap successor arrives or when the watermark passes
@@ -3440,6 +3482,14 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |FROM un GROUP BY host""".stripMargin,
 
       "url_dedup" ->
+        s"""WITH $urlCtes
+           |SELECT url_norm, min(doc_id) AS keep_doc,
+           |       count(*) AS n_records
+           |FROM un GROUP BY url_norm""".stripMargin,
+
+      // the streaming compaction must equal the batch dedup exactly
+      // (single 30-day window over the synthetic crawl clock)
+      "stream_urldedup" ->
         s"""WITH $urlCtes
            |SELECT url_norm, min(doc_id) AS keep_doc,
            |       count(*) AS n_records
