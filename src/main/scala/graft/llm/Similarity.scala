@@ -396,6 +396,92 @@ object Similarity {
     within.unionByName(cross)
   }
 
+  /** k-nearest-neighbor GRAPH over a corpus — every node's top-k cosine
+    * neighbors among its LSH candidates. The all-nodes-are-queries sibling
+    * of [[signLshTopK]], with the plan shape that difference forces:
+    * [[signLshTopK]] broadcasts its (small) query set, but a corpus can't
+    * broadcast against itself, so here both sides of the candidate join
+    * are the SAME bucketed frame and the join is a plain shuffle hash
+    * join on (band, bucket) — the corpus shuffles once per side, never
+    * all-pairs. The kNN graph is the substrate for graph-based curation
+    * (SemDeDup-style pruning, label propagation, connected-component
+    * clustering via [[Dedup.clusters]] over the edge set).
+    *
+    * `bands` independent seeded plane families OR-amplify recall exactly
+    * as in [[cosineNearDupPairs]]; a pair colliding in several bands is
+    * deduplicated before ranking. Bucket bits `b` grow ~log₂(N) to hold
+    * per-bucket occupancy (and so per-node candidate count) constant —
+    * the same sizing rule as the near-dup family, measured in SCALE.md
+    * §10a. Top-k per node is a bounded window over candidates, ties
+    * broken by neighbor id.
+    *
+    * Output: (src, rank, dst, score) — directed edges (kNN is not
+    * symmetric); [[mutualKnnEdges]] derives the undirected mutual graph.
+    *
+    * Nodes in singleton buckets across all bands emit NO edges (correct
+    * for an approximate graph: no candidates ⇒ no neighbors) — count
+    * them against the corpus size when sizing b/bands. */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+               b: Int, dim: Int, seed: Long = DefaultSeed,
+               bands: Int = 1, roundScore: Int = 6): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(bands >= 1, s"bands=$bands must be >= 1")
+    // too-short vectors degrade OUT of the graph (same posture as
+    // signLshTopK/ivfTopK) rather than killing the job under ANSI mode
+    val ok = corpus.filter(size(col(vecCol)) >= dim)
+    // bucket on the RAW vector (sign is scale-invariant, and the raw
+    // dot avoids any ulp-level sign flip vs the normalized one); score
+    // on the normalized vector so pair scoring is one dot product
+    val bandCols = (0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        signBucketRotated(col(vecCol), b, dim, seed + j).as("bucket"))
+    }
+    val nodes = ok.select(col(idCol).as("id"),
+        normalize(col(vecCol)).as("nv"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("nv"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val lhs = nodes.select(col("band"), col("bucket"),
+      col("id").as("src"), col("nv").as("va"))
+    val rhs = nodes.select(col("band"), col("bucket"),
+      col("id").as("dst"), col("nv").as("vb"))
+    // score INSIDE the bucket join (deterministic, so the cross-band
+    // dedup can key on the thin (src, dst) rows — the vectors never
+    // reach the dedup exchange; the cosineNearDupPairs lesson)
+    val scored = lhs.join(rhs, Seq("band", "bucket"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("score", dot(col("va"), col("vb")))
+      .select(col("src"), col("dst"), col("score"))
+    val cand = if (bands == 1) scored
+               else scored.dropDuplicates("src", "dst")
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("score").desc, col("dst"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("rank").cast("long").as("rank"), col("dst"),
+        round(col("score"), roundScore).as("score"))
+  }
+
+  /** Mutual-kNN edges from a [[knnGraph]] result: the undirected pairs
+    * where EACH endpoint ranks the other in its own top-k. Mutuality is
+    * the standard sparsifier before graph clustering — a hub node's
+    * one-way edges (everyone's neighbor, nobody's mutual) drop out, which
+    * is exactly what keeps a [[Dedup.clusters]] pass over the edge set
+    * from collapsing the corpus into one giant component.
+    *
+    * Input is an edge frame (src, dst, score, …); output (id_a, id_b,
+    * score) with id_a < id_b, one row per mutual pair (cosine is
+    * symmetric, so either direction's score is THE score). Scale shape:
+    * |V|·k rows self-joined on their (src, dst) key — negligible next to
+    * the graph build. */
+  def mutualKnnEdges(edges: DataFrame): DataFrame = {
+    val fwd = edges.select(col("src"), col("dst"), col("score"))
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+    fwd.join(rev, Seq("src", "dst"), "left_semi")
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("id_a"), col("dst").as("id_b"), col("score"))
+  }
+
   // -------------------------------------------- hybrid retrieval fusion
 
   /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N ranked

@@ -906,6 +906,23 @@ object PipelineQueries {
         rotatedDim = Some(64), bands = 2)
         .select("id_a", "id_b", "score")),
 
+    // --- kNN GRAPH: every node's top-k neighbors among its LSH
+    // candidates — the corpus-vs-itself sibling of ann_sign_lsh (shuffle
+    // hash join on (band, bucket), nothing broadcasts); the substrate
+    // for graph-based curation ----------------------------------------------
+    "knn_graph" -> ((s, d) =>
+      Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 3, b = 4, dim = 64, bands = 2)
+        .select("src", "rank", "dst", "score")),
+
+    // --- mutual-kNN edges: pairs ranking EACH OTHER top-k — the standard
+    // sparsifier before clustering the graph (hub nodes drop out) ---------
+    "knn_graph_mutual" -> ((s, d) =>
+      Similarity.mutualKnnEdges(
+        Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 3, b = 4, dim = 64, bands = 2))
+        .select("id_a", "id_b", "score")),
+
     // --- deterministic k-means over embeddings ------------------------------
     // Lloyd's with dyadic quantization (exact centroid sums in any addition
     // order), lowest-id init, lowest-index argmin tie-break — the oracle
@@ -3295,6 +3312,60 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |    ON a.vec_id < b.vec_id
           |   AND (a.bk0 = b.bk0 OR a.bk1 = b.bk1))
           |WHERE score >= 0.35""".stripMargin),
+
+      // the banded-OR join emits one row per colliding pair (SQL join
+      // semantics — no dedup needed, unlike the Spark side's per-band
+      // explode); rank on the unrounded score, round only in the output
+      "knn_graph" ->
+        (s"""WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |            FROM embeddings WHERE len(embedding) >= 64),
+           |e0 AS (
+           |  SELECT vec_id, v,
+           |         ${rotatedBucketSql("v", 4, 64)} AS bk0,
+           |         ${rotatedBucketSql("v", 4, 64, Similarity.DefaultSeed + 1)} AS bk1
+           |  FROM ec),""".stripMargin + "\n" +
+        """e AS (SELECT vec_id,
+          |        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv,
+          |        bk0, bk1
+          |      FROM e0),
+          |s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+          |             list_dot_product(a.nv, b.nv) AS score
+          |      FROM e a JOIN e b
+          |        ON a.vec_id <> b.vec_id
+          |       AND (a.bk0 = b.bk0 OR a.bk1 = b.bk1))
+          |SELECT src, rank, dst, round(score, 6) AS score FROM (
+          |  SELECT src, dst, score,
+          |         CAST(row_number() OVER (PARTITION BY src
+          |                                 ORDER BY score DESC, dst) AS BIGINT) AS rank
+          |  FROM s) WHERE rank <= 3""".stripMargin),
+
+      // knn_graph's CTEs verbatim + the mutuality self-join on the
+      // rank-truncated edge set
+      "knn_graph_mutual" ->
+        (s"""WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |            FROM embeddings WHERE len(embedding) >= 64),
+           |e0 AS (
+           |  SELECT vec_id, v,
+           |         ${rotatedBucketSql("v", 4, 64)} AS bk0,
+           |         ${rotatedBucketSql("v", 4, 64, Similarity.DefaultSeed + 1)} AS bk1
+           |  FROM ec),""".stripMargin + "\n" +
+        """e AS (SELECT vec_id,
+          |        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv,
+          |        bk0, bk1
+          |      FROM e0),
+          |s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+          |             list_dot_product(a.nv, b.nv) AS score
+          |      FROM e a JOIN e b
+          |        ON a.vec_id <> b.vec_id
+          |       AND (a.bk0 = b.bk0 OR a.bk1 = b.bk1)),
+          |g AS (SELECT src, dst, score FROM (
+          |  SELECT src, dst, score,
+          |         row_number() OVER (PARTITION BY src
+          |                            ORDER BY score DESC, dst) AS rank
+          |  FROM s) WHERE rank <= 3)
+          |SELECT a.src AS id_a, a.dst AS id_b, round(a.score, 6) AS score
+          |FROM g a JOIN g b ON a.src = b.dst AND a.dst = b.src
+          |WHERE a.src < a.dst""".stripMargin),
 
       "embed_project" ->
         (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -453,6 +453,53 @@ class LlmSpec extends SparkSpec {
     assert(rotRecall > 0.0)
   }
 
+  test("knnGraph: edges = per-band union's per-src top-k; mutual edges " +
+    "are the symmetric subset") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val edges = Similarity.knnGraph(e, "vec_id", "embedding",
+      k = 3, b = 4, dim = 64, bands = 2)
+    val got = edges.select("src", "rank", "dst")
+      .as[(Long, Long, Long)].collect()
+    // rank is dense 1..k' per src, no (src, dst) repeats across bands
+    val bySrc = got.groupBy(_._1)
+    bySrc.foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq)
+      assert(rows.map(_._3).distinct.length == rows.length)
+    }
+    // brute-force reference: same-bucket-in-any-band candidates, exact
+    // cosine top-3 with the same (score desc, dst) tie-break
+    val vecs = e.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().map { case (id, v) => id -> v.map(_.toDouble).toArray }
+    val planes = (0 to 1).map(j =>
+      Similarity.rotationPlanes(4, 64, Similarity.DefaultSeed + j))
+    def bucket(v: Array[Double], j: Int): String =
+      planes(j).map(p => if (p.zip(v).map { case (a, b) => a * b }.sum >= 0) "1" else "0").mkString
+    def norm(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val withB = vecs.map { case (id, v) =>
+      (id, norm(v), bucket(v, 0), bucket(v, 1))
+    }
+    val expect = withB.flatMap { case (src, nv, b0, b1) =>
+      withB.filter { case (dst, _, c0, c1) =>
+        dst != src && (c0 == b0 || c1 == b1) }
+        .map { case (dst, dv, _, _) =>
+          (dst, nv.zip(dv).map { case (a, c) => a * c }.sum) }
+        .sortBy { case (dst, s) => (-s, dst) }.take(3).zipWithIndex
+        .map { case ((dst, _), i) => (src, i + 1L, dst) }
+    }.toSet
+    assert(got.toSet == expect)
+    // mutuality: exactly the pairs present in both directions
+    val dir = got.map(r => (r._1, r._3)).toSet
+    val mutual = Similarity.mutualKnnEdges(edges)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expectMutual = dir.filter { case (a, bb) =>
+      a < bb && dir.contains((bb, a)) }
+    assert(mutual == expectMutual)
+    mutual.foreach { case (a, bb) => assert(a < bb) }
+    info(s"edges=${got.length} mutual=${mutual.size}")
+  }
+
   test("banded near-dup: candidates are the union of the per-band families") {
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")
     def pairs(bands: Int, seed: Long = Similarity.DefaultSeed) =
