@@ -295,6 +295,78 @@ object Similarity {
       .drop("__n_exact")
   }
 
+  /** nDCG discount weights 1/log₂(r+1) for ranks 1..k, FIXED to 9 decimal
+    * places. The point of pinning them as decimals: `log2` is a libm call
+    * whose last ulp differs across engines, so the metric computes DCG as
+    * an exact DECIMAL sum of these shared literals instead — any engine
+    * (or the DuckDB oracle) reproduces the sums bit-for-bit by using the
+    * same constant table. */
+  def ndcgWeights(k: Int): IndexedSeq[java.math.BigDecimal] =
+    (1 to k).map { r =>
+      new java.math.BigDecimal(1.0 / (math.log(r + 1.0) / math.log(2.0)))
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+    }
+
+  /** Prefix sums of [[ndcgWeights]] — ideal DCG for a query with r
+    * relevant items (r ≤ k), exact decimal arithmetic. */
+  def ndcgCumWeights(k: Int): IndexedSeq[java.math.BigDecimal] =
+    ndcgWeights(k).scanLeft(java.math.BigDecimal.ZERO)(_.add(_)).tail
+
+  /** Graded ranking metrics of a retrieval result against a binary
+    * relevance set: per query, nDCG@k and MRR@k — the measurements that
+    * complement [[recallAtK]] when ORDER inside the top-k matters (recall
+    * treats rank 1 and rank k the same; a retrieval leg that buries its
+    * hits still scores full recall).
+    *
+    * `ranked` is a (query_id, rank, neighbor_id, …) frame as produced by
+    * the topK operators; `relevant` is (query_id, neighbor_id) ground
+    * truth (judged pairs, same-label pairs, click data). Output per
+    * RANKED query: (query_id, n_rel, mrr, dcg, ndcg) — n_rel is the full
+    * relevant count (may exceed k; it caps the ideal DCG at k), mrr is
+    * 1/rank of the first relevant hit (0 if none in the top-k), ndcg is
+    * DCG/IDCG in [0, 1] (0 when the query has no relevant items at all).
+    *
+    * Determinism: DCG is an exact DECIMAL(28,9) sum of the shared
+    * [[ndcgWeights]] literals (order-free); mrr terms are single
+    * correctly-rounded divisions; only the final dcg/idcg division and
+    * 6-dp rounds touch doubles. Scale shape: inputs are |Q|×k ranked rows
+    * joined against the relevance pairs on their composite key, then one
+    * map-side-combined aggregate per query — an eval op over a query
+    * sample, negligible next to the retrieval runs that feed it. */
+  def rankMetrics(ranked: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k=$k not in 1..1000")
+    val ws = ndcgWeights(k)
+    val cum = ndcgCumWeights(k)
+    def dec(b: java.math.BigDecimal): Column =
+      lit(b).cast("decimal(28,9)")
+    val wArr = array(ws.map(dec): _*)
+    val cumArr = array(cum.map(dec): _*)
+    val r = ranked.filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"))
+    // defensive dedup (cheap on judged pairs): duplicate relevance rows
+    // would multiply ranked rows through the join and inflate DCG
+    val rel = relevant.select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val flagged = r.join(rel.withColumn("__rel", lit(1)),
+      Seq("query_id", "neighbor_id"), "left")
+    val per = flagged.groupBy("query_id").agg(
+      sum(when(col("__rel").isNotNull, element_at(wArr, col("rank")))
+        .otherwise(dec(java.math.BigDecimal.ZERO))).as("__dcg"),
+      max(when(col("__rel").isNotNull,
+        round(lit(1.0) / col("rank").cast("double"), 9))).as("__rr"))
+    val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    per.join(nRel, Seq("query_id"), "left")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("__rr"), lit(0.0)).as("mrr"),
+        round(col("__dcg").cast("double"), 6).as("dcg"),
+        when(col("n_rel") === 0L, lit(0.0)).otherwise(
+          round(col("__dcg").cast("double") /
+            element_at(cumArr, least(col("n_rel"), lit(k.toLong))
+              .cast("int")).cast("double"), 6)).as("ndcg"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, LSH-blocked:
     * only same-bucket pairs are scored (id_a < id_b). `rotatedDim` selects
     * the bucket family exactly as in [[signLshTopK]].

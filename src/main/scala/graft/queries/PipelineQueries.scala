@@ -891,6 +891,23 @@ object PipelineQueries {
         .select(col("query_id"), col("n_hits"), col("recall"))
     }),
 
+    // --- graded ranking metrics: nDCG@5 + MRR of the exact retrieval
+    // leg against same-label relevance — the order-aware complement of
+    // ann_recall_eval (recall can't see WHERE in the top-k the hits sit) --
+    "eval_rank_metrics" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 50)
+      val ranked = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+        k = 5)
+      val rel = q.select(col("vec_id").as("query_id"), col("label"))
+        .join(e.select(col("vec_id").as("neighbor_id"), col("label")),
+          Seq("label"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+      Similarity.rankMetrics(ranked, rel, k = 5)
+        .select("query_id", "n_rel", "mrr", "dcg", "ndcg")
+    }),
+
     // --- embedding-cosine near-dup pairs (rotated sign-LSH blocking) --------
     "embed_cosine_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
@@ -3275,6 +3292,59 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |         CAST(row_number() OVER (PARTITION BY query_id
           |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
           |  FROM s) WHERE rank <= 3""".stripMargin,
+
+      // ann_brute_topk's ranking CTEs at k=5 over the query sample, the
+      // same-label relevance join, and the SHARED 9-dp discount-weight
+      // literals (Similarity.ndcgWeights — libm log2 never runs in either
+      // engine); DCG sums are exact DECIMAL(28,9)
+      "eval_rank_metrics" -> {
+        val ws = Similarity.ndcgWeights(5)
+        val wCase = ws.zipWithIndex.map { case (w, i) =>
+          s"WHEN ${i + 1} THEN CAST(${w.toPlainString} AS DECIMAL(28,9))"
+        }.mkString(" ")
+        val cumCase = Similarity.ndcgCumWeights(5).zipWithIndex.map {
+          case (w, i) =>
+            s"WHEN ${i + 1} THEN CAST(${w.toPlainString} AS DECIMAL(28,9))"
+        }.mkString(" ")
+        s"""WITH e0 AS (SELECT vec_id, label,
+           |              CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |e AS (SELECT vec_id, label,
+           |        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+           |      FROM e0),
+           |q AS (SELECT vec_id AS query_id, label, v AS qv
+           |      FROM e WHERE vec_id < 50),
+           |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+           |             list_dot_product(qv, e.v) AS score
+           |      FROM e, q WHERE e.vec_id <> q.query_id),
+           |ranked AS (SELECT query_id, neighbor_id, rank FROM (
+           |  SELECT query_id, neighbor_id,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY score DESC, neighbor_id) AS rank
+           |  FROM s) WHERE rank <= 5),
+           |rel AS (SELECT q.query_id, e.vec_id AS neighbor_id
+           |        FROM q JOIN e ON q.label = e.label
+           |        WHERE e.vec_id <> q.query_id),
+           |nr AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1),
+           |per AS (
+           |  SELECT r.query_id,
+           |         sum(CASE WHEN x.neighbor_id IS NOT NULL
+           |                  THEN CASE r.rank $wCase END
+           |                  ELSE CAST(0 AS DECIMAL(28,9)) END) AS dcg9,
+           |         max(CASE WHEN x.neighbor_id IS NOT NULL
+           |                  THEN round(1.0 / r.rank, 9) END) AS rr
+           |  FROM ranked r LEFT JOIN rel x
+           |    ON x.query_id = r.query_id AND x.neighbor_id = r.neighbor_id
+           |  GROUP BY 1)
+           |SELECT per.query_id,
+           |       CAST(coalesce(nr.n_rel, 0) AS BIGINT) AS n_rel,
+           |       coalesce(rr, 0.0) AS mrr,
+           |       round(CAST(dcg9 AS DOUBLE), 6) AS dcg,
+           |       CASE WHEN coalesce(nr.n_rel, 0) = 0 THEN 0.0
+           |            ELSE round(CAST(dcg9 AS DOUBLE) / CAST(
+           |              CASE least(nr.n_rel, 5) $cumCase END AS DOUBLE), 6)
+           |       END AS ndcg
+           |FROM per LEFT JOIN nr ON nr.query_id = per.query_id""".stripMargin
+      },
 
       "embed_cosine_neardup" ->
         (s"""WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -453,6 +453,37 @@ class LlmSpec extends SparkSpec {
     assert(rotRecall > 0.0)
   }
 
+  test("rankMetrics: hand-computed nDCG/MRR, no-relevant zero, " +
+    "perfect-ranking one, n_rel caps the ideal") {
+    // q1: hits at ranks 1 and 3 of 5, n_rel = 2 → perfect-prefix ideal
+    // q2: no relevant items at all → mrr = ndcg = 0, n_rel = 0
+    // q3: hit at rank 2 only, n_rel = 7 (> k) → ideal capped at k=5
+    // q4: all 5 ranks relevant, n_rel = 5 → ndcg exactly 1
+    val ranked = (for {
+      q <- Seq(1L, 2L, 3L, 4L); r <- 1 to 5
+    } yield (q, r.toLong, q * 100L + r)).toDF("query_id", "rank", "neighbor_id")
+    val rel = (Seq((1L, 101L), (1L, 103L), (3L, 302L)) ++
+      (1 to 6).map(i => (3L, 900L + i)) ++
+      (1 to 5).map(i => (4L, 400L + i))).toDF("query_id", "neighbor_id")
+    val out = Similarity.rankMetrics(ranked, rel, k = 5)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4, t._5)).toMap
+    val w = Similarity.ndcgWeights(5).map(_.doubleValue)
+    val cum = Similarity.ndcgCumWeights(5).map(_.doubleValue)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // q1: dcg = w1 + w3, ideal = cum(2), mrr = 1
+    assert(out(1L)._1 == 2L && out(1L)._2 == 1.0)
+    assert(out(1L)._4 == r6((w(0) + w(2)) / cum(1)))
+    // q2: ranked but nothing relevant
+    assert(out(2L) == ((0L, 0.0, 0.0, 0.0)))
+    // q3: n_rel = 7 > k caps ideal at cum(5); mrr = 0.5
+    assert(out(3L)._1 == 7L && out(3L)._2 == 0.5)
+    assert(out(3L)._4 == r6(w(1) / cum(4)))
+    // q4: perfect ranking
+    assert(out(4L)._1 == 5L && out(4L)._2 == 1.0 && out(4L)._4 == 1.0)
+  }
+
   test("knnGraph: edges = per-band union's per-src top-k; mutual edges " +
     "are the symmetric subset") {
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")
