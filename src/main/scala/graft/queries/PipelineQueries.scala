@@ -891,6 +891,15 @@ object PipelineQueries {
         .select(col("query_id"), col("n_hits"), col("recall"))
     }),
 
+    // --- blocked fuzzy entity matching over part names: collapse to the
+    // distinct-name grain, block on the head noun, length-band gate,
+    // Levenshtein ≤ 3 confirm — the record-linkage shape for dirty
+    // catalog/metadata tables ----------------------------------------------
+    "er_blocked_match" -> ((s, d) =>
+      graft.llm.EntityMatch.blockedNameMatches(
+        Tables.part(s, d), "p_name", maxDist = 3)
+        .select("name_a", "name_b", "dist", "n_a", "n_b")),
+
     // --- graded ranking metrics: nDCG@5 + MRR of the exact retrieval
     // leg against same-label relevance — the order-aware complement of
     // ann_recall_eval (recall can't see WHERE in the top-k the hits sit) --
@@ -3292,6 +3301,21 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |         CAST(row_number() OVER (PARTITION BY query_id
           |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
           |  FROM s) WHERE rank <= 3""".stripMargin,
+
+      // name-grain collapse, last-token block, length-band gate, exact
+      // levenshtein — DuckDB's levenshtein has the same unit-cost
+      // semantics as Spark's
+      "er_blocked_match" ->
+        """WITH n AS (SELECT p_name AS name, count(*) AS n,
+          |                  string_split(p_name, ' ')[-1] AS block,
+          |                  length(p_name) AS len
+          |           FROM part GROUP BY 1)
+          |SELECT a.name AS name_a, b.name AS name_b,
+          |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+          |       a.n AS n_a, b.n AS n_b
+          |FROM n a JOIN n b ON a.block = b.block AND a.name < b.name
+          |WHERE abs(a.len - b.len) <= 3
+          |  AND levenshtein(a.name, b.name) <= 3""".stripMargin,
 
       // ann_brute_topk's ranking CTEs at k=5 over the query sample, the
       // same-label relevance join, and the SHARED 9-dp discount-weight

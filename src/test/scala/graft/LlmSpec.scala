@@ -453,6 +453,32 @@ class LlmSpec extends SparkSpec {
     assert(rotRecall > 0.0)
   }
 
+  test("blockedNameMatches: name-grain collapse, block + length gates, " +
+    "exact distance") {
+    import graft.llm.EntityMatch
+    val recs = Seq(
+      "old bolt", "old bolt", "old bolt",  // support 3
+      "cold bolt",                          // dist 1 from "old bolt"
+      "gold ring",                          // other block: never pairs
+      "old ring",                           // dist 1 from "gold ring"? no — other block than bolt
+      "extremely long bolt"                 // same block, length gate kills it
+    ).zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("id", "name")
+    val out = EntityMatch.blockedNameMatches(recs, "name", maxDist = 2)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    // one pair per block: bolt (with supports riding along — identical
+    // names never self-pair) and ring; never across blocks
+    assert(out == Set(("cold bolt", "old bolt", 1L, 1L, 3L),
+      ("gold ring", "old ring", 1L, 1L, 1L)))
+    // the length gate is a LOWER BOUND on edit distance — widen the
+    // budget and the long name still can't sneak in under it
+    val wide = EntityMatch.blockedNameMatches(recs, "name", maxDist = 3)
+      .select("name_a", "name_b").as[(String, String)].collect().toSet
+    assert(!wide.exists(p => p._1.contains("extremely") ||
+      p._2.contains("extremely")))
+    // "gold ring" vs "old ring": same block (ring), dist 1
+    assert(wide.contains(("gold ring", "old ring")))
+  }
+
   test("rankMetrics: hand-computed nDCG/MRR, no-relevant zero, " +
     "perfect-ranking one, n_rel caps the ideal") {
     // q1: hits at ranks 1 and 3 of 5, n_rel = 2 → perfect-prefix ideal
