@@ -364,6 +364,32 @@ object ReferenceQueries {
           .cast("decimal(18,4)")).cast("double").as("revenue"))
     }),
 
+    // TPC-H Q18 shape: the self-referential fact filter — "orders whose
+    // own lineitems sum past a threshold" — realized as a map-side-
+    // combined aggregate over the fact table feeding a LEFT-SEMI join
+    // back onto orders (the big-order set is the top ~1% of keys, so AQE
+    // broadcasts it at any scale where orders is the big side). The
+    // final top-100 is a TakeOrderedAndProject, never a total sort.
+    "q18_large_orders" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("__q"))
+        .filter(col("__q") > 250)
+        .select(col("l_orderkey").as("__big_ok"))
+      val o = Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("__big_ok"), "left_semi")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+    }),
+
     "q3_shipping" -> ((s, d) => {
       val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.orders(s, d)
@@ -1029,6 +1055,23 @@ object ReferenceQueries {
         |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       o_totalprice,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "q3_shipping" ->
       """WITH agg AS (

@@ -267,6 +267,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p)
   }
 
+  test("q18 self-referential fact filter: semi join + partial agg + " +
+    "top-k, never a total sort") {
+    val p = plan("q18_large_orders")
+    // the big-order set gates orders through a SEMI join (never an
+    // inner join that would duplicate order rows per qualifying line)
+    assert(p.contains("LeftSemi"), p)
+    // the threshold aggregate over the fact table is map-side combined
+    assert(p.contains("partial_sum"), p)
+    // top-100 is per-partition heaps, not a global sort of the result
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("exact dedup streams hot groups: hash join + agg, never a sort") {
     // a mega-duplicate (one page × 10⁸ copies) must not become a
     // single-task sort — neither a row_number window nor a sort-merge
