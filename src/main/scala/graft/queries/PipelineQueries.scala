@@ -891,6 +891,21 @@ object PipelineQueries {
         .select(col("query_id"), col("n_hits"), col("recall"))
     }),
 
+    // --- count-min sketch as a DataFrame: the constant-memory frequency
+    // summary — one map-side-combined aggregate reduces the corpus token
+    // stream to a d×w counter frame; probing the exact vocabulary head
+    // against it pins the deterministic est ≥ true guarantee ---------------
+    "freq_cms_est" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val cms = graft.llm.CountMin.build(toks, "token", d = 3, w = 512)
+      val top = toks.groupBy("token").agg(count(lit(1)).as("true_count"))
+        .orderBy(col("true_count").desc, col("token")).limit(30)
+      graft.llm.CountMin.probe(top, "token", cms, d = 3, w = 512)
+        .join(broadcast(top), Seq("token"))
+        .select("token", "true_count", "est_count")
+    }),
+
     // --- blocked fuzzy entity matching over part names: collapse to the
     // distinct-name grain, block on the head noun, length-band gate,
     // Levenshtein ≤ 3 confirm — the record-linkage shape for dirty
@@ -3301,6 +3316,28 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |         CAST(row_number() OVER (PARTITION BY query_id
           |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
           |  FROM s) WHERE rank <= 3""".stripMargin,
+
+      // replays CountMin.build + probe exactly: 32-bit md5-prefix buckets
+      // of the row-salted token, min over the d=3 counter rows
+      "freq_cms_est" ->
+        s"""WITH $toksCte,
+           |tok AS (SELECT unnest(toks) AS token FROM t),
+           |cnt AS (SELECT token, count(*) AS true_count FROM tok GROUP BY 1),
+           |top AS (SELECT token, true_count FROM cnt
+           |        ORDER BY true_count DESC, token LIMIT 30),
+           |keys AS (SELECT token, r.i,
+           |           (('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || token),
+           |                            1, 8))::BIGINT) % 512 AS bucket
+           |         FROM tok, (SELECT unnest([0, 1, 2]) AS i) r),
+           |cms AS (SELECT i, bucket, count(*) AS cnt FROM keys GROUP BY 1, 2),
+           |pk AS (SELECT top.token, top.true_count, r.i,
+           |          (('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || top.token),
+           |                           1, 8))::BIGINT) % 512 AS bucket
+           |       FROM top, (SELECT unnest([0, 1, 2]) AS i) r)
+           |SELECT pk.token, pk.true_count,
+           |       CAST(min(coalesce(cms.cnt, 0)) AS BIGINT) AS est_count
+           |FROM pk LEFT JOIN cms ON cms.i = pk.i AND cms.bucket = pk.bucket
+           |GROUP BY 1, 2""".stripMargin,
 
       // name-grain collapse, last-token block, length-band gate, exact
       // levenshtein — DuckDB's levenshtein has the same unit-cost

@@ -20,6 +20,43 @@ class PropertySpec extends SparkSpec {
   private def sample[A](g: Gen[A], seed: Long): A =
     g.pureApply(Gen.Parameters.default, rng.Seed(seed))
 
+  test("count-min: est >= true for EVERY item; sharded builds merge " +
+    "exactly; zero for never-seen items") {
+    import graft.llm.CountMin
+    val itemGen = Gen.listOfN(400,
+      Gen.frequency(5 -> Gen.oneOf("hot1", "hot2"),
+        3 -> Gen.oneOf((1 to 20).map(i => s"warm$i")),
+        2 -> Gen.chooseNum(1, 500).map(i => s"cold$i")))
+    (1 to 5).foreach { seed =>
+      val items = sample(itemGen, seed)
+      val df = items.toDF("token")
+      val (d, w) = (3, 64)
+      val cms = CountMin.build(df, "token", d, w)
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val est = CountMin.probe(truth.keys.toSeq.toDF("token"), "token",
+        cms, d, w).as[(String, Long)].collect().toMap
+      // deterministic upper bound, and total overestimate mass is bounded
+      // by the d×N hash mass spread over w buckets
+      truth.foreach { case (t, c) =>
+        assert(est(t) >= c, s"seed=$seed $t: est=${est(t)} < true=$c")
+        assert(est(t) <= c + 2L * items.size / w * 4,
+          s"seed=$seed $t grossly overestimates: ${est(t)} vs $c")
+      }
+      // never-seen items can still collide, but an item hashing to an
+      // empty cell in ANY row reads 0 — and 0 is the floor, never negative
+      val ghost = CountMin.probe(Seq("never-seen-x").toDF("token"),
+        "token", cms, d, w).as[(String, Long)].collect().head._2
+      assert(ghost >= 0L)
+      // mergeability: per-shard builds unioned + re-summed == whole build
+      val (s1, s2) = items.splitAt(items.size / 2)
+      val merged = CountMin.build(s1.toDF("token"), "token", d, w)
+        .unionByName(CountMin.build(s2.toDF("token"), "token", d, w))
+        .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+      val whole = cms.as[(Int, Long, Long)].collect().toSet
+      assert(merged.as[(Int, Long, Long)].collect().toSet == whole)
+    }
+  }
+
   test("batch rate Column form == pure guards on random sequences") {
     val stepGen = Gen.listOfN(30, for {
       dv <- Gen.chooseNum(-800, 2000) // negatives → counter resets
