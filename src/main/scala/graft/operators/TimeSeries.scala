@@ -255,6 +255,83 @@ object TimeSeries {
       .withColumn("vsum", col("vsum").cast("double"))
   }
 
+  /** Largest-triangle downsampling (the LTTB family, Steinarsson 2013):
+    * per series × fixed time bucket, keep the ONE observed point that
+    * subtends the largest triangle against the neighboring buckets'
+    * mean points — the visualization-grade downsample that preserves
+    * spikes and shape where per-bucket mean/max flatten them.
+    *
+    * This is the PARALLEL variant: both triangle anchors are bucket
+    * MEANS (classic LTTB anchors on the previously *selected* point,
+    * a sequential dependency that cannot distribute; anchoring both
+    * sides on means is the standard parallelization and what LTTB
+    * itself does for the right anchor). Endpoint buckets keep the
+    * series' first/last observation, matching LTTB's keep-the-endpoints
+    * contract.
+    *
+    * Determinism: bucket means come from EXACT decimal sums (timestamps
+    * as DECIMAL(38,0), values as DECIMAL(18,2)) with one correctly-
+    * rounded division each; the triangle area is then a fixed tree of
+    * IEEE ops on identical operands in any engine, so the per-bucket
+    * argmax (area desc, then timestamp/id asc — id desc in the last
+    * bucket) picks the same point everywhere. `idCol` must be numeric
+    * (the directional tie-break negates it); null values are dropped
+    * up front (not observations).
+    *
+    * Scale shape: one repartition on the series key serves everything —
+    * the bucket-mean aggregate (map-side partials), the lag/lead window
+    * over the per-series BUCKET frame (downsampled, not raw), the
+    * candidates join (hash partitioning on a subset of the join keys
+    * satisfies its clustering), and the per-bucket selection window
+    * (sorts bucket occupancy — events per series per step, a cadence
+    * bound, not a corpus bound). The input is localCheckpoint'd once:
+    * raw rows and bucket means are two subplans of the same scan, and
+    * without it Catalyst would scan the source twice (the
+    * quality_calibrate precedent). Pass a PROJECTED frame. */
+  def lttb(df: DataFrame, seriesCols: Seq[String], tsMicrosCol: String,
+           idCol: String, valueCol: String, stepMicros: Long): DataFrame = {
+    require(stepMicros > 0, s"stepMicros=$stepMicros must be positive")
+    val sc = seriesCols.map(col)
+    val ts = col(tsMicrosCol)
+    val base = df.filter(col(valueCol).isNotNull)
+      .withColumn("bucket", (ts - (ts % lit(stepMicros))).cast("long"))
+      .repartition(sc: _*)
+      .localCheckpoint()
+    val means = base
+      .groupBy(sc :+ col("bucket"): _*)
+      .agg((sum(ts.cast("decimal(38,0)")).cast("double") /
+        count(lit(1)).cast("double")).as("mx"),
+        (sum(col(valueCol).cast("decimal(18,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("my"),
+        count(lit(1)).as("n_in_bucket"))
+    val w = Window.partitionBy(sc: _*).orderBy(col("bucket"))
+    val anchored = means
+      .withColumn("ax", lag(col("mx"), 1).over(w))
+      .withColumn("ay", lag(col("my"), 1).over(w))
+      .withColumn("cx", lead(col("mx"), 1).over(w))
+      .withColumn("cy", lead(col("my"), 1).over(w))
+      .drop("mx", "my")
+    val bx = ts.cast("double")
+    val by = col(valueCol).cast("double")
+    val cand = base.join(anchored, seriesCols :+ "bucket")
+      .withColumn("__area", abs(
+        (col("ax") - col("cx")) * (by - col("ay")) -
+          (col("ax") - bx) * (col("cy") - col("ay"))))
+      // edge buckets have a null anchor → null area for every candidate;
+      // the tie-break then selects the endpoint: first observation in
+      // the series' first bucket, last observation in its last
+      .withColumn("__dir",
+        when(col("cx").isNull && col("ax").isNotNull, lit(-1L))
+          .otherwise(lit(1L)))
+    val sel = Window.partitionBy(sc :+ col("bucket"): _*)
+      .orderBy(col("__area").desc_nulls_last,
+        (col("__dir") * ts).asc, (col("__dir") * col(idCol)).asc)
+    cand.withColumn("__rn", row_number().over(sel))
+      .filter(col("__rn") === 1)
+      .select(sc ++ Seq(col("bucket"), ts.as(tsMicrosCol),
+        col(idCol), by.as(valueCol), col("n_in_bucket")): _*)
+  }
+
   /** Rolling mean over a fixed trailing time window: snap to a
     * `stepMicros` grid, aggregate each bucket (exact decimal sum + count),
     * then average the last `windowSteps` buckets with a RANGE frame —

@@ -1823,6 +1823,18 @@ object PipelineQueries {
         Seq("user_id", "event_type"), "ts_us", "event_id", "value",
         stepMicros = DayMicros)),
 
+    // --- largest-triangle downsample (parallel LTTB): per day, the ONE
+    // point subtending the largest triangle vs neighbor-bucket means —
+    // spike-preserving where mean/max candles flatten; endpoints kept -----
+    "ts_lttb" -> ((s, d) =>
+      TimeSeries.lttb(
+        Tables.eventsUs(s, d)
+          .select("user_id", "event_type", "ts_us", "event_id", "value"),
+        Seq("user_id", "event_type"), "ts_us", "event_id", "value",
+        stepMicros = DayMicros)
+        .select("user_id", "event_type", "bucket", "ts_us", "event_id",
+          "value", "n_in_bucket")),
+
     // --- curriculum buckets: 4 per-source difficulty tiers by descending
     // quality score (bucket 1 = highest-quality quartile) ----------------
     "curriculum_buckets" -> ((s, d) =>
@@ -4448,6 +4460,44 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY bucket
           |             RANGE BETWEEN 518400000000 PRECEDING
           |                       AND CURRENT ROW)""".stripMargin,
+
+      // mirror TimeSeries.lttb: exact-decimal bucket means, lag/lead
+      // anchors, identical IEEE area tree, (area DESC NULLS LAST,
+      // dir·ts, dir·id) argmax — edge buckets fall to the tie-break and
+      // keep the series endpoints
+      "ts_lttb" ->
+        """WITH e AS (
+          |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+          |         event_id, value
+          |  FROM events WHERE value IS NOT NULL),
+          |b AS (SELECT *, ts_us - ts_us % 86400000000 AS bucket FROM e),
+          |m AS (SELECT user_id, event_type, bucket,
+          |        CAST(sum(CAST(ts_us AS DECIMAL(38,0))) AS DOUBLE)
+          |          / CAST(count(*) AS DOUBLE) AS mx,
+          |        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          |          / CAST(count(*) AS DOUBLE) AS my,
+          |        count(*) AS n_in_bucket
+          |      FROM b GROUP BY 1, 2, 3),
+          |a AS (SELECT *, lag(mx) OVER w AS ax, lag(my) OVER w AS ay,
+          |        lead(mx) OVER w AS cx, lead(my) OVER w AS cy
+          |      FROM m
+          |      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY bucket)),
+          |c AS (SELECT b.user_id, b.event_type, b.bucket, b.ts_us,
+          |        b.event_id, CAST(b.value AS DOUBLE) AS value,
+          |        a.n_in_bucket,
+          |        abs((a.ax - a.cx) * (CAST(b.value AS DOUBLE) - a.ay)
+          |            - (a.ax - CAST(b.ts_us AS DOUBLE)) * (a.cy - a.ay))
+          |          AS area,
+          |        CASE WHEN a.cx IS NULL AND a.ax IS NOT NULL
+          |             THEN -1 ELSE 1 END AS dir
+          |      FROM b JOIN a USING (user_id, event_type, bucket))
+          |SELECT user_id, event_type, bucket, ts_us, event_id, value,
+          |       n_in_bucket
+          |FROM (SELECT *, row_number() OVER (
+          |        PARTITION BY user_id, event_type, bucket
+          |        ORDER BY area DESC NULLS LAST, dir * ts_us, dir * event_id)
+          |        AS rn
+          |      FROM c) WHERE rn = 1""".stripMargin,
 
       // mirror TimeSeries.ohlc: null values dropped up front; open/close
       // via min_by/max_by on the same portable total-order key (HUGEINT

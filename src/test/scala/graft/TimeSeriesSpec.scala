@@ -186,6 +186,33 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getLong(2) == 3L)
   }
 
+  test("lttb keeps the spike in interior buckets and the endpoints at " +
+    "the edges") {
+    // series s, step 10, three buckets:
+    //   [0,10): points at ts 1 (v=1.0) and 3 (v=2.0)  → FIRST point (ts 1)
+    //   [10,20): ts 11 (v=5.0 flat), ts 14 (v=50.0 SPIKE), ts 17 (v=5.0)
+    //            → the spike wins the triangle vs neighbor means
+    //   [20,30): ts 21 (v=3.0) and 25 (v=4.0)         → LAST point (ts 25)
+    // plus a null-value row (dropped) and a single-bucket series d
+    // (keeps its first point)
+    val df = Seq(
+      ("s", 1L, 10L, Some(1.0)), ("s", 3L, 11L, Some(2.0)),
+      ("s", 11L, 12L, Some(5.0)), ("s", 14L, 13L, Some(50.0)),
+      ("s", 17L, 14L, Some(5.0)), ("s", 15L, 19L, None),
+      ("s", 21L, 15L, Some(3.0)), ("s", 25L, 16L, Some(4.0)),
+      ("d", 5L, 17L, Some(9.0)), ("d", 7L, 18L, Some(8.0))
+    ).toDF("series", "ts_us", "id", "value")
+    val out = TimeSeries.lttb(df, Seq("series"), "ts_us", "id", "value",
+        stepMicros = 10L)
+      .select("series", "bucket", "ts_us", "id", "value", "n_in_bucket")
+      .as[(String, Long, Long, Long, Double, Long)].collect().toSet
+    assert(out == Set(
+      ("s", 0L, 1L, 10L, 1.0, 2L),   // first bucket → first observation
+      ("s", 10L, 14L, 13L, 50.0, 3L), // interior → the spike
+      ("s", 20L, 25L, 16L, 4.0, 2L),  // last bucket → last observation
+      ("d", 0L, 5L, 17L, 9.0, 2L)))   // single-bucket series → first
+  }
+
   test("tsMicros ns branch FLOORS negative timestamps like epoch_us") {
     // -1500 ns is -2 µs under floor (DuckDB epoch_us) but -1 under
     // `div`'s truncation — the correction term must close that gap;
