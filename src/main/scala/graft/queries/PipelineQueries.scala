@@ -49,6 +49,27 @@ object PipelineQueries {
       |               CAST(sum(m.mult) AS BIGINT) AS sum_mult
       |        FROM c JOIN m USING (h) GROUP BY c.doc_id)""".stripMargin
 
+  /** One raw-events-schema sentinel row at far-future `tsUs` carrying the
+    * `__wm__` marker — FileReplay's watermark-flush batch. Built against
+    * whichever physical ts encoding the fixture shipped (LONG nanos under
+    * nanosAsLong, else TIMESTAMP/_NTZ), mirroring [[Tables.tsMicros]];
+    * non-ts columns ride from an arbitrary real row, so the file-source
+    * schema always matches. */
+  private def eventsSentinel(ss: SparkSession, d: String,
+                             tsUs: Long): DataFrame = {
+    val raw = ss.read.parquet(s"$d/events.parquet")
+    val tsLit = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => lit(tsUs * 1000L) // nanos
+      case dt => timestamp_micros(lit(tsUs)).cast(dt)
+    }
+    raw.limit(1).select(raw.columns.map {
+      case "ts" => tsLit.as("ts")
+      case "event_type" => lit("__wm__").as("event_type")
+      case "value" => lit(0.0).as("value")
+      case c => col(c)
+    }: _*)
+  }
+
   /** Deterministic crawl-record URL synthesized from fixture columns for
     * the url_* queries — mixed case, www/default-port/fragment/tracking
     * params and a trailing slash so every normalize rule fires; multiples
@@ -1135,45 +1156,31 @@ object PipelineQueries {
     "stream_window" -> ((s, d) => {
       // Child session: isolate the scoped-down state-store partition count
       // (see stream_rate) from concurrent queries on the parent session.
+      // Whole-table replay → the FILE-source harness (FileReplay): the
+      // micro-batch reads the parquet DISTRIBUTED instead of round-
+      // tripping every event through the driver (the sf1 rehearsal
+      // measured the MemoryStream version at 14–35 s, nearly all driver
+      // serialization; this shape holds flat). maxPartitionBytes is
+      // scoped down so even one rehearsal-scale file splits across tasks.
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
-      implicit val sqlCtx = ss.sqlContext
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import ss.implicits._
-      import scala.jdk.CollectionConverters._
-      val rows = Tables.eventsUs(ss, d)
-        .select(col("ts_us"), col("event_type"),
-          col("value").cast("double").as("value"))
-        .orderBy("ts_us")
-        .as[(Long, String, Double)]
-      val input = MemoryStream[(Long, String, Double)]
-      val agg = input.toDS().toDF("ts_us", "event_type", "value")
-        .withColumn("ts", timestamp_micros(col("ts_us")))
-        .withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,2)")).cast("double")
-            .as("value_sum"))
-        .select(unix_micros(col("window.start")).as("window_start_us"),
-          col("event_type"), col("n_events"), col("value_sum"))
-      val qname = "stream_window_" + streamSeq.incrementAndGet()
-      // All chunks added BEFORE start(): one micro-batch holds the whole
-      // replay (watermark still initial → nothing emits early), then the
-      // sentinel batch advances the watermark past every real window.
-      // Two batches total instead of one per addData-while-running race —
-      // deterministic AND skips ~10 micro-batch spin-ups.
-      var maxTs = Long.MinValue
-      rows.toLocalIterator().asScala.grouped(8192).foreach { chunk =>
-        maxTs = math.max(maxTs, chunk.iterator.map(_._1).max)
-        input.addData(chunk)
-      }
-      val q = agg.writeStream.format("memory").queryName(qname)
-        .outputMode("append").start()
-      q.processAllAvailable() // one batch; watermark advances AFTER it
-      input.addData(Seq((maxTs + 30L * 86400000000L, "__wm__", 0.0)))
-      q.processAllAvailable() // sentinel batch closes every real window
-      q.stop()
-      ss.table(qname).filter(col("event_type") =!= "__wm__")
+      ss.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+      val maxUs = Tables.eventsUs(ss, d).agg(max(col("ts_us"))).head.getLong(0)
+      graft.streaming.FileReplay.twoBatch(ss, s"$d/events.parquet",
+        stream => stream
+          .select(Tables.tsMicros(stream).as("ts_us"), col("event_type"),
+            col("value").cast("double").as("value"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("value_sum"))
+          .select(unix_micros(col("window.start")).as("window_start_us"),
+            col("event_type"), col("n_events"), col("value_sum")),
+        eventsSentinel(ss, d, maxUs + 30L * 86400000000L),
+        "stream_window_" + streamSeq.incrementAndGet())
+        .filter(col("event_type") =!= "__wm__")
     }),
 
     // --- streaming OHLC compaction: the ts_ohlc candles computed AT
@@ -1246,38 +1253,24 @@ object PipelineQueries {
     "stream_window_sliding" -> ((s, d) => {
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
-      implicit val sqlCtx = ss.sqlContext
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import ss.implicits._
-      import scala.jdk.CollectionConverters._
-      val rows = Tables.eventsUs(ss, d)
-        .select(col("ts_us"), col("event_type"),
-          col("value").cast("double").as("value"))
-        .orderBy("ts_us")
-        .as[(Long, String, Double)]
-      val input = MemoryStream[(Long, String, Double)]
-      val agg = input.toDS().toDF("ts_us", "event_type", "value")
-        .withColumn("ts", timestamp_micros(col("ts_us")))
-        .withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,2)")).cast("double")
-            .as("value_sum"))
-        .select(unix_micros(col("window.start")).as("window_start_us"),
-          col("event_type"), col("n_events"), col("value_sum"))
-      val qname = "stream_window_sliding_" + streamSeq.incrementAndGet()
-      var maxTs = Long.MinValue
-      rows.toLocalIterator().asScala.grouped(8192).foreach { chunk =>
-        maxTs = math.max(maxTs, chunk.iterator.map(_._1).max)
-        input.addData(chunk)
-      }
-      val q = agg.writeStream.format("memory").queryName(qname)
-        .outputMode("append").start()
-      q.processAllAvailable()
-      input.addData(Seq((maxTs + 30L * 86400000000L, "__wm__", 0.0)))
-      q.processAllAvailable()
-      q.stop()
-      ss.table(qname).filter(col("event_type") =!= "__wm__")
+      ss.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+      val maxUs = Tables.eventsUs(ss, d).agg(max(col("ts_us"))).head.getLong(0)
+      graft.streaming.FileReplay.twoBatch(ss, s"$d/events.parquet",
+        stream => stream
+          .select(Tables.tsMicros(stream).as("ts_us"), col("event_type"),
+            col("value").cast("double").as("value"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "6 hours", "3 hours"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("value_sum"))
+          .select(unix_micros(col("window.start")).as("window_start_us"),
+            col("event_type"), col("n_events"), col("value_sum")),
+        eventsSentinel(ss, d, maxUs + 30L * 86400000000L),
+        "stream_window_sliding_" + streamSeq.incrementAndGet())
+        .filter(col("event_type") =!= "__wm__")
     }),
 
     // --- as-of join: latest purchase at or before each view, per user ------

@@ -51,7 +51,10 @@ class PlanSpec extends SparkSpec {
       "quality_ensemble", "ann_pq_recall", "ann_pqt_topk",
       // both legs score by design: bm25's 1-row stat attach + brute-force
       // dense scan; the fusion itself is an equi outer join of top-k lists
-      "hybrid_rrf")
+      "hybrid_rrf",
+      // ranked lists come from the same brute-force query×corpus scorer
+      // as ann_brute_topk (broadcast NLJ by design: 50 queries broadcast)
+      "eval_rank_metrics")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intended)
       .filter { name =>
