@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over explicit edge frames — PageRank and degree
+  * profiling for the curation graphs this engine already builds
+  * ([[graft.llm.Similarity.knnGraph]] kNN edges, [[graft.llm.Dedup]]
+  * candidate pairs). PageRank over the kNN graph is the standard
+  * "representativeness" signal for graph-based data curation: high-rank
+  * nodes sit in dense semantic neighborhoods (over-represented content →
+  * downweight), leaf nodes are outliers (review queue) — the same use the
+  * reference's status/topology rollups serve for device graphs
+  * (yahoo_panoptes/framework/resources.py builds the resource topology;
+  * we generalize the iterate-over-edges shape).
+  *
+  * == Engine-exact fixed-point arithmetic ==
+  * Ranks are BIGINT micro-masses on a `scale` grid (default 10¹²), every
+  * step an integer op — `p div deg` per out-edge, exact long sums, and
+  * `((100-d)·(scale div N) + d·in) div 100` for the damped update — so
+  * any engine replaying the same unrolled iterations reproduces the
+  * BIT-EXACT ranks (the [[graft.llm.CountMin]] posture: determinism via
+  * integers, not via float tolerance). Truncation loses < 1 unit per op
+  * on a 10¹² grid — immaterial for ordering, essential for oracles.
+  *
+  * == Scale shape ==
+  * Per iteration: one shuffle join of edges with the rank frame on `src`
+  * (both hash-partitioned on the same key — AQE coalesces), one hash
+  * aggregate on `dst` with map-side partial sums (longs), one left join
+  * back to the node set. Nothing is collected; N rides as a broadcast
+  * 1-row frame. `localCheckpoint` cuts the lineage each round (the
+  * [[graft.llm.Dedup.clusters]] iteration discipline) so the plan does
+  * not deepen with `iters`. At 100 TB the edge frame is the big side and
+  * stays hash-partitioned by `src` across all iterations; the rank frame
+  * is |V| rows.
+  *
+  * Dangling nodes (no out-edges) keep their mass out of circulation —
+  * the "remove dangling mass" PageRank variant — which is the right
+  * semantics for a kNN graph where edge-less nodes are bucket singletons
+  * that should not boost anyone.
+  */
+object Graph {
+
+  /** Fixed-point damped PageRank. `nodes`: one row per vertex (`idCol`);
+    * `edges`: directed (srcCol, dstCol), parallel edges allowed only if
+    * the caller deduplicated upstream (each row contributes).
+    *
+    * Output: (idCol, pr_fp BIGINT exact rank mass on the `scale` grid,
+    * pr_ppm BIGINT = parts-per-million rank, exact). */
+  def pagerank(nodes: DataFrame, edges: DataFrame, idCol: String,
+               srcCol: String = "src", dstCol: String = "dst",
+               iters: Int = 3, dampPct: Int = 85,
+               scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters=$iters out of [1,50]")
+    require(dampPct >= 0 && dampPct <= 100, s"dampPct=$dampPct not a pct")
+    val n = nodes.select(col(idCol).as("id")).distinct()
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nN = broadcast(n.agg(count(lit(1)).cast("long").as("n_nodes")))
+    // per-node base mass (scale div N) and the uniform start vector
+    def nextP(prev: DataFrame): DataFrame = {
+      val contrib = prev.join(deg, prev("id") === deg("src"))
+        .select(col("src"), expr("pr_fp div deg").as("c"))
+      val in = e.join(contrib, "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("c")).as("inm"))
+      n.join(in, Seq("id"), "left").crossJoin(nN)
+        .withColumn("inm", coalesce(col("inm"), lit(0L)))
+        .select(col("id"), expr(
+          s"(${100 - dampPct} * ($scale div n_nodes) + $dampPct * inm) div 100")
+          .as("pr_fp"))
+        .localCheckpoint()
+    }
+    var p = n.crossJoin(nN)
+      .select(col("id"), expr(s"$scale div n_nodes").as("pr_fp"))
+    for (_ <- 1 to iters) p = nextP(p)
+    p.select(col("id").as(idCol), col("pr_fp"),
+      expr("pr_fp div 1000000").as("pr_ppm"))
+  }
+
+  /** Degree profile of a directed edge frame: per-vertex out/in degree —
+    * the hub/orphan diagnostic read before running PageRank or components
+    * over a curation graph. One aggregate per direction and one full
+    * outer merge, all hash-partitioned on the vertex id; no global sort
+    * or single-partition window anywhere (rank hubs downstream with a
+    * top-k heap, not a total order). */
+  def degreeProfile(edges: DataFrame, srcCol: String = "src",
+                    dstCol: String = "dst"): DataFrame = {
+    val out = edges.groupBy(col(srcCol).as("id"))
+      .agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col(dstCol).as("id"))
+      .agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("id"), "full_outer")
+      .select(col("id"), coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .withColumn("total_deg", col("out_deg") + col("in_deg"))
+  }
+}

@@ -66,6 +66,11 @@ object PipelineQueries {
       case "ts" => tsLit.as("ts")
       case "event_type" => lit("__wm__").as("event_type")
       case "value" => lit(0.0).as("value")
+      // pinned so any query-side predicate (user_id < 50 etc.) admits
+      // the sentinel — a filtered-out sentinel never reaches the
+      // watermark operator and the flush batch silently does nothing
+      case "user_id" => lit(0L).as("user_id")
+      case "event_id" => lit(-1L).as("event_id")
       case c => col(c)
     }: _*)
   }
@@ -1195,55 +1200,41 @@ object PipelineQueries {
     // floor-aligns where the batch bucket truncates; the batch ts_ohlc
     // operator keeps the full signed range. ------------------------------
     "stream_ohlc" -> ((s, d) => {
+      // Whole-table replay → FileReplay (see stream_window): the source
+      // predicate runs INSIDE the micro-batch, distributed, and must
+      // admit the sentinel (pinned user_id=0, value=0.0, far-future ts)
+      // or the flush batch would never reach the watermark operator.
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
-      implicit val sqlCtx = ss.sqlContext
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import ss.implicits._
-      import scala.jdk.CollectionConverters._
-      val rows = Tables.eventsUs(ss, d)
-        .filter(col("user_id") < 50 && col("value").isNotNull &&
-          col("ts_us") >= 0)
-        .select(col("ts_us"), col("user_id"), col("event_type"),
-          col("event_id"), col("value").cast("double").as("value"))
-        .orderBy("ts_us", "event_id")
-        .as[(Long, Long, String, Long, Double)]
-      val input = MemoryStream[(Long, Long, String, Long, Double)]
+      ss.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+      val maxUs = Tables.eventsUs(ss, d).agg(max(col("ts_us"))).head.getLong(0)
       val v = col("value")
-      val agg = input.toDS()
-        .toDF("ts_us", "user_id", "event_type", "event_id", "value")
-        .withColumn("ts", timestamp_micros(col("ts_us")))
-        .withWatermark("ts", "1 hour")
-        .withColumn("__ord",
-          TimeSeries.ohlcOrderKey(col("ts_us"), col("event_id")))
-        .groupBy(window(col("ts"), "1 day"), col("user_id"),
-          col("event_type"))
-        .agg(min_by(v, col("__ord")).as("open"), max(v).as("high"),
-          min(v).as("low"), max_by(v, col("__ord")).as("close"),
-          count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,2)")).as("__vsum"))
-        .select(col("user_id"), col("event_type"),
-          unix_micros(col("window.start")).as("bucket"),
-          col("open"), col("high"), col("low"), col("close"),
-          col("n_events"), col("__vsum").cast("double").as("vsum"),
-          round(col("__vsum").cast("double") /
-            col("n_events").cast("double"), 6).as("vavg"))
-      val qname = "stream_ohlc_" + streamSeq.incrementAndGet()
-      var maxTs = Long.MinValue
-      rows.toLocalIterator().asScala.grouped(8192).foreach { chunk =>
-        maxTs = math.max(maxTs, chunk.iterator.map(_._1).max)
-        input.addData(chunk)
-      }
-      val q = agg.writeStream.format("memory").queryName(qname)
-        .outputMode("append").start()
-      q.processAllAvailable()
-      input.addData(Seq((maxTs + 30L * 86400000000L, -1L, "__wm__",
-        -1L, 0.0)))
-      q.processAllAvailable()
-      q.stop()
-      // remove the sentinel by its MARKER, not by user_id sign — the
-      // source predicate (user_id < 50) admits negative real user ids
-      ss.table(qname).filter(col("event_type") =!= "__wm__")
+      graft.streaming.FileReplay.twoBatch(ss, s"$d/events.parquet",
+        stream => stream
+          .select(Tables.tsMicros(stream).as("ts_us"), col("user_id"),
+            col("event_type"), col("event_id"),
+            col("value").cast("double").as("value"))
+          .filter(col("user_id") < 50 && col("value").isNotNull &&
+            col("ts_us") >= 0)
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+          .withWatermark("ts", "1 hour")
+          .withColumn("__ord",
+            TimeSeries.ohlcOrderKey(col("ts_us"), col("event_id")))
+          .groupBy(window(col("ts"), "1 day"), col("user_id"),
+            col("event_type"))
+          .agg(min_by(v, col("__ord")).as("open"), max(v).as("high"),
+            min(v).as("low"), max_by(v, col("__ord")).as("close"),
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).as("__vsum"))
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("window.start")).as("bucket"),
+            col("open"), col("high"), col("low"), col("close"),
+            col("n_events"), col("__vsum").cast("double").as("vsum"),
+            round(col("__vsum").cast("double") /
+              col("n_events").cast("double"), 6).as("vavg")),
+        eventsSentinel(ss, d, maxUs + 30L * 86400000000L),
+        "stream_ohlc_" + streamSeq.incrementAndGet())
+        .filter(col("event_type") =!= "__wm__")
     }),
 
     // --- streaming: SLIDING windows (6 h length, 3 h slide) — every event
