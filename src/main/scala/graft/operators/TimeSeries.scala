@@ -372,4 +372,63 @@ object TimeSeries {
       round(sum(col("bsum")).over(w).cast("double") /
         sum(col("bn")).over(w).cast("double"), 6).as("moving_avg")): _*)
   }
+
+  /** CUSUM change-point localization: per series, the observation where
+    * the cumulative sum of deviations from the series mean attains its
+    * maximum magnitude — the classic single-change-point estimator (the
+    * argmax of |CUSUM| splits the series where the level shifted), run
+    * offline over a metrics table to find WHEN a counter's behavior
+    * changed (deploy, reroute, hardware swap).
+    *
+    * == All-integer arithmetic ==
+    * Values are fixed to centi-units (`decimal(18,2) × 100` → long), and
+    * the mean is never divided out: with n = series length and
+    * S = Σvᵢ, the k-th CUSUM against the mean scaled by n is
+    * `n·Σ_{i≤k}vᵢ − k·S` — exact longs, identical in any engine, same
+    * trick as [[zscore]]'s exact-decimal moments. Headroom: n·S must
+    * stay under 2⁶³ (≈9·10¹⁸); a 10⁶-row series of 10⁴-unit values uses
+    * 10¹⁶ — checked by the caller's series granularity, not here.
+    *
+    * Ordering inside a series is total — (ts, id) — so equal-timestamp
+    * rows cannot make the prefix sums partition-order-dependent.
+    *
+    * Scale shape: one shuffle on the series key serves the stats join,
+    * the prefix-sum window, and the argmax window (same partitioning;
+    * EnsureRequirements plans one exchange, the sorts differ). A hot
+    * series costs one task's sort, the [[gapfill]] posture. Null values
+    * are missed measurements and are dropped up front.
+    *
+    * Output: one row per series with ≥ 2 observations — series cols,
+    * `n_events`, the change point's `cp_ts`/`cp_id`, the exact scaled
+    * deviation `cusum_abs` (= n·|CUSUM at the change point| in
+    * centi-units), and `sum_c100` (the exact centi-unit value total, for
+    * reconstructing the mean downstream without a division here). */
+  def cusumChangePoint(df: DataFrame, seriesCols: Seq[String],
+                       tsMicrosCol: String, idCol: String,
+                       valueCol: String): DataFrame = {
+    val sc = seriesCols.map(col)
+    val base = df.filter(col(valueCol).isNotNull)
+      .withColumn("__vc",
+        (col(valueCol).cast("decimal(18,2)") * 100).cast("long"))
+    val stats = base.groupBy(sc: _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__vc")).as("__s"))
+      .filter(col("__n") >= 2)
+    val wPrefix = Window.partitionBy(sc: _*)
+      .orderBy(col(tsMicrosCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPick = Window.partitionBy(sc: _*)
+      .orderBy(col("__cabs").desc, col(tsMicrosCol), col(idCol))
+    base.join(stats, seriesCols)
+      .withColumn("__k",
+        row_number().over(Window.partitionBy(sc: _*)
+          .orderBy(col(tsMicrosCol), col(idCol))).cast("long"))
+      .withColumn("__cusum",
+        col("__n") * sum(col("__vc")).over(wPrefix) - col("__k") * col("__s"))
+      .withColumn("__cabs", abs(col("__cusum")))
+      .withColumn("__r", row_number().over(wPick))
+      .filter(col("__r") === 1)
+      .select(sc ++ Seq(col("__n").as("n_events"),
+        col(tsMicrosCol).as("cp_ts"), col(idCol).as("cp_id"),
+        col("__cabs").as("cusum_abs"), col("__s").as("sum_c100")): _*)
+  }
 }

@@ -226,6 +226,9 @@ object PipelineQueries {
     * from the SAME shortest-repr literals (a hand-written `2.2` in SQL
     * can land one ulp away from Scala's `k1 + 1.0`). */
   private val Bm25Terms = Seq("vector", "merge", "spark")
+  /** 2024-01-01T00:00:00Z in epoch micros — the crawl-clock origin the
+    * layout audit quantizes hours against. */
+  private val Epoch2024Us = 1704067200000000L
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
 
@@ -476,6 +479,26 @@ object PipelineQueries {
     "bm25_topk" -> ((s, d) =>
       Corpus.bm25TopK(Tables.documents(s, d), "text", "doc_id",
         terms = Bm25Terms, k = 100, k1 = Bm25K1, b = Bm25B)),
+
+    // --- inverted index build: term → df + sorted posting list, with the
+    // stop-term df cap (count pre-pass + broadcast anti-join BEFORE any
+    // collect_list — the Dedup stop-shingle discipline; capped terms keep
+    // their df, postings NULL: no silent truncation) -------------------------
+    "index_postings" -> ((s, d) =>
+      graft.llm.Index.postings(Tables.documents(s, d), "text", "doc_id",
+        maxDf = 400)),
+
+    // --- conjunctive boolean retrieval over the exploded posting rows:
+    // term ∈ query → group by doc → full-match gate. |query|-way
+    // intersection with map-side partial counts ------------------------------
+    "search_boolean" -> ((s, d) =>
+      graft.llm.Index.searchAll(Tables.documents(s, d), "text", "doc_id",
+        terms = Bm25Terms)),
+
+    // --- weak-AND variant: ≥2 of the terms, with the match count ------------
+    "search_any" -> ((s, d) =>
+      graft.llm.Index.searchAny(Tables.documents(s, d), "text", "doc_id",
+        terms = Bm25Terms, minMatch = 2)),
 
     // --- hybrid retrieval: reciprocal-rank fusion of the BM25 sparse leg
     // and a dense cosine leg (doc 0's embedding as the query — vec_id
@@ -989,6 +1012,24 @@ object PipelineQueries {
         Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
           k = 3, b = 4, dim = 64, bands = 2))
         .select("id_a", "id_b", "score")),
+
+    // --- fixed-point PageRank over the kNN graph: the graph-centrality
+    // curation signal (dense-neighborhood = over-represented content).
+    // All-integer rank masses → bit-exact oracle replay; per iteration
+    // one edge join + one hash aggregate, nothing collected ------------------
+    "graph_pagerank" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val edges = Similarity.knnGraph(e, "vec_id", "embedding",
+        k = 3, b = 4, dim = 64, bands = 2).select("src", "dst")
+      val nodes = e.filter(size(col("embedding")) >= 64).select("vec_id")
+      graft.operators.Graph.pagerank(nodes, edges, "vec_id", iters = 3)
+    }),
+
+    // --- degree profile of the same graph: hub/orphan diagnostic ------------
+    "graph_degree" -> ((s, d) =>
+      graft.operators.Graph.degreeProfile(
+        Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 3, b = 4, dim = 64, bands = 2).select("src", "dst"))),
 
     // --- deterministic k-means over embeddings ------------------------------
     // Lloyd's with dyadic quantization (exact centroid sums in any addition
@@ -1819,6 +1860,48 @@ object PipelineQueries {
         .select("user_id", "event_type", "bucket", "ts_us", "event_id",
           "value", "n_in_bucket")),
 
+    // --- CUSUM change-point: per event_type, the observation where the
+    // cumulative deviation from the series mean peaks — all-integer
+    // (centi-units, mean never divided out), one series-key exchange -------
+    "ts_cusum" -> ((s, d) =>
+      TimeSeries.cusumChangePoint(
+        Tables.eventsUs(s, d),
+        Seq("event_type"), "ts_us", "event_id", "value")),
+
+    // --- Z-order layout audit: Morton-interleave (user_id, crawl-hour)
+    // and report each keyspace bucket's 2-D bounding box — the file-stat
+    // pruning story for multi-dimension predicates at 100 TB ---------------
+    "layout_zorder" -> ((s, d) => {
+      // both dims quantized onto the full 10-bit grid (ranks would do the
+      // same at scale) so the interleave actually mixes x and y bits —
+      // un-stretched low-cardinality dims would leave the high key bits
+      // constant and every row in one bucket
+      val ev = Tables.eventsUs(s, d)
+      graft.operators.Layout.zorderStats(ev,
+        expr("user_id * 1024 div 150"),
+        expr(s"((ts_us - $Epoch2024Us) div 3600000000) * 1024 div 744"),
+        bits = 10, bucketBits = 6)
+    }),
+
+    // --- k-anonymity equivalence classes over quasi-identifiers
+    // (lang, source, length bucket): the re-identification audit before a
+    // corpus release; one hash aggregate --------------------------------
+    "privacy_kanon" -> ((s, d) =>
+      graft.llm.Privacy.kAnonymityClasses(
+        Tables.documents(s, d),
+        Seq(col("lang"), col("source"),
+          expr("n_chars div 200").as("len_bucket")),
+        k = 5)),
+
+    // --- corpus-level risk summary: achieved k, risky-row count + exact
+    // integer ppm -------------------------------------------------------
+    "privacy_risk" -> ((s, d) =>
+      graft.llm.Privacy.kAnonymityRisk(
+        Tables.documents(s, d),
+        Seq(col("lang"), col("source"),
+          expr("n_chars div 200").as("len_bucket")),
+        k = 5)),
+
     // --- curriculum buckets: 4 per-source difficulty tiers by descending
     // quality score (bucket 1 = highest-quality quartile) ----------------
     "curriculum_buckets" -> ((s, d) =>
@@ -2177,6 +2260,63 @@ object PipelineQueries {
       val lst = p.map(java.lang.Double.toString).mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product($v, $lst) >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
+
+  /** The knn_graph oracle's CTE chain up to `g` (the rank≤3 directed edge
+    * set) — shared by the graph_pagerank / graph_degree oracles, verbatim
+    * the knn_graph fragment. */
+  private def knnEdgeCtes: String =
+    s"""ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |            FROM embeddings WHERE len(embedding) >= 64),
+       |e0 AS (
+       |  SELECT vec_id, v,
+       |         ${rotatedBucketSql("v", 4, 64)} AS bk0,
+       |         ${rotatedBucketSql("v", 4, 64, Similarity.DefaultSeed + 1)} AS bk1
+       |  FROM ec),""".stripMargin + "\n" +
+      """e AS (SELECT vec_id,
+        |        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv,
+        |        bk0, bk1
+        |      FROM e0),
+        |s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |             list_dot_product(a.nv, b.nv) AS score
+        |      FROM e a JOIN e b
+        |        ON a.vec_id <> b.vec_id
+        |       AND (a.bk0 = b.bk0 OR a.bk1 = b.bk1)),
+        |g AS (SELECT src, dst FROM (
+        |  SELECT src, dst,
+        |         row_number() OVER (PARTITION BY src
+        |                            ORDER BY score DESC, dst) AS rank
+        |  FROM s) WHERE rank <= 3)""".stripMargin
+
+  /** The fixed-point PageRank iterations as unrolled CTEs p0..p`iters`,
+    * mirroring [[graft.operators.Graph.pagerank]]'s integer arithmetic
+    * exactly (`//` floors like Spark's `div` truncates — all masses are
+    * non-negative). Expects CTEs `g` (edges) and `nodes(id)` upstream. */
+  private def pagerankCtes(iters: Int, dampPct: Int, scale: Long): String = {
+    val base = s"($scale // (SELECT n FROM nn))"
+    val steps = (1 to iters).map { k =>
+      s"""p$k AS (SELECT nd.id,
+         |  (${100 - dampPct} * $base + $dampPct * COALESCE(im.inm, 0)) // 100 AS pr
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT ge.dst AS id, SUM(pp.pr // dg.deg) AS inm
+         |    FROM g ge JOIN p${k - 1} pp ON ge.src = pp.id
+         |    JOIN deg dg ON ge.src = dg.src
+         |    GROUP BY ge.dst) im USING (id))""".stripMargin
+    }
+    (s"""deg AS (SELECT src, count(*) AS deg FROM g GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |p0 AS (SELECT id, $base AS pr FROM nodes)""".stripMargin +:
+      steps).mkString(",\n")
+  }
+
+  /** DuckDB Morton-interleave of the low `bits` bits of two integer
+    * expressions — mirror of [[graft.operators.Layout.zorderKey2]]. */
+  private def zorderKeySql(x: String, y: String, bits: Int): String = {
+    val mask = (1L << bits) - 1
+    (0 until bits).map { i =>
+      s"((((($x) & $mask) >> $i) & 1) << ${2 * i}) + " +
+        s"((((($y) & $mask) >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " + ", ")")
+  }
 
   /** Mirror of [[Similarity.randomProjection]]: component j as a DuckDB
     * select item — same planes, same √dimOut scale constant (rendered via
@@ -2782,6 +2922,62 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       // literals
       "bm25_topk" ->
         s"WITH $toksCte,\n$Bm25OracleCtes\n$Bm25OracleTop",
+
+      // distinct (doc, term) postings; stop terms (df > 400) keep their
+      // df with NULL postings, mirroring the engine's anti-join cap
+      "index_postings" ->
+        """WITH p AS (SELECT DISTINCT doc_id, term FROM (
+          |       SELECT doc_id,
+          |              unnest(string_split_regex(text, '\s+')) AS term
+          |       FROM documents) WHERE len(term) > 0),
+          |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+          |        FROM p GROUP BY 1),
+          |lists AS (SELECT term,
+          |            string_agg(CAST(doc_id AS VARCHAR), ','
+          |                       ORDER BY doc_id) AS postings
+          |          FROM p
+          |          WHERE term NOT IN (SELECT term FROM dfc WHERE df > 400)
+          |          GROUP BY 1)
+          |SELECT d.term, d.df, l.postings
+          |FROM dfc d LEFT JOIN lists l USING (term)""".stripMargin,
+
+      "search_boolean" ->
+        """WITH p AS (SELECT DISTINCT doc_id, term FROM (
+          |       SELECT doc_id,
+          |              unnest(string_split_regex(text, '\s+')) AS term
+          |       FROM documents) WHERE len(term) > 0)
+          |SELECT doc_id FROM p
+          |WHERE term IN ('vector', 'merge', 'spark')
+          |GROUP BY doc_id HAVING count(*) = 3""".stripMargin,
+
+      "search_any" ->
+        """WITH p AS (SELECT DISTINCT doc_id, term FROM (
+          |       SELECT doc_id,
+          |              unnest(string_split_regex(text, '\s+')) AS term
+          |       FROM documents) WHERE len(term) > 0)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched FROM p
+          |WHERE term IN ('vector', 'merge', 'spark')
+          |GROUP BY doc_id HAVING count(*) >= 2""".stripMargin,
+
+      // `//` floors, Spark `div` truncates — identical on the
+      // non-negative n_chars
+      "privacy_kanon" ->
+        """SELECT lang, source, n_chars // 200 AS len_bucket,
+          |       CAST(count(*) AS BIGINT) AS class_size,
+          |       count(*) < 5 AS at_risk
+          |FROM documents GROUP BY 1, 2, 3""".stripMargin,
+
+      "privacy_risk" ->
+        """WITH c AS (SELECT count(*) AS cs FROM documents
+          |           GROUP BY lang, source, n_chars // 200)
+          |SELECT CAST(sum(cs) AS BIGINT) AS n_rows,
+          |       CAST(count(*) AS BIGINT) AS n_classes,
+          |       CAST(min(cs) AS BIGINT) AS k_anon,
+          |       CAST(sum(CASE WHEN cs < 5 THEN cs ELSE 0 END) AS BIGINT)
+          |         AS risky_rows,
+          |       CAST(sum(CASE WHEN cs < 5 THEN cs ELSE 0 END) * 1000000
+          |            // sum(cs) AS BIGINT) AS risky_ppm
+          |FROM c""".stripMargin,
 
       // sparse leg = the bm25_topk fragment verbatim; dense leg = the
       // ann_brute ranking with vec 0 as the query; reciprocal terms add
@@ -3493,6 +3689,33 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |SELECT a.src AS id_a, a.dst AS id_b, round(a.score, 6) AS score
           |FROM g a JOIN g b ON a.src = b.dst AND a.dst = b.src
           |WHERE a.src < a.dst""".stripMargin),
+
+      // knn_graph's edge CTEs + the unrolled integer PageRank iterations;
+      // every mass op is floor-division on non-negative ints, so `//`
+      // replays Spark's `div` bit-exactly (SUM promotes to HUGEINT in
+      // DuckDB — numerically identical, cast back at the end)
+      "graph_pagerank" ->
+        (s"WITH $knnEdgeCtes,\n" +
+          "nodes AS (SELECT vec_id AS id FROM ec),\n" +
+          pagerankCtes(iters = 3, dampPct = 85, scale = 1000000000000L) +
+          """
+            |SELECT id AS vec_id, CAST(pr AS BIGINT) AS pr_fp,
+            |       CAST(pr // 1000000 AS BIGINT) AS pr_ppm
+            |FROM p3""".stripMargin),
+
+      // same edge CTEs; full outer degree merge
+      "graph_degree" ->
+        (s"WITH $knnEdgeCtes,\n" +
+          """o AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS out_deg
+            |      FROM g GROUP BY 1),
+            |i AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS in_deg
+            |      FROM g GROUP BY 1)
+            |SELECT COALESCE(o.id, i.id) AS id,
+            |       COALESCE(o.out_deg, 0) AS out_deg,
+            |       COALESCE(i.in_deg, 0) AS in_deg,
+            |       COALESCE(o.out_deg, 0) + COALESCE(i.in_deg, 0)
+            |         AS total_deg
+            |FROM o FULL OUTER JOIN i ON o.id = i.id""".stripMargin),
 
       "embed_project" ->
         (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -4399,6 +4622,48 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       // single-pass mirror of TimeSeries.gapfill: each (prev, current)
       // pair explodes to its interior grid fills plus the current
       // observation; the series head explodes to itself
+      // all-integer CUSUM: n·prefix − k·S in centi-units; the argmax row
+      // picked by (|cusum| desc, ts, id) — every op exact in both engines
+      // (DuckDB's HUGEINT sums are numerically identical, cast at the end)
+      "ts_cusum" ->
+        """WITH b AS (
+          |  SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+          |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+          |  FROM events WHERE value IS NOT NULL),
+          |st AS (SELECT event_type, count(*) AS n, sum(vc) AS s
+          |       FROM b GROUP BY 1 HAVING count(*) >= 2),
+          |c AS (SELECT b.event_type, b.ts_us, b.event_id, st.n, st.s,
+          |             sum(b.vc) OVER (PARTITION BY b.event_type
+          |               ORDER BY b.ts_us, b.event_id
+          |               ROWS UNBOUNDED PRECEDING) AS pref,
+          |             row_number() OVER (PARTITION BY b.event_type
+          |               ORDER BY b.ts_us, b.event_id) AS k
+          |      FROM b JOIN st USING (event_type)),
+          |a AS (SELECT event_type, ts_us, event_id, n, s,
+          |             abs(n * pref - k * s) AS cabs
+          |      FROM c)
+          |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+          |       ts_us AS cp_ts, event_id AS cp_id,
+          |       CAST(cabs AS BIGINT) AS cusum_abs,
+          |       CAST(s AS BIGINT) AS sum_c100
+          |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+          |        ORDER BY cabs DESC, ts_us, event_id) AS r FROM a)
+          |WHERE r = 1""".stripMargin,
+
+      // Morton key built by the mirrored bit-interleave expression;
+      // bucket = top 6 of the 32 key bits
+      "layout_zorder" ->
+        (s"""WITH d AS (
+           |  SELECT user_id * 1024 // 150 AS x,
+           |         ((epoch_us(ts) - $Epoch2024Us) // 3600000000)
+           |           * 1024 // 744 AS y
+           |  FROM events),
+           |z AS (SELECT ${zorderKeySql("x", "y", 10)} AS zkey, x, y FROM d)
+           |SELECT zkey >> 14 AS zbucket, CAST(count(*) AS BIGINT) AS n,
+           |       min(x) AS x_min, max(x) AS x_max,
+           |       min(y) AS y_min, max(y) AS y_max
+           |FROM z GROUP BY 1""".stripMargin),
+
       "ts_gapfill" ->
         """WITH b AS (
           |  SELECT user_id, event_type,

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Index, Privacy}
+import graft.operators.{Graph, Layout}
+
+/** Round-8 operator kernels: fixed-point PageRank / degree profile,
+  * inverted-index postings + boolean retrieval, k-anonymity profiling,
+  * and the Z-order layout key. */
+class GraphIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pagerank: hand-computed integer masses on a 3-cycle fragment") {
+    // 1→2, 2→1, 3→1; scale 1000, N=3 ⇒ base 333; one iteration:
+    //   p1(1) = (15·333 + 85·(333+333)) div 100 = 616
+    //   p1(2) = (15·333 + 85·333) div 100       = 333
+    //   p1(3) = (15·333 + 85·0) div 100         = 49
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val out = Graph.pagerank(nodes, edges, "id", iters = 1, scale = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 616L, 2L -> 333L, 3L -> 49L))
+  }
+
+  test("pagerank: dangling node keeps mass out of circulation") {
+    // 1→2 only; node 1 receives nothing, node 2 receives all of 1's mass
+    val nodes = Seq(1L, 2L).toDF("id")
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val out = Graph.pagerank(nodes, edges, "id", iters = 1, scale = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // base 500: p1(1) = 15·500 div 100 = 75; p1(2) = (7500+85·500)/100 = 500
+    assert(out === Map(1L -> 75L, 2L -> 500L))
+  }
+
+  test("pagerank is partition-order invariant and conserves ≤ scale") {
+    val nodes = spark.range(0, 40).toDF("id")
+    val edges = (0 until 40).flatMap(i =>
+      Seq((i.toLong, ((i + 1) % 40).toLong), (i.toLong, ((i * 7 + 3) % 40).toLong)))
+      .toDF("src", "dst")
+    val a = Graph.pagerank(nodes, edges, "id", iters = 3)
+      .orderBy("id").collect().map(_.getLong(1)).toSeq
+    val b = Graph.pagerank(nodes.repartition(7), edges.repartition(5),
+        "id", iters = 3)
+      .orderBy("id").collect().map(_.getLong(1)).toSeq
+    assert(a === b, "ranks must not depend on input partitioning")
+    assert(a.sum <= 1000000000000L, "truncation only ever loses mass")
+    assert(a.forall(_ > 0))
+  }
+
+  test("degree profile merges both directions with zero-fill") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val out = Graph.degreeProfile(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out === Map(1L -> ((2L, 0L, 2L)), 2L -> ((1L, 1L, 2L)),
+      3L -> ((0L, 2L, 2L))))
+  }
+
+  test("postings: sorted lists, exact df, stop terms capped to NULL") {
+    val docs = Seq(
+      (3L, "b a"), (1L, "a a c"), (2L, "a b")
+    ).toDF("doc_id", "text")
+    val out = Index.postings(docs, "text", "doc_id", maxDf = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.getString(2))))).toMap
+    // 'a' in all 3 docs → over the cap: df kept, postings NULL
+    assert(out("a") === ((3L, None)))
+    assert(out("b") === ((2L, Some("2,3"))), "sorted by doc id")
+    assert(out("c") === ((1L, Some("1"))))
+  }
+
+  test("boolean retrieval: AND needs every term, weak-AND counts") {
+    val docs = Seq(
+      (1L, "x y z"), (2L, "x y"), (3L, "x"), (4L, "q")
+    ).toDF("doc_id", "text")
+    val all = Index.searchAll(docs, "text", "doc_id", Seq("x", "y", "z"))
+      .collect().map(_.getLong(0)).toSet
+    assert(all === Set(1L))
+    val any = Index.searchAny(docs, "text", "doc_id", Seq("x", "y", "z"),
+        minMatch = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(any === Map(1L -> 3L, 2L -> 2L))
+  }
+
+  test("searchAll counts duplicate query terms once") {
+    val docs = Seq((1L, "x y")).toDF("doc_id", "text")
+    val hit = Index.searchAll(docs, "text", "doc_id", Seq("x", "x", "y"))
+      .collect().map(_.getLong(0)).toSet
+    assert(hit === Set(1L), "terms.distinct gates the full-match count")
+  }
+
+  test("k-anonymity: class sizes, risk flags, exact ppm") {
+    val df = Seq(
+      ("en", "a"), ("en", "a"), ("en", "a"), // class of 3
+      ("en", "b"), ("de", "a")               // two singletons
+    ).toDF("lang", "src")
+    val quasi = Seq(col("lang"), col("src"))
+    val classes = Privacy.kAnonymityClasses(df, quasi, k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(classes(("en", "a")) === ((3L, false)))
+    assert(classes(("en", "b")) === ((1L, true)))
+    assert(classes(("de", "a")) === ((1L, true)))
+    val risk = Privacy.kAnonymityRisk(df, quasi, k = 2).collect().head
+    assert(risk.getLong(0) === 5L && risk.getLong(1) === 3L)
+    assert(risk.getLong(2) === 1L, "achieved k = min class size")
+    assert(risk.getLong(3) === 2L)
+    assert(risk.getLong(4) === 400000L, "2/5 exactly, in ppm")
+  }
+
+  test("zorder key interleaves bits (x even, y odd positions)") {
+    // x=5 (101b) → bits at positions 0,4 = 17; y=3 (011b) → 1,3 = 10
+    val out = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.zorderKey2(col("x"), col("y"), 3).as("z"))
+      .collect().head.getLong(0)
+    assert(out === 27L)
+    // masking: values beyond `bits` wrap, never widen the key
+    val wide = Seq((8L + 5L, 3L)).toDF("x", "y")
+      .select(Layout.zorderKey2(col("x"), col("y"), 3).as("z"))
+      .collect().head.getLong(0)
+    assert(wide === 27L)
+  }
+
+  test("zorder stats: buckets bound both dimensions") {
+    // full 4-bit × 4-bit grid; 4 leading key bits = the 4 quadrant-of-
+    // quadrant buckets, each a 4×4 box: spans must be 3, not 15
+    val grid = (0 until 16).flatMap(x => (0 until 16).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    val st = Layout.zorderStats(grid, col("x"), col("y"), bits = 4,
+      bucketBits = 4).collect()
+    assert(st.length === 16)
+    st.foreach { r =>
+      assert(r.getLong(2) - 0 >= 0)
+      assert(r.getLong(3) - r.getLong(2) === 3L, s"x span in $r")
+      assert(r.getLong(5) - r.getLong(4) === 3L, s"y span in $r")
+      assert(r.getLong(1) === 16L)
+    }
+  }
+}

@@ -264,4 +264,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(("b", 9.0)) == ((5.0, 0.0, None, false)))
     assert(out(("c", 1.0))._1 == 1.0) // lower median, not interpolated 2.0
   }
+
+  test("cusum pinpoints the level shift with exact integer deviations") {
+    // [1,1,1,5,5] in centi-units: n=5, S=1300; |n·prefix − k·S| peaks at
+    // k=3 (2400) — the LAST point of the old level, the classic CUSUM
+    // split; singleton series X is dropped (needs ≥ 2 points)
+    val df = Seq(
+      ("A", 1L, 10L, 1.0), ("A", 2L, 11L, 1.0), ("A", 3L, 12L, 1.0),
+      ("A", 4L, 13L, 5.0), ("A", 5L, 14L, 5.0),
+      ("X", 9L, 99L, 7.0)
+    ).toDF("series", "ts", "id", "value")
+    val out = TimeSeries.cusumChangePoint(df, Seq("series"), "ts", "id",
+      "value").collect()
+    assert(out.length === 1, "singleton series must drop")
+    val r = out.head
+    assert(r.getString(0) === "A" && r.getLong(1) === 5L)
+    assert(r.getLong(2) === 3L && r.getLong(3) === 12L,
+      "change point = argmax |cusum|")
+    assert(r.getLong(4) === 2400L && r.getLong(5) === 1300L)
+  }
+
+  test("cusum is partition-order invariant; equal-ts rows break on id") {
+    val rows = (1 to 60).map(i =>
+      ("S", (i / 2).toLong, i.toLong, if (i <= 30) 2.0 else 9.0))
+    val a = TimeSeries.cusumChangePoint(rows.toDF("series", "ts", "id", "value"),
+      Seq("series"), "ts", "id", "value").collect().head
+    val b = TimeSeries.cusumChangePoint(
+      rows.reverse.toDF("series", "ts", "id", "value").repartition(7),
+      Seq("series"), "ts", "id", "value").collect().head
+    assert(a.toSeq === b.toSeq)
+  }
 }
