@@ -53,9 +53,16 @@ object Graph {
                scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters=$iters out of [1,50]")
     require(dampPct >= 0 && dampPct <= 100, s"dampPct=$dampPct not a pct")
-    val n = nodes.select(col(idCol).as("id")).distinct()
+    // materialize the graph ONCE: edges may carry an expensive lineage
+    // (the kNN build's LSH join + ranking window) that would otherwise
+    // re-execute inside EVERY iteration's join — the checkpoint turns
+    // iters × edge-derivation into 1×, and pins the edge partitioning
+    // that all iterations' src-joins then reuse
+    val n = nodes.select(col(idCol).as("id")).distinct().localCheckpoint()
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src")).localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     val nN = broadcast(n.agg(count(lit(1)).cast("long").as("n_nodes")))
     // per-node base mass (scale div N) and the uniform start vector
     def nextP(prev: DataFrame): DataFrame = {
