@@ -55,8 +55,8 @@ object PipelineQueries {
     * nanosAsLong, else TIMESTAMP/_NTZ), mirroring [[Tables.tsMicros]];
     * non-ts columns ride from an arbitrary real row, so the file-source
     * schema always matches. */
-  private def eventsSentinel(ss: SparkSession, d: String,
-                             tsUs: Long): DataFrame = {
+  private def eventsSentinel(ss: SparkSession, d: String, tsUs: Long,
+                             userId: Long = 0L): DataFrame = {
     val raw = ss.read.parquet(s"$d/events.parquet")
     val tsLit = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => lit(tsUs * 1000L) // nanos
@@ -69,8 +69,22 @@ object PipelineQueries {
       // pinned so any query-side predicate (user_id < 50 etc.) admits
       // the sentinel — a filtered-out sentinel never reaches the
       // watermark operator and the flush batch silently does nothing
-      case "user_id" => lit(0L).as("user_id")
+      case "user_id" => lit(userId).as("user_id")
       case "event_id" => lit(-1L).as("event_id")
+      case c => col(c)
+    }: _*)
+  }
+
+  /** One raw-documents-schema sentinel row with a far-future `doc_id` —
+    * the crawl-clock analogue of [[eventsSentinel]] for replays whose
+    * event time derives from doc_id. All other columns ride from an
+    * arbitrary real row; callers filter the sentinel's output group by
+    * its out-of-range id. */
+  private def docsSentinel(ss: SparkSession, d: String,
+                           docId: Long): DataFrame = {
+    val raw = ss.read.parquet(s"$d/documents.parquet")
+    raw.limit(1).select(raw.columns.map {
+      case "doc_id" => lit(docId).as("doc_id")
       case c => col(c)
     }: _*)
   }
@@ -1513,37 +1527,30 @@ object PipelineQueries {
     // so duplicates drop without unbounded state. Oracle = the base subset
     // (exact duplicates removed). Same child-session pattern as stream_rate.
     "stream_dedup" -> ((s, d) => {
+      // ONE-batch file-source replay (dropDuplicates emits survivors on
+      // arrival, not on watermark); the duplicate injection is a
+      // streaming self-union inside the micro-batch — the file source
+      // scans twice, both distributed
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
-      implicit val sqlCtx = ss.sqlContext
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import ss.implicits._
-      import scala.jdk.CollectionConverters._
-      val base = Tables.eventsUs(ss, d).filter(col("user_id") < 20)
-        .select(col("ts_us"), col("event_id"),
-          col("event_type"), col("value").cast("double").as("value"))
-      val dups = base.filter(col("event_id") % 3 === 0)
-      val rows = base.union(dups).orderBy("ts_us", "event_id")
-        .as[(Long, Long, String, Double)]
-      val input = MemoryStream[(Long, Long, String, Double)]
-      val deduped = input.toDS().toDF("ts_us", "event_id", "event_type", "value")
-        .withColumn("ts", timestamp_micros(col("ts_us")))
-        .withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark("event_id")
-        .select(col("event_id"), col("ts_us"), col("event_type"),
-          col("value"))
-      val qname = "stream_dedup_" + streamSeq.incrementAndGet()
-      // Pre-load before start(): dedup state lives within the single
-      // batch (dropDuplicates emits survivors on arrival, not on
-      // watermark), so one batch is both correct and ~10× fewer
-      // micro-batch spin-ups than chunk-feeding a running query.
-      rows.toLocalIterator().asScala.grouped(8192)
-        .foreach(chunk => input.addData(chunk))
-      val q = deduped.writeStream.format("memory").queryName(qname)
-        .outputMode("append").start()
-      q.processAllAvailable()
-      q.stop()
-      ss.table(qname)
+      ss.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+      graft.streaming.FileReplay.oneBatch(ss, s"$d/events.parquet",
+        stream => {
+          val base = stream
+            .select(Tables.tsMicros(stream).as("ts_us"), col("event_id"),
+              col("event_type"), col("value").cast("double").as("value"),
+              col("user_id"))
+            .filter(col("user_id") < 20)
+            .drop("user_id")
+          val dups = base.filter(col("event_id") % 3 === 0)
+          base.union(dups)
+            .withColumn("ts", timestamp_micros(col("ts_us")))
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark("event_id")
+            .select(col("event_id"), col("ts_us"), col("event_type"),
+              col("value"))
+        },
+        "stream_dedup_" + streamSeq.incrementAndGet())
     }),
 
     // --- streaming URL-frontier compaction: crawl records dedup on the
@@ -1553,39 +1560,29 @@ object PipelineQueries {
     // count per url_norm, order-free and deterministic; the sentinel
     // advances the watermark so append mode flushes the single window ----
     "stream_urldedup" -> ((s, d) => {
+      // Whole-table replay → FileReplay; the URL synthesis + normalize
+      // chain runs distributed inside the micro-batch. The sentinel is a
+      // far-future doc_id (the crawl clock), whose unique URL forms its
+      // own window group — filtered by its out-of-range keep_doc.
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
-      implicit val sqlCtx = ss.sqlContext
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import ss.implicits._
-      import scala.jdk.CollectionConverters._
-      val rows = Tables.documents(ss, d)
-        .select(col("doc_id"),
-          TextAnalysis.urlNormalize(synthUrl).as("url_norm"))
-        .orderBy("doc_id")
-        .as[(Long, String)]
-      val input = MemoryStream[(Long, String)]
-      val compacted = input.toDS().toDF("doc_id", "url_norm")
-        // synthetic event time: one record per second of crawl clock
-        .withColumn("ts", timestamp_micros(col("doc_id") * 1000000L))
-        .withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "30 days"), col("url_norm"))
-        .agg(min(col("doc_id")).as("keep_doc"),
-          count(lit(1)).as("n_records"))
-        .select("url_norm", "keep_doc", "n_records")
-      val qname = "stream_urldedup_" + streamSeq.incrementAndGet()
-      var maxId = 0L
-      rows.toLocalIterator().asScala.grouped(8192).foreach { chunk =>
-        maxId = math.max(maxId, chunk.iterator.map(_._1).max)
-        input.addData(chunk)
-      }
-      val q = compacted.writeStream.format("memory").queryName(qname)
-        .outputMode("append").start()
-      q.processAllAvailable()
-      input.addData(Seq((maxId + 90L * 86400L, "__wm__")))
-      q.processAllAvailable()
-      q.stop()
-      ss.table(qname).filter(col("url_norm") =!= "__wm__")
+      ss.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+      val maxId = Tables.documents(ss, d).agg(max(col("doc_id")))
+        .head.getLong(0)
+      graft.streaming.FileReplay.twoBatch(ss, s"$d/documents.parquet",
+        stream => stream
+          .select(col("doc_id"),
+            TextAnalysis.urlNormalize(synthUrl).as("url_norm"))
+          // synthetic event time: one record per second of crawl clock
+          .withColumn("ts", timestamp_micros(col("doc_id") * 1000000L))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "30 days"), col("url_norm"))
+          .agg(min(col("doc_id")).as("keep_doc"),
+            count(lit(1)).as("n_records"))
+          .select("url_norm", "keep_doc", "n_records"),
+        docsSentinel(ss, d, maxId + 90L * 86400L),
+        "stream_urldedup_" + streamSeq.incrementAndGet())
+        .filter(col("keep_doc") <= maxId)
     }),
 
     // --- streaming gap sessionization (flatMapGroupsWithState) -------------
@@ -1596,50 +1593,36 @@ object PipelineQueries {
     // on in-order data. Sentinel advances the watermark so tail sessions
     // flush (the sentinel's own session never emits; it is filtered by key).
     "stream_sessionize" -> ((s, d) => {
+      // Whole-table replay → FileReplay two-batch: batch 1 holds every
+      // event (watermark still initial → the event-time timeout cannot
+      // fire mid-stream and drop/renumber sessions), the sentinel batch
+      // closes every open session. Sentinel keyed user_id = −1 so its
+      // own session filters out by sign; real keys are non-negative.
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
-      implicit val sqlCtx = ss.sqlContext
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      ss.conf.set("spark.sql.files.maxPartitionBytes", "8m")
       import ss.implicits._
-      import scala.jdk.CollectionConverters._
-      val rows = Tables.eventsUs(ss, d).filter(col("user_id") < 50)
-        .select(col("user_id"), col("ts_us"),
-          col("event_id"), col("event_type"),
-          (col("value").cast("decimal(18,2)") * 100).cast("long")
-            .as("value_cents"))
-        .orderBy("ts_us", "event_id")
-        .as[(Long, Long, Long, String, Long)]
-      val input = MemoryStream[(Long, Long, Long, String, Long)]
-      val evs = input.toDS()
-        .toDF("user_id", "ts_us", "event_id", "event_type", "value_cents")
-        .withColumn("ts", timestamp_micros(col("ts_us")))
-        .withWatermark("ts", "1 hour")
-        .select(col("user_id").as("userId"), col("ts"),
-          col("ts_us").as("tsUs"), col("event_id").as("eventId"),
-          col("event_type").as("eventType"),
-          col("value_cents").as("valueCents"))
-        .as[SessionEvent]
-      val sessions = StreamingSessionize(evs, gapMicros = 86400L * 1000000L)
-      val qname = "stream_sessionize_" + streamSeq.incrementAndGet()
-      // All chunks are added BEFORE start(): MemoryStream serves every
-      // available block to the first micro-batch, so the whole replay is
-      // one batch whose watermark is still the initial value — the
-      // event-time timeout cannot fire mid-stream and drop/renumber
-      // sessions no matter how the driver interleaves. Only the sentinel
-      // (added after the first processAllAvailable) advances the
-      // watermark, in a second batch that flushes every open session.
-      var maxTs = Long.MinValue
-      rows.toLocalIterator().asScala.grouped(8192).foreach { chunk =>
-        maxTs = math.max(maxTs, chunk.iterator.map(_._2).max)
-        input.addData(chunk)
-      }
-      val q = sessions.writeStream.format("memory").queryName(qname)
-        .outputMode("append").start()
-      q.processAllAvailable() // one batch; watermark advances AFTER it
-      input.addData(Seq((-1L, maxTs + 30L * 86400000000L, -1L, "__wm__", 0L)))
-      q.processAllAvailable() // timeout pass closes every open session
-      q.stop()
-      ss.table(qname).filter(col("user_id") >= 0)
+      val maxUs = Tables.eventsUs(ss, d).agg(max(col("ts_us"))).head.getLong(0)
+      graft.streaming.FileReplay.twoBatch(ss, s"$d/events.parquet",
+        stream => {
+          val evs = stream
+            .select(Tables.tsMicros(stream).as("ts_us"), col("user_id"),
+              col("event_id"), col("event_type"),
+              (col("value").cast("decimal(18,2)") * 100).cast("long")
+                .as("value_cents"))
+            .filter(col("user_id") < 50)
+            .withColumn("ts", timestamp_micros(col("ts_us")))
+            .withWatermark("ts", "1 hour")
+            .select(col("user_id").as("userId"), col("ts"),
+              col("ts_us").as("tsUs"), col("event_id").as("eventId"),
+              col("event_type").as("eventType"),
+              col("value_cents").as("valueCents"))
+            .as[SessionEvent]
+          StreamingSessionize(evs, gapMicros = 86400L * 1000000L).toDF()
+        },
+        eventsSentinel(ss, d, maxUs + 30L * 86400000000L, userId = -1L),
+        "stream_sessionize_" + streamSeq.incrementAndGet())
+        .filter(col("user_id") >= 0)
     }),
 
     // --- streaming online z-score: per-series running anomaly detection ----
@@ -1650,35 +1633,28 @@ object PipelineQueries {
     // bit for bit. Single-batch replay: every event emits immediately, no
     // sentinel needed.
     "stream_zscore" -> ((s, d) => {
+      // ONE-batch file-source replay: every event emits immediately (the
+      // detector keys state per series and sorts within the batch, so
+      // file-scan arrival order cannot matter)
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
-      implicit val sqlCtx = ss.sqlContext
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      ss.conf.set("spark.sql.files.maxPartitionBytes", "8m")
       import ss.implicits._
-      import scala.jdk.CollectionConverters._
-      val rows = Tables.eventsUs(ss, d).filter(col("user_id") < 50)
-        .select(col("user_id"), col("ts_us"),
-          col("event_id"), col("value").cast("double").as("value"),
-          (col("value").cast("decimal(18,2)") * 100).cast("long")
-            .as("value_cents"))
-        .orderBy("ts_us", "event_id")
-        .as[(Long, Long, Long, Double, Long)]
-      val input = MemoryStream[(Long, Long, Long, Double, Long)]
-      val evs = input.toDS()
-        .toDF("user_id", "ts_us", "event_id", "value", "value_cents")
-        .select(col("user_id").as("userId"), col("ts_us").as("tsUs"),
-          col("event_id").as("eventId"), col("value"),
-          col("value_cents").as("valueCents"))
-        .as[ZscoreEvent]
-      val scored = StreamingZscore(evs, threshold = 2.0)
-      val qname = "stream_zscore_" + streamSeq.incrementAndGet()
-      rows.toLocalIterator().asScala.grouped(8192)
-        .foreach(chunk => input.addData(chunk))
-      val q = scored.writeStream.format("memory").queryName(qname)
-        .outputMode("append").start()
-      q.processAllAvailable()
-      q.stop()
-      ss.table(qname)
+      graft.streaming.FileReplay.oneBatch(ss, s"$d/events.parquet",
+        stream => {
+          val evs = stream
+            .select(Tables.tsMicros(stream).as("ts_us"), col("user_id"),
+              col("event_id"), col("value").cast("double").as("value"),
+              (col("value").cast("decimal(18,2)") * 100).cast("long")
+                .as("value_cents"))
+            .filter(col("user_id") < 50)
+            .select(col("user_id").as("userId"), col("ts_us").as("tsUs"),
+              col("event_id").as("eventId"), col("value"),
+              col("value_cents").as("valueCents"))
+            .as[ZscoreEvent]
+          StreamingZscore(evs, threshold = 2.0).toDF()
+        },
+        "stream_zscore_" + streamSeq.incrementAndGet())
     }),
 
     // --- stream-stream interval join ----------------------------------------
@@ -1690,46 +1666,41 @@ object PipelineQueries {
     // as both rows exist — no sentinel needed for completeness. Oracle =
     // the equivalent batch interval join.
     "stream_join" -> ((s, d) => {
+      // Two independent file-source streams over the same table, both
+      // complete in one micro-batch → every interval match emits, no
+      // sentinel (see FileReplay.oneBatchTwoSources)
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
-      implicit val sqlCtx = ss.sqlContext
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import ss.implicits._
-      import scala.jdk.CollectionConverters._
-      def replay(tp: String) = Tables.eventsUs(ss, d)
+      ss.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+      def slice(stream: DataFrame, tp: String) = stream
+        .select(Tables.tsMicros(stream).as("ts_us"), col("user_id"),
+          col("event_id"), col("event_type"))
         .filter(col("user_id") < 30 && col("event_type") === tp)
-        .select(col("user_id"), col("ts_us"),
-          col("event_id"))
-        .orderBy("ts_us", "event_id").as[(Long, Long, Long)]
-      val vIn = MemoryStream[(Long, Long, Long)]
-      val pIn = MemoryStream[(Long, Long, Long)]
-      val v = vIn.toDS().toDF("user_id", "view_ts_us", "view_id")
-        .withColumn("vts", timestamp_micros(col("view_ts_us")))
-        .withWatermark("vts", "1 hour")
-      val p = pIn.toDS().toDF("p_user_id", "purchase_ts_us", "purchase_id")
-        .withColumn("pts", timestamp_micros(col("purchase_ts_us")))
-        .withWatermark("pts", "1 hour")
-      val joined = v.join(p,
-        col("user_id") === col("p_user_id") &&
-          col("pts") >= col("vts") &&
-          col("pts") <= col("vts") + expr("INTERVAL 24 HOURS"))
-        .select(col("view_id"), col("purchase_id"), col("user_id"),
-          col("view_ts_us"), col("purchase_ts_us"))
-      val qname = "stream_join_" + streamSeq.incrementAndGet()
-      // Pre-load both sides before start(): the first micro-batch sees
-      // every view AND every purchase, so the inner join emits all
-      // matches in one pass (watermark never evicts a row before its
-      // partner arrives — both sides are complete by construction).
-      replay("view").toLocalIterator().asScala.grouped(8192)
-        .foreach(chunk => vIn.addData(chunk))
-      replay("purchase").toLocalIterator().asScala.grouped(8192)
-        .foreach(chunk => pIn.addData(chunk))
-      val q = joined.writeStream.format("memory").queryName(qname)
-        .outputMode("append").start()
-      q.processAllAvailable()
-      q.stop()
-      ss.table(qname)
+        .drop("event_type")
+      graft.streaming.FileReplay.oneBatchTwoSources(ss,
+        s"$d/events.parquet",
+        (s1, s2) => {
+          val v = slice(s1, "view")
+            .withColumnRenamed("ts_us", "view_ts_us")
+            .withColumnRenamed("event_id", "view_id")
+            .withColumn("vts", timestamp_micros(col("view_ts_us")))
+            .withWatermark("vts", "1 hour")
+          val p = slice(s2, "purchase")
+            .withColumnRenamed("ts_us", "purchase_ts_us")
+            .withColumnRenamed("event_id", "purchase_id")
+            .withColumnRenamed("user_id", "p_user_id")
+            .withColumn("pts", timestamp_micros(col("purchase_ts_us")))
+            .withWatermark("pts", "1 hour")
+          v.join(p,
+            col("user_id") === col("p_user_id") &&
+              col("pts") >= col("vts") &&
+              col("pts") <= col("vts") + expr("INTERVAL 24 HOURS"))
+            .select(col("view_id"), col("purchase_id"), col("user_id"),
+              col("view_ts_us"), col("purchase_ts_us"))
+        },
+        "stream_join_" + streamSeq.incrementAndGet())
     }),
+
 
     // --- OLAP cube over the corpus: docs/chars by every (source, lang)
     // subset. One pass: Spark expands grouping sets inside a single
@@ -2122,31 +2093,20 @@ object PipelineQueries {
     // static dimension (no watermark needed; the static side is planned
     // per micro-batch). Oracle = the equivalent batch join. --------------
     "stream_enrich" -> ((s, d) => {
+      // stateless stream⋈static broadcast enrich → ONE-batch file replay
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
-      implicit val sqlCtx = ss.sqlContext
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import ss.implicits._
-      import scala.jdk.CollectionConverters._
+      ss.conf.set("spark.sql.files.maxPartitionBytes", "8m")
       val dim = Tables.events(ss, d).select(col("user_id")).distinct()
         .withColumn("tier", col("user_id") % 5)
-      val rows = Tables.eventsUs(ss, d).filter(col("user_id") < 40)
-        .select(col("event_id"), col("user_id"),
-          col("value").cast("double").as("value"))
-        .orderBy("event_id")
-        .as[(Long, Long, Double)]
-      val input = MemoryStream[(Long, Long, Double)]
-      rows.toLocalIterator().asScala.grouped(8192)
-        .foreach(chunk => input.addData(chunk))
-      val enriched = input.toDS().toDF("event_id", "user_id", "value")
-        .join(broadcast(dim), Seq("user_id"))
-        .select("event_id", "user_id", "tier", "value")
-      val qname = "stream_enrich_" + streamSeq.incrementAndGet()
-      val q = enriched.writeStream.format("memory").queryName(qname)
-        .outputMode("append").start()
-      q.processAllAvailable()
-      q.stop()
-      ss.table(qname)
+      graft.streaming.FileReplay.oneBatch(ss, s"$d/events.parquet",
+        stream => stream
+          .select(col("event_id"), col("user_id"),
+            col("value").cast("double").as("value"))
+          .filter(col("user_id") < 40)
+          .join(broadcast(dim), Seq("user_id"))
+          .select("event_id", "user_id", "tier", "value"),
+        "stream_enrich_" + streamSeq.incrementAndGet())
     }),
 
     // --- streaming ingest quality gate: the Gopher rule conjunction
@@ -2155,28 +2115,17 @@ object PipelineQueries {
     // before it ever lands; batch-equivalent to quality_rules+filter by
     // construction (same codegen'd expressions, streaming-planned) -------
     "stream_quality" -> ((s, d) => {
+      // stateless gate → ONE-batch file-source replay: the quality rules
+      // run distributed inside the micro-batch, no driver round-trip
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
-      implicit val sqlCtx = ss.sqlContext
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import ss.implicits._
-      import scala.jdk.CollectionConverters._
-      val docs = Tables.documents(ss, d)
-        .select(col("doc_id"), col("text"), col("source"))
-        .orderBy("doc_id").as[(Long, String, String)]
-      val input = MemoryStream[(Long, String, String)]
-      docs.toLocalIterator().asScala.grouped(4096)
-        .foreach(chunk => input.addData(chunk))
-      val gated = TextAnalysis.gopherRules(
-          input.toDS().toDF("doc_id", "text", "source"), "text")
-        .filter(col("pass_gopher"))
-        .select("doc_id", "source", "n_words", "stop_hits")
-      val qname = "stream_quality_" + streamSeq.incrementAndGet()
-      val q = gated.writeStream.format("memory").queryName(qname)
-        .outputMode("append").start()
-      q.processAllAvailable()
-      q.stop()
-      ss.table(qname)
+      ss.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+      graft.streaming.FileReplay.oneBatch(ss, s"$d/documents.parquet",
+        stream => TextAnalysis.gopherRules(
+            stream.select(col("doc_id"), col("text"), col("source")), "text")
+          .filter(col("pass_gopher"))
+          .select("doc_id", "source", "n_words", "stop_hits"),
+        "stream_quality_" + streamSeq.incrementAndGet())
     }),
 
     // --- streaming PQ encode: compress vectors to codes AT INGEST (the
@@ -2184,30 +2133,19 @@ object PipelineQueries {
     // the streaming plan is the batch plan under a micro-batch trigger;
     // batch-equivalent to embed_pq_codes, same oracle) -------------------
     "stream_pq" -> ((s, d) => {
+      // stateless map-only encode → ONE-batch file-source replay
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
-      implicit val sqlCtx = ss.sqlContext
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import ss.implicits._
-      import scala.jdk.CollectionConverters._
-      val vecs = Tables.embeddings(ss, d)
-        .select(col("vec_id"), col("embedding").cast("array<float>"))
-        .orderBy("vec_id").as[(Long, Array[Float])]
-      val input = MemoryStream[(Long, Array[Float])]
-      vecs.toLocalIterator().asScala.grouped(4096)
-        .foreach(chunk => input.addData(chunk))
-      val enc = graft.llm.Pq.encode(
-          input.toDS().toDF("vec_id", "embedding"),
-          "vec_id", "embedding", m = 8, k = 16, subDim = 8)
-        .select(col("vec_id"), posexplode(col("codes")))
-        .select(col("vec_id"), col("pos").cast("long").as("subspace"),
-          col("col").cast("long").as("code"))
-      val qname = "stream_pq_" + streamSeq.incrementAndGet()
-      val q = enc.writeStream.format("memory").queryName(qname)
-        .outputMode("append").start()
-      q.processAllAvailable()
-      q.stop()
-      ss.table(qname)
+      ss.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+      graft.streaming.FileReplay.oneBatch(ss, s"$d/embeddings.parquet",
+        stream => graft.llm.Pq.encode(
+            stream.select(col("vec_id"),
+              col("embedding").cast("array<float>").as("embedding")),
+            "vec_id", "embedding", m = 8, k = 16, subDim = 8)
+          .select(col("vec_id"), posexplode(col("codes")))
+          .select(col("vec_id"), col("pos").cast("long").as("subspace"),
+            col("col").cast("long").as("code")),
+        "stream_pq_" + streamSeq.incrementAndGet())
     }),
 
     // --- streaming cross-corpus dedup: continuous ingest anti-joined
@@ -2215,31 +2153,20 @@ object PipelineQueries {
     // watermark, no state store); the scale path for "dedup the crawl as
     // it arrives". Batch-equivalent to dedup_cross by construction -------
     "stream_crossdedup" -> ((s, d) => {
+      // stateless broadcast anti-join → ONE-batch file-source replay;
+      // the fresh-side gate runs inside the micro-batch
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
-      implicit val sqlCtx = ss.sqlContext
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import ss.implicits._
-      import scala.jdk.CollectionConverters._
-      val docs = Tables.documents(ss, d)
+      ss.conf.set("spark.sql.files.maxPartitionBytes", "8m")
       val srcNum = expr("cast(substring(source, 4) as int)")
-      val ref = docs.filter(srcNum < 10)
-      val fresh = docs.filter(srcNum >= 10)
-        .select(col("doc_id"), col("text"), col("source"))
-        .orderBy("doc_id").as[(Long, String, String)]
-      val input = MemoryStream[(Long, String, String)]
-      fresh.toLocalIterator().asScala.grouped(256)
-        .foreach(chunk => input.addData(chunk))
-      val kept = Dedup.crossCorpusKeepBroadcast(
-        input.toDS().toDF("doc_id", "text", "source"), ref,
-        "text", "doc_id", shingleN = 3, k = 8, bands = 4)
-        .select("doc_id", "source")
-      val qname = "stream_crossdedup_" + streamSeq.incrementAndGet()
-      val q = kept.writeStream.format("memory").queryName(qname)
-        .outputMode("append").start()
-      q.processAllAvailable()
-      q.stop()
-      ss.table(qname)
+      val ref = Tables.documents(ss, d).filter(srcNum < 10)
+      graft.streaming.FileReplay.oneBatch(ss, s"$d/documents.parquet",
+        stream => Dedup.crossCorpusKeepBroadcast(
+          stream.filter(srcNum >= 10)
+            .select(col("doc_id"), col("text"), col("source")),
+          ref, "text", "doc_id", shingleN = 3, k = 8, bands = 4)
+          .select("doc_id", "source"),
+        "stream_crossdedup_" + streamSeq.incrementAndGet())
     })
   )
 

@@ -33,6 +33,53 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object FileReplay {
 
+  /** One-batch replay for STATELESS streaming transforms (no watermark,
+    * no state to flush): the whole table arrives as one micro-batch and
+    * every output row emits in it — no sentinel needed. */
+  def oneBatch(ss: SparkSession, parquetFile: String,
+               transform: DataFrame => DataFrame,
+               queryName: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_replay_")
+    Files.createSymbolicLink(dir.resolve("batch0.parquet"),
+      Paths.get(parquetFile).toAbsolutePath)
+    val schema = ss.read.parquet(parquetFile).schema
+    val stream = ss.readStream.schema(schema).parquet(dir.toString)
+    val q = transform(stream).writeStream.format("memory")
+      .queryName(queryName).outputMode("append").start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    ss.table(queryName)
+  }
+
+  /** One-batch replay feeding TWO independent file-source streams over
+    * the same table — the stream-stream join harness (each side filters
+    * its own slice; both are complete in the single micro-batch, so an
+    * inner interval join emits every match with no sentinel). */
+  def oneBatchTwoSources(ss: SparkSession, parquetFile: String,
+                         transform: (DataFrame, DataFrame) => DataFrame,
+                         queryName: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_replay_")
+    Files.createSymbolicLink(dir.resolve("batch0.parquet"),
+      Paths.get(parquetFile).toAbsolutePath)
+    val schema = ss.read.parquet(parquetFile).schema
+    def src = ss.readStream.schema(schema).parquet(dir.toString)
+    val q = transform(src, src).writeStream.format("memory")
+      .queryName(queryName).outputMode("append").start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    ss.table(queryName)
+  }
+
   /** Run `transform` over a two-batch file-source replay of
     * `parquetFile` and return the collected sink rows.
     *
