@@ -84,6 +84,61 @@ object Graph {
       expr("pr_fp div 1000000").as("pr_ppm"))
   }
 
+  /** Semi-supervised label propagation over an edge frame: seed nodes
+    * keep their label (clamped), unlabeled nodes adopt each round the
+    * most common label among their in-neighbors' current labels —
+    * synchronous updates, `iters` rounds. The standard cheap classifier
+    * for spreading a small set of curated labels (topic, quality tier,
+    * license) across a kNN/similarity graph.
+    *
+    * Deterministic by construction: votes are exact integer counts and
+    * the argmax breaks ties on the SMALLEST label, so any engine
+    * replaying the same unrolled rounds reproduces the labels exactly.
+    * A node with no labeled in-neighbors keeps its previous label
+    * (possibly null — never-reached nodes stay unlabeled).
+    *
+    * Scale shape per round: one edge⋈labels shuffle join on `src`
+    * (edge partitioning pinned once by the up-front checkpoint), one
+    * (dst, label) hash aggregate with map-side partials, one per-node
+    * argmax window (|V|·|labels-per-node| rows, bounded by in-degree),
+    * two left joins back to the node set. `localCheckpoint` per round
+    * caps plan depth. Nothing collects.
+    */
+  def labelPropagate(nodes: DataFrame, seeds: DataFrame, edges: DataFrame,
+                     idCol: String, labelCol: String,
+                     srcCol: String = "src", dstCol: String = "dst",
+                     iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters=$iters out of [1,50]")
+    val n = nodes.select(col(idCol).as("id")).distinct().localCheckpoint()
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().repartition(col("src")).localCheckpoint()
+    val sd = seeds.select(col(idCol).as("id"), col(labelCol).as("seed"))
+      .localCheckpoint()
+    var lab = n.join(sd, Seq("id"), "left")
+      .select(col("id"), col("seed").as("label"))
+    for (_ <- 1 to iters) {
+      val votes = e
+        .join(lab.filter(col("label").isNotNull)
+          .select(col("id").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val pick = votes
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+            .orderBy(col("c").desc, col("label"))))
+        .filter(col("__rn") === 1)
+        .select(col("id"), col("label").as("vote"))
+      lab = n.join(sd, Seq("id"), "left")
+        .join(pick, Seq("id"), "left")
+        .join(lab.select(col("id"), col("label").as("prev")), Seq("id"),
+          "left")
+        .select(col("id"),
+          coalesce(col("seed"), col("vote"), col("prev")).as("label"))
+        .localCheckpoint()
+    }
+    lab.select(col("id").as(idCol), col("label"))
+  }
+
   /** Degree profile of a directed edge frame: per-vertex out/in degree —
     * the hub/orphan diagnostic read before running PageRank or components
     * over a curation graph. One aggregate per direction and one full

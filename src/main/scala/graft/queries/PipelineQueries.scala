@@ -1045,6 +1045,34 @@ object PipelineQueries {
         Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
           k = 3, b = 4, dim = 64, bands = 2).select("src", "dst"))),
 
+    // --- connected components of the MUTUAL kNN graph: the iterative
+    // min-root CC already verified on minhash pairs, over the sparsified
+    // similarity substrate -----------------------------------------------
+    "graph_components" -> ((s, d) =>
+      Dedup.clusters(
+        Similarity.mutualKnnEdges(
+          Similarity.knnGraph(Tables.embeddings(s, d), "vec_id",
+            "embedding", k = 3, b = 4, dim = 64, bands = 2))
+          .select("id_a", "id_b"))),
+
+    // --- semi-supervised label propagation: vec_id < 100 keep their
+    // fixture label (clamped seeds), the rest adopt the majority label of
+    // their in-neighbors over 3 synchronous rounds (smallest-label tie
+    // break — integer votes, engine-exact) -------------------------------
+    "graph_labelprop" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).filter(size(col("embedding")) >= 64)
+      val knn = Similarity.knnGraph(e, "vec_id", "embedding",
+        k = 3, b = 4, dim = 64, bands = 2).select("src", "dst")
+      // symmetrize: labels flow along similarity, not kNN direction
+      val sym = knn.union(knn.select(col("dst").as("src"),
+        col("src").as("dst")))
+      graft.operators.Graph.labelPropagate(
+        e.select("vec_id"),
+        e.filter(col("vec_id") < 100)
+          .select(col("vec_id"), col("label").cast("long").as("label")),
+        sym, "vec_id", "label", iters = 3)
+    }),
+
     // --- deterministic k-means over embeddings ------------------------------
     // Lloyd's with dyadic quantization (exact centroid sums in any addition
     // order), lowest-id init, lowest-index argmin tie-break — the oracle
@@ -2233,6 +2261,29 @@ object PipelineQueries {
        |nn AS (SELECT count(*) AS n FROM nodes),
        |p0 AS (SELECT id, $base AS pr FROM nodes)""".stripMargin +:
       steps).mkString(",\n")
+  }
+
+  /** The unrolled label-propagation rounds l0..l`iters` mirroring
+    * [[graft.operators.Graph.labelPropagate]] (clamped seeds, majority
+    * vote, smallest-label tie break, keep-previous fallback). Expects
+    * CTEs `sym` (symmetrized edges), `nodes(id)` and `seeds(id, seed)`
+    * upstream. */
+  private def labelPropCtes(iters: Int): String = {
+    val l0 = """l0 AS (SELECT n.id, s.seed AS label
+               |       FROM nodes n LEFT JOIN seeds s USING (id))""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""v$k AS (SELECT e.dst AS id, p.label, count(*) AS c
+         |  FROM sym e JOIN l${k - 1} p ON e.src = p.id
+         |  WHERE p.label IS NOT NULL GROUP BY 1, 2),
+         |pk$k AS (SELECT id, label AS vote FROM (
+         |  SELECT id, label, row_number() OVER (PARTITION BY id
+         |           ORDER BY c DESC, label) AS rn FROM v$k) WHERE rn = 1),
+         |l$k AS (SELECT n.id, COALESCE(s.seed, p.vote, prev.label) AS label
+         |  FROM nodes n LEFT JOIN seeds s USING (id)
+         |  LEFT JOIN pk$k p USING (id)
+         |  LEFT JOIN l${k - 1} prev USING (id))""".stripMargin
+    }
+    (l0 +: steps).mkString(",\n")
   }
 
   /** DuckDB Morton-interleave of the low `bits` bits of two integer
@@ -3629,6 +3680,35 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
             |SELECT id AS vec_id, CAST(pr AS BIGINT) AS pr_fp,
             |       CAST(pr // 1000000 AS BIGINT) AS pr_ppm
             |FROM p3""".stripMargin),
+
+      // mutual edges from the same CTEs; the dedup_clusters recursive
+      // min-root reach, over the sparsified similarity substrate
+      "graph_components" ->
+        (s"WITH RECURSIVE $knnEdgeCtes,\n" +
+          """mg AS (SELECT a.src AS id_a, a.dst AS id_b
+            |       FROM g a JOIN g b ON a.src = b.dst AND a.dst = b.src
+            |       WHERE a.src < a.dst),
+            |edges AS (SELECT id_a AS src, id_b AS dst FROM mg
+            |          UNION SELECT id_b, id_a FROM mg),
+            |reach(id, r) AS (
+            |  SELECT src, src FROM edges
+            |  UNION
+            |  SELECT e.dst, reach.r FROM reach JOIN edges e
+            |    ON e.src = reach.id)
+            |SELECT id, min(r) AS cluster_root
+            |FROM reach GROUP BY 1""".stripMargin),
+
+      // symmetrized kNN edges + the unrolled clamped-seed majority rounds
+      "graph_labelprop" ->
+        (s"WITH $knnEdgeCtes,\n" +
+          """sym AS (SELECT src, dst FROM g UNION SELECT dst, src FROM g),
+            |nodes AS (SELECT vec_id AS id FROM ec),
+            |seeds AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS seed
+            |          FROM embeddings
+            |          WHERE len(embedding) >= 64 AND vec_id < 100),
+            |""".stripMargin +
+          labelPropCtes(3) +
+          "\nSELECT id AS vec_id, label FROM l3"),
 
       // same edge CTEs; full outer degree merge
       "graph_degree" ->

@@ -48,6 +48,46 @@ class GraphIndexSpec extends SparkSpec {
     assert(a.forall(_ > 0))
   }
 
+  test("label propagation: clamped seeds, majority vote, min-label ties") {
+    // path 1–2–3–4 (symmetric); seeds: 1→10, 4→20.
+    // round 1: 2 gets 10 (from 1), 3 gets 20 (from 4)
+    // round 2: 2's neighbors carry {10, 20} — tie → SMALLEST label 10;
+    //          3's neighbors carry {10, 20} — tie → 10? no: 3 sees 2(=10)
+    //          and 4(=20) → tie → 10. Seeds never move.
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val seeds = Seq((1L, 10L), (4L, 20L)).toDF("id", "label")
+    val dir = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val sym = dir.union(dir.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val out = Graph.labelPropagate(nodes, seeds, sym, "id", "label",
+        iters = 2)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(1L) === Some(10L) && out(4L) === Some(20L), "seeds clamp")
+    assert(out(2L) === Some(10L), "tie breaks to the smallest label")
+    assert(out(3L) === Some(10L))
+    assert(out(5L) === None, "unreached node stays unlabeled")
+  }
+
+  test("label propagation keeps the previous label with no labeled votes") {
+    // 1(seed)→2 then 2's only neighbor is 1; after round 1, node 3 has
+    // no labeled in-neighbors ever (edge from 2 only arrives via 2's
+    // label in round 2)
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val seeds = Seq((1L, 7L)).toDF("id", "label")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r1 = Graph.labelPropagate(nodes, seeds, edges, "id", "label",
+        iters = 1)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(r1 === Map(1L -> Some(7L), 2L -> Some(7L), 3L -> None))
+    val r2 = Graph.labelPropagate(nodes, seeds, edges, "id", "label",
+        iters = 2)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(r2(3L) === Some(7L), "label reaches distance 2 in round 2")
+  }
+
   test("degree profile merges both directions with zero-fill") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val out = Graph.degreeProfile(edges).collect()
