@@ -1,0 +1,145 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.spread
+
+/** Deterministic HyperLogLog register algebra over md5 hashes — the
+  * constant-memory estimator for cross-source content overlap.
+  *
+  * [[Corpus.sourceOverlap]] computes EXACT pairwise shared-gram counts
+  * with a gram self-join; that is the right tool for mixture labels, but
+  * its shuffle carries the full (source, gram) universe. This sketch
+  * path reduces each source to 256 integer registers (max leading-zero
+  * rank per register, Flajolet et al.'s HLL) and estimates |A|, |B| and
+  * |A∪B| from register maxima, giving overlap ≈ |A|+|B|−|A∪B| by
+  * inclusion–exclusion — shuffle volume per source is 256 rows
+  * REGARDLESS of corpus size, and registers merge by `max`, so partial
+  * aggregation does the heavy lifting map-side.
+  *
+  * == Engine-exact determinism (unusual for a sketch) ==
+  * Most sketch implementations are engine-specific; this one is
+  * oracle-checkable because every step up to the final division is
+  * exact integer arithmetic on the md5 hex string, and the hash →
+  * (register, rank) derivation is ONE SQL expression string shared
+  * verbatim by the Spark plan (`expr`) and the DuckDB oracle:
+  *   - register = value of the first two hex chars (8 bits, m=256);
+  *   - rank ρ = leading zero BITS of the remaining 120 bits + 1,
+  *     computed from hex-char runs (no integer parsing), capped at 57;
+  *   - the raw-estimate denominator Z = Σ 2^−ρ_j is kept as the exact
+  *     integer S = Σ 2^(57−ρ_j) (absent registers contribute 2^57),
+  *     summed in DECIMAL(38,0);
+  *   - estimate = (α·m²·2^57) / S — the numerator is ONE shared double
+  *     literal, the division a single correctly-rounded IEEE op.
+  * Raw HLL estimate only (no small-range linear counting, no bias
+  * table): the operator targets vocabulary-scale sets where raw HLL is
+  * in its accurate regime; the ±~6.5% (1.04/√256) error is the
+  * documented trade for constant memory.
+  */
+object Sketches {
+
+  /** Registers m = 2^8; rank cap keeps 2^(57−ρ) in a positive long. */
+  val M = 256
+  val RankCap = 57
+  private val alpha: Double = 0.7213 / (1 + 1.079 / M)
+
+  /** The shared estimate numerator α·m²·2^57 (2^57 is a power of two —
+    * exactly representable; `Double.toString` round-trips into the
+    * oracle). */
+  val EstNumerator: Double = alpha * M * M * math.pow(2.0, RankCap)
+
+  /** SQL: register index 0..255 from the first two hex chars of column
+    * `h` (an md5 hex string) — shared verbatim with the oracle. */
+  val IdxSql: String =
+    "(instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +
+      "(instr('0123456789abcdef', substr(h, 2, 1)) - 1)"
+
+  /** SQL: HLL rank ρ from the remaining 30 hex chars — leading zero hex
+    * chars × 4 + the leading zero bits of the first non-zero hex digit
+    * + 1, capped. Shared verbatim with the oracle. */
+  val RhoSql: String = {
+    val zeros = "length(regexp_extract(substr(h, 3), '^0*', 0))"
+    val firstDigit = s"substr(h, 3 + $zeros, 1)"
+    val bits = s"(CASE WHEN $firstDigit IN ('4','5','6','7') THEN 1 " +
+      s"WHEN $firstDigit IN ('2','3') THEN 2 " +
+      s"WHEN $firstDigit = '1' THEN 3 " +
+      "ELSE 0 END)"
+    s"least($zeros * 4 + $bits + 1, $RankCap)"
+  }
+
+  private val twoPowCap = new java.math.BigDecimal(
+    java.math.BigInteger.ONE.shiftLeft(RankCap))
+
+  /** Per-key HLL registers from a frame of (keys..., `h` md5-hex) rows:
+    * one row per (keys, register) with the max rank `m`. Map-side `max`
+    * partials make the shuffle carry ≤ 256 rows per key per task. */
+  def registers(hashed: DataFrame, keyCols: Seq[String]): DataFrame =
+    hashed
+      .withColumn("idx", expr(IdxSql))
+      .withColumn("rho", expr(RhoSql))
+      .groupBy(keyCols.map(col) :+ col("idx"): _*)
+      .agg(max(col("rho")).as("m"))
+
+  /** Exact integer denominator S = Σ 2^(57−m) over all 256 registers
+    * (absent registers count 2^57), as DECIMAL(38,0). */
+  private def denominator(reg: DataFrame, keyCols: Seq[String]): DataFrame =
+    reg.groupBy(keyCols.map(col): _*)
+      .agg(sum(expr(
+        s"cast(shiftleft(cast(1 as bigint), $RankCap - m) as decimal(38,0))"))
+        .as("__sp"), count(lit(1)).as("__nreg"))
+      .withColumn("s_int", col("__sp") +
+        (lit(M.toLong) - col("__nreg")).cast("decimal(38,0)") *
+          lit(twoPowCap))
+      .select(keyCols.map(col) :+ col("s_int"): _*)
+
+  private def estimate(sInt: org.apache.spark.sql.Column) =
+    round(lit(EstNumerator) / sInt.cast("double"), 3)
+
+  /** Pairwise source overlap estimates from one pass of HLL registers:
+    * (source_a, source_b, est_a, est_b, est_union, overlap_est) for every
+    * source pair sharing ≥ 1 register (with 256 registers, any two
+    * non-trivial sources). Grams are the same distinct word `n`-shingles
+    * as [[Corpus.sourceOverlap]].
+    *
+    * The pairwise union denominator is derived WITHOUT enumerating
+    * register unions per pair: S_union = S_a + S_b − 256·2^57 +
+    * Σ_{shared idx} (2^(57−max) − 2^(57−m_a) − 2^(57−m_b) + 2^57), so
+    * the only pairwise work is an equi-join of the two register frames
+    * on the register index — never a cross join. Estimation error can
+    * make `overlap_est` slightly negative for disjoint sources; callers
+    * clamp if they need a measure. */
+  def hllSourceOverlap(df: DataFrame, textCol: String, sourceCol: String,
+                       n: Int = 3): DataFrame = {
+    val sg = spread(df).select(col(sourceCol).as("source"),
+        explode(graft.functions.Shingles.distinctShingles(
+          TextAnalysis.tokens(col(textCol)), n)).as("gram"))
+      .select(col("source"), md5(col("gram")).as("h"))
+      .distinct()
+    // registers are |sources|×256 — checkpoint so the per-source and
+    // pairwise branches don't re-scan the corpus
+    val reg = registers(sg, Seq("source")).localCheckpoint()
+    val perSrc = denominator(reg, Seq("source"))
+    val w = (c: String) => expr(
+      s"cast(shiftleft(cast(1 as bigint), $RankCap - $c) as decimal(38,0))")
+    val shared = reg.toDF("source_a", "idx", "ma")
+      .join(reg.toDF("source_b", "idx", "mb"), Seq("idx"))
+      .filter(col("source_a") < col("source_b"))
+      .withColumn("__adj",
+        w("greatest(ma, mb)") - w("ma") - w("mb") + lit(twoPowCap))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("__adj")).as("adj"))
+    shared
+      .join(broadcast(perSrc.toDF("source_a", "s_a")), Seq("source_a"))
+      .join(broadcast(perSrc.toDF("source_b", "s_b")), Seq("source_b"))
+      .withColumn("s_union",
+        col("s_a") + col("s_b") + col("adj") -
+          lit(twoPowCap.multiply(new java.math.BigDecimal(M))))
+      .select(col("source_a"), col("source_b"),
+        estimate(col("s_a")).as("est_a"),
+        estimate(col("s_b")).as("est_b"),
+        estimate(col("s_union")).as("est_union"),
+        round(estimate(col("s_a")) + estimate(col("s_b")) -
+          estimate(col("s_union")), 3).as("overlap_est"))
+  }
+}

@@ -954,6 +954,22 @@ object PipelineQueries {
         .select(col("query_id"), col("n_hits"), col("recall"))
     }),
 
+    // --- matryoshka truncation eval: recall@k of brute-force retrieval
+    // on the FIRST 16 dims vs the full 64 — the "can we serve the cheap
+    // prefix embedding" decision, measured with the shared recall kernel.
+    // Both rankings are exact scores with id tie-breaks; deterministic ----
+    "embed_matryoshka" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).filter(size(col("embedding")) >= 64)
+      val exact = Similarity.bruteForceTopK(e,
+        e.filter(col("vec_id") < 30), "vec_id", "embedding", k = 5)
+      val tr = e.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val approx = Similarity.bruteForceTopK(tr,
+        tr.filter(col("vec_id") < 30), "vec_id", "embedding", k = 5)
+      Similarity.recallAtK(exact, approx, k = 5)
+        .select(col("query_id"), col("n_hits"), col("recall"))
+    }),
+
     // --- count-min sketch as a DataFrame: the constant-memory frequency
     // summary — one map-side-combined aggregate reduces the corpus token
     // stream to a d×w counter frame; probing the exact vocabulary head
@@ -1045,15 +1061,23 @@ object PipelineQueries {
         Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
           k = 3, b = 4, dim = 64, bands = 2).select("src", "dst"))),
 
-    // --- connected components of the MUTUAL kNN graph: the iterative
-    // min-root CC already verified on minhash pairs, over the sparsified
-    // similarity substrate -----------------------------------------------
-    "graph_components" -> ((s, d) =>
-      Dedup.clusters(
+    // --- connected components of the MUTUAL kNN graph: the log-round
+    // large/small-star CC (similarity clusters CHAIN — plain min-root
+    // propagation needs O(diameter) rounds on them, the star variant
+    // O(log n); same min-root labels either way) --------------------------
+    "graph_components" -> ((s, d) => {
+      // child session: the star rounds iterate over an |E|-row frame
+      // (≪ corpus); 32-partition shuffles per round are pure overhead at
+      // this width — scope the round shuffles down (the stream-query
+      // precedent; at 100 TB |E| scales and the caller sizes this up)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      Dedup.clustersStar(
         Similarity.mutualKnnEdges(
-          Similarity.knnGraph(Tables.embeddings(s, d), "vec_id",
+          Similarity.knnGraph(Tables.embeddings(ss, d), "vec_id",
             "embedding", k = 3, b = 4, dim = 64, bands = 2))
-          .select("id_a", "id_b"))),
+          .select("id_a", "id_b"))
+    }),
 
     // --- semi-supervised label propagation: vec_id < 100 keep their
     // fixture label (clamped seeds), the rest adopt the majority label of
@@ -2097,6 +2121,15 @@ object PipelineQueries {
     "source_overlap" -> ((s, d) =>
       Corpus.sourceOverlap(Tables.documents(s, d), "text", "source", n = 3)
         .select("source_a", "source_b", "n_shared", "jaccard")),
+
+    // --- HLL register algebra: constant-memory cross-source overlap
+    // estimates (256 integer registers per source, inclusion–exclusion
+    // on register maxima) — the sketch-side sibling of source_overlap's
+    // exact gram join; deterministic to the bit, so fully oracle-checked
+    // (rare for a sketch). -------------------------------------------------
+    "sketch_overlap" -> ((s, d) =>
+      graft.llm.Sketches.hllSourceOverlap(Tables.documents(s, d),
+        "text", "source", n = 3)),
 
     // --- the composed cleaning pipeline, as ONE plan: quality scoring →
     // threshold filter → language gate → exact dedup (keep first) →
@@ -3442,6 +3475,47 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |    ON lsh.query_id = ex.query_id
           |   AND lsh.neighbor_id = ex.neighbor_id
           |  GROUP BY 1)""".stripMargin),
+
+      // two exact rankings (full 64 dims vs the 16-dim prefix), the
+      // shared recall join; normalize-after-slice matches the engine
+      "embed_matryoshka" ->
+        """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          |            FROM embeddings WHERE len(embedding) >= 64),
+          |ef AS (SELECT vec_id,
+          |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+          |       FROM ec),
+          |et0 AS (SELECT vec_id, v[1:16] AS v FROM ec),
+          |et AS (SELECT vec_id,
+          |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+          |       FROM et0),
+          |qf AS (SELECT vec_id AS query_id, v AS qv FROM ef WHERE vec_id < 30),
+          |qt AS (SELECT vec_id AS query_id, v AS qv FROM et WHERE vec_id < 30),
+          |xf AS (SELECT qf.query_id, ef.vec_id AS neighbor_id,
+          |              list_dot_product(qf.qv, ef.v) AS score
+          |       FROM ef, qf WHERE ef.vec_id <> qf.query_id),
+          |exa AS (SELECT query_id, neighbor_id FROM (
+          |  SELECT query_id, neighbor_id,
+          |         row_number() OVER (PARTITION BY query_id
+          |                            ORDER BY score DESC, neighbor_id) AS rank
+          |  FROM xf) WHERE rank <= 5),
+          |xt AS (SELECT qt.query_id, et.vec_id AS neighbor_id,
+          |              list_dot_product(qt.qv, et.v) AS score
+          |       FROM et, qt WHERE et.vec_id <> qt.query_id),
+          |apx AS (SELECT query_id, neighbor_id FROM (
+          |  SELECT query_id, neighbor_id,
+          |         row_number() OVER (PARTITION BY query_id
+          |                            ORDER BY score DESC, neighbor_id) AS rank
+          |  FROM xt) WHERE rank <= 5)
+          |SELECT query_id, n_hits,
+          |       round(n_hits / CAST(n_exact AS DOUBLE), 6) AS recall FROM (
+          |  SELECT exa.query_id,
+          |         CAST(sum(CASE WHEN apx.neighbor_id IS NOT NULL
+          |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+          |         COUNT(*) AS n_exact
+          |  FROM exa LEFT JOIN apx
+          |    ON apx.query_id = exa.query_id
+          |   AND apx.neighbor_id = exa.neighbor_id
+          |  GROUP BY 1)""".stripMargin,
 
       "ann_ivf_topk" ->
         """WITH e0 AS (
@@ -5286,6 +5360,46 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |FROM shared
            |JOIN sizes sa ON sa.source = source_a
            |JOIN sizes sb ON sb.source = source_b""".stripMargin,
+
+      // the register derivation (idx/rho) is the ENGINE'S OWN SQL string,
+      // embedded verbatim; everything is integer until the single
+      // estimate division by the shared numerator literal
+      "sketch_overlap" -> {
+        val c = java.lang.Double.toString(graft.llm.Sketches.EstNumerator)
+        val one = "CAST(1 AS BIGINT)"
+        def estOf(s: String) = s"round($c / CAST($s AS DOUBLE), 3)"
+        s"""WITH $shinglesCte,
+           |sg AS (SELECT DISTINCT d.source, md5(s.shingle) AS h
+           |       FROM sh s JOIN documents d USING (doc_id)),
+           |r0 AS (SELECT source, ${graft.llm.Sketches.IdxSql} AS idx,
+           |              ${graft.llm.Sketches.RhoSql} AS rho
+           |       FROM sg),
+           |reg AS (SELECT source, idx, max(rho) AS m FROM r0 GROUP BY 1, 2),
+           |den AS (SELECT source,
+           |          SUM(CAST($one << (57 - m) AS HUGEINT))
+           |            + (256 - count(*)) * CAST($one << 57 AS HUGEINT)
+           |            AS s_int
+           |        FROM reg GROUP BY 1),
+           |shared AS (SELECT a.source AS source_a, b.source AS source_b,
+           |             SUM(CAST($one << (57 - greatest(a.m, b.m)) AS HUGEINT)
+           |                 - ($one << (57 - a.m))
+           |                 - ($one << (57 - b.m))
+           |                 + ($one << 57)) AS adj
+           |           FROM reg a JOIN reg b
+           |             ON a.idx = b.idx AND a.source < b.source
+           |           GROUP BY 1, 2)
+           |SELECT source_a, source_b,
+           |       ${estOf("da.s_int")} AS est_a,
+           |       ${estOf("db.s_int")} AS est_b,
+           |       ${estOf("da.s_int + db.s_int + adj - 256 * CAST(" + one + " << 57 AS HUGEINT)")}
+           |         AS est_union,
+           |       round(${estOf("da.s_int")} + ${estOf("db.s_int")}
+           |             - ${estOf("da.s_int + db.s_int + adj - 256 * CAST(" + one + " << 57 AS HUGEINT)")},
+           |             3) AS overlap_est
+           |FROM shared
+           |JOIN den da ON da.source = source_a
+           |JOIN den db ON db.source = source_b""".stripMargin
+      },
 
       // first-occurrence novelty over the shared shingle CTE: grouping by
       // the shingle STRING here vs its 64-bit hash on the engine side —

@@ -54,7 +54,10 @@ class PlanSpec extends SparkSpec {
       "hybrid_rrf",
       // ranked lists come from the same brute-force query×corpus scorer
       // as ann_brute_topk (broadcast NLJ by design: 50 queries broadcast)
-      "eval_rank_metrics")
+      "eval_rank_metrics",
+      // both rankings (full-dim and 16-dim prefix) are the brute-force
+      // scorer by design — the truncation eval needs exact ground truth
+      "embed_matryoshka")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intended)
       .filter { name =>
