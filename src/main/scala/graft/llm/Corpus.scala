@@ -719,4 +719,37 @@ object Corpus {
       .orderBy(col("priority").desc, col(idCol))
       .limit(n)
   }
+
+  /** Per-group linear trend: least-squares slope/intercept of integer
+    * `yCol` against integer `xCol` within each group — "is this source's
+    * document length / quality drifting over the crawl", the grouped
+    * sibling of [[zipfFit]]'s global regression. One hash aggregate of
+    * six exact moment sums per group (map-side partials — the corpus
+    * never sorts), closed form from the sums.
+    *
+    * Exactness: moments accumulate as DECIMAL (products at
+    * decimal(37,0) — no 38-precision clamping), and slope/intercept are
+    * a fixed tree of correctly-rounded IEEE ops on the exact casts,
+    * [[Corpus.bm25TopK]]'s engine-determinism posture. Groups with < 2
+    * points or zero x-variance emit null slope/intercept. */
+  def groupTrend(df: DataFrame, groupCol: String, xCol: String,
+                 yCol: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,0)")
+    val x = dec(col(xCol))
+    val y = dec(col(yCol))
+    val agg = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+    val n = dec(col("n_rows"))
+    val num = (n * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (n * col("sxx") - col("sx") * col("sx")).cast("double")
+    val slope = num / den
+    agg.select(col(groupCol), col("n_rows"),
+      when(col("n_rows") >= 2 && den > 0, round(slope, 6)).as("slope"),
+      when(col("n_rows") >= 2 && den > 0,
+        round((col("sy").cast("double") - slope * col("sx").cast("double"))
+          / n.cast("double"), 6)).as("intercept"))
+  }
 }

@@ -136,4 +136,36 @@ object Sessionize {
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(topN)
   }
+
+  /** First-order transition matrix over per-key event sequences:
+    * (from_type, to_type, n, ppm) where `ppm` is the exact
+    * parts-per-million share of `from_type`'s outgoing transitions —
+    * the Markov-chain summary behind "what do users do AFTER X"
+    * (recommendation priors, funnel discovery, bot-pattern detection;
+    * [[pathsTopK]] shows whole paths, this shows the edge weights).
+    *
+    * Exactness: counts are longs, shares integer ppm (`n·10⁶ div
+    * row_total`) — no float in the contract. Ordering inside a key is
+    * total on (ts, tie), so simultaneous events transition
+    * deterministically.
+    *
+    * Scale shape: one exchange on the key serves the single lag window;
+    * transitions collapse into one hash aggregate on the (from, to)
+    * pair (map-side partials), and the per-from totals ride a second
+    * tiny aggregate over the |types|² matrix joined back broadcast. */
+  def transitionMatrix(df: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val trans = df
+      .withColumn("__from", lag(col(typeCol), 1).over(w))
+      .filter(col("__from").isNotNull)
+      .groupBy(col("__from").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("__total"))
+    trans.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000000 div __total").as("ppm"))
+  }
 }

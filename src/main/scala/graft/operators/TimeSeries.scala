@@ -431,4 +431,60 @@ object TimeSeries {
         col(tsMicrosCol).as("cp_ts"), col(idCol).as("cp_id"),
         col("__cabs").as("cusum_abs"), col("__s").as("sum_c100")): _*)
   }
+
+  /** Per-series lag-k autocorrelation for k = 1..`maxLag`: the Pearson
+    * correlation of (xₜ, xₜ₋ₖ) over consecutive observation pairs —
+    * "is this metric self-similar at 1/2/3 steps", the cheap seasonality
+    * / momentum probe read before committing to a forecasting model.
+    *
+    * Same exactness scheme as [[cusumChangePoint]]: values fix to
+    * centi-unit longs, ALL five correlation sums (Σx, Σy, Σxy, Σx²,
+    * Σy²) accumulate as DECIMAL(38,0) (xy up to 10¹² per pair — long
+    * sums would overflow at ~10⁶ pairs), and the closed form
+    * `(nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²))` is evaluated as a
+    * fixed tree of correctly-rounded IEEE ops on the exact-decimal
+    * casts. Series ordering is total on (ts, id). Degenerate series
+    * (fewer than 2 pairs at a lag, or zero variance on either side)
+    * emit null autocorr — null, not NaN.
+    *
+    * Scale shape: ONE exchange on the series key; the single sort
+    * serves all `maxLag` lag columns (one window frame, k lag exprs);
+    * the pair rows collapse immediately into one hash aggregate per
+    * (series, lag). */
+  def autocorrelation(df: DataFrame, seriesCols: Seq[String],
+                      tsMicrosCol: String, idCol: String, valueCol: String,
+                      maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 32, s"maxLag=$maxLag out of [1,32]")
+    val sc = seriesCols.map(col)
+    val w = Window.partitionBy(sc: _*)
+      .orderBy(col(tsMicrosCol), col(idCol))
+    val base = df.filter(col(valueCol).isNotNull)
+      .withColumn("__x",
+        (col(valueCol).cast("decimal(18,2)") * 100).cast("long"))
+    val lagged = (1 to maxLag).foldLeft(base) { (acc, k) =>
+      acc.withColumn(s"__y$k", lag(col("__x"), k).over(w))
+    }
+    val pairs = lagged.select(sc ++ Seq(col("__x"),
+      explode(array((1 to maxLag).map(k =>
+        struct(lit(k).as("lag"), col(s"__y$k").as("y"))): _*)).as("__p")): _*)
+      .select(sc ++ Seq(col("__p.lag").as("lag"), col("__x"),
+        col("__p.y").as("__y")): _*)
+      .filter(col("__y").isNotNull)
+    // decimal(18,0) keeps the pairwise product at decimal(37,0) — exact
+    // with NO precision clamping (38-cap rounding would be silent)
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,0)")
+    val agg = pairs.groupBy(sc :+ col("lag"): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(dec(col("__x"))).as("sx"), sum(dec(col("__y"))).as("sy"),
+        sum(dec(col("__x")) * dec(col("__y"))).as("sxy"),
+        sum(dec(col("__x")) * dec(col("__x"))).as("sxx"),
+        sum(dec(col("__y")) * dec(col("__y"))).as("syy"))
+    val n = dec(col("n_pairs"))
+    val num = (n * col("sxy") - col("sx") * col("sy")).cast("double")
+    val vx = (n * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vy = (n * col("syy") - col("sy") * col("sy")).cast("double")
+    agg.select(sc ++ Seq(col("lag"), col("n_pairs"),
+      when(col("n_pairs") >= 2 && vx > 0 && vy > 0,
+        round(num / sqrt(vx * vy), 6)).as("autocorr")): _*)
+  }
 }

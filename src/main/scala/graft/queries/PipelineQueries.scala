@@ -1891,6 +1891,24 @@ object PipelineQueries {
         Tables.eventsUs(s, d),
         Seq("event_type"), "ts_us", "event_id", "value")),
 
+    // --- lag-1..3 autocorrelation per series: exact-decimal moment sums,
+    // one sort serves all lags, pair rows collapse into one aggregate ------
+    "ts_autocorr" -> ((s, d) =>
+      TimeSeries.autocorrelation(Tables.eventsUs(s, d),
+        Seq("event_type"), "ts_us", "event_id", "value", maxLag = 3)),
+
+    // --- first-order event transition matrix per user, exact integer ppm
+    // shares — the Markov edge weights behind the session-paths view ------
+    "event_markov" -> ((s, d) =>
+      Sessionize.transitionMatrix(Tables.eventsUs(s, d),
+        "user_id", "ts_us", "event_id", "event_type")),
+
+    // --- per-source document-length drift over the crawl clock: grouped
+    // least squares from six exact moment sums ---------------------------
+    "source_trend" -> ((s, d) =>
+      Corpus.groupTrend(Tables.documents(s, d), "source",
+        "doc_id", "n_chars")),
+
     // --- Z-order layout audit: Morton-interleave (user_id, crawl-hour)
     // and report each keyspace bucket's 2-D bounding box — the file-stat
     // pruning story for multi-dimension predicates at 100 TB ---------------
@@ -4730,6 +4748,82 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
           |        ORDER BY cabs DESC, ts_us, event_id) AS r FROM a)
           |WHERE r = 1""".stripMargin,
+
+      // centi-unit longs; HUGEINT moment sums mirror Spark's
+      // decimal(37,0) products exactly; one shared IEEE tree at the end
+      "ts_autocorr" ->
+        """WITH b AS (
+          |  SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+          |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+          |  FROM events WHERE value IS NOT NULL),
+          |l AS (SELECT event_type, x,
+          |             lag(x, 1) OVER w AS y1, lag(x, 2) OVER w AS y2,
+          |             lag(x, 3) OVER w AS y3
+          |      FROM b
+          |      WINDOW w AS (PARTITION BY event_type
+          |                   ORDER BY ts_us, event_id)),
+          |p AS (SELECT event_type, 1 AS lag, x, y1 AS y FROM l
+          |      WHERE y1 IS NOT NULL
+          |      UNION ALL SELECT event_type, 2, x, y2 FROM l
+          |      WHERE y2 IS NOT NULL
+          |      UNION ALL SELECT event_type, 3, x, y3 FROM l
+          |      WHERE y3 IS NOT NULL),
+          |a AS (SELECT event_type, lag, count(*) AS n_pairs,
+          |             SUM(CAST(x AS HUGEINT)) AS sx,
+          |             SUM(CAST(y AS HUGEINT)) AS sy,
+          |             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+          |             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+          |             SUM(CAST(y AS HUGEINT) * y) AS syy
+          |      FROM p GROUP BY 1, 2)
+          |SELECT event_type, lag, n_pairs,
+          |       CASE WHEN n_pairs >= 2
+          |                 AND CAST(n_pairs * sxx - sx * sx AS DOUBLE) > 0
+          |                 AND CAST(n_pairs * syy - sy * sy AS DOUBLE) > 0
+          |            THEN round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+          |                 / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+          |                        * CAST(n_pairs * syy - sy * sy AS DOUBLE)),
+          |                 6)
+          |       END AS autocorr
+          |FROM a""".stripMargin,
+
+      "event_markov" ->
+        """WITH t AS (
+          |  SELECT event_type,
+          |         lag(event_type) OVER (PARTITION BY user_id
+          |           ORDER BY epoch_us(ts), event_id) AS from_type
+          |  FROM events),
+          |tr AS (SELECT from_type, event_type AS to_type,
+          |              CAST(count(*) AS BIGINT) AS n
+          |       FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2),
+          |tot AS (SELECT from_type, sum(n) AS total FROM tr GROUP BY 1)
+          |SELECT tr.from_type, tr.to_type, tr.n,
+          |       CAST(tr.n * 1000000 // tot.total AS BIGINT) AS ppm
+          |FROM tr JOIN tot USING (from_type)""".stripMargin,
+
+      "source_trend" ->
+        """WITH a AS (
+          |  SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+          |         SUM(CAST(doc_id AS HUGEINT)) AS sx,
+          |         SUM(CAST(n_chars AS HUGEINT)) AS sy,
+          |         SUM(CAST(doc_id AS HUGEINT) * n_chars) AS sxy,
+          |         SUM(CAST(doc_id AS HUGEINT) * doc_id) AS sxx
+          |  FROM documents
+          |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+          |  GROUP BY 1)
+          |SELECT source, n_rows,
+          |  CASE WHEN n_rows >= 2
+          |            AND CAST(n_rows * sxx - sx * sx AS DOUBLE) > 0
+          |       THEN round(CAST(n_rows * sxy - sx * sy AS DOUBLE)
+          |            / CAST(n_rows * sxx - sx * sx AS DOUBLE), 6)
+          |  END AS slope,
+          |  CASE WHEN n_rows >= 2
+          |            AND CAST(n_rows * sxx - sx * sx AS DOUBLE) > 0
+          |       THEN round((CAST(sy AS DOUBLE)
+          |            - (CAST(n_rows * sxy - sx * sy AS DOUBLE)
+          |               / CAST(n_rows * sxx - sx * sx AS DOUBLE))
+          |              * CAST(sx AS DOUBLE)) / CAST(n_rows AS DOUBLE), 6)
+          |  END AS intercept
+          |FROM a""".stripMargin,
 
       // Morton key built by the mirrored bit-interleave expression;
       // bucket = top 6 of the 32 key bits

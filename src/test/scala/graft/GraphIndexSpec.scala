@@ -149,6 +149,67 @@ class GraphIndexSpec extends SparkSpec {
     assert(risk.getLong(4) === 400000L, "2/5 exactly, in ppm")
   }
 
+  test("hll overlap estimates track exact overlap within sketch error") {
+    // two sources with known gram sets: A = docs of words w0..w599,
+    // B = w300..w899 → |A|,|B| ≈ 598 3-shingles, overlap ≈ 298.
+    // Raw-HLL rsd at m=256 is ~6.5%; assert a loose 4σ envelope (the
+    // oracle pins exactness — this pins that the ESTIMATOR estimates).
+    def doc(lo: Int, hi: Int) = (lo until hi).map(i => s"w$i").mkString(" ")
+    val df = Seq(("a", doc(0, 600)), ("b", doc(300, 900)))
+      .toDF("source", "text")
+    val r = graft.llm.Sketches.hllSourceOverlap(df, "text", "source")
+      .collect().head
+    val (estA, estB, estU, ov) =
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(math.abs(estA - 598) < 160, s"est_a=$estA")
+    assert(math.abs(estB - 598) < 160, s"est_b=$estB")
+    assert(math.abs(estU - 898) < 240, s"est_union=$estU")
+    assert(ov > 100 && ov < 500, s"overlap_est=$ov vs exact 298")
+  }
+
+  test("transition matrix: exact counts and ppm shares") {
+    // user 1: A→B→A; user 2: A→B. Transitions: A→B ×2, B→A ×1.
+    val df = Seq((1L, 1L, 1L, "A"), (1L, 2L, 2L, "B"), (1L, 3L, 3L, "A"),
+      (2L, 1L, 4L, "A"), (2L, 2L, 5L, "B"))
+      .toDF("u", "ts", "id", "et")
+    val out = graft.operators.Sessionize.transitionMatrix(df, "u", "ts",
+        "id", "et")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(("A", "B") -> ((2L, 1000000L)),
+      ("B", "A") -> ((1L, 1000000L))))
+  }
+
+  test("group trend recovers an exact linear relation") {
+    val df = (1 to 50).map(x => ("g", x.toLong, 3L * x + 7L))
+      .toDF("source", "x", "y")
+    val r = graft.llm.Corpus.groupTrend(df, "source", "x", "y")
+      .collect().head
+    assert(r.getLong(1) === 50L)
+    assert(r.getDouble(2) === 3.0 && r.getDouble(3) === 7.0)
+    // a single point cannot fit a line
+    val one = Seq(("g", 1L, 5L)).toDF("source", "x", "y")
+    val r1 = graft.llm.Corpus.groupTrend(one, "source", "x", "y")
+      .collect().head
+    assert(r1.isNullAt(2) && r1.isNullAt(3))
+  }
+
+  test("autocorrelation: alternating series is -1 at lag 1, +1 at lag 2") {
+    val df = (1 to 40).map(i =>
+      ("s", i.toLong, i.toLong, if (i % 2 == 0) 1.0 else -1.0))
+      .toDF("series", "ts", "id", "value")
+    val out = graft.operators.TimeSeries.autocorrelation(df, Seq("series"),
+        "ts", "id", "value", maxLag = 2)
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    assert(out(1) === -1.0 && out(2) === 1.0)
+    // constant series: zero variance → null
+    val const = (1 to 10).map(i => ("c", i.toLong, i.toLong, 5.0))
+      .toDF("series", "ts", "id", "value")
+    val c = graft.operators.TimeSeries.autocorrelation(const, Seq("series"),
+        "ts", "id", "value", maxLag = 1).collect().head
+    assert(c.isNullAt(3))
+  }
+
   test("zorder key interleaves bits (x even, y odd positions)") {
     // x=5 (101b) → bits at positions 0,4 = 17; y=3 (011b) → 1,3 = 10
     val out = Seq((5L, 3L)).toDF("x", "y")
