@@ -1891,6 +1891,13 @@ object PipelineQueries {
         Tables.eventsUs(s, d),
         Seq("event_type"), "ts_us", "event_id", "value")),
 
+    // --- BPE tokenizer training: 6 greedy merges over the corpus
+    // vocabulary — a driver loop, but each round is ONE distributed pass
+    // over the (shrinking) vocab frame and the driver holds only the
+    // argmax pair. The merge table IS the tokenizer. ----------------------
+    "bpe_train" -> ((s, d) =>
+      graft.llm.Bpe.train(Tables.documents(s, d), "text", merges = 6)),
+
     // --- lag-1..3 autocorrelation per series: exact-decimal moment sums,
     // one sort serves all lags, pair rows collapse into one aggregate ------
     "ts_autocorr" -> ((s, d) =>
@@ -2312,6 +2319,42 @@ object PipelineQueries {
        |nn AS (SELECT count(*) AS n FROM nodes),
        |p0 AS (SELECT id, $base AS pr FROM nodes)""".stripMargin +:
       steps).mkString(",\n")
+  }
+
+  /** The unrolled BPE training rounds mirroring [[graft.llm.Bpe.train]]:
+    * each round re-derives corpus-weighted adjacent-pair counts from the
+    * previous vocabulary, picks the (count desc, left, right) argmax as
+    * a 1-row CTE, and applies the merge with plain sequential `replace`
+    * — identical left-to-right non-overlapping semantics in both
+    * engines. Produces CTEs v0..v`merges`, t1..t`merges`. */
+  private def bpeCtes(merges: Int): String = {
+    val v0 =
+      """w0 AS (SELECT term AS w, CAST(count(*) AS BIGINT) AS wc FROM (
+        |        SELECT unnest(string_split_regex(text, '\s+')) AS term
+        |        FROM documents) t
+        |      WHERE len(term) > 0 AND term NOT LIKE '%<%'
+        |        AND term NOT LIKE '%>%'
+        |      GROUP BY 1),
+        |v0 AS MATERIALIZED (
+        |       SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS v, wc
+        |       FROM w0)""".stripMargin
+    val steps = (1 to merges).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT t[i] AS l, t[i + 1] AS r, SUM(wc) AS c
+         |  FROM (SELECT wc, t, unnest(generate_series(1, len(t) - 1)) AS i
+         |        FROM (SELECT wc, string_split(v[2:-2], '><') AS t
+         |              FROM v${k - 1})
+         |        WHERE len(t) >= 2)
+         |  GROUP BY 1, 2),
+         |t$k AS MATERIALIZED (SELECT l, r, c FROM p$k
+         |        ORDER BY c DESC, l, r LIMIT 1),
+         |v$k AS MATERIALIZED (SELECT replace(v,
+         |          '<' || (SELECT l FROM t$k) || '><' ||
+         |            (SELECT r FROM t$k) || '>',
+         |          '<' || (SELECT l FROM t$k) ||
+         |            (SELECT r FROM t$k) || '>') AS v, wc
+         |        FROM v${k - 1})""".stripMargin
+    }
+    (v0 +: steps).mkString(",\n")
   }
 
   /** The unrolled label-propagation rounds l0..l`iters` mirroring
@@ -4748,6 +4791,16 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
           |        ORDER BY cabs DESC, ts_us, event_id) AS r FROM a)
           |WHERE r = 1""".stripMargin,
+
+      // the merge loop unrolled round-for-round; sequential replace() has
+      // identical left-to-right semantics in both engines
+      "bpe_train" ->
+        (s"WITH ${bpeCtes(6)}\n" +
+          (1 to 6).map(k =>
+            s"""SELECT $k AS round, l AS "left", r AS "right",
+               |  l || r AS merged, CAST(c AS BIGINT) AS pair_count
+               |FROM t$k""".stripMargin)
+            .mkString("\nUNION ALL\n")),
 
       // centi-unit longs; HUGEINT moment sums mirror Spark's
       // decimal(37,0) products exactly; one shared IEEE tree at the end

@@ -210,6 +210,33 @@ class GraphIndexSpec extends SparkSpec {
     assert(c.isNullAt(3))
   }
 
+  test("bpe training replays the classic merge sequence") {
+    // corpus: aaab ×2, ab ×1.
+    // r1: (a,a)=4 wins → aaab segments <aa><a><b>
+    // r2: (a,b)=3 wins (beats (aa,a)=2) → <aa><ab>, <ab>
+    // r3: (aa,ab)=2
+    val df = Seq("aaab aaab ab").toDF("text")
+    val out = graft.llm.Bpe.train(df, "text", merges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(out.toSeq === Seq((1, "a", "a", "aa", 4L),
+      (2, "a", "b", "ab", 3L), (3, "aa", "ab", "aaab", 2L)))
+    val segs = graft.llm.Bpe.segmentedVocab(df, "text", merges = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(segs === Map("<aaab>" -> 2L, "<ab>" -> 1L))
+  }
+
+  test("bpe merge is left-to-right non-overlapping, ties break on text") {
+    // "aaa": pairs (a,a)=2 but the merge fires once, at the left
+    val df = Seq("aaa").toDF("text")
+    val out = graft.llm.Bpe.train(df, "text", merges = 1).collect().head
+    assert((out.getString(1), out.getString(2), out.getLong(4)) ===
+      (("a", "a", 2L)))
+    val segs = graft.llm.Bpe.segmentedVocab(df, "text", merges = 1)
+      .collect().map(_.getString(0))
+    assert(segs.toSeq === Seq("<aa><a>"))
+  }
+
   test("zorder key interleaves bits (x even, y odd positions)") {
     // x=5 (101b) → bits at positions 0,4 = 17; y=3 (011b) → 1,3 = 10
     val out = Seq((5L, 3L)).toDF("x", "y")
