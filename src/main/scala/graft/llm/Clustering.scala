@@ -208,4 +208,71 @@ object Clustering {
           round(VectorOps.dot(col("__va"), col("__vb")) / denom, 6))
           .as("cos_sim"))
   }
+
+  /** Top principal direction of the (mean-centered) embedding cloud by
+    * POWER ITERATION — distributed PCA's first component, the signal
+    * behind "is one axis dominating my embedding space" (anisotropy
+    * checks, whitening decisions, drift dashboards). `iters` unrolled
+    * matrix-vector rounds: uᵏ = Σᵢ (xᵢ·vᵏ⁻¹)·xᵢ, vᵏ = uᵏ/‖uᵏ‖.
+    *
+    * == Determinism (the [[kmeans]] scheme, extended) ==
+    * Inputs quantize to dyadic rationals (grid 2⁻²⁰), the centering mean
+    * re-quantizes, and per-row dot products are EXACT (granularity
+    * 2⁻⁴⁰, 64 terms — every partial sum representable), so any summation
+    * order agrees. The outer-product contribution floor-quantizes to the
+    * 2⁻¹² grid BEFORE the component sum — s·xᵢⱼ alone would need 64 bits
+    * — making the u-sums exact at any corpus size up to ~2³³ rows. The
+    * normalization runs on the driver over the dim collected sums (the
+    * kmeans centroid precedent: k×dim rows only), with a fixed
+    * ascending-position fold so the oracle's orderless SUM matches (u²
+    * terms are exact dyadics). A zero u (degenerate input) keeps the
+    * previous direction rather than dividing by zero.
+    *
+    * Scale shape per round: one scan of the corpus, map-side dot +
+    * quantized contribution, ONE hash aggregate to dim rows. Nothing
+    * else moves; the driver holds 2×dim doubles.
+    *
+    * Output: (pos, component, eigenvalue) — the unit direction on the
+    * 2⁻²⁰ grid and ‖u‖ of the final round (the Rayleigh-quotient
+    * eigenvalue estimate, 6 dp). */
+  def pcaTopComponent(df: DataFrame, vecCol: String, dim: Int,
+                      iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters=$iters out of [1,10]")
+    val spark = df.sparkSession
+    val base = df.filter(size(col(vecCol)) === dim)
+      .select(quantize(col(vecCol)).as("__w"))
+    val meanRows = base.select(posexplode(col("__w")))
+      .groupBy("pos").agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val meanQ = new Array[Double](dim)
+    meanRows.foreach { r =>
+      meanQ(r.getInt(0)) =
+        math.floor(r.getDouble(1) / r.getLong(2) * Q) / Q
+    }
+    val xc = zip_with(col("__w"), typedlit(meanQ.toSeq),
+      (a, b) => a - b)
+    var v: IndexedSeq[Double] =
+      IndexedSeq.fill(dim)(math.floor(Q / math.sqrt(dim.toDouble)) / Q)
+    var eigen = 0.0
+    for (_ <- 1 to iters) {
+      val u = base
+        .withColumn("__s", VectorOps.dot(xc, typedlit(v)))
+        .select(posexplode(xc), col("__s"))
+        .groupBy("pos")
+        .agg(sum(floor(col("__s") * col("col") * lit(4096.0)) / lit(4096.0))
+          .as("u"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val uArr = (0 until dim).map(j => u.getOrElse(j, 0.0))
+      // fixed ascending fold; u² terms are exact dyadics, so this equals
+      // the oracle's orderless SUM
+      eigen = math.sqrt(uArr.foldLeft(0.0)((acc, x) => acc + x * x))
+      if (eigen > 0.0)
+        v = uArr.map(x => math.floor(x / eigen * Q) / Q)
+    }
+    import spark.implicits._
+    v.zipWithIndex.map { case (c, j) =>
+      (j.toLong, c, BigDecimal(eigen).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("pos", "component", "eigenvalue")
+  }
 }

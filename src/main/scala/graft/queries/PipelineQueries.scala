@@ -1105,6 +1105,14 @@ object PipelineQueries {
       Clustering.kmeans(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 8, iters = 2, dim = 64)),
 
+    // --- top principal direction by deterministic power iteration: the
+    // anisotropy / whitening probe. Two unrolled matrix-vector rounds,
+    // dyadic quantization end-to-end (the kmeans scheme), driver holds
+    // 2×dim doubles --------------------------------------------------------
+    "embed_pca" -> ((s, d) =>
+      Clustering.pcaTopComponent(Tables.embeddings(s, d), "embedding",
+        dim = 64, iters = 2)),
+
     // --- per-label centroid drift: distribution-shift / redundancy monitor --
     "embed_source_drift" -> ((s, d) =>
       Clustering.centroidDrift(Tables.embeddings(s, d), "label",
@@ -2319,6 +2327,46 @@ object PipelineQueries {
        |nn AS (SELECT count(*) AS n FROM nodes),
        |p0 AS (SELECT id, $base AS pr FROM nodes)""".stripMargin +:
       steps).mkString(",\n")
+  }
+
+  /** The unrolled power-iteration rounds mirroring
+    * [[Clustering.pcaTopComponent]]: quantized inputs, re-quantized
+    * centering mean, exact per-row dots, 2⁻¹²-floored contributions, and
+    * a driver-equivalent normalization per round. Produces CTEs
+    * v0..v`iters`, n1..n`iters`. */
+  private def pcaCtes(iters: Int, dim: Int): String = {
+    val q = "1048576.0"
+    val head =
+      s"""e AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         list_transform(CAST(embedding AS DOUBLE[]),
+         |           x -> floor(x * $q) / $q) AS w
+         |  FROM embeddings WHERE len(embedding) = $dim),
+         |x AS (SELECT vec_id, i, w[i] AS c
+         |      FROM (SELECT vec_id, w,
+         |                   unnest(generate_series(1, $dim)) AS i
+         |            FROM e)),
+         |m AS (SELECT i, floor(sum(c) / count(*) * $q) / $q AS mq
+         |      FROM x GROUP BY i),
+         |xc AS MATERIALIZED (SELECT vec_id, i, c - mq AS xc
+         |                    FROM x JOIN m USING (i)),
+         |v0 AS (SELECT unnest(generate_series(1, $dim)) AS i,
+         |              floor($q / sqrt(CAST($dim AS DOUBLE))) / $q AS v)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""s$k AS MATERIALIZED (
+         |  SELECT vec_id, SUM(xc * v) AS s
+         |  FROM xc JOIN v${k - 1} USING (i) GROUP BY vec_id),
+         |u$k AS MATERIALIZED (
+         |  SELECT i, SUM(floor(s * xc * 4096.0) / 4096.0) AS u
+         |  FROM xc JOIN s$k USING (vec_id) GROUP BY i),
+         |n$k AS MATERIALIZED (SELECT sqrt(SUM(u * u)) AS nrm FROM u$k),
+         |v$k AS MATERIALIZED (
+         |  SELECT i, CASE WHEN (SELECT nrm FROM n$k) > 0
+         |                 THEN floor(u / (SELECT nrm FROM n$k) * $q) / $q
+         |            END AS v
+         |  FROM u$k)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
   }
 
   /** The unrolled BPE training rounds mirroring [[graft.llm.Bpe.train]]:
@@ -3873,6 +3921,18 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       "embed_kmeans" ->
         (s"WITH ${kmeansCtes(8, 2, 64)}\n" +
           "SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a2"),
+
+      // power iteration unrolled: per-row dots and u-sums are exact
+      // dyadics (orderless SUM ≡ the engine's sequential folds); only
+      // the normalization divisions and the final sqrt are IEEE ops on
+      // identical operands. The nrm=0 degenerate branch nulls here while
+      // the engine keeps the previous direction — unreachable on any
+      // non-degenerate corpus, documented at the operator.
+      "embed_pca" ->
+        (s"WITH ${pcaCtes(iters = 2, dim = 64)}\n" +
+          """SELECT CAST(i - 1 AS BIGINT) AS pos, v AS component,
+            |       round((SELECT nrm FROM n2), 6) AS eigenvalue
+            |FROM v2""".stripMargin),
 
       // dyadic-quantized component sums (exact in any order) → one
       // correctly-rounded division per centroid component → the shared

@@ -210,6 +210,28 @@ class GraphIndexSpec extends SparkSpec {
     assert(c.isNullAt(3))
   }
 
+  test("pca power iteration finds the dominant axis") {
+    // cloud stretched along e0 (±8) with ±0.25 jitter on e1: the top
+    // component must align with e0 almost exactly, eigenvalue ≈ Σx²
+    val vecs = (1 to 64).map { i =>
+      val sign = if (i % 2 == 0) 1.0f else -1.0f
+      Array(8.0f * sign, 0.25f * (if (i % 4 < 2) 1 else -1), 0.0f, 0.0f)
+    }
+    val df = vecs.map(v => Tuple1(v)).toDF("embedding")
+    val out = graft.llm.Clustering.pcaTopComponent(df, "embedding",
+        dim = 4, iters = 2)
+      .orderBy("pos").collect()
+    assert(out.length === 4)
+    val comp = out.map(_.getDouble(1))
+    assert(math.abs(comp(0)) > 0.999, s"e0 weight ${comp(0)}")
+    assert(math.abs(comp(1)) < 0.04 && comp(2) === 0.0 && comp(3) === 0.0)
+    val eig = out.head.getDouble(2)
+    assert(eig > 0.0)
+    // unit length on the quantization grid
+    val nrm = math.sqrt(comp.map(x => x * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-4, s"norm $nrm")
+  }
+
   test("bpe training replays the classic merge sequence") {
     // corpus: aaab ×2, ab ×1.
     // r1: (a,a)=4 wins → aaab segments <aa><a><b>
