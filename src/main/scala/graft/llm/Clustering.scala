@@ -237,8 +237,36 @@ object Clustering {
     * eigenvalue estimate, 6 dp). */
   def pcaTopComponent(df: DataFrame, vecCol: String, dim: Int,
                       iters: Int = 2): DataFrame = {
-    require(iters >= 1 && iters <= 10, s"iters=$iters out of [1,10]")
     val spark = df.sparkSession
+    val (_, v, eigen) = powerDirection(df, vecCol, dim, iters)
+    import spark.implicits._
+    v.zipWithIndex.map { case (c, j) =>
+      (j.toLong, c, BigDecimal(eigen).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("pos", "component", "eigenvalue")
+  }
+
+  /** Projection of every vector onto the trained top component:
+    * (idCol, projection) with projection = (x−mean)·v on the quantized
+    * grid (an exact dyadic sum, 6 dp) — the per-item anisotropy score
+    * (how much of this embedding is "the dominant axis"), and the input
+    * to rank-one whitening. One extra corpus scan past training. */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                 iters: Int = 2): DataFrame = {
+    val (meanQ, v, _) = powerDirection(df, vecCol, dim, iters)
+    val xc = zip_with(col("__w"), typedlit(meanQ.toSeq), (a, b) => a - b)
+    df.filter(size(col(vecCol)) === dim)
+      .select(col(idCol), quantize(col(vecCol)).as("__w"))
+      .select(col(idCol),
+        round(VectorOps.dot(xc, typedlit(v)), 6).as("projection"))
+  }
+
+  /** The shared power-iteration loop: returns (quantized centering mean,
+    * final unit direction on the 2⁻²⁰ grid, final ‖u‖). See
+    * [[pcaTopComponent]] for the determinism argument. */
+  private def powerDirection(df: DataFrame, vecCol: String, dim: Int,
+      iters: Int): (Array[Double], IndexedSeq[Double], Double) = {
+    require(iters >= 1 && iters <= 10, s"iters=$iters out of [1,10]")
     val base = df.filter(size(col(vecCol)) === dim)
       .select(quantize(col(vecCol)).as("__w"))
     val meanRows = base.select(posexplode(col("__w")))
@@ -269,10 +297,6 @@ object Clustering {
       if (eigen > 0.0)
         v = uArr.map(x => math.floor(x / eigen * Q) / Q)
     }
-    import spark.implicits._
-    v.zipWithIndex.map { case (c, j) =>
-      (j.toLong, c, BigDecimal(eigen).setScale(6,
-        BigDecimal.RoundingMode.HALF_UP).toDouble)
-    }.toDF("pos", "component", "eigenvalue")
+    (meanQ, v, eigen)
   }
 }

@@ -69,6 +69,31 @@ object Index {
       .select(col("doc_id"))
   }
 
+  /** Exact phrase retrieval over POSITIONAL postings: documents where
+    * the query terms appear as adjacent tokens, with the occurrence
+    * count. Positions are indices into the whitespace token sequence
+    * (split preserves adjacency), so the phrase match is a
+    * (|phrase|−1)-way equi-join on (doc, pos + k) — hash joins on the
+    * positional posting rows, the classic positional-index evaluation;
+    * each join side is pre-filtered to ONE term's postings, so the join
+    * input is term-selectivity-sized, not corpus-sized. */
+  def searchPhrase(df: DataFrame, textCol: String, idCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "searchPhrase needs at least two terms")
+    val t = spread(df).select(col(idCol).as("doc_id"),
+      posexplode(TextAnalysis.tokens(col(textCol))))
+    val first = t.filter(col("col") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.zipWithIndex.drop(1).foldLeft(first) { case (acc, (term, k)) =>
+      acc.join(
+        t.filter(col("col") === term)
+          .select(col("doc_id"), (col("pos") - k).as("pos")),
+        Seq("doc_id", "pos"))
+    }
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** Disjunctive (OR) retrieval with a match count: documents containing
     * at least `minMatch` of the query terms, with how many they matched —
     * the recall-first variant (weak-AND gate before a scorer). */

@@ -514,6 +514,13 @@ object PipelineQueries {
       graft.llm.Index.searchAny(Tables.documents(s, d), "text", "doc_id",
         terms = Bm25Terms, minMatch = 2)),
 
+    // --- positional phrase retrieval: adjacent-token match via a
+    // (|phrase|−1)-way equi-join on (doc, pos+k) over term-filtered
+    // positional postings --------------------------------------------------
+    "search_phrase" -> ((s, d) =>
+      graft.llm.Index.searchPhrase(Tables.documents(s, d), "text",
+        "doc_id", Seq("table", "hash"))),
+
     // --- hybrid retrieval: reciprocal-rank fusion of the BM25 sparse leg
     // and a dense cosine leg (doc 0's embedding as the query — vec_id
     // aligns with doc_id in the fixtures). The rank windows run on
@@ -1112,6 +1119,12 @@ object PipelineQueries {
     "embed_pca" -> ((s, d) =>
       Clustering.pcaTopComponent(Tables.embeddings(s, d), "embedding",
         dim = 64, iters = 2)),
+
+    // --- per-item projection onto the trained top component: the
+    // anisotropy score / rank-one whitening input; one extra scan --------
+    "embed_pca_project" -> ((s, d) =>
+      Clustering.pcaProject(Tables.embeddings(s, d), "vec_id",
+        "embedding", dim = 64, iters = 2)),
 
     // --- per-label centroid drift: distribution-shift / redundancy monitor --
     "embed_source_drift" -> ((s, d) =>
@@ -3933,6 +3946,23 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           """SELECT CAST(i - 1 AS BIGINT) AS pos, v AS component,
             |       round((SELECT nrm FROM n2), 6) AS eigenvalue
             |FROM v2""".stripMargin),
+
+      // same training CTEs + one projection pass; (x−mean)·v is an exact
+      // dyadic sum, orderless ≡ the engine's fold
+      "embed_pca_project" ->
+        (s"WITH ${pcaCtes(iters = 2, dim = 64)}\n" +
+          """SELECT vec_id, round(SUM(xc * v), 6) AS projection
+            |FROM xc JOIN v2 USING (i) GROUP BY vec_id""".stripMargin),
+
+      "search_phrase" ->
+        """WITH t AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok FROM (
+          |  SELECT doc_id, string_split_regex(text, '\s+') AS toks,
+          |         unnest(generate_series(1, len(toks))) AS i
+          |  FROM documents))
+          |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+          |FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          |WHERE a.tok = 'table' AND b.tok = 'hash'
+          |GROUP BY 1""".stripMargin,
 
       // dyadic-quantized component sums (exact in any order) → one
       // correctly-rounded division per centroid component → the shared

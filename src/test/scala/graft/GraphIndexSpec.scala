@@ -123,6 +123,21 @@ class GraphIndexSpec extends SparkSpec {
     assert(any === Map(1L -> 3L, 2L -> 2L))
   }
 
+  test("phrase search needs adjacency, counts every occurrence") {
+    val docs = Seq(
+      (1L, "x y z x y"), // two "x y" occurrences
+      (2L, "x z y"),     // both terms, not adjacent
+      (3L, "y x")        // wrong order
+    ).toDF("doc_id", "text")
+    val out = Index.searchPhrase(docs, "text", "doc_id", Seq("x", "y"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L))
+    // 3-term phrase chains the positional joins
+    val tri = Index.searchPhrase(docs, "text", "doc_id", Seq("x", "y", "z"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri === Map(1L -> 1L))
+  }
+
   test("searchAll counts duplicate query terms once") {
     val docs = Seq((1L, "x y")).toDF("doc_id", "text")
     val hit = Index.searchAll(docs, "text", "doc_id", Seq("x", "x", "y"))
