@@ -81,6 +81,33 @@ object Bpe {
     rows.toDF("round", "left", "right", "merged", "pair_count")
   }
 
+  /** Tokenize the CORPUS with a trained merge table: per document, the
+    * wrapped-cell segmentation of the whole text (words joined by a
+    * space OUTSIDE the cells, so merges never cross word boundaries) and
+    * the resulting token count — the serving path of [[train]], and the
+    * real-tokenizer upgrade of [[TextAnalysis.bpeishCount]]'s regex
+    * proxy. Map-only: the merge table is a handful of chained
+    * `replace`s compiled into the projection; the corpus never
+    * shuffles. Output: (idCol, n_bpe_tokens, n_words). */
+  def segmentCorpus(df: DataFrame, textCol: String, idCol: String,
+                    merges: Int): DataFrame = {
+    val table = train(df, textCol, merges).collect().sortBy(_.getInt(0))
+    val wrappedDoc = concat_ws(" ",
+      transform(TextAnalysis.tokens(col(textCol)),
+        w => regexp_replace(w, "(.)", "<$1>")))
+    val seg = table.foldLeft(wrappedDoc) { (acc, row) =>
+      val (l, r) = (row.getString(1), row.getString(2))
+      functions.replace(acc, lit(s"<$l><$r>"), lit(s"<$l$r>"))
+    }
+    spread(df).select(col(idCol),
+        seg.as("__v"), size(TextAnalysis.tokens(col(textCol))).as("n_words"))
+      .select(col(idCol),
+        (length(col("__v")) -
+          length(functions.replace(col("__v"), lit("<"), lit(""))))
+          .cast("long").as("n_bpe_tokens"),
+        col("n_words").cast("long").as("n_words"))
+  }
+
   /** The vocabulary AFTER `merges` trained merges: (v, wc) with `v` the
     * wrapped segmentation — exposed so tests and downstream tokenizers
     * can apply the learned table. */

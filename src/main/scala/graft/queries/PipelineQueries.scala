@@ -1919,6 +1919,12 @@ object PipelineQueries {
     "bpe_train" -> ((s, d) =>
       graft.llm.Bpe.train(Tables.documents(s, d), "text", merges = 6)),
 
+    // --- tokenize the corpus with the trained merges: map-only chained
+    // replaces, no shuffle — the serving path of bpe_train --------------
+    "bpe_segment" -> ((s, d) =>
+      graft.llm.Bpe.segmentCorpus(Tables.documents(s, d), "text",
+        "doc_id", merges = 6)),
+
     // --- lag-1..3 autocorrelation per series: exact-decimal moment sums,
     // one sort serves all lags, pair rows collapse into one aggregate ------
     "ts_autocorr" -> ((s, d) =>
@@ -4891,6 +4897,35 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
                |  l || r AS merged, CAST(c AS BIGINT) AS pair_count
                |FROM t$k""".stripMargin)
             .mkString("\nUNION ALL\n")),
+
+      // training CTEs + the chained doc-level replaces; token count =
+      // number of '<' cell openers
+      "bpe_segment" ->
+        (s"WITH ${bpeCtes(6)},\n" +
+          """doc0 AS MATERIALIZED (
+            |  SELECT doc_id,
+            |         array_to_string(list_transform(
+            |           string_split_regex(text, '\s+'),
+            |           w -> regexp_replace(w, '(.)', '<\1>', 'g')), ' ')
+            |           AS v,
+            |         CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+            |           AS n_words
+            |  FROM documents),
+            |""".stripMargin +
+          (1 to 6).map(k =>
+            s"""doc$k AS MATERIALIZED (
+               |  SELECT doc_id, replace(v,
+               |    '<' || (SELECT l FROM t$k) || '><' ||
+               |      (SELECT r FROM t$k) || '>',
+               |    '<' || (SELECT l FROM t$k) ||
+               |      (SELECT r FROM t$k) || '>') AS v, n_words
+               |  FROM doc${k - 1})""".stripMargin).mkString(",\n") +
+          """
+            |SELECT doc_id,
+            |       CAST(length(v) - length(replace(v, '<', '')) AS BIGINT)
+            |         AS n_bpe_tokens,
+            |       n_words
+            |FROM doc6""".stripMargin),
 
       // centi-unit longs; HUGEINT moment sums mirror Spark's
       // decimal(37,0) products exactly; one shared IEEE tree at the end

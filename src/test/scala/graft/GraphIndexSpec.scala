@@ -263,6 +263,19 @@ class GraphIndexSpec extends SparkSpec {
     assert(segs === Map("<aaab>" -> 2L, "<ab>" -> 1L))
   }
 
+  test("bpe segmentation counts corpus tokens under the trained merges") {
+    // merges learned from the corpus: (a,a) then (a,b) then (aa,ab);
+    // doc 1 "aaab ab" → [<aaab>, <ab>] = 2 tokens from 2 words;
+    // doc 2 "ba" shares no merge → [<b><a>] = 2 tokens from 1 word
+    val df = Seq((1L, "aaab aaab ab"), (2L, "ba")).toDF("doc_id", "text")
+    val out = graft.llm.Bpe.segmentCorpus(df, "text", "doc_id",
+        merges = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) === ((3L, 3L)), "three words → three fused tokens")
+    assert(out(2L) === ((2L, 1L)), "unseen pair stays character cells")
+  }
+
   test("bpe merge is left-to-right non-overlapping, ties break on text") {
     // "aaa": pairs (a,a)=2 but the merge fires once, at the left
     val df = Seq("aaa").toDF("text")
