@@ -882,4 +882,84 @@ class PropertySpec extends SparkSpec {
       assert(n1 == n2, s"not idempotent: $n1 -> $n2")
     }
   }
+
+  test("pagerank agrees with a brute-force integer replay on random graphs") {
+    import graft.operators.Graph
+    val edgeGen = for {
+      n <- Gen.chooseNum(5, 25)
+      m <- Gen.chooseNum(n, 4 * n)
+      es <- Gen.listOfN(m, for {
+        s <- Gen.chooseNum(0, n - 1); t <- Gen.chooseNum(0, n - 1)
+        if s != t
+      } yield (s.toLong, t.toLong))
+    } yield (n, es.distinct)
+    (1 to 5).foreach { seed =>
+      val (n, es) = sample(edgeGen, seed)
+      val scale = 1000000L
+      val got = Graph.pagerank((0 until n).map(_.toLong).toDF("id"),
+          es.toDF("src", "dst"), "id", iters = 3, scale = scale)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute-force: the same integer recurrence in plain Scala
+      val deg = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var p = Array.fill(n)(scale / n)
+      for (_ <- 1 to 3) {
+        val in = Array.fill(n)(0L)
+        es.foreach { case (s, t) =>
+          in(t.toInt) += p(s.toInt) / deg(s)
+        }
+        p = Array.tabulate(n)(j => (15L * (scale / n) + 85L * in(j)) / 100L)
+      }
+      (0 until n).foreach { j =>
+        assert(got(j.toLong) === p(j), s"seed=$seed node=$j")
+      }
+    }
+  }
+
+  test("phrase search agrees with a sliding-window scan on random docs") {
+    import graft.llm.Index
+    val docGen = Gen.listOfN(30,
+      Gen.listOfN(20, Gen.oneOf("x", "y", "z", "w")).map(_.mkString(" ")))
+    (1 to 5).foreach { seed =>
+      val docs = sample(docGen, seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val phrase = Seq("x", "y", "x")
+      val got = Index.searchPhrase(docs.toDF("doc_id", "text"), "text",
+          "doc_id", phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = docs.map { case (id, t) =>
+        val toks = t.split("\\s+").toSeq
+        id -> toks.sliding(phrase.size)
+          .count(_ == phrase)
+      }.filter(_._2 > 0).toMap
+      assert(got === want.map { case (k, v) => k -> v.toLong }, s"seed=$seed")
+    }
+  }
+
+  test("autocorrelation matches brute-force Pearson on centi-unit values") {
+    import graft.operators.TimeSeries
+    val valGen = Gen.listOfN(60, Gen.chooseNum(-9999, 9999).map(_ / 100.0))
+    (1 to 5).foreach { seed =>
+      val vs = sample(valGen, seed)
+      val df = vs.zipWithIndex.map { case (v, i) =>
+        ("s", i.toLong, i.toLong, v)
+      }.toDF("series", "ts", "id", "value")
+      val got = TimeSeries.autocorrelation(df, Seq("series"), "ts", "id",
+          "value", maxLag = 2)
+        .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+      for (lag <- 1 to 2) {
+        val x = vs.dropRight(lag).map(v => math.round(v * 100).toDouble)
+        val y = vs.drop(lag).map(v => math.round(v * 100).toDouble)
+        val n = x.size.toDouble
+        val (sx, sy) = (x.sum, y.sum)
+        val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+        val (sxx, syy) = (x.map(a => a * a).sum, y.map(a => a * a).sum)
+        val r = (n * sxy - sx * sy) /
+          math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        // engine rounds to 6 dp; brute force is the same quantity up to
+        // summation order (exact integers well under 2^53 here)
+        assert(math.abs(got(lag) - r) < 5e-7,
+          s"seed=$seed lag=$lag got=${got(lag)} want=$r")
+      }
+    }
+  }
 }
