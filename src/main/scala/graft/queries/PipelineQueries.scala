@@ -89,6 +89,20 @@ object PipelineQueries {
     }: _*)
   }
 
+  /** Occupancy-sized bucket bits for the corpus-vs-itself kNN graph:
+    * the smallest b ≥ 4 with 2^b · 32 ≥ n (≈ 32 nodes per bucket), per
+    * SCALE.md's b ~ log₂N sizing rule — per-bucket occupancy, and so the
+    * candidate join, stays CONSTANT as the corpus grows instead of
+    * linear. At the oracle-gated SF (500 vectors) this is exactly the
+    * documented b = 4, so the static knn oracles stay valid; costs one
+    * cheap count. */
+  private def knnBucketBits(e: org.apache.spark.sql.DataFrame): Int = {
+    val n = math.max(1L, e.count())
+    var b = 4
+    while ((1L << b) * 32 < n && b < 24) b += 1
+    b
+  }
+
   /** Deterministic crawl-record URL synthesized from fixture columns for
     * the url_* queries — mixed case, www/default-port/fragment/tracking
     * params and a trailing slash so every normalize rule fires; multiples
@@ -1037,18 +1051,22 @@ object PipelineQueries {
     // candidates — the corpus-vs-itself sibling of ann_sign_lsh (shuffle
     // hash join on (band, bucket), nothing broadcasts); the substrate
     // for graph-based curation ----------------------------------------------
-    "knn_graph" -> ((s, d) =>
-      Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
-        k = 3, b = 4, dim = 64, bands = 2)
-        .select("src", "rank", "dst", "score")),
+    "knn_graph" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.knnGraph(e, "vec_id", "embedding",
+        k = 3, b = knnBucketBits(e), dim = 64, bands = 2)
+        .select("src", "rank", "dst", "score")
+    }),
 
     // --- mutual-kNN edges: pairs ranking EACH OTHER top-k — the standard
     // sparsifier before clustering the graph (hub nodes drop out) ---------
-    "knn_graph_mutual" -> ((s, d) =>
+    "knn_graph_mutual" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
       Similarity.mutualKnnEdges(
-        Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
-          k = 3, b = 4, dim = 64, bands = 2))
-        .select("id_a", "id_b", "score")),
+        Similarity.knnGraph(e, "vec_id", "embedding",
+          k = 3, b = knnBucketBits(e), dim = 64, bands = 2))
+        .select("id_a", "id_b", "score")
+    }),
 
     // --- fixed-point PageRank over the kNN graph: the graph-centrality
     // curation signal (dense-neighborhood = over-represented content).
@@ -1057,16 +1075,20 @@ object PipelineQueries {
     "graph_pagerank" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val edges = Similarity.knnGraph(e, "vec_id", "embedding",
-        k = 3, b = 4, dim = 64, bands = 2).select("src", "dst")
+        k = 3, b = knnBucketBits(e), dim = 64, bands = 2)
+        .select("src", "dst")
       val nodes = e.filter(size(col("embedding")) >= 64).select("vec_id")
       graft.operators.Graph.pagerank(nodes, edges, "vec_id", iters = 3)
     }),
 
     // --- degree profile of the same graph: hub/orphan diagnostic ------------
-    "graph_degree" -> ((s, d) =>
+    "graph_degree" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
       graft.operators.Graph.degreeProfile(
-        Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
-          k = 3, b = 4, dim = 64, bands = 2).select("src", "dst"))),
+        Similarity.knnGraph(e, "vec_id", "embedding",
+          k = 3, b = knnBucketBits(e), dim = 64, bands = 2)
+          .select("src", "dst"))
+    }),
 
     // --- connected components of the MUTUAL kNN graph: the log-round
     // large/small-star CC (similarity clusters CHAIN — plain min-root
@@ -1079,10 +1101,11 @@ object PipelineQueries {
       // precedent; at 100 TB |E| scales and the caller sizes this up)
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val e = Tables.embeddings(ss, d)
       Dedup.clustersStar(
         Similarity.mutualKnnEdges(
-          Similarity.knnGraph(Tables.embeddings(ss, d), "vec_id",
-            "embedding", k = 3, b = 4, dim = 64, bands = 2))
+          Similarity.knnGraph(e, "vec_id", "embedding",
+            k = 3, b = knnBucketBits(e), dim = 64, bands = 2))
           .select("id_a", "id_b"))
     }),
 
@@ -1093,7 +1116,8 @@ object PipelineQueries {
     "graph_labelprop" -> ((s, d) => {
       val e = Tables.embeddings(s, d).filter(size(col("embedding")) >= 64)
       val knn = Similarity.knnGraph(e, "vec_id", "embedding",
-        k = 3, b = 4, dim = 64, bands = 2).select("src", "dst")
+        k = 3, b = knnBucketBits(e), dim = 64, bands = 2)
+        .select("src", "dst")
       // symmetrize: labels flow along similarity, not kNN direction
       val sym = knn.union(knn.select(col("dst").as("src"),
         col("src").as("dst")))
