@@ -368,6 +368,22 @@ class PlanSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("round-8 ops are reachable from plain SQL over the views") {
+    Graft.attachViews(spark, sf001)
+    // k-anonymity classes straight in SQL (the operator is declarative —
+    // the library form and the SQL form are the same plan family)
+    val kanon = spark.sql(
+      """SELECT lang, source, n_chars div 200 AS len_bucket,
+        |       count(*) AS class_size, count(*) < 5 AS at_risk
+        |FROM documents GROUP BY 1, 2, 3""".stripMargin)
+    assert(kanon.count() > 0)
+    // the Morton key as a plain column over a view-backed frame
+    val z = graft.operators.Layout.zorderKey2(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("n_chars"), bits = 8)
+    assert(spark.table("documents").select(z.as("zkey")).count() > 0)
+  }
+
   test("round-7 kernels: SQL builders wire and compute on literals") {
     // the shared test session predates the extension injection, so the
     // builders are exercised directly (the ExpressionsSpec precedent)
