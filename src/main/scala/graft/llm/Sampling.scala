@@ -533,4 +533,77 @@ object Sampling {
         col("target_tokens"), col("served_tokens"), col("epochs"),
         col("capped"), col("shortfall"))
   }
+
+  /** Water-filling budget allocation — [[epochAllocation]] WITH the
+    * spill closed: sources that hit their `maxEpochs` capacity release
+    * their surplus, which redistributes proportionally (by weight)
+    * among the un-capped sources, in ONE pass via the classic sorted
+    * threshold — no renormalize-and-re-run loop. The result is the
+    * unique allocation a_i = min(capacity_i, λ·w_i) with Σa = min(B,
+    * Σcapacity).
+    *
+    * == All-integer determinism ==
+    * Sources sort by the exact-order key `capacity·10⁶ div weight`
+    * (truncation cannot reorder two distinct ratios when weights ≤ 100
+    * — their scaled gap is ≥ 10⁶/(w_i·w_j) ≥ 100), source name as the
+    * tie-break. The cut point is the FIRST row where
+    * `(B − prefix_cap)·w ≤ capacity·remaining_weight` (cross-multiplied
+    * longs — no division), and proportional shares are integer
+    * `(B − prefix_cap_cut)·w div remW_cut`. Σalloc ≤ B exactly;
+    * truncation remainders (< #sources tokens) are intentionally left
+    * unspent, never over-allocated.
+    *
+    * Scale shape: one map-side-combined aggregate to |sources| rows;
+    * the threshold windows run single-partition over that PLANNING
+    * frame — |sources| is dozens-to-hundreds by construction (mixture
+    * labels), which is the point of planning on the aggregate. */
+  def waterfillAllocation(df: DataFrame, sourceCol: String,
+                          tokenCol: String, budget: Long,
+                          weights: Seq[(String, Long)],
+                          defaultWeight: Long = 1L,
+                          maxEpochs: Double = 4.0): DataFrame = {
+    require(budget > 0 && budget < 1000000000000000L,
+      s"budget=$budget out of (0, 1e15)")
+    require(maxEpochs > 0, s"maxEpochs=$maxEpochs must be positive")
+    (weights.map(_._2) :+ defaultWeight).foreach(w =>
+      require(w >= 1 && w <= 100, s"weight $w outside [1,100] (the " +
+        "exact-sort-key bound)"))
+    val wCol = weights.foldRight(lit(defaultWeight)) {
+      case ((src, w), acc) =>
+        when(col(sourceCol) === src, lit(w)).otherwise(acc)
+    }
+    val agg = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol).cast("long")).as("n_tokens"))
+      .withColumn("weight", wCol)
+      .withColumn("capacity",
+        floor(lit(maxEpochs) * col("n_tokens").cast("double")).cast("long"))
+    val byRatio = Window.orderBy(
+      expr("capacity * 1000000 div weight"), col(sourceCol))
+    val rows = agg
+      .withColumn("__rank", row_number().over(byRatio))
+      .withColumn("__pc", coalesce(sum(col("capacity")).over(
+        byRatio.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__rw", sum(col("weight")).over(
+        byRatio.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("__flag",
+        (lit(budget) - col("__pc")) * col("weight") <=
+          col("capacity") * col("__rw"))
+    val cut = broadcast(rows.filter(col("__flag"))
+      .orderBy(col("__rank")).limit(1)
+      .select(col("__rank").as("__cut"), col("__pc").as("__cpc"),
+        col("__rw").as("__crw")))
+    rows.join(cut, lit(true), "left")
+      .withColumn("alloc_tokens",
+        when(col("__cut").isNull || col("__rank") < col("__cut"),
+          col("capacity"))
+          .otherwise(expr(s"($budget - __cpc) * weight div __crw")))
+      .withColumn("epochs", round(col("alloc_tokens").cast("double")
+        / col("n_tokens").cast("double"), 6))
+      .withColumn("at_cap", col("__cut").isNull ||
+        col("__rank") < col("__cut"))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        col("weight"), col("capacity"), col("alloc_tokens"),
+        col("epochs"), col("at_cap"))
+  }
 }

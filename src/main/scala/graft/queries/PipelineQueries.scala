@@ -724,6 +724,14 @@ object PipelineQueries {
         budget = 1000000L, weights = Seq("src0" -> 3L, "src1" -> 2L),
         maxEpochs = 4.0)),
 
+    // --- water-filling budget allocation: pack_epochs WITH the spill
+    // closed — capped sources release surplus that redistributes among
+    // the rest via the one-pass sorted threshold; all-integer cut math --
+    "mixture_waterfill" -> ((s, d) =>
+      Sampling.waterfillAllocation(Tables.documents(s, d), "source",
+        "n_chars", budget = 400000L,
+        weights = Seq("src0" -> 5L, "src1" -> 3L), maxEpochs = 4.0)),
+
     // --- DSIR importance resampling: the 100 docs (of the non-src0 pool)
     // whose hashed-n-gram distribution looks most like the src0 target,
     // Gumbel-sampled ∝ importance weight (Xie et al. 2023) ---------------
@@ -3085,6 +3093,46 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       // literals
       "bm25_topk" ->
         s"WITH $toksCte,\n$Bm25OracleCtes\n$Bm25OracleTop",
+
+      // the sorted-threshold waterfill with cross-multiplied integer cut
+      // math; the exact-order sort key and every share are integers
+      "mixture_waterfill" ->
+        """WITH a AS (
+          |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |         CAST(sum(n_chars) AS BIGINT) AS n_tokens,
+          |         CAST(CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 3
+          |              ELSE 1 END AS BIGINT) AS weight
+          |  FROM documents GROUP BY 1),
+          |c AS (SELECT *, CAST(floor(4.0 * n_tokens) AS BIGINT)
+          |        AS capacity FROM a),
+          |r AS (SELECT *, row_number() OVER w AS rnk,
+          |             COALESCE(SUM(capacity) OVER (
+          |               w ROWS BETWEEN UNBOUNDED PRECEDING
+          |               AND 1 PRECEDING), 0) AS pc,
+          |             SUM(weight) OVER (
+          |               w ROWS BETWEEN CURRENT ROW
+          |               AND UNBOUNDED FOLLOWING) AS rw
+          |      FROM c
+          |      WINDOW w AS (ORDER BY capacity * 1000000 // weight,
+          |                   source)),
+          |f AS (SELECT rnk AS cut, pc AS cpc, rw AS crw FROM r
+          |      WHERE (400000 - pc) * weight <= capacity * rw
+          |      ORDER BY rnk LIMIT 1),
+          |al AS (SELECT source, n_docs, n_tokens, weight, capacity,
+          |         CASE WHEN (SELECT cut FROM f) IS NULL
+          |                   OR rnk < (SELECT cut FROM f)
+          |              THEN capacity
+          |              ELSE CAST((400000 - (SELECT cpc FROM f)) * weight
+          |                   // (SELECT crw FROM f) AS BIGINT) END
+          |           AS alloc_tokens,
+          |         ((SELECT cut FROM f) IS NULL
+          |          OR rnk < (SELECT cut FROM f)) AS at_cap
+          |       FROM r)
+          |SELECT source, n_docs, n_tokens, weight, capacity, alloc_tokens,
+          |       round(CAST(alloc_tokens AS DOUBLE)
+          |             / CAST(n_tokens AS DOUBLE), 6) AS epochs,
+          |       at_cap
+          |FROM al""".stripMargin,
 
       // distinct (doc, term) postings; stop terms (df > 400) keep their
       // df with NULL postings, mirroring the engine's anti-join cap

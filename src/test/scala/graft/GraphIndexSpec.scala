@@ -287,6 +287,28 @@ class GraphIndexSpec extends SparkSpec {
     assert(segs.toSeq === Seq("<aa><a>"))
   }
 
+  test("waterfill spills capped surplus to the uncapped sources") {
+    // A: cap 10 (2 tokens/doc ×5 docs ×maxEpochs 1), B: cap 100;
+    // equal weights, budget 60 → A caps at 10, B takes the spilled 50
+    // (plain proportional would give each 30)
+    val docs = ((1 to 5).map(i => ("A", 10L)) ++
+      (1 to 5).map(i => ("B", 100L))).toDF("source", "tok")
+    val out = graft.llm.Sampling.waterfillAllocation(docs, "source",
+        "tok", budget = 520L, weights = Nil, maxEpochs = 1.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(4), r.getLong(5), r.getBoolean(7)))).toMap
+    // capacities: A = 50, B = 500; budget 520 > 50+? cut math:
+    // sorted A(50) then B(500); i=1: (520-0)*1 <= 50*2? no;
+    // i=2: (520-50)*1 <= 500*1 yes → A capped 50, B = 470
+    assert(out("A") === ((50L, 50L, true)))
+    assert(out("B") === ((500L, 470L, false)))
+    // budget beyond total capacity: everyone caps
+    val all = graft.llm.Sampling.waterfillAllocation(docs, "source",
+        "tok", budget = 10000L, weights = Nil, maxEpochs = 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(all === Map("A" -> 50L, "B" -> 500L))
+  }
+
   test("zorder key interleaves bits (x even, y odd positions)") {
     // x=5 (101b) → bits at positions 0,4 = 17; y=3 (011b) → 1,3 = 10
     val out = Seq((5L, 3L)).toDF("x", "y")

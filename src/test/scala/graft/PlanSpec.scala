@@ -57,7 +57,10 @@ class PlanSpec extends SparkSpec {
       "eval_rank_metrics",
       // both rankings (full-dim and 16-dim prefix) are the brute-force
       // scorer by design — the truncation eval needs exact ground truth
-      "embed_matryoshka")
+      "embed_matryoshka",
+      // the 1-row cut threshold broadcast-attaches to the |sources|
+      // planning frame (the corpus-stat scalar-attach pattern)
+      "mixture_waterfill")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intended)
       .filter { name =>
