@@ -596,4 +596,70 @@ object Similarity {
       .orderBy(col("rrf").desc, col(idCol))
       .limit(k)
   }
+
+  /** Greedy best-first GRAPH search over a prebuilt kNN graph — the
+    * serving-side navigation layer of graph-based ANN (the HNSW family's
+    * base-layer walk, batched): every query starts at the shared entry
+    * node (lowest id), and each hop expands the current top-`beam`
+    * nodes' out-edges, scores the UNVISITED candidates against the
+    * query, and re-ranks. After `hops` rounds the best `k` visited nodes
+    * are the result. The quality/fanout trade is explicit: recall grows
+    * with beam × hops; edges come from [[knnGraph]], whose bucket sizing
+    * governs graph connectivity.
+    *
+    * Determinism: scores are the shared sequential-fold dot on
+    * normalized vectors (bit-identical in the oracle), every ranking
+    * breaks ties on the node id, and the visited-set dedup is exact —
+    * the whole traversal unrolls hop-for-hop in SQL.
+    *
+    * Scale shape per hop: the frontier frame is |Q|×beam rows; expansion
+    * is an equi-join onto the edge frame (hash-partitioned on src), the
+    * anti-join against visited is |Q|×|visited-per-query| (bounded by
+    * beam×hops×out-degree), and scoring joins candidates to the vector
+    * table by id — at 100 TB that lookup is the one random-access-shaped
+    * join (a production deployment backs it with a KV/ANN-serving store;
+    * the plan keeps it an id-keyed hash join). `localCheckpoint` per hop
+    * caps plan depth. Nothing but the entry id (one scalar) touches the
+    * driver. */
+  def graphSearchTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                      queries: DataFrame, edges: DataFrame, k: Int,
+                      beam: Int, hops: Int, dim: Int): DataFrame = {
+    require(k >= 1 && beam >= 1 && hops >= 1 && hops <= 10,
+      s"k=$k beam=$beam hops=$hops out of range")
+    val nv = corpus.filter(size(col(vecCol)) >= dim)
+      .select(col(idCol).as("__nid"), normalize(col(vecCol)).as("__nv"))
+    val q = queries.filter(size(col(vecCol)) >= dim)
+      .select(col(idCol).as("query_id"), normalize(col(vecCol)).as("__qv"))
+    val e = edges.select(col("src").as("__esrc"), col("dst").as("__edst"))
+    val entry = corpus.filter(size(col(vecCol)) >= dim)
+      .agg(min(col(idCol))).head.getLong(0)
+    def score(cand: DataFrame): DataFrame = cand
+      .join(nv, cand("id") === nv("__nid"))
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("id"),
+        dot(col("__nv"), col("__qv")).as("score"))
+    var visited = score(q.select(col("query_id"), lit(entry).as("id")))
+      .localCheckpoint()
+    var frontier = visited.select(col("query_id"), col("id"))
+    for (_ <- 1 to hops) {
+      val cand = frontier.join(e, frontier("id") === e("__esrc"))
+        .select(col("query_id"), col("__edst").as("id")).distinct()
+        .join(visited.select(col("query_id"), col("id")),
+          Seq("query_id", "id"), "left_anti")
+      visited = visited.unionByName(score(cand)).localCheckpoint()
+      frontier = visited
+        .withColumn("__r", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col("id"))))
+        .filter(col("__r") <= beam)
+        .select(col("query_id"), col("id"))
+    }
+    visited.filter(col("id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        round(col("score"), 6).as("score"))
+  }
 }

@@ -1076,6 +1076,19 @@ object PipelineQueries {
         .select("id_a", "id_b", "score")
     }),
 
+    // --- greedy best-first graph ANN search: the HNSW-family serving
+    // walk, batched — shared lowest-id entry, beam-ranked expansion of
+    // unvisited out-neighbors, hop-unrolled oracle ---------------------------
+    "ann_graph_search" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val edges = Similarity.knnGraph(e, "vec_id", "embedding",
+        k = 3, b = knnBucketBits(e), dim = 64, bands = 2)
+        .select("src", "dst")
+      Similarity.graphSearchTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 10), edges, k = 5, beam = 8, hops = 3,
+        dim = 64)
+    }),
+
     // --- fixed-point PageRank over the kNN graph: the graph-centrality
     // curation signal (dense-neighborhood = over-represented content).
     // All-integer rank masses → bit-exact oracle replay; per iteration
@@ -2454,6 +2467,41 @@ object PipelineQueries {
          |        FROM v${k - 1})""".stripMargin
     }
     (v0 +: steps).mkString(",\n")
+  }
+
+  /** The unrolled graph-search hops mirroring
+    * [[Similarity.graphSearchTopK]]: shared entry, NOT-EXISTS visited
+    * dedup, beam re-rank per hop. Expects [[knnEdgeCtes]]'s `ec`/`e`/`g`
+    * upstream; produces `q`, v0..v`hops`, f0..f`hops`. */
+  private def graphSearchCtes(beam: Int, hops: Int,
+                              nQueries: Int): String = {
+    val head =
+      s"""q AS (SELECT vec_id AS query_id, nv AS qv FROM e
+         |      WHERE vec_id < $nQueries),
+         |ent AS (SELECT min(vec_id) AS id FROM ec),
+         |v0 AS MATERIALIZED (
+         |  SELECT q.query_id, (SELECT id FROM ent) AS id,
+         |         list_dot_product(en.nv, q.qv) AS score
+         |  FROM q JOIN e en ON en.vec_id = (SELECT id FROM ent)),
+         |f0 AS (SELECT query_id, id FROM v0)""".stripMargin
+    val steps = (1 to hops).map { h =>
+      s"""c$h AS (SELECT DISTINCT f.query_id, g.dst AS id
+         |  FROM f${h - 1} f JOIN g ON g.src = f.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${h - 1} vv
+         |                    WHERE vv.query_id = f.query_id
+         |                      AND vv.id = g.dst)),
+         |s$h AS (SELECT c.query_id, c.id,
+         |          list_dot_product(en.nv, q.qv) AS score
+         |        FROM c$h c JOIN e en ON en.vec_id = c.id
+         |        JOIN q ON q.query_id = c.query_id),
+         |v$h AS MATERIALIZED (
+         |  SELECT * FROM v${h - 1} UNION ALL SELECT * FROM s$h),
+         |f$h AS (SELECT query_id, id FROM (
+         |  SELECT query_id, id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, id) AS r
+         |  FROM v$h) WHERE r <= $beam)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
   }
 
   /** The unrolled label-propagation rounds l0..l`iters` mirroring
@@ -3954,6 +4002,19 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
             |SELECT id AS vec_id, CAST(pr AS BIGINT) AS pr_fp,
             |       CAST(pr // 1000000 AS BIGINT) AS pr_ppm
             |FROM p3""".stripMargin),
+
+      // knn edge CTEs + the hop-unrolled greedy walk
+      "ann_graph_search" ->
+        (s"WITH $knnEdgeCtes,\n" +
+          graphSearchCtes(beam = 8, hops = 3, nQueries = 10) +
+          """
+            |SELECT query_id, CAST(rank AS BIGINT) AS rank,
+            |       id AS neighbor_id, round(score, 6) AS score
+            |FROM (SELECT query_id, id, score, row_number() OVER (
+            |        PARTITION BY query_id
+            |        ORDER BY score DESC, id) AS rank
+            |      FROM v3 WHERE id <> query_id)
+            |WHERE rank <= 5""".stripMargin),
 
       // mutual edges from the same CTEs; the dedup_clusters recursive
       // min-root reach, over the sparsified similarity substrate

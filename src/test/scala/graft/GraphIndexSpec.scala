@@ -287,6 +287,31 @@ class GraphIndexSpec extends SparkSpec {
     assert(segs.toSeq === Seq("<aa><a>"))
   }
 
+  test("graph search walks the chain from the entry to the target") {
+    // five unit vectors on an arc; edges form the chain 0–1–2–3–4 (both
+    // directions). Query = node 4's vector, entry = node 0: the walk
+    // must traverse the whole chain in 4 hops and rank 3 (angularly
+    // closest) above 2.
+    val vecs = (0 to 4).map { i =>
+      (i.toLong, Array(math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat))
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val chain = (0 to 3).flatMap(i =>
+      Seq((i.toLong, i + 1L), (i + 1L, i.toLong))).toDF("src", "dst")
+    val out = graft.llm.Similarity.graphSearchTopK(corpus, "vec_id",
+        "embedding", corpus.filter(col("vec_id") === 4), chain,
+        k = 2, beam = 2, hops = 4, dim = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 3L), (2L, 2L)))
+    // too few hops: the walk cannot reach past the frontier
+    val short = graft.llm.Similarity.graphSearchTopK(corpus, "vec_id",
+        "embedding", corpus.filter(col("vec_id") === 4), chain,
+        k = 1, beam = 2, hops = 1, dim = 2)
+      .collect().map(r => r.getLong(2))
+    assert(short.toSeq === Seq(1L), "one hop sees only node 1")
+  }
+
   test("waterfill spills capped surplus to the uncapped sources") {
     // A: cap 10 (2 tokens/doc ×5 docs ×maxEpochs 1), B: cap 100;
     // equal weights, budget 60 → A caps at 10, B takes the spilled 50
