@@ -69,16 +69,21 @@ object Bpe {
         .agg(sum(col("wc")).as("pair_count"))
       val top = pairs
         .orderBy(col("pair_count").desc, col("left"), col("right"))
-        .limit(1).head()
-      val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
-      vocab = vocab
-        .withColumn("v",
-          functions.replace(col("v"), lit(s"<$l><$r>"), lit(s"<$l$r>")))
-        .localCheckpoint()
-      (round, l, r, l + r, c)
+        .limit(1).collect().headOption
+      top.map { t =>
+        val (l, r, c) = (t.getString(0), t.getString(1), t.getLong(2))
+        vocab = vocab
+          .withColumn("v",
+            functions.replace(col("v"), lit(s"<$l><$r>"), lit(s"<$l$r>")))
+          .localCheckpoint()
+        (round, l, r, l + r, c)
+      }
     }
     import spark.implicits._
-    rows.toDF("round", "left", "right", "merged", "pair_count")
+    // a pair-less vocabulary (single-char words, or fully fused) ends
+    // training early with however many merges the corpus supported
+    rows.takeWhile(_.isDefined).flatten
+      .toDF("round", "left", "right", "merged", "pair_count")
   }
 
   /** Tokenize the CORPUS with a trained merge table: per document, the

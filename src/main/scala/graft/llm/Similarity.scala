@@ -631,8 +631,14 @@ object Similarity {
     val q = queries.filter(size(col(vecCol)) >= dim)
       .select(col(idCol).as("query_id"), normalize(col(vecCol)).as("__qv"))
     val e = edges.select(col("src").as("__esrc"), col("dst").as("__edst"))
-    val entry = corpus.filter(size(col(vecCol)) >= dim)
-      .agg(min(col(idCol))).head.getLong(0)
+    val entryRow = corpus.filter(size(col(vecCol)) >= dim)
+      .agg(min(col(idCol))).head
+    if (entryRow.isNullAt(0))
+      // empty (or all-degenerate) corpus: no entry point, no results —
+      // an empty frame with the contract schema, not a crash
+      return q.select(col("query_id"), lit(0L).as("rank"),
+        col("query_id").as("neighbor_id"), lit(0.0).as("score")).limit(0)
+    val entry = entryRow.getLong(0)
     def score(cand: DataFrame): DataFrame = cand
       .join(nv, cand("id") === nv("__nid"))
       .join(q, Seq("query_id"))

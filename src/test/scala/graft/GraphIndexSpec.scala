@@ -225,6 +225,50 @@ class GraphIndexSpec extends SparkSpec {
     assert(c.isNullAt(3))
   }
 
+  test("degenerate inputs: round-8 ops return empty/partial, never crash") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptyVecs = Seq.empty[(Long, Array[Float])]
+      .toDF("vec_id", "embedding")
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    // bpe: single-char words have no pairs → training ends after zero
+    // merges instead of throwing on the empty argmax
+    assert(graft.llm.Bpe.train(Seq("a b c").toDF("text"), "text",
+      merges = 3).count() === 0)
+    // bpe: corpus fuses completely before the merge budget runs out
+    val early = graft.llm.Bpe.train(Seq("ab ab").toDF("text"), "text",
+      merges = 5).collect()
+    assert(early.length === 1 && early.head.getString(3) === "ab")
+    // graph search: empty corpus → empty result with the contract schema
+    val gs = graft.llm.Similarity.graphSearchTopK(emptyVecs, "vec_id",
+      "embedding", emptyVecs, noEdges, k = 3, beam = 2, hops = 2, dim = 4)
+    assert(gs.count() === 0 &&
+      gs.columns.toSeq === Seq("query_id", "rank", "neighbor_id", "score"))
+    // pagerank / labelprop / degree on empty graphs
+    assert(graft.operators.Graph.pagerank(
+      Seq.empty[Long].toDF("id"), noEdges, "id").count() === 0)
+    assert(graft.operators.Graph.degreeProfile(noEdges).count() === 0)
+    // postings/search on an empty corpus
+    assert(graft.llm.Index.postings(emptyDocs, "text", "doc_id",
+      maxDf = 10).count() === 0)
+    assert(graft.llm.Index.searchPhrase(emptyDocs, "text", "doc_id",
+      Seq("a", "b")).count() === 0)
+    // waterfill / kanon / sketches / cusum / autocorr on empty frames
+    assert(graft.llm.Sampling.waterfillAllocation(
+      Seq.empty[(String, Long)].toDF("source", "tok"), "source", "tok",
+      budget = 10L, weights = Nil).count() === 0)
+    assert(graft.llm.Privacy.kAnonymityClasses(emptyDocs,
+      Seq(col("text")), k = 2).count() === 0)
+    assert(graft.llm.Sketches.hllSourceOverlap(
+      Seq.empty[(String, String)].toDF("source", "text"), "text",
+      "source").count() === 0)
+    val emptyEv = Seq.empty[(String, Long, Long, Double)]
+      .toDF("series", "ts", "id", "value")
+    assert(graft.operators.TimeSeries.cusumChangePoint(emptyEv,
+      Seq("series"), "ts", "id", "value").count() === 0)
+    assert(graft.operators.TimeSeries.autocorrelation(emptyEv,
+      Seq("series"), "ts", "id", "value", maxLag = 2).count() === 0)
+  }
+
   test("pca power iteration finds the dominant axis") {
     // cloud stretched along e0 (±8) with ±0.25 jitter on e1: the top
     // component must align with e0 almost exactly, eigenvalue ≈ Σx²
