@@ -630,7 +630,11 @@ object Similarity {
       .select(col(idCol).as("__nid"), normalize(col(vecCol)).as("__nv"))
     val q = queries.filter(size(col(vecCol)) >= dim)
       .select(col(idCol).as("query_id"), normalize(col(vecCol)).as("__qv"))
+    // materialize the edge frame ONCE: its lineage (the kNN build's LSH
+    // join + ranking window) would otherwise re-execute inside EVERY
+    // hop's expansion join (the pagerank lesson)
     val e = edges.select(col("src").as("__esrc"), col("dst").as("__edst"))
+      .localCheckpoint()
     val entryRow = corpus.filter(size(col(vecCol)) >= dim)
       .agg(min(col(idCol))).head
     if (entryRow.isNullAt(0))
