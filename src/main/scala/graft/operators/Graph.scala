@@ -84,6 +84,56 @@ object Graph {
       expr("pr_fp div 1000000").as("pr_ppm"))
   }
 
+  /** PERSONALIZED fixed-point PageRank: the teleport mass returns only
+    * to `seeds` instead of spreading uniformly, so ranks measure
+    * proximity to the seed set — the standard graph-expansion ranking
+    * ("find more like my curated examples") that [[labelPropagate]]'s
+    * hard labels approximate softly. Same integer scheme as
+    * [[pagerank]]: p'(v) = ((100−d)·(scale div |S|)·[v∈S] + d·in(v))
+    * div 100, every op exact, dangling mass dropped. Nodes unreachable
+    * from the seeds converge to rank 0 — the point of the
+    * personalization.
+    *
+    * Scale shape is [[pagerank]]'s: per iteration one edge⋈rank join on
+    * the pinned src partitioning, one dst aggregate, one node-set left
+    * join; the seed set rides as a broadcast semi-join flag. */
+  def pagerankPersonalized(nodes: DataFrame, seeds: DataFrame,
+                           edges: DataFrame, idCol: String,
+                           srcCol: String = "src", dstCol: String = "dst",
+                           iters: Int = 3, dampPct: Int = 85,
+                           scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters=$iters out of [1,50]")
+    require(dampPct >= 0 && dampPct <= 100, s"dampPct=$dampPct not a pct")
+    val n = nodes.select(col(idCol).as("id")).distinct().localCheckpoint()
+    val sd = seeds.select(col(idCol).as("id")).distinct().localCheckpoint()
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src")).localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val nS = broadcast(sd.agg(count(lit(1)).cast("long").as("n_seeds")))
+    val flagged = n.join(broadcast(sd.withColumn("__is_seed", lit(1L))),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("__is_seed"), lit(0L)).as("__s"))
+      .localCheckpoint()
+    def nextP(prev: DataFrame): DataFrame = {
+      val contrib = prev.join(deg, prev("id") === deg("src"))
+        .select(col("src"), expr("pr_fp div deg").as("c"))
+      val in = e.join(contrib, "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("c")).as("inm"))
+      flagged.join(in, Seq("id"), "left").crossJoin(nS)
+        .withColumn("inm", coalesce(col("inm"), lit(0L)))
+        .select(col("id"), expr(
+          s"(${100 - dampPct} * ($scale div n_seeds) * __s + " +
+            s"$dampPct * inm) div 100").as("pr_fp"))
+        .localCheckpoint()
+    }
+    var p = flagged.crossJoin(nS)
+      .select(col("id"), expr(s"($scale div n_seeds) * __s").as("pr_fp"))
+    for (_ <- 1 to iters) p = nextP(p)
+    p.select(col("id").as(idCol), col("pr_fp"),
+      expr("pr_fp div 1000000").as("pr_ppm"))
+  }
+
   /** Semi-supervised label propagation over an edge frame: seed nodes
     * keep their label (clamped), unlabeled nodes adopt each round the
     * most common label among their in-neighbors' current labels —

@@ -1102,6 +1102,19 @@ object PipelineQueries {
       graft.operators.Graph.pagerank(nodes, edges, "vec_id", iters = 3)
     }),
 
+    // --- personalized PageRank: teleport only to the vec_id < 100 seed
+    // set — proximity-to-seeds ranking for seed-set expansion; same
+    // integer masses, unreachable nodes converge to 0 ------------------------
+    "graph_ppr" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val edges = Similarity.knnGraph(e, "vec_id", "embedding",
+        k = 3, b = knnBucketBits(e), dim = 64, bands = 2)
+        .select("src", "dst")
+      val nodes = e.filter(size(col("embedding")) >= 64).select("vec_id")
+      graft.operators.Graph.pagerankPersonalized(nodes,
+        nodes.filter(col("vec_id") < 100), edges, "vec_id", iters = 3)
+    }),
+
     // --- degree profile of the same graph: hub/orphan diagnostic ------------
     "graph_degree" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -4044,6 +4057,35 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
             |""".stripMargin +
           labelPropCtes(3) +
           "\nSELECT id AS vec_id, label FROM l3"),
+
+      // the seeded variant: teleport mass gated by the seed flag
+      "graph_ppr" ->
+        (s"WITH $knnEdgeCtes,\n" +
+          """nodes AS (SELECT vec_id AS id FROM ec),
+            |sd AS (SELECT id FROM nodes WHERE id < 100),
+            |ns AS (SELECT count(*) AS n FROM sd),
+            |fl AS (SELECT n.id,
+            |         CASE WHEN s.id IS NULL THEN 0 ELSE 1 END AS iss
+            |       FROM nodes n LEFT JOIN sd s USING (id)),
+            |deg AS (SELECT src, count(*) AS deg FROM g GROUP BY 1),
+            |p0 AS (SELECT id,
+            |         (1000000000000 // (SELECT n FROM ns)) * iss AS pr
+            |       FROM fl),
+            |""".stripMargin +
+          (1 to 3).map { k =>
+            s"""p$k AS (SELECT f.id,
+               |  (15 * (1000000000000 // (SELECT n FROM ns)) * f.iss
+               |   + 85 * COALESCE(im.inm, 0)) // 100 AS pr
+               |  FROM fl f LEFT JOIN (
+               |    SELECT ge.dst AS id, SUM(pp.pr // dg.deg) AS inm
+               |    FROM g ge JOIN p${k - 1} pp ON ge.src = pp.id
+               |    JOIN deg dg ON ge.src = dg.src
+               |    GROUP BY ge.dst) im USING (id))""".stripMargin
+          }.mkString(",\n") +
+          """
+            |SELECT id AS vec_id, CAST(pr AS BIGINT) AS pr_fp,
+            |       CAST(pr // 1000000 AS BIGINT) AS pr_ppm
+            |FROM p3""".stripMargin),
 
       // same edge CTEs; full outer degree merge
       "graph_degree" ->

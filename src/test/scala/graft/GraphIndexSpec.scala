@@ -33,6 +33,24 @@ class GraphIndexSpec extends SparkSpec {
     assert(out === Map(1L -> 75L, 2L -> 500L))
   }
 
+  test("personalized pagerank concentrates mass near the seed") {
+    // path 1→2→3→4, seed {1}, scale 1000: mass decays along the path and
+    // node 4 (3 hops out, no teleport) gets only damped flow-through;
+    // node 5 is unreachable → exactly 0
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val seeds = Seq(1L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.pagerankPersonalized(nodes, seeds, edges, "id",
+        iters = 3, scale = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(5L) === 0L, "unreachable from seeds → zero")
+    // hand replay (the initial pulse is still traversing the path, so
+    // node 4 momentarily holds the wave front): p0=(1000,0,0,0,0);
+    // p1=(150,850,0,0,0); p2=(150,127,722,0,0); p3=(150,127,107,613,0)
+    assert(out === Map(1L -> 150L, 2L -> 127L, 3L -> 107L, 4L -> 613L,
+      5L -> 0L))
+  }
+
   test("pagerank is partition-order invariant and conserves ≤ scale") {
     val nodes = spark.range(0, 40).toDF("id")
     val edges = (0 until 40).flatMap(i =>
