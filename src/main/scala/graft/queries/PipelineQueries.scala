@@ -1983,6 +1983,16 @@ object PipelineQueries {
       graft.llm.Bpe.segmentCorpus(Tables.documents(s, d), "text",
         "doc_id", merges = 6)),
 
+    // --- DEEP BPE training: a 500-merge budget (the corpus fuses
+    // completely first — training ends when no adjacent pair remains).
+    // Incremental pair-delta maintenance: the corpus is scanned once,
+    // the pair frame is built once, and each round recounts only the
+    // words the winning pair touches — per-round cost tracks the pair's
+    // support, not the vocabulary, so deep training is sub-linear in
+    // merges. ------------------------------------------------------------
+    "bpe_train_deep" -> ((s, d) =>
+      graft.llm.Bpe.train(Tables.documents(s, d), "text", merges = 500)),
+
     // --- lag-1..3 autocorrelation per series: exact-decimal moment sums,
     // one sort serves all lags, pair rows collapse into one aggregate ------
     "ts_autocorr" -> ((s, d) =>
@@ -2478,6 +2488,54 @@ object PipelineQueries {
          |          '<' || (SELECT l FROM t$k) ||
          |            (SELECT r FROM t$k) || '>') AS v, wc
          |        FROM v${k - 1})""".stripMargin
+    }
+    (v0 +: steps).mkString(",\n")
+  }
+
+  /** [[bpeCtes]] hardened for DEEP unrolls past corpus exhaustion: once
+    * no adjacent pair remains, t_k is EMPTY — the vocab step must then
+    * pass v through unchanged (an unguarded `replace` against the empty
+    * t_k's NULL scalar subqueries would null the whole vocabulary), and
+    * the merge rows accumulate through chained m_k CTEs instead of one
+    * wide UNION ALL (a 120-way union overflows DuckDB's expression-depth
+    * limit; the CTE chain binds flat). 120 rounds covers any run of this
+    * corpus: the vocabulary's Σ(len(w)−1) bounds possible merges at 107,
+    * so the engine's 500-merge budget and the oracle's fixed unroll
+    * provably agree — every round past exhaustion is a no-op on both
+    * sides. Produces m`merges` = (round, l, r, c). */
+  private def bpeDeepCtes(merges: Int): String = {
+    val v0 =
+      """w0 AS (SELECT term AS w, CAST(count(*) AS BIGINT) AS wc FROM (
+        |        SELECT unnest(string_split_regex(text, '\s+')) AS term
+        |        FROM documents) t
+        |      WHERE len(term) > 0 AND term NOT LIKE '%<%'
+        |        AND term NOT LIKE '%>%'
+        |      GROUP BY 1),
+        |v0 AS MATERIALIZED (
+        |       SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS v, wc
+        |       FROM w0),
+        |m0 AS (SELECT 0 AS round, '' AS l, '' AS r,
+        |              CAST(0 AS BIGINT) AS c WHERE false)""".stripMargin
+    val steps = (1 to merges).map { k =>
+      s"""p$k AS (SELECT t[i] AS l, t[i + 1] AS r, SUM(wc) AS c
+         |  FROM (SELECT wc, t, unnest(generate_series(1, len(t) - 1)) AS i
+         |        FROM (SELECT wc, string_split(v[2:-2], '><') AS t
+         |              FROM v${k - 1})
+         |        WHERE len(t) >= 2)
+         |  GROUP BY 1, 2),
+         |t$k AS MATERIALIZED (SELECT l, r, c FROM p$k
+         |        ORDER BY c DESC, l, r LIMIT 1),
+         |v$k AS MATERIALIZED (SELECT
+         |        CASE WHEN (SELECT count(*) FROM t$k) = 0 THEN v
+         |        ELSE replace(v,
+         |          '<' || (SELECT l FROM t$k) || '><' ||
+         |            (SELECT r FROM t$k) || '>',
+         |          '<' || (SELECT l FROM t$k) ||
+         |            (SELECT r FROM t$k) || '>') END AS v, wc
+         |        FROM v${k - 1}),
+         |m$k AS MATERIALIZED (SELECT * FROM m${k - 1}
+         |        UNION ALL SELECT $k AS round, l, r, c FROM t$k)"""
+        .stripMargin
     }
     (v0 +: steps).mkString(",\n")
   }
@@ -5073,6 +5131,15 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
                |FROM t$k""".stripMargin)
             .mkString("\nUNION ALL\n")),
 
+      // the deep unroll: 120 guarded rounds (≥ the corpus's provable
+      // 107-merge ceiling) accumulated through chained m_k CTEs; rounds
+      // past exhaustion contribute nothing on either side
+      "bpe_train_deep" ->
+        (s"WITH ${bpeDeepCtes(120)}\n" +
+          """SELECT round, l AS "left", r AS "right", l || r AS merged,
+            |       CAST(c AS BIGINT) AS pair_count
+            |FROM m120""".stripMargin),
+
       // training CTEs + the chained doc-level replaces; token count =
       // number of '<' cell openers
       "bpe_segment" ->
@@ -5080,7 +5147,8 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           """doc0 AS MATERIALIZED (
             |  SELECT doc_id,
             |         array_to_string(list_transform(
-            |           string_split_regex(text, '\s+'),
+            |           list_filter(string_split_regex(text, '\s+'),
+            |             w -> w NOT LIKE '%<%' AND w NOT LIKE '%>%'),
             |           w -> regexp_replace(w, '(.)', '<\1>', 'g')), ' ')
             |           AS v,
             |         CAST(len(string_split_regex(text, '\s+')) AS BIGINT)

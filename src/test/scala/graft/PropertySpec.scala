@@ -962,4 +962,57 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("bpe delta-maintained training == full-recount replay to exhaustion") {
+    // Bpe.train keeps the pair-count frame by INCREMENTAL DELTAS (only
+    // words the winning pair touches are recounted); this pins it against
+    // a brute-force trainer that recounts the whole vocabulary every
+    // round, run past exhaustion so the early-stop and the deferred
+    // vocab-checkpoint boundaries are both exercised.
+    def brute(words: Map[String, Long]): Seq[(Int, String, String, String, Long)] = {
+      var vocab: Map[Vector[String], Long] =
+        words.map { case (w, c) => w.toVector.map(_.toString) -> c }
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, String, Long)]
+      var continue = true
+      while (continue) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (toks, c) =>
+          toks.sliding(2).filter(_.size == 2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + c
+          }
+        }
+        if (counts.isEmpty) continue = false
+        else {
+          val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+          out += ((out.length + 1, l, r, l + r, c))
+          vocab = vocab.toSeq.map { case (toks, wc) =>
+            val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < toks.size) { // left-to-right non-overlapping
+              if (i < toks.size - 1 && toks(i) == l && toks(i + 1) == r) {
+                merged += l + r; i += 2
+              } else { merged += toks(i); i += 1 }
+            }
+            merged.toVector -> wc
+          }.groupMapReduce(_._1)(_._2)(_ + _)
+        }
+      }
+      out.toSeq
+    }
+    val wordGen = Gen.listOfN(120,
+      Gen.chooseNum(1, 5).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString)))
+    (1 to 4).foreach { seed =>
+      val words = sample(wordGen, seed)
+      val df = words.grouped(10).map(_.mkString(" ")).toSeq.toDF("text")
+      val want = brute(words.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap)
+      // budget far past exhaustion: the loop must stop on the empty argmax
+      val got = graft.llm.Bpe.train(df, "text", merges = 200)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      assert(got == want, s"seed=$seed\n got=$got\nwant=$want")
+    }
+  }
 }
