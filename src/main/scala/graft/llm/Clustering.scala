@@ -138,19 +138,48 @@ object Clustering {
     * per cluster (the SemDeDup paper's core trick), never all-pairs. The
     * keep-lowest-id rule makes the pruned set deterministic — no dependence
     * on which member a traversal happens to visit first.
+    *
+    * == Hot-cluster cap ==
+    * At fixed `k`, cluster size grows ~N/k with the corpus, so an
+    * uncapped within-cluster pair join grows QUADRATICALLY in corpus
+    * size — the one scale-killer the rest of this file avoids. The
+    * SemDeDup paper's own posture is constant expected cluster size
+    * (scale k with N); when the caller pins k (this operator's
+    * oracle-replayable mode — the k literals live in the plan), the cap
+    * enforces the same bound structurally: clusters larger than
+    * `maxPairSide` split into `ceil(size / maxPairSide)` deterministic
+    * sub-buckets (52-bit md5 uniform of the id, mod nsub — the
+    * [[Sampling]] hash discipline, engine-portable and immune to
+    * arithmetically structured ids) and pairs are scored only within a
+    * (cluster, sub-bucket).
+    * Candidate pairs are then ≤ N·maxPairSide/2 — LINEAR in corpus
+    * size — at the standard blocking trade: near-dups landing in
+    * different sub-buckets of a hot cluster are missed, exactly the
+    * recall trade every other capped family here makes (winnow's
+    * hot-fingerprint cap, the stop-shingle cap). The sizing frame is a
+    * k-row broadcast; the sub-bucket key is map-side.
     */
   def semdedup(df: DataFrame, idCol: String, vecCol: String,
                k: Int, iters: Int, dim: Int, threshold: Double,
-               roundScore: Int = 6): DataFrame = {
+               roundScore: Int = 6, maxPairSide: Int = 128): DataFrame = {
+    require(maxPairSide >= 1, s"maxPairSide=$maxPairSide must be >= 1")
     val clusters = kmeans(df, idCol, vecCol, k, iters, dim)
     val nv = df.filter(size(col(vecCol)) === dim)
       .select(col(idCol), Similarity.normalize(col(vecCol)).as("__nv"))
       .join(clusters, idCol)
-    val a = nv.select(col("cluster"), col(idCol).as("id_a"),
+    // k rows; ceil on a double is exact here (counts ≪ 2^52)
+    val sizes = nv.groupBy("cluster")
+      .agg(ceil(count(lit(1)) / lit(maxPairSide.toDouble)).as("__nsub"))
+    val sub = nv.join(broadcast(sizes), Seq("cluster"))
+      .withColumn("__sub", pmod(
+        conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+          .cast("long"),
+        col("__nsub")))
+    val a = sub.select(col("cluster"), col("__sub"), col(idCol).as("id_a"),
       col("__nv").as("__va"))
-    val b = nv.select(col("cluster"), col(idCol).as("id_b"),
+    val b = sub.select(col("cluster"), col("__sub"), col(idCol).as("id_b"),
       col("__nv").as("__vb"))
-    val dominated = a.join(b, Seq("cluster"))
+    val dominated = a.join(b, Seq("cluster", "__sub"))
       .filter(col("id_a") < col("id_b"))
       .filter(round(VectorOps.dot(col("__va"), col("__vb")), roundScore)
         >= threshold)

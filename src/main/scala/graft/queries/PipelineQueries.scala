@@ -1198,10 +1198,14 @@ object PipelineQueries {
 
     // --- SemDeDup: cluster-then-prune semantic dedup -------------------------
     // Within each k-means cluster, drop vectors with a lower-id cosine>=τ
-    // neighbor; output the kept rows. The clustering bounds the pair join.
+    // neighbor; output the kept rows. The clustering bounds the pair join,
+    // and the hot-cluster cap (maxPairSide) bounds it LINEARLY: clusters
+    // past 128 members split into id-mod sub-buckets before pairing, so
+    // candidate pairs stay ≤ N·128/2 at any corpus size (fixed k would
+    // otherwise grow cluster size — and pairs quadratically — with N).
     "semdedup" -> ((s, d) =>
       Clustering.semdedup(Tables.embeddings(s, d), "vec_id", "embedding",
-        k = 8, iters = 2, dim = 64, threshold = 0.35)),
+        k = 8, iters = 2, dim = 64, threshold = 0.35, maxPairSide = 128)),
 
     // --- chunk-level (paragraph-style) global dedup --------------------------
     "dedup_chunks" -> ((s, d) =>
@@ -4249,6 +4253,10 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
             |                       vec_id) AS BIGINT) AS rank
             |  FROM f) WHERE rank <= 3""".stripMargin),
 
+      // hot-cluster cap mirrored: clusters past 128 members split into
+      // ceil(size/128) sub-buckets keyed by the 52-bit md5 uniform of the
+      // id (the shared hash discipline); pairs score only within a
+      // (cluster, sub) — `%` on the non-negative 52-bit uniform ≡ pmod
       "semdedup" ->
         (s"WITH ${kmeansCtes(8, 2, 64)},\n" +
           """nv AS (SELECT e.vec_id, a2.cluster,
@@ -4256,9 +4264,17 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
             |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
             |            FROM embeddings WHERE len(embedding) = 64) e
             |      JOIN a2 ON a2.vec_id = e.vec_id),
+            |sz AS (SELECT cluster,
+            |              CAST(ceil(count(*) / 128.0) AS BIGINT) AS nsub
+            |       FROM nv GROUP BY 1),
+            |ns AS (SELECT nv.vec_id, nv.cluster, nv.nv,
+            |              (('0x' || substr(md5(CAST(nv.vec_id AS VARCHAR)),
+            |                               1, 13))::BIGINT) % sz.nsub AS sub
+            |       FROM nv JOIN sz USING (cluster)),
             |dom AS (SELECT DISTINCT b.vec_id
-            |       FROM nv a JOIN nv b
-            |         ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            |       FROM ns a JOIN ns b
+            |         ON a.cluster = b.cluster AND a.sub = b.sub
+            |        AND a.vec_id < b.vec_id
             |       WHERE round(list_dot_product(a.nv, b.nv), 6) >= 0.35)
             |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM nv
             |WHERE vec_id NOT IN (SELECT vec_id FROM dom)""".stripMargin),

@@ -1015,4 +1015,61 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"seed=$seed\n got=$got\nwant=$want")
     }
   }
+
+  test("semdedup hot-cluster cap: engine == in-memory replay of the " +
+    "capped prune rule") {
+    import graft.llm.Clustering
+    // 60 vectors into k=2 clusters (~30 each) with maxPairSide=7 forces
+    // every cluster to split — the cap path is exercised, not just typed
+    val vecGen = Gen.listOfN(60, Gen.listOfN(4, Gen.chooseNum(-100, 100)))
+    def md5sub(id: Long, nsub: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.substring(0, 13), 16) % nsub
+    }
+    def norm(v: Array[Float]): Array[Double] = {
+      val d = v.map(_.toDouble)
+      val n = math.sqrt(d.foldLeft(0.0)((a, x) => a + x * x))
+      d.map(_ / n)
+    }
+    def rdot(a: Array[Double], b: Array[Double]): Double =
+      BigDecimal(a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (cap, thr) = (7, 0.6)
+    (1 to 3).foreach { seed =>
+      val rows = sample(vecGen, seed).zipWithIndex.map { case (v, i) =>
+        val arr = v.map(_ / 100.0f).toArray
+        (i.toLong,
+          if (arr.forall(_ == 0.0f)) Array(1.0f, 0.0f, 0.0f, 0.0f) else arr)
+      }
+      val df = rows.toDF("vec_id", "embedding")
+      val kept = Clustering.semdedup(df, "vec_id", "embedding", k = 2,
+        iters = 2, dim = 4, threshold = thr, maxPairSide = cap)
+        .as[(Long, Long)].collect().toMap
+      // replay: the engine's own (already-pinned) clustering, then the
+      // capped prune rule re-derived in memory
+      val clusters = Clustering.kmeans(df, "vec_id", "embedding", 2, 2, 4)
+        .as[(Long, Long)].collect().toMap
+      val byId = rows.map(r => r._1 -> norm(r._2)).toMap
+      val nsubOf = clusters.groupBy(_._2).view
+        .mapValues(m => math.ceil(m.size / cap.toDouble).toLong).toMap
+      assert(nsubOf.values.exists(_ > 1), s"seed=$seed: cap never split")
+      val ids = clusters.keys.toSeq.sorted
+      val dominated = (for {
+        a <- ids; b <- ids
+        if a < b && clusters(a) == clusters(b)
+        n = nsubOf(clusters(a))
+        if md5sub(a, n) == md5sub(b, n)
+        if rdot(byId(a), byId(b)) >= thr
+      } yield b).toSet
+      val expect = clusters.filter { case (id, _) => !dominated(id) }
+      assert(kept == expect, s"seed=$seed")
+      // the cap only ever KEEPS more: capped kept ⊇ uncapped kept
+      val uncapped = Clustering.semdedup(df, "vec_id", "embedding", k = 2,
+        iters = 2, dim = 4, threshold = thr, maxPairSide = 1000000)
+        .as[(Long, Long)].collect().toMap
+      assert(uncapped.keySet.subsetOf(kept.keySet), s"seed=$seed")
+    }
+  }
 }
