@@ -1994,8 +1994,24 @@ object PipelineQueries {
     // words the winning pair touches — per-round cost tracks the pair's
     // support, not the vocabulary, so deep training is sub-linear in
     // merges. ------------------------------------------------------------
-    "bpe_train_deep" -> ((s, d) =>
-      graft.llm.Bpe.train(Tables.documents(s, d), "text", merges = 500)),
+    "bpe_train_deep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // the paired DuckDB oracle unrolls 120 guarded rounds, valid while
+      // the corpus's provable merge ceiling Σ(len(w)−1) over the distinct
+      // vocabulary stays ≤ 120 (107 on the driver fixture). Assert the
+      // assumption HERE so a dataset change fails loudly at the bound
+      // instead of as a confusing row-count mismatch.
+      val ceiling = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0 && !col("w").contains("<") &&
+          !col("w").contains(">"))
+        .distinct()
+        .agg(coalesce(sum(length(col("w")) - 1), lit(0L))).head.getLong(0)
+      require(ceiling <= 120, s"bpe_train_deep: corpus merge ceiling " +
+        s"$ceiling exceeds the oracle's 120-round unroll — regenerate " +
+        "the oracle with bpeDeepCtes(>= ceiling)")
+      graft.llm.Bpe.train(docs, "text", merges = 500)
+    }),
 
     // --- lag-1..3 autocorrelation per series: exact-decimal moment sums,
     // one sort serves all lags, pair rows collapse into one aggregate ------
