@@ -298,6 +298,16 @@ object Clustering {
     require(iters >= 1 && iters <= 10, s"iters=$iters out of [1,10]")
     val base = df.filter(size(col(vecCol)) === dim)
       .select(quantize(col(vecCol)).as("__w"))
+    val meanQ = centeringMean(base, dim)
+    val xc = zip_with(col("__w"), typedlit(meanQ.toSeq),
+      (a, b) => a - b)
+    val (v, eigen) = powerLoop(base.select(xc.as("__xc")), dim, iters)
+    (meanQ, v, eigen)
+  }
+
+  /** Per-component quantized centering mean of a (__w) frame — one
+    * map-side-combined aggregate to dim rows. */
+  private def centeringMean(base: DataFrame, dim: Int): Array[Double] = {
     val meanRows = base.select(posexplode(col("__w")))
       .groupBy("pos").agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
       .collect()
@@ -306,15 +316,24 @@ object Clustering {
       meanQ(r.getInt(0)) =
         math.floor(r.getDouble(1) / r.getLong(2) * Q) / Q
     }
-    val xc = zip_with(col("__w"), typedlit(meanQ.toSeq),
-      (a, b) => a - b)
+    meanQ
+  }
+
+  /** `iters` power-iteration rounds over a centered (__xc) frame:
+    * uᵏ = Σᵢ (xᵢ·vᵏ⁻¹)·xᵢ with the outer-product contribution floored to
+    * the 2⁻¹² grid before the sum, vᵏ = uᵏ/‖uᵏ‖ re-quantized to 2⁻²⁰.
+    * Returns (final unit direction, final ‖u‖). One corpus scan and one
+    * hash aggregate to dim rows per round; the driver holds 2×dim
+    * doubles. */
+  private def powerLoop(xcf: DataFrame, dim: Int,
+      iters: Int): (IndexedSeq[Double], Double) = {
     var v: IndexedSeq[Double] =
       IndexedSeq.fill(dim)(math.floor(Q / math.sqrt(dim.toDouble)) / Q)
     var eigen = 0.0
     for (_ <- 1 to iters) {
-      val u = base
-        .withColumn("__s", VectorOps.dot(xc, typedlit(v)))
-        .select(posexplode(xc), col("__s"))
+      val u = xcf
+        .withColumn("__s", VectorOps.dot(col("__xc"), typedlit(v)))
+        .select(posexplode(col("__xc")), col("__s"))
         .groupBy("pos")
         .agg(sum(floor(col("__s") * col("col") * lit(4096.0)) / lit(4096.0))
           .as("u"))
@@ -326,6 +345,67 @@ object Clustering {
       if (eigen > 0.0)
         v = uArr.map(x => math.floor(x / eigen * Q) / Q)
     }
-    (meanQ, v, eigen)
+    (v, eigen)
+  }
+
+  /** The top `nComponents` principal directions by POWER ITERATION WITH
+    * DEFLATION — [[pcaTopComponent]] extended past rank one: after
+    * component c converges, its rank-one projection is subtracted from
+    * the centered cloud (xᵢ ← xᵢ − (xᵢ·v)·v, the Hotelling deflation)
+    * and the power loop reruns on the deflated frame for component c+1.
+    *
+    * == Determinism (the [[pcaTopComponent]] scheme, closed under
+    * deflation) ==
+    * The deflation step floors each subtracted term (xᵢ·v)·vⱼ to the
+    * 2⁻¹² grid — a correctly-rounded double product of exact dyadics,
+    * then floor: identical in any IEEE engine — so the deflated
+    * components stay EXACT dyadics on the 2⁻²⁰ grid and every
+    * later-round dot/u-sum keeps the order-free exactness argument.
+    * The deflated frame is `localCheckpoint`ed per component (it feeds
+    * `iters` scans of the next power loop).
+    *
+    * Orthogonality is approximate, not bit-exact: deflation kills the
+    * component's variance, but the NEXT direction is only as orthogonal
+    * as the power loop has converged (plus 2⁻¹² quantization) — the
+    * standard deflation posture, property-pinned on a spectrally
+    * separated fixture.
+    *
+    * Scale shape: `nComponents × iters` corpus scans, each ONE hash
+    * aggregate to dim rows, plus one narrow map-side rewrite per
+    * component. Nothing but k×dim doubles touches the driver.
+    *
+    * Output: (comp 1-based, pos, component, eigenvalue) — `nComponents ×
+    * dim` rows, eigenvalue the component's final ‖u‖ (6 dp). */
+  def pcaComponents(df: DataFrame, vecCol: String, dim: Int,
+                    nComponents: Int, iters: Int = 2): DataFrame = {
+    require(nComponents >= 1 && nComponents <= 16,
+      s"nComponents=$nComponents out of [1,16]")
+    require(iters >= 1 && iters <= 10, s"iters=$iters out of [1,10]")
+    val spark = df.sparkSession
+    val base = df.filter(size(col(vecCol)) === dim)
+      .select(quantize(col(vecCol)).as("__w"))
+    val meanQ = centeringMean(base, dim)
+    var xcf = base.select(zip_with(col("__w"), typedlit(meanQ.toSeq),
+      (a, b) => a - b).as("__xc")).localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Double)]
+    for (c <- 1 to nComponents) {
+      val (v, eigen) = powerLoop(xcf, dim, iters)
+      val e6 = BigDecimal(eigen)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      out ++= v.zipWithIndex.map { case (cv, j) =>
+        (c.toLong, j.toLong, cv, e6) }
+      if (c < nComponents) {
+        val vLit = typedlit(v)
+        xcf = xcf
+          .withColumn("__s", VectorOps.dot(col("__xc"), vLit))
+          .select(zip_with(col("__xc"), vLit, (x, vj) =>
+            x - floor(col("__s") * vj * lit(4096.0)) / lit(4096.0))
+            .as("__xc"))
+          .localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("comp", "pos", "component", "eigenvalue")
   }
 }

@@ -1184,6 +1184,14 @@ object PipelineQueries {
       Clustering.pcaProject(Tables.embeddings(s, d), "vec_id",
         "embedding", dim = 64, iters = 2)),
 
+    // --- top-3 principal directions by power iteration WITH DEFLATION:
+    // after each component converges its rank-one projection is
+    // subtracted (2⁻¹²-floored — exactness closed under deflation) and
+    // the loop reruns; the oracle unrolls every round of every component --
+    "embed_pca_k" -> ((s, d) =>
+      Clustering.pcaComponents(Tables.embeddings(s, d), "embedding",
+        dim = 64, nComponents = 3, iters = 2)),
+
     // --- per-label centroid drift: distribution-shift / redundancy monitor --
     "embed_source_drift" -> ((s, d) =>
       Clustering.centroidDrift(Tables.embeddings(s, d), "label",
@@ -2474,6 +2482,62 @@ object PipelineQueries {
          |  FROM u$k)""".stripMargin
     }
     (head +: steps).mkString(",\n")
+  }
+
+  /** The deflated multi-component power iteration mirroring
+    * [[Clustering.pcaComponents]]: per component c, the same unrolled
+    * rounds as [[pcaCtes]] over the c-th deflated frame xc_c, then
+    * xc_{c+1} = xc_c − floor((xc_c·v)·v·2¹²)/2¹² — every subtracted term
+    * a correctly-rounded product of exact dyadics, so the deflated
+    * components stay exact and every sum stays order-free. Produces CTEs
+    * xc1..xc`nComp`, v{c}_0..v{c}_`iters`, n{c}_1..n{c}_`iters`. */
+  private def pcaDeflateCtes(nComp: Int, iters: Int, dim: Int): String = {
+    val q = "1048576.0"
+    val head =
+      s"""e AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         list_transform(CAST(embedding AS DOUBLE[]),
+         |           x -> floor(x * $q) / $q) AS w
+         |  FROM embeddings WHERE len(embedding) = $dim),
+         |x AS (SELECT vec_id, i, w[i] AS c
+         |      FROM (SELECT vec_id, w,
+         |                   unnest(generate_series(1, $dim)) AS i
+         |            FROM e)),
+         |m AS (SELECT i, floor(sum(c) / count(*) * $q) / $q AS mq
+         |      FROM x GROUP BY i),
+         |xc1 AS MATERIALIZED (SELECT vec_id, i, c - mq AS xc
+         |                     FROM x JOIN m USING (i))""".stripMargin
+    val comps = (1 to nComp).flatMap { c =>
+      val init =
+        s"""v${c}_0 AS (SELECT unnest(generate_series(1, $dim)) AS i,
+           |       floor($q / sqrt(CAST($dim AS DOUBLE))) / $q AS v)""".stripMargin
+      val rounds = (1 to iters).map { k =>
+        s"""s${c}_$k AS MATERIALIZED (
+           |  SELECT vec_id, SUM(xc * v) AS s
+           |  FROM xc$c JOIN v${c}_${k - 1} USING (i) GROUP BY vec_id),
+           |u${c}_$k AS MATERIALIZED (
+           |  SELECT i, SUM(floor(s * xc * 4096.0) / 4096.0) AS u
+           |  FROM xc$c JOIN s${c}_$k USING (vec_id) GROUP BY i),
+           |n${c}_$k AS MATERIALIZED (SELECT sqrt(SUM(u * u)) AS nrm
+           |                          FROM u${c}_$k),
+           |v${c}_$k AS MATERIALIZED (
+           |  SELECT i, CASE WHEN (SELECT nrm FROM n${c}_$k) > 0
+           |                 THEN floor(u / (SELECT nrm FROM n${c}_$k) * $q) / $q
+           |            END AS v
+           |  FROM u${c}_$k)""".stripMargin
+      }
+      val deflate = if (c == nComp) Nil else Seq(
+        s"""sf$c AS MATERIALIZED (
+           |  SELECT vec_id, SUM(xc * v) AS s
+           |  FROM xc$c JOIN v${c}_$iters USING (i) GROUP BY vec_id),
+           |xc${c + 1} AS MATERIALIZED (
+           |  SELECT x.vec_id, x.i,
+           |         x.xc - floor(sf.s * vv.v * 4096.0) / 4096.0 AS xc
+           |  FROM xc$c x JOIN sf$c sf USING (vec_id)
+           |  JOIN v${c}_$iters vv ON vv.i = x.i)""".stripMargin)
+      (init +: rounds) ++ deflate
+    }
+    (head +: comps).mkString(",\n")
   }
 
   /** The unrolled BPE training rounds mirroring [[graft.llm.Bpe.train]]:
@@ -4205,6 +4269,17 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           """SELECT CAST(i - 1 AS BIGINT) AS pos, v AS component,
             |       round((SELECT nrm FROM n2), 6) AS eigenvalue
             |FROM v2""".stripMargin),
+
+      // deflated power iteration unrolled component-for-component and
+      // round-for-round; the deflation subtraction is 2⁻¹²-floored on
+      // both sides, so exactness is closed under deflation
+      "embed_pca_k" ->
+        (s"WITH ${pcaDeflateCtes(nComp = 3, iters = 2, dim = 64)}\n" +
+          (1 to 3).map(c =>
+            s"""SELECT CAST($c AS BIGINT) AS comp,
+               |       CAST(i - 1 AS BIGINT) AS pos, v AS component,
+               |       round((SELECT nrm FROM n${c}_2), 6) AS eigenvalue
+               |FROM v${c}_2""".stripMargin).mkString("\nUNION ALL\n")),
 
       // same training CTEs + one projection pass; (x−mean)·v is an exact
       // dyadic sum, orderless ≡ the engine's fold

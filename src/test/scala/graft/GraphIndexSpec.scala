@@ -309,6 +309,44 @@ class GraphIndexSpec extends SparkSpec {
     assert(math.abs(nrm - 1.0) < 1e-4, s"norm $nrm")
   }
 
+  test("pca deflation recovers the spectral axes in order, " +
+    "near-orthogonally") {
+    // three separated variance scales on e0 (±8), e1 (±2), e2 (±0.5):
+    // deflation must hand back the axes in eigenvalue order, each next
+    // component near-orthogonal to the previous ones (exact orthogonality
+    // is not promised — convergence + 2⁻¹² grid — but the fixture's
+    // spectral gaps make the loop converge hard)
+    val vecs = (0 until 64).map { i =>
+      Array(
+        8.0f * (if (i % 2 == 0) 1 else -1),
+        2.0f * (if (i % 4 < 2) 1 else -1),
+        0.5f * (if (i % 8 < 4) 1 else -1),
+        0.0f)
+    }
+    val df = vecs.map(v => Tuple1(v)).toDF("embedding")
+    val out = graft.llm.Clustering.pcaComponents(df, "embedding", dim = 4,
+        nComponents = 3, iters = 4)
+      .orderBy("comp", "pos").collect()
+    assert(out.length === 12)
+    val comps = out.groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getDouble(2)).toIndexedSeq)
+      .toMap
+    val eigs = out.groupBy(_.getLong(0)).view
+      .mapValues(_.head.getDouble(3)).toMap
+    assert(math.abs(comps(1L)(0)) > 0.99, s"c1=${comps(1L)}")
+    assert(math.abs(comps(2L)(1)) > 0.99, s"c2=${comps(2L)}")
+    assert(math.abs(comps(3L)(2)) > 0.99, s"c3=${comps(3L)}")
+    assert(eigs(1L) > eigs(2L) && eigs(2L) > eigs(3L), s"eigs=$eigs")
+    def dot(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double =
+      a.zip(b).map(p => p._1 * p._2).sum
+    assert(math.abs(dot(comps(1L), comps(2L))) < 0.01)
+    assert(math.abs(dot(comps(1L), comps(3L))) < 0.01)
+    assert(math.abs(dot(comps(2L), comps(3L))) < 0.01)
+    // each direction unit-length on the quantization grid
+    (1L to 3L).foreach { c =>
+      assert(math.abs(math.sqrt(dot(comps(c), comps(c))) - 1.0) < 1e-4) }
+  }
+
   test("bpe training replays the classic merge sequence") {
     // corpus: aaab ×2, ab ×1.
     // r1: (a,a)=4 wins → aaab segments <aa><a><b>
