@@ -84,6 +84,61 @@ object Graph {
       expr("pr_fp div 1000000").as("pr_ppm"))
   }
 
+  /** WEIGHTED fixed-point PageRank: each out-edge carries an integer
+    * weight (`weightCol`, e.g. a similarity score scaled onto an integer
+    * grid) and a node's rank mass splits ∝ weight instead of uniformly —
+    * per edge the contribution is `(pr_fp · w) div Σw_src`, every op
+    * still exact integer arithmetic on the `scale` grid, so the
+    * bit-exact unrolled-oracle property of [[pagerank]] carries over
+    * unchanged. For a kNN curation graph this weights centrality by HOW
+    * similar the neighbors are, not just how many point in.
+    *
+    * Non-positive weights are dropped up front (they carry no mass and
+    * a node whose every edge were ≤ 0 would divide by zero) — such a
+    * node becomes dangling, exactly like an edge-less node in
+    * [[pagerank]]. Caller contract: `scale × max(w) < 2⁶³` (the default
+    * 10¹² grid leaves room for weights to ~9·10⁶).
+    *
+    * Scale shape is [[pagerank]]'s: per iteration one edge⋈rank join on
+    * the pinned src partitioning (plus the |V|-row Σw frame on the same
+    * key), one dst aggregate with map-side partial sums, one node-set
+    * left join. */
+  def pagerankWeighted(nodes: DataFrame, edges: DataFrame, idCol: String,
+                       srcCol: String = "src", dstCol: String = "dst",
+                       weightCol: String = "weight",
+                       iters: Int = 3, dampPct: Int = 85,
+                       scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters=$iters out of [1,50]")
+    require(dampPct >= 0 && dampPct <= 100, s"dampPct=$dampPct not a pct")
+    val n = nodes.select(col(idCol).as("id")).distinct().localCheckpoint()
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("w") > 0L)
+      .repartition(col("src")).localCheckpoint()
+    val wsum = e.groupBy("src").agg(sum(col("w")).as("wsum"))
+      .localCheckpoint()
+    val nN = broadcast(n.agg(count(lit(1)).cast("long").as("n_nodes")))
+    def nextP(prev: DataFrame): DataFrame = {
+      val contrib = e
+        .join(prev.select(col("id").as("src"), col("pr_fp")), Seq("src"))
+        .join(wsum, Seq("src"))
+        .select(col("dst"), expr("(pr_fp * w) div wsum").as("c"))
+      val in = contrib.groupBy(col("dst").as("id"))
+        .agg(sum(col("c")).as("inm"))
+      n.join(in, Seq("id"), "left").crossJoin(nN)
+        .withColumn("inm", coalesce(col("inm"), lit(0L)))
+        .select(col("id"), expr(
+          s"(${100 - dampPct} * ($scale div n_nodes) + $dampPct * inm) div 100")
+          .as("pr_fp"))
+        .localCheckpoint()
+    }
+    var p = n.crossJoin(nN)
+      .select(col("id"), expr(s"$scale div n_nodes").as("pr_fp"))
+    for (_ <- 1 to iters) p = nextP(p)
+    p.select(col("id").as(idCol), col("pr_fp"),
+      expr("pr_fp div 1000000").as("pr_ppm"))
+  }
+
   /** PERSONALIZED fixed-point PageRank: the teleport mass returns only
     * to `seeds` instead of spreading uniformly, so ranks measure
     * proximity to the seed set — the standard graph-expansion ranking

@@ -1102,6 +1102,21 @@ object PipelineQueries {
       graft.operators.Graph.pagerank(nodes, edges, "vec_id", iters = 3)
     }),
 
+    // --- WEIGHTED PageRank over the scored kNN edges: rank mass splits
+    // ∝ integer-scaled similarity (round(score·10⁶)) instead of
+    // uniformly — centrality weighted by how similar the neighborhood
+    // is; same all-integer masses, bit-exact unrolled oracle ----------------
+    "graph_pagerank_weighted" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val edges = Similarity.knnGraph(e, "vec_id", "embedding",
+        k = 3, b = knnBucketBits(e), dim = 64, bands = 2)
+        .select(col("src"), col("dst"),
+          round(col("score") * lit(1000000.0), 0).cast("long").as("weight"))
+      val nodes = e.filter(size(col("embedding")) >= 64).select("vec_id")
+      graft.operators.Graph.pagerankWeighted(nodes, edges, "vec_id",
+        iters = 3)
+    }),
+
     // --- personalized PageRank: teleport only to the vec_id < 100 seed
     // set — proximity-to-seeds ranking for seed-set expansion; same
     // integer masses, unreachable nodes converge to 0 ------------------------
@@ -2439,6 +2454,29 @@ object PipelineQueries {
          |    GROUP BY ge.dst) im USING (id))""".stripMargin
     }
     (s"""deg AS (SELECT src, count(*) AS deg FROM g GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |p0 AS (SELECT id, $base AS pr FROM nodes)""".stripMargin +:
+      steps).mkString(",\n")
+  }
+
+  /** [[pagerankCtes]] with weighted mass splitting, mirroring
+    * [[graft.operators.Graph.pagerankWeighted]]: per edge the
+    * contribution is `(pr · w) // Σw_src` — still all-integer, `//`
+    * floors ≡ Spark's `div` on the non-negative masses. Expects CTEs
+    * `gw` (src, dst, w > 0) and `nodes(id)` upstream. */
+  private def pagerankWeightedCtes(iters: Int, dampPct: Int,
+                                   scale: Long): String = {
+    val base = s"($scale // (SELECT n FROM nn))"
+    val steps = (1 to iters).map { k =>
+      s"""p$k AS (SELECT nd.id,
+         |  (${100 - dampPct} * $base + $dampPct * COALESCE(im.inm, 0)) // 100 AS pr
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT ge.dst AS id, SUM((pp.pr * ge.w) // wg.wsum) AS inm
+         |    FROM gw ge JOIN p${k - 1} pp ON ge.src = pp.id
+         |    JOIN wsum wg ON ge.src = wg.src
+         |    GROUP BY ge.dst) im USING (id))""".stripMargin
+    }
+    (s"""wsum AS (SELECT src, SUM(w) AS wsum FROM gw GROUP BY 1),
        |nn AS (SELECT count(*) AS n FROM nodes),
        |p0 AS (SELECT id, $base AS pr FROM nodes)""".stripMargin +:
       steps).mkString(",\n")
@@ -4153,6 +4191,27 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
         (s"WITH $knnEdgeCtes,\n" +
           "nodes AS (SELECT vec_id AS id FROM ec),\n" +
           pagerankCtes(iters = 3, dampPct = 85, scale = 1000000000000L) +
+          """
+            |SELECT id AS vec_id, CAST(pr AS BIGINT) AS pr_fp,
+            |       CAST(pr // 1000000 AS BIGINT) AS pr_ppm
+            |FROM p3""".stripMargin),
+
+      // the same knn candidates re-ranked WITH their 6dp score kept,
+      // integer-scaled to the weight grid exactly as the engine does
+      // (round6 → ×10⁶ → round0 → BIGINT, w > 0)
+      "graph_pagerank_weighted" ->
+        (s"WITH $knnEdgeCtes,\n" +
+          """gw AS (SELECT src, dst, w FROM (
+            |  SELECT src, dst,
+            |         CAST(round(round(score, 6) * 1000000.0, 0) AS BIGINT)
+            |           AS w,
+            |         row_number() OVER (PARTITION BY src
+            |                            ORDER BY score DESC, dst) AS rank
+            |  FROM s) WHERE rank <= 3 AND w > 0),
+            |nodes AS (SELECT vec_id AS id FROM ec),
+            |""".stripMargin +
+          pagerankWeightedCtes(iters = 3, dampPct = 85,
+            scale = 1000000000000L) +
           """
             |SELECT id AS vec_id, CAST(pr AS BIGINT) AS pr_fp,
             |       CAST(pr // 1000000 AS BIGINT) AS pr_ppm

@@ -33,6 +33,37 @@ class GraphIndexSpec extends SparkSpec {
     assert(out === Map(1L -> 75L, 2L -> 500L))
   }
 
+  test("weighted pagerank: mass splits proportional to edge weight") {
+    // 1→2 (w=3), 1→3 (w=1); scale 1000, N=3 ⇒ base 333, Σw(1)=4:
+    //   contributions from 1: to 2 = (333·3) div 4 = 249,
+    //                         to 3 = (333·1) div 4 = 83
+    //   p1(1) = 15·333 div 100 = 49
+    //   p1(2) = (15·333 + 85·249) div 100 = 261
+    //   p1(3) = (15·333 + 85·83) div 100 = 120
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "weight")
+    val out = Graph.pagerankWeighted(nodes, edges, "id", iters = 1,
+        scale = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 49L, 2L -> 261L, 3L -> 120L))
+    // uniform weights ≡ unweighted pagerank, bit for bit
+    val uni = Seq((1L, 2L, 5L), (2L, 1L, 5L), (3L, 1L, 5L))
+      .toDF("src", "dst", "weight")
+    val w = Graph.pagerankWeighted(nodes, uni, "id", iters = 3,
+        scale = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val u = Graph.pagerank(nodes,
+        uni.select("src", "dst"), "id", iters = 3, scale = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w === u, "uniform weights must reproduce the unweighted ranks")
+    // non-positive weights drop: the node becomes dangling, not a crash
+    val neg = Seq((1L, 2L, 0L), (1L, 3L, -4L)).toDF("src", "dst", "weight")
+    val d = Graph.pagerankWeighted(nodes, neg, "id", iters = 1,
+        scale = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(1L -> 49L, 2L -> 49L, 3L -> 49L))
+  }
+
   test("personalized pagerank concentrates mass near the seed") {
     // path 1→2→3→4, seed {1}, scale 1000: mass decays along the path and
     // node 4 (3 hops out, no teleport) gets only damped flow-through;
