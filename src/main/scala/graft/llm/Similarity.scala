@@ -626,15 +626,8 @@ object Similarity {
                       beam: Int, hops: Int, dim: Int): DataFrame = {
     require(k >= 1 && beam >= 1 && hops >= 1 && hops <= 10,
       s"k=$k beam=$beam hops=$hops out of range")
-    val nv = corpus.filter(size(col(vecCol)) >= dim)
-      .select(col(idCol).as("__nid"), normalize(col(vecCol)).as("__nv"))
     val q = queries.filter(size(col(vecCol)) >= dim)
       .select(col(idCol).as("query_id"), normalize(col(vecCol)).as("__qv"))
-    // materialize the edge frame ONCE: its lineage (the kNN build's LSH
-    // join + ranking window) would otherwise re-execute inside EVERY
-    // hop's expansion join (the pagerank lesson)
-    val e = edges.select(col("src").as("__esrc"), col("dst").as("__edst"))
-      .localCheckpoint()
     val entryRow = corpus.filter(size(col(vecCol)) >= dim)
       .agg(min(col(idCol))).head
     if (entryRow.isNullAt(0))
@@ -643,13 +636,71 @@ object Similarity {
       return q.select(col("query_id"), lit(0L).as("rank"),
         col("query_id").as("neighbor_id"), lit(0.0).as("score")).limit(0)
     val entry = entryRow.getLong(0)
+    graphWalk(corpus, idCol, vecCol, q, edges,
+      q.select(col("query_id"), lit(entry).as("id")), k, beam, hops, dim)
+  }
+
+  /** [[graphSearchTopK]] with PER-QUERY entry points seeded from the IVF
+    * coarse quantizer ([[axisCells]] over the first `m` components): each
+    * query starts at the LOWEST-ID corpus vector of its own winner cell
+    * instead of the one global entry — the walk begins inside the query's
+    * coarse neighborhood, so the same beam × hops budget spends its
+    * expansion where the true neighbors live (the HNSW-family practice of
+    * seeding the base-layer walk from an upper coarse layer). A query
+    * whose cell holds no corpus vector falls back to the global
+    * lowest-id entry.
+    *
+    * Cost over the unseeded walk: one ≤ 2m-row cell-representative
+    * aggregate, broadcast into a map-side seed join — nothing else
+    * changes; determinism and the hop-unrolled oracle replay carry over
+    * (the cell derivation is the [[ivfTopK]] expression, already
+    * oracle-pinned). */
+  def graphSearchTopKSeeded(corpus: DataFrame, idCol: String,
+                            vecCol: String, queries: DataFrame,
+                            edges: DataFrame, k: Int, beam: Int,
+                            hops: Int, dim: Int, m: Int = 4): DataFrame = {
+    require(k >= 1 && beam >= 1 && hops >= 1 && hops <= 10,
+      s"k=$k beam=$beam hops=$hops out of range")
+    require(m >= 2 && m <= dim, s"m=$m out of [2,$dim]")
+    val q = queries.filter(size(col(vecCol)) >= dim)
+      .select(col(idCol).as("query_id"), normalize(col(vecCol)).as("__qv"))
+    val entryRow = corpus.filter(size(col(vecCol)) >= dim)
+      .agg(min(col(idCol))).head
+    if (entryRow.isNullAt(0))
+      return q.select(col("query_id"), lit(0L).as("rank"),
+        col("query_id").as("neighbor_id"), lit(0.0).as("score")).limit(0)
+    val entry = entryRow.getLong(0)
+    val (cw, _) = axisCells(col(vecCol), m)
+    val reps = corpus.filter(size(col(vecCol)) >= dim)
+      .select(cw.as("cell"), col(idCol).as("__rid"))
+      .groupBy("cell").agg(min(col("__rid")).as("__eid"))
+    val seeds = queries.filter(size(col(vecCol)) >= dim)
+      .select(col(idCol).as("query_id"), cw.as("cell"))
+      .join(broadcast(reps), Seq("cell"), "left")
+      .select(col("query_id"), coalesce(col("__eid"), lit(entry)).as("id"))
+    graphWalk(corpus, idCol, vecCol, q, edges, seeds, k, beam, hops, dim)
+  }
+
+  /** The shared batched greedy walk: seed each query's visited set from
+    * `seeds` (query_id, id), then `hops` rounds of expand-score-rerank.
+    * See [[graphSearchTopK]] for the determinism and scale arguments. */
+  private def graphWalk(corpus: DataFrame, idCol: String, vecCol: String,
+                        q: DataFrame, edges: DataFrame, seeds: DataFrame,
+                        k: Int, beam: Int, hops: Int,
+                        dim: Int): DataFrame = {
+    val nv = corpus.filter(size(col(vecCol)) >= dim)
+      .select(col(idCol).as("__nid"), normalize(col(vecCol)).as("__nv"))
+    // materialize the edge frame ONCE: its lineage (the kNN build's LSH
+    // join + ranking window) would otherwise re-execute inside EVERY
+    // hop's expansion join (the pagerank lesson)
+    val e = edges.select(col("src").as("__esrc"), col("dst").as("__edst"))
+      .localCheckpoint()
     def score(cand: DataFrame): DataFrame = cand
       .join(nv, cand("id") === nv("__nid"))
       .join(q, Seq("query_id"))
       .select(col("query_id"), col("id"),
         dot(col("__nv"), col("__qv")).as("score"))
-    var visited = score(q.select(col("query_id"), lit(entry).as("id")))
-      .localCheckpoint()
+    var visited = score(seeds).localCheckpoint()
     var frontier = visited.select(col("query_id"), col("id"))
     for (_ <- 1 to hops) {
       val cand = frontier.join(e, frontier("id") === e("__esrc"))

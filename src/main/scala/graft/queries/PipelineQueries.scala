@@ -1089,6 +1089,24 @@ object PipelineQueries {
         dim = 64)
     }),
 
+    // --- recall@5 of the IVF-SEEDED graph walk vs the exact baseline:
+    // each query enters the graph at the lowest-id corpus vector of its
+    // own axis cell (global lowest id if the cell is empty), so the same
+    // beam×hops budget expands inside the query's coarse neighborhood ------
+    "ann_graph_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val edges = Similarity.knnGraph(e, "vec_id", "embedding",
+        k = 3, b = knnBucketBits(e), dim = 64, bands = 2)
+        .select("src", "dst")
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+        k = 5)
+      val approx = Similarity.graphSearchTopKSeeded(e, "vec_id",
+        "embedding", q, edges, k = 5, beam = 8, hops = 3, dim = 64, m = 4)
+      Similarity.recallAtK(exact, approx, k = 5)
+        .select(col("query_id"), col("n_hits"), col("recall"))
+    }),
+
     // --- fixed-point PageRank over the kNN graph: the graph-centrality
     // curation signal (dense-neighborhood = over-represented content).
     // All-integer rank masses → bit-exact oracle replay; per iteration
@@ -2677,7 +2695,14 @@ object PipelineQueries {
          |         list_dot_product(en.nv, q.qv) AS score
          |  FROM q JOIN e en ON en.vec_id = (SELECT id FROM ent)),
          |f0 AS (SELECT query_id, id FROM v0)""".stripMargin
-    val steps = (1 to hops).map { h =>
+    (head +: graphSearchHops(beam, hops)).mkString(",\n")
+  }
+
+  /** The shared hop-unrolled expand-score-rerank CTEs c/s/v/f 1..hops —
+    * the walk body of [[graphSearchCtes]] and
+    * [[graphSearchSeededCtes]]. */
+  private def graphSearchHops(beam: Int, hops: Int): Seq[String] =
+    (1 to hops).map { h =>
       s"""c$h AS (SELECT DISTINCT f.query_id, g.dst AS id
          |  FROM f${h - 1} f JOIN g ON g.src = f.id
          |  WHERE NOT EXISTS (SELECT 1 FROM v${h - 1} vv
@@ -2694,7 +2719,40 @@ object PipelineQueries {
          |    PARTITION BY query_id ORDER BY score DESC, id) AS r
          |  FROM v$h) WHERE r <= $beam)""".stripMargin
     }
-    (head +: steps).mkString(",\n")
+
+  /** [[graphSearchCtes]] with PER-QUERY entries seeded from the axis-cell
+    * coarse quantizer, mirroring
+    * [[graft.llm.Similarity.graphSearchTopKSeeded]] at m = 4: the cell
+    * derivation is the ann_ivf_topk CASE chain over the raw vectors, the
+    * entry is the cell's lowest corpus id (global lowest id when the
+    * cell is empty). */
+  private def graphSearchSeededCtes(beam: Int, hops: Int,
+                                    nQueries: Int): String = {
+    val head =
+      s"""q AS (SELECT vec_id AS query_id, nv AS qv FROM e
+         |      WHERE vec_id < $nQueries),
+         |x0c AS (SELECT vec_id, v, abs(v[1]) AS a0, abs(v[2]) AS a1,
+         |               abs(v[3]) AS a2, abs(v[4]) AS a3
+         |        FROM ec),
+         |wcc AS (SELECT vec_id, v,
+         |          CASE WHEN a0 >= a1 AND a0 >= a2 AND a0 >= a3 THEN 0
+         |               WHEN a1 >= a2 AND a1 >= a3 THEN 1
+         |               WHEN a2 >= a3 THEN 2 ELSE 3 END AS win
+         |        FROM x0c),
+         |cellc AS (SELECT vec_id,
+         |            2 * win + CASE WHEN v[win + 1] >= 0 THEN 1 ELSE 0 END
+         |              AS cell
+         |          FROM wcc),
+         |rep AS (SELECT cell, min(vec_id) AS id FROM cellc GROUP BY 1),
+         |qe AS (SELECT c.vec_id AS query_id,
+         |              COALESCE(r.id, (SELECT min(vec_id) FROM ec)) AS id
+         |       FROM cellc c LEFT JOIN rep r USING (cell)
+         |       WHERE c.vec_id < $nQueries),
+         |v0 AS MATERIALIZED (
+         |  SELECT q.query_id, qe.id, list_dot_product(en.nv, q.qv) AS score
+         |  FROM q JOIN qe USING (query_id) JOIN e en ON en.vec_id = qe.id),
+         |f0 AS (SELECT query_id, id FROM v0)""".stripMargin
+    (head +: graphSearchHops(beam, hops)).mkString(",\n")
   }
 
   /** The unrolled label-propagation rounds l0..l`iters` mirroring
@@ -4229,6 +4287,39 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
             |        ORDER BY score DESC, id) AS rank
             |      FROM v3 WHERE id <> query_id)
             |WHERE rank <= 5""".stripMargin),
+
+      // the seeded walk's hop unroll + the shared recall idiom: exact =
+      // brute-force cosine over the normalized corpus, approx = v3's
+      // top-5, denominator the actual exact-result size
+      "ann_graph_recall" ->
+        (s"WITH $knnEdgeCtes,\n" +
+          graphSearchSeededCtes(beam = 8, hops = 3, nQueries = 10) +
+          """,
+            |apx AS (SELECT query_id, id AS neighbor_id FROM (
+            |  SELECT query_id, id, row_number() OVER (
+            |    PARTITION BY query_id ORDER BY score DESC, id) AS rank
+            |  FROM v3 WHERE id <> query_id) WHERE rank <= 5),
+            |xq AS (SELECT vec_id AS query_id, nv AS qv FROM e
+            |       WHERE vec_id < 10),
+            |x AS (SELECT xq.query_id, e.vec_id AS neighbor_id,
+            |        list_dot_product(qv, e.nv) AS score
+            |      FROM e, xq WHERE e.vec_id <> xq.query_id),
+            |ex AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id, row_number() OVER (
+            |    PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+            |      AS rank
+            |  FROM x) WHERE rank <= 5)
+            |SELECT query_id, n_hits,
+            |       round(n_hits / CAST(n_exact AS DOUBLE), 6) AS recall
+            |FROM (
+            |  SELECT ex.query_id,
+            |         CAST(sum(CASE WHEN apx.neighbor_id IS NOT NULL
+            |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+            |         COUNT(*) AS n_exact
+            |  FROM ex LEFT JOIN apx
+            |    ON apx.query_id = ex.query_id
+            |   AND apx.neighbor_id = ex.neighbor_id
+            |  GROUP BY 1)""".stripMargin),
 
       // mutual edges from the same CTEs; the dedup_clusters recursive
       // min-root reach, over the sparsified similarity substrate

@@ -318,6 +318,43 @@ class GraphIndexSpec extends SparkSpec {
       Seq("series"), "ts", "id", "value", maxLag = 2).count() === 0)
   }
 
+  test("seeded graph walk enters the query's cell; unseeded is stuck " +
+    "at the global entry's component") {
+    // two cosine clusters with NO cross edges: A (ids 1-3, along e0)
+    // holds the global lowest id, B (ids 11-13, along e1) holds the
+    // query's true neighbors. The unseeded walk starts at id 1 and can
+    // never reach B; the IVF-seeded walk enters at B's cell
+    // representative (id 11) and finds them.
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.1f, 0f, 0f)), (2L, Array(1.0f, 0.2f, 0f, 0f)),
+      (3L, Array(1.0f, 0.0f, 0f, 0f)),
+      (11L, Array(0.1f, 1.0f, 0f, 0f)), (12L, Array(0.2f, 1.0f, 0f, 0f)),
+      (13L, Array(0.0f, 1.0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (11L, 12L), (12L, 13L), (13L, 11L)).toDF("src", "dst")
+    val queries = Seq((100L, Array(0.05f, 1.0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val seeded = graft.llm.Similarity.graphSearchTopKSeeded(corpus,
+        "vec_id", "embedding", queries, edges, k = 3, beam = 4, hops = 3,
+        dim = 4, m = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    val unseeded = graft.llm.Similarity.graphSearchTopK(corpus,
+        "vec_id", "embedding", queries, edges, k = 3, beam = 4, hops = 3,
+        dim = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(seeded === Set(11L, 12L, 13L), s"seeded=$seeded")
+    assert(unseeded === Set(1L, 2L, 3L), s"unseeded=$unseeded")
+    // empty-cell fallback: a query in a cell with no corpus vector
+    // walks from the global entry instead of crashing
+    val offCell = Seq((200L, Array(-1.0f, -0.05f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val fb = graft.llm.Similarity.graphSearchTopKSeeded(corpus, "vec_id",
+        "embedding", offCell, edges, k = 3, beam = 4, hops = 3, dim = 4,
+        m = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(fb === Set(1L, 2L, 3L), s"fallback=$fb")
+  }
+
   test("pca power iteration finds the dominant axis") {
     // cloud stretched along e0 (±8) with ±0.25 jitter on e1: the top
     // component must align with e0 almost exactly, eigenvalue ≈ Σx²
