@@ -1016,6 +1016,99 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // ---- FileReplay harness: batch ≡ stream under random event-time
+  // shuffles. The harness backs 15+ stream_* queries; these pins are its
+  // adversarial contract: (1) a one-batch stateless replay emits exactly
+  // the batch transform's rows; (2) a two-batch watermarked windowed
+  // aggregate — whose real rows all arrive while the watermark is still
+  // initial, flushed by the far-future sentinel — emits exactly the
+  // batch groupBy, REGARDLESS of row order or watermark delay.
+
+  private def writeEventsParquet(rows: Seq[(String, Long, Long)],
+                                 tag: String): (java.nio.file.Path, String) = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_frprop_$tag")
+    rows.toDF("series", "ts_sec", "value")
+      .select(col("series"), col("ts_sec").cast("timestamp").as("ts"),
+        col("value"))
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString + "/ev")
+    val part = new java.io.File(dir.toString + "/ev").listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).head
+    (dir, part.getAbsolutePath)
+  }
+
+  private def rmTree(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
+  test("FileReplay.oneBatch: randomized stateless transform ≡ batch") {
+    import graft.streaming.FileReplay
+    val rowGen = Gen.listOfN(200, for {
+      s <- Gen.oneOf("a", "bb", "ccc")
+      t <- Gen.chooseNum(1000L, 2000L) // random arrival order by design
+      v <- Gen.chooseNum(-50L, 50L)
+    } yield (s, t, v))
+    (1 to 3).foreach { seed =>
+      val rows = sample(rowGen, seed)
+      val (dir, part) = writeEventsParquet(rows, s"s$seed")
+      try {
+        val m = 2 + seed % 3 // randomized transform parameters
+        val f = (df: org.apache.spark.sql.DataFrame) =>
+          df.filter(pmod(col("value"), lit(m)) === 0)
+            .select(col("series"),
+              (col("value") * lit(m) + length(col("series"))).as("out"))
+        val streamed = FileReplay.oneBatch(spark, part, f,
+            s"frprop_one_$seed")
+          .as[(String, Long)].collect().sorted.toSeq
+        val batch = f(spark.read.parquet(part))
+          .as[(String, Long)].collect().sorted.toSeq
+        assert(streamed == batch, s"seed=$seed")
+        assert(batch.nonEmpty, s"seed=$seed: degenerate fixture")
+      } finally rmTree(dir)
+    }
+  }
+
+  test("FileReplay.twoBatch: randomized watermarked window agg ≡ batch " +
+    "groupBy under event-time shuffle") {
+    import graft.streaming.FileReplay
+    val rowGen = Gen.listOfN(200, for {
+      s <- Gen.oneOf("a", "b", "c")
+      t <- Gen.chooseNum(1000L, 1300L)
+      v <- Gen.chooseNum(0L, 100L)
+    } yield (s, t, v))
+    (1 to 3).foreach { seed =>
+      val rows = sample(rowGen, seed)
+      val (dir, part) = writeEventsParquet(rows, s"t$seed")
+      try {
+        val w = Seq(10, 30, 60)(seed % 3) // randomized window width
+        val delay = Seq(0, 5, 120)(seed % 3) // and watermark delay
+        val g = (df: org.apache.spark.sql.DataFrame) =>
+          df.withWatermark("ts", s"$delay seconds")
+            .groupBy(window(col("ts"), s"$w seconds"), col("series"))
+            .agg(sum(col("value")).as("total"),
+              count(lit(1)).as("n"))
+            .select(col("window.start").as("ws"), col("series"),
+              col("total"), col("n"))
+        val sentinel = Seq(("__sent__", 100000L, 0L))
+          .toDF("series", "ts_sec", "value")
+          .select(col("series"), col("ts_sec").cast("timestamp").as("ts"),
+            col("value"))
+        val streamed = FileReplay.twoBatch(spark, part, g, sentinel,
+            s"frprop_two_$seed")
+          .filter(col("series") =!= "__sent__")
+          .as[(java.sql.Timestamp, String, Long, Long)]
+          .collect().sortBy(r => (r._1.getTime, r._2)).toSeq
+        val batch = g(spark.read.parquet(part))
+          .as[(java.sql.Timestamp, String, Long, Long)]
+          .collect().sortBy(r => (r._1.getTime, r._2)).toSeq
+        assert(streamed == batch, s"seed=$seed w=$w delay=$delay")
+        assert(batch.size > 3, s"seed=$seed: degenerate fixture")
+      } finally rmTree(dir)
+    }
+  }
+
   test("semdedup hot-cluster cap: engine == in-memory replay of the " +
     "capped prune rule") {
     import graft.llm.Clustering
