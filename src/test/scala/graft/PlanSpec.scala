@@ -58,6 +58,9 @@ class PlanSpec extends SparkSpec {
       // both rankings (full-dim and 16-dim prefix) are the brute-force
       // scorer by design — the truncation eval needs exact ground truth
       "embed_matryoshka",
+      // the exact leg of the seeded-graph-walk recall eval is the
+      // brute-force scorer by design (same posture as ann_recall_eval)
+      "ann_graph_recall",
       // the 1-row cut threshold broadcast-attaches to the |sources|
       // planning frame (the corpus-stat scalar-attach pattern)
       "mixture_waterfill")
