@@ -179,12 +179,15 @@ object Clustering {
       col("__nv").as("__va"))
     val b = sub.select(col("cluster"), col("__sub"), col(idCol).as("id_b"),
       col("__nv").as("__vb"))
-    val dominated = a.join(b, Seq("cluster", "__sub"))
+    // SHUFFLE_HASH: sort-merge would sort BOTH dim-wide vector streams by
+    // (cluster, sub) before pairing (the Dedup re-attach lesson); the cap
+    // bounds each build partition to ~maxPairSide-member buckets
+    val dominated = a.join(b.hint("shuffle_hash"), Seq("cluster", "__sub"))
       .filter(col("id_a") < col("id_b"))
       .filter(round(VectorOps.dot(col("__va"), col("__vb")), roundScore)
         >= threshold)
       .select(col("id_b").as(idCol)).distinct()
-    nv.join(dominated, Seq(idCol), "left_anti")
+    nv.join(dominated.hint("shuffle_hash"), Seq(idCol), "left_anti")
       .select(col(idCol), col("cluster"))
   }
 
