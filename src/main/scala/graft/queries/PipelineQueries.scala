@@ -1697,6 +1697,15 @@ object PipelineQueries {
           round(expr("percentile(value, 0.9D)"), 6).as("p90"),
           round(expr("percentile(value, 0.99D)"), 6).as("p99"))),
 
+    // --- mergeable log-bucket quantile sketch: the 100 TB percentile
+    // plan — one hash aggregate to ≤ hundreds of (group, bucket) counts
+    // (merge by +, map-side combine), string-math HDR buckets (no libm),
+    // deterministic in-bucket interpolation. The bounded+engine-exact
+    // sibling of event_percentiles' exact sort ---------------------------
+    "sketch_quantiles" -> ((s, d) =>
+      graft.llm.Sketches.histQuantiles(Tables.events(s, d),
+        Seq("event_type"), "value", ps = Seq(0.5, 0.9, 0.99))),
+
     // --- streaming exact dedup (dropDuplicatesWithinWatermark) -------------
     // Replays the event subset with every third event duplicated; the
     // dedup state keeps one fingerprint per key until the watermark passes,
@@ -5127,6 +5136,44 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |       round(quantile_cont(value, 0.9), 6) AS p90,
           |       round(quantile_cont(value, 0.99), 6) AS p99
           |FROM events GROUP BY 1""".stripMargin,
+
+      // string-math HDR buckets (two leading decimal digits of the
+      // 1e-3-grid integer), cumulative window, first bucket reaching
+      // t = p·n, linear in-bucket interpolation — every operand an exact
+      // integer in a double, mirroring Sketches.histQuantiles
+      "sketch_quantiles" ->
+        """WITH src AS (
+          |  SELECT event_type,
+          |         CAST(CAST(floor(value * 1000.0) AS BIGINT) AS VARCHAR)
+          |           AS gs
+          |  FROM events WHERE value >= 0),
+          |b AS (SELECT event_type,
+          |        CAST(substr(gs, 1, 2) ||
+          |             repeat('0', greatest(length(gs) - 2, 0)) AS BIGINT)
+          |          AS lo,
+          |        CAST(CAST(CAST(substr(gs, 1, 2) AS BIGINT) + 1
+          |               AS VARCHAR) ||
+          |             repeat('0', greatest(length(gs) - 2, 0)) AS BIGINT)
+          |          AS hi
+          |      FROM src),
+          |cnts AS (SELECT event_type, lo, hi, count(*) AS cnt
+          |         FROM b GROUP BY 1, 2, 3),
+          |cum AS (SELECT *,
+          |          SUM(cnt) OVER (PARTITION BY event_type ORDER BY lo)
+          |            AS cum,
+          |          SUM(cnt) OVER (PARTITION BY event_type) AS n
+          |        FROM cnts),
+          |wp AS (SELECT *, unnest([0.5, 0.9, 0.99]) AS p FROM cum),
+          |sel AS (SELECT *, p * CAST(n AS DOUBLE) AS t FROM wp),
+          |pick AS (SELECT * FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY event_type, p
+          |                               ORDER BY lo) AS rn
+          |  FROM sel WHERE CAST(cum AS DOUBLE) >= t) WHERE rn = 1)
+          |SELECT event_type, p, CAST(n AS BIGINT) AS n,
+          |       round((CAST(lo AS DOUBLE) + CAST(hi - lo AS DOUBLE) *
+          |              (t - CAST(cum - cnt AS DOUBLE)) /
+          |              CAST(cnt AS DOUBLE)) / 1000.0, 6) AS est
+          |FROM pick""".stripMargin,
 
       // exact duplicates removed = the base subset itself
       "stream_dedup" ->

@@ -1109,6 +1109,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("histQuantiles: estimate lands in the exact quantile's bucket, " +
+    "partition-invariant, negatives degrade out") {
+    import graft.llm.Sketches
+    val rowGen = Gen.listOfN(300, for {
+      k <- Gen.oneOf("a", "b")
+      v <- Gen.frequency( // values spanning several decades
+        3 -> Gen.chooseNum(0.0, 5.0),
+        3 -> Gen.chooseNum(5.0, 500.0),
+        2 -> Gen.chooseNum(500.0, 50000.0))
+    } yield (k, v))
+    def bucketOf(x: Double): (Double, Double) = {
+      val gs = math.floor(x * 1000.0).toLong.toString
+      val pad = "0" * math.max(gs.length - 2, 0)
+      val lead = gs.take(2)
+      ((lead + pad).toDouble / 1000.0,
+        ((lead.toLong + 1).toString + pad).toDouble / 1000.0)
+    }
+    (1 to 3).foreach { seed =>
+      val rows = sample(rowGen, seed)
+      val df = rows.toDF("k", "v")
+      val ps = Seq(0.0, 0.5, 0.9, 0.99, 1.0)
+      val out = Sketches.histQuantiles(df, Seq("k"), "v", ps)
+        .as[(String, Double, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      val byK = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      for ((k, vs) <- byK; p <- ps) {
+        val (n, est) = out((k, p))
+        assert(n == vs.size, s"seed=$seed $k")
+        val t = p * vs.size
+        val exact = if (t <= 0) vs.head
+                    else vs(math.min(math.ceil(t).toInt, vs.size) - 1)
+        val (lo, hi) = bucketOf(exact)
+        assert(est >= lo - 1e-9 && est <= hi + 1e-9,
+          s"seed=$seed $k p=$p est=$est exact=$exact bucket=[$lo,$hi]")
+      }
+      // partition-order invariance: the sketch is one hash aggregate
+      val rep = Sketches.histQuantiles(df.repartition(7), Seq("k"), "v", ps)
+        .as[(String, Double, Long, Double)].collect().toSet
+      assert(rep == Sketches.histQuantiles(df, Seq("k"), "v", ps)
+        .as[(String, Double, Long, Double)].collect().toSet,
+        s"seed=$seed: partition-dependent")
+      // negatives degrade out of n (non-negative-measure contract)
+      val withNeg = rows ++ Seq(("a", -5.0), ("b", -0.1))
+      val n2 = Sketches.histQuantiles(withNeg.toDF("k", "v"),
+          Seq("k"), "v", Seq(0.5))
+        .as[(String, Double, Long, Double)].collect()
+        .map(r => r._1 -> r._3).toMap
+      assert(n2 == byK.view.mapValues(_.size.toLong).toMap, s"seed=$seed")
+    }
+  }
+
   test("semdedup hot-cluster cap: engine == in-memory replay of the " +
     "capped prune rule") {
     import graft.llm.Clustering
