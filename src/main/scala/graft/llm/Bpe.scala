@@ -203,17 +203,20 @@ object Bpe {
           pats.foldLeft(c0) { case (a0, (p, q)) =>
             functions.replace(a0, lit(p), lit(q)) }
         // only the touched words' pairs change: retire theirs at −wc,
-        // admit the rewritten segmentations' at +wc — the raw ±rows
-        // union straight into the maintained counts so the whole batch
-        // is ONE hash aggregate and one checkpoint. `hit` is
-        // support-sized; the eager localCheckpoint keeps the −wc/+wc
-        // branches from scanning the deferred vocab lineage twice.
+        // admit the rewritten segmentations' at +wc — both versions
+        // emitted by ONE row-level explode over the hit set, so the
+        // deferred vocab lineage is scanned exactly once per round (no
+        // second branch, no extra materialization job), and the raw
+        // ±rows stream straight into the maintained counts as ONE hash
+        // aggregate and one checkpoint.
         val hit = vocab
           .filter(pats.map(p => col("v").contains(p._1)).reduce(_ || _))
-          .localCheckpoint()
-        val delta = pairRows(
-          hit.select(col("v"), (-col("wc")).as("wc"))
-            .unionByName(hit.select(applyAll(col("v")).as("v"), col("wc"))))
+        val delta = pairRows(hit
+          .select(explode(array(
+            struct((-col("wc")).as("wc"), col("v").as("v")),
+            struct(col("wc").as("wc"), applyAll(col("v")).as("v"))))
+            .as("__r"))
+          .select(col("__r.v").as("v"), col("__r.wc").as("wc")))
         // single-reference full-frame rewrite (a no-op on untouched
         // rows): the vocab plan grows by |batch| narrow maps — a
         // filter/union split would reference the parent twice and
