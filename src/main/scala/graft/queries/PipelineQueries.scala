@@ -1706,6 +1706,17 @@ object PipelineQueries {
       graft.llm.Sketches.histQuantiles(Tables.events(s, d),
         Seq("event_type"), "value", ps = Seq(0.5, 0.9, 0.99))),
 
+    // --- per-hour p50/p95 from the same mergeable sketch: the
+    // observability "latency percentile per time bucket" board — the
+    // bucket counts partial-aggregate map-side per (type, hour), so the
+    // time dimension adds rows to the TINY sketch frame, not passes
+    // over the corpus ----------------------------------------------------
+    "ts_quantile_buckets" -> ((s, d) =>
+      graft.llm.Sketches.histQuantiles(
+        Tables.eventsUs(s, d)
+          .withColumn("hour", expr("ts_us div 3600000000")),
+        Seq("event_type", "hour"), "value", ps = Seq(0.5, 0.95))),
+
     // --- streaming exact dedup (dropDuplicatesWithinWatermark) -------------
     // Replays the event subset with every third event duplicated; the
     // dedup state keeps one fingerprint per key until the watermark passes,
@@ -5170,6 +5181,43 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |                               ORDER BY lo) AS rn
           |  FROM sel WHERE CAST(cum AS DOUBLE) >= t) WHERE rn = 1)
           |SELECT event_type, p, CAST(n AS BIGINT) AS n,
+          |       round((CAST(lo AS DOUBLE) + CAST(hi - lo AS DOUBLE) *
+          |              (t - CAST(cum - cnt AS DOUBLE)) /
+          |              CAST(cnt AS DOUBLE)) / 1000.0, 6) AS est
+          |FROM pick""".stripMargin,
+
+      // same sketch, (type, hour) grain — epoch_us // 3600000000 ≡ the
+      // engine's ts_us div on non-negative epochs
+      "ts_quantile_buckets" ->
+        """WITH src AS (
+          |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+          |         CAST(CAST(floor(value * 1000.0) AS BIGINT) AS VARCHAR)
+          |           AS gs
+          |  FROM events WHERE value >= 0),
+          |b AS (SELECT event_type, hour,
+          |        CAST(substr(gs, 1, 2) ||
+          |             repeat('0', greatest(length(gs) - 2, 0)) AS BIGINT)
+          |          AS lo,
+          |        CAST(CAST(CAST(substr(gs, 1, 2) AS BIGINT) + 1
+          |               AS VARCHAR) ||
+          |             repeat('0', greatest(length(gs) - 2, 0)) AS BIGINT)
+          |          AS hi
+          |      FROM src),
+          |cnts AS (SELECT event_type, hour, lo, hi, count(*) AS cnt
+          |         FROM b GROUP BY 1, 2, 3, 4),
+          |cum AS (SELECT *,
+          |          SUM(cnt) OVER (PARTITION BY event_type, hour
+          |                         ORDER BY lo) AS cum,
+          |          SUM(cnt) OVER (PARTITION BY event_type, hour) AS n
+          |        FROM cnts),
+          |wp AS (SELECT *, unnest([0.5, 0.95]) AS p FROM cum),
+          |sel AS (SELECT *, p * CAST(n AS DOUBLE) AS t FROM wp),
+          |pick AS (SELECT * FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY event_type, hour, p
+          |                               ORDER BY lo) AS rn
+          |  FROM sel WHERE CAST(cum AS DOUBLE) >= t) WHERE rn = 1)
+          |SELECT event_type, CAST(hour AS BIGINT) AS hour, p,
+          |       CAST(n AS BIGINT) AS n,
           |       round((CAST(lo AS DOUBLE) + CAST(hi - lo AS DOUBLE) *
           |              (t - CAST(cum - cnt AS DOUBLE)) /
           |              CAST(cnt AS DOUBLE)) / 1000.0, 6) AS est
