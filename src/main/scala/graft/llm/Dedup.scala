@@ -904,4 +904,67 @@ object Dedup {
       .withColumn("soft_weight",
         round(col("n_chunks").cast("double") / col("sum_mult"), 6))
   }
+
+  /** Corpus-repeated SUBSTRING SPANS — the unaligned sibling of the
+    * chunk family, after Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better"): find every maximal token span of ≥
+    * `w + minRun − 1` tokens whose every `w`-token window occurs ≥ 2
+    * times in the corpus (anywhere — another doc or elsewhere in the
+    * same doc). [[chunkDedup]]/[[deboilerplate]] only see repeats on
+    * aligned `w`-token boundaries; repeated substrings at arbitrary
+    * offsets (navigation strings mid-sentence, quoted passages, licence
+    * blocks) need the sliding-window view.
+    *
+    * The suffix-array construction the paper uses doesn't distribute;
+    * this is the standard shingle-run approximation: positional
+    * `w`-shingles → global multiplicity → per-doc RUNS of consecutive
+    * duplicated positions (gaps-and-islands), runs of ≥ `minRun`
+    * shingles = spans of ≥ `w + minRun − 1` tokens. Approximation
+    * caveat, stated honestly: consecutive windows may be duplicated by
+    * DIFFERENT partners, so a reported span need not repeat verbatim as
+    * a whole anywhere — each of its windows does. (With minRun ≥ 2 that
+    * over-approximation needs adversarial interleaving; on real
+    * boilerplate the spans are the shared text.)
+    *
+    * Scale shape — the [[chunkDupStats]] cost class: the positional
+    * shingle stream shuffles once on uniform md5 keys for multiplicity
+    * (map-side partials; a 10⁸× boilerplate shingle contributes one
+    * partial row per map task), re-attaches with a SHUFFLE_HASH join
+    * (probe side streams, no sort), and the islands window partitions
+    * per document over DUPLICATED positions only — bounded by document
+    * length. Output: (idCol, span_start, span_end, n_tokens), token
+    * indices 0-based inclusive; spans within a document are disjoint at
+    * the shingle grain but may overlap by < w tokens at the edges —
+    * callers cutting text should union the intervals. */
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                     w: Int, minRun: Int): DataFrame = {
+    require(w >= 1 && minRun >= 1, s"w=$w minRun=$minRun must be >= 1")
+    val shingled = spread(df)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= w)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(__t) - $w), " +
+          s"i -> struct(i AS pos, concat_ws(' ', slice(__t, i + 1, $w)) AS sh))"))
+        .as("__s"))
+      .select(col(idCol), col("__s.pos").as("__pos"),
+        md5(col("__s.sh")).as("__h"))
+    val mult = shingled.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__mult"))
+    val dup = shingled.join(mult.hint("SHUFFLE_HASH"), "__h")
+      .filter(col("__mult") >= 2L)
+      .select(col(idCol), col("__pos"))
+    dup
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("__pos"))))
+      .withColumn("__grp", col("__pos") - col("__rn"))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("__pos")).as("span_start"),
+        max(col("__pos")).as("__last_sh"),
+        count(lit(1)).as("__run"))
+      .filter(col("__run") >= minRun)
+      .select(col(idCol),
+        col("span_start").cast("long").as("span_start"),
+        (col("__last_sh") + w - 1).cast("long").as("span_end"),
+        (col("__run") + w - 1).cast("long").as("n_tokens"))
+  }
 }

@@ -1253,6 +1253,14 @@ object PipelineQueries {
       Dedup.chunkDedup(Tables.documents(s, d), "text", "doc_id", w = 3)
         .select("doc_id", "n_chunks", "n_kept", "clean_text")),
 
+    // --- corpus-repeated substring SPANS at arbitrary offsets (Lee et
+    // al. 2022's exact-substring posture, shingle-run approximation):
+    // sliding 4-token windows duplicated anywhere in the corpus, fused
+    // into maximal runs of >= 2 windows = spans of >= 5 tokens -----------
+    "dedup_spans" -> ((s, d) =>
+      Dedup.duplicateSpans(Tables.documents(s, d), "text", "doc_id",
+        w = 4, minRun = 2)),
+
     // --- per-document duplicated-content fraction (the RefinedWeb-style
     // "drop documents that are mostly duplicated elsewhere" gate) ------------
     "dedup_dupratio" -> ((s, d) =>
@@ -4539,6 +4547,33 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
             |       WHERE round(list_dot_product(a.nv, b.nv), 6) >= 0.35)
             |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM nv
             |WHERE vec_id NOT IN (SELECT vec_id FROM dom)""".stripMargin),
+
+      // positional sliding shingles → global multiplicity → per-doc
+      // gaps-and-islands (pos − row_number) → runs ≥ 2 windows; token
+      // indices 0-based inclusive, mirroring Dedup.duplicateSpans
+      "dedup_spans" ->
+        """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+          |           FROM documents),
+          |tf AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 4),
+          |s AS (SELECT doc_id, i - 1 AS pos,
+          |             md5(array_to_string(toks[i:i+3], ' ')) AS h
+          |      FROM (SELECT doc_id, toks,
+          |                   unnest(generate_series(1, len(toks) - 3)) AS i
+          |            FROM tf)),
+          |m AS (SELECT h, count(*) AS mult FROM s GROUP BY 1),
+          |d AS (SELECT s.doc_id, s.pos FROM s JOIN m USING (h)
+          |      WHERE m.mult >= 2),
+          |r AS (SELECT doc_id, pos,
+          |             pos - row_number() OVER (PARTITION BY doc_id
+          |                                      ORDER BY pos) AS grp
+          |      FROM d),
+          |g AS (SELECT doc_id, grp, min(pos) AS span_start,
+          |             max(pos) AS last_sh, count(*) AS run
+          |      FROM r GROUP BY 1, 2)
+          |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+          |       CAST(last_sh + 3 AS BIGINT) AS span_end,
+          |       CAST(run + 3 AS BIGINT) AS n_tokens
+          |FROM g WHERE run >= 2""".stripMargin,
 
       "dedup_chunks" ->
         """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks

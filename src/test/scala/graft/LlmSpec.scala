@@ -905,6 +905,29 @@ class LlmSpec extends SparkSpec {
     assert(exact.nonEmpty && bloom == exact)
   }
 
+  test("duplicateSpans finds unaligned repeated spans, splits on gaps, " +
+    "drops sub-minRun runs") {
+    // doc 1 and 2 share the UNALIGNED 5-token passage "aa bb cc dd ee"
+    // (offset 0 vs 2 — invisible to the aligned chunk family); doc 3
+    // repeats a 4-token phrase within itself (two separate spans); doc 4
+    // is clean; doc 5 shares only ONE isolated 3-shingle → run 1 < 2
+    val docs = Seq(
+      (1L, "aa bb cc dd ee xx yy zz"),
+      (2L, "pp qq aa bb cc dd ee rr"),
+      (3L, "k1 k2 k3 k4 m k1 k2 k3 k4"),
+      (4L, "u1 u2 u3 u4 u5"),
+      (5L, "aa bb cc q1 q2 q3")).toDF("doc_id", "text")
+    val out = graft.llm.Dedup.duplicateSpans(docs, "text", "doc_id",
+        w = 3, minRun = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (1L, 0L, 4L, 5L),   // "aa bb cc dd ee"
+      (2L, 2L, 6L, 5L),
+      (3L, 0L, 3L, 4L),   // first "k1 k2 k3 k4"
+      (3L, 5L, 8L, 4L)),  // second, split across the gap at "m"
+      s"got $out")
+  }
+
   test("chunk dedup keeps first global occurrence and reassembles in order") {
     val df = Seq(
       (1L, "a b c d e f"),
