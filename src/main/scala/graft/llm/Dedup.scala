@@ -967,4 +967,41 @@ object Dedup {
         (col("__last_sh") + w - 1).cast("long").as("span_end"),
         (col("__run") + w - 1).cast("long").as("n_tokens"))
   }
+
+  /** Per-document duplicated-token coverage from [[duplicateSpans]] —
+    * the actionable gate ("drop documents that are mostly repeated
+    * spans", the unaligned sibling of [[chunkDupStats]]' dup_ratio).
+    * Spans can overlap by < w tokens at the edges, so coverage is the
+    * INTERVAL UNION: a second gaps-and-islands pass over the span list
+    * (an island starts where span_start exceeds the running max end of
+    * everything before it), then Σ(island extents). Documents with no
+    * spans report 0. All windows run on the span frame (≪ corpus) and
+    * the token counts on a map-only scan; exact integer arithmetic
+    * throughout. Output: (idCol, n_doc_tokens, dup_tokens, dup_ratio). */
+  def spanDupRatio(df: DataFrame, textCol: String, idCol: String,
+                   w: Int, minRun: Int): DataFrame = {
+    val spans = duplicateSpans(df, textCol, idCol, w, minRun)
+    val prevMax = max(col("span_end")).over(
+      Window.partitionBy(col(idCol)).orderBy(col("span_start"))
+        .rowsBetween(Window.unboundedPreceding, -1))
+    val islands = spans
+      .withColumn("__new", when(
+        col("span_start") > coalesce(prevMax, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(
+        Window.partitionBy(col(idCol)).orderBy(col("span_start"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg((max(col("span_end")) - min(col("span_start")) + 1L)
+        .as("__covered"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__covered")).as("dup_tokens"))
+    spread(df)
+      .select(col(idCol),
+        size(TextAnalysis.tokens(col(textCol))).cast("long")
+          .as("n_doc_tokens"))
+      .join(islands.hint("shuffle_hash"), Seq(idCol), "left")
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .withColumn("dup_ratio",
+        round(col("dup_tokens").cast("double") / col("n_doc_tokens"), 6))
+  }
 }

@@ -1261,6 +1261,12 @@ object PipelineQueries {
       Dedup.duplicateSpans(Tables.documents(s, d), "text", "doc_id",
         w = 4, minRun = 2)),
 
+    // --- the actionable gate over those spans: per-doc duplicated-token
+    // coverage by interval union (spans overlap < w at the edges) --------
+    "dedup_span_ratio" -> ((s, d) =>
+      Dedup.spanDupRatio(Tables.documents(s, d), "text", "doc_id",
+        w = 4, minRun = 2)),
+
     // --- per-document duplicated-content fraction (the RefinedWeb-style
     // "drop documents that are mostly duplicated elsewhere" gate) ------------
     "dedup_dupratio" -> ((s, d) =>
@@ -4574,6 +4580,56 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |       CAST(last_sh + 3 AS BIGINT) AS span_end,
           |       CAST(run + 3 AS BIGINT) AS n_tokens
           |FROM g WHERE run >= 2""".stripMargin,
+
+      // the spans' interval union per doc (second gaps-and-islands:
+      // a new island where span_start exceeds the running max end),
+      // then coverage / token count
+      "dedup_span_ratio" ->
+        """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+          |           FROM documents),
+          |tf AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 4),
+          |s AS (SELECT doc_id, i - 1 AS pos,
+          |             md5(array_to_string(toks[i:i+3], ' ')) AS h
+          |      FROM (SELECT doc_id, toks,
+          |                   unnest(generate_series(1, len(toks) - 3)) AS i
+          |            FROM tf)),
+          |m AS (SELECT h, count(*) AS mult FROM s GROUP BY 1),
+          |d AS (SELECT s.doc_id, s.pos FROM s JOIN m USING (h)
+          |      WHERE m.mult >= 2),
+          |r AS (SELECT doc_id, pos,
+          |             pos - row_number() OVER (PARTITION BY doc_id
+          |                                      ORDER BY pos) AS grp
+          |      FROM d),
+          |g AS (SELECT doc_id, grp, min(pos) AS span_start,
+          |             max(pos) AS last_sh, count(*) AS run
+          |      FROM r GROUP BY 1, 2),
+          |g2 AS (SELECT doc_id, span_start, last_sh + 3 AS span_end
+          |       FROM g WHERE run >= 2),
+          |i0 AS (SELECT doc_id, span_start, span_end,
+          |         CASE WHEN span_start > COALESCE(max(span_end) OVER (
+          |                PARTITION BY doc_id ORDER BY span_start
+          |                ROWS BETWEEN UNBOUNDED PRECEDING
+          |                         AND 1 PRECEDING), -1)
+          |              THEN 1 ELSE 0 END AS newf
+          |       FROM g2),
+          |i1 AS (SELECT *, SUM(newf) OVER (
+          |          PARTITION BY doc_id ORDER BY span_start
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |          AS isl
+          |       FROM i0),
+          |cov AS (SELECT doc_id, isl,
+          |               max(span_end) - min(span_start) + 1 AS covered
+          |        FROM i1 GROUP BY 1, 2),
+          |dt AS (SELECT doc_id, SUM(covered) AS dup_tokens
+          |       FROM cov GROUP BY 1)
+          |SELECT b.doc_id,
+          |       CAST(len(string_split_regex(b.text, '\s+')) AS BIGINT)
+          |         AS n_doc_tokens,
+          |       CAST(COALESCE(dt.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+          |       round(CAST(COALESCE(dt.dup_tokens, 0) AS DOUBLE) /
+          |             len(string_split_regex(b.text, '\s+')), 6)
+          |         AS dup_ratio
+          |FROM documents b LEFT JOIN dt USING (doc_id)""".stripMargin,
 
       "dedup_chunks" ->
         """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks

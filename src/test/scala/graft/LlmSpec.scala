@@ -928,6 +928,26 @@ class LlmSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("spanDupRatio unions overlapping spans and reports zero for " +
+    "clean docs") {
+    val docs = Seq(
+      (1L, "aa bb cc dd ee xx yy zz"),       // span [0,4] of 8 tokens
+      (2L, "pp qq aa bb cc dd ee rr"),       // span [2,6] of 8
+      (3L, "k1 k2 k3 k4 m k1 k2 k3 k4"),     // [0,3] + [5,8] of 9
+      (4L, "u1 u2 u3 u4 u5"),                // clean
+      (5L, "aa bb cc q1 q2 q3")              // single dup shingle < minRun
+    ).toDF("doc_id", "text")
+    val out = graft.llm.Dedup.spanDupRatio(docs, "text", "doc_id",
+        w = 3, minRun = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((8L, 5L, 0.625)))
+    assert(out(2L) === ((8L, 5L, 0.625)))
+    assert(out(3L) === ((9L, 8L, 0.888889)))
+    assert(out(4L) === ((5L, 0L, 0.0)))
+    assert(out(5L) === ((6L, 0L, 0.0)))
+  }
+
   test("chunk dedup keeps first global occurrence and reassembles in order") {
     val df = Seq(
       (1L, "a b c d e f"),
