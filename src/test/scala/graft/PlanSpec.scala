@@ -97,6 +97,33 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("quantile sketch: hash aggregates + bucket-frame windows, " +
+    "no corpus sort-merge") {
+    Seq("sketch_quantiles", "ts_quantile_buckets").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("HashAggregate"), p)
+      assert(!p.contains("SortMergeJoin"), s"$q sort-merges:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
+  test("span dedup re-attaches multiplicity with a hash join, never " +
+    "sort-merge") {
+    Seq("dedup_spans", "dedup_span_ratio").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("ShuffledHashJoin"), s"$q lost the hint:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q sort-merges:\n$p")
+    }
+  }
+
+  test("semdedup: capped pair + keep joins are hash, sizes broadcast") {
+    val p = plan("semdedup")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin Inner"), p)
+  }
+
   test("contamination broadcasts the eval side; train corpus join is hash") {
     val p = plan("contamination_ngram")
     // both the shingle join and the test-sizes join broadcast the tiny
