@@ -980,21 +980,9 @@ object Dedup {
     * throughout. Output: (idCol, n_doc_tokens, dup_tokens, dup_ratio). */
   def spanDupRatio(df: DataFrame, textCol: String, idCol: String,
                    w: Int, minRun: Int): DataFrame = {
-    val spans = duplicateSpans(df, textCol, idCol, w, minRun)
-    val prevMax = max(col("span_end")).over(
-      Window.partitionBy(col(idCol)).orderBy(col("span_start"))
-        .rowsBetween(Window.unboundedPreceding, -1))
-    val islands = spans
-      .withColumn("__new", when(
-        col("span_start") > coalesce(prevMax, lit(-1L)), 1L).otherwise(0L))
-      .withColumn("__isl", sum(col("__new")).over(
-        Window.partitionBy(col(idCol)).orderBy(col("span_start"))
-          .rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col(idCol), col("__isl"))
-      .agg((max(col("span_end")) - min(col("span_start")) + 1L)
-        .as("__covered"))
+    val islands = spanIslands(df, textCol, idCol, w, minRun)
       .groupBy(col(idCol))
-      .agg(sum(col("__covered")).as("dup_tokens"))
+      .agg(sum(col("__e") - col("__s") + 1L).as("dup_tokens"))
     spread(df)
       .select(col(idCol),
         size(TextAnalysis.tokens(col(textCol))).cast("long")
@@ -1003,5 +991,61 @@ object Dedup {
       .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
       .withColumn("dup_ratio",
         round(col("dup_tokens").cast("double") / col("n_doc_tokens"), 6))
+  }
+
+  /** The disjoint interval union of [[duplicateSpans]] per document:
+    * (idCol, __s, __e) — the second gaps-and-islands pass shared by
+    * [[spanDupRatio]] and [[stripSpans]]. Windows run on the span frame
+    * (≪ corpus). */
+  private def spanIslands(df: DataFrame, textCol: String, idCol: String,
+                          w: Int, minRun: Int): DataFrame = {
+    val spans = duplicateSpans(df, textCol, idCol, w, minRun)
+    val prevMax = max(col("span_end")).over(
+      Window.partitionBy(col(idCol)).orderBy(col("span_start"))
+        .rowsBetween(Window.unboundedPreceding, -1))
+    spans
+      .withColumn("__new", when(
+        col("span_start") > coalesce(prevMax, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(
+        Window.partitionBy(col(idCol)).orderBy(col("span_start"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("span_start")).as("__s"), max(col("span_end")).as("__e"))
+  }
+
+  /** CUT the corpus-repeated spans out of each document — the removal
+    * policy completing [[duplicateSpans]] (Lee et al. 2022 drop the
+    * repeated substring occurrences; keeping the first occurrence is a
+    * caller-side variant via the span list). Each document's disjoint
+    * dup intervals ride as ONE array column (documents hold few islands
+    * by construction — each needs `minRun` duplicated windows), and the
+    * token cut is a MAP-SIDE indexed-lambda filter against that array —
+    * the corpus never explodes to token rows and never shuffles beyond
+    * the doc-grain island join. Documents shorter than `w` tokens or
+    * with no spans pass through unchanged.
+    *
+    * Output: (idCol, n_tokens, n_removed, clean_text) — clean_text is
+    * the kept tokens re-joined with single spaces (the chunk family's
+    * normalization posture). */
+  def stripSpans(df: DataFrame, textCol: String, idCol: String,
+                 w: Int, minRun: Int): DataFrame = {
+    val iv = spanIslands(df, textCol, idCol, w, minRun)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__s"), col("__e"))))
+        .as("__iv"))
+    spread(df)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .join(iv.hint("shuffle_hash"), Seq(idCol), "left")
+      .withColumn("__kept", when(col("__iv").isNotNull,
+        filter(col("__t"), (tok, i) =>
+          !exists(col("__iv"), s =>
+            i.cast("long") >= s.getField("__s") &&
+              i.cast("long") <= s.getField("__e"))))
+        .otherwise(col("__t")))
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        (size(col("__t")) - size(col("__kept"))).cast("long")
+          .as("n_removed"),
+        concat_ws(" ", col("__kept")).as("clean_text"))
   }
 }

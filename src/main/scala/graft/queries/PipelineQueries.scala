@@ -1267,6 +1267,13 @@ object PipelineQueries {
       Dedup.spanDupRatio(Tables.documents(s, d), "text", "doc_id",
         w = 4, minRun = 2)),
 
+    // --- and the removal policy: cut the repeated spans out — per-doc
+    // interval arrays ride a doc-grain hash join, the token cut is a
+    // map-side indexed-lambda filter (no token-level shuffle) ------------
+    "dedup_spans_clean" -> ((s, d) =>
+      Dedup.stripSpans(Tables.documents(s, d), "text", "doc_id",
+        w = 4, minRun = 2)),
+
     // --- per-document duplicated-content fraction (the RefinedWeb-style
     // "drop documents that are mostly duplicated elsewhere" gate) ------------
     "dedup_dupratio" -> ((s, d) =>
@@ -4630,6 +4637,60 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |             len(string_split_regex(b.text, '\s+')), 6)
           |         AS dup_ratio
           |FROM documents b LEFT JOIN dt USING (doc_id)""".stripMargin,
+
+      // same islands; the cut replayed at token grain (the engine cuts
+      // map-side with an indexed lambda — same result, DuckDB joins)
+      "dedup_spans_clean" ->
+        """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+          |           FROM documents),
+          |tf AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 4),
+          |s AS (SELECT doc_id, i - 1 AS pos,
+          |             md5(array_to_string(toks[i:i+3], ' ')) AS h
+          |      FROM (SELECT doc_id, toks,
+          |                   unnest(generate_series(1, len(toks) - 3)) AS i
+          |            FROM tf)),
+          |m AS (SELECT h, count(*) AS mult FROM s GROUP BY 1),
+          |d AS (SELECT s.doc_id, s.pos FROM s JOIN m USING (h)
+          |      WHERE m.mult >= 2),
+          |r AS (SELECT doc_id, pos,
+          |             pos - row_number() OVER (PARTITION BY doc_id
+          |                                      ORDER BY pos) AS grp
+          |      FROM d),
+          |g AS (SELECT doc_id, grp, min(pos) AS span_start,
+          |             max(pos) AS last_sh, count(*) AS run
+          |      FROM r GROUP BY 1, 2),
+          |g2 AS (SELECT doc_id, span_start, last_sh + 3 AS span_end
+          |       FROM g WHERE run >= 2),
+          |i0 AS (SELECT doc_id, span_start, span_end,
+          |         CASE WHEN span_start > COALESCE(max(span_end) OVER (
+          |                PARTITION BY doc_id ORDER BY span_start
+          |                ROWS BETWEEN UNBOUNDED PRECEDING
+          |                         AND 1 PRECEDING), -1)
+          |              THEN 1 ELSE 0 END AS newf
+          |       FROM g2),
+          |i1 AS (SELECT *, SUM(newf) OVER (
+          |          PARTITION BY doc_id ORDER BY span_start
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |          AS isl
+          |       FROM i0),
+          |iv AS (SELECT doc_id, isl, min(span_start) AS s,
+          |              max(span_end) AS e
+          |       FROM i1 GROUP BY 1, 2),
+          |tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+          |        FROM (SELECT doc_id, toks,
+          |                     unnest(generate_series(1, len(toks))) AS i
+          |              FROM t)),
+          |kept AS (SELECT tk.doc_id, tk.pos, tk.tok
+          |         FROM tok tk LEFT JOIN iv
+          |           ON iv.doc_id = tk.doc_id
+          |          AND tk.pos BETWEEN iv.s AND iv.e
+          |         WHERE iv.doc_id IS NULL)
+          |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+          |       CAST(len(t.toks) - count(k.tok) AS BIGINT) AS n_removed,
+          |       COALESCE(array_to_string(list(k.tok ORDER BY k.pos), ' '),
+          |                '') AS clean_text
+          |FROM t LEFT JOIN kept k USING (doc_id)
+          |GROUP BY t.doc_id, len(t.toks)""".stripMargin,
 
       "dedup_chunks" ->
         """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks

@@ -948,6 +948,26 @@ class LlmSpec extends SparkSpec {
     assert(out(5L) === ((6L, 0L, 0.0)))
   }
 
+  test("stripSpans cuts exactly the unioned spans, passes clean and " +
+    "short docs through") {
+    val docs = Seq(
+      (1L, "aa bb cc dd ee xx yy zz"),   // cut [0,4] → "xx yy zz"
+      (2L, "pp qq aa bb cc dd ee rr"),   // cut [2,6] → "pp qq rr"
+      (3L, "k1 k2 k3 k4 m k1 k2 k3 k4"), // cut [0,3]+[5,8] → "m"
+      (4L, "u1 u2 u3 u4 u5"),            // untouched
+      (5L, "a b")                        // shorter than w → untouched
+    ).toDF("doc_id", "text")
+    val out = graft.llm.Dedup.stripSpans(docs, "text", "doc_id",
+        w = 3, minRun = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((8L, 5L, "xx yy zz")))
+    assert(out(2L) === ((8L, 5L, "pp qq rr")))
+    assert(out(3L) === ((9L, 8L, "m")))
+    assert(out(4L) === ((5L, 0L, "u1 u2 u3 u4 u5")))
+    assert(out(5L) === ((2L, 0L, "a b")))
+  }
+
   test("chunk dedup keeps first global occurrence and reassembles in order") {
     val df = Seq(
       (1L, "a b c d e f"),
