@@ -182,6 +182,88 @@ object Corpus {
             / sum(col("tfb")).cast("double"), 6).as("avg_nll"))
   }
 
+  /** Per-document interpolated Kneser–Ney trigram NLL: mean −ln p(w3|w1,w2)
+    * over the document's trigram positions, under an interpolated-KN model
+    * of the WHOLE corpus — the smoothing the n-gram-LM quality-gate
+    * literature actually uses (Kneser & Ney 1995; Chen & Goodman 1999):
+    * absolute discounting at the trigram level backing off to CONTINUATION
+    * counts ("how many contexts has this word completed"), not raw
+    * frequencies — so boilerplate tokens that are frequent in one template
+    * stop looking fluent everywhere.
+    *
+    *   p(w3|w1w2) = max(c123−D,0)/c12 + D·N1+(w1w2·)/c12 · pKN(w3|w2)
+    *   pKN(w3|w2) = max(N1+(·w2w3)−D,0)/N1+(·w2·)
+    *                + D·N1+(w2·)/N1+(·w2·) · N1+(·w3)/N1+(··)
+    *
+    * with every N1+ count read off the distinct-trigram TYPE table (one
+    * universe, self-consistent: N1+(·w2·) = distinct (w1,w3) around w2,
+    * N1+(··) = distinct (w2,w3) pairs). Scoring the training corpus means
+    * every scored trigram exists in the table, so all denominators are ≥ 1
+    * and p > 0 without an OOV floor. Documents with fewer than 3 tokens
+    * have no trigram positions and emit no row.
+    *
+    * Output: (id, n_trigrams, avg_nll), avg_nll rounded to 6 dp.
+    * Determinism: the [[bigramNll]] discipline — exact long counts, the
+    * probability as one fixed left-associative double tree mirrored
+    * verbatim in the oracle, a single ln() 9-dp-fixed, exact decimal
+    * weighted sum per doc.
+    *
+    * Plan shape at 100 TB: trigrams explode map-side and partial-aggregate
+    * to (doc, trigram) counts before the first shuffle; every model table
+    * (trigram types, trigram contexts, continuation bigrams, continuation
+    * contexts, continuation unigrams) is a further hash aggregate of the
+    * ALREADY-COLLAPSED type frame — vocabulary-cubed-bounded but
+    * corpus-independent, and orders of magnitude below the corpus (heaps
+    * law). Probability lookups are equi-joins where a hot trigram is one
+    * probe-side streaming key; the 1-row type total attaches broadcast. */
+  def knTrigramNll(df: DataFrame, textCol: String, idCol: String,
+                   discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount=$discount out of (0,1) (absolute discounting)")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val tg = spread(df).filter(size(toks) >= 3)
+      .select(col(idCol), toks.as("w"))
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(w) - 3), i -> " +
+          "struct(w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3))")).as("g"))
+      .select(col(idCol), col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+      .groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("tfg"))
+    val tri = tg.groupBy("w1", "w2", "w3").agg(sum(col("tfg")).as("c123"))
+    // trigram context: total count + distinct-continuation count N1+(w1w2·)
+    val ctx = tri.groupBy("w1", "w2")
+      .agg(sum(col("c123")).as("c12"), count(lit(1)).as("t12"))
+    // continuation bigram N1+(·w2w3): tri is distinct on (w1,w2,w3), so a
+    // plain count per (w2,w3) IS the distinct-w1 count — no distinct agg
+    val mid = tri.groupBy("w2", "w3").agg(count(lit(1)).as("mc"))
+    // N1+(·w2·) = Σ_w3 mc (distinct (w1,w3) around w2); N1+(w2·) = rows
+    val midCtx = mid.groupBy("w2")
+      .agg(sum(col("mc")).as("m2"), count(lit(1)).as("t2"))
+    val uni = mid.groupBy("w3").agg(count(lit(1)).as("uc"))
+    val tot = mid.agg(count(lit(1)).as("__tot"))
+    val d = (c: Column) => c.cast("double")
+    val dd = lit(discount)
+    tg.join(tri, Seq("w1", "w2", "w3"))
+      .join(ctx, Seq("w1", "w2"))
+      .join(mid, Seq("w2", "w3"))
+      .join(midCtx, Seq("w2"))
+      .join(uni, Seq("w3"))
+      .crossJoin(broadcast(tot))
+      .withColumn("nll9", round(-log(
+        (greatest(d(col("c123")) - dd, lit(0.0)) / d(col("c12"))) +
+          (dd * d(col("t12")) / d(col("c12"))) *
+            ((greatest(d(col("mc")) - dd, lit(0.0)) / d(col("m2"))) +
+              (dd * d(col("t2")) / d(col("m2"))) *
+                (d(col("uc")) / d(col("__tot"))))), 9)
+        .cast("decimal(28,9)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tfg")).as("n_trigrams"),
+        round(
+          sum(col("tfg").cast("decimal(9,0)") * col("nll9")).cast("double")
+            / sum(col("tfg")).cast("double"), 6).as("avg_nll"))
+  }
+
   /** Corpus-wide top-`k` bigram collocations by pointwise mutual
     * information: PMI(w1,w2) = ln(p(w1,w2) / (p(w1)·p(w2))) with the
     * joint from bigram counts and the marginals from unigram counts —

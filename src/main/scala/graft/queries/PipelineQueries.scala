@@ -254,6 +254,10 @@ object PipelineQueries {
     * from the SAME shortest-repr literals (a hand-written `2.2` in SQL
     * can land one ulp away from Scala's `k1 + 1.0`). */
   private val Bm25Terms = Seq("vector", "merge", "spark")
+  /** Kneser–Ney absolute discount — shared by [[Corpus.knTrigramNll]]'s
+    * registration and the oracle so both engines parse the SAME literal
+    * (0.75 is exactly representable, but the sharing is the policy). */
+  private val KnDiscount = 0.75
   /** 2024-01-01T00:00:00Z in epoch micros — the crawl-clock origin the
     * layout audit quantizes hours against. */
   private val Epoch2024Us = 1704067200000000L
@@ -1671,6 +1675,12 @@ object PipelineQueries {
     // --- bigram LM with add-one smoothing: word-order-aware quality gate ---
     "lm_bigram_nll" -> ((s, d) =>
       Corpus.bigramNll(Tables.documents(s, d), "text", "doc_id")),
+
+    // --- interpolated Kneser–Ney trigram LM: the smoothing real n-gram
+    // quality gates use (absolute discounting + continuation counts) ------
+    "lm_kn_nll" -> ((s, d) =>
+      Corpus.knTrigramNll(Tables.documents(s, d), "text", "doc_id",
+        discount = KnDiscount)),
 
     // --- CCNet perplexity buckets (Wenzek et al. 2020): per-language
     // head/middle/tail terciles of the bigram-LM fluency score — the
@@ -5249,6 +5259,50 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       "lm_bigram_nll" ->
         (s"WITH $bigramNllCtes\n" +
           "SELECT doc_id, n_bigrams, avg_nll FROM bnll"),
+
+      // interpolated Kneser–Ney trigram: every N1+ continuation count read
+      // off the distinct-trigram type table `tri` (which is unique on
+      // (w1,w2,w3), so plain count(*) per suffix IS the distinct-prefix
+      // count); the probability tree mirrors Corpus.knTrigramNll verbatim
+      // (left-associative, greatest() discount floors, one ln, 9-dp fix)
+      "lm_kn_nll" ->
+        s"""WITH ws AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+           |            FROM documents),
+           |tgx AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+           |        FROM (SELECT doc_id, w,
+           |                     unnest(generate_series(1, len(w) - 2)) AS i
+           |              FROM ws WHERE len(w) >= 3)),
+           |tg AS (SELECT doc_id, w1, w2, w3, count(*) AS tfg
+           |       FROM tgx GROUP BY 1, 2, 3, 4),
+           |tri AS (SELECT w1, w2, w3, sum(tfg) AS c123 FROM tg GROUP BY 1, 2, 3),
+           |ctx AS (SELECT w1, w2, sum(c123) AS c12, count(*) AS t12
+           |        FROM tri GROUP BY 1, 2),
+           |mid AS (SELECT w2, w3, count(*) AS mc FROM tri GROUP BY 1, 2),
+           |mctx AS (SELECT w2, sum(mc) AS m2, count(*) AS t2
+           |         FROM mid GROUP BY 1),
+           |uni AS (SELECT w3, count(*) AS uc FROM mid GROUP BY 1),
+           |tot AS (SELECT count(*) AS tot FROM mid),
+           |nll AS (
+           |  SELECT tg.doc_id, tg.tfg,
+           |         CAST(round(-ln(
+           |           (greatest(CAST(tri.c123 AS DOUBLE) - $KnDiscount, 0.0)
+           |              / CAST(ctx.c12 AS DOUBLE))
+           |           + ($KnDiscount * CAST(ctx.t12 AS DOUBLE)
+           |              / CAST(ctx.c12 AS DOUBLE))
+           |             * ((greatest(CAST(mid.mc AS DOUBLE) - $KnDiscount, 0.0)
+           |                   / CAST(mctx.m2 AS DOUBLE))
+           |                + ($KnDiscount * CAST(mctx.t2 AS DOUBLE)
+           |                   / CAST(mctx.m2 AS DOUBLE))
+           |                  * (CAST(uni.uc AS DOUBLE)
+           |                     / CAST(tot.tot AS DOUBLE)))), 9)
+           |           AS DECIMAL(28,9)) AS nll9
+           |  FROM tg JOIN tri USING (w1, w2, w3) JOIN ctx USING (w1, w2)
+           |       JOIN mid USING (w2, w3) JOIN mctx USING (w2)
+           |       JOIN uni USING (w3), tot)
+           |SELECT doc_id, CAST(sum(tfg) AS BIGINT) AS n_trigrams,
+           |       round(CAST(sum(CAST(tfg AS DECIMAL(9,0)) * nll9) AS DOUBLE)
+           |             / CAST(sum(tfg) AS DOUBLE), 6) AS avg_nll
+           |FROM nll GROUP BY 1""".stripMargin,
 
       // the CCNet gate (Wenzek et al. 2020): per-language perplexity
       // terciles over the same bigram-LM score — head = most fluent.

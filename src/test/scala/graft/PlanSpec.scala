@@ -45,7 +45,8 @@ class PlanSpec extends SparkSpec {
     // design
     val intended = Set("ann_brute_topk", "ann_recall_eval", "ann_int8_topk",
       "snmp_dsl_toplevel",
-      "tfidf_topk", "lm_surprisal", "lm_bigram_nll", "collocation_pmi",
+      "tfidf_topk", "lm_surprisal", "lm_bigram_nll", "lm_kn_nll",
+      "collocation_pmi",
       "curriculum_global", "vocab_topk", "source_divergence", "bm25_topk",
       "embed_source_drift", "sample_dsir", "ann_pq_topk", "ccnet_buckets",
       "quality_ensemble", "ann_pq_recall", "ann_pqt_topk",
@@ -203,6 +204,15 @@ class PlanSpec extends SparkSpec {
     val p = plan("lm_bigram_nll")
     assert(!p.contains("Window"), p)
     assert(p.contains("partial_count"), p)  // map-side bigram combine
+  }
+
+  test("KN trigram: model tables stream through joins, not windows") {
+    // same posture as lm_bigram_nll, one order up: every continuation
+    // count is a hash aggregate of the collapsed type frame, probed by
+    // equi-join — a hot trigram must never buffer a window partition
+    val p = plan("lm_kn_nll")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count"), p)  // map-side trigram combine
   }
 
   test("bm25: stats broadcast onto a map-side tf scan, heap-merged top-k") {

@@ -647,6 +647,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("knTrigramNll == brute-force interpolated Kneser-Ney on random corpora") {
+    import graft.llm.Corpus
+    val vocabWords = Vector("a", "b", "c", "dd", "ee")
+    val corpusGen = for {
+      n <- Gen.chooseNum(2, 12)
+      docs <- Gen.listOfN(n, Gen.chooseNum(1, 10).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocabWords)).map(_.mkString(" "))))
+    } yield docs
+    val D = 0.75
+    (1 to 8).foreach { seed =>
+      val texts = sample(corpusGen, seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }
+      val tris = toks.flatMap { case (id, ws) =>
+        ws.sliding(3).filter(_.size == 3).map(g => (id, g(0), g(1), g(2))) }
+      if (tris.nonEmpty) {
+        // the model tables, sequentially: trigram types + counts, then
+        // every N1+ continuation count off the distinct-type set
+        val c123 = tris.groupBy(t => (t._2, t._3, t._4))
+          .view.mapValues(_.size.toLong).toMap
+        val types = c123.keySet
+        val c12 = c123.groupBy { case ((w1, w2, _), _) => (w1, w2) }
+          .view.mapValues(_.values.sum).toMap
+        val t12 = types.groupBy(t => (t._1, t._2)).view.mapValues(_.size).toMap
+        val mid = types.map(t => (t._2, t._3))        // distinct (w2,w3)
+        val mc = types.groupBy(t => (t._2, t._3)).view.mapValues(_.size).toMap
+        val m2 = types.groupBy(_._2).view.mapValues(_.size).toMap // Σ_w3 mc
+        val t2 = mid.groupBy(_._1).view.mapValues(_.size).toMap
+        val uc = mid.groupBy(_._2).view.mapValues(_.size).toMap
+        val tot = mid.size
+        def nll9(w1: String, w2: String, w3: String) = {
+          val p = math.max(c123((w1, w2, w3)) - D, 0.0) / c12((w1, w2)) +
+            (D * t12((w1, w2)) / c12((w1, w2))) *
+              (math.max(mc((w2, w3)) - D, 0.0) / m2(w2) +
+                (D * t2(w2) / m2(w2)) * (uc(w3).toDouble / tot))
+          BigDecimal(-math.log(p))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        }
+        val expected = tris.groupBy(_._1).map { case (id, gs) =>
+          val s = gs.map(g => nll9(g._2, g._3, g._4)).sum
+          (id, gs.size.toLong,
+            BigDecimal(s.toDouble / gs.size)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.toSet
+        val got = Corpus.knTrigramNll(docs.toDF("doc_id", "text"),
+          "text", "doc_id").as[(Long, Long, Double)].collect().toSet
+        assert(got == expected, s"seed=$seed")
+      }
+    }
+  }
+
   test("CharWindows/AllShingles kernels == sliding reference on random input") {
     import graft.functions.{AllShingles, CharWindows}
     val strGen = Gen.chooseNum(0, 40).flatMap(n =>
