@@ -69,6 +69,77 @@ object Similarity {
         round(col("score"), roundScore).as("score"))
   }
 
+  /** Maximal-marginal-relevance diversified top-`selectK` (Carbonell &
+    * Goldstein 1998): from each query's `candK` highest-cosine candidates,
+    * greedily pick argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) — the
+    * standard rerank that stops a retrieval slate (RAG context, dedup
+    * review queue) from being `selectK` copies of the same passage. Pick 1
+    * is the relevance argmax (S empty); ties break on neighbor id at every
+    * step, so the slate is deterministic.
+    *
+    * Output: (query_id, pick ∈ 1..selectK, neighbor_id) — rank-only, the
+    * ANN-family convention. Relevance is the 6-dp cosine from
+    * [[bruteForceTopK]]; candidate-pair similarity is 9-dp-fixed; the MMR
+    * score is one fixed double tree (λ and 1−λ from the same shared
+    * literals in engine and oracle), so selection replays identically.
+    *
+    * Plan shape at 100 TB: candidate generation is the [[bruteForceTopK]]
+    * map-side scan (swap in any ANN path for corpus-sized query sets —
+    * the rerank only reads (query_id, neighbor_id, score) + vectors);
+    * everything after is bounded by |queries| × candK² — the pair frame
+    * equi-joins on query_id, and each of the selectK−1 greedy rounds is
+    * one join + one candK-row window per query group, never corpus-sized.
+    * Candidates and pairs are localCheckpointed ONCE so the greedy rounds
+    * don't replay the scoring scan. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String,
+                candK: Int, selectK: Int,
+                lambda: Double = 0.5): DataFrame = {
+    require(candK >= selectK && selectK >= 1,
+      s"need candK=$candK >= selectK=$selectK >= 1")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda=$lambda out of [0,1]")
+    val cand = bruteForceTopK(corpus, queries, idCol, vecCol, candK)
+      .localCheckpoint()
+    val nv = corpus.select(col(idCol).as("neighbor_id"),
+      normalize(col(vecCol)).as("nv"))
+    val candV = cand.join(nv, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("nv"))
+    val a = candV.select(col("query_id"), col("neighbor_id").as("ida"),
+      col("nv").as("va"))
+    val b = candV.select(col("query_id"), col("neighbor_id").as("idb"),
+      col("nv").as("vb"))
+    val pairs = a.join(b, Seq("query_id"))
+      .filter(col("ida") =!= col("idb"))
+      .select(col("query_id"), col("ida"), col("idb"),
+        round(dot(col("va"), col("vb")), 9).cast("decimal(28,9)").as("sim"))
+      .localCheckpoint()
+    var selected = cand.filter(col("rank") === 1)
+      .select(col("query_id"), lit(1L).as("pick"), col("neighbor_id"))
+    var remaining = cand.filter(col("rank") > 1)
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+    for (r <- 2 to selectK) {
+      val ms = pairs
+        .join(selected.select(col("query_id"), col("neighbor_id").as("idb")),
+          Seq("query_id", "idb"))
+        .groupBy(col("query_id"), col("ida").as("neighbor_id"))
+        .agg(max(col("sim")).as("maxsim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("mmr").desc, col("neighbor_id"))
+      val pick = remaining.join(ms, Seq("query_id", "neighbor_id"))
+        .withColumn("mmr", lit(lambda) * col("score") -
+          lit(1.0 - lambda) * col("maxsim").cast("double"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), lit(r.toLong).as("pick"),
+          col("neighbor_id"))
+      selected = selected.unionByName(pick)
+      remaining = remaining.join(
+        pick.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+    }
+    selected
+  }
+
   /** Bucket key from the signs of the first `b` vector components —
     * axis-aligned hyperplanes. Kept as the zero-multiply fallback; the
     * DEFAULT family is [[signBucketRotated]], because axis-aligned signs

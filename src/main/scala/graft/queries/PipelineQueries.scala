@@ -258,6 +258,71 @@ object PipelineQueries {
     * registration and the oracle so both engines parse the SAME literal
     * (0.75 is exactly representable, but the sharing is the policy). */
   private val KnDiscount = 0.75
+  /** MMR rerank constants, shared engine/oracle (the Bm25 policy: both
+    * sides parse λ and 1−λ from the SAME shortest-repr literals). */
+  private val MmrLambda = 0.5
+  private val MmrCandK = 20
+  private val MmrSelectK = 5
+
+  /** DuckDB oracle for search_mmr: candidate scoring verbatim from the
+    * ann_brute_topk fragment, then the greedy MMR selection UNROLLED one
+    * CTE-triple (maxsim, pick, survivors) per round — selection is
+    * sequential by definition, so the oracle replays it round by round
+    * (the BPE-unroll precedent; keep in sync with
+    * [[Similarity.mmrRerank]]). */
+  private def mmrOracleSql: String = {
+    val lam = MmrLambda
+    val oneMinus = 1.0 - MmrLambda
+    val rounds = (2 to MmrSelectK).map { r =>
+      s"""ms$r AS (
+         |  SELECT p.query_id, p.ida AS nid, max(p.sim) AS maxsim
+         |  FROM p JOIN sel${r - 1} s
+         |    ON s.query_id = p.query_id AND s.nid = p.idb
+         |  GROUP BY 1, 2),
+         |pick$r AS (
+         |  SELECT query_id, nid, $r AS pick FROM (
+         |    SELECT r.query_id, r.nid,
+         |           row_number() OVER (PARTITION BY r.query_id
+         |             ORDER BY $lam * r.rel
+         |                      - $oneMinus * CAST(m.maxsim AS DOUBLE) DESC,
+         |                      r.nid) AS rn
+         |    FROM rem${r - 1} r JOIN ms$r m
+         |      ON m.query_id = r.query_id AND m.nid = r.nid)
+         |  WHERE rn = 1),
+         |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL
+         |          SELECT * FROM pick$r),
+         |rem$r AS (
+         |  SELECT r.* FROM rem${r - 1} r LEFT JOIN pick$r p
+         |    ON p.query_id = r.query_id AND p.nid = r.nid
+         |  WHERE p.nid IS NULL)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |            FROM embeddings),
+       |e AS (SELECT vec_id,
+       |        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+       |      FROM e0),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+       |s AS (SELECT q.query_id, e.vec_id AS nid,
+       |             list_dot_product(qv, e.v) AS score0
+       |      FROM e, q WHERE e.vec_id <> q.query_id),
+       |cand AS (SELECT query_id, nid, round(score0, 6) AS rel, rnk FROM (
+       |           SELECT query_id, nid, score0,
+       |                  row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY score0 DESC, nid) AS rnk
+       |           FROM s) WHERE rnk <= $MmrCandK),
+       |cv AS (SELECT c.query_id, c.nid, c.rel, e.v
+       |       FROM cand c JOIN e ON e.vec_id = c.nid),
+       |p AS (SELECT a.query_id, a.nid AS ida, b.nid AS idb,
+       |             CAST(round(list_dot_product(a.v, b.v), 9)
+       |               AS DECIMAL(28,9)) AS sim
+       |      FROM cv a JOIN cv b
+       |        ON a.query_id = b.query_id AND a.nid <> b.nid),
+       |sel1 AS (SELECT query_id, nid, 1 AS pick FROM cand WHERE rnk = 1),
+       |rem1 AS (SELECT query_id, nid, rel FROM cand WHERE rnk > 1),
+       |$rounds
+       |SELECT query_id, CAST(pick AS BIGINT) AS pick, nid AS neighbor_id
+       |FROM sel$MmrSelectK""".stripMargin
+  }
   /** 2024-01-01T00:00:00Z in epoch micros — the crawl-clock origin the
     * layout audit quantizes hours against. */
   private val Epoch2024Us = 1704067200000000L
@@ -556,6 +621,17 @@ object PipelineQueries {
       Similarity.rrfFuse(Seq("sparse" -> sparse, "dense" -> dense),
         "doc_id", "rank", k0 = 60, k = 20)
         .select("doc_id", "sparse_rank", "dense_rank", "rrf")
+    }),
+
+    // --- MMR diversified rerank: greedy λ·rel − (1−λ)·max-sim-to-slate
+    // over each query's top-20 cosine candidates — the anti-redundancy
+    // slate builder for RAG context/review queues. Rank-only output; the
+    // greedy rounds are bounded joins over |queries|×candK frames --------
+    "search_mmr" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.mmrRerank(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", candK = MmrCandK, selectK = MmrSelectK,
+        lambda = MmrLambda)
     }),
 
     // --- tokenizer fertility per language: subword-proxy tokens per
@@ -1150,6 +1226,32 @@ object PipelineQueries {
       val nodes = e.filter(size(col("embedding")) >= 64).select("vec_id")
       graft.operators.Graph.pagerankPersonalized(nodes,
         nodes.filter(col("vec_id") < 100), edges, "vec_id", iters = 3)
+    }),
+
+    // --- HITS hubs/authorities over the same directed kNN edges:
+    // authority = content many neighborhoods point AT, hub = content
+    // whose neighbor list covers the canonical set. L1-normalized
+    // integer masses on a 10⁸ grid → bit-exact unrolled oracle ------------
+    "graph_hits" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val edges = Similarity.knnGraph(e, "vec_id", "embedding",
+        k = 3, b = knnBucketBits(e), dim = 64, bands = 2)
+        .select("src", "dst")
+      val nodes = e.filter(size(col("embedding")) >= 64).select("vec_id")
+      graft.operators.Graph.hits(nodes, edges, "vec_id", iters = 3)
+    }),
+
+    // --- per-node triangle count + local clustering coefficient over
+    // the MUTUAL kNN graph: degree-ordered orientation (wedges form only
+    // at a triangle's lowest-ordered corner — the power-law skew killer);
+    // exact counts, lcc as integer ppm ------------------------------------
+    "graph_triangles" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val mutual = Similarity.mutualKnnEdges(
+        Similarity.knnGraph(e, "vec_id", "embedding",
+          k = 3, b = knnBucketBits(e), dim = 64, bands = 2))
+      val nodes = e.filter(size(col("embedding")) >= 64).select("vec_id")
+      graft.operators.Graph.triangles(nodes, mutual, "vec_id")
     }),
 
     // --- degree profile of the same graph: hub/orphan diagnostic ------------
@@ -2549,6 +2651,37 @@ object PipelineQueries {
        |nn AS (SELECT count(*) AS n FROM nodes),
        |p0 AS (SELECT id, $base AS pr FROM nodes)""".stripMargin +:
       steps).mkString(",\n")
+  }
+
+  /** The unrolled HITS half-steps mirroring [[graft.operators.Graph.hits]]
+    * exactly: per iteration an in-sum of hub mass, an L1 renormalization
+    * `(raw · scale) // Σraw` (all-integer — `//` floors like Spark's
+    * `div` on the non-negative masses, DuckDB's HUGEINT sums are
+    * numerically identical), then the mirrored out-sum of authority
+    * mass. Expects CTEs `g` (directed edges) and `nodes(id)` upstream;
+    * produces a`iters` (id, auth) and h`iters` (id, hub). */
+  private def hitsCtes(iters: Int, scale: Long): String = {
+    val steps = (1 to iters).map { k =>
+      s"""araw$k AS (SELECT ge.dst AS id, SUM(hh.hub) AS raw
+         |  FROM g ge JOIN h${k - 1} hh ON ge.src = hh.id GROUP BY 1),
+         |atot$k AS (SELECT COALESCE(SUM(raw), 0) AS t FROM araw$k),
+         |a$k AS (SELECT nd.id,
+         |  CASE WHEN (SELECT t FROM atot$k) = 0 THEN 0
+         |       ELSE (COALESCE(ar.raw, 0) * $scale)
+         |            // (SELECT t FROM atot$k) END AS auth
+         |  FROM nodes nd LEFT JOIN araw$k ar USING (id)),
+         |hraw$k AS (SELECT ge.src AS id, SUM(aa.auth) AS raw
+         |  FROM g ge JOIN a$k aa ON ge.dst = aa.id GROUP BY 1),
+         |htot$k AS (SELECT COALESCE(SUM(raw), 0) AS t FROM hraw$k),
+         |h$k AS (SELECT nd.id,
+         |  CASE WHEN (SELECT t FROM htot$k) = 0 THEN 0
+         |       ELSE (COALESCE(hr.raw, 0) * $scale)
+         |            // (SELECT t FROM htot$k) END AS hub
+         |  FROM nodes nd LEFT JOIN hraw$k hr USING (id))""".stripMargin
+    }
+    (s"""nn AS (SELECT count(*) AS n FROM nodes),
+       |h0 AS (SELECT id, ($scale // (SELECT n FROM nn)) AS hub
+       |       FROM nodes)""".stripMargin +: steps).mkString(",\n")
   }
 
   /** The unrolled power-iteration rounds mirroring
@@ -4444,6 +4577,62 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
             |         AS total_deg
             |FROM o FULL OUTER JOIN i ON o.id = i.id""".stripMargin),
 
+      // same edge CTEs; the unrolled L1-normalized HITS half-steps —
+      // every mass op integer floor-division on non-negative values, so
+      // `//` replays Spark's `div` bit-exactly
+      "graph_hits" ->
+        (s"WITH $knnEdgeCtes,\n" +
+          "nodes AS (SELECT vec_id AS id FROM ec),\n" +
+          hitsCtes(iters = 3, scale = 100000000L) +
+          """
+            |SELECT a3.id AS vec_id, CAST(a3.auth AS BIGINT) AS auth_fp,
+            |       CAST(h3.hub AS BIGINT) AS hub_fp
+            |FROM a3 JOIN h3 ON a3.id = h3.id""".stripMargin),
+
+      // mutual edges from the same CTEs; degree-ordered orientation, the
+      // wedge self-join at the lowest-ordered corner, the closing-edge
+      // equi-join, and the exploded per-corner count — integer lcc ppm
+      "graph_triangles" ->
+        (s"WITH $knnEdgeCtes,\n" +
+          """mg AS (SELECT a.src AS a, a.dst AS b
+            |       FROM g a JOIN g b ON a.src = b.dst AND a.dst = b.src
+            |       WHERE a.src < a.dst),
+            |dg AS (SELECT id, count(*) AS deg FROM (
+            |         SELECT a AS id FROM mg
+            |         UNION ALL SELECT b FROM mg) GROUP BY 1),
+            |o AS (SELECT
+            |        CASE WHEN da.deg < db.deg
+            |               OR (da.deg = db.deg AND m.a < m.b)
+            |             THEN m.a ELSE m.b END AS lo,
+            |        CASE WHEN da.deg < db.deg
+            |               OR (da.deg = db.deg AND m.a < m.b)
+            |             THEN m.b ELSE m.a END AS hi,
+            |        CASE WHEN da.deg < db.deg
+            |               OR (da.deg = db.deg AND m.a < m.b)
+            |             THEN db.deg ELSE da.deg END AS dhi
+            |      FROM mg m JOIN dg da ON da.id = m.a
+            |                JOIN dg db ON db.id = m.b),
+            |wg AS (SELECT x.lo, x.hi AS v, y.hi AS w3
+            |       FROM o x JOIN o y ON x.lo = y.lo
+            |       WHERE x.dhi < y.dhi
+            |          OR (x.dhi = y.dhi AND x.hi < y.hi)),
+            |t AS (SELECT wg.lo, wg.v, wg.w3 FROM wg
+            |      JOIN o c ON c.lo = wg.v AND c.hi = wg.w3),
+            |pern AS (SELECT id, count(*) AS tri FROM (
+            |           SELECT lo AS id FROM t
+            |           UNION ALL SELECT v FROM t
+            |           UNION ALL SELECT w3 FROM t) GROUP BY 1),
+            |nodes AS (SELECT vec_id AS id FROM ec)
+            |SELECT nd.id AS vec_id,
+            |       CAST(COALESCE(dg.deg, 0) AS BIGINT) AS deg,
+            |       CAST(COALESCE(p.tri, 0) AS BIGINT) AS tri,
+            |       CAST(CASE WHEN COALESCE(dg.deg, 0) < 2 THEN 0
+            |            ELSE (2 * COALESCE(p.tri, 0) * 1000000)
+            |                 // (dg.deg * (dg.deg - 1)) END AS BIGINT)
+            |         AS lcc_ppm
+            |FROM nodes nd LEFT JOIN dg ON dg.id = nd.id
+            |              LEFT JOIN pern p ON p.id = nd.id""".stripMargin),
+
       "embed_project" ->
         (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            |           FROM embeddings WHERE len(embedding) >= 64),
@@ -5303,6 +5492,8 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |       round(CAST(sum(CAST(tfg AS DECIMAL(9,0)) * nll9) AS DOUBLE)
            |             / CAST(sum(tfg) AS DOUBLE), 6) AS avg_nll
            |FROM nll GROUP BY 1""".stripMargin,
+
+      "search_mmr" -> mmrOracleSql,
 
       // the CCNet gate (Wenzek et al. 2020): per-language perplexity
       // terciles over the same bigram-LM score — head = most fluent.

@@ -318,6 +318,36 @@ class LlmSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, 1L), (2, 3L), (3, 2L)))
   }
 
+  test("mmr: pick 1 is the relevance argmax, pick 2 diversifies away " +
+    "from a redundant near-copy") {
+    // candidates for query 0: ids 1 and 2 are near-copies (both closest
+    // to the query), id 3 is less relevant but orthogonal to them. Plain
+    // top-3 ranks (1, 2, 3); MMR at λ=0.5 must keep 1, then skip the
+    // redundant 2 in favor of the diverse 3
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.98f, 0.1f, 0.0f)),
+      (2L, Array(0.97f, 0.12f, 0.0f)),  // near-copy of 1
+      (3L, Array(0.6f, 0.0f, 0.8f))     // diverse, lower relevance
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(vecs, vecs.filter($"vec_id" === 0),
+      "vec_id", "embedding", candK = 3, selectK = 3)
+      .select("pick", "neighbor_id").as[(Long, Long)].collect().sorted
+    assert(out.toSeq == Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+  }
+
+  test("mmr: selectK == candK returns a permutation of the candidates") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.7f, 0.3f)), (3L, Array(0.2f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(vecs, vecs.filter($"vec_id" === 0),
+      "vec_id", "embedding", candK = 3, selectK = 3)
+      .select("pick", "neighbor_id").as[(Long, Long)].collect()
+    assert(out.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_._2).toSet == Set(1L, 2L, 3L))
+  }
+
   test("pq: codes hit the nearest codeword; adc ranks near-exact L2") {
     import graft.llm.Pq
     // codebooks(m=2, k=4, subDim=2): encode a vector PLACED EXACTLY ON a

@@ -62,6 +62,9 @@ class PlanSpec extends SparkSpec {
       // the exact leg of the seeded-graph-walk recall eval is the
       // brute-force scorer by design (same posture as ann_recall_eval)
       "ann_graph_recall",
+      // candidate generation is the brute-force scorer by design; the
+      // greedy rounds themselves are equi-joins on query_id
+      "search_mmr",
       // the 1-row cut threshold broadcast-attaches to the |sources|
       // planning frame (the corpus-stat scalar-attach pattern)
       "mixture_waterfill")
