@@ -244,6 +244,144 @@ object Graph {
     lab.select(col("id").as(idCol), col("label"))
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) on a directed edge
+    * frame: a(v) = Σ_{u→v} h(u), h(u) = Σ_{u→v} a(v), re-normalized each
+    * half-step. On a kNN curation graph authority flags content many
+    * similar neighborhoods point AT (canonical/over-represented
+    * passages), hub flags content whose OWN neighbor list covers the
+    * canonical set — the two sides of the duplication picture PageRank
+    * folds into one number.
+    *
+    * == Engine-exact fixed-point arithmetic ==
+    * The textbook L2 normalization needs a sqrt — libm, not
+    * oracle-replayable — so this uses the equally standard L1 variant:
+    * scores are BIGINT masses on the `scale` grid and each half-step
+    * renormalizes by x' = (x_raw · scale) div Σx_raw, every op an exact
+    * integer op ([[pagerank]]'s posture), so unrolled oracle iterations
+    * replay BIT-EXACTLY. An edge-less graph (Σ = 0) yields all-zero
+    * scores via an explicit guard rather than a division by zero.
+    *
+    * Caller contract: `scale² · max degree < 2⁶³` — a raw mass is ≤
+    * scale · deg before renormalizing, and the renormalization multiplies
+    * by scale again. The default 10⁸ grid holds to degree ~922; size
+    * `scale` down for hubbier graphs.
+    *
+    * Scale shape per half-step: one edge⋈score shuffle join on the
+    * pinned edge partitioning, one hash aggregate with map-side partial
+    * long sums, one 1-row total broadcast-attached, one node-set left
+    * join; `localCheckpoint` per round caps plan depth. Nothing
+    * corpus-sized collects.
+    *
+    * Output: (idCol, auth_fp BIGINT, hub_fp BIGINT) on the `scale` grid. */
+  def hits(nodes: DataFrame, edges: DataFrame, idCol: String,
+           srcCol: String = "src", dstCol: String = "dst",
+           iters: Int = 3, scale: Long = 100000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters=$iters out of [1,50]")
+    require(scale >= 100L, s"scale=$scale too coarse")
+    val n = nodes.select(col(idCol).as("id")).distinct().localCheckpoint()
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src")).localCheckpoint()
+    val nN = broadcast(n.agg(count(lit(1)).cast("long").as("n_nodes")))
+    // renormalize a raw-mass frame onto the grid: (id, raw) → (id, fp);
+    // the total rides as a broadcast 1-row frame (corpus-stat pattern)
+    def renorm(raw: DataFrame, outCol: String): DataFrame = {
+      val tot = broadcast(raw.agg(
+        coalesce(sum(col("raw")), lit(0L)).as("__tot")))
+      n.join(raw, Seq("id"), "left").crossJoin(tot)
+        .select(col("id"), expr(
+          s"CASE WHEN __tot = 0 THEN 0L " +
+            s"ELSE (coalesce(raw, 0L) * $scale) div __tot END")
+          .as(outCol))
+        .localCheckpoint()
+    }
+    var h = n.crossJoin(nN)
+      .select(col("id"), expr(s"$scale div n_nodes").as("hub_fp"))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val araw = e
+        .join(h.select(col("id").as("src"), col("hub_fp")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("hub_fp")).as("raw"))
+      a = renorm(araw, "auth_fp")
+      val hraw = e
+        .join(a.select(col("id").as("dst"), col("auth_fp")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(sum(col("auth_fp")).as("raw"))
+      h = renorm(hraw, "hub_fp")
+    }
+    a.join(h, Seq("id"))
+      .select(col("id").as(idCol), col("auth_fp"), col("hub_fp"))
+  }
+
+  /** Per-vertex triangle counting + local clustering coefficient over an
+    * UNDIRECTED canonical edge frame (one row per edge, `aCol` < `bCol`)
+    * — the density diagnostic for curation graphs: high-triangle nodes
+    * sit in tightly-knit near-duplicate cliques (candidates for
+    * [[graft.llm.Clustering.semDeDup]]-style thinning), triangle-free
+    * hubs are star centers (boilerplate linking unrelated content).
+    *
+    * Uses the DEGREE-ORDERED orientation (the MapReduce-era standard —
+    * Suri & Vassilvitskii 2011's approach to "counting triangles and the
+    * curse of the last reducer"): each edge points from its lower to its
+    * higher endpoint in the total order (deg, id), wedges form only at a
+    * triangle's LOWEST-ordered corner, and a closing edge lookup
+    * confirms. Every triangle is found exactly once, and — the 100 TB
+    * point — a degree-D hub contributes wedges only through its
+    * HIGHER-ordered out-edges (O(arboricity) each, not O(D²)): the
+    * skew-killer that makes this survive power-law graphs where the
+    * naive all-wedges join melts the hot reducer.
+    *
+    * Exact integer output, no floats: `tri` is a count and the local
+    * clustering coefficient is emitted as `lcc_ppm` = (2·tri·10⁶) div
+    * (deg·(deg−1)) — parts-per-million on the fixed grid, 0 for deg < 2.
+    *
+    * Scale shape: one degree aggregate, two broadcast-or-shuffle joins
+    * to attach endpoint degrees, one self-join on the wedge corner, one
+    * closing equi-join on (lo, hi) pairs, one final hash aggregate of
+    * exploded corners. All equi-joins on graph keys; nothing collects.
+    *
+    * Output: (idCol, deg, tri, lcc_ppm), every node in `nodes`. */
+  def triangles(nodes: DataFrame, undirected: DataFrame, idCol: String,
+                aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val n = nodes.select(col(idCol).as("id")).distinct().localCheckpoint()
+    val ue = undirected.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a") < col("b")).distinct().localCheckpoint()
+    val deg = ue.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    // orient by the total order (deg, id): lo → hi
+    val withDeg = ue
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+    val lower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = withDeg.select(
+        when(lower, col("a")).otherwise(col("b")).as("lo"),
+        when(lower, col("b")).otherwise(col("a")).as("hi"),
+        when(lower, col("db")).otherwise(col("da")).as("dhi"))
+      .localCheckpoint()
+    // wedges at the lowest-ordered corner: two out-edges of `lo`, the
+    // endpoints ordered between themselves so the closing edge is the
+    // oriented (v, w) row itself
+    val x = o.select(col("lo"), col("hi").as("v"), col("dhi").as("dv"))
+    val y = o.select(col("lo"), col("hi").as("w"), col("dhi").as("dw"))
+    val vw = col("dv") < col("dw") ||
+      (col("dv") === col("dw") && col("v") < col("w"))
+    val wedges = x.join(y, Seq("lo")).filter(vw)
+      .select(col("lo"), col("v"), col("w"))
+    val tris = wedges.join(
+      o.select(col("lo").as("v"), col("hi").as("w")), Seq("v", "w"))
+    val perNode = tris
+      .select(explode(array(col("lo"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("tri"))
+    n.join(deg, Seq("id"), "left")
+      .join(perNode, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        expr("CASE WHEN coalesce(deg, 0L) < 2 THEN 0L " +
+          "ELSE (2 * coalesce(tri, 0L) * 1000000) div (deg * (deg - 1)) " +
+          "END").as("lcc_ppm"))
+  }
+
   /** Degree profile of a directed edge frame: per-vertex out/in degree —
     * the hub/orphan diagnostic read before running PageRank or components
     * over a curation graph. One aggregate per direction and one full

@@ -2661,27 +2661,38 @@ object PipelineQueries {
     * mass. Expects CTEs `g` (directed edges) and `nodes(id)` upstream;
     * produces a`iters` (id, auth) and h`iters` (id, hub). */
   private def hitsCtes(iters: Int, scale: Long): String = {
+    // AS MATERIALIZED throughout: each half-step references its
+    // predecessor 2-3 times, and letting DuckDB inline the chain
+    // re-executes the upstream LSH edge join exponentially in `iters`
     val steps = (1 to iters).map { k =>
-      s"""araw$k AS (SELECT ge.dst AS id, SUM(hh.hub) AS raw
-         |  FROM g ge JOIN h${k - 1} hh ON ge.src = hh.id GROUP BY 1),
-         |atot$k AS (SELECT COALESCE(SUM(raw), 0) AS t FROM araw$k),
-         |a$k AS (SELECT nd.id,
-         |  CASE WHEN (SELECT t FROM atot$k) = 0 THEN 0
-         |       ELSE (COALESCE(ar.raw, 0) * $scale)
-         |            // (SELECT t FROM atot$k) END AS auth
-         |  FROM nodes nd LEFT JOIN araw$k ar USING (id)),
-         |hraw$k AS (SELECT ge.src AS id, SUM(aa.auth) AS raw
-         |  FROM g ge JOIN a$k aa ON ge.dst = aa.id GROUP BY 1),
-         |htot$k AS (SELECT COALESCE(SUM(raw), 0) AS t FROM hraw$k),
-         |h$k AS (SELECT nd.id,
-         |  CASE WHEN (SELECT t FROM htot$k) = 0 THEN 0
-         |       ELSE (COALESCE(hr.raw, 0) * $scale)
-         |            // (SELECT t FROM htot$k) END AS hub
-         |  FROM nodes nd LEFT JOIN hraw$k hr USING (id))""".stripMargin
+      s"""araw$k AS MATERIALIZED (
+         |  SELECT ge.dst AS id, SUM(hh.hub) AS raw
+         |  FROM gm ge JOIN h${k - 1} hh ON ge.src = hh.id GROUP BY 1),
+         |atot$k AS MATERIALIZED (
+         |  SELECT COALESCE(SUM(raw), 0) AS t FROM araw$k),
+         |a$k AS MATERIALIZED (
+         |  SELECT nd.id,
+         |  CASE WHEN tt.t = 0 THEN 0
+         |       ELSE (COALESCE(ar.raw, 0) * $scale) // tt.t END AS auth
+         |  FROM nodes nd LEFT JOIN araw$k ar USING (id)
+         |  CROSS JOIN atot$k tt),
+         |hraw$k AS MATERIALIZED (
+         |  SELECT ge.src AS id, SUM(aa.auth) AS raw
+         |  FROM gm ge JOIN a$k aa ON ge.dst = aa.id GROUP BY 1),
+         |htot$k AS MATERIALIZED (
+         |  SELECT COALESCE(SUM(raw), 0) AS t FROM hraw$k),
+         |h$k AS MATERIALIZED (
+         |  SELECT nd.id,
+         |  CASE WHEN tt.t = 0 THEN 0
+         |       ELSE (COALESCE(hr.raw, 0) * $scale) // tt.t END AS hub
+         |  FROM nodes nd LEFT JOIN hraw$k hr USING (id)
+         |  CROSS JOIN htot$k tt)""".stripMargin
     }
-    (s"""nn AS (SELECT count(*) AS n FROM nodes),
-       |h0 AS (SELECT id, ($scale // (SELECT n FROM nn)) AS hub
-       |       FROM nodes)""".stripMargin +: steps).mkString(",\n")
+    (s"""gm AS MATERIALIZED (SELECT src, dst FROM g),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |h0 AS MATERIALIZED (
+       |  SELECT id, ($scale // (SELECT n FROM nn)) AS hub
+       |  FROM nodes)""".stripMargin +: steps).mkString(",\n")
   }
 
   /** The unrolled power-iteration rounds mirroring
@@ -4594,13 +4605,15 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       // equi-join, and the exploded per-corner count — integer lcc ppm
       "graph_triangles" ->
         (s"WITH $knnEdgeCtes,\n" +
-          """mg AS (SELECT a.src AS a, a.dst AS b
+          """mg AS MATERIALIZED (
+            |       SELECT a.src AS a, a.dst AS b
             |       FROM g a JOIN g b ON a.src = b.dst AND a.dst = b.src
             |       WHERE a.src < a.dst),
-            |dg AS (SELECT id, count(*) AS deg FROM (
+            |dg AS MATERIALIZED (
+            |       SELECT id, count(*) AS deg FROM (
             |         SELECT a AS id FROM mg
             |         UNION ALL SELECT b FROM mg) GROUP BY 1),
-            |o AS (SELECT
+            |o AS MATERIALIZED (SELECT
             |        CASE WHEN da.deg < db.deg
             |               OR (da.deg = db.deg AND m.a < m.b)
             |             THEN m.a ELSE m.b END AS lo,
@@ -4612,11 +4625,13 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
             |             THEN db.deg ELSE da.deg END AS dhi
             |      FROM mg m JOIN dg da ON da.id = m.a
             |                JOIN dg db ON db.id = m.b),
-            |wg AS (SELECT x.lo, x.hi AS v, y.hi AS w3
+            |wg AS MATERIALIZED (
+            |       SELECT x.lo, x.hi AS v, y.hi AS w3
             |       FROM o x JOIN o y ON x.lo = y.lo
             |       WHERE x.dhi < y.dhi
             |          OR (x.dhi = y.dhi AND x.hi < y.hi)),
-            |t AS (SELECT wg.lo, wg.v, wg.w3 FROM wg
+            |t AS MATERIALIZED (
+            |      SELECT wg.lo, wg.v, wg.w3 FROM wg
             |      JOIN o c ON c.lo = wg.v AND c.hi = wg.w3),
             |pern AS (SELECT id, count(*) AS tri FROM (
             |           SELECT lo AS id FROM t

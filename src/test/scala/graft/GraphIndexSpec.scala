@@ -97,6 +97,74 @@ class GraphIndexSpec extends SparkSpec {
     assert(a.forall(_ > 0))
   }
 
+  test("hits: hand-computed L1-normalized integer masses") {
+    // 1→3, 2→3, 3→1; scale 1000, N=3 ⇒ h0 = 333 each. Iteration 1:
+    //   araw(3) = 666, araw(1) = 333, atot = 999
+    //   a(3) = 666000 div 999 = 666; a(1) = 333000 div 999 = 333; a(2)=0
+    //   hraw(1) = a(3) = 666; hraw(2) = 666; hraw(3) = a(1) = 333;
+    //   htot = 1665 ⇒ h(1) = 666000 div 1665 = 400; h(2) = 400;
+    //   h(3) = 333000 div 1665 = 200
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val out = Graph.hits(nodes, edges, "id", iters = 1, scale = 1000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out === Map(1L -> (333L, 400L), 2L -> (0L, 400L),
+      3L -> (666L, 200L)))
+  }
+
+  test("hits: edge-less graph yields all-zero scores, not a div by zero") {
+    val nodes = Seq(1L, 2L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val out = Graph.hits(nodes, edges, "id", iters = 2, scale = 1000L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.forall(_ == ((0L, 0L))))
+  }
+
+  test("hits is partition-order invariant and conserves ≤ scale per side") {
+    val nodes = spark.range(0, 40).toDF("id")
+    val edges = (0 until 40).flatMap(i =>
+      Seq((i.toLong, ((i + 1) % 40).toLong),
+        (i.toLong, ((i * 7 + 3) % 40).toLong)))
+      .toDF("src", "dst")
+    val a = Graph.hits(nodes, edges, "id", iters = 3)
+      .orderBy("id").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val b = Graph.hits(nodes.repartition(7), edges.repartition(5),
+        "id", iters = 3)
+      .orderBy("id").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(a === b, "scores must not depend on input partitioning")
+    assert(a.map(_._1).sum <= 100000000L && a.map(_._2).sum <= 100000000L,
+      "L1 renormalization only ever loses mass to truncation")
+  }
+
+  test("triangles: hand-computed counts and integer lcc ppm") {
+    // triangle {1,2,3} plus pendant 3—4; node 5 isolated.
+    // deg: 1:2 2:2 3:3 4:1 5:0; tri: 1,2,3 → 1 each;
+    // lcc: 1,2 → 2·1·10⁶ div 2 = 10⁶ (closed pair), 3 → 2·10⁶ div 6
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val ue = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val out = Graph.triangles(nodes, ue, "id")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out === Map(
+      1L -> (2L, 1L, 1000000L), 2L -> (2L, 1L, 1000000L),
+      3L -> (3L, 1L, 333333L), 4L -> (1L, 0L, 0L), 5L -> (0L, 0L, 0L)))
+  }
+
+  test("triangles: K4 counts every face at every corner; orientation " +
+    "dedup never double-counts") {
+    // complete graph on 4 nodes: 4 triangles, each node on 3 of them;
+    // deg 3 everywhere ⇒ lcc = 2·3·10⁶ div (3·2) = 10⁶ exactly
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val ue = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("id_a", "id_b")
+    val out = Graph.triangles(nodes, ue, "id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.forall(_ == ((3L, 3L, 1000000L))))
+  }
+
   test("label propagation: clamped seeds, majority vote, min-label ties") {
     // path 1–2–3–4 (symmetric); seeds: 1→10, 4→20.
     // round 1: 2 gets 10 (from 1), 3 gets 20 (from 4)
