@@ -563,6 +563,124 @@ object Corpus {
       .select(col(idCol), col("dl"), col("bm25"))
   }
 
+  /** [[bm25TopK]] with the query as a FRAME of weighted terms instead of
+    * compile-time literals — the scorer that makes data-dependent
+    * queries (pseudo-relevance feedback, query logs, per-segment seed
+    * lists) possible: term stats can't be conditional-sum columns when
+    * the terms aren't known at plan time, so this takes the exploded
+    * path. `terms`: (term STRING, w DECIMAL weight); a document's score
+    * is Σ w·bm25(term, doc) over its matching terms, each per-term
+    * contribution the same 9-dp-fixed tree as [[bm25TopK]] (weights are
+    * exact decimals, so the weighted sum stays exact until the final
+    * 6-dp cast).
+    *
+    * Plan shape: one corpus aggregate for N/total length (broadcast
+    * 1-row); ONE explode of the corpus token stream broadcast-joined to
+    * the term frame — only MATCHING (doc, term) rows survive into the
+    * tf/df shuffles (both keyed small: |docs-with-a-hit| × |terms|);
+    * per-term df is a |terms|-row broadcast back. The global top-k is
+    * TakeOrderedAndProject. Two corpus passes total, same floor as
+    * [[bm25TopK]]. */
+  def bm25TopKWeighted(df: DataFrame, textCol: String, idCol: String,
+                       terms: DataFrame, k: Int,
+                       k1: Double = 1.2, b: Double = 0.75,
+                       scoreName: String = "bm25"): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val base = spread(df).select(col(idCol), toks.as("__toks"))
+      .withColumn("dl", size(col("__toks")))
+    val stats = broadcast(base.agg(count(lit(1)).as("__n_docs"),
+      sum(col("dl").cast("long")).as("__total_len")))
+    val t = broadcast(terms.select(col("term"), col("w")))
+    val matched = base
+      .select(col(idCol), col("dl"), explode(col("__toks")).as("term"))
+      .join(t, Seq("term"))
+    val tf = matched.groupBy(col(idCol), col("dl"), col("term"), col("w"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfT = broadcast(matched.select(col(idCol), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("__df")))
+    val n = col("__n_docs").cast("double")
+    val avgdl = col("__total_len").cast("double") / n
+    val tfD = col("__tf").cast("double")
+    val idfT = log((n - col("__df").cast("double") + 0.5) /
+      (col("__df").cast("double") + 0.5) + 1.0)
+    val denom = tfD + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl)
+    tf.join(dfT, Seq("term")).crossJoin(stats)
+      .withColumn("__c",
+        round(idfT * tfD * lit(k1 + 1.0) / denom, 9)
+          .cast("decimal(28,9)") * col("w"))
+      .groupBy(col(idCol), col("dl"))
+      .agg(sum(col("__c")).as("__s"))
+      .withColumn(scoreName, round(col("__s").cast("double"), 6))
+      .filter(col(scoreName) > 0)
+      .orderBy(col(scoreName).desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("dl"), col(scoreName))
+  }
+
+  /** Pseudo-relevance-feedback retrieval (Rocchio/RM3 family): run the
+    * seed query, mine expansion terms from the top `fbDocs` results,
+    * re-retrieve with the expanded query — the classic recall lever for
+    * seed-set expansion over a training corpus (find the documents about
+    * X that don't SAY X the way the seed terms do).
+    *
+    * Expansion scoring is the relevance-model-flavored but
+    * integer-friendly `idf · fbTf`: fbTf = the term's total occurrences
+    * across the feedback docs (exact long), idf the same
+    * robust-idf/9-dp-fixed tree as BM25 (which is what keeps ubiquitous
+    * terms out without a stopword list — their idf is ~0). Seed terms
+    * are excluded; the top `expandK` by (score desc, term) join the
+    * query at weight `beta`, seeds keep weight 1.0 — both weights exact
+    * decimal literals, so the re-retrieval stays engine-exact.
+    *
+    * Plan shape: [[bm25TopK]] (two corpus passes) for the feedback
+    * slate; the slate is `fbDocs` rows and broadcast-semi-joins back to
+    * the corpus for candidate mining (one pass: the explode is filtered
+    * to fbDocs documents map-side); candidate df is one more exploded
+    * pass restricted by a broadcast candidate join; re-retrieval is
+    * [[bm25TopKWeighted]]. Every intermediate frame after the scans is
+    * bounded by the feedback vocabulary, never the corpus. */
+  def prfTopK(df: DataFrame, textCol: String, idCol: String,
+              seedTerms: Seq[String], k: Int,
+              fbDocs: Int = 10, expandK: Int = 5,
+              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(seedTerms.nonEmpty, "prfTopK needs seed terms")
+    require(fbDocs >= 1 && expandK >= 0,
+      s"fbDocs=$fbDocs / expandK=$expandK out of range")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = TextAnalysis.tokens(col(textCol))
+    val base = spread(df).select(col(idCol), toks.as("__toks"))
+    val fb = broadcast(
+      bm25TopK(df, textCol, idCol, seedTerms, fbDocs, k1, b)
+        .select(col(idCol)))
+    val fbTf = base.join(fb, Seq(idCol), "left_semi")
+      .select(explode(col("__toks")).as("term"))
+      .filter(!col("term").isin(seedTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("__fbtf"))
+    val exploded = base.select(col(idCol), explode(col("__toks")).as("term"))
+    val candDf = exploded
+      .join(broadcast(fbTf.select("term")), Seq("term"))
+      .distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val nDocs = broadcast(base.agg(count(lit(1)).as("__n_docs")))
+    val escore = round(
+      log((col("__n_docs").cast("double") - col("__df").cast("double")
+        + 0.5) / (col("__df").cast("double") + 0.5) + 1.0) *
+        col("__fbtf").cast("double"), 9).cast("decimal(28,9)")
+    val picked = fbTf.join(broadcast(candDf), Seq("term")).crossJoin(nDocs)
+      .withColumn("__es", escore)
+      .orderBy(col("__es").desc, col("term")).limit(expandK)
+      .select(col("term"))
+    val qTerms = seedTerms.toDF("term")
+      .withColumn("w", expr("CAST('1.0' AS DECIMAL(2,1))"))
+      .unionByName(picked
+        .withColumn("w", expr("CAST('0.5' AS DECIMAL(2,1))")))
+    bm25TopKWeighted(df, textCol, idCol, qTerms, k, k1, b,
+      scoreName = "prf")
+  }
+
   /** Zipf-law fit over the top-`topN` term frequencies: least-squares
     * slope/intercept/R² of ln(count) against ln(rank) — the standard
     * corpus health diagnostic (natural text sits near slope −1;

@@ -258,6 +258,10 @@ object PipelineQueries {
     * registration and the oracle so both engines parse the SAME literal
     * (0.75 is exactly representable, but the sharing is the policy). */
   private val KnDiscount = 0.75
+  /** PRF expansion constants, shared engine/oracle. */
+  private val PrfFbDocs = 10
+  private val PrfExpandK = 5
+
   /** MMR rerank constants, shared engine/oracle (the Bm25 policy: both
     * sides parse λ and 1−λ from the SAME shortest-repr literals). */
   private val MmrLambda = 0.5
@@ -365,6 +369,72 @@ object PipelineQueries {
       |WHERE round(CAST(s AS DOUBLE), 6) > 0
       |ORDER BY bm25 DESC, doc_id
       |LIMIT 100""".stripMargin
+
+  /** DuckDB oracle for search_prf: [[Bm25OracleCtes]]' feedback slate,
+    * the idf·fbTf expansion pick, and the frame-driven weighted second
+    * pass — keep in lock-step with [[Corpus.prfTopK]] /
+    * [[Corpus.bm25TopKWeighted]] (shared k1/b/(k1+1) literals, 9-dp
+    * decimal contributions, exact decimal weights). Multi-referenced
+    * CTEs are AS MATERIALIZED so DuckDB doesn't re-run the token
+    * explode per reference. */
+  private def prfOracleSql: String = {
+    val seedList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val seedRows = Bm25Terms.map(t =>
+      s"SELECT '$t' AS term, CAST('1.0' AS DECIMAL(2,1)) AS w")
+      .mkString("\n       UNION ALL ")
+    val idf = "ln((CAST(st.n_docs AS DOUBLE) - CAST(d2.df AS DOUBLE) + 0.5)" +
+      "\n              / (CAST(d2.df AS DOUBLE) + 0.5) + 1.0)"
+    s"""WITH $toksCte,
+       |$Bm25OracleCtes,
+       |fb AS MATERIALIZED (
+       |  SELECT doc_id FROM sc WHERE round(CAST(s AS DOUBLE), 6) > 0
+       |  ORDER BY round(CAST(s AS DOUBLE), 6) DESC, doc_id
+       |  LIMIT $PrfFbDocs),
+       |fbtf AS MATERIALIZED (
+       |  SELECT term, count(*) AS fbtf FROM (
+       |    SELECT unnest(b.toks) AS term FROM base b JOIN fb USING (doc_id))
+       |  WHERE term NOT IN ($seedList) GROUP BY 1),
+       |ex2 AS MATERIALIZED (
+       |  SELECT doc_id, unnest(toks) AS term FROM base),
+       |cdf AS (SELECT term, count(*) AS df FROM (
+       |          SELECT DISTINCT e.doc_id, e.term FROM ex2 e
+       |          JOIN fbtf f ON f.term = e.term) GROUP BY 1),
+       |pick AS (SELECT term FROM (
+       |    SELECT f.term, row_number() OVER (ORDER BY
+       |        CAST(round(ln((CAST(st.n_docs AS DOUBLE)
+       |                       - CAST(c.df AS DOUBLE) + 0.5)
+       |                      / (CAST(c.df AS DOUBLE) + 0.5) + 1.0)
+       |                   * CAST(f.fbtf AS DOUBLE), 9)
+       |          AS DECIMAL(28,9)) DESC, f.term) AS rn
+       |    FROM fbtf f JOIN cdf c USING (term) CROSS JOIN st)
+       |  WHERE rn <= $PrfExpandK),
+       |qt AS MATERIALIZED (
+       |  $seedRows
+       |       UNION ALL
+       |       SELECT term, CAST('0.5' AS DECIMAL(2,1)) AS w FROM pick),
+       |tf2 AS (SELECT e.doc_id, e.term, count(*) AS tf FROM ex2 e
+       |        JOIN qt ON qt.term = e.term GROUP BY 1, 2),
+       |df2 AS (SELECT term, count(*) AS df FROM (
+       |          SELECT DISTINCT e.doc_id, e.term FROM ex2 e
+       |          JOIN qt ON qt.term = e.term) GROUP BY 1),
+       |co AS (SELECT t2.doc_id, b.dl,
+       |         CAST(round($idf
+       |              * CAST(t2.tf AS DOUBLE) * ${Bm25K1 + 1.0}
+       |              / (CAST(t2.tf AS DOUBLE) + $Bm25K1 * (1.0 - $Bm25B
+       |                 + $Bm25B * CAST(b.dl AS DOUBLE)
+       |                 / (CAST(st.total_len AS DOUBLE)
+       |                    / CAST(st.n_docs AS DOUBLE)))), 9)
+       |           AS DECIMAL(28,9)) * q.w AS c
+       |       FROM tf2 t2 JOIN df2 d2 USING (term)
+       |       JOIN qt q ON q.term = t2.term
+       |       JOIN base b ON b.doc_id = t2.doc_id
+       |       CROSS JOIN st)
+       |SELECT doc_id, dl, round(CAST(SUM(c) AS DOUBLE), 6) AS prf
+       |FROM co GROUP BY 1, 2
+       |HAVING round(CAST(SUM(c) AS DOUBLE), 6) > 0
+       |ORDER BY prf DESC, doc_id
+       |LIMIT 100""".stripMargin
+  }
 
   /** SQL fragment: per-doc quality score `q(doc_id, quality_score)` (keep
     * in lock-step with [[TextAnalysis.qualityScore]] and the text_quality
@@ -576,6 +646,15 @@ object PipelineQueries {
     "bm25_topk" -> ((s, d) =>
       Corpus.bm25TopK(Tables.documents(s, d), "text", "doc_id",
         terms = Bm25Terms, k = 100, k1 = Bm25K1, b = Bm25B)),
+
+    // --- pseudo-relevance-feedback retrieval: BM25 feedback slate →
+    // idf·fbTf expansion-term mining (top-5, seeds excluded, weight 0.5)
+    // → frame-driven weighted BM25 re-retrieval. The recall lever for
+    // seed-set expansion; every post-scan frame is feedback-vocab-sized --
+    "search_prf" -> ((s, d) =>
+      Corpus.prfTopK(Tables.documents(s, d), "text", "doc_id",
+        seedTerms = Bm25Terms, k = 100, fbDocs = PrfFbDocs,
+        expandK = PrfExpandK, k1 = Bm25K1, b = Bm25B)),
 
     // --- inverted index build: term → df + sorted posting list, with the
     // stop-term df cap (count pre-pass + broadcast anti-join BEFORE any
@@ -3587,6 +3666,10 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       // literals
       "bm25_topk" ->
         s"WITH $toksCte,\n$Bm25OracleCtes\n$Bm25OracleTop",
+
+      // the feedback slate from the same bm25 fragment, the idf·fbTf
+      // expansion pick, and the weighted frame-driven second pass
+      "search_prf" -> prfOracleSql,
 
       // the sorted-threshold waterfill with cross-multiplied integer cut
       // math; the exact-order sort key and every share are integers

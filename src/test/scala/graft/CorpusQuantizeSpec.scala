@@ -266,6 +266,59 @@ class CorpusQuantizeSpec extends SparkSpec {
     assert(top1.map(_._1).toSeq == Seq(1L), "only doc1 contains 'a'")
   }
 
+  test("bm25 weighted-frame scorer: uniform 1.0 weights reproduce the " +
+    "literal-term scorer bit for bit") {
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "c c c"))
+      .toDF("doc_id", "text")
+    val lit1 = graft.llm.Corpus.bm25TopK(docs, "text", "doc_id",
+        terms = Seq("a", "c"), k = 3)
+      .as[(Long, Int, Double)].collect().toSeq
+    val terms = Seq("a", "c").toDF("term")
+      .withColumn("w", expr("CAST('1.0' AS DECIMAL(2,1))"))
+    val framed = graft.llm.Corpus.bm25TopKWeighted(docs, "text", "doc_id",
+        terms, k = 3)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(framed == lit1, s"lit=$lit1 framed=$framed")
+    // halving a term's weight halves exactly its contribution (decimal
+    // weights are exact): with only 'a' at 0.5, doc1's score is half
+    val half = Seq(("a", "0.5")).toDF("term", "w0")
+      .select(col("term"), col("w0").cast("decimal(2,1)").as("w"))
+    val h = graft.llm.Corpus.bm25TopKWeighted(docs, "text", "doc_id",
+        half, k = 3).as[(Long, Int, Double)].collect()
+    val full = graft.llm.Corpus.bm25TopK(docs, "text", "doc_id",
+      terms = Seq("a"), k = 3).as[(Long, Int, Double)].collect()
+    assert(h.map(_._1).toSeq == Seq(1L))
+    assert(math.abs(h(0)._3 * 2 - full(0)._3) < 2e-6)
+  }
+
+  test("prf: expansion term mined from feedback docs retrieves a doc " +
+    "the seed query cannot reach") {
+    // seed 'x' hits docs 1, 2; both carry 'zebra'; doc 3 says zebra but
+    // never x. idf·fbTf picks zebra over the ubiquitous 'common'
+    // (idf ~0) — and the re-retrieval surfaces doc 3
+    val docs = Seq(
+      (1L, "x x zebra zebra common"),
+      (2L, "x zebra common filler"),
+      (3L, "zebra zebra common"),
+      (4L, "common filler common"),
+      (5L, "filler common filler")).toDF("doc_id", "text")
+    val seedOnly = graft.llm.Corpus.bm25TopK(docs, "text", "doc_id",
+        terms = Seq("x"), k = 5)
+      .as[(Long, Int, Double)].collect().map(_._1).toSet
+    assert(seedOnly == Set(1L, 2L), "the seed query cannot see doc 3")
+    val prf = graft.llm.Corpus.prfTopK(docs, "text", "doc_id",
+        seedTerms = Seq("x"), k = 5, fbDocs = 2, expandK = 1)
+      .as[(Long, Int, Double)].collect()
+    assert(prf.map(_._1).contains(3L),
+      s"expansion must retrieve doc 3: ${prf.mkString(",")}")
+    assert(prf.head._1 == 1L, "strongest seed match still ranks first")
+    // expandK = 0 degrades to the plain seed query (weights all 1.0)
+    val none = graft.llm.Corpus.prfTopK(docs, "text", "doc_id",
+        seedTerms = Seq("x"), k = 5, fbDocs = 2, expandK = 0)
+      .as[(Long, Int, Double)].collect().map(_._1).toSet
+    assert(none == seedOnly)
+  }
+
   test("readability: vowel-group syllables, sentence floor, null on empty") {
     import graft.llm.TextAnalysis
     val docs = Seq(

@@ -65,6 +65,9 @@ class PlanSpec extends SparkSpec {
       // candidate generation is the brute-force scorer by design; the
       // greedy rounds themselves are equi-joins on query_id
       "search_mmr",
+      // both passes attach the 1-row corpus-stat frame (bm25's pattern);
+      // term matching itself is a broadcast equi-join on the term
+      "search_prf",
       // the 1-row cut threshold broadcast-attaches to the |sources|
       // planning frame (the corpus-stat scalar-attach pattern)
       "mixture_waterfill")
