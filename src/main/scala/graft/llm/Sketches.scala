@@ -96,6 +96,25 @@ object Sketches {
   private def estimate(sInt: org.apache.spark.sql.Column) =
     round(lit(EstNumerator) / sInt.cast("double"), 3)
 
+  /** Per-key cardinality estimate from a REGISTER frame (keys..., idx,
+    * m) — the fold that turns maintained registers into the distinct
+    * count, shared by the batch overlap path and the streaming sketch
+    * (whose state IS the register frame): S = Σ 2^(57−m) with absent
+    * registers at 2^57, estimate = α·m²·2^57 / S, one correctly-rounded
+    * division. Output: (keys..., n_reg, est). Registers merge by `max`,
+    * so folding a union of per-shard register frames through
+    * [[registers]]' aggregate first gives the fleet-wide estimate. */
+  def cardinality(reg: DataFrame, keyCols: Seq[String]): DataFrame =
+    reg.groupBy(keyCols.map(col): _*)
+      .agg(sum(expr(
+        s"cast(shiftleft(cast(1 as bigint), $RankCap - m) as decimal(38,0))"))
+        .as("__sp"), count(lit(1)).as("n_reg"))
+      .withColumn("__s_int", col("__sp") +
+        (lit(M.toLong) - col("n_reg")).cast("decimal(38,0)") *
+          lit(twoPowCap))
+      .select(keyCols.map(col) ++
+        Seq(col("n_reg"), estimate(col("__s_int")).as("est")): _*)
+
   /** Pairwise source overlap estimates from one pass of HLL registers:
     * (source_a, source_b, est_a, est_b, est_union, overlap_est) for every
     * source pair sharing ≥ 1 register (with 256 registers, any two

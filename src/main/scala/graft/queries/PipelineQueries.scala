@@ -1625,6 +1625,41 @@ object PipelineQueries {
         .filter(col("event_type") =!= "__wm__")
     }),
 
+    // --- streaming distinct-cardinality sketch: per-window active-user
+    // HLL maintained AT INGEST — state per open window is ≤ 256 integer
+    // registers REGARDLESS of traffic (the unbounded-exact-distinct
+    // killer at 100 TB); append mode emits each window's registers once
+    // when the watermark passes, and the estimate is a cheap batch fold
+    // over the emitted register rows (Sketches.cardinality — exactly how
+    // a sink would serve the sketch). Engine-exact: the md5 →
+    // (register, rank) derivation is the shared Sketches SQL, every step
+    // to the final division exact integer arithmetic. -------------------
+    "stream_distinct" -> ((s, d) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      ss.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+      val maxUs = Tables.eventsUs(ss, d).agg(max(col("ts_us"))).head.getLong(0)
+      val reg = graft.streaming.FileReplay.twoBatch(ss, s"$d/events.parquet",
+        stream => stream
+          .select(Tables.tsMicros(stream).as("ts_us"), col("user_id"))
+          .filter(col("ts_us") >= 0L)
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+          .withWatermark("ts", "1 hour")
+          .withColumn("h", md5(col("user_id").cast("string")))
+          .withColumn("idx", expr(graft.llm.Sketches.IdxSql))
+          .withColumn("rho", expr(graft.llm.Sketches.RhoSql))
+          .groupBy(window(col("ts"), "6 hours"), col("idx"))
+          .agg(max(col("rho")).as("m"))
+          .select(unix_micros(col("window.start")).as("window_start_us"),
+            col("idx"), col("m")),
+        eventsSentinel(ss, d, maxUs + 30L * 86400000000L),
+        "stream_distinct_" + streamSeq.incrementAndGet())
+        // the sentinel's far-future window flushes the real ones and is
+        // dropped here (every real window starts at or before maxUs)
+        .filter(col("window_start_us") <= maxUs)
+      graft.llm.Sketches.cardinality(reg, Seq("window_start_us"))
+    }),
+
     // --- streaming OHLC compaction: the ts_ohlc candles computed AT
     // INGEST — watermarked 1-day tumbling windows (epoch-aligned, so
     // window.start IS the batch operator's bucket), min_by/max_by over
@@ -3872,6 +3907,33 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
           |         AS value_sum
           |FROM events GROUP BY 1, 2""".stripMargin,
+
+      // batch replay of the streaming HLL: same shared idx/rho SQL over
+      // md5(user_id), per-window register maxima, the exact-integer
+      // denominator fold, one correctly-rounded division (the
+      // sketch_overlap idioms; registers are order-insensitive, so the
+      // batch grouping IS the stream's final state)
+      "stream_distinct" -> {
+        val c = java.lang.Double.toString(graft.llm.Sketches.EstNumerator)
+        val one = "CAST(1 AS BIGINT)"
+        s"""WITH e AS (
+           |  SELECT (epoch_us(ts) // 21600000000) * 21600000000
+           |           AS window_start_us,
+           |         md5(CAST(user_id AS VARCHAR)) AS h
+           |  FROM events WHERE epoch_us(ts) >= 0),
+           |r0 AS (SELECT window_start_us,
+           |              ${graft.llm.Sketches.IdxSql} AS idx,
+           |              ${graft.llm.Sketches.RhoSql} AS rho
+           |       FROM e),
+           |reg AS (SELECT window_start_us, idx, max(rho) AS m
+           |        FROM r0 GROUP BY 1, 2)
+           |SELECT window_start_us, CAST(count(*) AS BIGINT) AS n_reg,
+           |       round($c / CAST(
+           |         SUM(CAST($one << (57 - m) AS HUGEINT))
+           |         + (256 - count(*)) * CAST($one << 57 AS HUGEINT)
+           |         AS DOUBLE), 3) AS est
+           |FROM reg GROUP BY 1""".stripMargin
+      },
 
       // sliding 6 h / 3 h: every event belongs to exactly the two
       // slide-aligned windows starting at t−(t%3h) and 3 h earlier

@@ -299,6 +299,29 @@ class GraphIndexSpec extends SparkSpec {
     assert(ov > 100 && ov < 500, s"overlap_est=$ov vs exact 298")
   }
 
+  test("hll cardinality: estimates within sketch error and registers " +
+    "merge by max (shard-union = whole)") {
+    import graft.llm.Sketches
+    val vals = (0 until 1200).map(i => ("k", s"v$i")).toDF("k", "v")
+      .select(col("k"), md5(col("v")).as("h"))
+    val whole = Sketches.cardinality(
+      Sketches.registers(vals, Seq("k")), Seq("k")).collect().head
+    assert(math.abs(whole.getDouble(2) - 1200) < 320,
+      s"est=${whole.getDouble(2)} vs exact 1200 (4σ at m=256)")
+    // mergeability: max-merging two shards' registers reproduces the
+    // whole-corpus registers (and so the estimate) EXACTLY
+    val shardA = Sketches.registers(
+      vals.filter(substring(col("h"), 32, 1) < "8"), Seq("k"))
+    val shardB = Sketches.registers(
+      vals.filter(substring(col("h"), 32, 1) >= "8"), Seq("k"))
+    val merged = shardA.unionByName(shardB)
+      .groupBy(col("k"), col("idx")).agg(max(col("m")).as("m"))
+    val est = Sketches.cardinality(merged, Seq("k")).collect().head
+    assert(est.getLong(1) == whole.getLong(1) &&
+      est.getDouble(2) == whole.getDouble(2),
+      "shard-union registers must reproduce the whole-corpus estimate")
+  }
+
   test("transition matrix: exact counts and ppm shares") {
     // user 1: A→B→A; user 2: A→B. Transitions: A→B ×2, B→A ×1.
     val df = Seq((1L, 1L, 1L, "A"), (1L, 2L, 2L, "B"), (1L, 3L, 3L, "A"),
