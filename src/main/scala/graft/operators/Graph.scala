@@ -382,6 +382,60 @@ object Graph {
           "END").as("lcc_ppm"))
   }
 
+  /** Link prediction over an UNDIRECTED canonical edge frame: for every
+    * NON-adjacent pair sharing ≥ 1 neighbor, the three classic scores —
+    * common-neighbor count, Adamic–Adar (Σ 1/ln deg(z) over shared
+    * neighbors z: rare mutual friends count more), and Jaccard over the
+    * neighbor sets. On a near-dup/kNN curation graph these are the
+    * "pairs the blocking stage missed" review queue: two documents that
+    * share most of their neighborhoods but never met in a bucket.
+    *
+    * Determinism: cn and degrees are exact longs; each 1/ln(deg z) term
+    * is 9-dp-fixed decimal before the exact decimal sum (the BM25
+    * discipline — only `ln` touches libm, on identical integer inputs);
+    * Jaccard ships as exact integer ppm `(cn·10⁶) div (deg_a + deg_b −
+    * cn)`. Wedge centers have deg ≥ 2 by construction (they join two
+    * distinct neighbors), so ln(deg) ≥ ln 2 > 0 — no division-by-zero
+    * path exists.
+    *
+    * Scale shape: one degree aggregate; one wedge self-join of the
+    * symmetrized adjacency on the center vertex — fan-out Σ deg(z)²,
+    * bounded by k² per node on a kNN graph (for power-law graphs cap or
+    * split hot centers first, the [[triangles]] orientation argument);
+    * one left-anti join against the existing edges; one hash aggregate
+    * per candidate pair. All equi-joins on vertex/pair keys; nothing
+    * collects.
+    *
+    * Output: (id_a, id_b, cn, aa, jaccard_ppm), id_a < id_b, every
+    * non-adjacent pair with cn ≥ 1. */
+  def linkPredict(undirected: DataFrame, aCol: String = "id_a",
+                  bCol: String = "id_b"): DataFrame = {
+    val ue = undirected.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a") < col("b")).distinct().localCheckpoint()
+    val sym = ue.unionByName(ue.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    // wedges through center z: (z, v) ⋈ (z, w), v < w — each shared
+    // neighbor of the candidate pair contributes one center row
+    val x = sym.select(col("a").as("z"), col("b").as("v"))
+    val y = sym.select(col("a").as("z"), col("b").as("w"))
+    val wedges = x.join(y, Seq("z")).filter(col("v") < col("w"))
+    val open = wedges.join(ue.select(col("a").as("v"), col("b").as("w")),
+      Seq("v", "w"), "left_anti")
+    val scored = open
+      .join(deg.select(col("id").as("z"), col("deg").as("dz")), Seq("z"))
+      .groupBy(col("v"), col("w"))
+      .agg(count(lit(1)).as("cn"),
+        sum(round(lit(1.0) / log(col("dz").cast("double")), 9)
+          .cast("decimal(18,9)")).as("aa"))
+    scored
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
+      .join(deg.select(col("id").as("w"), col("deg").as("dw")), Seq("w"))
+      .select(col("v").as(aCol), col("w").as(bCol), col("cn"),
+        col("aa").cast("decimal(28,9)").as("aa"),
+        expr("(cn * 1000000) div (dv + dw - cn)").as("jaccard_ppm"))
+  }
+
   /** Degree profile of a directed edge frame: per-vertex out/in degree —
     * the hub/orphan diagnostic read before running PageRank or components
     * over a curation graph. One aggregate per direction and one full

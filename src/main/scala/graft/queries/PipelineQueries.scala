@@ -1333,6 +1333,18 @@ object PipelineQueries {
       graft.operators.Graph.triangles(nodes, mutual, "vec_id")
     }),
 
+    // --- link prediction over the MUTUAL kNN graph: common-neighbor /
+    // Adamic–Adar / Jaccard scores for non-adjacent pairs sharing a
+    // neighbor — the "pairs the blocking stage missed" review queue.
+    // Wedge fan-out bounded by k² per node on a kNN substrate ------------
+    "graph_adamic" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.operators.Graph.linkPredict(
+        Similarity.mutualKnnEdges(
+          Similarity.knnGraph(e, "vec_id", "embedding",
+            k = 3, b = knnBucketBits(e), dim = 64, bands = 2)))
+    }),
+
     // --- degree profile of the same graph: hub/orphan diagnostic ------------
     "graph_degree" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -4792,6 +4804,37 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
             |         AS lcc_ppm
             |FROM nodes nd LEFT JOIN dg ON dg.id = nd.id
             |              LEFT JOIN pern p ON p.id = nd.id""".stripMargin),
+
+      // mutual edges, symmetrized adjacency, the wedge self-join minus
+      // existing edges, then exact-count / 9-dp-decimal-sum / integer-ppm
+      // scores — `//` floors like Spark's div on the non-negative counts
+      "graph_adamic" ->
+        (s"WITH $knnEdgeCtes,\n" +
+          """mg AS MATERIALIZED (
+            |       SELECT a.src AS a, a.dst AS b
+            |       FROM g a JOIN g b ON a.src = b.dst AND a.dst = b.src
+            |       WHERE a.src < a.dst),
+            |sym AS MATERIALIZED (
+            |       SELECT a, b FROM mg UNION ALL SELECT b, a FROM mg),
+            |dg AS MATERIALIZED (
+            |       SELECT a AS id, count(*) AS deg FROM sym GROUP BY 1),
+            |open AS MATERIALIZED (
+            |       SELECT x.a AS z, x.b AS v, y.b AS w
+            |       FROM sym x JOIN sym y ON x.a = y.a AND x.b < y.b
+            |       LEFT JOIN mg m ON m.a = x.b AND m.b = y.b
+            |       WHERE m.a IS NULL),
+            |sc AS (SELECT o.v, o.w, count(*) AS cn,
+            |         SUM(CAST(round(1.0 / ln(CAST(dz.deg AS DOUBLE)), 9)
+            |             AS DECIMAL(18,9))) AS aa
+            |       FROM open o JOIN dg dz ON dz.id = o.z
+            |       GROUP BY 1, 2)
+            |SELECT sc.v AS id_a, sc.w AS id_b,
+            |       CAST(sc.cn AS BIGINT) AS cn,
+            |       CAST(sc.aa AS DECIMAL(28,9)) AS aa,
+            |       CAST((sc.cn * 1000000) // (dv.deg + dw.deg - sc.cn)
+            |         AS BIGINT) AS jaccard_ppm
+            |FROM sc JOIN dg dv ON dv.id = sc.v
+            |        JOIN dg dw ON dw.id = sc.w""".stripMargin),
 
       "embed_project" ->
         (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

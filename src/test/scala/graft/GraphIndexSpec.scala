@@ -165,6 +165,33 @@ class GraphIndexSpec extends SparkSpec {
     assert(out.forall(_ == ((3L, 3L, 1000000L))))
   }
 
+  test("link prediction: wedge scores on a path and a 4-cycle; " +
+    "adjacent pairs and triangles never predict") {
+    // path 1—2—3: only (1,3) is open, via center 2 (deg 2):
+    //   cn = 1, aa = round(1/ln 2, 9) = 1.442695041, jac = 1·10⁶ div 1
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val p = Graph.linkPredict(path).collect()
+    assert(p.length == 1)
+    assert(p(0).getLong(0) == 1L && p(0).getLong(1) == 3L)
+    assert(p(0).getLong(2) == 1L)
+    assert(p(0).getDecimal(3) == new java.math.BigDecimal("1.442695041")
+      .setScale(9))
+    assert(p(0).getLong(4) == 1000000L)
+    // 4-cycle 1—2—3—4—1: opens (1,3) and (2,4), each with two deg-2
+    // centers: cn = 2, aa = 2·round(1/ln 2, 9), jac = 2·10⁶ div 2
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+      .toDF("id_a", "id_b")
+    val c = Graph.linkPredict(cyc).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).toPlainString, r.getLong(4))).sorted
+    assert(c.toSeq == Seq(
+      (1L, 3L, 2L, "2.885390082", 1000000L),
+      (2L, 4L, 2L, "2.885390082", 1000000L)))
+    // a triangle is fully adjacent — nothing to predict
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    assert(Graph.linkPredict(tri).count() == 0L)
+  }
+
   test("label propagation: clamped seeds, majority vote, min-label ties") {
     // path 1–2–3–4 (symmetric); seeds: 1→10, 4→20.
     // round 1: 2 gets 10 (from 1), 3 gets 20 (from 4)
