@@ -1672,6 +1672,54 @@ object PipelineQueries {
       graft.llm.Sketches.cardinality(reg, Seq("window_start_us"))
     }),
 
+    // --- streaming frequency sketch: per-window CountMin counters
+    // maintained AT INGEST (state per open window: ≤ d·w counter rows
+    // regardless of traffic), then — because counters ADD — the emitted
+    // per-window frames sum-merge into the global sketch, probed for the
+    // user heavy-hitter estimates. The frequency member of the at-ingest
+    // sketch pair (stream_distinct is the distinct member). -------------
+    "stream_cms" -> ((s, d) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      ss.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+      val maxUs = Tables.eventsUs(ss, d).agg(max(col("ts_us"))).head.getLong(0)
+      val (depth, width) = (3, 256)
+      val sink = graft.streaming.FileReplay.twoBatch(ss,
+        s"$d/events.parquet",
+        stream => {
+          val keys = (0 until depth).map(i => struct(lit(i).as("row"),
+            graft.llm.CountMin.bucket(col("item"), i, width).as("bucket")))
+          stream
+            .select(Tables.tsMicros(stream).as("ts_us"),
+              col("user_id").cast("string").as("item"))
+            .filter(col("ts_us") >= 0L)
+            .withColumn("ts", timestamp_micros(col("ts_us")))
+            .withWatermark("ts", "1 hour")
+            .select(col("ts"), explode(array(keys: _*)).as("rb"))
+            .groupBy(window(col("ts"), "6 hours"),
+              col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+            .agg(count(lit(1)).as("cnt"))
+            .select(unix_micros(col("window.start")).as("window_start_us"),
+              col("row"), col("bucket"), col("cnt"))
+        },
+        eventsSentinel(ss, d, maxUs + 30L * 86400000000L),
+        "stream_cms_" + streamSeq.incrementAndGet())
+        .filter(col("window_start_us") <= maxUs)
+      val merged = sink.groupBy(col("row"), col("bucket"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val probes = ss.range(0, 8)
+        .select(col("id").cast("string").as("item"))
+      val trueCounts = Tables.eventsUs(ss, d)
+        .filter(col("ts_us") >= 0L && col("user_id").between(0, 7))
+        .groupBy(col("user_id").cast("string").as("item"))
+        .agg(count(lit(1)).as("true_count"))
+      graft.llm.CountMin.probe(probes, "item", merged, depth, width)
+        .join(broadcast(trueCounts), Seq("item"), "left")
+        .select(col("item"),
+          coalesce(col("true_count"), lit(0L)).as("true_count"),
+          col("est_count"))
+    }),
+
     // --- streaming OHLC compaction: the ts_ohlc candles computed AT
     // INGEST — watermarked 1-day tumbling windows (epoch-aligned, so
     // window.start IS the batch operator's bucket), min_by/max_by over
@@ -3946,6 +3994,36 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |         AS DOUBLE), 3) AS est
            |FROM reg GROUP BY 1""".stripMargin
       },
+
+      // batch replay of the streaming CMS: counters add, so the summed
+      // per-window build equals one global build (the freq_cms_est
+      // idioms over md5-prefix buckets; exact integer end to end)
+      "stream_cms" ->
+        """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS item
+          |           FROM events WHERE epoch_us(ts) >= 0),
+          |keys AS (SELECT item, r.i,
+          |           (('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || item),
+          |                            1, 8))::BIGINT) % 256 AS bucket
+          |         FROM e, (SELECT unnest([0, 1, 2]) AS i) r),
+          |cms AS (SELECT i, bucket, count(*) AS cnt FROM keys GROUP BY 1, 2),
+          |p AS (SELECT CAST(u AS VARCHAR) AS item
+          |      FROM (SELECT unnest(generate_series(0, 7)) AS u)),
+          |tc AS (SELECT CAST(user_id AS VARCHAR) AS item,
+          |              count(*) AS true_count
+          |       FROM events
+          |       WHERE epoch_us(ts) >= 0 AND user_id BETWEEN 0 AND 7
+          |       GROUP BY 1),
+          |pk AS (SELECT p.item, r.i,
+          |          (('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || p.item),
+          |                           1, 8))::BIGINT) % 256 AS bucket
+          |       FROM p, (SELECT unnest([0, 1, 2]) AS i) r)
+          |SELECT pk.item,
+          |       CAST(coalesce(any_value(tc.true_count), 0) AS BIGINT)
+          |         AS true_count,
+          |       CAST(min(coalesce(cms.cnt, 0)) AS BIGINT) AS est_count
+          |FROM pk LEFT JOIN cms ON cms.i = pk.i AND cms.bucket = pk.bucket
+          |        LEFT JOIN tc ON tc.item = pk.item
+          |GROUP BY 1""".stripMargin,
 
       // sliding 6 h / 3 h: every event belongs to exactly the two
       // slide-aligned windows starting at t−(t%3h) and 3 h earlier
