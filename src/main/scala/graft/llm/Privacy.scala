@@ -33,6 +33,24 @@ object Privacy {
       .withColumn("at_risk", col("class_size") < k)
   }
 
+  /** Per-equivalence-class l-diversity view (Machanavajjhala et al.
+    * 2007): a class can be k-anonymous yet leak the SENSITIVE attribute
+    * outright if every row in it shares one value — distinct
+    * l-diversity requires ≥ `l` distinct sensitive values per class.
+    * Output: the quasi-identifier tuple, class size, the distinct
+    * sensitive count, and the violation flag. Exact integers (a hash
+    * aggregate with an exact distinct — one extra shuffle keyed by
+    * (class, sensitive) before the class rollup; at 100 TB that is two
+    * map-side-combining aggregates, no collection anywhere). */
+  def lDiversityClasses(df: DataFrame, quasi: Seq[Column],
+                        sensitive: Column, l: Long): DataFrame = {
+    require(l >= 2, s"l=$l must be >= 2")
+    df.groupBy(quasi: _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(sensitive).as("l_div"))
+      .withColumn("at_risk", col("l_div") < l)
+  }
+
   /** One-row corpus summary: row/class counts, the achieved k-anonymity
     * (min class size — "every row hides among at least k_anon others"),
     * and how many rows sit in sub-`k` classes, as count + exact ppm. */

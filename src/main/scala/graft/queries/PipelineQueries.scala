@@ -2424,6 +2424,15 @@ object PipelineQueries {
           expr("n_chars div 200").as("len_bucket")),
         k = 5)),
 
+    // --- l-diversity audit: k-anonymity's complement — a class whose
+    // rows all share one sensitive value leaks it even when large.
+    // QI = (source, length bucket), sensitive = lang, l = 3 --------------
+    "privacy_ldiv" -> ((s, d) =>
+      graft.llm.Privacy.lDiversityClasses(
+        Tables.documents(s, d),
+        Seq(col("source"), expr("n_chars div 200").as("len_bucket")),
+        col("lang"), l = 3)),
+
     // --- corpus-level risk summary: achieved k, risky-row count + exact
     // integer ppm -------------------------------------------------------
     "privacy_risk" -> ((s, d) =>
@@ -3849,6 +3858,13 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |       CAST(count(*) AS BIGINT) AS class_size,
           |       count(*) < 5 AS at_risk
           |FROM documents GROUP BY 1, 2, 3""".stripMargin,
+
+      "privacy_ldiv" ->
+        """SELECT source, n_chars // 200 AS len_bucket,
+          |       CAST(count(*) AS BIGINT) AS class_size,
+          |       CAST(count(DISTINCT lang) AS BIGINT) AS l_div,
+          |       count(DISTINCT lang) < 3 AS at_risk
+          |FROM documents GROUP BY 1, 2""".stripMargin,
 
       "privacy_risk" ->
         """WITH c AS (SELECT count(*) AS cs FROM documents

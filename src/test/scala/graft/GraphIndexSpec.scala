@@ -308,6 +308,22 @@ class GraphIndexSpec extends SparkSpec {
     assert(risk.getLong(4) === 400000L, "2/5 exactly, in ppm")
   }
 
+  test("l-diversity: a large homogeneous class is flagged, a small " +
+    "diverse one is not") {
+    // class (src a): 3 rows, all 'en' → l_div 1, at risk at l = 2;
+    // class (src b): 2 rows, 2 langs → l_div 2, fine
+    val df = Seq(
+      ("en", "a"), ("en", "a"), ("en", "a"),
+      ("en", "b"), ("de", "b")).toDF("lang", "src")
+    val out = Privacy.lDiversityClasses(df, Seq(col("src")),
+        col("lang"), l = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("a") === ((3L, 1L, true)),
+      "k-anonymous but sensitive-homogeneous must flag")
+    assert(out("b") === ((2L, 2L, false)))
+  }
+
   test("hll overlap estimates track exact overlap within sketch error") {
     // two sources with known gram sets: A = docs of words w0..w599,
     // B = w300..w899 → |A|,|B| ≈ 598 3-shingles, overlap ≈ 298.
