@@ -373,6 +373,104 @@ object TimeSeries {
         sum(col("bn")).over(w).cast("double"), 6).as("moving_avg")): _*)
   }
 
+  /** Classical additive seasonal decomposition (the decompose() of every
+    * stats toolkit): per series, hourly/daily buckets split into
+    * trend + seasonal + remainder — trend the centered 2×m moving
+    * average, seasonal the per-phase mean of the detrended series
+    * (centered to sum ~0 over a period), remainder what's left. The
+    * capacity-planning / anomaly-baseline view of an event stream:
+    * "is Tuesday 3am REALLY low, or is that just the season?".
+    *
+    * == Engine-exact integer grid ==
+    * Bucket sums are exact cents; the 2×m MA numerator is the exact long
+    * T = 2·Σ_{−h..+h} − x_{−h} − x_{+h} (cents, 2m× scale), so
+    * `detrended = 2m·x − T` is EXACT on the cents×2m grid, and the
+    * seasonal/centering means use integral division — detrended masses
+    * go negative, and BOTH engines truncate toward zero there (Spark
+    * `div` and DuckDB `//` alike; verified −7 // 2 = −3), so the
+    * truncated means replay exactly.
+    * Trend is additionally emitted in value units as one
+    * correctly-rounded division of exact ints (6 dp). Deterministic, no
+    * libm anywhere.
+    *
+    * Trend (and so detrended/remainder) is defined only where the
+    * centered window is COMPLETE — all 2h+1 buckets present (`win_n` =
+    * periodSteps+1) — the textbook edge rule; incomplete-window buckets
+    * keep their seasonal index (phase means are estimated from complete
+    * rows only) and null trend/remainder. A phase with NO complete rows
+    * yields null seasonal for its buckets.
+    *
+    * Scale shape: one hash aggregate corpus → (series, bucket) cents;
+    * everything after runs on the bucket frame — one RANGE window and
+    * two ±h self-equi-joins for the MA, two phase-keyed hash aggregates
+    * for the seasonal means, broadcast-sized per-series frames joined
+    * back. No global sort, nothing collected.
+    *
+    * Output: (series…, bucket, n, value_sum, trend, det_fp, seasonal_fp,
+    * remainder_fp) — *_fp on the cents×2m grid. */
+  def seasonalDecompose(df: DataFrame, seriesCols: Seq[String],
+                        tsMicrosCol: String, valueCol: String,
+                        periodSteps: Int = 24,
+                        stepMicros: Long = 3600000000L): DataFrame = {
+    require(periodSteps >= 2 && periodSteps % 2 == 0,
+      s"periodSteps=$periodSteps must be even and >= 2")
+    require(stepMicros > 0, s"stepMicros=$stepMicros must be positive")
+    val half = periodSteps / 2
+    val m2 = 2L * periodSteps
+    val sc = seriesCols.map(col)
+    val ts = col(tsMicrosCol)
+    val bucketed = df
+      .withColumn("bucket", (ts - (ts % lit(stepMicros))).cast("long"))
+      .repartition(sc: _*)
+      .groupBy(sc :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("vsum"))
+      .withColumn("vc", (col("vsum") * 100).cast("long"))
+      .localCheckpoint()
+    val w = Window.partitionBy(sc: _*).orderBy(col("bucket"))
+      .rangeBetween(-half * stepMicros, half * stepMicros)
+    val withWin = bucketed
+      .withColumn("win_n", count(lit(1)).over(w))
+      .withColumn("win_c", sum(col("vc")).over(w))
+    val bLo = bucketed.select(sc ++ Seq(
+      (col("bucket") + half * stepMicros).as("bucket"),
+      col("vc").as("c_lo")): _*)
+    val bHi = bucketed.select(sc ++ Seq(
+      (col("bucket") - half * stepMicros).as("bucket"),
+      col("vc").as("c_hi")): _*)
+    val names = seriesCols :+ "bucket"
+    val trended = withWin
+      .join(bLo, names, "left").join(bHi, names, "left")
+      .withColumn("t_fp",
+        when(col("win_n") === (periodSteps + 1),
+          lit(2L) * col("win_c") - col("c_lo") - col("c_hi")))
+      .withColumn("det_fp",
+        when(col("t_fp").isNotNull, lit(m2) * col("vc") - col("t_fp")))
+      .withColumn("phase",
+        pmod(expr(s"bucket div $stepMicros"), lit(periodSteps.toLong)))
+    // `div` truncates toward zero on the (possibly negative) detrended
+    // masses — and so does DuckDB's `//` (verified: −7 // 2 = −3), so
+    // the truncated means replay exactly; `/` would be double division
+    val phaseMeans = trended.filter(col("det_fp").isNotNull)
+      .groupBy(sc :+ col("phase"): _*)
+      .agg(sum(col("det_fp")).as("ps"), count(lit(1)).as("pn"))
+      .withColumn("s_raw", expr("ps div pn"))
+    val centers = phaseMeans
+      .groupBy(sc: _*)
+      .agg(sum(col("s_raw")).as("ss"), count(lit(1)).as("sn"))
+      .withColumn("m_fp", expr("ss div sn"))
+      .select(sc :+ col("m_fp"): _*)
+    val seasonal = phaseMeans.join(centers, seriesCols)
+      .select(sc ++ Seq(col("phase"),
+        (col("s_raw") - col("m_fp")).as("seasonal_fp")): _*)
+    trended.join(seasonal, seriesCols :+ "phase", "left")
+      .select(sc ++ Seq(col("bucket"), col("n"),
+        col("vsum").cast("double").as("value_sum"),
+        round(col("t_fp").cast("double") / lit(m2 * 100.0), 6).as("trend"),
+        col("det_fp"), col("seasonal_fp"),
+        (col("det_fp") - col("seasonal_fp")).as("remainder_fp")): _*)
+  }
+
   /** CUSUM change-point localization: per series, the observation where
     * the cumulative sum of deviations from the series mean attains its
     * maximum magnitude — the classic single-change-point estimator (the

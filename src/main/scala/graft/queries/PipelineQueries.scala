@@ -2313,6 +2313,16 @@ object PipelineQueries {
         Seq("user_id", "event_type"), "ts_us", "value",
         stepMicros = DayMicros, windowSteps = 7)),
 
+    // --- classical seasonal decomposition: hourly per-type series into
+    // centered-2×24-MA trend + hour-of-day seasonal + remainder, all on
+    // an exact cents×48 integer grid with explicit floor division (the
+    // anomaly-baseline view: is 3am low, or just the season?) ------------
+    "ts_seasonal" -> ((s, d) =>
+      TimeSeries.seasonalDecompose(
+        Tables.eventsUs(s, d).filter(col("ts_us") >= 0L),
+        Seq("event_type"), "ts_us", "value",
+        periodSteps = 24, stepMicros = 3600000000L)),
+
     // --- OHLC candles: per (user, event_type) × day, first/high/low/last
     // value + count/sum/mean; open/close chosen by a portable total-order
     // key (sign-biased ts + length-prefixed id), one hash aggregate ------
@@ -6351,6 +6361,55 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY bucket
           |             RANGE BETWEEN 518400000000 PRECEDING
           |                       AND CURRENT ROW)""".stripMargin,
+
+      // mirror TimeSeries.seasonalDecompose: exact cents buckets, the
+      // 2×24 MA numerator as HUGEINT, `//` floor division (≡ the
+      // engine's spelled-out (a − pmod) div), nulls where the centered
+      // window is incomplete
+      "ts_seasonal" ->
+        """WITH b AS (
+          |  SELECT event_type,
+          |         epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket,
+          |         count(*) AS n,
+          |         sum(CAST(value AS DECIMAL(18,2))) AS vsum,
+          |         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+          |           AS vc
+          |  FROM events WHERE epoch_us(ts) >= 0 GROUP BY 1, 2),
+          |w AS (
+          |  SELECT *, count(*) OVER win AS win_n, sum(vc) OVER win AS win_c
+          |  FROM b
+          |  WINDOW win AS (PARTITION BY event_type ORDER BY bucket
+          |                 RANGE BETWEEN 43200000000 PRECEDING
+          |                           AND 43200000000 FOLLOWING)),
+          |t AS (
+          |  SELECT w.*,
+          |         CASE WHEN w.win_n = 25
+          |              THEN 2 * w.win_c - lo.vc - hi.vc END AS t_fp
+          |  FROM w LEFT JOIN b lo ON lo.event_type = w.event_type
+          |                       AND lo.bucket = w.bucket - 43200000000
+          |         LEFT JOIN b hi ON hi.event_type = w.event_type
+          |                       AND hi.bucket = w.bucket + 43200000000),
+          |d AS (SELECT *,
+          |        CASE WHEN t_fp IS NOT NULL THEN 48 * vc - t_fp END
+          |          AS det_fp,
+          |        (bucket // 3600000000) % 24 AS phase
+          |      FROM t),
+          |pm AS (SELECT event_type, phase,
+          |              SUM(det_fp) // COUNT(*) AS s_raw
+          |       FROM d WHERE det_fp IS NOT NULL GROUP BY 1, 2),
+          |ct AS (SELECT event_type, SUM(s_raw) // COUNT(*) AS m_fp
+          |       FROM pm GROUP BY 1),
+          |se AS (SELECT pm.event_type, pm.phase,
+          |              pm.s_raw - ct.m_fp AS seasonal_fp
+          |       FROM pm JOIN ct USING (event_type))
+          |SELECT d.event_type, d.bucket, CAST(d.n AS BIGINT) AS n,
+          |       CAST(d.vsum AS DOUBLE) AS value_sum,
+          |       round(CAST(d.t_fp AS DOUBLE) / 4800.0, 6) AS trend,
+          |       CAST(d.det_fp AS BIGINT) AS det_fp,
+          |       CAST(se.seasonal_fp AS BIGINT) AS seasonal_fp,
+          |       CAST(d.det_fp - se.seasonal_fp AS BIGINT) AS remainder_fp
+          |FROM d LEFT JOIN se ON se.event_type = d.event_type
+          |                   AND se.phase = d.phase""".stripMargin,
 
       // mirror TimeSeries.lttb: exact-decimal bucket means, lag/lead
       // anchors, identical IEEE area tree, (area DESC NULLS LAST,

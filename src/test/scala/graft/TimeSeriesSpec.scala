@@ -284,6 +284,51 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getLong(4) === 2400L && r.getLong(5) === 1300L)
   }
 
+  test("seasonal decompose: linear series has zero detrended mass, " +
+    "edges get null trend") {
+    // v_t = 10 + t over 49 hourly buckets: the centered 2×24 MA
+    // reproduces a linear series exactly, so det_fp = 0, seasonal = 0,
+    // remainder = 0 wherever the window is complete (t = 12..36)
+    val hr = 3600000000L
+    val rows = (0 until 49).map(t => ("A", t * hr, 10.0 + t))
+    val out = TimeSeries.seasonalDecompose(
+        rows.toDF("series", "ts_us", "value"), Seq("series"), "ts_us",
+        "value", periodSteps = 24, stepMicros = hr)
+      .collect().map(r => r.getLong(1) / hr ->
+        ((Option(r.get(4)), Option(r.get(5)), Option(r.get(6)),
+          Option(r.get(7))))).toMap
+    for (t <- 12 to 36) {
+      val (trend, det, se, rem) = out(t.toLong)
+      assert(trend.contains(10.0 + t), s"t=$t trend=$trend")
+      assert(det.contains(0L) && se.contains(0L) && rem.contains(0L))
+    }
+    assert(out(0L)._1.isEmpty && out(48L)._1.isEmpty,
+      "incomplete centered window ⇒ null trend")
+  }
+
+  test("seasonal decompose: period-2 square wave splits into flat trend " +
+    "and ±seasonal, remainder 0") {
+    // v alternates 100/110; with periodSteps = 2 the centered MA is the
+    // constant 105, det_fp (cents×4 grid) = ∓2000, phase means center
+    // to ±2000, remainder 0
+    val hr = 3600000000L
+    val rows = (0 until 9).map(t =>
+      ("A", t * hr, if (t % 2 == 0) 100.0 else 110.0))
+    val out = TimeSeries.seasonalDecompose(
+        rows.toDF("series", "ts_us", "value"), Seq("series"), "ts_us",
+        "value", periodSteps = 2, stepMicros = hr)
+      .collect().map(r => r.getLong(1) / hr ->
+        ((Option(r.get(4)), Option(r.get(5)), Option(r.get(6)),
+          Option(r.get(7))))).toMap
+    for (t <- 1 to 7) {
+      val (trend, det, se, rem) = out(t.toLong)
+      assert(trend.contains(105.0), s"t=$t trend=$trend")
+      val sign = if (t % 2 == 0) -2000L else 2000L
+      assert(det.contains(sign) && se.contains(sign) && rem.contains(0L),
+        s"t=$t det=$det se=$se rem=$rem")
+    }
+  }
+
   test("cusum is partition-order invariant; equal-ts rows break on id") {
     val rows = (1 to 60).map(i =>
       ("S", (i / 2).toLong, i.toLong, if (i <= 30) 2.0 else 9.0))
