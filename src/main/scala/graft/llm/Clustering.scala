@@ -411,4 +411,55 @@ object Clustering {
     import spark.implicits._
     out.toSeq.toDF("comp", "pos", "component", "eigenvalue")
   }
+
+  /** Greedy k-center / farthest-point coreset (Gonzalez 1985): pick the
+    * lowest-id point, then `k`−1 times the point FARTHEST from the
+    * current picks (min cosine to the selected set; ties on id) — the
+    * classic diverse-subset selector (eval-set seeding, label-budget
+    * allocation, "cover the embedding space with k exemplars"), with
+    * the standard 2-approximation guarantee on the covering radius.
+    *
+    * Selection is sequential BY DEFINITION (pick r depends on picks
+    * 1..r−1), so the oracle unrolls rounds (the MMR/BPE precedent) —
+    * but each round is ONE broadcast product of the corpus with the
+    * SINGLE newest pick: the running max-similarity column is
+    * maintained incrementally (`greatest(msim, sim-to-newest)`), never
+    * recomputed against the whole selected set, and `localCheckpoint`
+    * per round keeps the plan flat. The argmin cut is a 1-row
+    * TakeOrderedAndProject. Cost: k corpus-wide map passes — the
+    * irreducible k-center floor; similarities 6-dp-fixed so the greedy
+    * argmin replays engine-exactly.
+    *
+    * Output: (pick ∈ 1..k, idCol) — rank-only, the ANN-family
+    * convention. */
+  def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val base = df
+      .select(col(idCol).as("id"), Similarity.normalize(col(vecCol)).as("nv"))
+      .localCheckpoint()
+    val first = base.orderBy(col("id")).limit(1)
+    var selected = first.select(col("id"), lit(1L).as("pick"))
+    // running min... stored as max-similarity: farthest = smallest msim
+    var rest = base.join(first.select(col("id")), Seq("id"), "left_anti")
+      .crossJoin(broadcast(first.select(col("nv").as("pv"))))
+      .select(col("id"), col("nv"),
+        round(Similarity.dot(col("nv"), col("pv")), 6)
+          .cast("decimal(9,6)").as("msim"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val pick = rest.orderBy(col("msim").asc, col("id")).limit(1)
+        .localCheckpoint()
+      selected = selected.unionByName(
+        pick.select(col("id"), lit(r.toLong).as("pick")))
+      rest = rest.join(pick.select(col("id")), Seq("id"), "left_anti")
+        .crossJoin(broadcast(pick.select(col("nv").as("pv"))))
+        .select(col("id"), col("nv"),
+          greatest(col("msim"),
+            round(Similarity.dot(col("nv"), col("pv")), 6)
+              .cast("decimal(9,6)")).as("msim"))
+        .localCheckpoint()
+    }
+    selected.select(col("pick"), col("id").as(idCol))
+  }
 }

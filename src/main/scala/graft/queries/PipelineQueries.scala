@@ -268,6 +268,47 @@ object PipelineQueries {
   private val MmrCandK = 20
   private val MmrSelectK = 5
 
+  /** DuckDB oracle for sample_kcenter: the greedy farthest-point rounds
+    * unrolled (selection is sequential by definition — the MMR
+    * precedent), each round a 1-row argmin CTE plus an incremental
+    * `greatest` max-similarity update, AS MATERIALIZED so the chain
+    * executes once per round (keep in sync with
+    * [[Clustering.kCenterGreedy]]). */
+  private def kcenterOracleSql(k: Int): String = {
+    val rounds = (2 to k).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT vec_id, v FROM r${r - 1}
+         |  ORDER BY msim ASC, vec_id LIMIT 1),
+         |r$r AS MATERIALIZED (
+         |  SELECT r.vec_id, r.v,
+         |         greatest(r.msim, CAST(round(list_dot_product(
+         |             r.v, (SELECT v FROM p$r)), 6) AS DECIMAL(9,6)))
+         |           AS msim
+         |  FROM r${r - 1} r
+         |  WHERE r.vec_id <> (SELECT vec_id FROM p$r))""".stripMargin
+    }.mkString(",\n")
+    val picks = (2 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS pick, vec_id FROM p$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |            FROM embeddings WHERE len(embedding) >= 64),
+       |e AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+       |           AS v
+       |  FROM e0),
+       |s1 AS MATERIALIZED (
+       |  SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+       |r1 AS MATERIALIZED (
+       |  SELECT e.vec_id, e.v,
+       |         CAST(round(list_dot_product(e.v, (SELECT v FROM s1)), 6)
+       |           AS DECIMAL(9,6)) AS msim
+       |  FROM e WHERE e.vec_id <> (SELECT vec_id FROM s1)),
+       |$rounds
+       |SELECT CAST(1 AS BIGINT) AS pick, vec_id FROM s1
+       |UNION ALL $picks""".stripMargin
+  }
+
   /** DuckDB oracle for search_mmr: candidate scoring verbatim from the
     * ann_brute_topk fragment, then the greedy MMR selection UNROLLED one
     * CTE-triple (maxsim, pick, survivors) per round — selection is
@@ -700,6 +741,15 @@ object PipelineQueries {
       Similarity.rrfFuse(Seq("sparse" -> sparse, "dense" -> dense),
         "doc_id", "rank", k0 = 60, k = 20)
         .select("doc_id", "sparse_rank", "dense_rank", "rrf")
+    }),
+
+    // --- greedy k-center coreset: lowest-id seed, then 7× the point
+    // farthest from the picks (min max-cosine, ties on id) — diverse
+    // exemplar selection with the 2-approx covering guarantee. Each
+    // round is one broadcast product with the single newest pick --------
+    "sample_kcenter" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).filter(size(col("embedding")) >= 64)
+      Clustering.kCenterGreedy(e, "vec_id", "embedding", k = 8)
     }),
 
     // --- MMR diversified rerank: greedy λ·rel − (1−λ)·max-sim-to-slate
@@ -5801,6 +5851,8 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |FROM nll GROUP BY 1""".stripMargin,
 
       "search_mmr" -> mmrOracleSql,
+
+      "sample_kcenter" -> kcenterOracleSql(8),
 
       // the CCNet gate (Wenzek et al. 2020): per-language perplexity
       // terciles over the same bigram-LM score — head = most fluent.

@@ -348,6 +348,24 @@ class LlmSpec extends SparkSpec {
     assert(out.map(_._2).toSet == Set(1L, 2L, 3L))
   }
 
+  test("k-center greedy: lowest-id seed, then farthest-first; a " +
+    "near-copy of the seed is picked last") {
+    import graft.llm.Clustering
+    // seed = id 1; id 4 is antipodal (cos −1 → farthest), id 3 is
+    // orthogonal, id 2 is a near-copy of the seed — picked never at k=3
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.05f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Clustering.kCenterGreedy(vecs, "vec_id", "embedding", k = 3)
+      .as[(Long, Long)].collect().sorted
+    assert(out.toSeq == Seq((1L, 1L), (2L, 4L), (3L, 3L)))
+    // k = n returns a permutation
+    val all = Clustering.kCenterGreedy(vecs, "vec_id", "embedding", k = 4)
+      .as[(Long, Long)].collect()
+    assert(all.map(_._2).toSet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("pq: codes hit the nearest codeword; adc ranks near-exact L2") {
     import graft.llm.Pq
     // codebooks(m=2, k=4, subDim=2): encode a vector PLACED EXACTLY ON a
