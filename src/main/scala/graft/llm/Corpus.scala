@@ -742,6 +742,85 @@ object Corpus {
         round(cov * cov / (varx * vary), 6)).as("zipf_r2"))
   }
 
+  /** Heaps'-law fit of vocabulary growth: least squares of
+    * ln(distinct types so far) against ln(tokens so far) over the
+    * corpus in doc-id order — V(n) ≈ K·n^β, the companion diagnostic to
+    * [[zipfFit]] (natural text sits near β ≈ 0.4–0.6; β → 1 means the
+    * stream keeps minting new types — OCR noise, random ids; a sharp
+    * flattening means the crawl is exhausting its domain). Answers "how
+    * much NEW vocabulary does the next TB buy?" from the corpus itself.
+    *
+    * The cumulative curve needs a corpus-order prefix sum, which is the
+    * one primitive a naive window gets catastrophically wrong at scale
+    * (ORDER BY over 10⁹ docs = one partition). This uses the standard
+    * TWO-PHASE distributed prefix sum instead: docs bucket by
+    * `doc div bucketSize`, per-bucket totals cumulate on the tiny
+    * bucket frame (|docs|/bucketSize rows — the only ordered window,
+    * same posture as the quantile sketch's bucket window), offsets
+    * broadcast back, and the intra-bucket running sum windows WITHIN
+    * each bucket. New-type counts come from the ngram_novelty
+    * first-occurrence shape (min doc per token).
+    *
+    * Determinism: counts are exact longs; ln points are 9-dp-fixed
+    * decimals, products re-fixed at 9 dp, sums exact decimals cast to
+    * double once, then [[zipfFit]]'s guarded closed-form tree verbatim.
+    * Output: one row (n_points, heaps_beta, heaps_intercept, heaps_r2)
+    * — K = e^intercept, left to the caller (no libm exp in the
+    * contract). */
+  def heapsFit(df: DataFrame, textCol: String, idCol: String,
+               bucketSize: Long = 1024L): DataFrame = {
+    require(bucketSize >= 1, s"bucketSize=$bucketSize must be >= 1")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val perDoc = spread(df)
+      .select(col(idCol).as("doc"), toks.as("__toks"))
+      .select(col("doc"), size(col("__toks")).cast("long").as("tc"),
+        explode_outer(array_distinct(col("__toks"))).as("term"))
+    val firstSeen = perDoc.filter(col("term").isNotNull)
+      .groupBy(col("term")).agg(min(col("doc")).as("doc"))
+      .groupBy(col("doc")).agg(count(lit(1)).as("nt"))
+    val docs = perDoc.groupBy(col("doc")).agg(max(col("tc")).as("tc"))
+      .join(firstSeen, Seq("doc"), "left")
+      .withColumn("nt", coalesce(col("nt"), lit(0L)))
+      .withColumn("bkt", expr(s"doc div $bucketSize"))
+      .localCheckpoint()
+    val bucketTotals = docs.groupBy(col("bkt"))
+      .agg(sum(col("tc")).as("btc"), sum(col("nt")).as("bnt"))
+    val wB = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTotals
+      .withColumn("otc", coalesce(sum(col("btc")).over(wB), lit(0L)))
+      .withColumn("ont", coalesce(sum(col("bnt")).over(wB), lit(0L)))
+      .select(col("bkt"), col("otc"), col("ont"))
+    val wD = Window.partitionBy(col("bkt")).orderBy(col("doc"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def fix9(c: Column): Column = round(c, 9).cast("decimal(12,9)")
+    val pts = docs.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("cumT", col("otc") + sum(col("tc")).over(wD))
+      .withColumn("cumV", col("ont") + sum(col("nt")).over(wD))
+      .filter(col("cumT") > 0 && col("cumV") > 0)
+      .select(fix9(log(col("cumT").cast("double"))).as("x"),
+        fix9(log(col("cumV").cast("double"))).as("y"))
+    val sums = pts.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(round(col("x") * col("y"), 9).cast("decimal(14,9)")).as("sxy"),
+      sum(round(col("x") * col("x"), 9).cast("decimal(14,9)")).as("sxx"),
+      sum(round(col("y") * col("y"), 9).cast("decimal(14,9)")).as("syy"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val sxx = col("sxx").cast("double")
+    val syy = col("syy").cast("double")
+    val cov = n * sxy - sx * sy
+    val varx = n * sxx - sx * sx
+    val vary = n * syy - sy * sy
+    sums.select(col("n").as("n_points"),
+      when(varx =!= 0.0, round(cov / varx, 6)).as("heaps_beta"),
+      when(varx =!= 0.0,
+        round((sy - cov / varx * sx) / n, 6)).as("heaps_intercept"),
+      when(varx * vary =!= 0.0,
+        round(cov * cov / (varx * vary), 6)).as("heaps_r2"))
+  }
+
   /** Sketch-based per-source corpus profile: HyperLogLog vocabulary
     * cardinality and approximate length quantiles — the 100 TB answer to
     * "how big is each source's vocabulary and what does its length

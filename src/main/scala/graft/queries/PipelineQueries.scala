@@ -2708,6 +2708,14 @@ object PipelineQueries {
       graft.llm.Sketches.hllSourceOverlap(Tables.documents(s, d),
         "text", "source", n = 3)),
 
+    // --- Heaps'-law vocabulary-growth fit: ln(types so far) vs
+    // ln(tokens so far) in doc order, cumulated by the two-phase
+    // distributed prefix sum (bucket totals + broadcast offsets — the
+    // only ordered window runs on the tiny bucket frame). Zipf's
+    // companion: "how much new vocabulary does the next TB buy?" --------
+    "corpus_heaps" -> ((s, d) =>
+      Corpus.heapsFit(Tables.documents(s, d), "text", "doc_id")),
+
     // --- the composed cleaning pipeline, as ONE plan: quality scoring →
     // threshold filter → language gate → exact dedup (keep first) →
     // token-budget shard packing. The operators chain as plain DataFrame
@@ -6096,6 +6104,56 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |    round((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
           |          / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
           |  END AS zipf_r2
+          |FROM d""".stripMargin,
+
+      // the corpus_zipf fit tree verbatim over Heaps points: cumulative
+      // tokens/types in doc order (one exact window at oracle SF — the
+      // engine's two-phase prefix sum produces the identical sums)
+      "corpus_heaps" ->
+        s"""WITH $toksCte,
+          |pd AS (SELECT doc_id AS doc, CAST(len(toks) AS BIGINT) AS tc
+          |       FROM t),
+          |fs AS (SELECT term, min(doc_id) AS doc FROM (
+          |         SELECT DISTINCT doc_id, unnest(toks) AS term FROM t)
+          |       GROUP BY 1),
+          |ntc AS (SELECT doc, count(*) AS nt FROM fs GROUP BY 1),
+          |c AS (SELECT pd.doc, pd.tc, coalesce(ntc.nt, 0) AS nt
+          |      FROM pd LEFT JOIN ntc USING (doc)),
+          |cum AS (SELECT doc, sum(tc) OVER w AS cumt,
+          |               sum(nt) OVER w AS cumv
+          |        FROM c
+          |        WINDOW w AS (ORDER BY doc ROWS BETWEEN UNBOUNDED
+          |                     PRECEDING AND CURRENT ROW)),
+          |p AS (SELECT
+          |        CAST(round(ln(CAST(cumt AS DOUBLE)), 9)
+          |             AS DECIMAL(12,9)) AS x,
+          |        CAST(round(ln(CAST(cumv AS DOUBLE)), 9)
+          |             AS DECIMAL(12,9)) AS y
+          |      FROM cum WHERE cumt > 0 AND cumv > 0),
+          |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+          |             sum(CAST(round(x * y, 9) AS DECIMAL(14,9))) AS sxy,
+          |             sum(CAST(round(x * x, 9) AS DECIMAL(14,9))) AS sxx,
+          |             sum(CAST(round(y * y, 9) AS DECIMAL(14,9))) AS syy
+          |      FROM p),
+          |d AS (SELECT CAST(n AS BIGINT) AS n_points,
+          |             CAST(n AS DOUBLE) AS nd,
+          |             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+          |             CAST(sxy AS DOUBLE) AS sxyd,
+          |             CAST(sxx AS DOUBLE) AS sxxd,
+          |             CAST(syy AS DOUBLE) AS syyd
+          |      FROM s)
+          |SELECT n_points,
+          |  CASE WHEN nd * sxxd - sxd * sxd <> 0.0 THEN
+          |    round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6)
+          |  END AS heaps_beta,
+          |  CASE WHEN nd * sxxd - sxd * sxd <> 0.0 THEN
+          |    round((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+          |           * sxd) / nd, 6) END AS heaps_intercept,
+          |  CASE WHEN (nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)
+          |            <> 0.0 THEN
+          |    round((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+          |          / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
+          |  END AS heaps_r2
           |FROM d""".stripMargin,
 
       "ngram_boilerplate" ->

@@ -412,6 +412,38 @@ class CorpusQuantizeSpec extends SparkSpec {
       s"single-term corpus must null the fit, got $one")
   }
 
+  test("heaps fit: two-phase prefix sum invariant to bucket size and " +
+    "partitioning; degenerate vocabulary nulls the fit") {
+    import graft.llm.Corpus
+    // exact fit values are pinned by the oracle hash-match; what the
+    // spec pins is the DISTRIBUTED property — the bucketed prefix sum
+    // must reproduce the bucketSize-1 (per-doc) cumulative exactly,
+    // under any input partitioning/arrival order
+    val docs = (1L to 50L).map { i =>
+      (i, (0 until i.toInt % 7 + 1).map(j => s"w${(i + j) % 23}")
+        .mkString(" "))
+    }
+    val a = Corpus.heapsFit(docs.toDF("doc_id", "text"), "text", "doc_id",
+      bucketSize = 8).collect().head
+    val b = Corpus.heapsFit(
+      docs.reverse.toDF("doc_id", "text").repartition(7), "text",
+      "doc_id", bucketSize = 1).collect().head
+    val c = Corpus.heapsFit(docs.toDF("doc_id", "text"), "text", "doc_id",
+      bucketSize = 1024).collect().head
+    assert(a.toSeq == b.toSeq && b.toSeq == c.toSeq,
+      s"prefix sum must not depend on bucketing/partitioning: $a $b $c")
+    assert(a.getLong(0) == 50L)
+    // single distinct type: cumV = 1 always → ln V = 0: slope 0, r2
+    // null/0 (vary = 0), the zipf guard discipline
+    val one = Corpus.heapsFit(
+        Seq((1L, "x x"), (2L, "x")).toDF("doc_id", "text"),
+        "text", "doc_id").collect().head
+    assert(one.getLong(0) == 2L)
+    assert(math.abs(one.getDouble(1)) < 1e-9 &&
+      math.abs(one.getDouble(2)) < 1e-9)
+    assert(one.isNullAt(3), s"zero y-variance must null r2: $one")
+  }
+
   test("source divergence: identical sources → 0, disjoint ones diverge") {
     // s1/s2 share one distribution (KL 0 against a blend of themselves
     // only when the blend IS the distribution: give all sources the same
