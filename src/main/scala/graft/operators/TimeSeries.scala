@@ -460,10 +460,14 @@ object TimeSeries {
       .agg(sum(col("s_raw")).as("ss"), count(lit(1)).as("sn"))
       .withColumn("m_fp", expr("ss div sn"))
       .select(sc :+ col("m_fp"): _*)
-    val seasonal = phaseMeans.join(centers, seriesCols)
+    // phase means and centers are |series|×period rows — broadcast
+    // explicitly (post-aggregate size estimates are too conservative to
+    // pick it, and a sort-merge of the corpus-bucket frame against a
+    // 24-row-per-series table is the wrong plan at any scale)
+    val seasonal = phaseMeans.join(broadcast(centers), seriesCols)
       .select(sc ++ Seq(col("phase"),
         (col("s_raw") - col("m_fp")).as("seasonal_fp")): _*)
-    trended.join(seasonal, seriesCols :+ "phase", "left")
+    trended.join(broadcast(seasonal), seriesCols :+ "phase", "left")
       .select(sc ++ Seq(col("bucket"), col("n"),
         col("vsum").cast("double").as("value_sum"),
         round(col("t_fp").cast("double") / lit(m2 * 100.0), 6).as("trend"),

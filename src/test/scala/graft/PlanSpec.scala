@@ -131,6 +131,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin Inner"), p)
   }
 
+  test("heaps fit: prefix-sum windows run hash-partitioned by bucket, " +
+    "offsets broadcast") {
+    val p = plan("corpus_heaps")
+    assert(p.contains("hashpartitioning(bkt"),
+      s"intra-bucket window must partition by bucket:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("seasonal decompose: bucket-frame windows + broadcast seasonal " +
+    "attach, never a corpus sort-merge") {
+    val p = plan("ts_seasonal")
+    assert(p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"seasonal frame sort-merged:\n$p")
+  }
+
   test("contamination broadcasts the eval side; train corpus join is hash") {
     val p = plan("contamination_ngram")
     // both the shingle join and the test-sizes join broadcast the tiny
