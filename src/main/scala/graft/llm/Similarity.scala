@@ -140,6 +140,44 @@ object Similarity {
     selected
   }
 
+  /** Hard-negative mining for embedding/reranker training: per query,
+    * the `k` highest-cosine candidates whose LABEL differs from the
+    * query's — the near-misses that teach a model the decision boundary
+    * (random negatives are trivially far; these are the ones it
+    * actually confuses). The standard curation step for contrastive
+    * training sets (DPR/SBERT recipe: in-batch randoms + mined hard
+    * negatives).
+    *
+    * Plan shape: candidate generation is [[bruteForceTopK]] over candK
+    * (swap in any ANN leg — only (query_id, neighbor_id, score) is
+    * read); the label attach joins the |queries|×candK candidate frame
+    * BROADCAST against the corpus label table, so the corpus never
+    * shuffles for the filter; the re-rank window runs per query on
+    * ≤ candK rows. Deterministic: 6-dp scores, ties on neighbor id.
+    *
+    * Output: (query_id, hn_rank 1..k, neighbor_id, score). Queries
+    * whose whole candidate slate shares their label yield fewer than
+    * `k` rows — mine with a bigger candK, not a weaker filter. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, labelCol: String,
+                    candK: Int, k: Int): DataFrame = {
+    require(candK >= k && k >= 1, s"need candK=$candK >= k=$k >= 1")
+    val cand = bruteForceTopK(corpus, queries, idCol, vecCol, candK)
+    val withQ = cand.join(
+      broadcast(queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("__qlab"))), Seq("query_id"))
+    val nl = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__nlab"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    nl.join(broadcast(withQ), Seq("neighbor_id"))
+      .filter(col("__nlab") =!= col("__qlab"))
+      .withColumn("hn_rank", row_number().over(w).cast("long"))
+      .filter(col("hn_rank") <= k)
+      .select(col("query_id"), col("hn_rank"), col("neighbor_id"),
+        col("score"))
+  }
+
   /** Bucket key from the signs of the first `b` vector components —
     * axis-aligned hyperplanes. Kept as the zero-multiply fallback; the
     * DEFAULT family is [[signBucketRotated]], because axis-aligned signs

@@ -1249,6 +1249,15 @@ object PipelineQueries {
         .select("query_id", "n_rel", "mrr", "dcg", "ndcg")
     }),
 
+    // --- hard-negative mining: per query, the top-5 highest-cosine
+    // candidates with a DIFFERENT label from its top-25 slate — the
+    // contrastive-training near-misses (DPR/SBERT recipe) ----------------
+    "ann_hard_negatives" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 50),
+        "vec_id", "embedding", "label", candK = 25, k = 5)
+    }),
+
     // --- embedding-cosine near-dup pairs (rotated sign-LSH blocking) --------
     "embed_cosine_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
@@ -4615,6 +4624,34 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       // same-label relevance join, and the SHARED 9-dp discount-weight
       // literals (Similarity.ndcgWeights — libm log2 never runs in either
       // engine); DCG sums are exact DECIMAL(28,9)
+      // the brute fragment at candK=25, labels joined on both sides,
+      // same-label candidates dropped, per-query re-rank to 5
+      "ann_hard_negatives" ->
+        """WITH e0 AS (SELECT vec_id, label,
+          |              CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |e AS (SELECT vec_id, label,
+          |        list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+          |          AS v
+          |      FROM e0),
+          |q AS (SELECT vec_id AS query_id, label AS qlab, v AS qv
+          |      FROM e WHERE vec_id < 50),
+          |s AS (SELECT q.query_id, q.qlab, e.vec_id AS neighbor_id,
+          |             e.label AS nlab,
+          |             list_dot_product(qv, e.v) AS score0
+          |      FROM e, q WHERE e.vec_id <> q.query_id),
+          |cand AS (SELECT query_id, qlab, neighbor_id, nlab,
+          |                round(score0, 6) AS score FROM (
+          |           SELECT *, row_number() OVER (PARTITION BY query_id
+          |                       ORDER BY score0 DESC, neighbor_id) AS rnk
+          |           FROM s) WHERE rnk <= 25)
+          |SELECT query_id, CAST(hn_rank AS BIGINT) AS hn_rank,
+          |       neighbor_id, score FROM (
+          |  SELECT query_id, neighbor_id, score,
+          |         row_number() OVER (PARTITION BY query_id
+          |           ORDER BY score DESC, neighbor_id) AS hn_rank
+          |  FROM cand WHERE nlab <> qlab)
+          |WHERE hn_rank <= 5""".stripMargin,
+
       "eval_rank_metrics" -> {
         val ws = Similarity.ndcgWeights(5)
         val wCase = ws.zipWithIndex.map { case (w, i) =>

@@ -348,6 +348,25 @@ class LlmSpec extends SparkSpec {
     assert(out.map(_._2).toSet == Set(1L, 2L, 3L))
   }
 
+  test("hard negatives: same-label near-misses are excluded, " +
+    "different-label ones rank by cosine") {
+    // query 0 (label a): id 1 is the nearest but SHARES the label →
+    // excluded; ids 2 then 3 (label b) are the mined negatives in
+    // cosine order
+    val vecs = Seq(
+      (0L, "a", Array(1.0f, 0.0f)),
+      (1L, "a", Array(0.99f, 0.1f)),
+      (2L, "b", Array(0.9f, 0.2f)),
+      (3L, "b", Array(0.0f, 1.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.hardNegatives(vecs,
+        vecs.filter($"vec_id" === 0), "vec_id", "embedding", "label",
+        candK = 3, k = 2)
+      .select("query_id", "hn_rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().sorted
+    assert(out.toSeq == Seq((0L, 1L, 2L), (0L, 2L, 3L)))
+  }
+
   test("k-center greedy: lowest-id seed, then farthest-first; a " +
     "near-copy of the seed is picked last") {
     import graft.llm.Clustering

@@ -68,6 +68,9 @@ class PlanSpec extends SparkSpec {
       // both passes attach the 1-row corpus-stat frame (bm25's pattern);
       // term matching itself is a broadcast equi-join on the term
       "search_prf",
+      // candidate generation is the brute-force scorer by design; the
+      // label attach broadcasts the candidate slate
+      "ann_hard_negatives",
       // the 1-row cut threshold broadcast-attaches to the |sources|
       // planning frame (the corpus-stat scalar-attach pattern)
       "mixture_waterfill")
