@@ -388,16 +388,33 @@ object Clustering {
     val base = df.filter(size(col(vecCol)) === dim)
       .select(quantize(col(vecCol)).as("__w"))
     val meanQ = centeringMean(base, dim)
+    val comps = deflatedComponents(base, dim, nComponents, iters, meanQ)
+    val out = comps.zipWithIndex.flatMap { case ((v, eigen), ci) =>
+      val e6 = BigDecimal(eigen)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      v.zipWithIndex.map { case (cv, j) =>
+        ((ci + 1).toLong, j.toLong, cv, e6) }
+    }
+    import spark.implicits._
+    out.toDF("comp", "pos", "component", "eigenvalue")
+  }
+
+  /** The deflated power-iteration loop shared by [[pcaComponents]] and
+    * [[whiten]]: per component, run [[powerLoop]] on the current
+    * residual, then subtract the 2⁻¹²-floored rank-one projection
+    * (exactness closed under deflation) and recurse. Returns the RAW
+    * eigen norm; callers round. */
+  private def deflatedComponents(base: DataFrame, dim: Int,
+                                 nComponents: Int, iters: Int,
+                                 meanQ: Array[Double])
+      : Seq[(IndexedSeq[Double], Double)] = {
     var xcf = base.select(zip_with(col("__w"), typedlit(meanQ.toSeq),
       (a, b) => a - b).as("__xc")).localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, Long, Double, Double)]
+      .empty[(IndexedSeq[Double], Double)]
     for (c <- 1 to nComponents) {
       val (v, eigen) = powerLoop(xcf, dim, iters)
-      val e6 = BigDecimal(eigen)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      out ++= v.zipWithIndex.map { case (cv, j) =>
-        (c.toLong, j.toLong, cv, e6) }
+      out += ((v, eigen))
       if (c < nComponents) {
         val vLit = typedlit(v)
         xcf = xcf
@@ -408,8 +425,53 @@ object Clustering {
           .localCheckpoint()
       }
     }
-    import spark.implicits._
-    out.toSeq.toDF("comp", "pos", "component", "eigenvalue")
+    out.toSeq
+  }
+
+  /** PCA whitening of the embedding column: y_c = (x−μ)·v_c / √λ_c for
+    * the top `nComponents` deflated components — the standard embedding
+    * post-processing (Jégou & Chum 2012's whitened descriptors; modern
+    * "whitening-k" for sentence embeddings) that decorrelates dominant
+    * directions so cosine stops being hijacked by the corpus' top
+    * principal axis.
+    *
+    * Determinism: the centered vectors and components live on the
+    * dyadic grid, so each projection is an ORDER-FREE exact sum (the
+    * pca_project posture); the scale 1/√λ_c is one IEEE sqrt + divide
+    * on the 6-dp-rounded eigen norm — identical in any engine — and
+    * the product rounds once at 6 dp. A non-positive eigen norm
+    * (degenerate residual) nulls that component's coordinate rather
+    * than dividing by zero.
+    *
+    * Scale shape: training is [[pcaComponents]]' loop (nComponents ×
+    * iters corpus scans over the checkpointed residual); serving is ONE
+    * map-only projection pass — components and scales compile into the
+    * projection as literals, nothing shuffles.
+    *
+    * Output: (idCol, w1..w`nComponents`). */
+  def whiten(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+             nComponents: Int, iters: Int = 2): DataFrame = {
+    require(nComponents >= 1 && nComponents <= 16,
+      s"nComponents=$nComponents out of [1,16]")
+    val withId = df.filter(size(col(vecCol)) === dim)
+      .select(col(idCol), quantize(col(vecCol)).as("__w"))
+    val base = withId.select(col("__w"))
+    val meanQ = centeringMean(base, dim)
+    val comps = deflatedComponents(base, dim, nComponents, iters, meanQ)
+    val xcId = withId.select(col(idCol),
+      zip_with(col("__w"), typedlit(meanQ.toSeq),
+        (a, b) => a - b).as("__xc"))
+    val cols = comps.zipWithIndex.map { case ((v, eigen), i) =>
+      val e6 = BigDecimal(eigen)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val c =
+        if (e6 > 0)
+          round(VectorOps.dot(col("__xc"), typedlit(v)) *
+            lit(1.0 / math.sqrt(e6)), 6)
+        else lit(null).cast("double")
+      c.as(s"w${i + 1}")
+    }
+    xcId.select(col(idCol) +: cols: _*)
   }
 
   /** Greedy k-center / farthest-point coreset (Gonzalez 1985): pick the

@@ -1481,6 +1481,14 @@ object PipelineQueries {
       Clustering.pcaComponents(Tables.embeddings(s, d), "embedding",
         dim = 64, nComponents = 3, iters = 2)),
 
+    // --- PCA whitening: (x−μ)·v_c / √λ_c over the top-3 deflated
+    // components — decorrelates the dominant axes so cosine stops being
+    // hijacked by the corpus' top principal direction. Training = the
+    // pca_k loop; serving = one map-only literal projection ---------------
+    "embed_whiten" -> ((s, d) =>
+      Clustering.whiten(Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, nComponents = 3, iters = 2)),
+
     // --- per-label centroid drift: distribution-shift / redundancy monitor --
     "embed_source_drift" -> ((s, d) =>
       Clustering.centroidDrift(Tables.embeddings(s, d), "label",
@@ -5079,6 +5087,26 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
         (s"WITH ${pcaCtes(iters = 2, dim = 64)}\n" +
           """SELECT vec_id, round(SUM(xc * v), 6) AS projection
             |FROM xc JOIN v2 USING (i) GROUP BY vec_id""".stripMargin),
+
+      // the deflated-component CTEs verbatim; every coordinate projects
+      // the ORIGINAL centered frame xc1 (deflation trains components,
+      // whitening serves from x−μ), scaled by 1/sqrt(round(nrm, 6)) —
+      // one IEEE sqrt+divide on identical inputs, engine-exact
+      "embed_whiten" ->
+        (s"WITH ${pcaDeflateCtes(nComp = 3, iters = 2, dim = 64)},\n" +
+          (1 to 3).map(c =>
+            s"""wh$c AS (SELECT vec_id,
+               |  CASE WHEN round((SELECT nrm FROM n${c}_2), 6) > 0 THEN
+               |    round(SUM(xc * v)
+               |          * (1.0 / sqrt(round((SELECT nrm FROM n${c}_2),
+               |                              6))), 6)
+               |  END AS w$c
+               |  FROM xc1 JOIN v${c}_2 USING (i)
+               |  GROUP BY vec_id)""".stripMargin).mkString(",\n") +
+          """
+            |SELECT wh1.vec_id, wh1.w1, wh2.w2, wh3.w3
+            |FROM wh1 JOIN wh2 USING (vec_id)
+            |         JOIN wh3 USING (vec_id)""".stripMargin),
 
       "search_phrase" ->
         """WITH t AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok FROM (

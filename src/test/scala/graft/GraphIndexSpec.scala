@@ -549,6 +549,38 @@ class GraphIndexSpec extends SparkSpec {
       assert(math.abs(math.sqrt(dot(comps(c), comps(c))) - 1.0) < 1e-4) }
   }
 
+  test("whitening rescales the spectral axes toward comparable spread " +
+    "and nulls a degenerate component") {
+    // same spectral fixture as the deflation test: axis variances 8/2/.5
+    val vecs = (0 until 64).map { i =>
+      Array(
+        8.0f * (if (i % 2 == 0) 1 else -1),
+        2.0f * (if (i % 4 < 2) 1 else -1),
+        0.5f * (if (i % 8 < 4) 1 else -1),
+        0.0f)
+    }
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val out = graft.llm.Clustering.whiten(df, "vec_id", "embedding",
+        dim = 4, nComponents = 3, iters = 4)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    // raw coordinate scales differ 16×; whitened scales must be within
+    // a small factor of each other (1/√λ rescale)
+    def spread(xs: Seq[Double]) = xs.map(math.abs).max
+    val (s1, s2, s3) = (spread(out.map(_._1)), spread(out.map(_._2)),
+      spread(out.map(_._3)))
+    assert(s1 / s2 < 3.0 && s2 / s1 < 3.0, s"w1=$s1 w2=$s2")
+    assert(s2 / s3 < 3.0 && s3 / s2 < 3.0, s"w2=$s2 w3=$s3")
+    // identical vectors: zero residual variance → eigen 0 → the guard
+    // nulls every coordinate instead of dividing by zero
+    val flat = Seq((1L, Array(1.0f, 1.0f)), (2L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val f = graft.llm.Clustering.whiten(flat, "vec_id", "embedding",
+      dim = 2, nComponents = 2, iters = 2).collect()
+    assert(f.forall(r => r.isNullAt(1) && r.isNullAt(2)),
+      s"degenerate spectrum must null: ${f.mkString(",")}")
+  }
+
   test("bpe training replays the classic merge sequence") {
     // corpus: aaab ×2, ab ×1.
     // r1: (a,a)=4 wins → aaab segments <aa><a><b>
