@@ -505,6 +505,39 @@ object Corpus {
       .select("source_a", "source_b", "n_shared", "jaccard")
   }
 
+  /** Marginal unique contribution per source: the fraction of each
+    * source's distinct grams that appear in NO other source — the
+    * drop-a-source question ("is src X still buying vocabulary the
+    * blend doesn't already have?") that [[sourceOverlap]]'s pairwise
+    * matrix and [[sourceDivergence]]'s distribution distance both leave
+    * unanswered (a source can overlap everyone a little yet still be
+    * 90% unique in aggregate).
+    *
+    * One pass: distinct (source, gram) rows, a gram-keyed aggregate
+    * counting holder sources, then a per-source rollup — unlike the
+    * pairwise overlap join, nothing here scales with the NUMBER of
+    * sources, so this is also the shape to reach for when `sourceCol`
+    * has millions of values (per-domain uniqueness). Exact longs and
+    * integer ppm; no floats in the contract.
+    *
+    * Output: (source, n_grams, n_unique, unique_ppm). */
+  def sourceUnique(df: DataFrame, textCol: String, sourceCol: String,
+                   n: Int = 3): DataFrame = {
+    val sg = spread(df).select(col(sourceCol).as("source"),
+        explode(graft.functions.Shingles.distinctShingles(
+          TextAnalysis.tokens(col(textCol)), n)).as("gram"))
+      .select(col("source"), xxhash64(col("gram")).as("g"))
+      .distinct()
+    val holders = sg.groupBy(col("g"))
+      .agg(count(lit(1)).as("__nsrc"))
+    sg.join(holders, Seq("g"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__nsrc") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("unique_ppm",
+        expr("n_unique * 1000000 div n_grams"))
+  }
+
   /** Okapi BM25 retrieval: score every document against a literal term
     * set and keep the global top-`k` — the standard ranking function for
     * "find the documents most about X" over a training corpus (seed-set

@@ -2716,6 +2716,14 @@ object PipelineQueries {
       Corpus.sourceOverlap(Tables.documents(s, d), "text", "source", n = 3)
         .select("source_a", "source_b", "n_shared", "jaccard")),
 
+    // --- marginal unique contribution per source: fraction of each
+    // source's distinct grams no other source has — the drop-a-source
+    // audit; one gram-keyed aggregate, scales past millions of sources
+    // where the pairwise matrix can't ------------------------------------
+    "source_unique" -> ((s, d) =>
+      Corpus.sourceUnique(Tables.documents(s, d), "text", "source",
+        n = 3)),
+
     // --- HLL register algebra: constant-memory cross-source overlap
     // estimates (256 integer registers per source, inclusion–exclusion
     // on register maxima) — the sketch-side sibling of source_overlap's
@@ -7138,6 +7146,20 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
 
       // pairwise source overlap over the shared shingle CTE (string
       // grams here vs 64-bit hashes engine-side — same trade as above)
+      // engine groups the 64-bit gram hash, oracle the shingle string —
+      // identical up to xxhash64 collisions (the source_overlap trade)
+      "source_unique" ->
+        s"""WITH $shinglesCte,
+           |sg AS (SELECT DISTINCT d.source, s.shingle
+           |       FROM sh s JOIN documents d USING (doc_id)),
+           |h AS (SELECT shingle, count(*) AS nsrc FROM sg GROUP BY 1)
+           |SELECT sg.source, CAST(count(*) AS BIGINT) AS n_grams,
+           |       CAST(sum(CASE WHEN h.nsrc = 1 THEN 1 ELSE 0 END)
+           |         AS BIGINT) AS n_unique,
+           |       CAST(sum(CASE WHEN h.nsrc = 1 THEN 1 ELSE 0 END)
+           |            * 1000000 // count(*) AS BIGINT) AS unique_ppm
+           |FROM sg JOIN h USING (shingle) GROUP BY 1""".stripMargin,
+
       "source_overlap" ->
         s"""WITH $shinglesCte,
            |sg AS (SELECT DISTINCT d.source, s.shingle

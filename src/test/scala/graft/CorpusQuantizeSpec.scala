@@ -444,6 +444,21 @@ class CorpusQuantizeSpec extends SparkSpec {
     assert(one.isNullAt(3), s"zero y-variance must null r2: $one")
   }
 
+  test("source unique: disjoint source is all-unique, covered source " +
+    "is zero-unique") {
+    import graft.llm.Corpus
+    // 1-shingles: src a = {p q r}, src b = {p q} (subset of a),
+    // src c = {x y} (disjoint). Unique grams: a → {r}, b → {}, c → both
+    val df = Seq(
+      ("a", "p q r"), ("b", "p q"), ("c", "x y")).toDF("source", "text")
+    val out = Corpus.sourceUnique(df, "text", "source", n = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("a") === ((3L, 1L, 333333L)))
+    assert(out("b") === ((2L, 0L, 0L)), "fully covered source: 0 unique")
+    assert(out("c") === ((2L, 2L, 1000000L)), "disjoint source: all unique")
+  }
+
   test("source divergence: identical sources → 0, disjoint ones diverge") {
     // s1/s2 share one distribution (KL 0 against a blend of themselves
     // only when the blend IS the distribution: give all sources the same
