@@ -502,7 +502,8 @@ object Clustering {
       .localCheckpoint()
     val first = base.orderBy(col("id")).limit(1)
     var selected = first.select(col("id"), lit(1L).as("pick"))
-    // running min... stored as max-similarity: farthest = smallest msim
+    // the running state per unpicked point is its max similarity to the
+    // selected set; the farthest point is the one with the SMALLEST msim
     var rest = base.join(first.select(col("id")), Seq("id"), "left_anti")
       .crossJoin(broadcast(first.select(col("nv").as("pv"))))
       .select(col("id"), col("nv"),
