@@ -95,8 +95,10 @@ object Bpe {
     * (b) free of self-pairs past the first element — merging (a,a) can
     * mint pairs like (aa,a) whose count is bounded only by its own,
     * which could outrank a later batch member; (c) minting only symbols
-    * ABSENT from the current pair frame — if l+r collides with an
-    * existing symbol, old counts could INCREASE and outrank; (d)
+    * ABSENT from the current pair frame AND from the mints of earlier
+    * batch members — if l+r collides with an existing symbol old counts
+    * could INCREASE and outrank, and if it collides with another
+    * member's mint their rewrites/pair deltas would conflate; (d)
     * strictly above the first excluded candidate's count — every
     * newly-minted pair's count is bounded by some existing pair that
     * shares a symbol with a batch member, which (by disjointness) sorts
@@ -166,37 +168,7 @@ object Bpe {
         .map(t => (t.getString(0), t.getString(1), t.getLong(2)))
       if (top.isEmpty) exhausted = true
       else {
-        // (a)+(b): longest disjoint prefix; a self-pair closes the batch
-        // (alone if first, excluded otherwise)
-        val acc = scala.collection.mutable.ArrayBuffer
-          .empty[(String, String, Long)]
-        val used = scala.collection.mutable.Set.empty[String]
-        var idx = 0
-        var closed = false
-        while (!closed && idx < math.min(want, top.length)) {
-          val (l, r, _) = top(idx)
-          if (idx > 0 && (l == r || used(l) || used(r))) closed = true
-          else {
-            acc += top(idx); used += l; used += r; idx += 1
-            if (l == r) closed = true
-          }
-        }
-        // (c): cut the batch at the first merge minting an existing
-        // symbol — a driver-side set lookup against the maintained
-        // (conservative-superset) symbol universe. Position 0 survives a
-        // collision: the plain argmax is faithful by definition, only
-        // BATCHING past it needs the guard.
-        if (acc.length > 1) {
-          val cut = acc.indexWhere(c => symbols(c._1 + c._2))
-          if (cut >= 0) acc.dropRightInPlace(acc.length - math.max(1, cut))
-        }
-        // (d): strict gap to the first excluded candidate — trailing
-        // batch members tying its count could be overtaken by a minted
-        // pair with the same count but smaller (left, right) text
-        if (acc.length > 1 && top.length > acc.length) {
-          val nc = top(acc.length)._3
-          while (acc.length > 1 && acc.last._3 == nc) acc.dropRightInPlace(1)
-        }
+        val acc = selectBatch(top.toIndexedSeq, want, symbols)
         val pats = acc.toSeq.map(c =>
           (s"<${c._1}><${c._2}>", s"<${c._1}${c._2}>"))
         def applyAll(c0: org.apache.spark.sql.Column) =
@@ -241,6 +213,61 @@ object Bpe {
     }
     import spark.implicits._
     out.toSeq.toDF("round", "left", "right", "merged", "pair_count")
+  }
+
+  /** The longest provably-independent prefix of the (count desc, left,
+    * right)-ordered candidate list — guards (a)-(d) of the batching
+    * argument in [[train]]'s scaladoc, extracted pure so the guard edge
+    * cases are directly probeable (`top` is train's want+1 candidates;
+    * `symbols` the maintained symbol-universe membership).
+    *
+    * Guard (c) closes the batch BOTH on mints colliding with the
+    * pre-existing symbol universe AND on mints colliding with a symbol
+    * minted by an EARLIER member of the same batch: two symbol-disjoint
+    * pairs whose concatenations coincide — (ab,cdef) and (abcd,ef) both
+    * minting "abcdef", reachable because segmentation of the same
+    * substring is context-dependent — must not share a round, or their
+    * rewrites/pair deltas would conflate and break the sequential-argmax
+    * equivalence. */
+  private[graft] def selectBatch(top: IndexedSeq[(String, String, Long)],
+                                 want: Int, symbols: String => Boolean)
+      : IndexedSeq[(String, String, Long)] = {
+    // (a)+(b): longest disjoint prefix; a self-pair closes the batch
+    // (alone if first, excluded otherwise)
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long)]
+    val used = scala.collection.mutable.Set.empty[String]
+    var idx = 0
+    var closed = false
+    while (!closed && idx < math.min(want, top.length)) {
+      val (l, r, _) = top(idx)
+      if (idx > 0 && (l == r || used(l) || used(r))) closed = true
+      else {
+        acc += top(idx); used += l; used += r; idx += 1
+        if (l == r) closed = true
+      }
+    }
+    // (c): cut the batch at the first merge minting an existing symbol —
+    // a driver-side set lookup against the (conservative-superset)
+    // universe — OR a symbol an earlier batch member just minted.
+    // Position 0 survives a collision: the plain argmax is faithful by
+    // definition, only BATCHING past it needs the guard.
+    if (acc.length > 1) {
+      val minted = scala.collection.mutable.Set.empty[String]
+      val cut = acc.indexWhere { c =>
+        val mint = c._1 + c._2
+        symbols(mint) || !minted.add(mint)
+      }
+      if (cut >= 0) acc.dropRightInPlace(acc.length - math.max(1, cut))
+    }
+    // (d): strict gap to the first excluded candidate — trailing batch
+    // members tying its count could be overtaken by a minted pair with
+    // the same count but smaller (left, right) text
+    if (acc.length > 1 && top.length > acc.length) {
+      val nc = top(acc.length)._3
+      while (acc.length > 1 && acc.last._3 == nc) acc.dropRightInPlace(1)
+    }
+    acc.toIndexedSeq
   }
 
   /** Tokenize the CORPUS with a trained merge table: per document, the

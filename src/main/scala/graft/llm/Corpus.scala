@@ -855,48 +855,73 @@ object Corpus {
   }
 
   /** Sketch-based per-source corpus profile: HyperLogLog vocabulary
-    * cardinality and approximate length quantiles — the 100 TB answer to
+    * cardinality and log-bucket length quantiles — the 100 TB answer to
     * "how big is each source's vocabulary and what does its length
     * distribution look like". Exact `count(DISTINCT term)` per source
     * shuffles the full (source, term) universe (tens of billions of keys
-    * at web scale) and an exact percentile sorts every group; the HLL++
-    * and quantile sketches here are CONSTANT-size per source
-    * (~1.5/ε² registers, ~O(1/ε · log n) summary entries), mergeable, so
-    * every map task contributes one fixed-size buffer per source and the
-    * reduce side merges buffers — the shuffle volume is #tasks ×
-    * #sources × sketch-size regardless of corpus size. Both sketches are
-    * order/partitioning-insensitive on merge (HLL registers max-merge),
-    * so the estimate is reproducible across cluster sizes.
+    * at web scale) and an exact percentile sorts every group; the
+    * sketches here are CONSTANT-size per source (256 HLL registers, ≤ a
+    * few hundred HDR buckets), mergeable, so every map task contributes
+    * a fixed-size partial per source and the reduce side merges partials
+    * — the shuffle volume is #tasks × #sources × sketch-size regardless
+    * of corpus size. Both sketches are order/partitioning-insensitive on
+    * merge (registers max-merge, buckets sum-merge), so the estimates
+    * are reproducible across cluster sizes.
     *
-    * Emits per source: exact `docs`/`tokens` (cheap long sums), `vocab_est`
-    * (HLL, relative sd `rsd`), and `len_p50/p90/p99` (approximate
-    * quantiles of `lenCol`, accuracy = 1/ε). Approximate values have no
-    * cross-engine oracle — correctness is spec-bound (estimate within the
-    * sketch's published error of the exact answer), not hash-matched.
+    * == Engine-exact (unusual for a sketch) ==
+    * Built from the repo's own replayable sketch algebra rather than
+    * Spark's engine-specific `approx_count_distinct` (HLL++ with private
+    * register layout) / `percentile_approx` (t-digest): vocabulary is
+    * [[Sketches.registers]]/[[Sketches.cardinality]]'s exact-integer HLL
+    * register fold over md5(term) (the [[Sketches.hllSourceOverlap]]
+    * machinery, ±~6.5% at m=256, with the linear-counting small-range
+    * branch so tiny vocabularies estimate accurately too), lengths are
+    * [[Sketches.histQuantiles]]' string-math HDR buckets (error ≤ the
+    * selected bucket's ≤10% relative width). Every step is exact integer
+    * arithmetic up to one correctly-rounded division per estimate, so a
+    * DuckDB oracle reproduces every output bit-for-bit — this profile is
+    * hash-gated like any exact operator, not merely spec-bounded.
     *
-    * Token rows explode map-side and feed the HLL partials directly; the
-    * doc-grain stats aggregate separately (quantiles over docs must not be
-    * token-weighted) and the two tiny per-source frames broadcast-join. */
+    * Emits per source: exact `docs`/`tokens` (long counts), `vocab_est`
+    * (HLL, 3 dp), and `len_p50/p90/p99` (bucket-interpolated quantiles
+    * of `lenCol`, 6 dp). `lenCol` must be non-negative (the
+    * [[Sketches.histQuantiles]] contract; lengths/counts are).
+    *
+    * One pass over the exploded token stream serves both vocabulary and
+    * the exact token count: the |sources|×256 register aggregate carries
+    * a per-register occurrence count whose per-source sum is the total —
+    * no second corpus scan for `tokens`. The doc-grain stats aggregate
+    * separately (quantiles over docs must not be token-weighted) and the
+    * tiny per-source frames broadcast-join. */
   def sketchProfile(df: DataFrame, sourceCol: String, textCol: String,
-                    lenCol: String, rsd: Double = 0.02,
-                    quantileAccuracy: Int = 10000): DataFrame = {
-    val vocab = spread(df)
-      .select(col(sourceCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
-      .groupBy(col(sourceCol))
-      .agg(approx_count_distinct(col("term"), rsd).as("vocab_est"),
-        count(lit(1)).as("tokens"))
-    val lens = df.groupBy(col(sourceCol))
-      .agg(count(lit(1)).as("docs"),
-        percentile_approx(col(lenCol),
-          array(lit(0.5), lit(0.9), lit(0.99)),
-          lit(quantileAccuracy)).as("__pcts"))
-      .select(col(sourceCol), col("docs"),
-        element_at(col("__pcts"), 1).as("len_p50"),
-        element_at(col("__pcts"), 2).as("len_p90"),
-        element_at(col("__pcts"), 3).as("len_p99"))
-    lens.join(broadcast(vocab), Seq(sourceCol))
-      .select(col(sourceCol), col("docs"), col("tokens"),
-        col("vocab_est"), col("len_p50"), col("len_p90"), col("len_p99"))
+                    lenCol: String): DataFrame = {
+    val src = col(sourceCol)
+    val reg = spread(df)
+      .select(src, explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .select(src, md5(col("term")).as("h"))
+      .withColumn("idx", expr(Sketches.IdxSql))
+      .withColumn("rho", expr(Sketches.RhoSql))
+      .groupBy(src, col("idx"))
+      .agg(max(col("rho")).as("m"), count(lit(1)).as("__c"))
+      .localCheckpoint() // |sources|×256: both branches read it for free
+    val vocab = Sketches
+      .cardinality(reg.select(src, col("idx"), col("m")), Seq(sourceCol),
+        smallRange = true)
+      .select(src, col("est").as("vocab_est"))
+    val toks = reg.groupBy(src).agg(sum(col("__c")).as("tokens"))
+    val docs = df.groupBy(src).agg(count(lit(1)).as("docs"))
+    val lens = Sketches
+      .histQuantiles(df, Seq(sourceCol), lenCol,
+        ps = Seq(0.5, 0.9, 0.99), gridPerUnit = 1L)
+      .groupBy(src).agg(
+        max(when(col("p") === 0.5, col("est"))).as("len_p50"),
+        max(when(col("p") === 0.9, col("est"))).as("len_p90"),
+        max(when(col("p") === 0.99, col("est"))).as("len_p99"))
+    docs.join(broadcast(toks), Seq(sourceCol))
+      .join(broadcast(vocab), Seq(sourceCol))
+      .join(broadcast(lens), Seq(sourceCol))
+      .select(src, col("docs"), col("tokens"), col("vocab_est"),
+        col("len_p50"), col("len_p90"), col("len_p99"))
   }
 
   /** BPE merge-candidate table: corpus-weighted adjacent character-pair

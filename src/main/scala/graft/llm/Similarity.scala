@@ -148,12 +148,11 @@ object Similarity {
     * training sets (DPR/SBERT recipe: in-batch randoms + mined hard
     * negatives).
     *
-    * Plan shape: candidate generation is [[bruteForceTopK]] over candK
-    * (swap in any ANN leg — only (query_id, neighbor_id, score) is
-    * read); the label attach joins the |queries|×candK candidate frame
-    * BROADCAST against the corpus label table, so the corpus never
-    * shuffles for the filter; the re-rank window runs per query on
-    * ≤ candK rows. Deterministic: 6-dp scores, ties on neighbor id.
+    * Plan shape: candidate generation is [[bruteForceTopK]] over candK —
+    * the oracle-exact eval leg; at 100 TB mine from an ANN slate instead
+    * via [[hardNegativesFrom]] (IVF/graph-walk candidates, this brute leg
+    * kept as the recall baseline, the [[recallAtK]] eval pattern).
+    * Deterministic: 6-dp scores, ties on neighbor id.
     *
     * Output: (query_id, hn_rank 1..k, neighbor_id, score). Queries
     * whose whole candidate slate shares their label yield fewer than
@@ -162,15 +161,39 @@ object Similarity {
                     idCol: String, vecCol: String, labelCol: String,
                     candK: Int, k: Int): DataFrame = {
     require(candK >= k && k >= 1, s"need candK=$candK >= k=$k >= 1")
-    val cand = bruteForceTopK(corpus, queries, idCol, vecCol, candK)
-    val withQ = cand.join(
-      broadcast(queries.select(col(idCol).as("query_id"),
+    hardNegativesFrom(bruteForceTopK(corpus, queries, idCol, vecCol, candK),
+      corpus, queries, idCol, labelCol, k)
+  }
+
+  /** Hard-negative re-rank over ANY candidate slate: `cand` is a
+    * (query_id, …, neighbor_id, score) frame from whichever retrieval leg
+    * fits the scale — [[bruteForceTopK]] (oracle-exact), [[ivfTopK]] /
+    * [[signLshTopK]] / [[graphSearchTopKSeeded]] (the 100 TB paths). The
+    * generator/re-ranker split is the point: mining quality is measured
+    * by [[recallAtK]] of the ANN-mined slate against the brute-mined one
+    * (the `ann_hard_negatives_ivf` query), so the cheap leg's recall is
+    * a number, not a hope.
+    *
+    * Join shape: the query-label attach broadcasts (a label column for
+    * the query SAMPLE — small by the mining setup); the corpus-label
+    * attach is a plain equi-join on neighbor_id with NO broadcast hint —
+    * for a corpus-scale query set the |queries|×candK slate would blow a
+    * forced broadcast, so AQE picks broadcast only when the slate
+    * actually fits (it does for sampled queries). The re-rank window
+    * runs per query on ≤ candK rows. */
+  def hardNegativesFrom(cand: DataFrame, corpus: DataFrame,
+                        queries: DataFrame, idCol: String, labelCol: String,
+                        k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val withQ = cand.select(col("query_id"), col("neighbor_id"),
+        col("score"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
         col(labelCol).as("__qlab"))), Seq("query_id"))
     val nl = corpus.select(col(idCol).as("neighbor_id"),
       col(labelCol).as("__nlab"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
-    nl.join(broadcast(withQ), Seq("neighbor_id"))
+    nl.join(withQ, Seq("neighbor_id"))
       .filter(col("__nlab") =!= col("__qlab"))
       .withColumn("hn_rank", row_number().over(w).cast("long"))
       .filter(col("hn_rank") <= k)

@@ -103,17 +103,37 @@ object Sketches {
     * registers at 2^57, estimate = α·m²·2^57 / S, one correctly-rounded
     * division. Output: (keys..., n_reg, est). Registers merge by `max`,
     * so folding a union of per-shard register frames through
-    * [[registers]]' aggregate first gives the fleet-wide estimate. */
-  def cardinality(reg: DataFrame, keyCols: Seq[String]): DataFrame =
-    reg.groupBy(keyCols.map(col): _*)
+    * [[registers]]' aggregate first gives the fleet-wide estimate.
+    *
+    * `smallRange = true` adds Flajolet et al.'s standard linear-counting
+    * branch: when the raw estimate ≤ 2.5·m and empty registers exist,
+    * estimate = m·ln(m / V) with V the empty-register count — the fix
+    * for raw HLL's multiplicative small-range bias (n ≪ m). Still
+    * oracle-exact: V is an exact integer, both `ln` operands are small
+    * integers in doubles, so any IEEE engine reproduces the estimate
+    * bit-for-bit (the BM25 ln-on-identical-inputs argument). Off by
+    * default so existing raw-estimate callers/oracles are untouched. */
+  def cardinality(reg: DataFrame, keyCols: Seq[String],
+                  smallRange: Boolean = false): DataFrame = {
+    val withS = reg.groupBy(keyCols.map(col): _*)
       .agg(sum(expr(
         s"cast(shiftleft(cast(1 as bigint), $RankCap - m) as decimal(38,0))"))
         .as("__sp"), count(lit(1)).as("n_reg"))
       .withColumn("__s_int", col("__sp") +
         (lit(M.toLong) - col("n_reg")).cast("decimal(38,0)") *
           lit(twoPowCap))
-      .select(keyCols.map(col) ++
-        Seq(col("n_reg"), estimate(col("__s_int")).as("est")): _*)
+    val raw = lit(EstNumerator) / col("__s_int").cast("double")
+    val est =
+      if (smallRange)
+        when(raw <= lit(2.5 * M) && col("n_reg") < lit(M.toLong),
+          round(lit(M.toDouble) *
+            log(lit(M.toDouble) /
+              (lit(M.toLong) - col("n_reg")).cast("double")), 3))
+          .otherwise(round(raw, 3))
+      else round(raw, 3)
+    withS.select(keyCols.map(col) ++
+      Seq(col("n_reg"), est.as("est")): _*)
+  }
 
   /** Pairwise source overlap estimates from one pass of HLL registers:
     * (source_a, source_b, est_a, est_b, est_union, overlap_est) for every
@@ -190,15 +210,23 @@ object Sketches {
     *
     * Scale shape: ONE hash aggregate of the corpus to |groups| × ≤ a few
     * hundred bucket rows, one tiny cumulative window over those rows,
-    * and a |ps|-literal explode. Negative values degrade out (the
-    * sketch targets non-negative measures — latencies, sizes, counts);
-    * callers needing signed quantiles shift first. Estimate error is
-    * bounded by the selected bucket's width — ≤ ~1% relative once
-    * g ≥ 100, absolute 1/gridPerUnit below that.
+    * and a |ps|-literal explode. Negative and null values are EXCLUDED
+    * from the estimate (the sketch targets non-negative measures —
+    * latencies, sizes, counts; callers needing signed quantiles shift
+    * first) but never silently: every output row carries the group's
+    * `n_dropped` exclusion count, and a group whose rows are ALL
+    * excluded still emits its (group, p) rows with n = 0 and a null
+    * est. Estimate error is bounded by the selected bucket's width —
+    * ≤ ~1% relative once g ≥ 100, absolute 1/gridPerUnit below that.
     *
-    * Output: one row per (group, p): (keyCols…, p, n, est). p = 0 maps
-    * to the lowest bucket's lower bound, p = 1 to the highest bucket's
-    * upper bound. */
+    * Value-magnitude bound: the grid index floor(v·gridPerUnit) must fit
+    * a BIGINT, so v < 2⁶³/gridPerUnit (~9.2·10¹⁵ at the default grid).
+    * Beyond it the cast fails the job under ANSI mode (loud, not a
+    * wrong quantile); rescale gridPerUnit for astronomical measures.
+    *
+    * Output: one row per (group, p): (keyCols…, p, n, est, n_dropped).
+    * p = 0 maps to the lowest bucket's lower bound, p = 1 to the
+    * highest bucket's upper bound. */
   def histQuantiles(df: DataFrame, keyCols: Seq[String], valueCol: String,
                     ps: Seq[Double],
                     gridPerUnit: Long = 1000L): DataFrame = {
@@ -206,6 +234,7 @@ object Sketches {
       s"ps=$ps must be within [0,1]")
     require(gridPerUnit >= 1, s"gridPerUnit=$gridPerUnit must be >= 1")
     val ks = keyCols.map(col)
+    val excluded = col(valueCol).isNull || col(valueCol) < 0
     val gs = floor(col(valueCol) * lit(gridPerUnit.toDouble))
       .cast("long").cast("string")
     val digits = length(gs)
@@ -214,7 +243,11 @@ object Sketches {
     val lo = concat(lead, pad).cast("long")
     val hi = concat((lead.cast("long") + 1).cast("string"), pad)
       .cast("long")
-    val buckets = df.filter(col(valueCol) >= 0)
+    // per-group exclusion count: the "no silent caps" signal (tiny —
+    // one hash aggregate merged map-side, |groups| rows)
+    val dropped = df.filter(excluded)
+      .groupBy(ks: _*).agg(count(lit(1)).as("n_dropped"))
+    val buckets = df.filter(!excluded)
       .select(ks :+ lo.as("__lo") :+ hi.as("__hi"): _*)
       .groupBy(ks :+ col("__lo") :+ col("__hi"): _*)
       .agg(count(lit(1)).as("__cnt"))
@@ -235,11 +268,21 @@ object Sketches {
         org.apache.spark.sql.expressions.Window
           .partitionBy(ks :+ col("p"): _*).orderBy(col("__lo"))))
       .filter(col("__rn") === 1)
-    pick.select(ks ++ Seq(col("p"), col("__n").as("n"),
+    val found = pick.select(ks ++ Seq(col("p"), col("__n").as("n"),
       round((col("__lo").cast("double") +
         (col("__hi") - col("__lo")).cast("double") *
           (col("__t") - (col("__cum") - col("__cnt")).cast("double")) /
           col("__cnt").cast("double")) /
         lit(gridPerUnit.toDouble), 6).as("est")): _*)
+    // groups whose rows were ALL excluded still report: their (group, p)
+    // rows carry n = 0 and a null est next to the exclusion count
+    val allDropped = dropped
+      .join(buckets.select(ks: _*).distinct(), keyCols, "left_anti")
+      .select(ks ++ Seq(explode(array(ps.map(lit): _*)).as("p"),
+        lit(0L).as("n"), lit(null).cast("double").as("est"),
+        col("n_dropped")): _*)
+    found.join(dropped, keyCols, "left")
+      .withColumn("n_dropped", coalesce(col("n_dropped"), lit(0L)))
+      .unionByName(allDropped)
   }
 }

@@ -264,7 +264,10 @@ object Graph {
     * Caller contract: `scale² · max degree < 2⁶³` — a raw mass is ≤
     * scale · deg before renormalizing, and the renormalization multiplies
     * by scale again. The default 10⁸ grid holds to degree ~922; size
-    * `scale` down for hubbier graphs.
+    * `scale` down for hubbier graphs. ENFORCED at runtime: one cheap
+    * degree aggregate before the iteration loop errors (IAE) instead of
+    * silently wrapping the renormalization multiply into negative masses
+    * on a hub graph.
     *
     * Scale shape per half-step: one edge⋈score shuffle join on the
     * pinned edge partitioning, one hash aggregate with map-side partial
@@ -281,6 +284,15 @@ object Graph {
     val n = nodes.select(col(idCol).as("id")).distinct().localCheckpoint()
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .repartition(col("src")).localCheckpoint()
+    // enforce the overflow contract: total degree upper-bounds both the
+    // in-fan (authority raw) and out-fan (hub raw) of any vertex
+    val maxDeg = e.select(explode(array(col("src"), col("dst"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+      .agg(coalesce(max(col("d")), lit(0L))).first().getLong(0)
+    require(BigInt(scale) * scale * math.max(maxDeg, 1L) <= Long.MaxValue,
+      s"hits overflow contract violated: scale^2 * maxDegree = " +
+        s"$scale^2 * $maxDeg exceeds 2^63 - 1; pass a smaller scale " +
+        s"(the default 1e8 grid holds to degree ~922)")
     val nN = broadcast(n.agg(count(lit(1)).cast("long").as("n_nodes")))
     // renormalize a raw-mass frame onto the grid: (id, raw) → (id, fp);
     // the total rides as a broadcast 1-row frame (corpus-stat pattern)
@@ -391,12 +403,16 @@ object Graph {
     * share most of their neighborhoods but never met in a bucket.
     *
     * Determinism: cn and degrees are exact longs; each 1/ln(deg z) term
-    * is 9-dp-fixed decimal before the exact decimal sum (the BM25
-    * discipline — only `ln` touches libm, on identical integer inputs);
-    * Jaccard ships as exact integer ppm `(cn·10⁶) div (deg_a + deg_b −
-    * cn)`. Wedge centers have deg ≥ 2 by construction (they join two
-    * distinct neighbors), so ln(deg) ≥ ln 2 > 0 — no division-by-zero
-    * path exists.
+    * is rounded onto the 10⁻⁹ grid as an integer nano-mass
+    * `round(10⁹/ln(deg z))` BEFORE the exact BIGINT sum — the same
+    * fixed-point discipline as [[hits]]' `*_fp` and [[triangles]]'
+    * `lcc_ppm`, so no non-integer column ever leaves the graph family
+    * (only `ln` touches libm, on identical integer inputs; a term is ≤
+    * 10⁹/ln 2 ≈ 1.44·10⁹ and deg ≤ k on a kNN substrate, so the sum
+    * cannot overflow). Jaccard ships as exact integer ppm `(cn·10⁶) div
+    * (deg_a + deg_b − cn)`. Wedge centers have deg ≥ 2 by construction
+    * (they join two distinct neighbors), so ln(deg) ≥ ln 2 > 0 — no
+    * division-by-zero path exists.
     *
     * Scale shape: one degree aggregate; one wedge self-join of the
     * symmetrized adjacency on the center vertex — fan-out Σ deg(z)²,
@@ -406,8 +422,8 @@ object Graph {
     * per candidate pair. All equi-joins on vertex/pair keys; nothing
     * collects.
     *
-    * Output: (id_a, id_b, cn, aa, jaccard_ppm), id_a < id_b, every
-    * non-adjacent pair with cn ≥ 1. */
+    * Output: (id_a, id_b, cn, aa_nano BIGINT, jaccard_ppm), id_a < id_b,
+    * every non-adjacent pair with cn ≥ 1. */
   def linkPredict(undirected: DataFrame, aCol: String = "id_a",
                   bCol: String = "id_b"): DataFrame = {
     val ue = undirected.select(col(aCol).as("a"), col(bCol).as("b"))
@@ -426,13 +442,13 @@ object Graph {
       .join(deg.select(col("id").as("z"), col("deg").as("dz")), Seq("z"))
       .groupBy(col("v"), col("w"))
       .agg(count(lit(1)).as("cn"),
-        sum(round(lit(1.0) / log(col("dz").cast("double")), 9)
-          .cast("decimal(18,9)")).as("aa"))
+        sum(round(lit(1.0e9) / log(col("dz").cast("double")), 0)
+          .cast("long")).as("aa_nano"))
     scored
       .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
       .join(deg.select(col("id").as("w"), col("deg").as("dw")), Seq("w"))
       .select(col("v").as(aCol), col("w").as(bCol), col("cn"),
-        col("aa").cast("decimal(28,9)").as("aa"),
+        col("aa_nano"),
         expr("(cn * 1000000) div (dv + dw - cn)").as("jaccard_ppm"))
   }
 

@@ -1258,6 +1258,25 @@ object PipelineQueries {
         "vec_id", "embedding", "label", candK = 25, k = 5)
     }),
 
+    // --- ANN-leg hard negatives + recall eval: the 100 TB mining shape —
+    // the slate comes from the IVF cell-pruned leg (corpus never
+    // cross-joins the queries), and the brute-mined slate is kept as the
+    // recall baseline it's measured against (ann_graph_recall's pattern) --
+    "ann_hard_negatives_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 50)
+      val ivfHn = Similarity.hardNegativesFrom(
+        Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 25,
+          m = 4, probes = 2),
+        e, q, "vec_id", "label", k = 5)
+      val bruteHn = Similarity.hardNegatives(e, q,
+        "vec_id", "embedding", "label", candK = 25, k = 5)
+      Similarity.recallAtK(
+        bruteHn.withColumnRenamed("hn_rank", "rank"),
+        ivfHn.withColumnRenamed("hn_rank", "rank"), k = 5)
+        .select(col("query_id"), col("n_hits"), col("recall"))
+    }),
+
     // --- embedding-cosine near-dup pairs (rotated sign-LSH blocking) --------
     "embed_cosine_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
@@ -1595,10 +1614,11 @@ object PipelineQueries {
       Sampling.splitLeakageNear(Tables.documents(s, d), "text", "doc_id",
         trainPct = 0.8, shingleN = 3, k = 8, bands = 4)),
 
-    // --- sketch profile: HLL vocab + approximate quantiles per source -------
-    // approximate values have no cross-engine oracle (HLL/quantile sketch
-    // internals differ per engine); SplitHygieneSpec bounds the estimates
-    // against exact answers instead, and the driver records rows>0.
+    // --- sketch profile: HLL vocab + log-bucket quantiles per source --------
+    // built from the repo's replayable sketch algebra (register HLL +
+    // HDR buckets), so the estimates hash-match a DuckDB oracle like any
+    // exact operator; SplitHygieneSpec additionally bounds them against
+    // exact answers.
     "sketch_profile" -> ((s, d) =>
       Corpus.sketchProfile(Tables.documents(s, d), "source", "text",
         "n_chars")),
@@ -4668,6 +4688,92 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |  FROM cand WHERE nlab <> qlab)
           |WHERE hn_rank <= 5""".stripMargin,
 
+      // the brute hard-negative slate (the ann_hard_negatives CTEs) as
+      // the exact baseline, the IVF cell-pruned slate (the ann_ivf_topk
+      // cell CTEs at candK=25) as the mining leg, recallAtK's join:
+      // denominator = the brute slate's ACTUAL per-query size
+      "ann_hard_negatives_ivf" ->
+        """WITH e0 AS (SELECT vec_id, label,
+          |              CAST(embedding AS DOUBLE[]) AS v,
+          |              abs(CAST(embedding[1] AS DOUBLE)) AS a0,
+          |              abs(CAST(embedding[2] AS DOUBLE)) AS a1,
+          |              abs(CAST(embedding[3] AS DOUBLE)) AS a2,
+          |              abs(CAST(embedding[4] AS DOUBLE)) AS a3
+          |            FROM embeddings),
+          |e AS (SELECT vec_id, label, a0, a1, a2, a3, v AS v0,
+          |        list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+          |          AS v
+          |      FROM e0),
+          |q AS (SELECT vec_id AS query_id, label AS qlab, v AS qv
+          |      FROM e WHERE vec_id < 50),
+          |s AS (SELECT q.query_id, q.qlab, e.vec_id AS neighbor_id,
+          |             e.label AS nlab,
+          |             list_dot_product(qv, e.v) AS score0
+          |      FROM e, q WHERE e.vec_id <> q.query_id),
+          |bcand AS (SELECT query_id, qlab, neighbor_id, nlab,
+          |                 round(score0, 6) AS score FROM (
+          |            SELECT *, row_number() OVER (PARTITION BY query_id
+          |                        ORDER BY score0 DESC, neighbor_id) AS rnk
+          |            FROM s) WHERE rnk <= 25),
+          |bhn AS (SELECT query_id, neighbor_id FROM (
+          |          SELECT query_id, neighbor_id,
+          |                 row_number() OVER (PARTITION BY query_id
+          |                   ORDER BY score DESC, neighbor_id) AS hn_rank
+          |          FROM bcand WHERE nlab <> qlab)
+          |        WHERE hn_rank <= 5),
+          |w AS (SELECT *, CASE WHEN a0 >= a1 AND a0 >= a2 AND a0 >= a3 THEN 0
+          |                     WHEN a1 >= a2 AND a1 >= a3 THEN 1
+          |                     WHEN a2 >= a3 THEN 2 ELSE 3 END AS win
+          |      FROM e),
+          |r AS (SELECT *, CASE win
+          |        WHEN 0 THEN (CASE WHEN a1 >= a2 AND a1 >= a3 THEN 1
+          |                          WHEN a2 >= a3 THEN 2 ELSE 3 END)
+          |        WHEN 1 THEN (CASE WHEN a0 >= a2 AND a0 >= a3 THEN 0
+          |                          WHEN a2 >= a3 THEN 2 ELSE 3 END)
+          |        WHEN 2 THEN (CASE WHEN a0 >= a1 AND a0 >= a3 THEN 0
+          |                          WHEN a1 >= a3 THEN 1 ELSE 3 END)
+          |        ELSE (CASE WHEN a0 >= a1 AND a0 >= a2 THEN 0
+          |                   WHEN a1 >= a2 THEN 1 ELSE 2 END)
+          |      END AS run
+          |      FROM w),
+          |cells AS (SELECT vec_id, label, v AS nv,
+          |            2 * win + CASE WHEN v0[win + 1] >= 0 THEN 1 ELSE 0 END
+          |              AS cell_w,
+          |            2 * run + CASE WHEN v0[run + 1] >= 0 THEN 1 ELSE 0 END
+          |              AS cell_r
+          |          FROM r),
+          |iq AS (SELECT vec_id AS query_id, label AS qlab, nv AS qv,
+          |              unnest([cell_w, cell_r]) AS cell
+          |       FROM cells WHERE vec_id < 50),
+          |ic AS (SELECT vec_id AS neighbor_id, label AS nlab, nv AS cv,
+          |              cell_w AS cell
+          |       FROM cells),
+          |iscore AS (SELECT iq.query_id, iq.qlab, ic.neighbor_id, ic.nlab,
+          |                  list_dot_product(qv, cv) AS score0
+          |           FROM ic JOIN iq USING (cell)
+          |           WHERE ic.neighbor_id <> iq.query_id),
+          |icand AS (SELECT query_id, qlab, neighbor_id, nlab,
+          |                 round(score0, 6) AS score FROM (
+          |            SELECT *, row_number() OVER (PARTITION BY query_id
+          |                        ORDER BY score0 DESC, neighbor_id) AS rnk
+          |            FROM iscore) WHERE rnk <= 25),
+          |ihn AS (SELECT DISTINCT query_id, neighbor_id FROM (
+          |          SELECT query_id, neighbor_id,
+          |                 row_number() OVER (PARTITION BY query_id
+          |                   ORDER BY score DESC, neighbor_id) AS hn_rank
+          |          FROM icand WHERE nlab <> qlab)
+          |        WHERE hn_rank <= 5)
+          |SELECT bhn.query_id,
+          |       CAST(sum(CASE WHEN ihn.neighbor_id IS NOT NULL
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+          |       round(CAST(sum(CASE WHEN ihn.neighbor_id IS NOT NULL
+          |                          THEN 1 ELSE 0 END) AS DOUBLE)
+          |             / CAST(count(*) AS DOUBLE), 6) AS recall
+          |FROM bhn LEFT JOIN ihn
+          |  ON ihn.query_id = bhn.query_id
+          | AND ihn.neighbor_id = bhn.neighbor_id
+          |GROUP BY 1""".stripMargin,
+
       "eval_rank_metrics" -> {
         val ws = Similarity.ndcgWeights(5)
         val wCase = ws.zipWithIndex.map { case (w, i) =>
@@ -5021,8 +5127,11 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
             |              LEFT JOIN pern p ON p.id = nd.id""".stripMargin),
 
       // mutual edges, symmetrized adjacency, the wedge self-join minus
-      // existing edges, then exact-count / 9-dp-decimal-sum / integer-ppm
-      // scores — `//` floors like Spark's div on the non-negative counts
+      // existing edges, then exact-count / integer-nano-mass / integer-ppm
+      // scores — all three outputs exact integers (the graph family's
+      // fixed-point discipline; round halves match Spark↔DuckDB on the
+      // strictly-positive terms), `//` floors like Spark's div on the
+      // non-negative counts
       "graph_adamic" ->
         (s"WITH $knnEdgeCtes,\n" +
           """mg AS MATERIALIZED (
@@ -5039,13 +5148,14 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
             |       LEFT JOIN mg m ON m.a = x.b AND m.b = y.b
             |       WHERE m.a IS NULL),
             |sc AS (SELECT o.v, o.w, count(*) AS cn,
-            |         SUM(CAST(round(1.0 / ln(CAST(dz.deg AS DOUBLE)), 9)
-            |             AS DECIMAL(18,9))) AS aa
+            |         SUM(CAST(round(1000000000.0
+            |               / ln(CAST(dz.deg AS DOUBLE))) AS BIGINT))
+            |           AS aa_nano
             |       FROM open o JOIN dg dz ON dz.id = o.z
             |       GROUP BY 1, 2)
             |SELECT sc.v AS id_a, sc.w AS id_b,
             |       CAST(sc.cn AS BIGINT) AS cn,
-            |       CAST(sc.aa AS DECIMAL(28,9)) AS aa,
+            |       CAST(sc.aa_nano AS BIGINT) AS aa_nano,
             |       CAST((sc.cn * 1000000) // (dv.deg + dw.deg - sc.cn)
             |         AS BIGINT) AS jaccard_ppm
             |FROM sc JOIN dg dv ON dv.id = sc.v
@@ -6016,12 +6126,23 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |pick AS (SELECT * FROM (
           |  SELECT *, row_number() OVER (PARTITION BY event_type, p
           |                               ORDER BY lo) AS rn
-          |  FROM sel WHERE CAST(cum AS DOUBLE) >= t) WHERE rn = 1)
-          |SELECT event_type, p, CAST(n AS BIGINT) AS n,
+          |  FROM sel WHERE CAST(cum AS DOUBLE) >= t) WHERE rn = 1),
+          |drp AS (SELECT event_type, count(*) AS n_dropped FROM events
+          |        WHERE value < 0 OR value IS NULL GROUP BY 1),
+          |ad AS (SELECT d.event_type, u.p, CAST(0 AS BIGINT) AS n,
+          |              CAST(NULL AS DOUBLE) AS est,
+          |              CAST(d.n_dropped AS BIGINT) AS n_dropped
+          |       FROM drp d
+          |       CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS p) u
+          |       WHERE d.event_type NOT IN
+          |             (SELECT DISTINCT event_type FROM cnts))
+          |SELECT pick.event_type, p, CAST(n AS BIGINT) AS n,
           |       round((CAST(lo AS DOUBLE) + CAST(hi - lo AS DOUBLE) *
           |              (t - CAST(cum - cnt AS DOUBLE)) /
-          |              CAST(cnt AS DOUBLE)) / 1000.0, 6) AS est
-          |FROM pick""".stripMargin,
+          |              CAST(cnt AS DOUBLE)) / 1000.0, 6) AS est,
+          |       CAST(coalesce(drp.n_dropped, 0) AS BIGINT) AS n_dropped
+          |FROM pick LEFT JOIN drp USING (event_type)
+          |UNION ALL SELECT * FROM ad""".stripMargin,
 
       // same sketch, (type, hour) grain — epoch_us // 3600000000 ≡ the
       // engine's ts_us div on non-negative epochs
@@ -6052,13 +6173,28 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |pick AS (SELECT * FROM (
           |  SELECT *, row_number() OVER (PARTITION BY event_type, hour, p
           |                               ORDER BY lo) AS rn
-          |  FROM sel WHERE CAST(cum AS DOUBLE) >= t) WHERE rn = 1)
-          |SELECT event_type, CAST(hour AS BIGINT) AS hour, p,
+          |  FROM sel WHERE CAST(cum AS DOUBLE) >= t) WHERE rn = 1),
+          |drp AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+          |               count(*) AS n_dropped
+          |        FROM events WHERE value < 0 OR value IS NULL
+          |        GROUP BY 1, 2),
+          |ad AS (SELECT d.event_type, CAST(d.hour AS BIGINT) AS hour,
+          |              u.p, CAST(0 AS BIGINT) AS n,
+          |              CAST(NULL AS DOUBLE) AS est,
+          |              CAST(d.n_dropped AS BIGINT) AS n_dropped
+          |       FROM drp d
+          |       CROSS JOIN (SELECT unnest([0.5, 0.95]) AS p) u
+          |       WHERE NOT EXISTS (SELECT 1 FROM cnts c
+          |                         WHERE c.event_type = d.event_type
+          |                           AND c.hour = d.hour))
+          |SELECT pick.event_type, CAST(pick.hour AS BIGINT) AS hour, p,
           |       CAST(n AS BIGINT) AS n,
           |       round((CAST(lo AS DOUBLE) + CAST(hi - lo AS DOUBLE) *
           |              (t - CAST(cum - cnt AS DOUBLE)) /
-          |              CAST(cnt AS DOUBLE)) / 1000.0, 6) AS est
-          |FROM pick""".stripMargin,
+          |              CAST(cnt AS DOUBLE)) / 1000.0, 6) AS est,
+          |       CAST(coalesce(drp.n_dropped, 0) AS BIGINT) AS n_dropped
+          |FROM pick LEFT JOIN drp USING (event_type, hour)
+          |UNION ALL SELECT * FROM ad""".stripMargin,
 
       // exact duplicates removed = the base subset itself
       "stream_dedup" ->
@@ -7216,6 +7352,82 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |FROM shared
            |JOIN den da ON da.source = source_a
            |JOIN den db ON db.source = source_b""".stripMargin
+      },
+
+      // sketch_overlap's HLL register algebra (over tokens instead of
+      // shingles) composed with sketch_quantiles' string-math HDR buckets
+      // (gridPerUnit=1: n_chars is already an integer grid) — the profile
+      // replays bit-for-bit; the register aggregate's per-register counts
+      // sum to the exact token total, mirroring the engine's single-pass
+      // fold. vocab_est takes the standard linear-counting branch when
+      // the raw estimate ≤ 2.5·m (ln on identical integer-derived
+      // operands — replayable)
+      "sketch_profile" -> {
+        val c = java.lang.Double.toString(graft.llm.Sketches.EstNumerator)
+        val one = "CAST(1 AS BIGINT)"
+        s"""WITH tok AS (
+           |  SELECT source, unnest(string_split_regex(text, '\\s+')) AS term
+           |  FROM documents),
+           |h0 AS (SELECT source, md5(term) AS h FROM tok),
+           |r0 AS (SELECT source, ${graft.llm.Sketches.IdxSql} AS idx,
+           |              ${graft.llm.Sketches.RhoSql} AS rho
+           |       FROM h0),
+           |reg AS (SELECT source, idx, max(rho) AS m, count(*) AS c
+           |        FROM r0 GROUP BY 1, 2),
+           |den AS (SELECT source,
+           |          SUM(CAST($one << (57 - m) AS HUGEINT))
+           |            + (256 - count(*)) * CAST($one << 57 AS HUGEINT)
+           |            AS s_int,
+           |          count(*) AS n_reg,
+           |          SUM(c) AS tokens
+           |        FROM reg GROUP BY 1),
+           |dc AS (SELECT source, count(*) AS docs FROM documents GROUP BY 1),
+           |srcq AS (
+           |  SELECT source,
+           |         CAST(CAST(floor(n_chars * 1.0) AS BIGINT) AS VARCHAR)
+           |           AS gs
+           |  FROM documents WHERE n_chars >= 0),
+           |b AS (SELECT source,
+           |        CAST(substr(gs, 1, 2) ||
+           |             repeat('0', greatest(length(gs) - 2, 0)) AS BIGINT)
+           |          AS lo,
+           |        CAST(CAST(CAST(substr(gs, 1, 2) AS BIGINT) + 1
+           |               AS VARCHAR) ||
+           |             repeat('0', greatest(length(gs) - 2, 0)) AS BIGINT)
+           |          AS hi
+           |      FROM srcq),
+           |cnts AS (SELECT source, lo, hi, count(*) AS cnt
+           |         FROM b GROUP BY 1, 2, 3),
+           |cum AS (SELECT *,
+           |          SUM(cnt) OVER (PARTITION BY source ORDER BY lo) AS cum,
+           |          SUM(cnt) OVER (PARTITION BY source) AS n
+           |        FROM cnts),
+           |wp AS (SELECT *, unnest([0.5, 0.9, 0.99]) AS p FROM cum),
+           |sel AS (SELECT *, p * CAST(n AS DOUBLE) AS t FROM wp),
+           |pick AS (SELECT * FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY source, p
+           |                               ORDER BY lo) AS rn
+           |  FROM sel WHERE CAST(cum AS DOUBLE) >= t) WHERE rn = 1),
+           |est AS (SELECT source, p,
+           |          round((CAST(lo AS DOUBLE) + CAST(hi - lo AS DOUBLE) *
+           |                 (t - CAST(cum - cnt AS DOUBLE)) /
+           |                 CAST(cnt AS DOUBLE)) / 1.0, 6) AS est
+           |        FROM pick),
+           |q AS (SELECT source,
+           |        max(CASE WHEN p = 0.5 THEN est END) AS len_p50,
+           |        max(CASE WHEN p = 0.9 THEN est END) AS len_p90,
+           |        max(CASE WHEN p = 0.99 THEN est END) AS len_p99
+           |      FROM est GROUP BY 1)
+           |SELECT dc.source, CAST(dc.docs AS BIGINT) AS docs,
+           |       CAST(den.tokens AS BIGINT) AS tokens,
+           |       CASE WHEN $c / CAST(den.s_int AS DOUBLE) <= 640.0
+           |                 AND den.n_reg < 256
+           |            THEN round(256.0 *
+           |                   ln(256.0 / CAST(256 - den.n_reg AS DOUBLE)), 3)
+           |            ELSE round($c / CAST(den.s_int AS DOUBLE), 3)
+           |            END AS vocab_est,
+           |       q.len_p50, q.len_p90, q.len_p99
+           |FROM dc JOIN den USING (source) JOIN q USING (source)""".stripMargin
       },
 
       // first-occurrence novelty over the shared shingle CTE: grouping by

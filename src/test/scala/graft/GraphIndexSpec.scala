@@ -121,6 +121,20 @@ class GraphIndexSpec extends SparkSpec {
     assert(out.forall(_ == ((0L, 0L))))
   }
 
+  test("hits: overflow guard fires on a hub graph before iterating") {
+    // star with center degree 4: scale = 2·10⁹ gives scale²·4 = 1.6·10¹⁹
+    // > 2⁶³−1 ≈ 9.2·10¹⁸ — must error, never wrap to negative masses
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L).toDF("id")
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+      .toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.hits(nodes, star, "id", iters = 1, scale = 2000000000L)
+    }
+    assert(ex.getMessage.contains("overflow contract"), ex.getMessage)
+    // the same graph on the default grid is far inside the bound and runs
+    assert(Graph.hits(nodes, star, "id", iters = 1).count() == 5L)
+  }
+
   test("hits is partition-order invariant and conserves ≤ scale per side") {
     val nodes = spark.range(0, 40).toDF("id")
     val edges = (0 until 40).flatMap(i =>
@@ -168,25 +182,24 @@ class GraphIndexSpec extends SparkSpec {
   test("link prediction: wedge scores on a path and a 4-cycle; " +
     "adjacent pairs and triangles never predict") {
     // path 1—2—3: only (1,3) is open, via center 2 (deg 2):
-    //   cn = 1, aa = round(1/ln 2, 9) = 1.442695041, jac = 1·10⁶ div 1
+    //   cn = 1, aa_nano = round(10⁹/ln 2) = 1442695041, jac = 10⁶ div 1
     val path = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     val p = Graph.linkPredict(path).collect()
     assert(p.length == 1)
     assert(p(0).getLong(0) == 1L && p(0).getLong(1) == 3L)
     assert(p(0).getLong(2) == 1L)
-    assert(p(0).getDecimal(3) == new java.math.BigDecimal("1.442695041")
-      .setScale(9))
+    assert(p(0).getLong(3) == 1442695041L)
     assert(p(0).getLong(4) == 1000000L)
     // 4-cycle 1—2—3—4—1: opens (1,3) and (2,4), each with two deg-2
-    // centers: cn = 2, aa = 2·round(1/ln 2, 9), jac = 2·10⁶ div 2
+    // centers: cn = 2, aa_nano = 2·round(10⁹/ln 2), jac = 2·10⁶ div 2
     val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
       .toDF("id_a", "id_b")
     val c = Graph.linkPredict(cyc).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getDecimal(3).toPlainString, r.getLong(4))).sorted
+        r.getLong(3), r.getLong(4))).sorted
     assert(c.toSeq == Seq(
-      (1L, 3L, 2L, "2.885390082", 1000000L),
-      (2L, 4L, 2L, "2.885390082", 1000000L)))
+      (1L, 3L, 2L, 2885390082L, 1000000L),
+      (2L, 4L, 2L, 2885390082L, 1000000L)))
     // a triangle is fully adjacent — nothing to predict
     val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
     assert(Graph.linkPredict(tri).count() == 0L)
@@ -595,6 +608,33 @@ class GraphIndexSpec extends SparkSpec {
     val segs = graft.llm.Bpe.segmentedVocab(df, "text", merges = 3)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(segs === Map("<aaab>" -> 2L, "<ab>" -> 1L))
+  }
+
+  test("bpe batch guard (c): an in-batch mint collision closes the " +
+    "batch — two symbol-disjoint pairs minting the same symbol never " +
+    "share a round") {
+    import graft.llm.Bpe
+    val universe = Set("ab", "cdef", "abcd", "ef", "x", "y")
+    // (ab,cdef) and (abcd,ef) are pairwise symbol-disjoint (guard (a)
+    // passes) yet both mint "abcdef" — reachable because segmentation of
+    // the same substring is context-dependent; batching them would
+    // conflate their rewrites/pair deltas
+    val collide = IndexedSeq(("ab", "cdef", 10L), ("abcd", "ef", 9L),
+      ("x", "y", 1L))
+    assert(Bpe.selectBatch(collide, want = 2, universe) ===
+      IndexedSeq(("ab", "cdef", 10L)))
+    // control: same shape, different mints → both batch (guard (d)'s
+    // strict gap to the excluded count=1 candidate holds)
+    val fine = IndexedSeq(("ab", "cdef", 10L), ("abcd", "eg", 9L),
+      ("x", "y", 1L))
+    assert(Bpe.selectBatch(fine, want = 2, universe + "eg") ===
+      IndexedSeq(("ab", "cdef", 10L), ("abcd", "eg", 9L)))
+    // a mint colliding with the PRE-EXISTING universe cuts there too,
+    // and position 0 always survives (the plain argmax is faithful)
+    val preexist = IndexedSeq(("a", "b", 10L), ("c", "d", 9L), ("x", "y", 1L))
+    assert(Bpe.selectBatch(preexist, want = 2,
+      Set("a", "b", "c", "d", "cd", "x", "y")) ===
+      IndexedSeq(("a", "b", 10L)))
   }
 
   test("bpe segmentation counts corpus tokens under the trained merges") {

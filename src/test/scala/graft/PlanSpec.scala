@@ -69,8 +69,12 @@ class PlanSpec extends SparkSpec {
       // term matching itself is a broadcast equi-join on the term
       "search_prf",
       // candidate generation is the brute-force scorer by design; the
-      // label attach broadcasts the candidate slate
+      // label attach is an equi-join (AQE-sized)
       "ann_hard_negatives",
+      // the recall eval's exact leg is the brute-force scorer by design
+      // (ann_graph_recall's posture); the IVF mining leg itself is
+      // cell-pruned equi-joins
+      "ann_hard_negatives_ivf",
       // the 1-row cut threshold broadcast-attaches to the |sources|
       // planning frame (the corpus-stat scalar-attach pattern)
       "mixture_waterfill")
@@ -414,19 +418,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("every query has a DuckDB oracle (full-strength correctness gate)") {
-    // Sketch outputs (HLL registers, quantile summaries) are approximate
-    // and engine-specific — no cross-engine value oracle EXISTS. Each name
-    // here must instead have a spec bounding its estimates against exact
-    // answers (SplitHygieneSpec does for sketch_profile); everything else
-    // must carry a full DuckDB oracle.
-    val sketchOnly = Set("sketch_profile")
-    val missing =
-      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- sketchOnly
+    // No exceptions: as of round 11 even the sketch profile replays in
+    // DuckDB (register HLL + HDR buckets are exact integer algebra).
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"queries without an oracle: $missing")
     assert(orphans.isEmpty, s"oracles without a query: $orphans")
-    assert((sketchOnly -- SparkEntry.queries.keySet).isEmpty,
-      "stale sketch-only exception")
   }
 
   test("sql surface: views + plain sql run the same engine") {

@@ -1182,12 +1182,12 @@ class PropertySpec extends SparkSpec {
       val df = rows.toDF("k", "v")
       val ps = Seq(0.0, 0.5, 0.9, 0.99, 1.0)
       val out = Sketches.histQuantiles(df, Seq("k"), "v", ps)
-        .as[(String, Double, Long, Double)].collect()
-        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+        .as[(String, Double, Long, Double, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
       val byK = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
       for ((k, vs) <- byK; p <- ps) {
-        val (n, est) = out((k, p))
-        assert(n == vs.size, s"seed=$seed $k")
+        val (n, est, nd) = out((k, p))
+        assert(n == vs.size && nd == 0L, s"seed=$seed $k")
         val t = p * vs.size
         val exact = if (t <= 0) vs.head
                     else vs(math.min(math.ceil(t).toInt, vs.size) - 1)
@@ -1197,17 +1197,23 @@ class PropertySpec extends SparkSpec {
       }
       // partition-order invariance: the sketch is one hash aggregate
       val rep = Sketches.histQuantiles(df.repartition(7), Seq("k"), "v", ps)
-        .as[(String, Double, Long, Double)].collect().toSet
+        .as[(String, Double, Long, Double, Long)].collect().toSet
       assert(rep == Sketches.histQuantiles(df, Seq("k"), "v", ps)
-        .as[(String, Double, Long, Double)].collect().toSet,
+        .as[(String, Double, Long, Double, Long)].collect().toSet,
         s"seed=$seed: partition-dependent")
-      // negatives degrade out of n (non-negative-measure contract)
-      val withNeg = rows ++ Seq(("a", -5.0), ("b", -0.1))
-      val n2 = Sketches.histQuantiles(withNeg.toDF("k", "v"),
-          Seq("k"), "v", Seq(0.5))
-        .as[(String, Double, Long, Double)].collect()
-        .map(r => r._1 -> r._3).toMap
-      assert(n2 == byK.view.mapValues(_.size.toLong).toMap, s"seed=$seed")
+      // negatives/nulls leave the estimate but NEVER silently: n excludes
+      // them, n_dropped counts them, and an all-excluded group still
+      // emits its p rows with n = 0 and a null est
+      val withNeg = rows ++ Seq(("a", -5.0), ("b", -0.1), ("z", -1.0),
+        ("z", -2.0))
+      val q2 = Sketches.histQuantiles(withNeg.toDF("k", "v"),
+          Seq("k"), "v", Seq(0.5)).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+            r.getLong(4)))).toMap
+      assert(q2("a")._1 == byK("a").size && q2("a")._3 == 1L, s"seed=$seed")
+      assert(q2("b")._1 == byK("b").size && q2("b")._3 == 1L, s"seed=$seed")
+      assert(q2("z") == ((0L, None, 2L)), s"seed=$seed all-dropped group")
     }
   }
 
@@ -1265,6 +1271,69 @@ class PropertySpec extends SparkSpec {
         iters = 2, dim = 4, threshold = thr, maxPairSide = 1000000)
         .as[(Long, Long)].collect().toMap
       assert(uncapped.keySet.subsetOf(kept.keySet), s"seed=$seed")
+    }
+  }
+
+  test("kCenterGreedy pick sequence equals the in-memory Gonzalez " +
+    "reference on randomized corpora (ties, duplicates included)") {
+    import graft.llm.Clustering
+    val dim = 4
+    // small integer half-grid components force exact sim ties and
+    // duplicate vectors — the adversarial cases for the argmin ordering
+    val corpusGen = for {
+      n <- Gen.chooseNum(3, 18)
+      vs <- Gen.listOfN(n, Gen.listOfN(dim,
+        Gen.chooseNum(-4, 4).map(_.toFloat / 2.0f)))
+    } yield vs.zipWithIndex.map { case (v, i) =>
+      val a = v.toArray
+      if (a.forall(_ == 0.0f)) a(0) = 1.0f // zero vector has no direction
+      (i.toLong, a)
+    }
+    // mirrors the engine bit-for-bit: L2Normalize's x/√(Σx²) sequential
+    // fold, DotProduct's left-fold, round-HALF_UP to 6 dp before every
+    // comparison (the decimal(9,6) msim), argmin on (msim, id)
+    def round6(x: Double): BigDecimal =
+      BigDecimal(java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP))
+    def refKCenter(vecs: Seq[(Long, Array[Float])], k: Int)
+        : Seq[(Long, Long)] = {
+      val nv = vecs.sortBy(_._1).map { case (id, v) =>
+        var ss = 0.0
+        val d = v.map(_.toDouble)
+        d.foreach(x => ss += x * x)
+        val norm = math.sqrt(ss)
+        (id, d.map(_ / norm))
+      }
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }
+        s
+      }
+      val byId = nv.toMap
+      val firstId = nv.head._1
+      var picks = Vector((1L, firstId))
+      var msim = nv.tail.map { case (id, d) =>
+        id -> round6(dot(d, byId(firstId)))
+      }.toMap
+      for (r <- 2L to k.toLong) {
+        val pick = msim.toSeq.minBy { case (id, m) => (m, id) }._1
+        picks :+= ((r, pick))
+        msim = (msim - pick).map { case (id, m) =>
+          val s = round6(dot(byId(id), byId(pick)))
+          id -> (if (s > m) s else m)
+        }
+      }
+      picks.map { case (r, id) => (r, id) }
+    }
+    (1 to 5).foreach { seed =>
+      val vecs = sample(corpusGen, seed)
+      val k = math.min(5, vecs.length)
+      val got = Clustering
+        .kCenterGreedy(vecs.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", k)
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      val expect = refKCenter(vecs, k)
+      assert(got == expect, s"seed=$seed corpus=${vecs.map(_._2.toSeq)}")
     }
   }
 }
