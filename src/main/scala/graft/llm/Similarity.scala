@@ -268,6 +268,94 @@ object Similarity {
       when(dot(vec, typedlit(p.toSeq)) >= 0, lit("1")).otherwise(lit("0"))): _*)
   }
 
+  /** `bits`-bit binary sign fingerprint packed into ONE BIGINT: bit i =
+    * sign(⟨vec, plane_i⟩) against the same seeded rotation family as
+    * [[signBucketRotated]] (random-hyperplane LSH, so Hamming distance
+    * between fingerprints estimates angular distance: E[h] =
+    * bits·θ/π). The point at 100 TB is the REPRESENTATION: an
+    * 8-byte word per vector instead of dim×4 bytes — a billion
+    * fingerprints fit where four million float vectors did, turning
+    * candidate generation into a memory-bandwidth-bound integer scan.
+    * ≤ 62 bits so the word stays positive in any engine's signed 64-bit
+    * integer (no sign-bit portability hazard). Map-side only; exact
+    * powers of two sum without rounding. */
+  def hammingWord(vec: Column, dim: Int, bits: Int = 48,
+                  seed: Long = DefaultSeed): Column = {
+    require(bits >= 1 && bits <= 62, s"bits=$bits out of [1,62]")
+    rotationPlanes(bits, dim, seed).zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedlit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** ANN over binary fingerprints: per query, the `k` corpus vectors of
+    * smallest Hamming distance bit_count(cw XOR qw) — the binary
+    * serving regime that completes the family (brute float scan →
+    * LSH/IVF pruning → PQ codes → THIS: one codegen'd popcount per
+    * candidate over 8-byte words). All-integer scores, ties on neighbor
+    * id, so ranking replays engine-exactly — no float leg anywhere.
+    *
+    * Plan shape: fingerprints build map-side ([[hammingWord]]); the
+    * scan is a broadcast product of corpus words with the query-sample
+    * words (the [[bruteForceTopK]] posture but 8 bytes/row and an
+    * XOR+popcount instead of a dim-length dot) and a per-query top-k
+    * window. For corpus-scale query sets, prefix-bucket the words
+    * (e.g. their high 16 bits) into an equi-join first — same trade as
+    * every blocking leg. Output: (query_id, rank, neighbor_id,
+    * hamming). Vectors shorter than `dim` degrade out (the
+    * [[ivfTopK]]/[[signLshTopK]] posture). */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int, dim: Int,
+                  bits: Int = 48, seed: Long = DefaultSeed): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val okLen = size(col(vecCol)) >= dim
+    val q = queries.filter(okLen).select(col(idCol).as("query_id"),
+      hammingWord(col(vecCol), dim, bits, seed).as("qw"))
+    val c = corpus.filter(okLen).select(col(idCol).as("neighbor_id"),
+      hammingWord(col(vecCol), dim, bits, seed).as("cw"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("hamming",
+        expr("cast(bit_count(cw ^ qw) as bigint)"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("hamming"))
+  }
+
+  /** The standard two-stage binary serving path: a `candK` Hamming
+    * shortlist over the 8-byte fingerprints ([[hammingTopK]]), then an
+    * exact-cosine re-rank of ONLY the shortlist down to `k` — popcount
+    * does the corpus-wide scan, the float kernel touches |queries|×candK
+    * rows. This is how binary signatures are actually deployed (the
+    * fingerprint alone quantizes away most of the top-k ordering;
+    * re-ranking restores it at shortlist-bounded cost — measure with
+    * the `ann_hamming_rerank` recall query). Same output shape and
+    * determinism discipline as [[bruteForceTopK]]. */
+  def hammingRerankTopK(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int, candK: Int,
+                        dim: Int, bits: Int = 48,
+                        seed: Long = DefaultSeed): DataFrame = {
+    require(candK >= k && k >= 1, s"need candK=$candK >= k=$k >= 1")
+    val cand = hammingTopK(corpus, queries, idCol, vecCol, candK, dim,
+      bits, seed)
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      normalize(col(vecCol)).as("cv"))
+    val qv = queries.filter(size(col(vecCol)) >= dim)
+      .select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
+    val scored = cand.select(col("query_id"), col("neighbor_id"))
+      .join(cv, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("score", dot(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** ANN via sign-LSH: candidates share the query's bucket; top-k within.
     * Recall is tunable with `b` (fewer bits → bigger buckets → higher
     * recall, more compute). `rotatedDim = Some(d)` (the default posture for

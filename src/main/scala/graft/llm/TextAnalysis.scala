@@ -118,6 +118,42 @@ object TextAnalysis {
       .withColumn("stopword_ratio", round(stop.cast("double") / nTok, 6))
   }
 
+  /** Per-document Shannon token entropy — the information-density
+    * quality feature [[stats]]' type-token ratio approximates crudely:
+    * boilerplate ("click here click here …") scores near 0 nats however
+    * long it runs, natural prose climbs with vocabulary. H = ln n −
+    * (Σ c·ln c)/n over the document's token counts c (the n·H = n·ln n −
+    * Σ c·ln c identity keeps one libm ln PER DISTINCT TOKEN, on exact
+    * integer operands, each term 9-dp-fixed before an exact decimal sum
+    * — the BM25/linkPredict determinism discipline, so the oracle
+    * replays bit-for-bit). Also emits the normalized H/ln n ∈ [0,1]
+    * (null for single-token docs, whose ln n = 0 carries no information
+    * either way).
+    *
+    * Scale shape: one (doc, token) hash aggregate (map-side combined)
+    * and one per-doc fold of its distinct-token rows — the tf explode
+    * never re-shuffles the text itself. Output: (idCol, n_tokens,
+    * n_distinct, entropy_nats, entropy_norm). */
+  def tokenEntropy(df: DataFrame, textCol: String,
+                   idCol: String): DataFrame = {
+    import graft.core.Tables.spread
+    val tf = spread(df)
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+    val agg = tf.groupBy(col(idCol)).agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      sum(round(col("c").cast("double") * log(col("c").cast("double")), 9)
+        .cast("decimal(28,9)")).as("__sclnc"))
+    val n = col("n_tokens").cast("double")
+    val h = round(log(n) - col("__sclnc").cast("double") / n, 6)
+    agg.select(col(idCol), col("n_tokens"), col("n_distinct"),
+      h.as("entropy_nats"),
+      when(col("n_tokens") > 1,
+        round((log(n) - col("__sclnc").cast("double") / n) / log(n), 6))
+        .as("entropy_norm"))
+  }
+
   /** Composite quality score in [0,1]: length band + lexical diversity −
     * punctuation noise. Deterministic, portable arithmetic. */
   def qualityScore(df: DataFrame, textCol: String): DataFrame = {

@@ -452,6 +452,61 @@ object Graph {
         expr("(cn * 1000000) div (dv + dw - cn)").as("jaccard_ppm"))
   }
 
+  /** Bounded-round k-core peeling (Seidman 1983 cores; the Matula–Beck
+    * peel) over an UNDIRECTED canonical edge frame: repeatedly delete
+    * vertices of degree < `k` (with their edges), `rounds` times, then
+    * test membership once more on the residual graph. The density tier
+    * BETWEEN [[degreeProfile]] (local) and [[triangles]] (cliquish):
+    * k-core membership certifies a connected region where EVERY member
+    * keeps ≥ k surviving neighbors — on a near-dup curation graph the
+    * stable duplication communities that survive after hubs and
+    * stragglers peel away (thin those with
+    * [[graft.llm.Clustering.semDeDup]]-style caps), versus the
+    * pendant/star periphery that exact-dedup alone handles.
+    *
+    * Bounded rounds, not run-to-fixpoint: unbounded peeling is a
+    * data-dependent number of jobs (worst case the degeneracy ordering,
+    * O(|V|) rounds on a path) — the wrong shape for a shared cluster
+    * and un-unrollable for the oracle. On a kNN substrate (deg ≤ the
+    * graph's k) the peel converges in a few rounds; callers wanting a
+    * certificate compare survivor counts at `rounds` and `rounds`+1
+    * (documented, not computed — a global flag would cost a crossJoin
+    * of 1-row aggregates per call).
+    *
+    * Scale shape per round: one degree aggregate (map-side combined
+    * long counts) and two semi-join restrictions of the edge frame on
+    * its endpoint keys — all equi-joins on vertex ids, nothing
+    * collects; `localCheckpoint` per round caps plan depth exactly like
+    * the [[pagerank]]/[[hits]] loops. Exact integer outputs.
+    *
+    * Output: (idCol, in_core boolean, core_deg) for EVERY node in
+    * `nodes` — core_deg is the member's residual degree (≥ k), 0 for
+    * non-members. */
+  def kCore(nodes: DataFrame, undirected: DataFrame, idCol: String,
+            k: Int, rounds: Int, aCol: String = "id_a",
+            bCol: String = "id_b"): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(rounds >= 1 && rounds <= 50, s"rounds=$rounds out of [1,50]")
+    val n = nodes.select(col(idCol).as("id")).distinct().localCheckpoint()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+    var e = undirected.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a") < col("b")).distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("deg") >= k)
+        .select("id").localCheckpoint()
+      e = e.join(keep.select(col("id").as("a")), Seq("a"))
+        .join(keep.select(col("id").as("b")), Seq("b"))
+        .select(col("a"), col("b")).localCheckpoint()
+    }
+    val member = degrees(e).filter(col("deg") >= k)
+    n.join(member, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        col("deg").isNotNull.as("in_core"),
+        coalesce(col("deg"), lit(0L)).as("core_deg"))
+  }
+
   /** Degree profile of a directed edge frame: per-vertex out/in degree —
     * the hub/orphan diagnostic read before running PageRank or components
     * over a curation graph. One aggregate per direction and one full

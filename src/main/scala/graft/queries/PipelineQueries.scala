@@ -682,6 +682,13 @@ object PipelineQueries {
     "text_readability" -> ((s, d) =>
       TextAnalysis.readability(Tables.documents(s, d), "text", "doc_id")),
 
+    // --- per-document Shannon token entropy: the information-density
+    // quality feature (boilerplate → 0 nats regardless of length); one
+    // (doc, token) hash aggregate + a per-doc fold, decimal-fixed ln
+    // terms so it hash-matches the oracle ---------------------------------
+    "text_entropy" -> ((s, d) =>
+      TextAnalysis.tokenEntropy(Tables.documents(s, d), "text", "doc_id")),
+
     // --- Okapi BM25 retrieval: top-100 docs for a literal term set; one
     // corpus stats aggregate broadcast onto a map-side tf scan -----------
     "bm25_topk" -> ((s, d) =>
@@ -1097,6 +1104,44 @@ object PipelineQueries {
           col("neighbor_id"))
     }),
 
+    // --- ANN over packed 48-bit sign fingerprints: the BINARY serving
+    // regime (8 bytes/vector; XOR+popcount per candidate) — all-integer
+    // scores, ties on id, replays engine-exactly ---------------------------
+    "ann_hamming_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.hammingTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, dim = 64)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("hamming"))
+    }),
+
+    // --- recall@5 of the Hamming leg vs the exact cosine baseline: the
+    // family's eval pattern — how much the 8-byte representation costs ----
+    "ann_hamming_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+        k = 5)
+      val approx = Similarity.hammingTopK(e, q, "vec_id", "embedding",
+        k = 5, dim = 64)
+      Similarity.recallAtK(exact, approx, k = 5)
+        .select(col("query_id"), col("n_hits"), col("recall"))
+    }),
+
+    // --- the deployed two-stage binary path: Hamming shortlist (candK=
+    // 50) → exact-cosine rerank → recall@5 vs the exact baseline — what
+    // the 8-byte scan costs WITH its standard rerank stage ---------------
+    "ann_hamming_rerank" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+        k = 5)
+      val approx = Similarity.hammingRerankTopK(e, q, "vec_id",
+        "embedding", k = 5, candK = 50, dim = 64)
+      Similarity.recallAtK(exact, approx, k = 5)
+        .select(col("query_id"), col("n_hits"), col("recall"))
+    }),
+
     // --- ANN over the int8-quantized corpus: the memory-bound serving
     // path (4× smaller scan) — dequantized vectors through the same
     // brute-force kernel, engine-exact because the quantized grid is ----
@@ -1421,6 +1466,20 @@ object PipelineQueries {
         Similarity.mutualKnnEdges(
           Similarity.knnGraph(e, "vec_id", "embedding",
             k = 3, b = knnBucketBits(e), dim = 64, bands = 2)))
+    }),
+
+    // --- bounded-round k-core peeling of the MUTUAL kNN graph: the
+    // stable duplication communities that survive after hubs and
+    // stragglers peel away (k=2, 3 rounds — fixpoint on this substrate,
+    // since mutual-kNN degree ≤ 3 bounds the peel depth) ------------------
+    "graph_kcore" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val mutual = Similarity.mutualKnnEdges(
+        Similarity.knnGraph(e, "vec_id", "embedding",
+          k = 3, b = knnBucketBits(e), dim = 64, bands = 2))
+      val nodes = e.filter(size(col("embedding")) >= 64).select("vec_id")
+      graft.operators.Graph.kCore(nodes, mutual, "vec_id",
+        k = 2, rounds = 3)
     }),
 
     // --- degree profile of the same graph: hub/orphan diagnostic ------------
@@ -2879,6 +2938,19 @@ object PipelineQueries {
       s"(CASE WHEN list_dot_product($v, $lst) >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
 
+  /** DuckDB expression for the SAME packed sign fingerprint as
+    * [[Similarity.hammingWord]]: per plane a CASE on the sequential-fold
+    * dot against the verbatim double literals, summed as exact powers of
+    * two — all integer once the signs are taken. */
+  private def hammingWordSql(v: String, bits: Int, dim: Int,
+                             seed: Long = Similarity.DefaultSeed): String =
+    Similarity.rotationPlanes(bits, dim, seed).zipWithIndex.map {
+      case (p, i) =>
+        val lst = p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product($v, $lst) >= 0 " +
+          s"THEN CAST(1 AS BIGINT) << $i ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", " + ", ")")
+
   /** The knn_graph oracle's CTE chain up to `g` (the rank≤3 directed edge
     * set) — shared by the graph_pagerank / graph_degree oracles, verbatim
     * the knn_graph fragment. */
@@ -3846,6 +3918,30 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |        / len(toks), 6) AS stopword_ratio
            |FROM t""".stripMargin,
 
+      // mirror tokenEntropy: H = ln n − (Σ c·ln c)/n with each c·ln c
+      // term 9-dp-fixed before an exact decimal sum (ln on identical
+      // integer-derived doubles — the BM25 discipline); the normalized
+      // form recomputes the unrounded H before its one division
+      "text_entropy" ->
+        """WITH tf AS (SELECT doc_id, tok, count(*) AS c FROM (
+          |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+          |  FROM documents) GROUP BY 1, 2),
+          |a AS (SELECT doc_id, SUM(c) AS n_tokens, count(*) AS n_distinct,
+          |        SUM(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)),
+          |                       9) AS DECIMAL(28,9))) AS sclnc
+          |      FROM tf GROUP BY 1)
+          |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+          |       CAST(n_distinct AS BIGINT) AS n_distinct,
+          |       round(ln(CAST(n_tokens AS DOUBLE))
+          |             - CAST(sclnc AS DOUBLE) / CAST(n_tokens AS DOUBLE),
+          |             6) AS entropy_nats,
+          |       CASE WHEN n_tokens > 1 THEN
+          |         round((ln(CAST(n_tokens AS DOUBLE))
+          |                - CAST(sclnc AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+          |               / ln(CAST(n_tokens AS DOUBLE)), 6)
+          |       END AS entropy_norm
+          |FROM a""".stripMargin,
+
       // mirror TextAnalysis.readability: vowel-group syllables with a
       // one-syllable floor, sentence floor of 1, same left-assoc double
       // trees (NOT regexp_matches == Spark's ^[^vowels]*$ full match)
@@ -4575,6 +4671,120 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |   AND apx.neighbor_id = exa.neighbor_id
           |  GROUP BY 1)""".stripMargin,
 
+      // the packed sign fingerprint rebuilt from the verbatim plane
+      // literals (hammingWordSql), then integer XOR+popcount ranking —
+      // every score an exact BIGINT, no float leg
+      "ann_hamming_topk" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |           FROM embeddings WHERE len(embedding) >= 64),
+           |w AS (SELECT vec_id, ${hammingWordSql("v", 48, 64)} AS word
+           |      FROM e),
+           |q AS (SELECT vec_id AS query_id, word AS qw FROM w
+           |      WHERE vec_id < 10),
+           |s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+           |             CAST(bit_count(xor(c.word, q.qw)) AS BIGINT)
+           |               AS hamming
+           |      FROM w c, q WHERE c.vec_id <> q.query_id)
+           |SELECT query_id, rank, neighbor_id, hamming FROM (
+           |  SELECT query_id, neighbor_id, hamming,
+           |         CAST(row_number() OVER (PARTITION BY query_id
+           |              ORDER BY hamming, neighbor_id) AS BIGINT) AS rank
+           |  FROM s) WHERE rank <= 5""".stripMargin,
+
+      // the Hamming slate joined against the exact cosine top-5 (the
+      // ann_graph_recall eval shape): denominator = the exact slate's
+      // actual per-query size
+      "ann_hamming_recall" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |           FROM embeddings WHERE len(embedding) >= 64),
+           |nv AS (SELECT vec_id,
+           |         list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+           |           AS nv, v
+           |       FROM e),
+           |w AS (SELECT vec_id, ${hammingWordSql("v", 48, 64)} AS word
+           |      FROM e),
+           |hq AS (SELECT vec_id AS query_id, word AS qw FROM w
+           |       WHERE vec_id < 10),
+           |hs AS (SELECT hq.query_id, c.vec_id AS neighbor_id,
+           |              bit_count(xor(c.word, hq.qw)) AS hamming
+           |       FROM w c, hq WHERE c.vec_id <> hq.query_id),
+           |apx AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+           |  FROM hs) WHERE rank <= 5),
+           |xq AS (SELECT vec_id AS query_id, nv AS qv FROM nv
+           |       WHERE vec_id < 10),
+           |x AS (SELECT xq.query_id, nv.vec_id AS neighbor_id,
+           |        list_dot_product(qv, nv.nv) AS score
+           |      FROM nv, xq WHERE nv.vec_id <> xq.query_id),
+           |ex AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+           |      AS rank
+           |  FROM x) WHERE rank <= 5)
+           |SELECT query_id, n_hits,
+           |       round(n_hits / CAST(n_exact AS DOUBLE), 6) AS recall
+           |FROM (
+           |  SELECT ex.query_id,
+           |         CAST(sum(CASE WHEN apx.neighbor_id IS NOT NULL
+           |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           |         COUNT(*) AS n_exact
+           |  FROM ex LEFT JOIN apx
+           |    ON apx.query_id = ex.query_id
+           |   AND apx.neighbor_id = ex.neighbor_id
+           |  GROUP BY 1)""".stripMargin,
+
+      // Hamming shortlist (rank ≤ 50 by integer distance) → exact-cosine
+      // rerank of only the shortlist → recall join vs the exact top-5
+      "ann_hamming_rerank" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |           FROM embeddings WHERE len(embedding) >= 64),
+           |nv AS (SELECT vec_id,
+           |         list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+           |           AS nv, v
+           |       FROM e),
+           |w AS (SELECT vec_id, ${hammingWordSql("v", 48, 64)} AS word
+           |      FROM e),
+           |hq AS (SELECT vec_id AS query_id, word AS qw FROM w
+           |       WHERE vec_id < 10),
+           |hs AS (SELECT hq.query_id, c.vec_id AS neighbor_id,
+           |              bit_count(xor(c.word, hq.qw)) AS hamming
+           |       FROM w c, hq WHERE c.vec_id <> hq.query_id),
+           |sl AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+           |  FROM hs) WHERE rank <= 50),
+           |rs AS (SELECT sl.query_id, sl.neighbor_id,
+           |              list_dot_product(q.nv, c.nv) AS score
+           |       FROM sl JOIN nv q ON q.vec_id = sl.query_id
+           |               JOIN nv c ON c.vec_id = sl.neighbor_id),
+           |apx AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+           |      AS rank
+           |  FROM rs) WHERE rank <= 5),
+           |xq AS (SELECT vec_id AS query_id, nv AS qv FROM nv
+           |       WHERE vec_id < 10),
+           |x AS (SELECT xq.query_id, nv.vec_id AS neighbor_id,
+           |        list_dot_product(qv, nv.nv) AS score
+           |      FROM nv, xq WHERE nv.vec_id <> xq.query_id),
+           |ex AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+           |      AS rank
+           |  FROM x) WHERE rank <= 5)
+           |SELECT query_id, n_hits,
+           |       round(n_hits / CAST(n_exact AS DOUBLE), 6) AS recall
+           |FROM (
+           |  SELECT ex.query_id,
+           |         CAST(sum(CASE WHEN apx.neighbor_id IS NOT NULL
+           |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           |         COUNT(*) AS n_exact
+           |  FROM ex LEFT JOIN apx
+           |    ON apx.query_id = ex.query_id
+           |   AND apx.neighbor_id = ex.neighbor_id
+           |  GROUP BY 1)""".stripMargin,
+
       "ann_ivf_topk" ->
         """WITH e0 AS (
           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -5160,6 +5370,46 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
             |         AS BIGINT) AS jaccard_ppm
             |FROM sc JOIN dg dv ON dv.id = sc.v
             |        JOIN dg dw ON dw.id = sc.w""".stripMargin),
+
+      // graph_adamic's mutual-edge CTE, then 3 unrolled peel rounds
+      // (degree aggregate → keep ≥ k → restrict edges) and a final
+      // membership test — MATERIALIZED per round so DuckDB never
+      // re-executes the upstream LSH join through the unroll
+      "graph_kcore" ->
+        (s"WITH $knnEdgeCtes,\n" +
+          """mg AS MATERIALIZED (
+            |       SELECT a.src AS a, a.dst AS b
+            |       FROM g a JOIN g b ON a.src = b.dst AND a.dst = b.src
+            |       WHERE a.src < a.dst),
+            |k1 AS MATERIALIZED (
+            |       SELECT id FROM (SELECT id, count(*) AS deg FROM (
+            |         SELECT a AS id FROM mg UNION ALL SELECT b FROM mg)
+            |         GROUP BY 1) WHERE deg >= 2),
+            |e1 AS MATERIALIZED (
+            |       SELECT mg.a, mg.b FROM mg
+            |       JOIN k1 x ON x.id = mg.a JOIN k1 y ON y.id = mg.b),
+            |k2 AS MATERIALIZED (
+            |       SELECT id FROM (SELECT id, count(*) AS deg FROM (
+            |         SELECT a AS id FROM e1 UNION ALL SELECT b FROM e1)
+            |         GROUP BY 1) WHERE deg >= 2),
+            |e2 AS MATERIALIZED (
+            |       SELECT e1.a, e1.b FROM e1
+            |       JOIN k2 x ON x.id = e1.a JOIN k2 y ON y.id = e1.b),
+            |k3 AS MATERIALIZED (
+            |       SELECT id FROM (SELECT id, count(*) AS deg FROM (
+            |         SELECT a AS id FROM e2 UNION ALL SELECT b FROM e2)
+            |         GROUP BY 1) WHERE deg >= 2),
+            |e3 AS MATERIALIZED (
+            |       SELECT e2.a, e2.b FROM e2
+            |       JOIN k3 x ON x.id = e2.a JOIN k3 y ON y.id = e2.b),
+            |fin AS (SELECT id, count(*) AS deg FROM (
+            |          SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3)
+            |        GROUP BY 1 HAVING count(*) >= 2),
+            |nodes AS (SELECT vec_id AS id FROM ec)
+            |SELECT nd.id AS vec_id,
+            |       f.id IS NOT NULL AS in_core,
+            |       CAST(coalesce(f.deg, 0) AS BIGINT) AS core_deg
+            |FROM nodes nd LEFT JOIN fin f ON f.id = nd.id""".stripMargin),
 
       "embed_project" ->
         (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -179,6 +179,28 @@ class GraphIndexSpec extends SparkSpec {
     assert(out.forall(_ == ((3L, 3L, 1000000L))))
   }
 
+  test("kCore: bounded peeling converges to the exact 2-core; one " +
+    "round reports the honest intermediate state") {
+    // triangle {1,2,3} + chain 3—4—5 + isolated 6: the 2-core is the
+    // triangle; 4 survives round 1 (deg 2) but peels once 5 is gone
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val ue = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    def run(rounds: Int) = Graph.kCore(nodes, ue, "id", k = 2, rounds)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2))))
+      .toMap
+    val fix = run(rounds = 2) // fixpoint on this graph
+    assert(fix === Map(
+      1L -> ((true, 2L)), 2L -> ((true, 2L)), 3L -> ((true, 2L)),
+      4L -> ((false, 0L)), 5L -> ((false, 0L)), 6L -> ((false, 0L))))
+    assert(run(rounds = 5) === fix, "extra rounds past fixpoint are no-ops")
+    // after ONE round 5 is peeled but 4 still holds its edge to 3, so
+    // the membership test sees 3 at residual degree 3 — the documented
+    // "after R rounds" semantics, not yet the exact core
+    val one = run(rounds = 1)
+    assert(one(3L) === ((true, 3L)) && one(4L) === ((false, 0L)))
+  }
+
   test("link prediction: wedge scores on a path and a 4-cycle; " +
     "adjacent pairs and triangles never predict") {
     // path 1—2—3: only (1,3) is open, via center 2 (deg 2):

@@ -1408,4 +1408,56 @@ class LlmSpec extends SparkSpec {
       .select("doc_id", "pct").as[(Long, Double)].collect().toMap
     assert(out == viaWindow)
   }
+
+  test("hammingTopK: identical vectors at distance 0, negated at `bits`; " +
+    "ranking is integer-exact with id ties") {
+    val base = Array.tabulate(64)(i => (math.sin(i + 1) * 2).toFloat)
+    val vecs = Seq(
+      0L -> base,                       // the query
+      1L -> base.clone,                 // exact copy: distance 0
+      2L -> base.map(x => -x),          // negated: every plane flips
+      3L -> base.clone                  // second copy: tie, id breaks
+    ).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0)
+    val out = Similarity.hammingTopK(vecs, q, "vec_id", "embedding",
+        k = 3, dim = 64, bits = 48)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).sorted
+    assert(out.toSeq == Seq((1, 1L, 0L), (2, 3L, 0L), (3, 2L, 48L)),
+      out.mkString(","))
+    // the packed word itself: 48 bits, positive long, deterministic
+    val words = vecs.select($"vec_id",
+        Similarity.hammingWord($"embedding", dim = 64)).as[(Long, Long)]
+      .collect().toMap
+    assert(words(0L) == words(1L) && words(0L) >= 0L &&
+      words(0L) < (1L << 48))
+    assert((words(0L) ^ words(2L)) == (1L << 48) - 1,
+      "negation flips every plane sign")
+  }
+
+  test("tokenEntropy: hand-computed nats, boilerplate scores low, " +
+    "single-token doc gets a null normalized form") {
+    val d = Seq(
+      (1L, "a a b"),                 // counts 2,1: H = ln3 − (2ln2)/3
+      (2L, "x x x x"),               // uniform single token: H = 0
+      (3L, ""),                      // split("") = [""]: n = 1, H = 0
+      (4L, "p q r s")                // all distinct: H = ln4 (maximum)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    def r6(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP)).toDouble
+    val h1 = math.log(3.0) -
+      BigDecimal(java.math.BigDecimal.valueOf(2.0 * math.log(2.0))
+        .setScale(9, java.math.RoundingMode.HALF_UP)).toDouble / 3.0
+    assert(out(1L) == ((3L, 2L, r6(h1), Some(r6(h1 / math.log(3.0))))))
+    assert(out(2L) == ((4L, 1L, 0.0, Some(0.0))))
+    assert(out(3L) == ((1L, 1L, 0.0, None)))
+    assert(out(4L)._3 == r6(math.log(4.0)))
+    assert(out(4L)._4 == Some(1.0))
+    // the quality signal: repeated boilerplate scores strictly below
+    // same-length diverse prose
+    assert(out(2L)._3 < out(4L)._3)
+  }
 }

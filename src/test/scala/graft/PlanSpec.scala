@@ -75,6 +75,10 @@ class PlanSpec extends SparkSpec {
       // (ann_graph_recall's posture); the IVF mining leg itself is
       // cell-pruned equi-joins
       "ann_hard_negatives_ivf",
+      // the binary regime's brute scan is 8-byte words by design (the
+      // point of the representation); the recall/rerank evals add the
+      // exact cosine leg
+      "ann_hamming_topk", "ann_hamming_recall", "ann_hamming_rerank",
       // the 1-row cut threshold broadcast-attaches to the |sources|
       // planning frame (the corpus-stat scalar-attach pattern)
       "mixture_waterfill")
