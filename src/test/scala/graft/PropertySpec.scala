@@ -1274,6 +1274,93 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("kCore at enough rounds equals the in-memory run-to-fixpoint " +
+    "peel on random graphs") {
+    import graft.operators.Graph
+    val graphGen = for {
+      n <- Gen.chooseNum(4, 12)
+      pairs = (0 until n).flatMap(a => (a + 1 until n).map(b => (a.toLong, b.toLong)))
+      mask <- Gen.listOfN(pairs.length, Gen.prob(0.3))
+    } yield (n, pairs.zip(mask).filter(_._2).map(_._1))
+    def refCore(es: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+      var edges = es.toSet
+      var changed = true
+      while (changed) {
+        val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        val ne = edges.filter(e => keep(e._1) && keep(e._2))
+        changed = ne != edges
+        edges = ne
+      }
+      edges.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).filter(_._2 >= k).toMap
+    }
+    (1 to 5).foreach { seed =>
+      val (n, es) = sample(graphGen, seed)
+      val nodes = (0L until n.toLong).toDF("id")
+      val ue = (if (es.isEmpty) Seq((-1L, -2L)) else es)
+        .toDF("id_a", "id_b")
+        .filter(col("id_a") >= 0)
+      for (k <- Seq(2, 3)) {
+        val got = Graph.kCore(nodes, ue, "id", k, rounds = 12)
+          .collect().filter(_.getBoolean(1))
+          .map(r => r.getLong(0) -> r.getLong(2)).toMap
+        assert(got == refCore(es, k), s"seed=$seed k=$k edges=$es")
+      }
+    }
+  }
+
+  test("hammingWord is the reversed signBucketRotated string read as " +
+    "binary — one sign family, two encodings") {
+    import graft.llm.Similarity
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-100, 100)
+      .map(_.toFloat / 7.0f))
+    (1 to 5).foreach { seed =>
+      val v = sample(vecGen, seed).toArray
+      val df = Seq((1L, v)).toDF("id", "vec")
+      val (word, s) = df.select(
+        Similarity.hammingWord(col("vec"), dim = 16, bits = 20),
+        Similarity.signBucketRotated(col("vec"), b = 20, dim = 16))
+        .as[(Long, String)].collect().head
+      assert(word == java.lang.Long.parseLong(s.reverse, 2),
+        s"seed=$seed word=$word bucket=$s")
+    }
+  }
+
+  test("tokenEntropy equals the in-memory formula on random docs") {
+    import graft.llm.TextAnalysis
+    val docGen = Gen.listOfN(5, for {
+      len <- Gen.chooseNum(1, 40)
+      ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "dd", "e"))
+    } yield ws.mkString(" "))
+    def r(x: Double, dp: Int): Double =
+      BigDecimal(java.math.BigDecimal.valueOf(x)
+        .setScale(dp, java.math.RoundingMode.HALF_UP)).toDouble
+    (1 to 5).foreach { seed =>
+      val docs = sample(docGen, seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val got = TextAnalysis
+        .tokenEntropy(docs.toDF("doc_id", "text"), "text", "doc_id")
+        .collect()
+        .map(x => x.getLong(0) ->
+          ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+      docs.foreach { case (id, text) =>
+        val cs = text.split("\\s+").groupBy(identity).values.map(_.length)
+        val n = cs.sum.toDouble
+        // mirror the engine exactly: 9-dp-fixed terms summed as EXACT
+        // decimals (a double accumulator would re-round differently)
+        val s = cs.map(c => java.math.BigDecimal
+            .valueOf(c * math.log(c.toDouble))
+            .setScale(9, java.math.RoundingMode.HALF_UP))
+          .reduce(_.add(_)).doubleValue
+        val h = r(math.log(n) - s / n, 6)
+        assert(got(id)._1 == cs.sum.toLong && got(id)._2 == cs.size.toLong)
+        assert(got(id)._3 == h, s"seed=$seed doc=$id")
+      }
+    }
+  }
+
   test("kCenterGreedy pick sequence equals the in-memory Gonzalez " +
     "reference on randomized corpora (ties, duplicates included)") {
     import graft.llm.Clustering
