@@ -235,14 +235,7 @@ object Sketches {
     require(gridPerUnit >= 1, s"gridPerUnit=$gridPerUnit must be >= 1")
     val ks = keyCols.map(col)
     val excluded = col(valueCol).isNull || col(valueCol) < 0
-    val gs = floor(col(valueCol) * lit(gridPerUnit.toDouble))
-      .cast("long").cast("string")
-    val digits = length(gs)
-    val pad = repeat(lit("0"), greatest(digits - 2, lit(0)))
-    val lead = substring(gs, 1, 2) // ≤ 2 chars when digits == 1
-    val lo = concat(lead, pad).cast("long")
-    val hi = concat((lead.cast("long") + 1).cast("string"), pad)
-      .cast("long")
+    val (lo, hi) = bucketBounds(col(valueCol), gridPerUnit)
     // per-group exclusion count: the "no silent caps" signal (tiny —
     // one hash aggregate merged map-side, |groups| rows)
     val dropped = df.filter(excluded)
@@ -251,6 +244,47 @@ object Sketches {
       .select(ks :+ lo.as("__lo") :+ hi.as("__hi"): _*)
       .groupBy(ks :+ col("__lo") :+ col("__hi"): _*)
       .agg(count(lit(1)).as("__cnt"))
+    val found = quantilesOfBuckets(buckets, keyCols, ps, gridPerUnit)
+    // groups whose rows were ALL excluded still report: their (group, p)
+    // rows carry n = 0 and a null est next to the exclusion count
+    val allDropped = dropped
+      .join(buckets.select(ks: _*).distinct(), keyCols, "left_anti")
+      .select(ks ++ Seq(explode(array(ps.map(lit): _*)).as("p"),
+        lit(0L).as("n"), lit(null).cast("double").as("est"),
+        col("n_dropped")): _*)
+    found.join(dropped, keyCols, "left")
+      .withColumn("n_dropped", coalesce(col("n_dropped"), lit(0L)))
+      .unionByName(allDropped)
+  }
+
+  /** The HDR bucket bounds (lo, hi) of a value on the `gridPerUnit`
+    * grid — string math on the two leading decimal digits, shared by
+    * [[histQuantiles]] and the streaming sketch's at-ingest aggregate. */
+  def bucketBounds(value: org.apache.spark.sql.Column,
+                   gridPerUnit: Long): (org.apache.spark.sql.Column,
+                                        org.apache.spark.sql.Column) = {
+    val gs = floor(value * lit(gridPerUnit.toDouble))
+      .cast("long").cast("string")
+    val digits = length(gs)
+    val pad = repeat(lit("0"), greatest(digits - 2, lit(0)))
+    val lead = substring(gs, 1, 2) // ≤ 2 chars when digits == 1
+    (concat(lead, pad).cast("long"),
+      concat((lead.cast("long") + 1).cast("string"), pad).cast("long"))
+  }
+
+  /** Bucket frame → quantile estimates: the READ-SIDE fold shared by
+    * [[histQuantiles]] and the streaming sketch (whose maintained state
+    * IS the (keys…, __lo, __hi, __cnt) bucket frame — counts merge
+    * by +, so per-shard/per-window sketches union through one aggregate
+    * first). One tiny cumulative window over |groups| × ≤ hundreds of
+    * bucket rows, a |ps| explode, linear in-bucket interpolation —
+    * every operand an exact integer in a double. Output: (keys…, p, n,
+    * est). */
+  def quantilesOfBuckets(buckets: DataFrame, keyCols: Seq[String],
+                         ps: Seq[Double], gridPerUnit: Long): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"ps=$ps must be within [0,1]")
+    val ks = keyCols.map(col)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(ks: _*).orderBy(col("__lo"))
     val cum = buckets
@@ -268,21 +302,11 @@ object Sketches {
         org.apache.spark.sql.expressions.Window
           .partitionBy(ks :+ col("p"): _*).orderBy(col("__lo"))))
       .filter(col("__rn") === 1)
-    val found = pick.select(ks ++ Seq(col("p"), col("__n").as("n"),
+    pick.select(ks ++ Seq(col("p"), col("__n").as("n"),
       round((col("__lo").cast("double") +
         (col("__hi") - col("__lo")).cast("double") *
           (col("__t") - (col("__cum") - col("__cnt")).cast("double")) /
           col("__cnt").cast("double")) /
         lit(gridPerUnit.toDouble), 6).as("est")): _*)
-    // groups whose rows were ALL excluded still report: their (group, p)
-    // rows carry n = 0 and a null est next to the exclusion count
-    val allDropped = dropped
-      .join(buckets.select(ks: _*).distinct(), keyCols, "left_anti")
-      .select(ks ++ Seq(explode(array(ps.map(lit): _*)).as("p"),
-        lit(0L).as("n"), lit(null).cast("double").as("est"),
-        col("n_dropped")): _*)
-    found.join(dropped, keyCols, "left")
-      .withColumn("n_dropped", coalesce(col("n_dropped"), lit(0L)))
-      .unionByName(allDropped)
   }
 }

@@ -1818,6 +1818,43 @@ object PipelineQueries {
       graft.llm.Sketches.cardinality(reg, Seq("window_start_us"))
     }),
 
+    // --- streaming quantile sketch: per-window HDR bucket counts
+    // maintained AT INGEST (state per open window: ≤ hundreds of bucket
+    // rows regardless of traffic; counts merge by +), emitted on
+    // watermark close and folded into p50/p99 by quantilesOfBuckets at
+    // read — the THIRD at-ingest sketch beside stream_distinct's HLL
+    // registers and stream_cms's counters ----------------------------------
+    "stream_quantiles" -> ((s, d) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      ss.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+      val maxUs = Tables.eventsUs(ss, d).agg(max(col("ts_us"))).head.getLong(0)
+      val sink = graft.streaming.FileReplay.twoBatch(ss,
+        s"$d/events.parquet",
+        stream => {
+          val (lo, hi) = graft.llm.Sketches.bucketBounds(col("value"), 1000L)
+          stream
+            .select(Tables.tsMicros(stream).as("ts_us"), col("value"))
+            .filter(col("ts_us") >= 0L && col("value") >= 0)
+            .withColumn("ts", timestamp_micros(col("ts_us")))
+            .withWatermark("ts", "1 hour")
+            .withColumn("__lo", lo).withColumn("__hi", hi)
+            .groupBy(window(col("ts"), "6 hours"),
+              col("__lo"), col("__hi"))
+            .agg(count(lit(1)).as("__cnt"))
+            .select(unix_micros(col("window.start")).as("window_start_us"),
+              col("__lo"), col("__hi"), col("__cnt"))
+        },
+        eventsSentinel(ss, d, maxUs + 30L * 86400000000L),
+        "stream_quantiles_" + streamSeq.incrementAndGet())
+        .filter(col("window_start_us") <= maxUs)
+      val merged = sink
+        .groupBy(col("window_start_us"), col("__lo"), col("__hi"))
+        .agg(sum(col("__cnt")).as("__cnt"))
+      graft.llm.Sketches.quantilesOfBuckets(merged,
+        Seq("window_start_us"), ps = Seq(0.5, 0.99), gridPerUnit = 1000L)
+    }),
+
     // --- streaming frequency sketch: per-window CountMin counters
     // maintained AT INGEST (state per open window: ≤ d·w counter rows
     // regardless of traffic), then — because counters ADD — the emitted
@@ -6445,6 +6482,44 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |       CAST(coalesce(drp.n_dropped, 0) AS BIGINT) AS n_dropped
           |FROM pick LEFT JOIN drp USING (event_type, hour)
           |UNION ALL SELECT * FROM ad""".stripMargin,
+
+      // the at-ingest quantile sketch replayed in batch: same HDR
+      // buckets at the 6 h epoch-aligned window grain (window.start ≡
+      // (epoch // 6h) · 6h on non-negative epochs), same interpolation
+      "stream_quantiles" ->
+        """WITH src AS (
+          |  SELECT (epoch_us(ts) // 21600000000) * 21600000000
+          |           AS window_start_us,
+          |         CAST(CAST(floor(value * 1000.0) AS BIGINT) AS VARCHAR)
+          |           AS gs
+          |  FROM events WHERE value >= 0 AND epoch_us(ts) >= 0),
+          |b AS (SELECT window_start_us,
+          |        CAST(substr(gs, 1, 2) ||
+          |             repeat('0', greatest(length(gs) - 2, 0)) AS BIGINT)
+          |          AS lo,
+          |        CAST(CAST(CAST(substr(gs, 1, 2) AS BIGINT) + 1
+          |               AS VARCHAR) ||
+          |             repeat('0', greatest(length(gs) - 2, 0)) AS BIGINT)
+          |          AS hi
+          |      FROM src),
+          |cnts AS (SELECT window_start_us, lo, hi, count(*) AS cnt
+          |         FROM b GROUP BY 1, 2, 3),
+          |cum AS (SELECT *,
+          |          SUM(cnt) OVER (PARTITION BY window_start_us
+          |                         ORDER BY lo) AS cum,
+          |          SUM(cnt) OVER (PARTITION BY window_start_us) AS n
+          |        FROM cnts),
+          |wp AS (SELECT *, unnest([0.5, 0.99]) AS p FROM cum),
+          |sel AS (SELECT *, p * CAST(n AS DOUBLE) AS t FROM wp),
+          |pick AS (SELECT * FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY window_start_us, p
+          |                               ORDER BY lo) AS rn
+          |  FROM sel WHERE CAST(cum AS DOUBLE) >= t) WHERE rn = 1)
+          |SELECT window_start_us, p, CAST(n AS BIGINT) AS n,
+          |       round((CAST(lo AS DOUBLE) + CAST(hi - lo AS DOUBLE) *
+          |              (t - CAST(cum - cnt AS DOUBLE)) /
+          |              CAST(cnt AS DOUBLE)) / 1000.0, 6) AS est
+          |FROM pick""".stripMargin,
 
       // exact duplicates removed = the base subset itself
       "stream_dedup" ->
