@@ -97,8 +97,27 @@ object Similarity {
                 lambda: Double = 0.5): DataFrame = {
     require(candK >= selectK && selectK >= 1,
       s"need candK=$candK >= selectK=$selectK >= 1")
+    mmrRerankFrom(bruteForceTopK(corpus, queries, idCol, vecCol, candK),
+      corpus, idCol, vecCol, selectK, lambda)
+  }
+
+  /** MMR over ANY candidate slate: `cand0` is a (query_id, rank,
+    * neighbor_id, score) frame from whichever retrieval leg fits the
+    * scale — [[bruteForceTopK]] (oracle-exact) or the [[ivfTopK]] /
+    * [[signLshTopK]] / graph-walk legs (the 100 TB paths; the
+    * `search_mmr_ivf` query is the IVF instantiation). Same
+    * generator/re-ranker split as [[hardNegativesFrom]]: the greedy
+    * diversification only reads the slate plus the candidates' vectors.
+    * A query whose slate is smaller than `selectK` yields as many picks
+    * as it has candidates. */
+  def mmrRerankFrom(cand0: DataFrame, corpus: DataFrame,
+                    idCol: String, vecCol: String, selectK: Int,
+                    lambda: Double = 0.5): DataFrame = {
+    require(selectK >= 1, s"selectK=$selectK must be >= 1")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda=$lambda out of [0,1]")
-    val cand = bruteForceTopK(corpus, queries, idCol, vecCol, candK)
+    val cand = cand0
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("score"))
       .localCheckpoint()
     val nv = corpus.select(col(idCol).as("neighbor_id"),
       normalize(col(vecCol)).as("nv"))

@@ -309,13 +309,13 @@ object PipelineQueries {
        |UNION ALL $picks""".stripMargin
   }
 
-  /** DuckDB oracle for search_mmr: candidate scoring verbatim from the
-    * ann_brute_topk fragment, then the greedy MMR selection UNROLLED one
-    * CTE-triple (maxsim, pick, survivors) per round — selection is
-    * sequential by definition, so the oracle replays it round by round
-    * (the BPE-unroll precedent; keep in sync with
-    * [[Similarity.mmrRerank]]). */
-  private def mmrOracleSql: String = {
+  /** DuckDB oracle for search_mmr / search_mmr_ivf: the candidate CTEs
+    * (`candCtes`, producing cand(query_id, nid, rel, rnk) over the shared
+    * e0/e frames) then the greedy MMR selection UNROLLED one CTE-triple
+    * (maxsim, pick, survivors) per round — selection is sequential by
+    * definition, so the oracle replays it round by round (the BPE-unroll
+    * precedent; keep in sync with [[Similarity.mmrRerankFrom]]). */
+  private def mmrOracleSql(candCtes: String): String = {
     val lam = MmrLambda
     val oneMinus = 1.0 - MmrLambda
     val rounds = (2 to MmrSelectK).map { r =>
@@ -346,15 +346,7 @@ object PipelineQueries {
        |e AS (SELECT vec_id,
        |        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
        |      FROM e0),
-       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
-       |s AS (SELECT q.query_id, e.vec_id AS nid,
-       |             list_dot_product(qv, e.v) AS score0
-       |      FROM e, q WHERE e.vec_id <> q.query_id),
-       |cand AS (SELECT query_id, nid, round(score0, 6) AS rel, rnk FROM (
-       |           SELECT query_id, nid, score0,
-       |                  row_number() OVER (PARTITION BY query_id
-       |                    ORDER BY score0 DESC, nid) AS rnk
-       |           FROM s) WHERE rnk <= $MmrCandK),
+       |$candCtes,
        |cv AS (SELECT c.query_id, c.nid, c.rel, e.v
        |       FROM cand c JOIN e ON e.vec_id = c.nid),
        |p AS (SELECT a.query_id, a.nid AS ida, b.nid AS idb,
@@ -368,6 +360,60 @@ object PipelineQueries {
        |SELECT query_id, CAST(pick AS BIGINT) AS pick, nid AS neighbor_id
        |FROM sel$MmrSelectK""".stripMargin
   }
+
+  /** The brute-force MMR candidate fragment (ann_brute_topk's scorer). */
+  private def mmrBruteCandCtes: String =
+    s"""q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+       |s AS (SELECT q.query_id, e.vec_id AS nid,
+       |             list_dot_product(qv, e.v) AS score0
+       |      FROM e, q WHERE e.vec_id <> q.query_id),
+       |cand AS (SELECT query_id, nid, round(score0, 6) AS rel, rnk FROM (
+       |           SELECT query_id, nid, score0,
+       |                  row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY score0 DESC, nid) AS rnk
+       |           FROM s) WHERE rnk <= $MmrCandK)""".stripMargin
+
+  /** The IVF MMR candidate fragment: ann_ivf_topk's axis cells (m=4,
+    * probes=2) over the raw e0 vectors, scored on the normalized e. */
+  private def mmrIvfCandCtes: String =
+    s"""w0 AS (SELECT vec_id, v, abs(v[1]) AS a0, abs(v[2]) AS a1,
+       |              abs(v[3]) AS a2, abs(v[4]) AS a3
+       |       FROM e0),
+       |iw AS (SELECT *, CASE WHEN a0 >= a1 AND a0 >= a2 AND a0 >= a3 THEN 0
+       |                      WHEN a1 >= a2 AND a1 >= a3 THEN 1
+       |                      WHEN a2 >= a3 THEN 2 ELSE 3 END AS win
+       |       FROM w0),
+       |ir AS (SELECT *, CASE win
+       |         WHEN 0 THEN (CASE WHEN a1 >= a2 AND a1 >= a3 THEN 1
+       |                           WHEN a2 >= a3 THEN 2 ELSE 3 END)
+       |         WHEN 1 THEN (CASE WHEN a0 >= a2 AND a0 >= a3 THEN 0
+       |                           WHEN a2 >= a3 THEN 2 ELSE 3 END)
+       |         WHEN 2 THEN (CASE WHEN a0 >= a1 AND a0 >= a3 THEN 0
+       |                           WHEN a1 >= a3 THEN 1 ELSE 3 END)
+       |         ELSE (CASE WHEN a0 >= a1 AND a0 >= a2 THEN 0
+       |                    WHEN a1 >= a2 THEN 1 ELSE 2 END)
+       |       END AS run
+       |       FROM iw),
+       |icell AS (SELECT vec_id,
+       |            2 * win + CASE WHEN v[win + 1] >= 0 THEN 1 ELSE 0 END
+       |              AS cell_w,
+       |            2 * run + CASE WHEN v[run + 1] >= 0 THEN 1 ELSE 0 END
+       |              AS cell_r
+       |          FROM ir),
+       |iq AS (SELECT vec_id AS query_id, unnest([cell_w, cell_r]) AS cell
+       |       FROM icell WHERE vec_id < 8),
+       |ic AS (SELECT vec_id AS neighbor_id, cell_w AS cell FROM icell),
+       |iscore AS (SELECT iq.query_id, ic.neighbor_id AS nid,
+       |                  list_dot_product(qe.v, ne.v) AS score0
+       |           FROM ic JOIN iq USING (cell)
+       |           JOIN e qe ON qe.vec_id = iq.query_id
+       |           JOIN e ne ON ne.vec_id = ic.neighbor_id
+       |           WHERE ic.neighbor_id <> iq.query_id),
+       |cand AS (SELECT query_id, nid, round(score0, 6) AS rel, rnk FROM (
+       |           SELECT query_id, nid, score0,
+       |                  row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY score0 DESC, nid) AS rnk
+       |           FROM iscore) WHERE rnk <= $MmrCandK)""".stripMargin
   /** 2024-01-01T00:00:00Z in epoch micros — the crawl-clock origin the
     * layout audit quantizes hours against. */
   private val Epoch2024Us = 1704067200000000L
@@ -767,6 +813,19 @@ object PipelineQueries {
       val e = Tables.embeddings(s, d)
       Similarity.mmrRerank(e, e.filter(col("vec_id") < 8),
         "vec_id", "embedding", candK = MmrCandK, selectK = MmrSelectK,
+        lambda = MmrLambda)
+    }),
+
+    // --- MMR over the IVF slate: the 100 TB instantiation — candidate
+    // generation is cell-pruned equi-joins (the corpus never cross-joins
+    // the queries); the greedy diversification reads only the slate ------
+    "search_mmr_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 8)
+      Similarity.mmrRerankFrom(
+        Similarity.ivfTopK(e, q, "vec_id", "embedding", k = MmrCandK,
+          m = 4, probes = 2),
+        e, "vec_id", "embedding", selectK = MmrSelectK,
         lambda = MmrLambda)
     }),
 
@@ -6328,7 +6387,10 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |             / CAST(sum(tfg) AS DOUBLE), 6) AS avg_nll
            |FROM nll GROUP BY 1""".stripMargin,
 
-      "search_mmr" -> mmrOracleSql,
+      "search_mmr" -> mmrOracleSql(mmrBruteCandCtes),
+
+      // the same unrolled greedy over the IVF cell-pruned slate
+      "search_mmr_ivf" -> mmrOracleSql(mmrIvfCandCtes),
 
       "sample_kcenter" -> kcenterOracleSql(8),
 
