@@ -301,9 +301,13 @@ object Similarity {
   def hammingWord(vec: Column, dim: Int, bits: Int = 48,
                   seed: Long = DefaultSeed): Column = {
     require(bits >= 1 && bits <= 62, s"bits=$bits out of [1,62]")
-    rotationPlanes(bits, dim, seed).zipWithIndex.map { case (p, i) =>
-      when(dot(vec, typedlit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // one codegen'd kernel, NOT `bits` composed dot/CASE expressions:
+    // the composed tree's generated method outgrows the JIT's huge-
+    // method threshold at bits = 48 and the scan drops to interpreted
+    // bytecode (~100× on the corpus pass this word exists to speed up) —
+    // see [[graft.functions.SignFingerprint]]
+    graft.functions.VectorOps.signFingerprint(vec,
+      rotationPlanes(bits, dim, seed).toArray)
   }
 
   /** ANN over binary fingerprints: per query, the `k` corpus vectors of
