@@ -347,6 +347,47 @@ object Similarity {
         col("hamming"))
   }
 
+  /** BLOCKED Hamming top-k — the corpus-scale shape of [[hammingTopK]]:
+    * fingerprints bucket by their HIGH `prefixBits` bits (word >>
+    * (bits−prefixBits)), a query probes its own bucket plus the
+    * `prefixBits` buckets at prefix-Hamming distance 1 (multi-probe, the
+    * [[signLshTopK]] idea in fingerprint space), and candidates rank by
+    * popcount within the probed buckets. The full scan touches every
+    * corpus word per query; this touches (prefixBits+1)/2^prefixBits of
+    * the corpus — the blocking recall trade, measured against the
+    * full-scan baseline by `ann_hamming_blocked`. At write time bucket
+    * IS a partition/cluster key, so a query batch reads only its probed
+    * partitions. All-integer end to end; corpus lands in exactly ONE
+    * bucket (plan shape unchanged on the big side). */
+  def hammingTopKBlocked(corpus: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, k: Int, dim: Int,
+                         bits: Int = 48, prefixBits: Int = 8,
+                         seed: Long = DefaultSeed): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(prefixBits >= 1 && prefixBits < bits,
+      s"prefixBits=$prefixBits out of [1, bits=$bits)")
+    val shift = bits - prefixBits
+    val okLen = size(col(vecCol)) >= dim
+    val c = corpus.filter(okLen).select(col(idCol).as("neighbor_id"),
+        hammingWord(col(vecCol), dim, bits, seed).as("cw"))
+      .withColumn("bucket", expr(s"cw >> $shift"))
+    val probes = expr(s"qw >> $shift") +:
+      (0 until prefixBits).map(i => expr(s"(qw >> $shift) ^ ${1L << i}"))
+    val q = queries.filter(okLen).select(col(idCol).as("query_id"),
+        hammingWord(col(vecCol), dim, bits, seed).as("qw"))
+      .withColumn("bucket", explode(array(probes: _*)))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("hamming",
+        expr("cast(bit_count(cw ^ qw) as bigint)"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("hamming"))
+  }
+
   /** The standard two-stage binary serving path: a `candK` Hamming
     * shortlist over the 8-byte fingerprints ([[hammingTopK]]), then an
     * exact-cosine re-rank of ONLY the shortlist down to `k` — popcount

@@ -1187,6 +1187,22 @@ object PipelineQueries {
         .select(col("query_id"), col("n_hits"), col("recall"))
     }),
 
+    // --- blocked Hamming: prefix-bucketed fingerprints + multi-probe —
+    // the corpus-scale shape (touch (prefixBits+1)/2^prefixBits of the
+    // corpus, bucket = a write-time partition key); recall@5 measured
+    // IN HAMMING SPACE against the full-scan baseline, isolating the
+    // blocking loss from the quantization loss ---------------------------
+    "ann_hamming_blocked" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val full = Similarity.hammingTopK(e, q, "vec_id", "embedding",
+        k = 5, dim = 64)
+      val blocked = Similarity.hammingTopKBlocked(e, q, "vec_id",
+        "embedding", k = 5, dim = 64, prefixBits = 6)
+      Similarity.recallAtK(full, blocked, k = 5)
+        .select(col("query_id"), col("n_hits"), col("recall"))
+    }),
+
     // --- the deployed two-stage binary path: Hamming shortlist (candK=
     // 50) → exact-cosine rerank → recall@5 vs the exact baseline — what
     // the 8-byte scan costs WITH its standard rerank stage ---------------
@@ -4829,6 +4845,54 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |    ON apx.query_id = ex.query_id
            |   AND apx.neighbor_id = ex.neighbor_id
            |  GROUP BY 1)""".stripMargin,
+
+      // prefix-bucket blocking replayed: corpus words land in ONE
+      // bucket (top-6 bits), each query probes its own prefix plus the
+      // 6 at prefix-Hamming distance 1, recall joined vs the full scan
+      "ann_hamming_blocked" -> {
+        val shift = 42
+        val probeList = (Seq(s"hq.qw >> $shift") ++
+          (0 until 6).map(i => s"xor(hq.qw >> $shift, ${1L << i})"))
+          .mkString("[", ", ", "]")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |           FROM embeddings WHERE len(embedding) >= 64),
+           |w AS (SELECT vec_id, ${hammingWordSql("v", 48, 64)} AS word
+           |      FROM e),
+           |hq AS (SELECT vec_id AS query_id, word AS qw FROM w
+           |       WHERE vec_id < 10),
+           |cb AS (SELECT vec_id AS neighbor_id, word,
+           |              word >> $shift AS bucket
+           |       FROM w),
+           |qp AS (SELECT hq.query_id, hq.qw,
+           |              unnest($probeList) AS bucket
+           |       FROM hq),
+           |bs AS (SELECT qp.query_id, cb.neighbor_id,
+           |              bit_count(xor(cb.word, qp.qw)) AS hamming
+           |       FROM cb JOIN qp USING (bucket)
+           |       WHERE cb.neighbor_id <> qp.query_id),
+           |apx AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+           |  FROM bs) WHERE rank <= 5),
+           |hs AS (SELECT hq.query_id, c.vec_id AS neighbor_id,
+           |              bit_count(xor(c.word, hq.qw)) AS hamming
+           |       FROM w c, hq WHERE c.vec_id <> hq.query_id),
+           |ex AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+           |  FROM hs) WHERE rank <= 5)
+           |SELECT query_id, n_hits,
+           |       round(n_hits / CAST(n_exact AS DOUBLE), 6) AS recall
+           |FROM (
+           |  SELECT ex.query_id,
+           |         CAST(sum(CASE WHEN apx.neighbor_id IS NOT NULL
+           |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           |         COUNT(*) AS n_exact
+           |  FROM ex LEFT JOIN apx
+           |    ON apx.query_id = ex.query_id
+           |   AND apx.neighbor_id = ex.neighbor_id
+           |  GROUP BY 1)""".stripMargin
+      },
 
       // Hamming shortlist (rank ≤ 50 by integer distance) → exact-cosine
       // rerank of only the shortlist → recall join vs the exact top-5

@@ -1432,6 +1432,14 @@ class LlmSpec extends SparkSpec {
       words(0L) < (1L << 48))
     assert((words(0L) ^ words(2L)) == (1L << 48) - 1,
       "negation flips every plane sign")
+    // blocking: the identical copies share the query's bucket exactly
+    // (distance 0 — found); the negated vector's prefix is the
+    // complement (prefix distance 4 at prefixBits = 4, outside the
+    // 1-flip probe set — correctly missed: that's the blocking trade)
+    val blocked = Similarity.hammingTopKBlocked(vecs, q, "vec_id",
+        "embedding", k = 3, dim = 64, prefixBits = 4)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).sorted
+    assert(blocked.toSeq == Seq((1L, 0L), (3L, 0L)), blocked.mkString(","))
   }
 
   test("tokenEntropy: hand-computed nats, boilerplate scores low, " +

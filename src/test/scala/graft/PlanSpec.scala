@@ -76,9 +76,10 @@ class PlanSpec extends SparkSpec {
       // cell-pruned equi-joins
       "ann_hard_negatives_ivf",
       // the binary regime's brute scan is 8-byte words by design (the
-      // point of the representation); the recall/rerank evals add the
-      // exact cosine leg
+      // point of the representation); the recall/rerank/blocked evals
+      // add the exact leg (cosine or full fingerprint scan) as baseline
       "ann_hamming_topk", "ann_hamming_recall", "ann_hamming_rerank",
+      "ann_hamming_blocked",
       // the 1-row cut threshold broadcast-attaches to the |sources|
       // planning frame (the corpus-stat scalar-attach pattern)
       "mixture_waterfill")
