@@ -416,6 +416,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Sort"), p)
   }
 
+  test("blocked hamming: query probes broadcast, corpus equi-joins on " +
+    "the bucket and never sorts or broadcasts") {
+    import graft.core.Tables
+    import graft.llm.Similarity
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf001)
+    val p = Similarity.hammingTopKBlocked(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, dim = 64, prefixBits = 6)
+      .queryExecution.executedPlan.toString
+    // the big side flows through a hash join keyed on the bucket; only
+    // the query-probe side exchanges
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
   test("contamination report broadcasts the eval side like the base op") {
     val p = plan("contamination_report")
     assert(p.contains("BroadcastHashJoin"), p)
