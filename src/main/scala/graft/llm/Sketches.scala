@@ -209,15 +209,18 @@ object Sketches {
     *    reproduces the estimate bit-for-bit (rounded to 6 dp).
     *
     * Scale shape: ONE hash aggregate of the corpus to |groups| × ≤ a few
-    * hundred bucket rows, one tiny cumulative window over those rows,
-    * and a |ps|-literal explode. Negative and null values are EXCLUDED
-    * from the estimate (the sketch targets non-negative measures —
-    * latencies, sizes, counts; callers needing signed quantiles shift
-    * first) but never silently: every output row carries the group's
-    * `n_dropped` exclusion count, and a group whose rows are ALL
-    * excluded still emits its (group, p) rows with n = 0 and a null
-    * est. Estimate error is bounded by the selected bucket's width —
-    * ≤ ~1% relative once g ≥ 100, absolute 1/gridPerUnit below that.
+    * hundred bucket rows (localCheckpointed — its several small
+    * consumers must not re-scan the corpus), one tiny cumulative window
+    * over those rows, and a |ps|-literal explode. Negative and null
+    * values are EXCLUDED from the estimate (the sketch targets
+    * non-negative measures — latencies, sizes, counts; callers needing
+    * signed quantiles shift first) but never silently: they ride the
+    * same single pass in a null sentinel bucket, every output row
+    * carries the group's `n_dropped` exclusion count, and a group whose
+    * rows are ALL excluded still emits its (group, p) rows with n = 0
+    * and a null est. Estimate error is bounded by the selected bucket's
+    * width — ≤ ~1% relative once g ≥ 100, absolute 1/gridPerUnit below
+    * that.
     *
     * Value-magnitude bound: the grid index floor(v·gridPerUnit) must fit
     * a BIGINT, so v < 2⁶³/gridPerUnit (~9.2·10¹⁵ at the default grid).
@@ -236,14 +239,19 @@ object Sketches {
     val ks = keyCols.map(col)
     val excluded = col(valueCol).isNull || col(valueCol) < 0
     val (lo, hi) = bucketBounds(col(valueCol), gridPerUnit)
-    // per-group exclusion count: the "no silent caps" signal (tiny —
-    // one hash aggregate merged map-side, |groups| rows)
-    val dropped = df.filter(excluded)
-      .groupBy(ks: _*).agg(count(lit(1)).as("n_dropped"))
-    val buckets = df.filter(!excluded)
-      .select(ks :+ lo.as("__lo") :+ hi.as("__hi"): _*)
+    // ONE corpus aggregate serves both the sketch and the "no silent
+    // caps" signal: excluded rows land in a null SENTINEL bucket, so the
+    // exclusion counts ride the same map-side-combined pass instead of a
+    // second scan; the split below is over the tiny bucket frame
+    val all = df
+      .select(ks :+ when(!excluded, lo).as("__lo")
+        :+ when(!excluded, hi).as("__hi"): _*)
       .groupBy(ks :+ col("__lo") :+ col("__hi"): _*)
       .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint()
+    val dropped = all.filter(col("__lo").isNull)
+      .select(ks :+ col("__cnt").as("n_dropped"): _*)
+    val buckets = all.filter(col("__lo").isNotNull)
     val found = quantilesOfBuckets(buckets, keyCols, ps, gridPerUnit)
     // groups whose rows were ALL excluded still report: their (group, p)
     // rows carry n = 0 and a null est next to the exclusion count

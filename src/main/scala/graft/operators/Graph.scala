@@ -284,13 +284,17 @@ object Graph {
     val n = nodes.select(col(idCol).as("id")).distinct().localCheckpoint()
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .repartition(col("src")).localCheckpoint()
-    // enforce the overflow contract: total degree upper-bounds both the
-    // in-fan (authority raw) and out-fan (hub raw) of any vertex
-    val maxDeg = e.select(explode(array(col("src"), col("dst"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("d"))
+    // enforce the overflow contract with the max ONE-SIDED degree (the
+    // authority raw is bounded by in-degree, the hub raw by out-degree —
+    // summing the sides would reject valid graphs, e.g. 500-in/500-out
+    // at the default grid); one aggregate keyed by (side, vertex)
+    val maxDeg = e.select(explode(array(
+        struct(lit(0).as("side"), col("src").as("id")),
+        struct(lit(1).as("side"), col("dst").as("id")))).as("sv"))
+      .groupBy(col("sv.side"), col("sv.id")).agg(count(lit(1)).as("d"))
       .agg(coalesce(max(col("d")), lit(0L))).first().getLong(0)
     require(BigInt(scale) * scale * math.max(maxDeg, 1L) <= Long.MaxValue,
-      s"hits overflow contract violated: scale^2 * maxDegree = " +
+      s"hits overflow contract violated: scale^2 * maxOneSidedDegree = " +
         s"$scale^2 * $maxDeg exceeds 2^63 - 1; pass a smaller scale " +
         s"(the default 1e8 grid holds to degree ~922)")
     val nN = broadcast(n.agg(count(lit(1)).cast("long").as("n_nodes")))

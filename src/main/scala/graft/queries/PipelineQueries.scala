@@ -373,36 +373,14 @@ object PipelineQueries {
        |                    ORDER BY score0 DESC, nid) AS rnk
        |           FROM s) WHERE rnk <= $MmrCandK)""".stripMargin
 
-  /** The IVF MMR candidate fragment: ann_ivf_topk's axis cells (m=4,
-    * probes=2) over the raw e0 vectors, scored on the normalized e. */
+  /** The IVF MMR candidate fragment: the SHARED [[ivfCellCtes]] axis
+    * cells (m=4, probes=2) over the raw e0 vectors, scored on the
+    * normalized e. */
   private def mmrIvfCandCtes: String =
-    s"""w0 AS (SELECT vec_id, v, abs(v[1]) AS a0, abs(v[2]) AS a1,
-       |              abs(v[3]) AS a2, abs(v[4]) AS a3
-       |       FROM e0),
-       |iw AS (SELECT *, CASE WHEN a0 >= a1 AND a0 >= a2 AND a0 >= a3 THEN 0
-       |                      WHEN a1 >= a2 AND a1 >= a3 THEN 1
-       |                      WHEN a2 >= a3 THEN 2 ELSE 3 END AS win
-       |       FROM w0),
-       |ir AS (SELECT *, CASE win
-       |         WHEN 0 THEN (CASE WHEN a1 >= a2 AND a1 >= a3 THEN 1
-       |                           WHEN a2 >= a3 THEN 2 ELSE 3 END)
-       |         WHEN 1 THEN (CASE WHEN a0 >= a2 AND a0 >= a3 THEN 0
-       |                           WHEN a2 >= a3 THEN 2 ELSE 3 END)
-       |         WHEN 2 THEN (CASE WHEN a0 >= a1 AND a0 >= a3 THEN 0
-       |                           WHEN a1 >= a3 THEN 1 ELSE 3 END)
-       |         ELSE (CASE WHEN a0 >= a1 AND a0 >= a2 THEN 0
-       |                    WHEN a1 >= a2 THEN 1 ELSE 2 END)
-       |       END AS run
-       |       FROM iw),
-       |icell AS (SELECT vec_id,
-       |            2 * win + CASE WHEN v[win + 1] >= 0 THEN 1 ELSE 0 END
-       |              AS cell_w,
-       |            2 * run + CASE WHEN v[run + 1] >= 0 THEN 1 ELSE 0 END
-       |              AS cell_r
-       |          FROM ir),
+    s"""${ivfCellCtes("e0")},
        |iq AS (SELECT vec_id AS query_id, unnest([cell_w, cell_r]) AS cell
-       |       FROM icell WHERE vec_id < 8),
-       |ic AS (SELECT vec_id AS neighbor_id, cell_w AS cell FROM icell),
+       |       FROM ivcell WHERE vec_id < 8),
+       |ic AS (SELECT vec_id AS neighbor_id, cell_w AS cell FROM ivcell),
        |iscore AS (SELECT iq.query_id, ic.neighbor_id AS nid,
        |                  list_dot_product(qe.v, ne.v) AS score0
        |           FROM ic JOIN iq USING (cell)
@@ -1175,9 +1153,13 @@ object PipelineQueries {
     }),
 
     // --- recall@5 of the Hamming leg vs the exact cosine baseline: the
-    // family's eval pattern — how much the 8-byte representation costs ----
+    // family's eval pattern — how much the 8-byte representation costs.
+    // BOTH legs run over the len≥64 universe the fingerprint indexes, so
+    // the recall isolates representation loss (a shorter vector would
+    // otherwise enter only the exact leg and read as fingerprint loss) --
     "ann_hamming_recall" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
+        .filter(size(col("embedding")) >= 64)
       val q = e.filter(col("vec_id") < 10)
       val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
         k = 5)
@@ -1208,6 +1190,7 @@ object PipelineQueries {
     // the 8-byte scan costs WITH its standard rerank stage ---------------
     "ann_hamming_rerank" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
+        .filter(size(col("embedding")) >= 64) // one universe, both legs
       val q = e.filter(col("vec_id") < 10)
       val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
         k = 5)
@@ -1545,8 +1528,10 @@ object PipelineQueries {
 
     // --- bounded-round k-core peeling of the MUTUAL kNN graph: the
     // stable duplication communities that survive after hubs and
-    // stragglers peel away (k=2, 3 rounds — fixpoint on this substrate,
-    // since mutual-kNN degree ≤ 3 bounds the peel depth) ------------------
+    // stragglers peel away (k=2, 3 rounds — the oracle unrolls the SAME
+    // 3 rounds, so parity holds regardless; exactness-at-fixpoint is the
+    // operator's documented R-vs-R+1 certificate, NOT implied by the
+    // degree bound — a long chain peels 2 endpoints per round) ------------
     "graph_kcore" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val mutual = Similarity.mutualKnnEdges(
@@ -3062,6 +3047,38 @@ object PipelineQueries {
         s"(CASE WHEN list_dot_product($v, $lst) >= 0 " +
           s"THEN CAST(1 AS BIGINT) << $i ELSE CAST(0 AS BIGINT) END)"
     }.mkString("(", " + ", ")")
+
+  /** The IVF axis-cell CTE chain (win/run/cell_w/cell_r at m = 4) over a
+    * source CTE exposing (vec_id, v DOUBLE[]) — ONE fragment shared by
+    * every IVF oracle (ann_ivf_topk, ann_hard_negatives_ivf,
+    * search_mmr_ivf), so the cell-assignment logic can never
+    * desynchronize between them. Keep in lock-step with
+    * [[Similarity.axisCells]]. */
+  private def ivfCellCtes(src: String): String =
+    s"""iv0 AS (SELECT vec_id, v, abs(v[1]) AS a0, abs(v[2]) AS a1,
+       |               abs(v[3]) AS a2, abs(v[4]) AS a3
+       |        FROM $src),
+       |ivw AS (SELECT *, CASE WHEN a0 >= a1 AND a0 >= a2 AND a0 >= a3 THEN 0
+       |                       WHEN a1 >= a2 AND a1 >= a3 THEN 1
+       |                       WHEN a2 >= a3 THEN 2 ELSE 3 END AS win
+       |        FROM iv0),
+       |ivr AS (SELECT *, CASE win
+       |          WHEN 0 THEN (CASE WHEN a1 >= a2 AND a1 >= a3 THEN 1
+       |                            WHEN a2 >= a3 THEN 2 ELSE 3 END)
+       |          WHEN 1 THEN (CASE WHEN a0 >= a2 AND a0 >= a3 THEN 0
+       |                            WHEN a2 >= a3 THEN 2 ELSE 3 END)
+       |          WHEN 2 THEN (CASE WHEN a0 >= a1 AND a0 >= a3 THEN 0
+       |                            WHEN a1 >= a3 THEN 1 ELSE 3 END)
+       |          ELSE (CASE WHEN a0 >= a1 AND a0 >= a2 THEN 0
+       |                     WHEN a1 >= a2 THEN 1 ELSE 2 END)
+       |        END AS run
+       |        FROM ivw),
+       |ivcell AS (SELECT vec_id,
+       |             2 * win + CASE WHEN v[win + 1] >= 0 THEN 1 ELSE 0 END
+       |               AS cell_w,
+       |             2 * run + CASE WHEN v[run + 1] >= 0 THEN 1 ELSE 0 END
+       |               AS cell_r
+       |           FROM ivr)""".stripMargin
 
   /** The knn_graph oracle's CTE chain up to `g` (the rank≤3 directed edge
     * set) — shared by the graph_pagerank / graph_degree oracles, verbatim
@@ -4946,40 +4963,23 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |  GROUP BY 1)""".stripMargin,
 
       "ann_ivf_topk" ->
-        """WITH e0 AS (
-          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-          |         abs(CAST(embedding[1] AS DOUBLE)) AS a0,
-          |         abs(CAST(embedding[2] AS DOUBLE)) AS a1,
-          |         abs(CAST(embedding[3] AS DOUBLE)) AS a2,
-          |         abs(CAST(embedding[4] AS DOUBLE)) AS a3
+        (s"""WITH e0 AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
           |  FROM embeddings),
-          |w AS (
-          |  SELECT *, CASE WHEN a0 >= a1 AND a0 >= a2 AND a0 >= a3 THEN 0
-          |                 WHEN a1 >= a2 AND a1 >= a3 THEN 1
-          |                 WHEN a2 >= a3 THEN 2 ELSE 3 END AS win
-          |  FROM e0),
-          |r AS (
-          |  SELECT *, CASE win
-          |    WHEN 0 THEN (CASE WHEN a1 >= a2 AND a1 >= a3 THEN 1
-          |                      WHEN a2 >= a3 THEN 2 ELSE 3 END)
-          |    WHEN 1 THEN (CASE WHEN a0 >= a2 AND a0 >= a3 THEN 0
-          |                      WHEN a2 >= a3 THEN 2 ELSE 3 END)
-          |    WHEN 2 THEN (CASE WHEN a0 >= a1 AND a0 >= a3 THEN 0
-          |                      WHEN a1 >= a3 THEN 1 ELSE 3 END)
-          |    ELSE (CASE WHEN a0 >= a1 AND a0 >= a2 THEN 0
-          |               WHEN a1 >= a2 THEN 1 ELSE 2 END)
-          |  END AS run
-          |  FROM w),
-          |cells AS (
+          |nv AS (
           |  SELECT vec_id,
-          |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv,
-          |         2 * win + CASE WHEN v[win + 1] >= 0 THEN 1 ELSE 0 END AS cell_w,
-          |         2 * run + CASE WHEN v[run + 1] >= 0 THEN 1 ELSE 0 END AS cell_r
-          |  FROM r),
-          |q AS (SELECT vec_id AS query_id, nv AS qv,
+          |         list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+          |           AS nv
+          |  FROM e0),
+          |""".stripMargin +
+          ivfCellCtes("e0") + """,
+          |q AS (SELECT cc.vec_id AS query_id, n.nv AS qv,
           |             unnest([cell_w, cell_r]) AS cell
-          |      FROM cells WHERE vec_id < 50),
-          |c AS (SELECT vec_id AS neighbor_id, nv AS cv, cell_w AS cell FROM cells),
+          |      FROM ivcell cc JOIN nv n USING (vec_id)
+          |      WHERE cc.vec_id < 50),
+          |c AS (SELECT cc.vec_id AS neighbor_id, n.nv AS cv,
+          |             cell_w AS cell
+          |      FROM ivcell cc JOIN nv n USING (vec_id)),
           |s AS (SELECT q.query_id, c.neighbor_id,
           |             list_dot_product(qv, cv) AS score
           |      FROM c JOIN q USING (cell) WHERE c.neighbor_id <> q.query_id)
@@ -4987,7 +4987,7 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |  SELECT query_id, neighbor_id,
           |         CAST(row_number() OVER (PARTITION BY query_id
           |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
-          |  FROM s) WHERE rank <= 3""".stripMargin,
+          |  FROM s) WHERE rank <= 3""".stripMargin),
 
       // replays CountMin.build + probe exactly: 32-bit md5-prefix buckets
       // of the row-salted token, min over the d=3 counter rows
@@ -5063,14 +5063,10 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       // cell CTEs at candK=25) as the mining leg, recallAtK's join:
       // denominator = the brute slate's ACTUAL per-query size
       "ann_hard_negatives_ivf" ->
-        """WITH e0 AS (SELECT vec_id, label,
-          |              CAST(embedding AS DOUBLE[]) AS v,
-          |              abs(CAST(embedding[1] AS DOUBLE)) AS a0,
-          |              abs(CAST(embedding[2] AS DOUBLE)) AS a1,
-          |              abs(CAST(embedding[3] AS DOUBLE)) AS a2,
-          |              abs(CAST(embedding[4] AS DOUBLE)) AS a3
+        (s"""WITH e0 AS (SELECT vec_id, label,
+          |              CAST(embedding AS DOUBLE[]) AS v
           |            FROM embeddings),
-          |e AS (SELECT vec_id, label, a0, a1, a2, a3, v AS v0,
+          |e AS (SELECT vec_id, label,
           |        list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
           |          AS v
           |      FROM e0),
@@ -5091,36 +5087,17 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |                   ORDER BY score DESC, neighbor_id) AS hn_rank
           |          FROM bcand WHERE nlab <> qlab)
           |        WHERE hn_rank <= 5),
-          |w AS (SELECT *, CASE WHEN a0 >= a1 AND a0 >= a2 AND a0 >= a3 THEN 0
-          |                     WHEN a1 >= a2 AND a1 >= a3 THEN 1
-          |                     WHEN a2 >= a3 THEN 2 ELSE 3 END AS win
-          |      FROM e),
-          |r AS (SELECT *, CASE win
-          |        WHEN 0 THEN (CASE WHEN a1 >= a2 AND a1 >= a3 THEN 1
-          |                          WHEN a2 >= a3 THEN 2 ELSE 3 END)
-          |        WHEN 1 THEN (CASE WHEN a0 >= a2 AND a0 >= a3 THEN 0
-          |                          WHEN a2 >= a3 THEN 2 ELSE 3 END)
-          |        WHEN 2 THEN (CASE WHEN a0 >= a1 AND a0 >= a3 THEN 0
-          |                          WHEN a1 >= a3 THEN 1 ELSE 3 END)
-          |        ELSE (CASE WHEN a0 >= a1 AND a0 >= a2 THEN 0
-          |                   WHEN a1 >= a2 THEN 1 ELSE 2 END)
-          |      END AS run
-          |      FROM w),
-          |cells AS (SELECT vec_id, label, v AS nv,
-          |            2 * win + CASE WHEN v0[win + 1] >= 0 THEN 1 ELSE 0 END
-          |              AS cell_w,
-          |            2 * run + CASE WHEN v0[run + 1] >= 0 THEN 1 ELSE 0 END
-          |              AS cell_r
-          |          FROM r),
-          |iq AS (SELECT vec_id AS query_id, label AS qlab, nv AS qv,
-          |              unnest([cell_w, cell_r]) AS cell
-          |       FROM cells WHERE vec_id < 50),
-          |ic AS (SELECT vec_id AS neighbor_id, label AS nlab, nv AS cv,
-          |              cell_w AS cell
-          |       FROM cells),
-          |iscore AS (SELECT iq.query_id, iq.qlab, ic.neighbor_id, ic.nlab,
-          |                  list_dot_product(qv, cv) AS score0
+          |""".stripMargin +
+          ivfCellCtes("e0") + """,
+          |iq AS (SELECT vec_id AS query_id, unnest([cell_w, cell_r]) AS cell
+          |       FROM ivcell WHERE vec_id < 50),
+          |ic AS (SELECT vec_id AS neighbor_id, cell_w AS cell FROM ivcell),
+          |iscore AS (SELECT iq.query_id, qe.label AS qlab,
+          |                  ic.neighbor_id, ne.label AS nlab,
+          |                  list_dot_product(qe.v, ne.v) AS score0
           |           FROM ic JOIN iq USING (cell)
+          |           JOIN e qe ON qe.vec_id = iq.query_id
+          |           JOIN e ne ON ne.vec_id = ic.neighbor_id
           |           WHERE ic.neighbor_id <> iq.query_id),
           |icand AS (SELECT query_id, qlab, neighbor_id, nlab,
           |                 round(score0, 6) AS score FROM (
@@ -5142,7 +5119,7 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |FROM bhn LEFT JOIN ihn
           |  ON ihn.query_id = bhn.query_id
           | AND ihn.neighbor_id = bhn.neighbor_id
-          |GROUP BY 1""".stripMargin,
+          |GROUP BY 1""".stripMargin),
 
       "eval_rank_metrics" -> {
         val ws = Similarity.ndcgWeights(5)
