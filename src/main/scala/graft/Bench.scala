@@ -17,6 +17,20 @@ object Bench {
     // Warm-up (uncounted): JVM/codegen paths + parquet footers, so the
     // first timed query doesn't absorb several seconds of session startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // Ambient-load calibration: a fixed, trivially-CPU-bound probe timed
+    // at the START and END of the run and emitted as __calib_start /
+    // __calib_end rows in the artifact. Two consecutive round verdicts
+    // were spent re-adjudicating 2-4× swings on untouched queries as
+    // shared-host drift; with these rows every artifact carries its own
+    // load measurement — compare calib values across artifacts before
+    // reading per-query ratios (normalization rule in SCALE.md §11).
+    def calib(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(50000000L).selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calib() // uncounted: JIT the probe itself
+    val calibStart = calib()
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
       "region", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(10).count()
@@ -36,10 +50,15 @@ object Bench {
     val first = pass()
     graft.queries.PipelineQueries.clearCaches()
     val second = pass()
-    val results = first.map { case (k, v) => k -> math.min(v, second(k)) }
+    val calibEnd = calib()
+    // calib rows ride in `queries` (so every consumer sees them) but are
+    // excluded from the headline total — they measure the host, not us
+    val timed = first.map { case (k, v) => k -> math.min(v, second(k)) }
+    val results = timed +
+      ("__calib_start" -> calibStart) + ("__calib_end" -> calibEnd)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (timed.nonEmpty) timed.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -372,6 +372,22 @@ case class SignFingerprint(child: Expression, planes: Array[Array[Double]])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+
+  // Arrays compare by REFERENCE under the synthetic case-class equals,
+  // so two semantically identical fingerprint expressions built from
+  // distinct (but equal) plane matrices would never canonicalize
+  // together — missed common-subexpression elimination and plan reuse.
+  // Deep value equality restores them.
+  override def equals(other: Any): Boolean = other match {
+    case that: SignFingerprint =>
+      child == that.child && java.util.Arrays.deepEquals(
+        planes.asInstanceOf[Array[AnyRef]],
+        that.planes.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])
 }
 
 /** Column-API surface for the kernels. */

@@ -119,7 +119,23 @@ object Bpe {
     * disjoint alphabets); here it is correctness-free headroom, not a
     * speedup. `-Dgraft.bpe.debug` prints per-round batch sizes. */
   def train(df: DataFrame, textCol: String, merges: Int,
-            batchCap: Int = 8): DataFrame = {
+            batchCap: Int = 8): DataFrame =
+    trainObserved(df, textCol, merges, batchCap, null)
+
+  /** Per-round batching observer: called with (candidate list `top`,
+    * `want`, an immutable snapshot of the symbol universe, the batch
+    * [[selectBatch]] chose). Test-only instrumentation — lets a spec
+    * replay the batching decision against an alternative guard set on a
+    * REAL training run (the round-11 in-batch mint-collision guard was
+    * proven batch-size-neutral on the gate fixture exactly this way)
+    * without touching the training path. */
+  private[graft] type BatchObserver =
+    (IndexedSeq[(String, String, Long)], Int, Set[String],
+      IndexedSeq[(String, String, Long)]) => Unit
+
+  private[graft] def trainObserved(df: DataFrame, textCol: String,
+                                   merges: Int, batchCap: Int,
+                                   observer: BatchObserver): DataFrame = {
     require(merges >= 1 && merges <= 100000,
       s"merges=$merges out of [1,100000]")
     require(batchCap >= 1 && batchCap <= 256,
@@ -169,6 +185,8 @@ object Bpe {
       if (top.isEmpty) exhausted = true
       else {
         val acc = selectBatch(top.toIndexedSeq, want, symbols)
+        if (observer != null)
+          observer(top.toIndexedSeq, want, symbols.toSet, acc)
         val pats = acc.toSeq.map(c =>
           (s"<${c._1}><${c._2}>", s"<${c._1}${c._2}>"))
         def applyAll(c0: org.apache.spark.sql.Column) =

@@ -358,7 +358,15 @@ object Similarity {
     * full-scan baseline by `ann_hamming_blocked`. At write time bucket
     * IS a partition/cluster key, so a query batch reads only its probed
     * partitions. All-integer end to end; corpus lands in exactly ONE
-    * bucket (plan shape unchanged on the big side). */
+    * bucket (plan shape unchanged on the big side).
+    *
+    * The bucket join carries NO broadcast hint — deliberately, unlike
+    * [[hammingTopK]]'s brute eval scan: this is the path meant for
+    * query batches up to corpus scale, where a forced broadcast of the
+    * (prefixBits+1)×-exploded probe frame would blow the driver. AQE
+    * sizes the join at runtime (tiny probe batch → broadcast hash join,
+    * the [[hardNegativesFrom]] posture; corpus-scale batch → shuffled
+    * join on the bucket, both sides already keyed). */
   def hammingTopKBlocked(corpus: DataFrame, queries: DataFrame,
                          idCol: String, vecCol: String, k: Int, dim: Int,
                          bits: Int = 48, prefixBits: Int = 8,
@@ -376,7 +384,7 @@ object Similarity {
     val q = queries.filter(okLen).select(col(idCol).as("query_id"),
         hammingWord(col(vecCol), dim, bits, seed).as("qw"))
       .withColumn("bucket", explode(array(probes: _*)))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    val scored = c.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("hamming",
         expr("cast(bit_count(cw ^ qw) as bigint)"))

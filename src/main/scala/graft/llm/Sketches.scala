@@ -32,10 +32,14 @@ import graft.core.Tables.spread
   *     summed in DECIMAL(38,0);
   *   - estimate = (α·m²·2^57) / S — the numerator is ONE shared double
   *     literal, the division a single correctly-rounded IEEE op.
-  * Raw HLL estimate only (no small-range linear counting, no bias
-  * table): the operator targets vocabulary-scale sets where raw HLL is
-  * in its accurate regime; the ±~6.5% (1.04/√256) error is the
-  * documented trade for constant memory.
+  * The estimate is raw HLL with an OPTIONAL linear-counting small-range
+  * branch (est = m·ln(m/V) when the raw estimate ≤ 2.5m and empty
+  * registers remain — Flajolet et al. 2007's correction, itself
+  * replayable: ln on identical integer-derived operands), used by the
+  * profile queries whose per-source sets run small; no bias table. The
+  * operator targets vocabulary-scale sets where raw HLL is in its
+  * accurate regime; the ±~6.5% (1.04/√256) error is the documented
+  * trade for constant memory.
   */
 object Sketches {
 
@@ -211,10 +215,13 @@ object Sketches {
     * Scale shape: ONE hash aggregate of the corpus to |groups| × ≤ a few
     * hundred bucket rows (localCheckpointed — its several small
     * consumers must not re-scan the corpus), one tiny cumulative window
-    * over those rows, and a |ps|-literal explode. Negative and null
-    * values are EXCLUDED from the estimate (the sketch targets
+    * over those rows, and a |ps|-literal explode. Negative, null and
+    * NaN values are EXCLUDED from the estimate (the sketch targets
     * non-negative measures — latencies, sizes, counts; callers needing
-    * signed quantiles shift first) but never silently: they ride the
+    * signed quantiles shift first; NaN fails both the null and the < 0
+    * test yet floor-casts to 0, so it must be named explicitly or it
+    * would silently land in the lowest bucket) but never silently: they
+    * ride the
     * same single pass in a null sentinel bucket, every output row
     * carries the group's `n_dropped` exclusion count, and a group whose
     * rows are ALL excluded still emits its (group, p) rows with n = 0
@@ -237,7 +244,8 @@ object Sketches {
       s"ps=$ps must be within [0,1]")
     require(gridPerUnit >= 1, s"gridPerUnit=$gridPerUnit must be >= 1")
     val ks = keyCols.map(col)
-    val excluded = col(valueCol).isNull || col(valueCol) < 0
+    val excluded = col(valueCol).isNull || col(valueCol) < 0 ||
+      isnan(col(valueCol).cast("double"))
     val (lo, hi) = bucketBounds(col(valueCol), gridPerUnit)
     // ONE corpus aggregate serves both the sketch and the "no silent
     // caps" signal: excluded rows land in a null SENTINEL bucket, so the

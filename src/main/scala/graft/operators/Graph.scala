@@ -473,9 +473,10 @@ object Graph {
     * O(|V|) rounds on a path) — the wrong shape for a shared cluster
     * and un-unrollable for the oracle. On a kNN substrate (deg ≤ the
     * graph's k) the peel converges in a few rounds; callers wanting a
-    * certificate compare survivor counts at `rounds` and `rounds`+1
-    * (documented, not computed — a global flag would cost a crossJoin
-    * of 1-row aggregates per call).
+    * checkable contract run [[kCoreCertificate]] — survivor counts at
+    * `rounds` and `rounds`+1 and a `converged` flag, costing one extra
+    * peel round and a single 1-row aggregate on top of the shared peel
+    * prefix (never a corpus crossJoin).
     *
     * Scale shape per round: one degree aggregate (map-side combined
     * long counts) and two semi-join restrictions of the edge frame on
@@ -492,23 +493,72 @@ object Graph {
     require(k >= 1, s"k=$k must be >= 1")
     require(rounds >= 1 && rounds <= 50, s"rounds=$rounds out of [1,50]")
     val n = nodes.select(col(idCol).as("id")).distinct().localCheckpoint()
-    def degrees(e: DataFrame): DataFrame =
-      e.select(explode(array(col("a"), col("b"))).as("id"))
-        .groupBy("id").agg(count(lit(1)).as("deg"))
-    var e = undirected.select(col(aCol).as("a"), col(bCol).as("b"))
+    val e = peel(canonicalEdges(undirected, aCol, bCol), k, rounds)
+    val member = coreDegrees(e).filter(col("deg") >= k)
+    n.join(member, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        col("deg").isNotNull.as("in_core"),
+        coalesce(col("deg"), lit(0L)).as("core_deg"))
+  }
+
+  /** Convergence certificate for [[kCore]]'s bounded peel: survivor
+    * counts (vertices with residual degree ≥ `k`) after `rounds` and
+    * after `rounds`+1 peel iterations, plus `converged` — whether they
+    * agree. Peeling is monotone (edge and member sets only shrink), so
+    * equal COUNTS imply equal SETS imply a fixpoint: `converged=true`
+    * certifies the bounded result IS the exact k-core; `false` says the
+    * caller's round budget under-peeled and should be raised.
+    *
+    * Cost: the shared peel prefix (identical jobs to [[kCore]]), ONE
+    * extra peel round, and a single 1-row hash aggregate over the two
+    * tagged member frames — no corpus crossJoin, no collect. Output:
+    * one row (survivors_r, survivors_r1, converged). */
+  def kCoreCertificate(undirected: DataFrame, k: Int, rounds: Int,
+                       aCol: String = "id_a", bCol: String = "id_b")
+      : DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(rounds >= 1 && rounds <= 50, s"rounds=$rounds out of [1,50]")
+    val eR = peel(canonicalEdges(undirected, aCol, bCol), k, rounds)
+    val eR1 = peel(eR, k, 1)
+    // one union + one 1-row aggregate instead of a crossJoin of two
+    // scalar frames: both member sets stream through the same map-side
+    // combined count
+    val tagged = coreDegrees(eR).filter(col("deg") >= k)
+      .select(lit(0).as("t"))
+      .unionByName(coreDegrees(eR1).filter(col("deg") >= k)
+        .select(lit(1).as("t")))
+    tagged.agg(
+        coalesce(sum(when(col("t") === 0, 1L)), lit(0L)).as("survivors_r"),
+        coalesce(sum(when(col("t") === 1, 1L)), lit(0L)).as("survivors_r1"))
+      .select(col("survivors_r"), col("survivors_r1"),
+        (col("survivors_r") === col("survivors_r1")).as("converged"))
+  }
+
+  /** Canonical undirected edge frame: (a < b), deduplicated. */
+  private def canonicalEdges(undirected: DataFrame, aCol: String,
+                             bCol: String): DataFrame =
+    undirected.select(col(aCol).as("a"), col(bCol).as("b"))
       .filter(col("a") < col("b")).distinct().localCheckpoint()
+
+  /** Per-vertex residual degree of a canonical (a, b) edge frame. */
+  private def coreDegrees(e: DataFrame): DataFrame =
+    e.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+
+  /** `rounds` peel iterations: drop vertices of degree < k with their
+    * edges. Per round one map-side-combined degree aggregate and two
+    * semi-join restrictions on the endpoint keys; `localCheckpoint`
+    * caps plan depth (the [[pagerank]]/[[hits]] loop discipline). */
+  private def peel(e0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = e0
     for (_ <- 1 to rounds) {
-      val keep = degrees(e).filter(col("deg") >= k)
+      val keep = coreDegrees(e).filter(col("deg") >= k)
         .select("id").localCheckpoint()
       e = e.join(keep.select(col("id").as("a")), Seq("a"))
         .join(keep.select(col("id").as("b")), Seq("b"))
         .select(col("a"), col("b")).localCheckpoint()
     }
-    val member = degrees(e).filter(col("deg") >= k)
-    n.join(member, Seq("id"), "left")
-      .select(col("id").as(idCol),
-        col("deg").isNotNull.as("in_core"),
-        coalesce(col("deg"), lit(0L)).as("core_deg"))
+    e
   }
 
   /** Degree profile of a directed edge frame: per-vertex out/in degree —

@@ -1542,6 +1542,18 @@ object PipelineQueries {
         k = 2, rounds = 3)
     }),
 
+    // --- the peel's convergence certificate: survivor counts at rounds
+    // R and R+1 plus a `converged` flag — one extra peel round and a
+    // single 1-row aggregate over the shared prefix, making graph_kcore's
+    // bounded-round contract CHECKABLE instead of documented ------------
+    "graph_kcore_cert" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val mutual = Similarity.mutualKnnEdges(
+        Similarity.knnGraph(e, "vec_id", "embedding",
+          k = 3, b = knnBucketBits(e), dim = 64, bands = 2))
+      graft.operators.Graph.kCoreCertificate(mutual, k = 2, rounds = 3)
+    }),
+
     // --- degree profile of the same graph: hub/orphan diagnostic ------------
     "graph_degree" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -3105,6 +3117,39 @@ object PipelineQueries {
         |         row_number() OVER (PARTITION BY src
         |                            ORDER BY score DESC, dst) AS rank
         |  FROM s) WHERE rank <= 3)""".stripMargin
+
+  /** graph_kcore's peel chain over [[knnEdgeCtes]]'s `g`: mutual
+    * canonical edges `mg`, then 3 unrolled peel rounds (degree
+    * aggregate → keep ≥ 2 → restrict edges) ending at `e3` —
+    * MATERIALIZED per round so DuckDB never re-executes the upstream
+    * LSH join through the unroll. Shared by the graph_kcore membership
+    * oracle and the graph_kcore_cert convergence-certificate oracle. */
+  private val kcorePeelCtes =
+    """mg AS MATERIALIZED (
+      |       SELECT a.src AS a, a.dst AS b
+      |       FROM g a JOIN g b ON a.src = b.dst AND a.dst = b.src
+      |       WHERE a.src < a.dst),
+      |k1 AS MATERIALIZED (
+      |       SELECT id FROM (SELECT id, count(*) AS deg FROM (
+      |         SELECT a AS id FROM mg UNION ALL SELECT b FROM mg)
+      |         GROUP BY 1) WHERE deg >= 2),
+      |e1 AS MATERIALIZED (
+      |       SELECT mg.a, mg.b FROM mg
+      |       JOIN k1 x ON x.id = mg.a JOIN k1 y ON y.id = mg.b),
+      |k2 AS MATERIALIZED (
+      |       SELECT id FROM (SELECT id, count(*) AS deg FROM (
+      |         SELECT a AS id FROM e1 UNION ALL SELECT b FROM e1)
+      |         GROUP BY 1) WHERE deg >= 2),
+      |e2 AS MATERIALIZED (
+      |       SELECT e1.a, e1.b FROM e1
+      |       JOIN k2 x ON x.id = e1.a JOIN k2 y ON y.id = e1.b),
+      |k3 AS MATERIALIZED (
+      |       SELECT id FROM (SELECT id, count(*) AS deg FROM (
+      |         SELECT a AS id FROM e2 UNION ALL SELECT b FROM e2)
+      |         GROUP BY 1) WHERE deg >= 2),
+      |e3 AS MATERIALIZED (
+      |       SELECT e2.a, e2.b FROM e2
+      |       JOIN k3 x ON x.id = e2.a JOIN k3 y ON y.id = e2.b)""".stripMargin
 
   /** The fixed-point PageRank iterations as unrolled CTEs p0..p`iters`,
     * mirroring [[graft.operators.Graph.pagerank]]'s integer arithmetic
@@ -5513,33 +5558,8 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       // membership test — MATERIALIZED per round so DuckDB never
       // re-executes the upstream LSH join through the unroll
       "graph_kcore" ->
-        (s"WITH $knnEdgeCtes,\n" +
-          """mg AS MATERIALIZED (
-            |       SELECT a.src AS a, a.dst AS b
-            |       FROM g a JOIN g b ON a.src = b.dst AND a.dst = b.src
-            |       WHERE a.src < a.dst),
-            |k1 AS MATERIALIZED (
-            |       SELECT id FROM (SELECT id, count(*) AS deg FROM (
-            |         SELECT a AS id FROM mg UNION ALL SELECT b FROM mg)
-            |         GROUP BY 1) WHERE deg >= 2),
-            |e1 AS MATERIALIZED (
-            |       SELECT mg.a, mg.b FROM mg
-            |       JOIN k1 x ON x.id = mg.a JOIN k1 y ON y.id = mg.b),
-            |k2 AS MATERIALIZED (
-            |       SELECT id FROM (SELECT id, count(*) AS deg FROM (
-            |         SELECT a AS id FROM e1 UNION ALL SELECT b FROM e1)
-            |         GROUP BY 1) WHERE deg >= 2),
-            |e2 AS MATERIALIZED (
-            |       SELECT e1.a, e1.b FROM e1
-            |       JOIN k2 x ON x.id = e1.a JOIN k2 y ON y.id = e1.b),
-            |k3 AS MATERIALIZED (
-            |       SELECT id FROM (SELECT id, count(*) AS deg FROM (
-            |         SELECT a AS id FROM e2 UNION ALL SELECT b FROM e2)
-            |         GROUP BY 1) WHERE deg >= 2),
-            |e3 AS MATERIALIZED (
-            |       SELECT e2.a, e2.b FROM e2
-            |       JOIN k3 x ON x.id = e2.a JOIN k3 y ON y.id = e2.b),
-            |fin AS (SELECT id, count(*) AS deg FROM (
+        (s"WITH $knnEdgeCtes,\n$kcorePeelCtes,\n" +
+          """fin AS (SELECT id, count(*) AS deg FROM (
             |          SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3)
             |        GROUP BY 1 HAVING count(*) >= 2),
             |nodes AS (SELECT vec_id AS id FROM ec)
@@ -5547,6 +5567,26 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
             |       f.id IS NOT NULL AS in_core,
             |       CAST(coalesce(f.deg, 0) AS BIGINT) AS core_deg
             |FROM nodes nd LEFT JOIN fin f ON f.id = nd.id""".stripMargin),
+
+      // graph_kcore's peel chain plus ONE extra unrolled round: the
+      // R-vs-R+1 survivor counts and the convergence flag — the
+      // certificate the kCore scaladoc used to leave to the caller
+      "graph_kcore_cert" ->
+        (s"WITH $knnEdgeCtes,\n$kcorePeelCtes,\n" +
+          """f3 AS MATERIALIZED (
+            |       SELECT id FROM (SELECT id, count(*) AS deg FROM (
+            |         SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3)
+            |         GROUP BY 1) WHERE deg >= 2),
+            |e4 AS MATERIALIZED (
+            |       SELECT e3.a, e3.b FROM e3
+            |       JOIN f3 x ON x.id = e3.a JOIN f3 y ON y.id = e3.b),
+            |f4 AS (SELECT id FROM (SELECT id, count(*) AS deg FROM (
+            |         SELECT a AS id FROM e4 UNION ALL SELECT b FROM e4)
+            |         GROUP BY 1) WHERE deg >= 2)
+            |SELECT (SELECT count(*) FROM f3) AS survivors_r,
+            |       (SELECT count(*) FROM f4) AS survivors_r1,
+            |       (SELECT count(*) FROM f3) = (SELECT count(*) FROM f4)
+            |         AS converged""".stripMargin),
 
       "embed_project" ->
         (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -6494,7 +6534,7 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |  SELECT event_type,
           |         CAST(CAST(floor(value * 1000.0) AS BIGINT) AS VARCHAR)
           |           AS gs
-          |  FROM events WHERE value >= 0),
+          |  FROM events WHERE value >= 0 AND NOT isnan(value)),
           |b AS (SELECT event_type,
           |        CAST(substr(gs, 1, 2) ||
           |             repeat('0', greatest(length(gs) - 2, 0)) AS BIGINT)
@@ -6518,7 +6558,8 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |                               ORDER BY lo) AS rn
           |  FROM sel WHERE CAST(cum AS DOUBLE) >= t) WHERE rn = 1),
           |drp AS (SELECT event_type, count(*) AS n_dropped FROM events
-          |        WHERE value < 0 OR value IS NULL GROUP BY 1),
+          |        WHERE value < 0 OR value IS NULL OR isnan(value)
+          |        GROUP BY 1),
           |ad AS (SELECT d.event_type, u.p, CAST(0 AS BIGINT) AS n,
           |              CAST(NULL AS DOUBLE) AS est,
           |              CAST(d.n_dropped AS BIGINT) AS n_dropped
@@ -6541,7 +6582,7 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
           |         CAST(CAST(floor(value * 1000.0) AS BIGINT) AS VARCHAR)
           |           AS gs
-          |  FROM events WHERE value >= 0),
+          |  FROM events WHERE value >= 0 AND NOT isnan(value)),
           |b AS (SELECT event_type, hour,
           |        CAST(substr(gs, 1, 2) ||
           |             repeat('0', greatest(length(gs) - 2, 0)) AS BIGINT)
@@ -6567,6 +6608,7 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |drp AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
           |               count(*) AS n_dropped
           |        FROM events WHERE value < 0 OR value IS NULL
+          |              OR isnan(value)
           |        GROUP BY 1, 2),
           |ad AS (SELECT d.event_type, CAST(d.hour AS BIGINT) AS hour,
           |              u.p, CAST(0 AS BIGINT) AS n,

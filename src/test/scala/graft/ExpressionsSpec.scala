@@ -144,6 +144,24 @@ class ExpressionsSpec extends SparkSpec {
     assert(out(2).getInt(0) == 0)
   }
 
+  test("sign fingerprint: equal plane matrices give equal expressions " +
+    "(deep value equality, not array reference equality)") {
+    import graft.functions.SignFingerprint
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val child = AttributeReference("v", ArrayType(DoubleType))()
+    def planes() = Array(Array(1.0, -2.0), Array(0.5, 0.25))
+    val a = SignFingerprint(child, planes())
+    val b = SignFingerprint(child, planes()) // DISTINCT arrays, same values
+    // without the deep-equals override these are reference-unequal and
+    // Catalyst never canonicalizes them together (missed subexpression
+    // elimination / plan reuse)
+    assert(a == b && a.hashCode == b.hashCode)
+    assert(a.semanticEquals(b))
+    val c = SignFingerprint(child, Array(Array(1.0, -2.0), Array(0.5, 0.75)))
+    assert(a != c, "different plane values must stay unequal")
+  }
+
   test("SQL kernel params: INT literals extract, non-literals reject") {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal => L}
     import org.apache.spark.sql.types.IntegerType

@@ -201,6 +201,48 @@ class GraphIndexSpec extends SparkSpec {
     assert(one(3L) === ((true, 3L)) && one(4L) === ((false, 0L)))
   }
 
+  test("kCore certificate: an under-peeled path graph reports " +
+    "converged=false; a stable core (and the kNN fixture) report true") {
+    // path 1—2—…—8 at k=2 peels its two endpoints per round — the
+    // degeneracy worst case the bounded-round scaladoc warns about.
+    // rounds=1: survivors after 1 peel = {3,4,5,6}, after 2 = {4,5} —
+    // the certificate must say the budget under-peeled
+    val path = (1L to 7L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val c1 = Graph.kCoreCertificate(path, k = 2, rounds = 1).collect().head
+    assert(!c1.getBoolean(2), s"path at rounds=1 must not certify: $c1")
+    assert(c1.getLong(0) === 4L && c1.getLong(1) === 2L)
+    // rounds=4: the path has fully dissolved — 0 == 0 is a genuine
+    // fixpoint (the exact 2-core is empty and the budget sufficed)
+    val c4 = Graph.kCoreCertificate(path, k = 2, rounds = 4).collect().head
+    assert(c4.getBoolean(2) && c4.getLong(0) === 0L)
+    // two disjoint triangles: every vertex keeps degree 2 forever —
+    // certified at the very first round, survivor count = 6
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L)).toDF("id_a", "id_b")
+    val ct = Graph.kCoreCertificate(tri, k = 2, rounds = 1).collect().head
+    assert(ct.getBoolean(2) && ct.getLong(0) === 6L && ct.getLong(1) === 6L)
+    // the graph_kcore query fixture: mutual kNN graph over the sf0.001
+    // embeddings at the query's exact parameters. At rounds=3 (the
+    // query's budget) the certificate HONESTLY reports not-yet-converged
+    // (285 → 279 survivors when this was written) — exactly the silent
+    // under-peel it exists to expose; a few more rounds certify.
+    val e = graft.core.Tables.embeddings(spark, sf001)
+    val mutual = graft.llm.Similarity.mutualKnnEdges(
+      graft.llm.Similarity.knnGraph(e, "vec_id", "embedding",
+        k = 3, b = 4, dim = 64, bands = 2)).localCheckpoint()
+    val c3 = Graph.kCoreCertificate(mutual, k = 2, rounds = 3)
+      .collect().head
+    assert(c3.getLong(0) >= c3.getLong(1),
+      s"peeling is monotone — survivors may never grow: $c3")
+    val certAt = (3 to 12).find { r =>
+      Graph.kCoreCertificate(mutual, k = 2, rounds = r)
+        .collect().head.getBoolean(2)
+    }
+    assert(certAt.isDefined,
+      "kNN fixture must reach the 2-core fixpoint within 12 rounds")
+    info(s"kNN fixture: rounds=3 gives $c3; certified at rounds=${certAt.get}")
+  }
+
   test("link prediction: wedge scores on a path and a 4-cycle; " +
     "adjacent pairs and triangles never predict") {
     // path 1—2—3: only (1,3) is open, via center 2 (deg 2):
@@ -657,6 +699,67 @@ class GraphIndexSpec extends SparkSpec {
     assert(Bpe.selectBatch(preexist, want = 2,
       Set("a", "b", "c", "d", "cd", "x", "y")) ===
       IndexedSeq(("a", "b", 10L)))
+  }
+
+  test("bpe r11 in-batch mint guard is batch-size-NEUTRAL on the gate " +
+    "fixture — every round's batch equals the pre-guard selection") {
+    // Round-11 added a cut to selectBatch guard (c): a batch also closes
+    // when a member's mint collides with an EARLIER member's mint (not
+    // just the pre-existing universe). That cut can only SHORTEN batches
+    // (more sequential rounds), so it was the one mechanism that could
+    // explain bpe_train_deep's 2× driver-bench move in r11. Prove the
+    // mechanism never fires on the gate fixture: replay every real
+    // training round's batching decision against a replica of the
+    // PRE-GUARD selector and assert the chosen batches are identical —
+    // batch sizes (hence round count, hence per-round job count) are
+    // unchanged, so the timing move was host noise.
+    import graft.llm.Bpe
+    def preGuardBatch(top: IndexedSeq[(String, String, Long)], want: Int,
+                      symbols: String => Boolean)
+        : IndexedSeq[(String, String, Long)] = {
+      // guards (a)+(b): longest symbol-disjoint prefix, self-pair closes
+      val acc = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Long)]
+      val used = scala.collection.mutable.Set.empty[String]
+      var idx = 0
+      var closed = false
+      while (!closed && idx < math.min(want, top.length)) {
+        val (l, r, _) = top(idx)
+        if (idx > 0 && (l == r || used(l) || used(r))) closed = true
+        else {
+          acc += top(idx); used += l; used += r; idx += 1
+          if (l == r) closed = true
+        }
+      }
+      // guard (c) AS OF ROUND 10: only the pre-existing-universe cut —
+      // no in-batch minted-set membership
+      if (acc.length > 1) {
+        val cut = acc.indexWhere(c => symbols(c._1 + c._2))
+        if (cut >= 0) acc.dropRightInPlace(acc.length - math.max(1, cut))
+      }
+      // guard (d): strict gap to the first excluded candidate
+      if (acc.length > 1 && top.length > acc.length) {
+        val nc = top(acc.length)._3
+        while (acc.length > 1 && acc.last._3 == nc) acc.dropRightInPlace(1)
+      }
+      acc.toIndexedSeq
+    }
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[
+      (IndexedSeq[(String, String, Long)], Int, Set[String],
+        IndexedSeq[(String, String, Long)])]
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+    val merged = Bpe.trainObserved(docs, "text", merges = 500,
+      batchCap = 8,
+      (top, want, syms, acc) => rounds += ((top, want, syms, acc)))
+    val nMerges = merged.count()
+    assert(nMerges > 0 && rounds.nonEmpty,
+      s"gate-fixture training produced $nMerges merges, ${rounds.length} rounds")
+    rounds.zipWithIndex.foreach { case ((top, want, syms, acc), i) =>
+      assert(acc === preGuardBatch(top, want, syms),
+        s"round $i: r11 guard changed the batch (top=${top.take(4)})")
+    }
+    info(s"rounds=${rounds.length} merges=$nMerges batch sizes=" +
+      rounds.map(_._4.length).mkString(","))
   }
 
   test("bpe segmentation counts corpus tokens under the trained merges") {

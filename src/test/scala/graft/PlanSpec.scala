@@ -416,17 +416,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Sort"), p)
   }
 
-  test("blocked hamming: query probes broadcast, corpus equi-joins on " +
-    "the bucket and never sorts or broadcasts") {
+  test("blocked hamming: hint-free bucket equi-join — AQE broadcasts a " +
+    "small probe batch at runtime, never a sort or nested loop") {
     import graft.core.Tables
     import graft.llm.Similarity
     import org.apache.spark.sql.functions.col
     val e = Tables.embeddings(spark, sf001)
-    val p = Similarity.hammingTopKBlocked(e, e.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, dim = 64, prefixBits = 6)
-      .queryExecution.executedPlan.toString
-    // the big side flows through a hash join keyed on the bucket; only
-    // the query-probe side exchanges
+    val df = Similarity.hammingTopKBlocked(e, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, dim = 64, prefixBits = 6)
+    // the join carries NO broadcast hint (a corpus-scale query batch must
+    // be free to shuffle on the bucket) — execute, then read the FINAL
+    // adaptive plan: a tiny probe batch must land on a broadcast hash
+    // join at runtime, and the corpus side must never sort or nest
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin") &&
       !p.contains("BroadcastNestedLoopJoin") &&
