@@ -396,6 +396,71 @@ object Similarity {
         col("hamming"))
   }
 
+  /** Materialize the binary-ANN index [[hammingTopKBlocked]]'s scaladoc
+    * promises: the (neighbor_id, cw) fingerprint table written
+    * PARTITIONED BY the prefix bucket, so the bucket IS a directory key
+    * and a probe batch lists/reads ONLY its probed partitions. One
+    * map-only encode pass over the corpus (8 bytes + id per row); the
+    * `partitionBy` write groups rows into at most 2^prefixBits
+    * directories — at 100 TB each bucket partition is still
+    * multi-file-parallel, and the write shuffles nothing (fingerprint
+    * and bucket are row-local). */
+  def writeHammingIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                        path: String, dim: Int, bits: Int = 48,
+                        prefixBits: Int = 8,
+                        seed: Long = DefaultSeed): Unit = {
+    require(prefixBits >= 1 && prefixBits < bits,
+      s"prefixBits=$prefixBits out of [1, bits=$bits)")
+    val shift = bits - prefixBits
+    corpus.filter(size(col(vecCol)) >= dim)
+      .select(col(idCol).as("neighbor_id"),
+        hammingWord(col(vecCol), dim, bits, seed).as("cw"))
+      .withColumn("bucket", expr(s"cw >> $shift"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** [[hammingTopKBlocked]] served from a [[writeHammingIndex]] store:
+    * identical probe set, scoring and ranking — but the corpus side is
+    * the PARTITIONED fingerprint table restricted by a LITERAL bucket
+    * IN-list, so the probed buckets become `PartitionFilters` on the
+    * scan and unprobed partitions are never listed or read (pinned in
+    * BucketingSpec). The probe-set collect is bounded by the BUCKET
+    * DOMAIN, not the query count: ≤ min(|Q|·(prefixBits+1),
+    * 2^prefixBits) longs — at the default 8 prefix bits that is ≤ 256
+    * values regardless of corpus or batch size, the same
+    * driver-footprint class as the centroid/codebook collects. Results
+    * are row-identical to [[hammingTopKBlocked]] on the same corpus
+    * (`ann_hamming_indexed` shares `ann_hamming_blocked`'s oracle). */
+  def hammingTopKIndexed(indexed: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, k: Int, dim: Int,
+                         bits: Int = 48, prefixBits: Int = 8,
+                         seed: Long = DefaultSeed): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(prefixBits >= 1 && prefixBits < bits,
+      s"prefixBits=$prefixBits out of [1, bits=$bits)")
+    val shift = bits - prefixBits
+    val probes = expr(s"qw >> $shift") +:
+      (0 until prefixBits).map(i => expr(s"(qw >> $shift) ^ ${1L << i}"))
+    val q = queries.filter(size(col(vecCol)) >= dim)
+      .select(col(idCol).as("query_id"),
+        hammingWord(col(vecCol), dim, bits, seed).as("qw"))
+      .withColumn("bucket", explode(array(probes: _*)))
+      .localCheckpoint() // probed twice: the IN-list collect + the join
+    val probed = q.select("bucket").distinct().collect()
+      .map(_.getLong(0)).sorted
+    val c = indexed.filter(col("bucket").isin(probed: _*))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("hamming",
+        expr("cast(bit_count(cw ^ qw) as bigint)"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("hamming"))
+  }
+
   /** The standard two-stage binary serving path: a `candK` Hamming
     * shortlist over the 8-byte fingerprints ([[hammingTopK]]), then an
     * exact-cosine re-rank of ONLY the shortlist down to `k` — popcount

@@ -550,6 +550,10 @@ object PipelineQueries {
     */
   private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** The candK sweep points of `ann_hamming_sizing` — shared by the
+    * Spark query and the oracle builder so the two can never drift. */
+  private val hammingSizingCandKs = Seq(5, 10, 25, 50)
+
   private val maxCacheEntries = 8
 
   private val lshPairCache =
@@ -1198,6 +1202,46 @@ object PipelineQueries {
         "embedding", k = 5, candK = 50, dim = 64)
       Similarity.recallAtK(exact, approx, k = 5)
         .select(col("query_id"), col("n_hits"), col("recall"))
+    }),
+
+    // --- the MATERIALIZED blocked-Hamming layout: fingerprints written
+    // PARTITIONED BY prefix bucket, probes arrive as PartitionFilters
+    // (pruned file listing — the "bucket IS a partition key" claim made
+    // concrete), candidates/recall row-identical to ann_hamming_blocked
+    // (same oracle); partition pruning pinned in BucketingSpec ----------
+    "ann_hamming_indexed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_hamming_idx_" + streamSeq.incrementAndGet()).getPath
+      Similarity.writeHammingIndex(e, "vec_id", "embedding", idx,
+        dim = 64, prefixBits = 6)
+      val full = Similarity.hammingTopK(e, q, "vec_id", "embedding",
+        k = 5, dim = 64)
+      val blocked = Similarity.hammingTopKIndexed(s.read.parquet(idx), q,
+        "vec_id", "embedding", k = 5, dim = 64, prefixBits = 6)
+      Similarity.recallAtK(full, blocked, k = 5)
+        .select(col("query_id"), col("n_hits"), col("recall"))
+    }),
+
+    // --- candK sizing sweep for the two-stage binary path: recall@5 of
+    // Hamming-shortlist→cosine-rerank at several shortlist depths, per
+    // (cand_k, query) row — the measurement that picks candK for a
+    // recall target, the ann_pq_recall/ann_recall_eval posture extended
+    // along the depth axis (one exact leg, reused across the sweep) ------
+    "ann_hamming_sizing" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .filter(size(col("embedding")) >= 64) // one universe, both legs
+      val q = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+        k = 5).localCheckpoint() // one brute leg serves all sweep points
+      hammingSizingCandKs.map { ck =>
+        val approx = Similarity.hammingRerankTopK(e, q, "vec_id",
+          "embedding", k = 5, candK = ck, dim = 64)
+        Similarity.recallAtK(exact, approx, k = 5)
+          .select(lit(ck.toLong).as("cand_k"), col("query_id"),
+            col("n_hits"), col("recall"))
+      }.reduce(_ unionByName _)
     }),
 
     // --- ANN over the int8-quantized corpus: the memory-bound serving
@@ -3007,6 +3051,27 @@ object PipelineQueries {
         "stream_pq_" + streamSeq.incrementAndGet())
     }),
 
+    // --- streaming binary-fingerprint encode: the 48-bit Hamming word
+    // computed AT INGEST (map-only, stateless — the streaming plan IS
+    // the batch plan under a micro-batch trigger), completing the binary
+    // ANN regime's ingest story the way stream_pq completes PQ's; the
+    // arriving words append straight into writeHammingIndex's
+    // bucket-partitioned layout ------------------------------------------
+    "stream_hamming" -> ((s, d) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      ss.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+      graft.streaming.FileReplay.oneBatch(ss, s"$d/embeddings.parquet",
+        stream => stream
+          .select(col("vec_id"),
+            col("embedding").cast("array<float>").as("embedding"))
+          .filter(size(col("embedding")) >= 64)
+          .select(col("vec_id"),
+            Similarity.hammingWord(col("embedding"), dim = 64)
+              .as("fingerprint")),
+        "stream_hamming_" + streamSeq.incrementAndGet())
+    }),
+
     // --- streaming cross-corpus dedup: continuous ingest anti-joined
     // against the trained corpus' broadcast band set — stateless (no
     // watermark, no state store); the scale path for "dedup the crawl as
@@ -3091,6 +3156,128 @@ object PipelineQueries {
        |             2 * run + CASE WHEN v[run + 1] >= 0 THEN 1 ELSE 0 END
        |               AS cell_r
        |           FROM ivr)""".stripMargin
+
+  /** The blocked-Hamming recall oracle: corpus words in ONE top-6-bit
+    * bucket, each query probing its own prefix plus the 6 at
+    * prefix-Hamming distance 1, recall@5 joined against the full-scan
+    * baseline. Serves BOTH `ann_hamming_blocked` and
+    * `ann_hamming_indexed` — the partitioned store changes WHERE
+    * candidate rows are read from (pruned bucket directories), not
+    * which rows exist, so the two queries are row-identical by
+    * construction. */
+  private val hammingBlockedRecallSql: String = {
+    val shift = 42
+    val probeList = (Seq(s"hq.qw >> $shift") ++
+      (0 until 6).map(i => s"xor(hq.qw >> $shift, ${1L << i})"))
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings WHERE len(embedding) >= 64),
+       |w AS (SELECT vec_id, ${hammingWordSql("v", 48, 64)} AS word
+       |      FROM e),
+       |hq AS (SELECT vec_id AS query_id, word AS qw FROM w
+       |       WHERE vec_id < 10),
+       |cb AS (SELECT vec_id AS neighbor_id, word,
+       |              word >> $shift AS bucket
+       |       FROM w),
+       |qp AS (SELECT hq.query_id, hq.qw,
+       |              unnest($probeList) AS bucket
+       |       FROM hq),
+       |bs AS (SELECT qp.query_id, cb.neighbor_id,
+       |              bit_count(xor(cb.word, qp.qw)) AS hamming
+       |       FROM cb JOIN qp USING (bucket)
+       |       WHERE cb.neighbor_id <> qp.query_id),
+       |apx AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+       |  FROM bs) WHERE rank <= 5),
+       |hs AS (SELECT hq.query_id, c.vec_id AS neighbor_id,
+       |              bit_count(xor(c.word, hq.qw)) AS hamming
+       |       FROM w c, hq WHERE c.vec_id <> hq.query_id),
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+       |  FROM hs) WHERE rank <= 5)
+       |SELECT query_id, n_hits,
+       |       round(n_hits / CAST(n_exact AS DOUBLE), 6) AS recall
+       |FROM (
+       |  SELECT ex.query_id,
+       |         CAST(sum(CASE WHEN apx.neighbor_id IS NOT NULL
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |         COUNT(*) AS n_exact
+       |  FROM ex LEFT JOIN apx
+       |    ON apx.query_id = ex.query_id
+       |   AND apx.neighbor_id = ex.neighbor_id
+       |  GROUP BY 1)""".stripMargin
+  }
+
+  /** ann_hamming_sizing's oracle: ONE ranked Hamming candidate list and
+    * ONE exact-cosine top-5 leg (MATERIALIZED — each is referenced once
+    * per sweep point, and DuckDB would otherwise re-execute the
+    * query×corpus scans per reference), then per candK a shortlist →
+    * cosine-rerank → recall block, UNION ALL'd with the depth as
+    * `cand_k`. Generated from the same [[hammingSizingCandKs]] the
+    * Spark sweep uses, so the two can never drift. */
+  private def hammingSizingSql(candKs: Seq[Int]): String = {
+    val shared =
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE len(embedding) >= 64),
+         |nv AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+         |           AS nv
+         |  FROM e),
+         |w AS MATERIALIZED (
+         |  SELECT vec_id, ${hammingWordSql("v", 48, 64)} AS word FROM e),
+         |hq AS (SELECT vec_id AS query_id, word AS qw FROM w
+         |       WHERE vec_id < 10),
+         |hs AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id, ham_rank FROM (
+         |    SELECT hq.query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY hq.query_id
+         |             ORDER BY bit_count(xor(c.word, hq.qw)), c.vec_id)
+         |             AS ham_rank
+         |    FROM w c, hq WHERE c.vec_id <> hq.query_id)
+         |  WHERE ham_rank <= ${candKs.max}),
+         |xq AS (SELECT vec_id AS query_id, nv AS qv FROM nv
+         |       WHERE vec_id < 10),
+         |x AS (SELECT xq.query_id, nv.vec_id AS neighbor_id,
+         |        list_dot_product(qv, nv.nv) AS score
+         |      FROM nv, xq WHERE nv.vec_id <> xq.query_id),
+         |ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+         |      AS rank
+         |  FROM x) WHERE rank <= 5)""".stripMargin
+    val perCk = candKs.map { ck =>
+      s""",
+         |rs$ck AS (SELECT sl.query_id, sl.neighbor_id,
+         |              list_dot_product(q.nv, c.nv) AS score
+         |       FROM (SELECT query_id, neighbor_id FROM hs
+         |             WHERE ham_rank <= $ck) sl
+         |       JOIN nv q ON q.vec_id = sl.query_id
+         |       JOIN nv c ON c.vec_id = sl.neighbor_id),
+         |apx$ck AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+         |      AS rank
+         |  FROM rs$ck) WHERE rank <= 5)""".stripMargin
+    }.mkString
+    val selects = candKs.map { ck =>
+      s"""SELECT CAST($ck AS BIGINT) AS cand_k, query_id, n_hits,
+         |       round(n_hits / CAST(n_exact AS DOUBLE), 6) AS recall
+         |FROM (
+         |  SELECT ex.query_id,
+         |         CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |         COUNT(*) AS n_exact
+         |  FROM ex LEFT JOIN apx$ck a
+         |    ON a.query_id = ex.query_id
+         |   AND a.neighbor_id = ex.neighbor_id
+         |  GROUP BY 1)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    shared + perCk + "\n" + selects
+  }
 
   /** The knn_graph oracle's CTE chain up to `g` (the rank≤3 directed edge
     * set) — shared by the graph_pagerank / graph_degree oracles, verbatim
@@ -4911,50 +5098,18 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       // prefix-bucket blocking replayed: corpus words land in ONE
       // bucket (top-6 bits), each query probes its own prefix plus the
       // 6 at prefix-Hamming distance 1, recall joined vs the full scan
-      "ann_hamming_blocked" -> {
-        val shift = 42
-        val probeList = (Seq(s"hq.qw >> $shift") ++
-          (0 until 6).map(i => s"xor(hq.qw >> $shift, ${1L << i})"))
-          .mkString("[", ", ", "]")
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-           |           FROM embeddings WHERE len(embedding) >= 64),
-           |w AS (SELECT vec_id, ${hammingWordSql("v", 48, 64)} AS word
-           |      FROM e),
-           |hq AS (SELECT vec_id AS query_id, word AS qw FROM w
-           |       WHERE vec_id < 10),
-           |cb AS (SELECT vec_id AS neighbor_id, word,
-           |              word >> $shift AS bucket
-           |       FROM w),
-           |qp AS (SELECT hq.query_id, hq.qw,
-           |              unnest($probeList) AS bucket
-           |       FROM hq),
-           |bs AS (SELECT qp.query_id, cb.neighbor_id,
-           |              bit_count(xor(cb.word, qp.qw)) AS hamming
-           |       FROM cb JOIN qp USING (bucket)
-           |       WHERE cb.neighbor_id <> qp.query_id),
-           |apx AS (SELECT query_id, neighbor_id FROM (
-           |  SELECT query_id, neighbor_id, row_number() OVER (
-           |    PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
-           |  FROM bs) WHERE rank <= 5),
-           |hs AS (SELECT hq.query_id, c.vec_id AS neighbor_id,
-           |              bit_count(xor(c.word, hq.qw)) AS hamming
-           |       FROM w c, hq WHERE c.vec_id <> hq.query_id),
-           |ex AS (SELECT query_id, neighbor_id FROM (
-           |  SELECT query_id, neighbor_id, row_number() OVER (
-           |    PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
-           |  FROM hs) WHERE rank <= 5)
-           |SELECT query_id, n_hits,
-           |       round(n_hits / CAST(n_exact AS DOUBLE), 6) AS recall
-           |FROM (
-           |  SELECT ex.query_id,
-           |         CAST(sum(CASE WHEN apx.neighbor_id IS NOT NULL
-           |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-           |         COUNT(*) AS n_exact
-           |  FROM ex LEFT JOIN apx
-           |    ON apx.query_id = ex.query_id
-           |   AND apx.neighbor_id = ex.neighbor_id
-           |  GROUP BY 1)""".stripMargin
-      },
+      "ann_hamming_blocked" -> hammingBlockedRecallSql,
+
+      // the MATERIALIZED layout changes WHERE candidate rows are read
+      // from (pruned bucket partitions), not WHICH rows exist — the
+      // query is row-identical to ann_hamming_blocked by construction,
+      // so it shares the oracle verbatim
+      "ann_hamming_indexed" -> hammingBlockedRecallSql,
+
+      // one ranked Hamming list + one exact leg, then a shortlist→
+      // rerank→recall block per candK — generated from the SAME sweep
+      // points as the Spark query
+      "ann_hamming_sizing" -> hammingSizingSql(hammingSizingCandKs),
 
       // Hamming shortlist (rank ≤ 50 by integer distance) → exact-cosine
       // rerank of only the shortlist → recall join vs the exact top-5
@@ -7722,6 +7877,14 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           """SELECT vec_id, CAST(j AS BIGINT) AS subspace,
             |       CAST(c AS BIGINT) AS code
             |FROM a""".stripMargin),
+
+      // ingest-time fingerprint encode is the batch hammingWord under a
+      // micro-batch trigger (map-only, stateless) — the oracle is the
+      // plain word projection
+      "stream_hamming" ->
+        s"""SELECT vec_id, ${hammingWordSql("v", 48, 64)} AS fingerprint
+           |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |      FROM embeddings WHERE len(embedding) >= 64)""".stripMargin,
 
       "stream_quality" ->
         s"""SELECT q.doc_id, d.source, q.n_words, q.stop_hits

@@ -40,6 +40,60 @@ class BucketingSpec extends SparkSpec {
     } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("hamming index: probe buckets arrive as PartitionFilters (pruned " +
+    "listing) and results are row-identical to the un-materialized " +
+    "blocked scan") {
+    import graft.llm.Similarity
+    import org.apache.spark.sql.functions.{col, size}
+    val e = graft.core.Tables.embeddings(spark, sf001)
+    val q = e.filter($"vec_id" < 10)
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_hamming_idx_spec").getPath
+    Similarity.writeHammingIndex(e, "vec_id", "embedding", dir,
+      dim = 64, prefixBits = 6)
+    val idx = spark.read.parquet(dir)
+    val out = Similarity.hammingTopKIndexed(idx, q, "vec_id", "embedding",
+      k = 5, dim = 64, prefixBits = 6)
+    // 1. the probed-bucket IN-list lands in PartitionFilters on the
+    //    index scan — unprobed bucket directories are never listed/read
+    val plan = out.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("Scan parquet") || l.contains("FileScan"))
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("bucket"), s"no partition pruning:\n$plan")
+    assert(!plan.contains("PartitionFilters: []"),
+      s"empty PartitionFilters — probe IN-list not pushed:\n$scanLine")
+    // 2. fewer partition dirs read than written: the fixture's 10
+    //    queries probe ≤ 70 of the occupied 6-bit buckets; verify via
+    //    the pruned scan's partition count vs the store's (descending
+    //    through the AQE wrapper to reach the index's file scan)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val written = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("bucket="))
+    val probed = scans(out.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("graft_hamming_idx_spec")))
+      .map(_.selectedPartitions.partitionCount).headOption
+    assert(probed.nonEmpty, "no FileSourceScanExec over the index found")
+    assert(probed.get < written && probed.get > 0,
+      s"pruning read ${probed.get} of $written partitions")
+    // 3. candidate semantics unchanged: row-identical to the blocked
+    //    scan over the same corpus (both universes len ≥ 64)
+    val blocked = Similarity.hammingTopKBlocked(
+      e.filter(size($"embedding") >= 64), q, "vec_id", "embedding",
+      k = 5, dim = 64, prefixBits = 6)
+    val a = out.collect().map(_.toSeq).sortBy(_.toString)
+    val b = blocked.collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq == b.toSeq, "indexed ≠ blocked")
+    assert(a.nonEmpty)
+  }
+
   test("site-partitioned store write prunes partitions on the site filter") {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_part_store").getPath

@@ -77,9 +77,11 @@ class PlanSpec extends SparkSpec {
       "ann_hard_negatives_ivf",
       // the binary regime's brute scan is 8-byte words by design (the
       // point of the representation); the recall/rerank/blocked evals
-      // add the exact leg (cosine or full fingerprint scan) as baseline
+      // add the exact leg (cosine or full fingerprint scan) as baseline;
+      // indexed/sizing reuse those same baseline legs (the candidate
+      // generation itself is a pruned equi-join / shortlist equi-join)
       "ann_hamming_topk", "ann_hamming_recall", "ann_hamming_rerank",
-      "ann_hamming_blocked",
+      "ann_hamming_blocked", "ann_hamming_indexed", "ann_hamming_sizing",
       // the 1-row cut threshold broadcast-attaches to the |sources|
       // planning frame (the corpus-stat scalar-attach pattern)
       "mixture_waterfill")

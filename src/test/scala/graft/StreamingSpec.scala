@@ -370,6 +370,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming fingerprint encode: per-batch map-only words, " +
+    "batch-equal across micro-batch boundaries") {
+    import graft.llm.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    def vec(i: Int): Array[Float] =
+      (1 to 64).map(j => ((i * j) % 7 - 3).toFloat).toArray
+    val b1 = Seq(1, 2, 3).map(i => (i.toLong, vec(i)))
+    val b2 = Seq(4, 5).map(i => (i.toLong, vec(i)))
+    val short = (6L, Array(1.0f, 2.0f)) // < dim: must degrade out
+    val input = MemoryStream[(Long, Array[Float])]
+    val words = input.toDS().toDF("vec_id", "embedding")
+      .filter(size(col("embedding")) >= 64)
+      .select(col("vec_id"),
+        Similarity.hammingWord(col("embedding"), dim = 64).as("fingerprint"))
+    val q = words.writeStream.format("memory").queryName("hamwords")
+      .outputMode("append").start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      assert(spark.table("hamwords").count() == 3)
+      input.addData(b2 :+ short)
+      q.processAllAvailable()
+      val streamed = spark.table("hamwords").as[(Long, Long)]
+        .collect().sorted.toSeq
+      // stateless encode: the batch plan over the union input agrees
+      // row for row, and the short vector degraded out of both
+      val batch = (b1 ++ b2 :+ short).toDF("vec_id", "embedding")
+        .filter(size(col("embedding")) >= 64)
+        .select(col("vec_id"),
+          Similarity.hammingWord(col("embedding"), dim = 64)
+            .as("fingerprint"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(streamed == batch && streamed.length == 5)
+    } finally q.stop()
+  }
+
   test("spread-wrapped map operators stay streaming-compatible") {
     import graft.llm.{Dedup, TextAnalysis}
     implicit val sqlCtx = spark.sqlContext

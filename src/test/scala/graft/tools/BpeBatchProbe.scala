@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch probe — dev only: replays every real training round of
+  * `bpe_train_deep`'s corpus at `$SPARK_GRAFT_SF_DIR` against a replica
+  * of the PRE-round-11 batch selector (guard (c) without the in-batch
+  * minted set), reporting whether the r11 guard ever changes a batch at
+  * this SF — the direct mechanism check behind the r11 bench move.
+  *
+  * Usage: `sbt "Test/runMain graft.tools.BpeBatchProbe"`
+  */
+object BpeBatchProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def preGuard(top: IndexedSeq[(String, String, Long)], want: Int,
+                 symbols: String => Boolean)
+        : IndexedSeq[(String, String, Long)] = {
+      val acc = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Long)]
+      val used = scala.collection.mutable.Set.empty[String]
+      var idx = 0
+      var closed = false
+      while (!closed && idx < math.min(want, top.length)) {
+        val (l, r, _) = top(idx)
+        if (idx > 0 && (l == r || used(l) || used(r))) closed = true
+        else {
+          acc += top(idx); used += l; used += r; idx += 1
+          if (l == r) closed = true
+        }
+      }
+      if (acc.length > 1) {
+        val cut = acc.indexWhere(c => symbols(c._1 + c._2))
+        if (cut >= 0) acc.dropRightInPlace(acc.length - math.max(1, cut))
+      }
+      if (acc.length > 1 && top.length > acc.length) {
+        val nc = top(acc.length)._3
+        while (acc.length > 1 && acc.last._3 == nc) acc.dropRightInPlace(1)
+      }
+      acc.toIndexedSeq
+    }
+
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    var rounds = 0
+    var mismatches = 0
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val t0 = System.nanoTime()
+    val n = graft.llm.Bpe.trainObserved(docs, "text", merges = 500,
+      batchCap = 8, (top, want, syms, acc) => {
+        rounds += 1
+        sizes += acc.length
+        val pre = preGuard(top, want, syms)
+        if (acc != pre) {
+          mismatches += 1
+          println(s"DIFF round $rounds: acc=$acc pre=$pre")
+        }
+      }).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"BPEPROBE sf=$sfDir merges=$n rounds=$rounds " +
+      f"mismatches=$mismatches wall=$secs%.2f s")
+    println(s"BPEPROBE sizes=${sizes.mkString(",")}")
+    spark.stop()
+  }
+}
