@@ -615,6 +615,56 @@ object Similarity {
         round(col("score"), roundScore).as("score"))
   }
 
+  /** Materialize [[ivfTopK]]'s "partition the corpus by cell at write
+    * time" plan: the normalized-vector table written PARTITIONED BY the
+    * coarse cell — one map-only pass (normalize + argmax cell are
+    * row-local, the write shuffles nothing), at most 2m directories.
+    * The float-regime sibling of [[writeHammingIndex]]. */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    path: String, m: Int = 4): Unit = {
+    val (cw, _) = axisCells(col(vecCol), m)
+    corpus.filter(size(col(vecCol)) >= m)
+      .select(col(idCol).as("neighbor_id"),
+        normalize(col(vecCol)).as("cv"), cw.as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** [[ivfTopK]] served from a [[writeIvfIndex]] store: identical
+    * probing, scoring and ranking, but the corpus side is the
+    * partitioned table restricted by a LITERAL cell IN-list — the
+    * probed cells become `PartitionFilters` on the scan, so a query
+    * batch reads `probes` partitions per query and never lists the
+    * rest. The IN-list collect is bounded by the CELL DOMAIN (≤ 2m
+    * ints — 8 at the default), independent of batch and corpus size.
+    * Hint-free join (the [[hammingTopKIndexed]] posture): AQE
+    * broadcasts a small probe batch, shuffles a corpus-scale one.
+    * Row-identical to [[ivfTopK]] on the same corpus
+    * (`ann_ivf_indexed` shares `ann_ivf_topk`'s oracle). */
+  def ivfTopKIndexed(indexed: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     m: Int = 4, probes: Int = 2,
+                     roundScore: Int = 6): DataFrame = {
+    require(probes >= 1 && probes <= 2, s"probes=$probes not in 1..2")
+    val (cw, cr) = axisCells(col(vecCol), m)
+    val q = queries.filter(size(col(vecCol)) >= m)
+      .select(col(idCol).as("query_id"),
+        normalize(col(vecCol)).as("qv"),
+        explode(array(Seq(cw, cr).take(probes): _*)).as("cell"))
+      .localCheckpoint() // probed twice: the IN-list collect + the join
+    val probed = q.select("cell").distinct().collect()
+      .map(_.getInt(0)).sorted
+    val c = indexed.filter(col("cell").isin(probed: _*))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", dot(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), roundScore).as("score"))
+  }
+
   /** Recall@k of an approximate ANN result against the exact baseline:
     * per query, the fraction of the exact top-k the approximate result
     * also returned. Both inputs are (query_id, rank, neighbor_id, …)

@@ -1145,6 +1145,22 @@ object PipelineQueries {
           col("neighbor_id"))
     }),
 
+    // --- the MATERIALIZED IVF layout: normalized vectors written
+    // partitionBy(cell), probes arrive as a literal cell IN-list →
+    // PartitionFilters (the float-regime sibling of
+    // ann_hamming_indexed); row-identical to ann_ivf_topk, same oracle --
+    "ann_ivf_indexed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_ivf_idx_" + streamSeq.incrementAndGet()).getPath
+      Similarity.writeIvfIndex(e, "vec_id", "embedding", idx, m = 4)
+      Similarity.ivfTopKIndexed(s.read.parquet(idx),
+        e.filter(col("vec_id") < 50),
+        "vec_id", "embedding", k = 3, m = 4, probes = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+    }),
+
     // --- ANN over packed 48-bit sign fingerprints: the BINARY serving
     // regime (8 bytes/vector; XOR+popcount per candidate) — all-integer
     // scores, ties on id, replays engine-exactly ---------------------------
@@ -3157,6 +3173,37 @@ object PipelineQueries {
        |               AS cell_r
        |           FROM ivr)""".stripMargin
 
+  /** The IVF top-k oracle — serves BOTH `ann_ivf_topk` and
+    * `ann_ivf_indexed`: the materialized cell store changes WHERE
+    * candidate rows are read from, not which rows exist, so the two
+    * queries are row-identical by construction. */
+  private lazy val ivfTopKSql: String =
+    s"""WITH e0 AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |nv AS (
+       |  SELECT vec_id,
+       |         list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+       |           AS nv
+       |  FROM e0),
+       |""".stripMargin +
+      ivfCellCtes("e0") + """,
+       |q AS (SELECT cc.vec_id AS query_id, n.nv AS qv,
+       |             unnest([cell_w, cell_r]) AS cell
+       |      FROM ivcell cc JOIN nv n USING (vec_id)
+       |      WHERE cc.vec_id < 50),
+       |c AS (SELECT cc.vec_id AS neighbor_id, n.nv AS cv,
+       |             cell_w AS cell
+       |      FROM ivcell cc JOIN nv n USING (vec_id)),
+       |s AS (SELECT q.query_id, c.neighbor_id,
+       |             list_dot_product(qv, cv) AS score
+       |      FROM c JOIN q USING (cell) WHERE c.neighbor_id <> q.query_id)
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM s) WHERE rank <= 3""".stripMargin
+
   /** The blocked-Hamming recall oracle: corpus words in ONE top-6-bit
     * bucket, each query probing its own prefix plus the 6 at
     * prefix-Hamming distance 1, recall@5 joined against the full-scan
@@ -5162,32 +5209,12 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |   AND apx.neighbor_id = ex.neighbor_id
            |  GROUP BY 1)""".stripMargin,
 
-      "ann_ivf_topk" ->
-        (s"""WITH e0 AS (
-          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-          |  FROM embeddings),
-          |nv AS (
-          |  SELECT vec_id,
-          |         list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
-          |           AS nv
-          |  FROM e0),
-          |""".stripMargin +
-          ivfCellCtes("e0") + """,
-          |q AS (SELECT cc.vec_id AS query_id, n.nv AS qv,
-          |             unnest([cell_w, cell_r]) AS cell
-          |      FROM ivcell cc JOIN nv n USING (vec_id)
-          |      WHERE cc.vec_id < 50),
-          |c AS (SELECT cc.vec_id AS neighbor_id, n.nv AS cv,
-          |             cell_w AS cell
-          |      FROM ivcell cc JOIN nv n USING (vec_id)),
-          |s AS (SELECT q.query_id, c.neighbor_id,
-          |             list_dot_product(qv, cv) AS score
-          |      FROM c JOIN q USING (cell) WHERE c.neighbor_id <> q.query_id)
-          |SELECT query_id, rank, neighbor_id FROM (
-          |  SELECT query_id, neighbor_id,
-          |         CAST(row_number() OVER (PARTITION BY query_id
-          |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
-          |  FROM s) WHERE rank <= 3""".stripMargin),
+      "ann_ivf_topk" -> ivfTopKSql,
+
+      // the partitioned cell store changes WHERE candidate rows are
+      // read from (PartitionFilters-pruned cell directories), not which
+      // rows exist — row-identical to ann_ivf_topk, same oracle
+      "ann_ivf_indexed" -> ivfTopKSql,
 
       // replays CountMin.build + probe exactly: 32-bit md5-prefix buckets
       // of the row-salted token, min over the d=3 counter rows
