@@ -64,27 +64,46 @@ object Clustering {
     require(k >= 1 && iters >= 1, s"k=$k, iters=$iters must be >= 1")
     val base = df.filter(size(col(vecCol)) === dim)
       .select(col(idCol).as("__id"), quantize(col(vecCol)).as("__w"))
+    val centroids = trainCentroids(base, k, iters, dim)
+    // one scores array per row; cluster and d2 both derive from it
+    base.withColumn("__s", scoresFor(centroids))
+      .select(col("__id").as(idCol),
+        (array_position(col("__s"), array_min(col("__s"))) - lit(1L))
+          .as("cluster"),
+        round(VectorOps.dot(col("__w"), col("__w")) + array_min(col("__s")), 6)
+          .as("d2"))
+  }
 
-    // Deterministic init: the k lowest-id quantized vectors. k rows to the
-    // driver — the only data that ever leaves the executors.
-    var centroids: IndexedSeq[Array[Double]] =
-      base.orderBy(col("__id")).limit(k).collect()
-        .map(_.getSeq[Double](1).toArray).toIndexedSeq
-
-    // score_j = c_j·c_j − 2·(w·c_j); argmin with first-index tie-break via
-    // array_position(scores, min) — 1-based, so −1. c_j·c_j is built from
-    // the SAME fold the per-row kernel uses (constant-folded by Catalyst),
-    // not driver math, so its rounding provably matches the oracle's
-    // list_dot_product(c, c).
-    def scoresArr: Column = array(centroids.map { c =>
+  /** score_j = c_j·c_j − 2·(w·c_j) per centroid, as ONE array column.
+    * c_j·c_j is built from the SAME fold the per-row kernel uses
+    * (constant-folded by Catalyst), not driver math, so its rounding
+    * provably matches the oracle's list_dot_product(c, c). Expects the
+    * quantized vector in `__w`. */
+  private def scoresFor(centroids: IndexedSeq[Array[Double]]): Column =
+    array(centroids.map { c =>
       val cl = typedlit(c.toSeq)
       VectorOps.dot(cl, cl) - lit(2.0) * VectorOps.dot(col("__w"), cl)
     }: _*)
-    def assignCol: Column =
-      array_position(scoresArr, array_min(scoresArr)) - lit(1L)
+
+  /** Lloyd's update loop shared by [[kmeansScored]] and [[silhouette]]:
+    * deterministic init (the k lowest-id quantized vectors — k rows to
+    * the driver, the only data that ever leaves the executors), then
+    * `iters`−1 assignment/update rounds. Component sums are exact
+    * (dyadic inputs), so map-side partial aggregation order is
+    * irrelevant; k×dim rows collect per round. Expects `base` as
+    * (__id, __w-quantized). */
+  private[graft] def trainCentroids(base: DataFrame, k: Int, iters: Int,
+                                    dim: Int): IndexedSeq[Array[Double]] = {
+    var centroids: IndexedSeq[Array[Double]] =
+      base.orderBy(col("__id")).limit(k).collect()
+        .map(_.getSeq[Double](1).toArray).toIndexedSeq
+    // argmin with first-index tie-break via array_position(scores, min) —
+    // 1-based, so −1
+    def assignCol: Column = {
+      val s = scoresFor(centroids)
+      array_position(s, array_min(s)) - lit(1L)
+    }
     for (_ <- 1 until iters) {
-      // Update: component sums are exact (dyadic inputs), so the map-side
-      // partial aggregation order is irrelevant. k×dim rows collect.
       val sums = base.withColumn("cluster", assignCol)
         .select(col("cluster"), posexplode(col("__w")))
         .groupBy("cluster", "pos")
@@ -101,13 +120,48 @@ object Clustering {
         }
       }
     }
-    // one scores array per row; cluster and d2 both derive from it
-    base.withColumn("__s", scoresArr)
-      .select(col("__id").as(idCol),
-        (array_position(col("__s"), array_min(col("__s"))) - lit(1L))
-          .as("cluster"),
-        round(VectorOps.dot(col("__w"), col("__w")) + array_min(col("__s")), 6)
-          .as("d2"))
+    centroids
+  }
+
+  /** Centroid-based (simplified) silhouette per vector — the standard
+    * scalable stand-in for full silhouette (whose pairwise distances are
+    * quadratic and un-replayable): a = distance to the ASSIGNED
+    * centroid, b = distance to the nearest OTHER centroid, sil =
+    * (b − a) / max(a, b) ∈ [−1, 1]. Negative rows sit closer to another
+    * cluster than their own — the "is k right / did clustering separate
+    * anything" diagnostic read before acting on kmeans output
+    * (SemDeDup, curricula, coresets).
+    *
+    * Scale shape: identical to [[kmeans]] — the training collects k×dim
+    * centroid rows per round, then ONE map-only pass computes all k
+    * scores per row in a single projection; no join, no window, the
+    * corpus never shuffles. Engine-exact: both distances derive from
+    * the same raw score array the assignment uses (min commutes with
+    * the constant +w·w addition — IEEE rounding is monotone), sqrt is a
+    * correctly-rounded single op on identical operands, and the argmin
+    * position is excluded BY INDEX so duplicate centroids (empty-
+    * cluster carry) can't double-count. Output: (idCol, cluster, sil
+    * rounded to `roundScore`). */
+  def silhouette(df: DataFrame, idCol: String, vecCol: String,
+                 k: Int, iters: Int, dim: Int,
+                 roundScore: Int = 6): DataFrame = {
+    require(k >= 2, s"k=$k: silhouette needs a second centroid")
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    val base = df.filter(size(col(vecCol)) === dim)
+      .select(col(idCol).as("__id"), quantize(col(vecCol)).as("__w"))
+    val centroids = trainCentroids(base, k, iters, dim)
+    val sa2 = greatest(col("__ww") + array_min(col("__s")), lit(0.0))
+    val sb2 = greatest(col("__ww") + col("__sb"), lit(0.0))
+    base.withColumn("__s", scoresFor(centroids))
+      .withColumn("__ww", VectorOps.dot(col("__w"), col("__w")))
+      .withColumn("cluster",
+        array_position(col("__s"), array_min(col("__s"))) - lit(1L))
+      .withColumn("__sb", array_min(
+        filter(col("__s"), (_, i) => i.cast("long") =!= col("cluster"))))
+      .select(col("__id").as(idCol), col("cluster"),
+        when(greatest(sqrt(sa2), sqrt(sb2)) === 0.0, lit(0.0))
+          .otherwise(round((sqrt(sb2) - sqrt(sa2)) /
+            greatest(sqrt(sa2), sqrt(sb2)), roundScore)).as("sil"))
   }
 
   /** Per-cluster farthest-from-centroid ranking — the candidate

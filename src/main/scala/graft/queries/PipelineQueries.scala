@@ -1711,6 +1711,14 @@ object PipelineQueries {
       Clustering.farthestPerCluster(Tables.embeddings(s, d), "vec_id",
         "embedding", k = 8, iters = 2, dim = 64, perCluster = 3)),
 
+    // --- centroid-based silhouette per vector: the "is k right" quality
+    // diagnostic over the same kmeans state — a = own-centroid distance,
+    // b = nearest-other-centroid distance, sil = (b−a)/max(a,b); one
+    // map-only pass, the corpus never shuffles ---------------------------
+    "cluster_silhouette" -> ((s, d) =>
+      Clustering.silhouette(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = 8, iters = 2, dim = 64)),
+
     // --- SemDeDup: cluster-then-prune semantic dedup -------------------------
     // Within each k-means cluster, drop vectors with a lower-id cosine>=τ
     // neighbor; output the kept rows. The clustering bounds the pair join,
@@ -5784,6 +5792,30 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       "embed_kmeans" ->
         (s"WITH ${kmeansCtes(8, 2, 64)}\n" +
           "SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a2"),
+
+      // centroid silhouette over the same unrolled kmeans state: both
+      // distances derive from the raw per-centroid score rows (min
+      // commutes with the constant +w·w addition — IEEE rounding is
+      // monotone), the "other" leg excludes the ASSIGNED index, sqrt +
+      // one division on identical operands
+      "cluster_silhouette" ->
+        (s"WITH ${kmeansCtes(8, 2, 64)},\n" +
+          """ww AS (SELECT vec_id, list_dot_product(w, w) AS ww FROM wq),
+            |mn AS (SELECT vec_id, min(s) AS smin FROM s2 GROUP BY 1),
+            |oth AS (SELECT s2.vec_id, min(s2.s) AS sother
+            |        FROM s2 JOIN a2 ON a2.vec_id = s2.vec_id
+            |        WHERE s2.j <> a2.cluster GROUP BY 1),
+            |fin AS (SELECT a2.vec_id, a2.cluster,
+            |          sqrt(greatest(ww.ww + mn.smin, 0.0)) AS sa,
+            |          sqrt(greatest(ww.ww + oth.sother, 0.0)) AS sb
+            |        FROM a2 JOIN ww ON ww.vec_id = a2.vec_id
+            |          JOIN mn ON mn.vec_id = a2.vec_id
+            |          JOIN oth ON oth.vec_id = a2.vec_id)
+            |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+            |       CASE WHEN greatest(sa, sb) = 0 THEN 0.0
+            |            ELSE round((sb - sa) / greatest(sa, sb), 6)
+            |       END AS sil
+            |FROM fin""".stripMargin),
 
       // power iteration unrolled: per-row dots and u-sums are exact
       // dyadics (orderless SUM ≡ the engine's sequential folds); only

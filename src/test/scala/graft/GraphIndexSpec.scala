@@ -658,6 +658,35 @@ class GraphIndexSpec extends SparkSpec {
       s"degenerate spectrum must null: ${f.mkString(",")}")
   }
 
+  test("silhouette: hand-computed on two clean 2-D clusters; argmin " +
+    "excluded by index; degenerate zero distances give 0") {
+    // ids 1,2 seed the two centroids; after the single update round the
+    // centroids are (0, 0.5) and (10, 10.5) — all coordinates dyadic, so
+    // quantization and the score folds are exact.
+    val pts = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(10.0f, 10.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(10.0f, 11.0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.llm.Clustering.silhouette(pts, "vec_id", "embedding",
+        k = 2, iters = 2, dim = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out(1L)._1 == 0L && out(2L)._1 == 1L)
+    assert(out(1L)._1 == out(3L)._1 && out(2L)._1 == out(4L)._1)
+    // point (0,0): a = 0.5 (own centroid), b = √(10² + 10.5²) = √210.25
+    // = 14.5 exactly → sil = 14/14.5 = 0.9655172…
+    assert(out(1L)._2 == 0.965517, out(1L).toString)
+    assert(out.values.forall(_._2 > 0.9), s"clean separation: $out")
+    // both centroids identical (duplicate seed vectors): a = b = 0 for
+    // the seed point — the 0/0 guard must emit 0.0, not NaN
+    val dup = Seq((1L, Array(1.0f, 1.0f)), (2L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val d = graft.llm.Clustering.silhouette(dup, "vec_id", "embedding",
+        k = 2, iters = 1, dim = 2)
+      .collect().map(_.getDouble(2))
+    assert(d.forall(_ == 0.0), d.mkString(","))
+  }
+
   test("bpe training replays the classic merge sequence") {
     // corpus: aaab ×2, ab ×1.
     // r1: (a,a)=4 wins → aaab segments <aa><a><b>
