@@ -2688,6 +2688,23 @@ object PipelineQueries {
       graft.llm.Bpe.segmentCorpus(Tables.documents(s, d), "text",
         "doc_id", merges = 6)),
 
+    // --- tokenizer fertility (BPE tokens per word) per language: the
+    // multilingual-tokenizer-budget diagnostic — a high-fertility
+    // language pays more sequence length per word. Grouped integer sums
+    // over the map-only segmentation + one exact ppm division ------------
+    "bpe_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.llm.Bpe.segmentCorpus(docs, "text", "doc_id", merges = 6)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+          sum(col("n_words")).as("n_words"))
+        .select(col("lang"), col("n_bpe_tokens"), col("n_words"),
+          when(col("n_words") === 0, lit(null).cast("long"))
+            .otherwise(expr("(n_bpe_tokens * 1000000) div n_words"))
+            .as("fertility_ppm"))
+    }),
+
     // --- DEEP BPE training: a 500-merge budget (the corpus fuses
     // completely first — training ends when no adjacent pair remains).
     // Incremental pair-delta maintenance: the corpus is scanned once,
@@ -3180,6 +3197,37 @@ object PipelineQueries {
        |             2 * run + CASE WHEN v[run + 1] >= 0 THEN 1 ELSE 0 END
        |               AS cell_r
        |           FROM ivr)""".stripMargin
+
+  /** The 6-merge BPE segmentation oracle (train replay + per-doc token
+    * counts) — serves `bpe_segment` directly and `bpe_fertility` as a
+    * nested CTE. */
+  private lazy val bpeSegmentSql: String =
+    s"WITH ${bpeCtes(6)},\n" +
+      """doc0 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         array_to_string(list_transform(
+        |           list_filter(string_split_regex(text, '\s+'),
+        |             w -> w NOT LIKE '%<%' AND w NOT LIKE '%>%'),
+        |           w -> regexp_replace(w, '(.)', '<\1>', 'g')), ' ')
+        |           AS v,
+        |         CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+        |           AS n_words
+        |  FROM documents),
+        |""".stripMargin +
+      (1 to 6).map(k =>
+        s"""doc$k AS MATERIALIZED (
+           |  SELECT doc_id, replace(v,
+           |    '<' || (SELECT l FROM t$k) || '><' ||
+           |      (SELECT r FROM t$k) || '>',
+           |    '<' || (SELECT l FROM t$k) ||
+           |      (SELECT r FROM t$k) || '>') AS v, n_words
+           |  FROM doc${k - 1})""".stripMargin).mkString(",\n") +
+      """
+        |SELECT doc_id,
+        |       CAST(length(v) - length(replace(v, '<', '')) AS BIGINT)
+        |         AS n_bpe_tokens,
+        |       n_words
+        |FROM doc6""".stripMargin
 
   /** The IVF top-k oracle — serves BOTH `ann_ivf_topk` and
     * `ann_ivf_indexed`: the materialized cell store changes WHERE
@@ -7201,33 +7249,21 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
 
       // training CTEs + the chained doc-level replaces; token count =
       // number of '<' cell openers
-      "bpe_segment" ->
-        (s"WITH ${bpeCtes(6)},\n" +
-          """doc0 AS MATERIALIZED (
-            |  SELECT doc_id,
-            |         array_to_string(list_transform(
-            |           list_filter(string_split_regex(text, '\s+'),
-            |             w -> w NOT LIKE '%<%' AND w NOT LIKE '%>%'),
-            |           w -> regexp_replace(w, '(.)', '<\1>', 'g')), ' ')
-            |           AS v,
-            |         CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
-            |           AS n_words
-            |  FROM documents),
-            |""".stripMargin +
-          (1 to 6).map(k =>
-            s"""doc$k AS MATERIALIZED (
-               |  SELECT doc_id, replace(v,
-               |    '<' || (SELECT l FROM t$k) || '><' ||
-               |      (SELECT r FROM t$k) || '>',
-               |    '<' || (SELECT l FROM t$k) ||
-               |      (SELECT r FROM t$k) || '>') AS v, n_words
-               |  FROM doc${k - 1})""".stripMargin).mkString(",\n") +
-          """
-            |SELECT doc_id,
-            |       CAST(length(v) - length(replace(v, '<', '')) AS BIGINT)
-            |         AS n_bpe_tokens,
-            |       n_words
-            |FROM doc6""".stripMargin),
+      "bpe_segment" -> bpeSegmentSql,
+
+      // per-language tokenizer fertility over the same 6-merge replay:
+      // grouped integer sums + one exact ppm division
+      "bpe_fertility" ->
+        s"""WITH seg AS ($bpeSegmentSql)
+           |SELECT d.lang,
+           |       CAST(sum(seg.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+           |       CAST(sum(seg.n_words) AS BIGINT) AS n_words,
+           |       CASE WHEN sum(seg.n_words) = 0 THEN NULL
+           |            ELSE CAST((sum(seg.n_bpe_tokens) * 1000000)
+           |                      // sum(seg.n_words) AS BIGINT)
+           |       END AS fertility_ppm
+           |FROM seg JOIN documents d USING (doc_id)
+           |GROUP BY 1""".stripMargin,
 
       // centi-unit longs; HUGEINT moment sums mirror Spark's
       // decimal(37,0) products exactly; one shared IEEE tree at the end

@@ -406,6 +406,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming fingerprints APPEND into the bucket-partitioned index " +
+    "store — the streamed store equals the batch-written one") {
+    import graft.llm.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    def vec(i: Int): Array[Float] =
+      (1 to 64).map(j => ((i * j) % 11 - 5).toFloat).toArray
+    val b1 = Seq(1, 2, 3).map(i => (i.toLong, vec(i)))
+    val b2 = Seq(4, 5, 6).map(i => (i.toLong, vec(i)))
+    def freshDir(tag: String): java.io.File = {
+      val f = new java.io.File(System.getProperty("java.io.tmpdir"), tag)
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) Option(x.listFiles).foreach(_.foreach(rm))
+        x.delete()
+      }
+      rm(f); f
+    }
+    val streamDir = freshDir("graft_hamming_stream_idx")
+    val batchDir = freshDir("graft_hamming_stream_idx_batch")
+    val ckpt = freshDir("graft_hamming_stream_idx_ckpt")
+    val shift = 48 - 6
+    val input = MemoryStream[(Long, Array[Float])]
+    val words = input.toDS().toDF("vec_id", "embedding")
+      .filter(size(col("embedding")) >= 64)
+      .select(col("vec_id").as("neighbor_id"),
+        Similarity.hammingWord(col("embedding"), dim = 64).as("cw"))
+      .withColumn("bucket", expr(s"cw >> $shift"))
+    val q = words.writeStream
+      .option("checkpointLocation", ckpt.getPath)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").partitionBy("bucket")
+          .parquet(streamDir.getPath)
+      }.start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the batch layout over the union input is the reference store
+    Similarity.writeHammingIndex((b1 ++ b2).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", batchDir.getPath, dim = 64, prefixBits = 6)
+    def readStore(p: String) = spark.read.parquet(p)
+      .select(col("neighbor_id"), col("cw"), col("bucket").cast("long"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val s = readStore(streamDir.getPath)
+    val b = readStore(batchDir.getPath)
+    assert(s == b && s.length == 6, s"streamed store diverged: $s vs $b")
+    // and the streamed store serves queries identically
+    val qdf = (b1 ++ b2).toDF("vec_id", "embedding")
+    val fromStream = Similarity.hammingTopKIndexed(
+      spark.read.parquet(streamDir.getPath), qdf, "vec_id", "embedding",
+      k = 2, dim = 64, prefixBits = 6).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    val fromBatch = Similarity.hammingTopKIndexed(
+      spark.read.parquet(batchDir.getPath), qdf, "vec_id", "embedding",
+      k = 2, dim = 64, prefixBits = 6).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    assert(fromStream == fromBatch)
+  }
+
   test("spread-wrapped map operators stay streaming-compatible") {
     import graft.llm.{Dedup, TextAnalysis}
     implicit val sqlCtx = spark.sqlContext
