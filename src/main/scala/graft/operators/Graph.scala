@@ -501,18 +501,30 @@ object Graph {
         coalesce(col("deg"), lit(0L)).as("core_deg"))
   }
 
-  /** Convergence certificate for [[kCore]]'s bounded peel: survivor
-    * counts (vertices with residual degree ≥ `k`) after `rounds` and
-    * after `rounds`+1 peel iterations, plus `converged` — whether they
-    * agree. Peeling is monotone (edge and member sets only shrink), so
-    * equal COUNTS imply equal SETS imply a fixpoint: `converged=true`
-    * certifies the bounded result IS the exact k-core; `false` says the
-    * caller's round budget under-peeled and should be raised.
+  /** Convergence certificate for [[kCore]]'s bounded peel. One row:
+    *
+    *  - `survivors_r` / `survivors_r1`: vertices with residual degree
+    *    ≥ `k` after `rounds` and `rounds`+1 peels — the honest
+    *    intermediate read (how much the next round would still move);
+    *  - `pending_below_k`: vertices STILL PRESENT in the residual edge
+    *    frame with degree < `k` — the next round's peel set;
+    *  - `converged` = `pending_below_k` == 0.
+    *
+    * The sound fixpoint test is `pending_below_k` == 0 — every residual
+    * vertex keeps ≥ k residual neighbors, so the next restriction
+    * removes nothing and the bounded result IS the exact k-core
+    * (membership AND residual degrees final). Comparing survivor
+    * COUNTS at R and R+1 is NOT sufficient, though it looks monotone:
+    * membership can plateau for a round while member↔non-member edges
+    * are still being deleted, so residual degrees (and, rounds later,
+    * membership itself) may still change — a randomized property test
+    * caught exactly that graph (PropertySpec; member sets equal at
+    * R/R+1, a member's core_deg still dropped at R+2).
     *
     * Cost: the shared peel prefix (identical jobs to [[kCore]]), ONE
-    * extra peel round, and a single 1-row hash aggregate over the two
-    * tagged member frames — no corpus crossJoin, no collect. Output:
-    * one row (survivors_r, survivors_r1, converged). */
+    * extra peel round for the survivors_r1 report, and a single 1-row
+    * hash aggregate over tagged degree rows — no corpus crossJoin, no
+    * collect. */
   def kCoreCertificate(undirected: DataFrame, k: Int, rounds: Int,
                        aCol: String = "id_a", bCol: String = "id_b")
       : DataFrame = {
@@ -520,18 +532,20 @@ object Graph {
     require(rounds >= 1 && rounds <= 50, s"rounds=$rounds out of [1,50]")
     val eR = peel(canonicalEdges(undirected, aCol, bCol), k, rounds)
     val eR1 = peel(eR, k, 1)
-    // one union + one 1-row aggregate instead of a crossJoin of two
-    // scalar frames: both member sets stream through the same map-side
-    // combined count
-    val tagged = coreDegrees(eR).filter(col("deg") >= k)
-      .select(lit(0).as("t"))
+    // one union + one 1-row aggregate instead of a crossJoin of scalar
+    // frames: all three counts stream through the same map-side combine
+    val tagged = coreDegrees(eR)
+      .select(when(col("deg") >= k, 0).otherwise(2).as("t"))
       .unionByName(coreDegrees(eR1).filter(col("deg") >= k)
         .select(lit(1).as("t")))
     tagged.agg(
         coalesce(sum(when(col("t") === 0, 1L)), lit(0L)).as("survivors_r"),
-        coalesce(sum(when(col("t") === 1, 1L)), lit(0L)).as("survivors_r1"))
+        coalesce(sum(when(col("t") === 1, 1L)), lit(0L)).as("survivors_r1"),
+        coalesce(sum(when(col("t") === 2, 1L)), lit(0L))
+          .as("pending_below_k"))
       .select(col("survivors_r"), col("survivors_r1"),
-        (col("survivors_r") === col("survivors_r1")).as("converged"))
+        col("pending_below_k"),
+        (col("pending_below_k") === 0L).as("converged"))
   }
 
   /** Canonical undirected edge frame: (a < b), deduplicated. */

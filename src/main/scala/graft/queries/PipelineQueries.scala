@@ -5806,15 +5806,18 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
             |       CAST(coalesce(f.deg, 0) AS BIGINT) AS core_deg
             |FROM nodes nd LEFT JOIN fin f ON f.id = nd.id""".stripMargin),
 
-      // graph_kcore's peel chain plus ONE extra unrolled round: the
-      // R-vs-R+1 survivor counts and the convergence flag — the
-      // certificate the kCore scaladoc used to leave to the caller
+      // graph_kcore's peel chain plus ONE extra unrolled round: survivor
+      // counts at R and R+1, the count of residual vertices still below
+      // k (the next round's peel set), and the SOUND convergence flag
+      // pending_below_k == 0 — the certificate the kCore scaladoc used
+      // to leave to the caller
       "graph_kcore_cert" ->
         (s"WITH $knnEdgeCtes,\n$kcorePeelCtes,\n" +
-          """f3 AS MATERIALIZED (
-            |       SELECT id FROM (SELECT id, count(*) AS deg FROM (
+          """d3 AS MATERIALIZED (
+            |       SELECT id, count(*) AS deg FROM (
             |         SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3)
-            |         GROUP BY 1) WHERE deg >= 2),
+            |       GROUP BY 1),
+            |f3 AS MATERIALIZED (SELECT id FROM d3 WHERE deg >= 2),
             |e4 AS MATERIALIZED (
             |       SELECT e3.a, e3.b FROM e3
             |       JOIN f3 x ON x.id = e3.a JOIN f3 y ON y.id = e3.b),
@@ -5823,7 +5826,9 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
             |         GROUP BY 1) WHERE deg >= 2)
             |SELECT (SELECT count(*) FROM f3) AS survivors_r,
             |       (SELECT count(*) FROM f4) AS survivors_r1,
-            |       (SELECT count(*) FROM f3) = (SELECT count(*) FROM f4)
+            |       (SELECT count(*) FROM d3 WHERE deg < 2)
+            |         AS pending_below_k,
+            |       (SELECT count(*) FROM d3 WHERE deg < 2) = 0
             |         AS converged""".stripMargin),
 
       "embed_project" ->

@@ -209,18 +209,20 @@ class GraphIndexSpec extends SparkSpec {
     // the certificate must say the budget under-peeled
     val path = (1L to 7L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val c1 = Graph.kCoreCertificate(path, k = 2, rounds = 1).collect().head
-    assert(!c1.getBoolean(2), s"path at rounds=1 must not certify: $c1")
+    assert(!c1.getBoolean(3), s"path at rounds=1 must not certify: $c1")
     assert(c1.getLong(0) === 4L && c1.getLong(1) === 2L)
-    // rounds=4: the path has fully dissolved — 0 == 0 is a genuine
-    // fixpoint (the exact 2-core is empty and the budget sufficed)
+    // residual path 2—…—7 still holds its two sub-k endpoints
+    assert(c1.getLong(2) === 2L, s"pending: $c1")
+    // rounds=4: the path has fully dissolved — nothing below k remains,
+    // a genuine fixpoint (the exact 2-core is empty, the budget sufficed)
     val c4 = Graph.kCoreCertificate(path, k = 2, rounds = 4).collect().head
-    assert(c4.getBoolean(2) && c4.getLong(0) === 0L)
+    assert(c4.getBoolean(3) && c4.getLong(0) === 0L && c4.getLong(2) === 0L)
     // two disjoint triangles: every vertex keeps degree 2 forever —
     // certified at the very first round, survivor count = 6
     val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
       (4L, 6L)).toDF("id_a", "id_b")
     val ct = Graph.kCoreCertificate(tri, k = 2, rounds = 1).collect().head
-    assert(ct.getBoolean(2) && ct.getLong(0) === 6L && ct.getLong(1) === 6L)
+    assert(ct.getBoolean(3) && ct.getLong(0) === 6L && ct.getLong(1) === 6L)
     // the graph_kcore query fixture: mutual kNN graph over the sf0.001
     // embeddings at the query's exact parameters. At rounds=3 (the
     // query's budget) the certificate HONESTLY reports not-yet-converged
@@ -234,9 +236,10 @@ class GraphIndexSpec extends SparkSpec {
       .collect().head
     assert(c3.getLong(0) >= c3.getLong(1),
       s"peeling is monotone — survivors may never grow: $c3")
+    assert(!c3.getBoolean(3), s"rounds=3 must not certify: $c3")
     val certAt = (3 to 12).find { r =>
       Graph.kCoreCertificate(mutual, k = 2, rounds = r)
-        .collect().head.getBoolean(2)
+        .collect().head.getBoolean(3)
     }
     assert(certAt.isDefined,
       "kNN fixture must reach the 2-core fixpoint within 12 rounds")

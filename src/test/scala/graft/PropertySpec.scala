@@ -1423,4 +1423,138 @@ class PropertySpec extends SparkSpec {
       assert(got == expect, s"seed=$seed corpus=${vecs.map(_._2.toSeq)}")
     }
   }
+
+  test("hamming index store serves EXACTLY the blocked scan's rows on " +
+    "random corpora (write → pruned read ≡ in-memory blocking)") {
+    import graft.llm.Similarity
+    val vecGen = Gen.listOfN(64, Gen.chooseNum(-100, 100).map(_ / 16.0f))
+    val corpusGen = Gen.chooseNum(20, 60).flatMap(n =>
+      Gen.listOfN(n, vecGen)).map(_.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray) })
+    (1 to 3).foreach { seed =>
+      val vecs = sample(corpusGen, seed)
+      val df = vecs.toDF("vec_id", "embedding")
+      val q = df.filter(col("vec_id") < 5)
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_hamming_prop_$seed").getPath
+      Similarity.writeHammingIndex(df, "vec_id", "embedding", dir,
+        dim = 64, prefixBits = 6)
+      val indexed = Similarity.hammingTopKIndexed(spark.read.parquet(dir),
+          q, "vec_id", "embedding", k = 3, dim = 64, prefixBits = 6)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val blocked = Similarity.hammingTopKBlocked(df, q,
+          "vec_id", "embedding", k = 3, dim = 64, prefixBits = 6)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(indexed == blocked, s"seed=$seed")
+    }
+  }
+
+  test("kCore certificate on random graphs: survivors never grow, and " +
+    "converged=true means one more round changes nothing") {
+    import graft.operators.Graph
+    val edgeGen = Gen.chooseNum(5, 40).flatMap(m =>
+      Gen.listOfN(m, for {
+        a <- Gen.chooseNum(1L, 15L)
+        b <- Gen.chooseNum(1L, 15L)
+      } yield (a, b))).map(_.filter(e => e._1 != e._2))
+    (1 to 5).foreach { seed =>
+      val edges = sample(edgeGen, seed)
+      if (edges.nonEmpty) {
+        val ue = edges.toDF("id_a", "id_b")
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.toDF("id")
+        (1 to 3).foreach { rounds =>
+          val c = Graph.kCoreCertificate(ue, k = 2, rounds = rounds)
+            .collect().head
+          val (sR, sR1, pend, conv) =
+            (c.getLong(0), c.getLong(1), c.getLong(2), c.getBoolean(3))
+          assert(sR >= sR1, s"seed=$seed rounds=$rounds: $sR < $sR1")
+          assert(conv == (pend == 0L))
+          // NOTE this is deliberately NOT `conv == (sR == sR1)`: count
+          // equality at R/R+1 does not certify a fixpoint (membership
+          // can plateau while member↔non-member edges still peel —
+          // seed 4 here is exactly such a graph, and it is why the
+          // certificate tests pending_below_k instead)
+          if (conv) {
+            assert(sR == sR1, s"seed=$seed rounds=$rounds: certified " +
+              "but survivor counts still moved")
+            // the certificate's promise: the bounded result IS the core
+            val at = Graph.kCore(nodes, ue, "id", k = 2, rounds)
+              .collect().map(_.toSeq).sortBy(_.toString).toSeq
+            val next = Graph.kCore(nodes, ue, "id", k = 2, rounds + 1)
+              .collect().map(_.toSeq).sortBy(_.toString).toSeq
+            assert(at == next, s"seed=$seed rounds=$rounds under-peeled " +
+              "despite converged=true")
+          }
+        }
+      }
+    }
+  }
+
+  test("silhouette matches a driver-side brute recomputation and stays " +
+    "in [-1, 1] on random corpora") {
+    import graft.llm.Clustering
+    val vecGen = Gen.listOfN(4, Gen.chooseNum(-64, 64).map(_ / 8.0f))
+    val corpusGen = Gen.chooseNum(6, 25).flatMap(n =>
+      Gen.listOfN(n, vecGen)).map(_.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray) })
+    def qz(x: Float): Double =
+      math.floor(x.toDouble * 1048576.0) / 1048576.0
+    (1 to 4).foreach { seed =>
+      val vecs = sample(corpusGen, seed)
+      val df = vecs.toDF("vec_id", "embedding")
+      val k = 3
+      val out = Clustering.silhouette(df, "vec_id", "embedding",
+          k = k, iters = 2, dim = 4)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      assert(out.size == vecs.size)
+      assert(out.values.forall { case (_, s) => s >= -1.0 && s <= 1.0 },
+        s"seed=$seed out of range: $out")
+      // brute reference: replay Lloyd's exactly (quantized init = k
+      // lowest ids, one update round), then per-point a/b distances —
+      // same expression shape as the engine (c·c − 2·(w·c), sequential
+      // left-fold dots)
+      val w = vecs.map { case (id, v) => id -> v.map(qz) }.toMap
+      def dot(x: Array[Double], y: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < x.length) { s += x(i) * y(i); i += 1 }; s
+      }
+      def dot2(a: Array[Double], c: Array[Double]): Double =
+        dot(c, c) - 2.0 * dot(a, c)
+      var cents = vecs.map(_._1).sorted.take(k).map(w).toIndexedSeq
+      val assign0 = w.map { case (id, v) =>
+        id -> cents.zipWithIndex.minBy { case (c, j) =>
+          (dot2(v, c), j) }._2
+      }
+      cents = cents.zipWithIndex.map { case (prev, j) =>
+        val members = w.filter { case (id, _) => assign0(id) == j }
+        if (members.isEmpty) prev
+        else {
+          val n = members.size
+          val arr = new Array[Double](4)
+          // exact dyadic sums: order-independent
+          members.values.foreach(v => (0 until 4)
+            .foreach(i => arr(i) += v(i)))
+          arr.map(_ / n)
+        }
+      }
+      vecs.foreach { case (id, _) =>
+        val v = w(id)
+        val scores = cents.map(c => dot2(v, c))
+        val cl = scores.zipWithIndex.minBy { case (s, j) => (s, j) }._2
+        val ww = dot(v, v)
+        val sa = math.sqrt(math.max(ww + scores(cl), 0.0))
+        val sb = math.sqrt(math.max(ww + scores.zipWithIndex
+          .filter(_._2 != cl).map(_._1).min, 0.0))
+        val want =
+          if (math.max(sa, sb) == 0.0) 0.0
+          else BigDecimal((sb - sa) / math.max(sa, sb))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(out(id)._1 == cl.toLong,
+          s"seed=$seed id=$id cluster ${out(id)._1} != $cl")
+        assert(out(id)._2 == want,
+          s"seed=$seed id=$id sil ${out(id)._2} != $want")
+      }
+    }
+  }
 }
