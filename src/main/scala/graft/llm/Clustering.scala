@@ -150,6 +150,14 @@ object Clustering {
     val base = df.filter(size(col(vecCol)) === dim)
       .select(col(idCol).as("__id"), quantize(col(vecCol)).as("__w"))
     val centroids = trainCentroids(base, k, iters, dim)
+    // a 0/1-row corpus seeds fewer than 2 centroids: there is no
+    // "other" centroid, so there is no silhouette — emit NO rows,
+    // matching the oracle's inner join on the other-centroid leg
+    // (array_min over the index-filtered empty array would otherwise
+    // null-skip into a fabricated 0/−1 score here)
+    if (centroids.length < 2)
+      return base.select(col("__id").as(idCol),
+        lit(0L).as("cluster"), lit(0.0).as("sil")).limit(0)
     val sa2 = greatest(col("__ww") + array_min(col("__s")), lit(0.0))
     val sb2 = greatest(col("__ww") + col("__sb"), lit(0.0))
     base.withColumn("__s", scoresFor(centroids))

@@ -447,8 +447,9 @@ object Similarity {
       .withColumn("bucket", explode(array(probes: _*)))
       .localCheckpoint() // probed twice: the IN-list collect + the join
     val probed = q.select("bucket").distinct().collect()
-      .map(_.getLong(0)).sorted
-    val c = indexed.filter(col("bucket").isin(probed: _*))
+      .map(_.getLong(0)).sorted.toSeq
+    val c = indexed.filter(col("bucket").isin(
+      typedKeys(probed, indexed.schema("bucket").dataType): _*))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("hamming",
@@ -652,8 +653,9 @@ object Similarity {
         explode(array(Seq(cw, cr).take(probes): _*)).as("cell"))
       .localCheckpoint() // probed twice: the IN-list collect + the join
     val probed = q.select("cell").distinct().collect()
-      .map(_.getInt(0)).sorted
-    val c = indexed.filter(col("cell").isin(probed: _*))
+      .map(_.getInt(0).toLong).sorted.toSeq
+    val c = indexed.filter(col("cell").isin(
+      typedKeys(probed, indexed.schema("cell").dataType): _*))
     val scored = c.join(q, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score", dot(col("qv"), col("cv")))
@@ -663,6 +665,24 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("score"), roundScore).as("score"))
+  }
+
+  /** Coerce probe-key literals to the store column's ACTUAL dtype.
+    * Partition-column type inference hands the written LONG/INT back as
+    * whatever it infers (and a catalog-registered store may carry a
+    * STRING partition column, or inference may be disabled entirely) —
+    * an IN-list of mismatched literals would wrap the partition COLUMN
+    * in a cast, which under those configs stops unwrapping into
+    * `PartitionFilters` and silently voids the pruned-read contract.
+    * Matching the literal type keeps pruning config-independent. */
+  private def typedKeys(values: Seq[Long],
+                        dt: org.apache.spark.sql.types.DataType)
+      : Seq[Any] = dt match {
+    case org.apache.spark.sql.types.LongType => values
+    case org.apache.spark.sql.types.IntegerType => values.map(_.toInt)
+    case org.apache.spark.sql.types.ShortType => values.map(_.toShort)
+    case org.apache.spark.sql.types.StringType => values.map(_.toString)
+    case _ => values
   }
 
   /** Recall@k of an approximate ANN result against the exact baseline:

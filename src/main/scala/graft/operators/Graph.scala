@@ -531,10 +531,17 @@ object Graph {
     require(k >= 1, s"k=$k must be >= 1")
     require(rounds >= 1 && rounds <= 50, s"rounds=$rounds out of [1,50]")
     val eR = peel(canonicalEdges(undirected, aCol, bCol), k, rounds)
-    val eR1 = peel(eR, k, 1)
+    // ONE checkpointed degree frame of eR serves both the tagged counts
+    // and the extra round's keep set — inlining the last restriction
+    // avoids peel()'s internal (duplicate) degree aggregate over eR
+    val dR = coreDegrees(eR).localCheckpoint()
+    val keep = dR.filter(col("deg") >= k).select("id")
+    val eR1 = eR.join(keep.select(col("id").as("a")), Seq("a"))
+      .join(keep.select(col("id").as("b")), Seq("b"))
+      .select(col("a"), col("b"))
     // one union + one 1-row aggregate instead of a crossJoin of scalar
     // frames: all three counts stream through the same map-side combine
-    val tagged = coreDegrees(eR)
+    val tagged = dR
       .select(when(col("deg") >= k, 0).otherwise(2).as("t"))
       .unionByName(coreDegrees(eR1).filter(col("deg") >= k)
         .select(lit(1).as("t")))

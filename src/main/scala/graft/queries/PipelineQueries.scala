@@ -1151,8 +1151,9 @@ object PipelineQueries {
     // ann_hamming_indexed); row-identical to ann_ivf_topk, same oracle --
     "ann_ivf_indexed" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
+      // FIXED path + overwrite mode (see ann_hamming_indexed)
       val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_ivf_idx_" + streamSeq.incrementAndGet()).getPath
+        "graft_ivf_idx_q").getPath
       Similarity.writeIvfIndex(e, "vec_id", "embedding", idx, m = 4)
       Similarity.ivfTopKIndexed(s.read.parquet(idx),
         e.filter(col("vec_id") < 50),
@@ -1228,8 +1229,11 @@ object PipelineQueries {
     "ann_hamming_indexed" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 10)
+      // FIXED path + overwrite mode: bench/verify invoke this lambda
+      // several times per JVM — an incrementing suffix would leak one
+      // full store per invocation into /tmp
       val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_hamming_idx_" + streamSeq.incrementAndGet()).getPath
+        "graft_hamming_idx_q").getPath
       Similarity.writeHammingIndex(e, "vec_id", "embedding", idx,
         dim = 64, prefixBits = 6)
       val full = Similarity.hammingTopK(e, q, "vec_id", "embedding",

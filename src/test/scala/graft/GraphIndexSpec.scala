@@ -746,36 +746,12 @@ class GraphIndexSpec extends SparkSpec {
     // batch sizes (hence round count, hence per-round job count) are
     // unchanged, so the timing move was host noise.
     import graft.llm.Bpe
+    // the pre-r11 selector replica lives in graft.tools.BpePreGuard —
+    // ONE copy shared with the sf0.1 BpeBatchProbe so spec and probe
+    // provably test the same baseline
     def preGuardBatch(top: IndexedSeq[(String, String, Long)], want: Int,
-                      symbols: String => Boolean)
-        : IndexedSeq[(String, String, Long)] = {
-      // guards (a)+(b): longest symbol-disjoint prefix, self-pair closes
-      val acc = scala.collection.mutable.ArrayBuffer
-        .empty[(String, String, Long)]
-      val used = scala.collection.mutable.Set.empty[String]
-      var idx = 0
-      var closed = false
-      while (!closed && idx < math.min(want, top.length)) {
-        val (l, r, _) = top(idx)
-        if (idx > 0 && (l == r || used(l) || used(r))) closed = true
-        else {
-          acc += top(idx); used += l; used += r; idx += 1
-          if (l == r) closed = true
-        }
-      }
-      // guard (c) AS OF ROUND 10: only the pre-existing-universe cut —
-      // no in-batch minted-set membership
-      if (acc.length > 1) {
-        val cut = acc.indexWhere(c => symbols(c._1 + c._2))
-        if (cut >= 0) acc.dropRightInPlace(acc.length - math.max(1, cut))
-      }
-      // guard (d): strict gap to the first excluded candidate
-      if (acc.length > 1 && top.length > acc.length) {
-        val nc = top(acc.length)._3
-        while (acc.length > 1 && acc.last._3 == nc) acc.dropRightInPlace(1)
-      }
-      acc.toIndexedSeq
-    }
+                      symbols: String => Boolean) =
+      graft.tools.BpePreGuard(top, want, symbols)
     val rounds = scala.collection.mutable.ArrayBuffer.empty[
       (IndexedSeq[(String, String, Long)], Int, Set[String],
         IndexedSeq[(String, String, Long)])]

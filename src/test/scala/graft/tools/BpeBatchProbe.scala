@@ -22,32 +22,10 @@ object BpeBatchProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // the shared pre-r11 selector replica (same copy the sf0.01 spec
+    // replays against — see BpePreGuard's scaladoc)
     def preGuard(top: IndexedSeq[(String, String, Long)], want: Int,
-                 symbols: String => Boolean)
-        : IndexedSeq[(String, String, Long)] = {
-      val acc = scala.collection.mutable.ArrayBuffer
-        .empty[(String, String, Long)]
-      val used = scala.collection.mutable.Set.empty[String]
-      var idx = 0
-      var closed = false
-      while (!closed && idx < math.min(want, top.length)) {
-        val (l, r, _) = top(idx)
-        if (idx > 0 && (l == r || used(l) || used(r))) closed = true
-        else {
-          acc += top(idx); used += l; used += r; idx += 1
-          if (l == r) closed = true
-        }
-      }
-      if (acc.length > 1) {
-        val cut = acc.indexWhere(c => symbols(c._1 + c._2))
-        if (cut >= 0) acc.dropRightInPlace(acc.length - math.max(1, cut))
-      }
-      if (acc.length > 1 && top.length > acc.length) {
-        val nc = top(acc.length)._3
-        while (acc.length > 1 && acc.last._3 == nc) acc.dropRightInPlace(1)
-      }
-      acc.toIndexedSeq
-    }
+                 symbols: String => Boolean) = BpePreGuard(top, want, symbols)
 
     val docs = graft.core.Tables.documents(spark, sfDir)
     var rounds = 0
