@@ -1069,6 +1069,64 @@ object Corpus {
     * a fixed tree of correctly-rounded IEEE ops on the exact casts,
     * [[Corpus.bm25TopK]]'s engine-determinism posture. Groups with < 2
     * points or zero x-variance emit null slope/intercept. */
+  /** Zipf rank-frequency slope per group: least-squares fit of
+    * ln(count) against ln(rank) over the group's `topRanks` most
+    * frequent tokens — the classic "is this source natural language"
+    * diagnostic (natural text sits near −1; templated/boilerplate
+    * sources flatten, ID-like noise steepens). Output: (groupCol,
+    * n_ranks, zipf_slope, zipf_intercept), 6 dp.
+    *
+    * Scale shape: one (group, token) hash aggregate of the corpus
+    * (map-side combined), a per-group top-`topRanks` window over the
+    * VOCABULARY frame (Heaps-small; `rank <= topRanks` pushes into
+    * WindowGroupLimit so no task buffers a full vocabulary), then a
+    * |groups|-row moment aggregate. The corpus itself never sorts.
+    *
+    * Engine-exact: each ln lands as an integer NANO value
+    * (round(ln·10⁹) — ln on exact integer ranks/counts, the
+    * tokenEntropy/adamic discipline), all four moment sums are exact
+    * integer arithmetic in DECIMAL, and the final slope/intercept are
+    * single IEEE ops on identical operands; the 10⁹ scale cancels in
+    * the slope and divides out of the intercept. */
+  def zipfSlope(df: DataFrame, groupCol: String, textCol: String,
+                topRanks: Int = 200): DataFrame = {
+    require(topRanks >= 2 && topRanks <= 100000,
+      s"topRanks=$topRanks out of [2,100000]")
+    import graft.core.Tables.spread
+    val tf = spread(df)
+      .select(col(groupCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("c").desc, col("tok"))
+    val top = tf.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topRanks)
+    // integer nano-lns: |x9| ≤ ln(1e5)·1e9 < 1.2e10 — DECIMAL(12,0)
+    // holds each term, products stay ≤ (25,0), sums ≤ (35,0): every
+    // moment is EXACT integer arithmetic in both engines
+    val x9 = round(log(col("rank").cast("double")) * 1e9, 0)
+      .cast("decimal(12,0)")
+    val y9 = round(log(col("c").cast("double")) * 1e9, 0)
+      .cast("decimal(12,0)")
+    val agg = top.select(col(groupCol), x9.as("x"), y9.as("y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_ranks"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    val n = col("n_ranks").cast("decimal(6,0)")
+    val num = (n * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (n * col("sxx") - col("sx") * col("sx")).cast("double")
+    val slope = num / den // 10⁹ scale cancels
+    agg.select(col(groupCol), col("n_ranks"),
+      when(col("n_ranks") >= 2 && den > 0, round(slope, 6))
+        .as("zipf_slope"),
+      when(col("n_ranks") >= 2 && den > 0,
+        round((col("sy").cast("double") - slope * col("sx").cast("double"))
+          / (col("n_ranks").cast("double") * 1e9), 6))
+        .as("zipf_intercept"))
+  }
+
   def groupTrend(df: DataFrame, groupCol: String, xCol: String,
                  yCol: String): DataFrame = {
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,0)")

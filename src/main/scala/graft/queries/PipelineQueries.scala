@@ -2753,6 +2753,13 @@ object PipelineQueries {
       Corpus.groupTrend(Tables.documents(s, d), "source",
         "doc_id", "n_chars")),
 
+    // --- Zipf rank-frequency slope per source: ln-ln least squares over
+    // each source's top-200 tokens (integer nano-ln terms, exact moment
+    // sums) — natural text sits near −1, templated sources flatten ------
+    "corpus_zipf" -> ((s, d) =>
+      Corpus.zipfSlope(Tables.documents(s, d), "source", "text",
+        topRanks = 200)),
+
     // --- Z-order layout audit: Morton-interleave (user_id, crawl-hour)
     // and report each keyspace bucket's 2-D bounding box — the file-stat
     // pruning story for multi-dimension predicates at 100 TB ---------------
@@ -7349,6 +7356,41 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |              * CAST(sx AS DOUBLE)) / CAST(n_rows AS DOUBLE), 6)
           |  END AS intercept
           |FROM a""".stripMargin,
+
+      // integer nano-ln terms (round(ln·1e9) on exact integer
+      // ranks/counts — the tokenEntropy/adamic ln discipline), HUGEINT
+      // moment sums ≡ Spark's DECIMAL algebra value-for-value, one
+      // shared IEEE tree at the end; the 1e9 scale cancels in the slope
+      "corpus_zipf" ->
+        """WITH tf AS (
+          |  SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
+          |  FROM documents),
+          |cnt AS (SELECT source, tok, count(*) AS c FROM tf GROUP BY 1, 2),
+          |rk AS (SELECT source, tok, c,
+          |         row_number() OVER (PARTITION BY source
+          |                            ORDER BY c DESC, tok) AS rank
+          |       FROM cnt),
+          |tm AS (SELECT source,
+          |         CAST(round(ln(rank) * 1000000000) AS HUGEINT) AS x,
+          |         CAST(round(ln(c) * 1000000000) AS HUGEINT) AS y
+          |       FROM rk WHERE rank <= 200),
+          |ag AS (SELECT source, count(*) AS n,
+          |         sum(x) AS sx, sum(y) AS sy,
+          |         sum(x * y) AS sxy, sum(x * x) AS sxx
+          |       FROM tm GROUP BY 1)
+          |SELECT source, CAST(n AS BIGINT) AS n_ranks,
+          |  CASE WHEN n >= 2 AND CAST(n * sxx - sx * sx AS DOUBLE) > 0
+          |       THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+          |            / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+          |  END AS zipf_slope,
+          |  CASE WHEN n >= 2 AND CAST(n * sxx - sx * sx AS DOUBLE) > 0
+          |       THEN round((CAST(sy AS DOUBLE)
+          |            - (CAST(n * sxy - sx * sy AS DOUBLE)
+          |               / CAST(n * sxx - sx * sx AS DOUBLE))
+          |              * CAST(sx AS DOUBLE))
+          |            / (CAST(n AS DOUBLE) * 1000000000), 6)
+          |  END AS zipf_intercept
+          |FROM ag""".stripMargin,
 
       // Morton key built by the mirrored bit-interleave expression;
       // bucket = top 6 of the 32 key bits

@@ -234,6 +234,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("zipf fit: top-rank window pushes into WindowGroupLimit; moments " +
+    "partial-aggregate map-side") {
+    // the per-source vocabulary sort must never buffer a full vocab in
+    // one task (rank <= topRanks pushes into per-partition top-k), and
+    // the (source, token) count must combine map-side
+    val p = plan("corpus_zipf")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("bigram NLL: corpus counts stream through joins, not windows") {
     // the deliberate flip side of lm_surprisal's window (SCALE.md §9b):
     // a hot bigram must be a streaming join probe, never a buffered
