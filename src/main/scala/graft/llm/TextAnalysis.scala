@@ -154,6 +154,46 @@ object TextAnalysis {
         .as("entropy_norm"))
   }
 
+  /** Sliding-window document chunking over token positions — the
+    * context-window segmentation every training/embedding pipeline runs
+    * before packing or encoding: chunk starts at multiples of
+    * (budget − overlap) while start < n_tokens, each chunk spans
+    * [tok_start, min(tok_start + budget, n_tokens)), and consecutive
+    * chunks share `overlap` tokens so no span is ever cut mid-context.
+    * Empty documents emit no chunks. Output: (idCol, seg_id, tok_start,
+    * tok_end, n_seg_tokens, seg_text).
+    *
+    * Scale shape: map-only — one `sequence` explode per document (the
+    * chunk count is ⌈n/step⌉, bounded by the document's own length) and
+    * a row-local array slice/join; no shuffle, no window, the corpus
+    * never leaves its partitions. At 100 TB this is the shape you want
+    * for a pre-tokenization pass: chunk rows inherit the input's
+    * partitioning and flow straight into the encode/pack stages. */
+  def chunkDocs(df: DataFrame, textCol: String, idCol: String,
+                budget: Int, overlap: Int): DataFrame = {
+    require(budget >= 1, s"budget=$budget must be >= 1")
+    require(overlap >= 0 && overlap < budget,
+      s"overlap=$overlap out of [0, budget=$budget)")
+    val step = budget - overlap
+    import graft.core.Tables.spread
+    spread(df)
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .withColumn("n_tokens", size(col("__t")))
+      .filter(col("n_tokens") > 0)
+      .select(col(idCol), col("__t"), col("n_tokens"),
+        posexplode(sequence(lit(0), col("n_tokens") - 1, lit(step))))
+      .select(col(idCol),
+        col("pos").cast("long").as("seg_id"),
+        col("col").cast("long").as("tok_start"),
+        least(col("col") + budget, col("n_tokens")).cast("long")
+          .as("tok_end"),
+        (least(col("col") + budget, col("n_tokens")) - col("col"))
+          .cast("long").as("n_seg_tokens"),
+        concat_ws(" ", slice(col("__t"), col("col") + 1,
+          least(col("col") + budget, col("n_tokens")) - col("col")))
+          .as("seg_text"))
+  }
+
   /** Composite quality score in [0,1]: length band + lexical diversity −
     * punctuation noise. Deterministic, portable arithmetic. */
   def qualityScore(df: DataFrame, textCol: String): DataFrame = {

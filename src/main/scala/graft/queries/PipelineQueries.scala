@@ -2760,6 +2760,13 @@ object PipelineQueries {
       Corpus.zipfSlope(Tables.documents(s, d), "source", "text",
         topRanks = 200)),
 
+    // --- sliding-window chunking into 64-token segments with 16-token
+    // overlap: the context-window segmentation before packing/encoding —
+    // map-only, one sequence explode per doc, the corpus never shuffles --
+    "doc_chunks" -> ((s, d) =>
+      TextAnalysis.chunkDocs(Tables.documents(s, d), "text", "doc_id",
+        budget = 64, overlap = 16)),
+
     // --- Z-order layout audit: Morton-interleave (user_id, crawl-hour)
     // and report each keyspace bucket's 2-D bounding box — the file-stat
     // pruning story for multi-dimension predicates at 100 TB ---------------
@@ -7356,6 +7363,27 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |              * CAST(sx AS DOUBLE)) / CAST(n_rows AS DOUBLE), 6)
           |  END AS intercept
           |FROM a""".stripMargin,
+
+      // chunk starts at multiples of step=48 while start < n; list_slice
+      // is 1-based inclusive ≡ Spark's slice(start+1, len); seg_id =
+      // start // step ≡ the engine's posexplode index
+      "doc_chunks" ->
+        """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+          |           FROM documents),
+          |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+          |      FROM t WHERE len(toks) > 0),
+          |st AS (SELECT doc_id, toks, n_tokens,
+          |         unnest(generate_series(0, n_tokens - 1, 48)) AS tok_start
+          |       FROM n)
+          |SELECT doc_id,
+          |       tok_start // 48 AS seg_id,
+          |       tok_start,
+          |       least(tok_start + 64, n_tokens) AS tok_end,
+          |       least(tok_start + 64, n_tokens) - tok_start
+          |         AS n_seg_tokens,
+          |       array_to_string(list_slice(toks, tok_start + 1,
+          |         least(tok_start + 64, n_tokens)), ' ') AS seg_text
+          |FROM st""".stripMargin,
 
       // integer nano-ln terms (round(ln·1e9) on exact integer
       // ranks/counts — the tokenEntropy/adamic ln discipline), HUGEINT

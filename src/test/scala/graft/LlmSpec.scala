@@ -13,6 +13,39 @@ class LlmSpec extends SparkSpec {
     (4L, "completely different words entirely unrelated text here now")
   ).toDF("doc_id", "text")
 
+  test("doc chunking: overlapping windows tile token positions exactly; " +
+    "short and empty docs behave") {
+    import graft.llm.TextAnalysis
+    // doc 1: 10 tokens, budget 4, overlap 1 → step 3: starts 0,3,6,9;
+    // spans [0,4) [3,7) [6,10) [9,10) — the tail start inside the final
+    // window still emits (documented sliding-window semantics)
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, "a b"),   // shorter than one budget → a single [0,2) chunk
+      (3L, ""))      // empty → tokens() gives [""] (1 token), 1 chunk
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(docs, "text", "doc_id",
+        budget = 4, overlap = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(c => (c._2, c._3, c._4, c._5)) ===
+      Seq((0L, 0L, 4L, 4L), (1L, 3L, 7L, 4L), (2L, 6L, 10L, 4L),
+        (3L, 9L, 10L, 1L)))
+    assert(d1.head._6 === "w1 w2 w3 w4" && d1.last._6 === "w10")
+    // consecutive chunks share exactly `overlap` token positions
+    d1.sliding(2).foreach { case Seq(a, b) =>
+      if (b._3 < a._4) assert(a._4 - b._3 === 1L)
+    }
+    assert(out.filter(_._1 == 2L).map(c => (c._3, c._4, c._6)) ===
+      Seq((0L, 2L, "a b")))
+    // split("") yields one empty token — one 1-token chunk, empty text
+    assert(out.filter(_._1 == 3L).map(c => (c._4, c._6)) ===
+      Seq((1L, "")))
+  }
+
   test("exact dedup groups identical docs, keeps smallest id") {
     val out = Dedup.exact(docs, "text", "doc_id")
       .select("doc_id", "group_size", "keep")
