@@ -3110,6 +3110,20 @@ object PipelineQueries {
         "stream_pq_" + streamSeq.incrementAndGet())
     }),
 
+    // --- streaming chunk segmentation: chunkDocs AT INGEST (map-only
+    // sequence explode, stateless — the streaming plan IS the batch
+    // plan); same oracle as doc_chunks ------------------------------------
+    "stream_chunks" -> ((s, d) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      ss.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+      graft.streaming.FileReplay.oneBatch(ss, s"$d/documents.parquet",
+        stream => TextAnalysis.chunkDocs(
+          stream.select(col("doc_id"), col("text")), "text", "doc_id",
+          budget = 64, overlap = 16),
+        "stream_chunks_" + streamSeq.incrementAndGet())
+    }),
+
     // --- streaming binary-fingerprint encode: the 48-bit Hamming word
     // computed AT INGEST (map-only, stateless — the streaming plan IS
     // the batch plan under a micro-batch trigger), completing the binary
@@ -3215,6 +3229,27 @@ object PipelineQueries {
        |             2 * run + CASE WHEN v[run + 1] >= 0 THEN 1 ELSE 0 END
        |               AS cell_r
        |           FROM ivr)""".stripMargin
+
+  /** The sliding-window chunking oracle — serves `doc_chunks` and its
+    * ingest-time twin `stream_chunks` (map-only, stateless: the
+    * streaming plan IS the batch plan). */
+  private val docChunksSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      |           FROM documents),
+      |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+      |      FROM t WHERE len(toks) > 0),
+      |st AS (SELECT doc_id, toks, n_tokens,
+      |         unnest(generate_series(0, n_tokens - 1, 48)) AS tok_start
+      |       FROM n)
+      |SELECT doc_id,
+      |       tok_start // 48 AS seg_id,
+      |       tok_start,
+      |       least(tok_start + 64, n_tokens) AS tok_end,
+      |       least(tok_start + 64, n_tokens) - tok_start
+      |         AS n_seg_tokens,
+      |       array_to_string(list_slice(toks, tok_start + 1,
+      |         least(tok_start + 64, n_tokens)), ' ') AS seg_text
+      |FROM st""".stripMargin
 
   /** The 6-merge BPE segmentation oracle (train replay + per-doc token
     * counts) — serves `bpe_segment` directly and `bpe_fertility` as a
@@ -7367,23 +7402,11 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       // chunk starts at multiples of step=48 while start < n; list_slice
       // is 1-based inclusive ≡ Spark's slice(start+1, len); seg_id =
       // start // step ≡ the engine's posexplode index
-      "doc_chunks" ->
-        """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
-          |           FROM documents),
-          |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
-          |      FROM t WHERE len(toks) > 0),
-          |st AS (SELECT doc_id, toks, n_tokens,
-          |         unnest(generate_series(0, n_tokens - 1, 48)) AS tok_start
-          |       FROM n)
-          |SELECT doc_id,
-          |       tok_start // 48 AS seg_id,
-          |       tok_start,
-          |       least(tok_start + 64, n_tokens) AS tok_end,
-          |       least(tok_start + 64, n_tokens) - tok_start
-          |         AS n_seg_tokens,
-          |       array_to_string(list_slice(toks, tok_start + 1,
-          |         least(tok_start + 64, n_tokens)), ' ') AS seg_text
-          |FROM st""".stripMargin,
+      "doc_chunks" -> docChunksSql,
+
+      // ingest-time chunking is the batch chunker under a micro-batch
+      // trigger (map-only, stateless) — same oracle
+      "stream_chunks" -> docChunksSql,
 
       // integer nano-ln terms (round(ln·1e9) on exact integer
       // ranks/counts — the tokenEntropy/adamic ln discipline), HUGEINT
