@@ -554,6 +554,10 @@ object PipelineQueries {
     * Spark query and the oracle builder so the two can never drift. */
   private val hammingSizingCandKs = Seq(5, 10, 25, 50)
 
+  /** The band sweep points of `dedup_lsh_sizing` (each must divide the
+    * k=8 signature) — shared by the Spark query and the oracle. */
+  private val lshSizingBands = Seq(2, 4, 8)
+
   private val maxCacheEntries = 8
 
   private val lshPairCache =
@@ -2840,6 +2844,38 @@ object PipelineQueries {
     // matching-component fraction whose expectation IS the Jaccard — the
     // quantity the (k, bands) collision threshold is derived from,
     // surfaced next to dedup_ngram_jaccard's exact values -----------------
+    // --- LSH band-sizing sweep: candidate-pair recall of the banded
+    // MinHash blocking vs the exact Jaccard ≥ 0.2 truth, at bands ∈
+    // {2, 4, 8} over the same k=8 signature — the measurement that picks
+    // (bands, rows) for a dedup recall target, completing the sizing-
+    // eval family (LSH b → ann_recall_eval; candK → ann_hamming_sizing;
+    // bands → THIS). One truth leg serves the whole sweep -----------------
+    "dedup_lsh_sizing" -> ((s, d) => {
+      val truth = Dedup.jaccardFrom(sharedOverlapCandidates(s, d),
+          threshold = 0.2)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      lshSizingBands.map { b =>
+        val cand = Dedup.minhashLsh(Tables.documents(s, d), "text",
+            "doc_id", shingleN = 3, k = 8, bands = b)
+          .select(col("id_a"), col("id_b")).distinct()
+          .localCheckpoint() // counted twice: candidates + the hit join
+        val hit = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+        val tagged = truth.select(lit(0).as("t"))
+          .unionByName(cand.select(lit(1).as("t")))
+          .unionByName(hit.select(lit(2).as("t")))
+        tagged.agg(
+            coalesce(sum(when(col("t") === 0, 1L)), lit(0L)).as("n_true"),
+            coalesce(sum(when(col("t") === 1, 1L)), lit(0L))
+              .as("n_candidates"),
+            coalesce(sum(when(col("t") === 2, 1L)), lit(0L)).as("n_hit"))
+          .select(lit(b.toLong).as("bands"), col("n_true"),
+            col("n_candidates"), col("n_hit"),
+            when(col("n_true") > 0,
+              round(col("n_hit").cast("double")
+                / col("n_true").cast("double"), 6)).as("recall"))
+      }.reduce(_ unionByName _)
+    }),
+
     "dedup_minhash_est" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val ws = TextAnalysis.tokens(col("text"))
@@ -3229,6 +3265,68 @@ object PipelineQueries {
        |             2 * run + CASE WHEN v[run + 1] >= 0 THEN 1 ELSE 0 END
        |               AS cell_r
        |           FROM ivr)""".stripMargin
+
+  /** dedup_lsh_sizing's oracle: ONE exact Jaccard-truth leg (the
+    * dedup_ngram_jaccard algebra, MATERIALIZED — referenced per sweep
+    * point) plus, per band count b, the k=8 signature banded into b
+    * groups of 8/b rows and the distinct same-band candidate pairs;
+    * each sweep point emits 1 row of counts + recall. Generated from
+    * the same [[lshSizingBands]] the Spark sweep uses. */
+  private def lshSizingSql(bandCounts: Seq[Int]): String = {
+    val truth =
+      s"""WITH $shinglesCte,
+         |kept AS (
+         |  SELECT doc_id, shingle FROM sh
+         |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 50),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |shared AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM kept a JOIN kept b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b,
+         |           round(CAST(inter AS DOUBLE)
+         |                 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+         |    FROM shared
+         |    JOIN sizes sa ON sa.doc_id = id_a
+         |    JOIN sizes sb ON sb.doc_id = id_b)
+         |  WHERE jaccard >= 0.2),
+         |sig AS MATERIALIZED (SELECT doc_id,
+         |${(0 until 8).map(i =>
+            s"  min(md5('$i|' || shingle)) AS sig_$i").mkString(",\n")}
+         |        FROM sh GROUP BY doc_id)""".stripMargin
+    val perB = bandCounts.map { b =>
+      val rows = 8 / b
+      s""",
+         |bands$b AS (
+         |${(0 until b).map(i =>
+            s"  SELECT doc_id, $i AS band, md5(${(0 until rows)
+              .map(r => s"sig_${i * rows + r}").mkString(" || ")})" +
+              " AS band_hash FROM sig").mkString("\n  UNION ALL\n")}
+         |),
+         |cand$b AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands$b a JOIN bands$b b
+         |    ON a.band = b.band AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id)""".stripMargin
+    }.mkString
+    val selects = bandCounts.map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS bands,
+         |       (SELECT count(*) FROM truth) AS n_true,
+         |       (SELECT count(*) FROM cand$b) AS n_candidates,
+         |       (SELECT count(*) FROM truth t
+         |        JOIN cand$b c ON c.id_a = t.id_a AND c.id_b = t.id_b)
+         |         AS n_hit,
+         |       CASE WHEN (SELECT count(*) FROM truth) > 0 THEN
+         |         round(CAST((SELECT count(*) FROM truth t
+         |                     JOIN cand$b c ON c.id_a = t.id_a
+         |                                  AND c.id_b = t.id_b) AS DOUBLE)
+         |               / (SELECT count(*) FROM truth), 6) END AS recall""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    truth + perB + "\n" + selects
+  }
 
   /** The sliding-window chunking oracle — serves `doc_chunks` and its
     * ingest-time twin `stream_chunks` (map-only, stateless: the
@@ -4182,6 +4280,10 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |FROM bands a JOIN bands b
            |  ON a.band = b.band AND a.band_hash = b.band_hash
            | AND a.doc_id < b.doc_id""".stripMargin,
+
+      // one exact-Jaccard truth leg + per-band-count candidate legs over
+      // the same k=8 signature, 1 counts row per sweep point
+      "dedup_lsh_sizing" -> lshSizingSql(lshSizingBands),
 
       "dedup_simhash" ->
         """WITH toks AS (
