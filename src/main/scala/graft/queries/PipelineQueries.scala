@@ -2757,10 +2757,11 @@ object PipelineQueries {
       Corpus.groupTrend(Tables.documents(s, d), "source",
         "doc_id", "n_chars")),
 
-    // --- Zipf rank-frequency slope per source: ln-ln least squares over
+    // --- Zipf rank-frequency slope PER SOURCE: ln-ln least squares over
     // each source's top-200 tokens (integer nano-ln terms, exact moment
-    // sums) — natural text sits near −1, templated sources flatten ------
-    "corpus_zipf" -> ((s, d) =>
+    // sums) — the grouped sibling of corpus_zipf's global fit: natural
+    // sources sit near −1, templated sources flatten --------------------
+    "corpus_zipf_source" -> ((s, d) =>
       Corpus.zipfSlope(Tables.documents(s, d), "source", "text",
         topRanks = 200)),
 
@@ -7514,7 +7515,7 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       // ranks/counts — the tokenEntropy/adamic ln discipline), HUGEINT
       // moment sums ≡ Spark's DECIMAL algebra value-for-value, one
       // shared IEEE tree at the end; the 1e9 scale cancels in the slope
-      "corpus_zipf" ->
+      "corpus_zipf_source" ->
         """WITH tf AS (
           |  SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
           |  FROM documents),

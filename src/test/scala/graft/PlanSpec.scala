@@ -239,7 +239,7 @@ class PlanSpec extends SparkSpec {
     // the per-source vocabulary sort must never buffer a full vocab in
     // one task (rank <= topRanks pushes into per-partition top-k), and
     // the (source, token) count must combine map-side
-    val p = plan("corpus_zipf")
+    val p = plan("corpus_zipf_source")
     assert(p.contains("WindowGroupLimit"), p)
     assert(p.contains("partial_count"), p)
     assert(!p.contains("CartesianProduct") &&
