@@ -1490,6 +1490,62 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunking tiles token positions exactly on random docs: full " +
+    "cover, step-spaced starts, budget-bounded spans, overlap shared") {
+    import graft.llm.TextAnalysis
+    val gen = for {
+      n <- Gen.chooseNum(1, 120)
+      budget <- Gen.chooseNum(2, 20)
+      overlap <- Gen.chooseNum(0, 1).flatMap(_ =>
+        Gen.chooseNum(0, budget - 1))
+    } yield (n, budget, overlap)
+    (1 to 6).foreach { seed =>
+      val (n, budget, overlap) = sample(gen, seed)
+      val step = budget - overlap
+      val text = (1 to n).map(i => s"t$i").mkString(" ")
+      val out = TextAnalysis.chunkDocs(Seq((1L, text)).toDF("doc_id", "text"),
+          "text", "doc_id", budget, overlap)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getString(5))).sortBy(_._1).toSeq
+      assert(out.nonEmpty, s"seed=$seed n=$n")
+      // starts are 0, step, 2·step, …, all < n; seg ids consecutive
+      out.zipWithIndex.foreach { case ((seg, st, en, len, txt), i) =>
+        assert(seg == i && st == i.toLong * step && st < n,
+          s"seed=$seed chunk $i: $out")
+        assert(en == math.min(st + budget, n) && len == en - st)
+        assert(txt == ((st + 1) to en).map(j => s"t$j").mkString(" "))
+      }
+      // union of spans covers [0, n) with no gap: each next start is
+      // inside or at the previous end minus overlap
+      out.sliding(2).foreach {
+        case Seq(a, b) => assert(b._2 == a._2 + step && b._2 <= a._3,
+          s"seed=$seed gap between ${a} and ${b}")
+        case _ => ()
+      }
+      assert(out.last._3 == n, s"seed=$seed tail must reach n=$n: $out")
+    }
+  }
+
+  test("zipf slope recovers the exponent on synthetic power-law counts") {
+    import graft.llm.Corpus
+    // counts ~ round(C / rank^s): the ln-ln fit over the exact ranks
+    // must recover ≈ −s for a clean power law (grid effects at the tail
+    // keep it approximate — band, don't pin, the slope)
+    Seq(0.7, 1.0, 1.3).foreach { s =>
+      val words = (1 to 60).flatMap { rank =>
+        val c = math.max(1, math.round(3000.0 / math.pow(rank, s)).toInt)
+        Seq.fill(c)(f"w$rank%03d")
+      }
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+        .withColumn("source", lit("s0"))
+      val row = Corpus.zipfSlope(df, "source", "text", topRanks = 60)
+        .collect().head
+      val slope = row.getDouble(2)
+      assert(math.abs(slope + s) < 0.12,
+        s"target=-$s fit=$slope (n_ranks=${row.getLong(1)})")
+    }
+  }
+
   test("silhouette matches a driver-side brute recomputation and stays " +
     "in [-1, 1] on random corpora") {
     import graft.llm.Clustering
