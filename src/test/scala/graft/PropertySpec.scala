@@ -1546,6 +1546,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("hamming rerank recall is per-query NON-DECREASING in candK " +
+    "(superset shortlist + exact rerank can only improve)") {
+    import graft.llm.Similarity
+    import graft.core.Tables
+    val e = Tables.embeddings(spark, sf001)
+      .filter(size(col("embedding")) >= 64)
+    val q = e.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+      k = 5).localCheckpoint()
+    val byCk = Seq(5, 15, 40).map { ck =>
+      ck -> Similarity.recallAtK(exact,
+          Similarity.hammingRerankTopK(e, q, "vec_id", "embedding",
+            k = 5, candK = ck, dim = 64), k = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    byCk.sliding(2).foreach { case Seq((c1, r1), (c2, r2)) =>
+      r1.keySet.foreach { qid =>
+        assert(r2(qid) >= r1(qid),
+          s"recall dropped for query $qid between candK=$c1 and $c2: " +
+            s"${r1(qid)} -> ${r2(qid)}")
+      }
+    }
+  }
+
   test("silhouette matches a driver-side brute recomputation and stays " +
     "in [-1, 1] on random corpora") {
     import graft.llm.Clustering
