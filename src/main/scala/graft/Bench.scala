@@ -18,12 +18,14 @@ object Bench {
     // first timed query doesn't absorb several seconds of session startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
     // Ambient-load calibration: a fixed, trivially-CPU-bound probe timed
-    // at the START and END of the run and emitted as __calib_start /
-    // __calib_end rows in the artifact. Two consecutive round verdicts
-    // were spent re-adjudicating 2-4× swings on untouched queries as
-    // shared-host drift; with these rows every artifact carries its own
-    // load measurement — compare calib values across artifacts before
-    // reading per-query ratios (normalization rule in SCALE.md §11).
+    // at the START and END of the run and emitted as a TOP-LEVEL
+    // "calibration" object next to "metric"/"sf" — NOT inside "queries",
+    // so consumers iterating query keys (regression diffing, oracle
+    // joins) never see non-query rows (r12 advice). Two consecutive
+    // round verdicts were spent re-adjudicating 2-4× swings on untouched
+    // queries as shared-host drift; with these fields every artifact
+    // carries its own load measurement — compare calib values across
+    // artifacts before reading per-query ratios (SCALE.md §11).
     def calib(): Double = {
       val t0 = System.nanoTime()
       spark.range(50000000L).selectExpr("sum(id * 3 + 1)").collect()
@@ -51,15 +53,12 @@ object Bench {
     graft.queries.PipelineQueries.clearCaches()
     val second = pass()
     val calibEnd = calib()
-    // calib rows ride in `queries` (so every consumer sees them) but are
-    // excluded from the headline total — they measure the host, not us
     val timed = first.map { case (k, v) => k -> math.min(v, second(k)) }
-    val results = timed +
-      ("__calib_start" -> calibStart) + ("__calib_end" -> calibEnd)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = timed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (timed.nonEmpty) timed.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val calibJson = s"""{"start":$calibStart,"end":$calibEnd}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -85,6 +85,21 @@ object Clustering {
       VectorOps.dot(cl, cl) - lit(2.0) * VectorOps.dot(col("__w"), cl)
     }: _*)
 
+  /** The same per-centroid scores as (s, j) STRUCTS over an arbitrary
+    * quantized-vector column — struct ordering compares fields left to
+    * right, so `array_sort` ranks centroids by (score asc, index asc):
+    * element 1 is the kmeans argmin (first-min tie-break, identical to
+    * [[scoresFor]]+array_position) and the first p elements are the p
+    * NEAREST centroids — the trained-IVF probe list
+    * ([[Similarity.ivfTrainedTopK]]). */
+  private[graft] def scoreStructs(w: Column,
+      centroids: IndexedSeq[Array[Double]]): Column =
+    array(centroids.zipWithIndex.map { case (c, j) =>
+      val cl = typedlit(c.toSeq)
+      struct((VectorOps.dot(cl, cl) - lit(2.0) * VectorOps.dot(w, cl))
+        .as("s"), lit(j).as("j"))
+    }: _*)
+
   /** Lloyd's update loop shared by [[kmeansScored]] and [[silhouette]]:
     * deterministic init (the k lowest-id quantized vectors — k rows to
     * the driver, the only data that ever leaves the executors), then

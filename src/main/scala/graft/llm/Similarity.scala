@@ -419,6 +419,59 @@ object Similarity {
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
   }
 
+  /** Compact an over-fragmented partitioned index store IN PLACE —
+    * the maintenance half of the streaming-ingest story: every
+    * `stream_hamming` micro-batch appends one file per touched bucket
+    * partition, and at ingest rates the accumulating small files erode
+    * the pruned-read win the layout exists for (listing cost, footer
+    * overhead, task fan-out). This rewrites ONLY the partitions whose
+    * parquet file count exceeds `maxFilesPerBucket`: the read is
+    * partition-pruned to those keys, the rewrite is a DYNAMIC
+    * partition overwrite (untouched partitions keep their files
+    * byte-for-byte), and each rewritten partition lands as one file
+    * per holding task (≤ 1 here: `repartition(partitionCol)` puts a
+    * key's rows in exactly one task). Never a full-store rewrite.
+    *
+    * The over-threshold slice is `localCheckpoint`ed (materialized)
+    * BEFORE the overwrite — the write must not stream from the very
+    * files it is replacing. Serving is byte-identical before/after
+    * (pinned in BucketingSpec: same probe rows, file count bounded).
+    * Works for any of the stores here (`bucket` or `cell` partition
+    * columns, long/int/string keys). Returns the rewritten partition
+    * keys (empty ⇒ nothing exceeded the threshold, nothing written). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   partitionCol: String,
+                   maxFilesPerBucket: Int): Seq[String] = {
+    require(maxFilesPerBucket >= 1,
+      s"maxFilesPerBucket=$maxFilesPerBucket must be >= 1")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = partitionCol + "="
+    val over = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .filter(p => fs.listStatus(p.getPath).count(f =>
+        f.isFile && f.getPath.getName.startsWith("part-"))
+        > maxFilesPerBucket)
+      .map(_.getPath.getName.substring(prefix.length)).toSeq.sorted
+    if (over.nonEmpty) {
+      val store = spark.read.parquet(path)
+      // directory names are strings; coerce to the inferred partition
+      // dtype so the IN-list stays a PartitionFilters prune (the
+      // typedKeys rule)
+      val keys: Seq[Any] = store.schema(partitionCol).dataType match {
+        case org.apache.spark.sql.types.LongType => over.map(_.toLong)
+        case org.apache.spark.sql.types.IntegerType => over.map(_.toInt)
+        case _ => over
+      }
+      store.filter(col(partitionCol).isin(keys: _*))
+        .repartition(col(partitionCol))
+        .localCheckpoint() // materialize before replacing the source files
+        .write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").partitionBy(partitionCol).parquet(path)
+    }
+    over
+  }
+
   /** [[hammingTopKBlocked]] served from a [[writeHammingIndex]] store:
     * identical probe set, scoring and ranking — but the corpus side is
     * the PARTITIONED fingerprint table restricted by a LITERAL bucket
@@ -430,7 +483,15 @@ object Similarity {
     * values regardless of corpus or batch size, the same
     * driver-footprint class as the centroid/codebook collects. Results
     * are row-identical to [[hammingTopKBlocked]] on the same corpus
-    * (`ann_hamming_indexed` shares `ann_hamming_blocked`'s oracle). */
+    * (`ann_hamming_indexed` shares `ann_hamming_blocked`'s oracle).
+    *
+    * EAGER at construction time (r12 advice, documented contract): the
+    * query-side fingerprints are localCheckpointed and the probe-bucket
+    * IN-list is collected BEFORE this returns, so the returned frame is
+    * partially executed, its partition-filter set is frozen at build
+    * time (new queries need a new call), and the probe-side cost lands
+    * in plan construction rather than first action — callers timing the
+    * serving read get exactly the pruned scan, which is the point. */
   def hammingTopKIndexed(indexed: DataFrame, queries: DataFrame,
                          idCol: String, vecCol: String, k: Int, dim: Int,
                          bits: Int = 48, prefixBits: Int = 8,
@@ -640,7 +701,12 @@ object Similarity {
     * Hint-free join (the [[hammingTopKIndexed]] posture): AQE
     * broadcasts a small probe batch, shuffles a corpus-scale one.
     * Row-identical to [[ivfTopK]] on the same corpus
-    * (`ann_ivf_indexed` shares `ann_ivf_topk`'s oracle). */
+    * (`ann_ivf_indexed` shares `ann_ivf_topk`'s oracle).
+    *
+    * EAGER at construction time, like [[hammingTopKIndexed]]: the query
+    * cells are localCheckpointed and the probe IN-list collected before
+    * this returns — the returned frame is partially executed and its
+    * partition-filter set frozen at build time. */
   def ivfTopKIndexed(indexed: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int,
                      m: Int = 4, probes: Int = 2,
@@ -651,6 +717,132 @@ object Similarity {
       .select(col(idCol).as("query_id"),
         normalize(col(vecCol)).as("qv"),
         explode(array(Seq(cw, cr).take(probes): _*)).as("cell"))
+      .localCheckpoint() // probed twice: the IN-list collect + the join
+    val probed = q.select("cell").distinct().collect()
+      .map(_.getInt(0).toLong).sorted.toSeq
+    val c = indexed.filter(col("cell").isin(
+      typedKeys(probed, indexed.schema("cell").dataType): _*))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", dot(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), roundScore).as("score"))
+  }
+
+  // ------------------------------------------------ trained-centroid IVF
+
+  /** Train the coarse quantizer for the REAL IVF family (the FAISS
+    * `IVFx` coarse stage): k-means centroids over the corpus via
+    * [[Clustering.trainCentroids]]'s dyadic-grid Lloyd loop — engine-
+    * exact (exact component sums in any order, first-min argmin, the
+    * `embed_kmeans` discipline), so an oracle replays the training
+    * round for round. Returns the k×dim centroid table; it rides as
+    * plan literals in the cell/probe expressions (k×dim doubles — the
+    * same driver-footprint class as the PQ codebooks).
+    *
+    * This lifts the axis-cell scheme's `probes ≤ 2` cap: axis cells
+    * have no distance ranking beyond winner/runner-up, but trained
+    * centroids rank by the actual quantizer distance, so a query can
+    * probe its p nearest cells for any p ≤ k. */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                        k: Int, iters: Int,
+                        dim: Int): IndexedSeq[Array[Double]] = {
+    require(k >= 2 && iters >= 1, s"k=$k, iters=$iters out of range")
+    val base = corpus.filter(size(col(vecCol)) === dim)
+      .select(col(idCol).as("__id"), Clustering.quantize(col(vecCol)).as("__w"))
+    Clustering.trainCentroids(base, k, iters, dim)
+  }
+
+  /** The query's `probes` nearest trained cells, as an array of cell
+    * ids: sort the (score, index) structs — struct comparison is
+    * field-by-field, so ties break on the LOWEST index, matching the
+    * kmeans argmin — and take the first p. Cell scoring runs on the
+    * dyadic-quantized vector exactly like the kmeans assignment, so
+    * the probe ranking replays in the oracle. */
+  private def trainedProbeCells(vec: Column,
+      centroids: IndexedSeq[Array[Double]], probes: Int): Column =
+    transform(
+      slice(array_sort(Clustering.scoreStructs(
+        Clustering.quantize(vec), centroids)), 1, probes),
+      x => x.getField("j").cast("int"))
+
+  /** ANN via TRAINED-centroid IVF probing: each corpus vector lives in
+    * its argmin-centroid cell; a query scores candidates in its
+    * `probes` NEAREST cells (ranked by the quantizer distance — the
+    * ranking axis cells don't have). Same output shape, determinism
+    * and join posture as [[ivfTopK]]; the eval leg that
+    * `ann_ivft_recall` compares against the axis-cell path at equal
+    * probes. Vectors not exactly `dim` long degrade out (the kmeans
+    * universe — training, cells and probes all share it). */
+  def ivfTrainedTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String,
+                     centroids: IndexedSeq[Array[Double]], k: Int,
+                     probes: Int, dim: Int,
+                     roundScore: Int = 6): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(probes >= 1 && probes <= centroids.length,
+      s"probes=$probes out of [1, ${centroids.length}]")
+    val okLen = size(col(vecCol)) === dim
+    val q = queries.filter(okLen).select(col(idCol).as("query_id"),
+      normalize(col(vecCol)).as("qv"),
+      explode(trainedProbeCells(col(vecCol), centroids, probes)).as("cell"))
+    val c = corpus.filter(okLen).select(col(idCol).as("neighbor_id"),
+      normalize(col(vecCol)).as("cv"),
+      element_at(trainedProbeCells(col(vecCol), centroids, 1), 1).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", dot(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), roundScore).as("score"))
+  }
+
+  /** Materialize the trained-IVF layout: normalized vectors written
+    * PARTITIONED BY the argmin-centroid cell — the [[writeIvfIndex]]
+    * pattern with kmeans cells instead of axis cells. One map-only
+    * pass (the centroids are plan literals, cell assignment is
+    * row-local), at most k directories, the write shuffles nothing. */
+  def writeIvfTrainedIndex(corpus: DataFrame, idCol: String,
+                           vecCol: String, path: String,
+                           centroids: IndexedSeq[Array[Double]],
+                           dim: Int): Unit = {
+    corpus.filter(size(col(vecCol)) === dim)
+      .select(col(idCol).as("neighbor_id"),
+        normalize(col(vecCol)).as("cv"),
+        element_at(trainedProbeCells(col(vecCol), centroids, 1), 1)
+          .as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** [[ivfTrainedTopK]] served from a [[writeIvfTrainedIndex]] store:
+    * the probed cells arrive as a LITERAL IN-list → `PartitionFilters`
+    * on the scan (pinned in BucketingSpec), IN-list bounded by the
+    * CELL DOMAIN (≤ k ints). Row-identical to [[ivfTrainedTopK]] on
+    * the same corpus (`ann_ivft_indexed` shares the oracle algebra).
+    *
+    * EAGER at construction time, like [[hammingTopKIndexed]]: the
+    * query cells are localCheckpointed and the probe IN-list collected
+    * before this returns. */
+  def ivfTrainedTopKIndexed(indexed: DataFrame, queries: DataFrame,
+                            idCol: String, vecCol: String,
+                            centroids: IndexedSeq[Array[Double]], k: Int,
+                            probes: Int, dim: Int,
+                            roundScore: Int = 6): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(probes >= 1 && probes <= centroids.length,
+      s"probes=$probes out of [1, ${centroids.length}]")
+    val q = queries.filter(size(col(vecCol)) === dim)
+      .select(col(idCol).as("query_id"),
+        normalize(col(vecCol)).as("qv"),
+        explode(trainedProbeCells(col(vecCol), centroids, probes))
+          .as("cell"))
       .localCheckpoint() // probed twice: the IN-list collect + the join
     val probed = q.select("cell").distinct().collect()
       .map(_.getInt(0).toLong).sorted.toSeq

@@ -169,13 +169,18 @@ object PipelineQueries {
       |             FROM uh))""".stripMargin
 
   /** SQL fragment: distinct word-3-gram shingles (keep in sync with
-    * [[Dedup.shingles]]). */
-  private val shinglesCte =
-    """ws AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
-      |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+    * [[Dedup.shingles]]). Split so composed oracles that ALREADY carry a
+    * whitespace-split `ws` CTE (bigramNllCtes defines the identical one)
+    * can append just the shingle tail without a name collision. */
+  private val shinglesFromWsCte =
+    """idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
       |        FROM ws WHERE len(w) >= 3),
       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
       |       FROM idx)""".stripMargin
+
+  private val shinglesCte =
+    "ws AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),\n" +
+      shinglesFromWsCte
 
   private def sqlStringList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
@@ -554,6 +559,22 @@ object PipelineQueries {
     * Spark query and the oracle builder so the two can never drift. */
   private val hammingSizingCandKs = Seq(5, 10, 25, 50)
 
+  /** The bits sweep points of `ann_hamming_bits` (62 is the packed-word
+    * positivity ceiling — [[Similarity.hammingWord]]) and the fixed
+    * rerank depth the sweep runs at; shared engine/oracle. */
+  private val hammingSizingBits = Seq(16, 32, 48, 62)
+  private val hammingBitsCandK = 50
+
+  /** pipeline_curate's classifier-gate threshold, shared engine/oracle.
+    * The standalone quality_ensemble AUDIT uses ≥ 0.5 (the signal
+    * report); the composed pipeline tunes the threshold to a target
+    * keep rate — the FineWeb practice — because the trained
+    * classifier's score distribution is corpus-specific: on the gate
+    * fixture ≥ 0.5 keeps 2/500 (every downstream stage vacuous), ≥ 0.3
+    * keeps 150 and leaves each stage real work to do. A deployment
+    * sets this from its own score histogram (quality_hist). */
+  private val CurateClsThreshold = 0.3
+
   /** The band sweep points of `dedup_lsh_sizing` (each must divide the
     * k=8 signature) — shared by the Spark query and the oracle. */
   private val lshSizingBands = Seq(2, 4, 8)
@@ -582,6 +603,68 @@ object PipelineQueries {
     clusterCache.getOrElseUpdate((s, d), Dedup.clusters(sharedLshPairs(s, d)))
   }
 
+  /** Materialized-index store paths, memoized per (session, dir, kind).
+    * The r12 split: the store builds ONCE per pass — the `ann_*_build`
+    * rows time the write — and the `ann_*_indexed` probe rows then time
+    * ONLY the pruned read the layout exists for (Bench's name-sorted
+    * order runs `*_build` first; a standalone probe invocation still
+    * builds on first use, so Verify's per-query contract holds). The
+    * path carries the JVM pid plus a digest of the dataset dir, so two
+    * concurrent bench/verify JVMs (e.g. sf0.1 and sf1) can never
+    * overwrite each other's store mid-query (r12 advice — the fixed
+    * `graft_*_idx_q` paths were a cross-process clobber hazard). */
+  private val indexStoreCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
+
+  private def indexStorePath(kind: String, d: String): String = {
+    val pid = java.lang.ProcessHandle.current().pid()
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_${kind}_idx_${pid}_$dig").getPath
+  }
+
+  private def sharedIndex(s: SparkSession, d: String, kind: String)(
+      build: String => Unit): String = {
+    if (indexStoreCache.size >= maxCacheEntries) clearCaches()
+    indexStoreCache.getOrElseUpdate((s, d, kind), {
+      val p = indexStorePath(kind, d)
+      build(p)
+      p
+    })
+  }
+
+  private def sharedHammingIndex(s: SparkSession, d: String): String =
+    sharedIndex(s, d, "hamming")(p =>
+      Similarity.writeHammingIndex(Tables.embeddings(s, d), "vec_id",
+        "embedding", p, dim = 64, prefixBits = 6))
+
+  private def sharedIvfIndex(s: SparkSession, d: String): String =
+    sharedIndex(s, d, "ivf")(p =>
+      Similarity.writeIvfIndex(Tables.embeddings(s, d), "vec_id",
+        "embedding", p, m = 4))
+
+  /** Trained-IVF coarse quantizer (k=8 cells, 2 Lloyd rounds — the
+    * embed_kmeans configuration, so the oracle's kmeansCtes replay
+    * serves the cell assignment verbatim), memoized per (session, dir):
+    * three queries (build / indexed probe / recall) share one training
+    * run, the [[sharedLshPairs]] economics. */
+  private val ivfTrainedCentroidCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), IndexedSeq[Array[Double]]]
+
+  private def sharedIvfTrainedCentroids(s: SparkSession,
+      d: String): IndexedSeq[Array[Double]] = {
+    if (ivfTrainedCentroidCache.size >= maxCacheEntries) clearCaches()
+    ivfTrainedCentroidCache.getOrElseUpdate((s, d),
+      Similarity.trainIvfCentroids(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = 8, iters = 2, dim = 64))
+  }
+
+  private def sharedIvfTrainedIndex(s: SparkSession, d: String): String =
+    sharedIndex(s, d, "ivft")(p =>
+      Similarity.writeIvfTrainedIndex(Tables.embeddings(s, d), "vec_id",
+        "embedding", p, sharedIvfTrainedCentroids(s, d), dim = 64))
+
   /** Same sharing for the exact-overlap candidate join: the Jaccard and
     * containment gates are finishers over one blocking-join frame. */
   private val overlapCache =
@@ -603,6 +686,8 @@ object PipelineQueries {
     lshPairCache.clear()
     clusterCache.clear()
     overlapCache.clear()
+    indexStoreCache.clear()
+    ivfTrainedCentroidCache.clear()
   }
 
   val queries: Map[String, Q] = Map(
@@ -1155,15 +1240,70 @@ object PipelineQueries {
     // ann_hamming_indexed); row-identical to ann_ivf_topk, same oracle --
     "ann_ivf_indexed" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      // FIXED path + overwrite mode (see ann_hamming_indexed)
-      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_ivf_idx_q").getPath
-      Similarity.writeIvfIndex(e, "vec_id", "embedding", idx, m = 4)
+      // the memoized store (built by ann_ivf_build or on first use), so
+      // this row times the pruned READ — the layout's serving cost
+      val idx = sharedIvfIndex(s, d)
       Similarity.ivfTopKIndexed(s.read.parquet(idx),
         e.filter(col("vec_id") < 50),
         "vec_id", "embedding", k = 3, m = 4, probes = 2)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"))
+    }),
+
+    // --- the IVF store BUILD as its own timed row (r12 split: build vs
+    // probe) — writes the cell-partitioned store, then reads the store
+    // back for a per-cell row count, oracle-checking the LAYOUT (which
+    // vector landed in which partition), not just the probe results ----
+    "ann_ivf_build" -> ((s, d) => {
+      val idx = sharedIvfIndex(s, d)
+      s.read.parquet(idx)
+        .groupBy(col("cell").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n_rows"))
+    }),
+
+    // --- TRAINED-centroid IVF (the FAISS IVFx coarse stage): kmeans
+    // cells instead of axis cells — probes rank by the actual quantizer
+    // distance, lifting the axis scheme's probes ≤ 2 cap; the store is
+    // the same partitionBy(cell) layout, reads partition-pruned --------
+    "ann_ivft_build" -> ((s, d) => {
+      val idx = sharedIvfTrainedIndex(s, d)
+      s.read.parquet(idx)
+        .groupBy(col("cell").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n_rows"))
+    }),
+
+    "ann_ivft_indexed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val idx = sharedIvfTrainedIndex(s, d)
+      Similarity.ivfTrainedTopKIndexed(s.read.parquet(idx),
+        e.filter(col("vec_id") < 50), "vec_id", "embedding",
+        sharedIvfTrainedCentroids(s, d), k = 3, probes = 2, dim = 64)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+    }),
+
+    // --- recall@5 of trained vs axis cells AT EQUAL PROBES (p = 2),
+    // one exact brute leg serving both — the measurement behind
+    // adopting the trained quantizer (LlmSpec pins trained ≥ axis in
+    // aggregate on the gate fixture); one len=64 universe for all legs
+    // (the kmeans training universe), so recall isolates CELL QUALITY --
+    "ann_ivft_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .filter(size(col("embedding")) === 64)
+      val q = e.filter(col("vec_id") < 10)
+      val cents = sharedIvfTrainedCentroids(s, d)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+        k = 5).localCheckpoint() // one brute leg serves both methods
+      val trained = Similarity.ivfTrainedTopK(e, q, "vec_id", "embedding",
+        cents, k = 5, probes = 2, dim = 64)
+      val axis = Similarity.ivfTopK(e, q, "vec_id", "embedding",
+        k = 5, m = 4, probes = 2)
+      Similarity.recallAtK(exact, trained, k = 5)
+        .select(lit("ivf_trained").as("method"), col("query_id"),
+          col("n_hits"), col("recall"))
+        .unionByName(Similarity.recallAtK(exact, axis, k = 5)
+          .select(lit("ivf_axis").as("method"), col("query_id"),
+            col("n_hits"), col("recall")))
     }),
 
     // --- ANN over packed 48-bit sign fingerprints: the BINARY serving
@@ -1233,19 +1373,27 @@ object PipelineQueries {
     "ann_hamming_indexed" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 10)
-      // FIXED path + overwrite mode: bench/verify invoke this lambda
-      // several times per JVM — an incrementing suffix would leak one
-      // full store per invocation into /tmp
-      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_hamming_idx_q").getPath
-      Similarity.writeHammingIndex(e, "vec_id", "embedding", idx,
-        dim = 64, prefixBits = 6)
+      // the memoized store (built by ann_hamming_build or on first
+      // use): this row times the pruned probe READ + the recall join,
+      // not the store write (r12 split)
+      val idx = sharedHammingIndex(s, d)
       val full = Similarity.hammingTopK(e, q, "vec_id", "embedding",
         k = 5, dim = 64)
       val blocked = Similarity.hammingTopKIndexed(s.read.parquet(idx), q,
         "vec_id", "embedding", k = 5, dim = 64, prefixBits = 6)
       Similarity.recallAtK(full, blocked, k = 5)
         .select(col("query_id"), col("n_hits"), col("recall"))
+    }),
+
+    // --- the Hamming store BUILD as its own timed row (r12 split):
+    // writes the bucket-partitioned fingerprint store, then reads it
+    // back for per-bucket row counts — oracle-checking which word
+    // landed in which partition directory --------------------------------
+    "ann_hamming_build" -> ((s, d) => {
+      val idx = sharedHammingIndex(s, d)
+      s.read.parquet(idx)
+        .groupBy(col("bucket").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"))
     }),
 
     // --- candK sizing sweep for the two-stage binary path: recall@5 of
@@ -1264,6 +1412,28 @@ object PipelineQueries {
           "embedding", k = 5, candK = ck, dim = 64)
         Similarity.recallAtK(exact, approx, k = 5)
           .select(lit(ck.toLong).as("cand_k"), col("query_id"),
+            col("n_hits"), col("recall"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // --- bits-axis sizing for the binary regime: recall@5 of the
+    // two-stage Hamming-shortlist→cosine-rerank path at signature widths
+    // bits ∈ {16, 32, 48, 62} and FIXED candK = 50 — the knob the candK
+    // sweep left uncurved (its 0.42 plateau at candK=50 is bound by the
+    // 48-bit signature, not the shortlist depth). One brute leg serves
+    // all sweep points; each bits point is one extra map-side encode +
+    // the shortlist-bounded rerank ---------------------------------------
+    "ann_hamming_bits" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .filter(size(col("embedding")) >= 64) // one universe, all legs
+      val q = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+        k = 5).localCheckpoint() // one brute leg serves the sweep
+      hammingSizingBits.map { b =>
+        val approx = Similarity.hammingRerankTopK(e, q, "vec_id",
+          "embedding", k = 5, candK = hammingBitsCandK, dim = 64, bits = b)
+        Similarity.recallAtK(exact, approx, k = 5)
+          .select(lit(b.toLong).as("bits"), col("query_id"),
             col("n_hits"), col("recall"))
       }.reduce(_ unionByName _)
     }),
@@ -3087,6 +3257,69 @@ object PipelineQueries {
         .select("doc_id", "quality_score", "shard_id", "shard_offset")
     }),
 
+    // --- the FULL modern curation recipe composed as ONE plan (the
+    // pipeline_clean method, extended across the whole operator set):
+    // quality_ensemble gate → normalized exact dedup (keep first) →
+    // banded MinHash near-dedup (bands=4, the dedup_lsh_sizing pick;
+    // drop the higher id of every candidate pair) → decontamination
+    // against the held-out eval slice (doc_id % 17) → temperature
+    // rebalance (T=2, half the survivors — rates derive from the
+    // SURVIVOR counts, not the corpus) → token-budget shard packing per
+    // language. Every stage is the verified standalone operator chained
+    // as a plain DataFrame transform; the oracle reuses each stage's own
+    // CTE fragment, so a drift in any stage fails BOTH its standalone
+    // query and this composition. Gates are map-side against broadcast
+    // frames (1-row threshold, |langs|-row rates); the only corpus-wide
+    // exchanges are the ones the standalone stages already pay ----------
+    "pipeline_curate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // stage 1: the quality_ensemble stack, same operators + constants
+      val g = TextAnalysis.gopherRules(docs, "text")
+        .select(col("doc_id"), col("pass_gopher"))
+      val c = QualityModel.score(docs, "text", "doc_id", buckets = 256)
+        .select(col("doc_id"), col("quality_prob"))
+      val b = Corpus.bigramNll(docs, "text", "doc_id")
+        .select(col("doc_id"), col("avg_nll"))
+      val th = b.agg(percentile(col("avg_nll"), lit(0.75)).as("__th"))
+      val k1 = g.join(c, Seq("doc_id")).join(b, Seq("doc_id"), "left")
+        .crossJoin(broadcast(th))
+        .filter(col("pass_gopher") &&
+          col("quality_prob") >= CurateClsThreshold &&
+          col("avg_nll").isNotNull && col("avg_nll") <= col("__th"))
+        .select("doc_id")
+      val s1 = docs.join(k1.hint("shuffle_hash"), Seq("doc_id"))
+      // stage 2: C4-style normalized exact dedup, keep lowest id
+      val s2 = Dedup.exact(TextAnalysis.normalize(s1, "text"),
+          "text_norm", "doc_id")
+        .filter(col("keep"))
+        .select(docs.columns.map(col): _*)
+      // stage 3: banded MinHash near-dedup among the stage-2 survivors
+      val pairs = Dedup.minhashLsh(s2, "text", "doc_id",
+        shingleN = 3, k = 8, bands = 4)
+      val s3 = s2.join(
+        pairs.select(col("id_b").as("doc_id")).distinct()
+          .hint("shuffle_hash"),
+        Seq("doc_id"), "left_anti")
+      // stage 4: decontaminate the surviving TRAIN docs against the
+      // eval slice (the slice itself never enters the training corpus)
+      val test = docs.filter(col("doc_id") % 17 === 0)
+      val trainSide = s3.filter(col("doc_id") % 17 =!= 0)
+      val cont = Contamination.ngramOverlap(trainSide, test,
+          "text", "doc_id", n = 3, minShared = 2)
+        .select(col("train_id").as("doc_id")).distinct()
+      val s4 = trainSide.join(cont.hint("shuffle_hash"),
+        Seq("doc_id"), "left_anti")
+      // stage 5: temperature rebalance over the survivor language mix
+      val s5 = Sampling.temperature(s4, "doc_id", "lang",
+        temp = 2.0, frac = 0.5)
+      // stage 6: pack what survived into token-budget shards per lang
+      Sampling.packShards(
+        s5.withColumn("tokens",
+          size(TextAnalysis.tokens(col("text"))).cast("long")),
+        "lang", "doc_id", "tokens", budget = 2000L)
+        .select("doc_id", "lang", "shard_id", "shard_offset")
+    }),
+
     // --- stream-static enrichment join: the canonical Structured
     // Streaming enrichment shape — a stream inner-joined to a broadcast
     // static dimension (no watermark needed; the static side is planned
@@ -3412,6 +3645,116 @@ object PipelineQueries {
        |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
        |  FROM s) WHERE rank <= 3""".stripMargin
 
+  /** The trained-IVF probe/assignment fragment over [[kmeansCtes]]'
+    * unrolled training (k=8, iters=2, dim=64 — the embed_kmeans
+    * configuration): `tnv` normalizes the len=64 training universe,
+    * `tcc` is the corpus cell (the a2 assignment verbatim), `tqp` the
+    * query's 2 nearest cells by (quantizer score, index) — the same
+    * (s, j) ordering the engine's sorted score structs use. Shared by
+    * ann_ivft_indexed and ann_ivft_recall so the cell algebra can
+    * never desynchronize. */
+  private def ivfTrainedCtes(maxQueryId: Int, probes: Int): String =
+    s"""tnv AS (
+       |  SELECT vec_id,
+       |         list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+       |           AS nv
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |        FROM embeddings WHERE len(embedding) = 64)),
+       |tcc AS (SELECT vec_id AS neighbor_id, cluster AS cell FROM a2),
+       |tqp AS (SELECT vec_id AS query_id, j AS cell FROM (
+       |          SELECT vec_id, j, row_number() OVER (
+       |              PARTITION BY vec_id ORDER BY s, j) AS rn
+       |          FROM s2 WHERE vec_id < $maxQueryId)
+       |        WHERE rn <= $probes)""".stripMargin
+
+  /** ann_ivft_indexed's oracle: training replayed round for round, the
+    * store's cell partitions = the a2 assignment, probes = the 2
+    * nearest trained cells, cosine top-3 within the probed cells. */
+  private lazy val ivfTrainedTopKSql: String =
+    s"WITH ${kmeansCtes(8, 2, 64)},\n" +
+      ivfTrainedCtes(maxQueryId = 50, probes = 2) + """,
+      |ts AS (SELECT tqp.query_id, tcc.neighbor_id,
+      |              list_dot_product(q.nv, c.nv) AS score
+      |       FROM tcc JOIN tqp USING (cell)
+      |       JOIN tnv q ON q.vec_id = tqp.query_id
+      |       JOIN tnv c ON c.vec_id = tcc.neighbor_id
+      |       WHERE tcc.neighbor_id <> tqp.query_id)
+      |SELECT query_id, rank, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id,
+      |         CAST(row_number() OVER (PARTITION BY query_id
+      |             ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+      |  FROM ts) WHERE rank <= 3""".stripMargin
+
+  /** ann_ivft_recall's oracle: one MATERIALIZED exact top-5 leg, the
+    * trained leg (kmeans cells) and the axis leg ([[ivfCellCtes]]) both
+    * probed at p=2 over the SAME len=64 universe, each recall-joined
+    * against the exact leg and tagged with its method. */
+  private lazy val ivfTrainedRecallSql: String =
+    s"WITH ${kmeansCtes(8, 2, 64)},\n" +
+      ivfTrainedCtes(maxQueryId = 10, probes = 2) + s""",
+      |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |       FROM embeddings WHERE len(embedding) = 64),
+      |${ivfCellCtes("e0")},
+      |xq AS (SELECT vec_id AS query_id, nv AS qv FROM tnv
+      |       WHERE vec_id < 10),
+      |x AS (SELECT xq.query_id, tnv.vec_id AS neighbor_id,
+      |             list_dot_product(qv, tnv.nv) AS score
+      |      FROM tnv, xq WHERE tnv.vec_id <> xq.query_id),
+      |ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+      |      AS rank
+      |  FROM x) WHERE rank <= 5),
+      |ts AS (SELECT tqp.query_id, tcc.neighbor_id,
+      |              list_dot_product(q.nv, c.nv) AS score
+      |       FROM tcc JOIN tqp USING (cell)
+      |       JOIN tnv q ON q.vec_id = tqp.query_id
+      |       JOIN tnv c ON c.vec_id = tcc.neighbor_id
+      |       WHERE tcc.neighbor_id <> tqp.query_id),
+      |tapx AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+      |      AS rank
+      |  FROM ts) WHERE rank <= 5),
+      |aq AS (SELECT cc.vec_id AS query_id,
+      |              unnest([cell_w, cell_r]) AS cell
+      |       FROM ivcell cc WHERE cc.vec_id < 10),
+      |ac AS (SELECT vec_id AS neighbor_id, cell_w AS cell FROM ivcell),
+      |asx AS (SELECT aq.query_id, ac.neighbor_id,
+      |               list_dot_product(q.nv, c.nv) AS score
+      |        FROM ac JOIN aq USING (cell)
+      |        JOIN tnv q ON q.vec_id = aq.query_id
+      |        JOIN tnv c ON c.vec_id = ac.neighbor_id
+      |        WHERE ac.neighbor_id <> aq.query_id),
+      |aapx AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+      |      AS rank
+      |  FROM asx) WHERE rank <= 5)
+      |SELECT 'ivf_trained' AS method, query_id, n_hits,
+      |       round(n_hits / CAST(n_exact AS DOUBLE), 6) AS recall
+      |FROM (
+      |  SELECT ex.query_id,
+      |         CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      |         COUNT(*) AS n_exact
+      |  FROM ex LEFT JOIN tapx a
+      |    ON a.query_id = ex.query_id
+      |   AND a.neighbor_id = ex.neighbor_id
+      |  GROUP BY 1)
+      |UNION ALL
+      |SELECT 'ivf_axis' AS method, query_id, n_hits,
+      |       round(n_hits / CAST(n_exact AS DOUBLE), 6) AS recall
+      |FROM (
+      |  SELECT ex.query_id,
+      |         CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      |         COUNT(*) AS n_exact
+      |  FROM ex LEFT JOIN aapx a
+      |    ON a.query_id = ex.query_id
+      |   AND a.neighbor_id = ex.neighbor_id
+      |  GROUP BY 1)""".stripMargin
+
   /** The blocked-Hamming recall oracle: corpus words in ONE top-6-bit
     * bucket, each query probing its own prefix plus the 6 at
     * prefix-Hamming distance 1, recall@5 joined against the full-scan
@@ -3532,6 +3875,73 @@ object PipelineQueries {
          |  GROUP BY 1)""".stripMargin
     }.mkString("\nUNION ALL\n")
     shared + perCk + "\n" + selects
+  }
+
+  /** ann_hamming_bits' oracle — [[hammingSizingSql]] transposed to the
+    * bits axis: ONE exact-cosine leg and shared normalized vectors
+    * (MATERIALIZED), then per signature width a word CTE from that
+    * width's OWN plane literals, a Hamming shortlist at the fixed
+    * candK, a cosine rerank and a recall block, UNION ALL'd with the
+    * width as `bits`. Generated from the same [[hammingSizingBits]] /
+    * [[hammingBitsCandK]] the Spark sweep uses. */
+  private def hammingBitsSql(bitsList: Seq[Int], candK: Int): String = {
+    val shared =
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE len(embedding) >= 64),
+         |nv AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+         |           AS nv
+         |  FROM e),
+         |xq AS (SELECT vec_id AS query_id, nv AS qv FROM nv
+         |       WHERE vec_id < 10),
+         |x AS (SELECT xq.query_id, nv.vec_id AS neighbor_id,
+         |        list_dot_product(qv, nv.nv) AS score
+         |      FROM nv, xq WHERE nv.vec_id <> xq.query_id),
+         |ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+         |      AS rank
+         |  FROM x) WHERE rank <= 5)""".stripMargin
+    val perBits = bitsList.map { b =>
+      s""",
+         |w$b AS MATERIALIZED (
+         |  SELECT vec_id, ${hammingWordSql("v", b, 64)} AS word FROM e),
+         |hq$b AS (SELECT vec_id AS query_id, word AS qw FROM w$b
+         |         WHERE vec_id < 10),
+         |sl$b AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT hq$b.query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY hq$b.query_id
+         |             ORDER BY bit_count(xor(c.word, hq$b.qw)), c.vec_id)
+         |             AS ham_rank
+         |    FROM w$b c, hq$b WHERE c.vec_id <> hq$b.query_id)
+         |  WHERE ham_rank <= $candK),
+         |rs$b AS (SELECT sl$b.query_id, sl$b.neighbor_id,
+         |              list_dot_product(q.nv, c.nv) AS score
+         |       FROM sl$b
+         |       JOIN nv q ON q.vec_id = sl$b.query_id
+         |       JOIN nv c ON c.vec_id = sl$b.neighbor_id),
+         |apx$b AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+         |      AS rank
+         |  FROM rs$b) WHERE rank <= 5)""".stripMargin
+    }.mkString
+    val selects = bitsList.map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS bits, query_id, n_hits,
+         |       round(n_hits / CAST(n_exact AS DOUBLE), 6) AS recall
+         |FROM (
+         |  SELECT ex.query_id,
+         |         CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |         COUNT(*) AS n_exact
+         |  FROM ex LEFT JOIN apx$b a
+         |    ON a.query_id = ex.query_id
+         |   AND a.neighbor_id = ex.neighbor_id
+         |  GROUP BY 1)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    shared + perBits + "\n" + selects
   }
 
   /** The knn_graph oracle's CTE chain up to `g` (the rank≤3 directed edge
@@ -5365,10 +5775,28 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       // so it shares the oracle verbatim
       "ann_hamming_indexed" -> hammingBlockedRecallSql,
 
+      // the store BUILD's layout check: per-bucket fingerprint counts —
+      // the word's top-6 bits replayed from the same plane literals, so
+      // the oracle pins WHICH rows the write put in WHICH partition
+      "ann_hamming_build" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |           FROM embeddings WHERE len(embedding) >= 64),
+           |w AS (SELECT ${hammingWordSql("v", 48, 64)} AS word FROM e)
+           |SELECT word >> 42 AS bucket,
+           |       CAST(count(*) AS BIGINT) AS n_rows
+           |FROM w GROUP BY 1""".stripMargin,
+
       // one ranked Hamming list + one exact leg, then a shortlist→
       // rerank→recall block per candK — generated from the SAME sweep
       // points as the Spark query
       "ann_hamming_sizing" -> hammingSizingSql(hammingSizingCandKs),
+
+      // the sizing sweep transposed to the BITS axis: per signature
+      // width its own plane-literal word CTE, shortlist at the fixed
+      // candK, rerank, recall — same generated-from-shared-constants
+      // discipline
+      "ann_hamming_bits" ->
+        hammingBitsSql(hammingSizingBits, hammingBitsCandK),
 
       // Hamming shortlist (rank ≤ 50 by integer distance) → exact-cosine
       // rerank of only the shortlist → recall join vs the exact top-5
@@ -5427,6 +5855,34 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       // read from (PartitionFilters-pruned cell directories), not which
       // rows exist — row-identical to ann_ivf_topk, same oracle
       "ann_ivf_indexed" -> ivfTopKSql,
+
+      // trained-IVF: the kmeans training replayed round for round
+      // (kmeansCtes — the embed_kmeans discipline), then probe the 2
+      // nearest TRAINED cells; the store only changes where candidate
+      // rows are read from
+      "ann_ivft_indexed" -> ivfTrainedTopKSql,
+
+      // the trained store's layout check: per-cell counts = the a2
+      // assignment the engine's argmin-struct cells must reproduce
+      "ann_ivft_build" ->
+        (s"WITH ${kmeansCtes(8, 2, 64)}\n" +
+          """SELECT CAST(cluster AS BIGINT) AS cell,
+            |       CAST(count(*) AS BIGINT) AS n_rows
+            |FROM a2 GROUP BY 1""".stripMargin),
+
+      // trained vs axis cells at equal probes, one exact leg
+      "ann_ivft_recall" -> ivfTrainedRecallSql,
+
+      // the IVF store BUILD's layout check: per-cell vector counts via
+      // the shared axis-cell fragment (writeIvfIndex keeps vectors with
+      // len ≥ m = 4)
+      "ann_ivf_build" ->
+        (s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            |            FROM embeddings WHERE len(embedding) >= 4),
+            |""".stripMargin + ivfCellCtes("e0") + """
+            |SELECT CAST(cell_w AS BIGINT) AS cell,
+            |       CAST(count(*) AS BIGINT) AS n_rows
+            |FROM ivcell GROUP BY 1""".stripMargin),
 
       // replays CountMin.build + probe exactly: 32-bit md5-prefix buckets
       // of the row-salted token, min over the d=3 counter rows
@@ -8409,6 +8865,94 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |       CAST(before - floor(before / 2000) * 2000 AS BIGINT)
            |         AS shard_offset
            |FROM run""".stripMargin,
+
+      // the composed curation pipeline: every stage reuses the CTE
+      // fragment its standalone query is verified against —
+      // quality_ensemble's signal CTEs, dedup_exact_norm's window,
+      // dedup_minhash_lsh's bands (restricted to survivors on BOTH pair
+      // sides), contamination_ngram's ≥2-shared-shingles pairs,
+      // sample_temperature's rate algebra (counts from the SURVIVORS),
+      // pack_shards' per-stratum running window
+      "pipeline_curate" ->
+        (s"""WITH $toksCte,
+            |$bigramNllCtes,
+            |$shinglesFromWsCte,
+            |$minhashBandsCte,
+            |th AS (SELECT quantile_cont(avg_nll, 0.75) AS th FROM bnll),
+            |cls AS (SELECT doc_id, quality_prob
+            |        FROM ($qualityClassifierSql) x),
+            |g AS (SELECT doc_id, pass_gopher FROM ($gopherRulesSql) y),
+            |k1 AS (SELECT g.doc_id
+            |       FROM g JOIN cls USING (doc_id)
+            |       LEFT JOIN bnll b USING (doc_id), th
+            |       WHERE g.pass_gopher
+            |         AND cls.quality_prob >= $CurateClsThreshold
+            |         AND b.avg_nll IS NOT NULL AND b.avg_nll <= th.th),
+            |nrm AS (SELECT d.doc_id,
+            |          nfc_normalize(lower(trim(
+            |            regexp_replace(d.text, '\\s+', ' ', 'g')))) AS tn
+            |        FROM documents d JOIN k1 USING (doc_id)),
+            |k2 AS (SELECT doc_id FROM (
+            |         SELECT doc_id, row_number() OVER (
+            |             PARTITION BY md5(tn) ORDER BY doc_id) AS rn
+            |         FROM nrm) WHERE rn = 1),
+            |nd AS (SELECT DISTINCT b.doc_id
+            |       FROM bands a JOIN bands b
+            |         ON a.band = b.band AND a.band_hash = b.band_hash
+            |        AND a.doc_id < b.doc_id
+            |       JOIN k2 ka ON ka.doc_id = a.doc_id
+            |       JOIN k2 kb ON kb.doc_id = b.doc_id),
+            |k3 AS (SELECT doc_id FROM k2
+            |       WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+            |tst AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 17 = 0),
+            |cont AS (SELECT DISTINCT train_id FROM (
+            |          SELECT tst.doc_id AS test_id,
+            |                 tr.doc_id AS train_id, count(*) AS c
+            |          FROM sh tr JOIN tst USING (shingle)
+            |          WHERE tr.doc_id % 17 != 0
+            |          GROUP BY 1, 2) WHERE c >= 2),
+            |k4 AS (SELECT doc_id FROM k3
+            |       WHERE doc_id % 17 != 0
+            |         AND doc_id NOT IN (SELECT train_id FROM cont)),
+            |sv AS (SELECT d.doc_id, d.lang
+            |       FROM documents d JOIN k4 USING (doc_id)),
+            |tn4 AS (SELECT lang, count(*) AS n FROM sv GROUP BY 1),
+            |tw AS (SELECT lang, n,
+            |         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0)
+            |           AS BIGINT) AS w
+            |       FROM tn4),
+            |tt AS (SELECT lang, n, w,
+            |         CAST(SUM(w) OVER () AS BIGINT) AS tot,
+            |         CAST(floor(0.5 * CAST(CAST(SUM(n) OVER () AS BIGINT)
+            |                               AS DOUBLE)) AS DOUBLE) AS budget
+            |       FROM tw),
+            |tr4 AS (SELECT lang,
+            |          greatest(round(least(1.0,
+            |            (budget * CAST(w AS DOUBLE))
+            |              / (CAST(tot AS DOUBLE) * CAST(n AS DOUBLE))), 6),
+            |            0.000001) AS rate
+            |        FROM tt),
+            |samp AS (SELECT sv.doc_id, sv.lang FROM sv
+            |         JOIN tr4 ON sv.lang IS NOT DISTINCT FROM tr4.lang
+            |         WHERE rate >= 1.0
+            |            OR (('0x' || substr(md5(CAST(sv.doc_id AS VARCHAR)),
+            |                                1, 13))
+            |                  ::BIGINT / 4503599627370496.0) < rate),
+            |tk AS (SELECT samp.doc_id, samp.lang,
+            |              CAST(len(t.toks) AS BIGINT) AS tokens
+            |       FROM samp JOIN t ON t.doc_id = samp.doc_id),
+            |run AS (SELECT doc_id, lang,
+            |          coalesce(sum(tokens) OVER (
+            |              PARTITION BY lang
+            |              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            |            0) AS before
+            |        FROM tk)
+            |SELECT doc_id, lang,
+            |       CAST(floor(before / 2000) AS BIGINT) AS shard_id,
+            |       CAST(before - floor(before / 2000) * 2000 AS BIGINT)
+            |         AS shard_offset
+            |FROM run""".stripMargin),
 
       // batch formulation of the stream-static enrichment join
       "stream_enrich" ->

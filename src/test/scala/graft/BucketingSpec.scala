@@ -132,6 +132,121 @@ class BucketingSpec extends SparkSpec {
     assert(a == b && a.nonEmpty, "indexed ≠ base ivf")
   }
 
+  test("compactIndex bounds per-bucket file counts after streaming-style " +
+    "appends and serving stays byte-identical") {
+    import graft.llm.Similarity
+    import org.apache.spark.sql.functions.col
+    val e = graft.core.Tables.embeddings(spark, sf001)
+    val q = e.filter($"vec_id" < 10)
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_compact_spec_${java.lang.ProcessHandle.current().pid()}")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(dir)
+    val path = dir.getPath
+    // base store + 3 micro-batch-style appends (each append lands one
+    // file per touched bucket — the stream_hamming ingest shape)
+    Similarity.writeHammingIndex(e, "vec_id", "embedding", path,
+      dim = 64, prefixBits = 6)
+    val enc = e.filter(org.apache.spark.sql.functions
+        .size($"embedding") >= 64)
+      .select($"vec_id".as("neighbor_id"),
+        Similarity.hammingWord(col("embedding"), dim = 64).as("cw"))
+      .withColumn("bucket", org.apache.spark.sql.functions.expr("cw >> 42"))
+    (1 to 3).foreach { _ =>
+      enc.limit(40).coalesce(1)
+        .write.mode("append").partitionBy("bucket").parquet(path)
+    }
+    def filesPerBucket(): Map[String, Int] =
+      new java.io.File(path).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.startsWith("part-"))).toMap
+    val before = filesPerBucket()
+    assert(before.values.exists(_ > 2),
+      s"fixture failed to fragment any bucket: $before")
+    // snapshot serving BEFORE compaction (store rows grew by the
+    // appends — the snapshot is whatever the fragmented store serves)
+    def serve(): Seq[Seq[Any]] =
+      Similarity.hammingTopKIndexed(spark.read.parquet(path), q,
+        "vec_id", "embedding", k = 5, dim = 64, prefixBits = 6)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val beforeRows = serve()
+    val rewritten = Similarity.compactIndex(spark, path, "bucket",
+      maxFilesPerBucket = 2)
+    assert(rewritten.nonEmpty, "nothing compacted")
+    val after = filesPerBucket()
+    // every bucket now holds ≤ 2 files; untouched buckets kept theirs
+    assert(after.values.forall(_ <= 2), s"still fragmented: $after")
+    before.filter(_._2 <= 2).foreach { case (b, n) =>
+      assert(after(b) == n, s"untouched bucket $b rewritten")
+    }
+    // serving is byte-identical across the rewrite
+    assert(serve() == beforeRows && beforeRows.nonEmpty)
+    // idempotent: a second pass finds nothing over threshold
+    assert(Similarity.compactIndex(spark, path, "bucket", 2).isEmpty)
+  }
+
+  test("trained-ivf index: probe cells arrive as PartitionFilters, " +
+    "results row-identical to the un-materialized trained scan, and " +
+    "trained cells beat axis cells at equal probes") {
+    import graft.llm.Similarity
+    import org.apache.spark.sql.functions.{avg, col, size}
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val e = graft.core.Tables.embeddings(spark, sf001)
+    val q = e.filter($"vec_id" < 10)
+    val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding",
+      k = 8, iters = 2, dim = 64)
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivft_idx_spec").getPath
+    Similarity.writeIvfTrainedIndex(e, "vec_id", "embedding", dir,
+      cents, dim = 64)
+    val out = Similarity.ivfTrainedTopKIndexed(spark.read.parquet(dir), q,
+      "vec_id", "embedding", cents, k = 3, probes = 2, dim = 64)
+    // 1. probed cells land in PartitionFilters — unprobed cell
+    //    directories are never listed or read
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no partition pruning:\n$plan")
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val written = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("cell="))
+    val probed = scans(out.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("graft_ivft_idx_spec")))
+      .map(_.selectedPartitions.partitionCount).headOption
+    assert(probed.nonEmpty && probed.get > 0 && probed.get <= written,
+      s"probed=$probed written=$written")
+    // 2. store semantics unchanged: row-identical to the direct
+    //    trained-IVF scan over the same corpus
+    val base = Similarity.ivfTrainedTopK(e, q, "vec_id", "embedding",
+      cents, k = 3, probes = 2, dim = 64)
+    val a = out.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val b = base.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(a == b && a.nonEmpty, "indexed ≠ direct trained ivf")
+    // 3. the adoption argument: trained cells recall ≥ axis cells at
+    //    EQUAL probes (p = 2) against one exact top-5 leg
+    val u = e.filter(size($"embedding") === 64)
+    val exact = Similarity.bruteForceTopK(u, q, "vec_id", "embedding",
+      k = 5).localCheckpoint()
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(exact, approx, k = 5)
+        .agg(avg(col("recall"))).head.getDouble(0)
+    val trained = meanRecall(Similarity.ivfTrainedTopK(u, q, "vec_id",
+      "embedding", cents, k = 5, probes = 2, dim = 64))
+    val axis = meanRecall(Similarity.ivfTopK(u, q, "vec_id", "embedding",
+      k = 5, m = 4, probes = 2))
+    assert(trained >= axis,
+      s"trained cells recall $trained < axis cells $axis at p=2")
+  }
+
   test("site-partitioned store write prunes partitions on the site filter") {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_part_store").getPath

@@ -755,7 +755,7 @@ class GraphIndexSpec extends SparkSpec {
     val rounds = scala.collection.mutable.ArrayBuffer.empty[
       (IndexedSeq[(String, String, Long)], Int, Set[String],
         IndexedSeq[(String, String, Long)])]
-    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+    val docs = graft.core.Tables.documents(spark, sf01)
     val merged = Bpe.trainObserved(docs, "text", merges = 500,
       batchCap = 8,
       (top, want, syms, acc) => rounds += ((top, want, syms, acc)))

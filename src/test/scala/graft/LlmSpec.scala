@@ -451,7 +451,7 @@ class LlmSpec extends SparkSpec {
 
   test("trained codebooks beat seeded ones on ADC recall") {
     import graft.llm.{Clustering, Pq, Similarity}
-    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val e = graft.core.Tables.embeddings(spark, sf01)
     val q = e.filter($"vec_id" < 50)
     val exact = Pq.exactL2TopK(e, q, "vec_id", "embedding", topK = 3)
     def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =

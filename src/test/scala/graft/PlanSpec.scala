@@ -82,6 +82,15 @@ class PlanSpec extends SparkSpec {
       // generation itself is a pruned equi-join / shortlist equi-join)
       "ann_hamming_topk", "ann_hamming_recall", "ann_hamming_rerank",
       "ann_hamming_blocked", "ann_hamming_indexed", "ann_hamming_sizing",
+      // the bits sweep reuses the same brute exact-cosine baseline leg
+      // (its per-bits shortlists are the hammingTopK broadcast scan)
+      "ann_hamming_bits",
+      // the trained-vs-axis recall eval's exact leg is the brute-force
+      // scorer by design; both IVF legs are cell-pruned equi-joins
+      "ann_ivft_recall",
+      // quality_ensemble's 1-row fluency threshold broadcast-attaches
+      // inside the composed pipeline exactly as in the standalone query
+      "pipeline_curate",
       // the 1-row cut threshold broadcast-attaches to the |sources|
       // planning frame (the corpus-stat scalar-attach pattern)
       "mixture_waterfill")

@@ -15,4 +15,10 @@ trait SparkSpec extends AnyFunSuite {
     .getOrCreate()
 
   def sf001 = "/root/testdata/sf0.001"
+
+  /** The sf0.01 gate fixture, env-overridable like graft.Bench /
+    * graft.tools.BpeBatchProbe so the suite isn't coupled to this
+    * machine's layout (r12 advice). */
+  def sf01: String =
+    sys.env.getOrElse("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.01")
 }

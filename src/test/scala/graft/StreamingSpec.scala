@@ -267,6 +267,51 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("keyed state is provider-portable: RocksDB state store produces " +
+    "output identical to the default in-memory provider") {
+    // the 100 TB posture (SURVEY §4.2): when keyed state outgrows
+    // executor memory, swap the HDFS-backed in-memory provider for
+    // RocksDB — a CONFIG change, not a code change. Prove both halves:
+    // (1) the swap engages (rocksdb custom metrics appear in progress),
+    // (2) the stateful operator's output is bit-identical.
+    def ev(id: Long, ts: Long, v: Double) =
+      ZscoreEvent(1L, ts, id, v, math.round(v * 100))
+    val batches = Seq(
+      Seq(ev(1, 10, 10.0), ev(2, 20, 12.0)),
+      Seq(ev(3, 30, 11.0)),
+      Seq(ev(4, 40, 50.0)))
+    def run(ss: org.apache.spark.sql.SparkSession,
+            name: String): (Map[Long, ZscoreOut], Set[String]) = {
+      implicit val sqlCtx = ss.sqlContext
+      import ss.implicits._
+      val input = MemoryStream[ZscoreEvent]
+      val q = StreamingZscore(input.toDS(), threshold = 2.0)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val metrics =
+        try {
+          batches.foreach { b => input.addData(b); q.processAllAvailable() }
+          q.lastProgress.stateOperators.headOption
+            .map(_.customMetrics.keySet())
+            .map(ks => { import scala.jdk.CollectionConverters._
+              ks.asScala.toSet })
+            .getOrElse(Set.empty[String])
+        } finally q.stop()
+      (ss.table(name).as[ZscoreOut].collect()
+        .map(o => o.event_id -> o).toMap, metrics)
+    }
+    val rocks = spark.newSession()
+    rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val (defOut, _) = run(spark, "z_prov_default")
+    val (rocksOut, rocksMetrics) = run(rocks, "z_prov_rocksdb")
+    assert(rocksMetrics.exists(_.toLowerCase.contains("rocksdb")),
+      s"RocksDB provider did not engage; metrics=$rocksMetrics")
+    assert(rocksOut == defOut && defOut.nonEmpty,
+      "RocksDB output diverged from the default provider")
+  }
+
   test("stream-stream interval join matches the batch join across batches") {
     implicit val sqlCtx = spark.sqlContext
     // (user, ts_us, id): views on one stream, purchases on the other —
