@@ -565,6 +565,12 @@ object PipelineQueries {
   private val hammingSizingBits = Seq(16, 32, 48, 62)
   private val hammingBitsCandK = 50
 
+  /** The probes sweep points of `ann_ivft_probes` — the knob the
+    * trained quantizer unlocks (axis cells cap at 2); 8 = every cell
+    * probed, so the sweep's last point must read recall 1.0 (candidate
+    * set = the whole corpus, scored exactly). Shared engine/oracle. */
+  private val ivftProbeSweep = Seq(1, 2, 4, 8)
+
   /** pipeline_curate's classifier-gate threshold, shared engine/oracle.
     * The standalone quality_ensemble AUDIT uses ≥ 0.5 (the signal
     * report); the composed pipeline tunes the threshold to a target
@@ -1412,6 +1418,27 @@ object PipelineQueries {
           "embedding", k = 5, candK = ck, dim = 64)
         Similarity.recallAtK(exact, approx, k = 5)
           .select(lit(ck.toLong).as("cand_k"), col("query_id"),
+            col("n_hits"), col("recall"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // --- probes-axis sizing for trained IVF: recall@5 at probes ∈
+    // {1, 2, 4, 8} — the knob the trained quantizer just unlocked
+    // (distance-ranked cells; the axis scheme capped at 2). One brute
+    // leg serves the sweep; p = 8 probes every cell, so its recall is
+    // the 1.0 sanity anchor (exact scoring over the full corpus) -----------
+    "ann_ivft_probes" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .filter(size(col("embedding")) === 64) // the kmeans universe
+      val q = e.filter(col("vec_id") < 10)
+      val cents = sharedIvfTrainedCentroids(s, d)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+        k = 5).localCheckpoint() // one brute leg serves the sweep
+      ivftProbeSweep.map { p =>
+        val approx = Similarity.ivfTrainedTopK(e, q, "vec_id",
+          "embedding", cents, k = 5, probes = p, dim = 64)
+        Similarity.recallAtK(exact, approx, k = 5)
+          .select(lit(p.toLong).as("probes"), col("query_id"),
             col("n_hits"), col("recall"))
       }.reduce(_ unionByName _)
     }),
@@ -3270,7 +3297,18 @@ object PipelineQueries {
     // CTE fragment, so a drift in any stage fails BOTH its standalone
     // query and this composition. Gates are map-side against broadcast
     // frames (1-row threshold, |langs|-row rates); the only corpus-wide
-    // exchanges are the ones the standalone stages already pay ----------
+    // exchanges are the ones the standalone stages already pay.
+    //
+    // Each gate's surviving-ID frame is localCheckpointed (thin: one
+    // long per survivor). Without the cut, downstream branches that
+    // consume a survivor frame more than once (the dedup self-joins,
+    // the anti-join pairs) re-execute the ENTIRE upstream lineage per
+    // branch — measured at 8× the sum of the standalone stages
+    // (33.6 s vs ~4 s at sf0.1). Materializing ids-only at stage
+    // boundaries is exactly what a production pipeline does between
+    // stages; each expensive signal computes once, and the wide
+    // document columns re-attach from the (pruned, pushed-down)
+    // parquet scan, never from recomputed signal lineage ----------------
     "pipeline_curate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       // stage 1: the quality_ensemble stack, same operators + constants
@@ -3287,28 +3325,35 @@ object PipelineQueries {
           col("quality_prob") >= CurateClsThreshold &&
           col("avg_nll").isNotNull && col("avg_nll") <= col("__th"))
         .select("doc_id")
+        .localCheckpoint()
       val s1 = docs.join(k1.hint("shuffle_hash"), Seq("doc_id"))
       // stage 2: C4-style normalized exact dedup, keep lowest id
-      val s2 = Dedup.exact(TextAnalysis.normalize(s1, "text"),
+      val k2 = Dedup.exact(TextAnalysis.normalize(s1, "text"),
           "text_norm", "doc_id")
         .filter(col("keep"))
-        .select(docs.columns.map(col): _*)
+        .select("doc_id")
+        .localCheckpoint()
+      val s2 = docs.join(k2.hint("shuffle_hash"), Seq("doc_id"))
       // stage 3: banded MinHash near-dedup among the stage-2 survivors
       val pairs = Dedup.minhashLsh(s2, "text", "doc_id",
         shingleN = 3, k = 8, bands = 4)
-      val s3 = s2.join(
+      val k3 = k2.join(
         pairs.select(col("id_b").as("doc_id")).distinct()
           .hint("shuffle_hash"),
         Seq("doc_id"), "left_anti")
+        .localCheckpoint()
       // stage 4: decontaminate the surviving TRAIN docs against the
       // eval slice (the slice itself never enters the training corpus)
       val test = docs.filter(col("doc_id") % 17 === 0)
-      val trainSide = s3.filter(col("doc_id") % 17 =!= 0)
+      val trainSide = docs.join(k3.hint("shuffle_hash"), Seq("doc_id"))
+        .filter(col("doc_id") % 17 =!= 0)
       val cont = Contamination.ngramOverlap(trainSide, test,
           "text", "doc_id", n = 3, minShared = 2)
         .select(col("train_id").as("doc_id")).distinct()
-      val s4 = trainSide.join(cont.hint("shuffle_hash"),
-        Seq("doc_id"), "left_anti")
+      val k4 = k3.filter(col("doc_id") % 17 =!= 0)
+        .join(cont.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val s4 = docs.join(k4.hint("shuffle_hash"), Seq("doc_id"))
       // stage 5: temperature rebalance over the survivor language mix
       val s5 = Sampling.temperature(s4, "doc_id", "lang",
         temp = 2.0, frac = 0.5)
@@ -3661,11 +3706,11 @@ object PipelineQueries {
        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |        FROM embeddings WHERE len(embedding) = 64)),
        |tcc AS (SELECT vec_id AS neighbor_id, cluster AS cell FROM a2),
-       |tqp AS (SELECT vec_id AS query_id, j AS cell FROM (
-       |          SELECT vec_id, j, row_number() OVER (
-       |              PARTITION BY vec_id ORDER BY s, j) AS rn
-       |          FROM s2 WHERE vec_id < $maxQueryId)
-       |        WHERE rn <= $probes)""".stripMargin
+       |tqr AS (SELECT vec_id AS query_id, j AS cell,
+       |               row_number() OVER (
+       |                   PARTITION BY vec_id ORDER BY s, j) AS rn
+       |        FROM s2 WHERE vec_id < $maxQueryId),
+       |tqp AS (SELECT query_id, cell FROM tqr WHERE rn <= $probes)""".stripMargin
 
   /** ann_ivft_indexed's oracle: training replayed round for round, the
     * store's cell partitions = the a2 assignment, probes = the 2
@@ -3754,6 +3799,56 @@ object PipelineQueries {
       |    ON a.query_id = ex.query_id
       |   AND a.neighbor_id = ex.neighbor_id
       |  GROUP BY 1)""".stripMargin
+
+  /** ann_ivft_probes' oracle: the trained-IVF fragments (ranked cells
+    * in `tqr`), one MATERIALIZED exact leg, then per probe depth a
+    * candidate/rank/recall block over `rn <= p`, UNION ALL'd with the
+    * depth as `probes` — generated from the same [[ivftProbeSweep]]. */
+  private def ivfTrainedProbesSql(probesList: Seq[Int]): String = {
+    val shared =
+      s"WITH ${kmeansCtes(8, 2, 64)},\n" +
+        ivfTrainedCtes(maxQueryId = 10, probes = 1) + """,
+        |xq AS (SELECT vec_id AS query_id, nv AS qv FROM tnv
+        |       WHERE vec_id < 10),
+        |x AS (SELECT xq.query_id, tnv.vec_id AS neighbor_id,
+        |             list_dot_product(qv, tnv.nv) AS score
+        |      FROM tnv, xq WHERE tnv.vec_id <> xq.query_id),
+        |ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+        |      AS rank
+        |  FROM x) WHERE rank <= 5)""".stripMargin
+    val perP = probesList.map { p =>
+      s""",
+         |ps$p AS (SELECT qp.query_id, tcc.neighbor_id,
+         |              list_dot_product(q.nv, c.nv) AS score
+         |       FROM tcc
+         |       JOIN (SELECT query_id, cell FROM tqr WHERE rn <= $p) qp
+         |         USING (cell)
+         |       JOIN tnv q ON q.vec_id = qp.query_id
+         |       JOIN tnv c ON c.vec_id = tcc.neighbor_id
+         |       WHERE tcc.neighbor_id <> qp.query_id),
+         |papx$p AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+         |      AS rank
+         |  FROM ps$p) WHERE rank <= 5)""".stripMargin
+    }.mkString
+    val selects = probesList.map { p =>
+      s"""SELECT CAST($p AS BIGINT) AS probes, query_id, n_hits,
+         |       round(n_hits / CAST(n_exact AS DOUBLE), 6) AS recall
+         |FROM (
+         |  SELECT ex.query_id,
+         |         CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |         COUNT(*) AS n_exact
+         |  FROM ex LEFT JOIN papx$p a
+         |    ON a.query_id = ex.query_id
+         |   AND a.neighbor_id = ex.neighbor_id
+         |  GROUP BY 1)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    shared + perP + "\n" + selects
+  }
 
   /** The blocked-Hamming recall oracle: corpus words in ONE top-6-bit
     * bucket, each query probing its own prefix plus the 6 at
@@ -5872,6 +5967,10 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
 
       // trained vs axis cells at equal probes, one exact leg
       "ann_ivft_recall" -> ivfTrainedRecallSql,
+
+      // recall along the probes axis the trained quantizer unlocks;
+      // p = 8 probes every cell (recall 1.0 anchor)
+      "ann_ivft_probes" -> ivfTrainedProbesSql(ivftProbeSweep),
 
       // the IVF store BUILD's layout check: per-cell vector counts via
       // the shared axis-cell fragment (writeIvfIndex keeps vectors with

@@ -88,6 +88,9 @@ class PlanSpec extends SparkSpec {
       // the trained-vs-axis recall eval's exact leg is the brute-force
       // scorer by design; both IVF legs are cell-pruned equi-joins
       "ann_ivft_recall",
+      // the probes sweep reuses the same brute exact leg; the per-p
+      // trained legs are cell equi-joins
+      "ann_ivft_probes",
       // quality_ensemble's 1-row fluency threshold broadcast-attaches
       // inside the composed pipeline exactly as in the standalone query
       "pipeline_curate",
