@@ -1570,6 +1570,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("trained-IVF recall is per-query NON-DECREASING in probes and " +
+    "hits 1.0 when every cell is probed") {
+    // growing the probe set grows the candidate set; scoring is exact
+    // cosine, so an exact-top-5 member can only ENTER the slate as p
+    // rises, never leave — and at p = k(cells) the candidate set is the
+    // whole corpus, so the trained leg degenerates to the brute scan
+    import graft.llm.Similarity
+    import graft.core.Tables
+    val e = Tables.embeddings(spark, sf001)
+      .filter(size(col("embedding")) === 64)
+    val q = e.filter(col("vec_id") < 8)
+    val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding",
+      k = 8, iters = 2, dim = 64)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+      k = 5).localCheckpoint()
+    val byP = Seq(1, 3, 8).map { p =>
+      p -> Similarity.recallAtK(exact,
+          Similarity.ivfTrainedTopK(e, q, "vec_id", "embedding", cents,
+            k = 5, probes = p, dim = 64), k = 5)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    }
+    byP.sliding(2).foreach { case Seq((p1, r1), (p2, r2)) =>
+      r1.keySet.foreach { qid =>
+        assert(r2(qid) >= r1(qid),
+          s"recall dropped for query $qid between probes=$p1 and $p2: " +
+            s"${r1(qid)} -> ${r2(qid)}")
+      }
+      case _ => ()
+    }
+    val full = byP.last._2
+    assert(full.nonEmpty && full.values.forall(_ == 1.0),
+      s"p=8 (all cells) must reproduce the exact top-5: $full")
+  }
+
   test("silhouette matches a driver-side brute recomputation and stays " +
     "in [-1, 1] on random corpora") {
     import graft.llm.Clustering
