@@ -332,4 +332,52 @@ object Pq {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"))
   }
+
+  /** [[ivfAdcTopK]] with the TRAINED coarse quantizer — the sentence in
+    * that scaladoc ("swapping the axis cells for trained k-means
+    * centroids changes one expression") made code: cells come from
+    * [[Similarity.trainIvfCentroids]]' kmeans (the `ann_ivft_*`
+    * family), so probes rank by real quantizer distance and `probes`
+    * is a free knob up to the cell count — this is FAISS `IVFx,PQy`
+    * with both stages as they're actually deployed (trained coarse
+    * cells pruning the scan, PQ codes ranking within). Same ADC
+    * determinism as [[adcTopK]]; the kmeans len-== dim universe
+    * applies to both sides (training, cells and probes share it). */
+  def ivfAdcTopKTrained(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, topK: Int,
+                        m: Int, k: Int, subDim: Int,
+                        centroids: IndexedSeq[Array[Double]],
+                        probes: Int, dim: Int,
+                        seed: Long = Similarity.DefaultSeed): DataFrame = {
+    require(topK > 0, s"topK=$topK")
+    require(probes >= 1 && probes <= centroids.length,
+      s"probes=$probes out of [1, ${centroids.length}]")
+    require(dim >= m * subDim,
+      s"dim=$dim shorter than the $m×$subDim PQ layout")
+    val cbs = codebooks(m, k, subDim, seed)
+    val codes = codesCol(col(vecCol), m, k, subDim, cbs)
+    val okLen = size(col(vecCol)) === dim
+    val enc = spread(corpus).filter(okLen)
+      .select(col(idCol).as("neighbor_id"),
+        element_at(
+          Similarity.trainedProbeCells(col(vecCol), centroids, 1), 1)
+          .as("cell"),
+        reconCol(codes, m, cbs).as("__recon"))
+    val q = queries.filter(okLen)
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("__qv"),
+        explode(Similarity.trainedProbeCells(col(vecCol), centroids,
+          probes)).as("cell"))
+    val scored = enc.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__d",
+        Similarity.dot(col("__recon"), col("__recon")) -
+          lit(2.0) * Similarity.dot(col("__qv"), col("__recon")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+  }
 }

@@ -1533,6 +1533,17 @@ object PipelineQueries {
         "vec_id", "embedding", topK = 3, m = 8, k = 16, subDim = 8)
     }),
 
+    // --- IVF-then-PQ with the TRAINED coarse quantizer: the deployed
+    // FAISS IVFx,PQy shape with both stages real — kmeans cells prune
+    // (distance-ranked probes, the ann_ivft_* quantizer), PQ codes rank
+    // within; shares the trained-centroid cache with the ivft family ----
+    "ann_ivfpqt_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.llm.Pq.ivfAdcTopKTrained(e, e.filter(col("vec_id") < 50),
+        "vec_id", "embedding", topK = 3, m = 8, k = 16, subDim = 8,
+        sharedIvfTrainedCentroids(s, d), probes = 2, dim = 64)
+    }),
+
     // --- recall@k of IVF+PQ vs the exact L2 baseline — the measurement
     // that sizes m/k/probes before committing to a compressed index ------
     "ann_pq_recall" -> ((s, d) => {
@@ -5582,6 +5593,37 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
             |                                 ORDER BY d, neighbor_id)
             |           AS BIGINT) AS rank
             |  FROM sc) WHERE rank <= 3""".stripMargin),
+
+      // IVF+PQ with TRAINED coarse cells: the kmeans training replayed
+      // (kmeansCtes), corpus cell = the a2 assignment, probes = the 2
+      // nearest trained cells (s2 ranked), ADC over the seeded-codebook
+      // reconstructions exactly as in ann_ivfpq_topk
+      "ann_ivfpqt_topk" ->
+        (s"WITH ${kmeansCtes(8, 2, 64)},\n" +
+          s"${pqEncodeCtes(8, 16, 8)},\n" +
+          """recon AS (SELECT vec_id, flatten(list(cv ORDER BY a.j)) AS rv
+            |          FROM a JOIN cb ON cb.j = a.j AND cb.c = a.c
+            |          GROUP BY vec_id),
+            |tqp AS (SELECT vec_id AS query_id, j AS cell FROM (
+            |          SELECT vec_id, j, row_number() OVER (
+            |              PARTITION BY vec_id ORDER BY s2.s, j) AS rn
+            |          FROM s2 WHERE vec_id < 50) WHERE rn <= 2),
+            |tc AS (SELECT a2.vec_id AS neighbor_id, a2.cluster AS cell,
+            |              rv
+            |       FROM a2 JOIN recon ON recon.vec_id = a2.vec_id),
+            |tq AS (SELECT tqp.query_id, tqp.cell, e.v AS qv
+            |       FROM tqp JOIN e ON e.vec_id = tqp.query_id),
+            |tsc AS (SELECT tq.query_id, tc.neighbor_id,
+            |          list_dot_product(rv, rv)
+            |            - 2.0 * list_dot_product(qv, rv) AS d
+            |        FROM tc JOIN tq USING (cell)
+            |        WHERE tc.neighbor_id <> tq.query_id)
+            |SELECT query_id, rank, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id,
+            |         CAST(row_number() OVER (PARTITION BY query_id
+            |                                 ORDER BY d, neighbor_id)
+            |           AS BIGINT) AS rank
+            |  FROM tsc) WHERE rank <= 3""".stripMargin),
 
       // trained-PQ ADC: the Lloyd round and encode replayed in SQL;
       // queries are the same quantized vectors, so every score is the
