@@ -1544,6 +1544,31 @@ object PipelineQueries {
         sharedIvfTrainedCentroids(s, d), probes = 2, dim = 64)
     }),
 
+    // --- recall@3 of the trained vs axis coarse stage UNDER the ADC
+    // kernel, at equal probes (p=2) against one exact-L2 leg — the
+    // ann_ivft_recall measurement carried into the PQ regime: does the
+    // trained quantizer's cell quality survive code compression? One
+    // len=64 universe for all legs ----------------------------------------
+    "ann_ivfpqt_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .filter(size(col("embedding")) === 64)
+      val q = e.filter(col("vec_id") < 10)
+      val cents = sharedIvfTrainedCentroids(s, d)
+      val exact = graft.llm.Pq.exactL2TopK(e, q, "vec_id", "embedding",
+        topK = 3).localCheckpoint() // one exact leg serves both methods
+      val trained = graft.llm.Pq.ivfAdcTopKTrained(e, q, "vec_id",
+        "embedding", topK = 3, m = 8, k = 16, subDim = 8, cents,
+        probes = 2, dim = 64)
+      val axis = graft.llm.Pq.ivfAdcTopK(e, q, "vec_id", "embedding",
+        topK = 3, m = 8, k = 16, subDim = 8, cellsM = 4, probes = 2)
+      Similarity.recallAtK(exact, trained, k = 3)
+        .select(lit("ivfpq_trained").as("method"), col("query_id"),
+          col("n_hits"), col("recall"))
+        .unionByName(Similarity.recallAtK(exact, axis, k = 3)
+          .select(lit("ivfpq_axis").as("method"), col("query_id"),
+            col("n_hits"), col("recall")))
+    }),
+
     // --- recall@k of IVF+PQ vs the exact L2 baseline — the measurement
     // that sizes m/k/probes before committing to a compressed index ------
     "ann_pq_recall" -> ((s, d) => {
@@ -5624,6 +5649,85 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
             |                                 ORDER BY d, neighbor_id)
             |           AS BIGINT) AS rank
             |  FROM tsc) WHERE rank <= 3""".stripMargin),
+
+      // trained vs axis coarse cells under ADC, one exact-L2 leg over
+      // the shared len=64 universe; the trained fragments come from
+      // kmeansCtes (a2 cells, s2-ranked probes), the axis cells from
+      // the shared ivfCellCtes, reconstructions from pqEncodeCtes
+      "ann_ivfpqt_recall" ->
+        (s"WITH ${kmeansCtes(8, 2, 64)},\n" +
+          s"${pqEncodeCtes(8, 16, 8)},\n" +
+          """recon AS (SELECT vec_id, flatten(list(cv ORDER BY a.j)) AS rv
+            |          FROM a JOIN cb ON cb.j = a.j AND cb.c = a.c
+            |          GROUP BY vec_id),
+            |e64 AS (SELECT e.vec_id, e.v FROM e JOIN wq USING (vec_id)),
+            |""".stripMargin +
+          ivfCellCtes("e64") + """,
+            |xq AS (SELECT vec_id AS query_id, v AS qv FROM e64
+            |       WHERE vec_id < 10),
+            |x AS (SELECT xq.query_id, c.vec_id AS neighbor_id,
+            |        list_dot_product(c.v, c.v)
+            |          - 2.0 * list_dot_product(qv, c.v) AS d
+            |      FROM e64 c, xq WHERE c.vec_id <> xq.query_id),
+            |ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id, row_number() OVER (
+            |    PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+            |  FROM x) WHERE rank <= 3),
+            |tqp AS (SELECT vec_id AS query_id, j AS cell FROM (
+            |          SELECT vec_id, j, row_number() OVER (
+            |              PARTITION BY vec_id ORDER BY s2.s, j) AS rn
+            |          FROM s2 WHERE vec_id < 10) WHERE rn <= 2),
+            |tc AS (SELECT a2.vec_id AS neighbor_id, a2.cluster AS cell,
+            |              rv
+            |       FROM a2 JOIN recon ON recon.vec_id = a2.vec_id),
+            |tsc AS (SELECT tqp.query_id, tc.neighbor_id,
+            |          list_dot_product(rv, rv)
+            |            - 2.0 * list_dot_product(q.v, rv) AS d
+            |        FROM tc JOIN tqp USING (cell)
+            |        JOIN e64 q ON q.vec_id = tqp.query_id
+            |        WHERE tc.neighbor_id <> tqp.query_id),
+            |tapx AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id, row_number() OVER (
+            |    PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+            |  FROM tsc) WHERE rank <= 3),
+            |aq AS (SELECT cc.vec_id AS query_id,
+            |              unnest([cell_w, cell_r]) AS cell
+            |       FROM ivcell cc WHERE cc.vec_id < 10),
+            |ac AS (SELECT cc.vec_id AS neighbor_id, cell_w AS cell, rv
+            |       FROM ivcell cc JOIN recon ON recon.vec_id = cc.vec_id),
+            |asx AS (SELECT aq.query_id, ac.neighbor_id,
+            |          list_dot_product(rv, rv)
+            |            - 2.0 * list_dot_product(q.v, rv) AS d
+            |        FROM ac JOIN aq USING (cell)
+            |        JOIN e64 q ON q.vec_id = aq.query_id
+            |        WHERE ac.neighbor_id <> aq.query_id),
+            |aapx AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id, row_number() OVER (
+            |    PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+            |  FROM asx) WHERE rank <= 3)
+            |SELECT 'ivfpq_trained' AS method, query_id, n_hits,
+            |       round(n_hits / CAST(n_exact AS DOUBLE), 6) AS recall
+            |FROM (
+            |  SELECT ex.query_id,
+            |         CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+            |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+            |         COUNT(*) AS n_exact
+            |  FROM ex LEFT JOIN tapx a
+            |    ON a.query_id = ex.query_id
+            |   AND a.neighbor_id = ex.neighbor_id
+            |  GROUP BY 1)
+            |UNION ALL
+            |SELECT 'ivfpq_axis' AS method, query_id, n_hits,
+            |       round(n_hits / CAST(n_exact AS DOUBLE), 6) AS recall
+            |FROM (
+            |  SELECT ex.query_id,
+            |         CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+            |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+            |         COUNT(*) AS n_exact
+            |  FROM ex LEFT JOIN aapx a
+            |    ON a.query_id = ex.query_id
+            |   AND a.neighbor_id = ex.neighbor_id
+            |  GROUP BY 1)""".stripMargin),
 
       // trained-PQ ADC: the Lloyd round and encode replayed in SQL;
       // queries are the same quantized vectors, so every score is the

@@ -91,6 +91,9 @@ class PlanSpec extends SparkSpec {
       // the probes sweep reuses the same brute exact leg; the per-p
       // trained legs are cell equi-joins
       "ann_ivft_probes",
+      // ann_pq_recall's posture: the exact-L2 leg is the brute scorer
+      // by design; both ADC legs are cell-pruned equi-joins
+      "ann_ivfpqt_recall",
       // quality_ensemble's 1-row fluency threshold broadcast-attaches
       // inside the composed pipeline exactly as in the standalone query
       "pipeline_curate",
