@@ -1290,9 +1290,10 @@ object PipelineQueries {
 
     // --- recall@5 of trained vs axis cells AT EQUAL PROBES (p = 2),
     // one exact brute leg serving both — the measurement behind
-    // adopting the trained quantizer (LlmSpec pins trained ≥ axis in
-    // aggregate on the gate fixture); one len=64 universe for all legs
-    // (the kmeans training universe), so recall isolates CELL QUALITY --
+    // adopting the trained quantizer (BucketingSpec pins trained ≥ axis
+    // in aggregate on the spec fixture); one len=64 universe for all
+    // legs (the kmeans training universe), so recall isolates CELL
+    // QUALITY ----------------------------------------------------------
     "ann_ivft_recall" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .filter(size(col("embedding")) === 64)
