@@ -320,6 +320,17 @@ object Pq {
       .select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("__qv"),
         explode(array(Seq(cw, cr).take(probes): _*)).as("cell"))
+    cellAdcRank(enc, q, topK)
+  }
+
+  /** The shared cell-join ADC ranker behind both IVF+PQ variants — ONE
+    * copy of the join/self-exclusion/distance/window body, so the axis
+    * and trained coarse quantizers can never diverge on scoring or
+    * tie-break semantics. `enc` carries (neighbor_id, cell, __recon);
+    * `q` carries (query_id, __qv, cell) and broadcasts (sampled query
+    * sets — the eval posture of both callers). */
+  private def cellAdcRank(enc: DataFrame, q: DataFrame,
+                          topK: Int): DataFrame = {
     val scored = enc.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("__d",
@@ -368,16 +379,6 @@ object Pq {
         col(vecCol).cast("array<double>").as("__qv"),
         explode(Similarity.trainedProbeCells(col(vecCol), centroids,
           probes)).as("cell"))
-    val scored = enc.join(broadcast(q), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("__d",
-        Similarity.dot(col("__recon"), col("__recon")) -
-          lit(2.0) * Similarity.dot(col("__qv"), col("__recon")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__d"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"))
+    cellAdcRank(enc, q, topK)
   }
 }

@@ -438,7 +438,20 @@ object Similarity {
     * (pinned in BucketingSpec: same probe rows, file count bounded).
     * Works for any of the stores here (`bucket` or `cell` partition
     * columns, long/int/string keys). Returns the rewritten partition
-    * keys (empty ⇒ nothing exceeded the threshold, nothing written). */
+    * keys (empty ⇒ nothing exceeded the threshold, nothing written).
+    *
+    * CONCURRENCY CONTRACT — run with ingest quiesced: a plain parquet
+    * directory has no transaction log, so a micro-batch appending into
+    * a partition BETWEEN this function's snapshot read and its
+    * overwrite commit would be silently replaced by the pre-append
+    * snapshot (lost rows, no error). Schedule compaction between
+    * micro-batches (foreachBatch, or a maintenance window on the
+    * ingest trigger) — the standard posture for log-less file stores;
+    * a Delta/Iceberg-backed store lifts the restriction with optimistic
+    * commit conflict detection (the USAGE.md lakehouse swap). Concurrent
+    * READERS are safe at parquet-task granularity but a probe spanning
+    * the swap may see a partition mid-replacement — serve from a
+    * snapshot path or quiesce reads too if that matters. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                    partitionCol: String,
                    maxFilesPerBucket: Int): Seq[String] = {
@@ -666,7 +679,20 @@ object Similarity {
       explode(array(Seq(cw, cr).take(probes): _*)).as("cell"))
     val c = corpus.filter(okLen).select(col(idCol).as("neighbor_id"),
       normalize(col(vecCol)).as("cv"), cw.as("cell"))
-    val scored = c.join(broadcast(q), Seq("cell"))
+    cellCosineRank(c, broadcast(q), k, roundScore)
+  }
+
+  /** The shared cell-join cosine ranker behind the IVF family — ONE
+    * copy of the join/self-exclusion/score/window body, so the axis
+    * and trained quantizers (and their materialized-store variants)
+    * can never diverge on scoring or tie-break semantics. `c` carries
+    * (neighbor_id, cv, cell); `q` carries (query_id, qv, cell) —
+    * pre-wrapped in `broadcast()` by the eval legs with sampled query
+    * sets, hint-free from the indexed serving paths (AQE sizes those,
+    * the [[hammingTopKBlocked]] posture). */
+  private def cellCosineRank(c: DataFrame, q: DataFrame, k: Int,
+                             roundScore: Int): DataFrame = {
+    val scored = c.join(q, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score", dot(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
@@ -722,15 +748,7 @@ object Similarity {
       .map(_.getInt(0).toLong).sorted.toSeq
     val c = indexed.filter(col("cell").isin(
       typedKeys(probed, indexed.schema("cell").dataType): _*))
-    val scored = c.join(q, Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", dot(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("score"), roundScore).as("score"))
+    cellCosineRank(c, q, k, roundScore)
   }
 
   // ------------------------------------------------ trained-centroid IVF
@@ -793,15 +811,7 @@ object Similarity {
     val c = corpus.filter(okLen).select(col(idCol).as("neighbor_id"),
       normalize(col(vecCol)).as("cv"),
       element_at(trainedProbeCells(col(vecCol), centroids, 1), 1).as("cell"))
-    val scored = c.join(broadcast(q), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", dot(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("score"), roundScore).as("score"))
+    cellCosineRank(c, broadcast(q), k, roundScore)
   }
 
   /** Materialize the trained-IVF layout: normalized vectors written
@@ -848,15 +858,7 @@ object Similarity {
       .map(_.getInt(0).toLong).sorted.toSeq
     val c = indexed.filter(col("cell").isin(
       typedKeys(probed, indexed.schema("cell").dataType): _*))
-    val scored = c.join(q, Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", dot(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("score"), roundScore).as("score"))
+    cellCosineRank(c, q, k, roundScore)
   }
 
   /** Coerce probe-key literals to the store column's ACTUAL dtype.

@@ -622,12 +622,34 @@ object PipelineQueries {
   private val indexStoreCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
 
+  /** Store dirs created by THIS JVM, deleted by a shutdown hook: the
+    * pid-suffixed paths fix the r12 cross-process clobber but would
+    * otherwise leak one full store per (kind, dataset, JVM) into the
+    * temp dir forever — repeated bench/verify runs would eventually
+    * fill it (the hazard the old fixed-path scheme bounded by
+    * overwriting). In-JVM reuse is unaffected: the hook runs at exit,
+    * and within a run the memo map (or a rebuild into the same path
+    * after clearCaches) serves reads. */
+  private val createdStoreDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val storeCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      createdStoreDirs.forEach(p => rm(new java.io.File(p)))
+    }))
+
   private def indexStorePath(kind: String, d: String): String = {
     val pid = java.lang.ProcessHandle.current().pid()
     val dig = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    new java.io.File(System.getProperty("java.io.tmpdir"),
+    val p = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_${kind}_idx_${pid}_$dig").getPath
+    storeCleanupHook
+    createdStoreDirs.add(p)
+    p
   }
 
   private def sharedIndex(s: SparkSession, d: String, kind: String)(

@@ -200,8 +200,11 @@ class BucketingSpec extends SparkSpec {
     val q = e.filter($"vec_id" < 10)
     val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding",
       k = 8, iters = 2, dim = 64)
+    // pid-suffixed: two concurrent test JVMs must not clobber each
+    // other's store mid-read (the same hazard the query-side stores fix)
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_ivft_idx_spec").getPath
+      s"graft_ivft_idx_spec_${java.lang.ProcessHandle.current().pid()}")
+      .getPath
     Similarity.writeIvfTrainedIndex(e, "vec_id", "embedding", dir,
       cents, dim = 64)
     val out = Similarity.ivfTrainedTopKIndexed(spark.read.parquet(dir), q,
