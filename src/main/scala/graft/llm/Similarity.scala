@@ -451,7 +451,17 @@ object Similarity {
     * commit conflict detection (the USAGE.md lakehouse swap). Concurrent
     * READERS are safe at parquet-task granularity but a probe spanning
     * the swap may see a partition mid-replacement — serve from a
-    * snapshot path or quiesce reads too if that matters. */
+    * snapshot path or quiesce reads too if that matters.
+    *
+    * CRASH WINDOW — same log-less-store root cause, different victim:
+    * dynamic partition overwrite commits by DELETING each target
+    * partition directory and renaming the staged replacement in; a
+    * driver/JVM failure between the delete and the rename loses that
+    * partition's data (readers see an empty or missing bucket — no
+    * error, no marker). The window is job-commit-sized (small), but
+    * durability-critical stores should either take a directory
+    * snapshot first or use the Delta/Iceberg swap, whose atomic log
+    * commit closes the window outright. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                    partitionCol: String,
                    maxFilesPerBucket: Int): Seq[String] = {
@@ -460,29 +470,40 @@ object Similarity {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prefix = partitionCol + "="
+    // directory names are Hive-ESCAPED value strings ('a b' stores as
+    // 'a%20b'): unescape before comparing against column values, and
+    // skip the null partition outright (no literal equals NULL, and
+    // its marker string would crash the numeric coercions below)
     val over = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
       .filter(p => fs.listStatus(p.getPath).count(f =>
         f.isFile && f.getPath.getName.startsWith("part-"))
         > maxFilesPerBucket)
-      .map(_.getPath.getName.substring(prefix.length)).toSeq.sorted
-    if (over.nonEmpty) {
-      val store = spark.read.parquet(path)
-      // directory names are strings; coerce to the inferred partition
-      // dtype so the IN-list stays a PartitionFilters prune (the
-      // typedKeys rule)
-      val keys: Seq[Any] = store.schema(partitionCol).dataType match {
-        case org.apache.spark.sql.types.LongType => over.map(_.toLong)
-        case org.apache.spark.sql.types.IntegerType => over.map(_.toInt)
-        case _ => over
-      }
-      store.filter(col(partitionCol).isin(keys: _*))
-        .repartition(col(partitionCol))
-        .localCheckpoint() // materialize before replacing the source files
-        .write.option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite").partitionBy(partitionCol).parquet(path)
+      .map(p => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(p.getPath.getName.substring(prefix.length)))
+      .filter(_ != "__HIVE_DEFAULT_PARTITION__").toSeq.sorted
+    if (over.isEmpty) return Nil
+    val store = spark.read.parquet(path)
+    // unescaped names are still strings; coerce to the inferred
+    // partition dtype so the IN-list stays a PartitionFilters prune
+    // (the typedKeys rule)
+    val keys: Seq[Any] = store.schema(partitionCol).dataType match {
+      case org.apache.spark.sql.types.LongType => over.map(_.toLong)
+      case org.apache.spark.sql.types.IntegerType => over.map(_.toInt)
+      case _ => over
     }
-    over
+    val slice = store.filter(col(partitionCol).isin(keys: _*))
+      .repartition(col(partitionCol))
+      .localCheckpoint() // materialize before replacing the source files
+    // report only keys that actually land in the rewrite: a dir whose
+    // unescaped name matches no rows (shouldn't happen, but e.g. a
+    // hand-made directory) is NOT overwritten by the dynamic commit
+    // and must not be claimed as compacted
+    val written = slice.select(col(partitionCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    slice.write.option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").partitionBy(partitionCol).parquet(path)
+    over.filter(written.contains)
   }
 
   /** [[hammingTopKBlocked]] served from a [[writeHammingIndex]] store:
@@ -515,15 +536,12 @@ object Similarity {
     val shift = bits - prefixBits
     val probes = expr(s"qw >> $shift") +:
       (0 until prefixBits).map(i => expr(s"(qw >> $shift) ^ ${1L << i}"))
-    val q = queries.filter(size(col(vecCol)) >= dim)
-      .select(col(idCol).as("query_id"),
-        hammingWord(col(vecCol), dim, bits, seed).as("qw"))
-      .withColumn("bucket", explode(array(probes: _*)))
-      .localCheckpoint() // probed twice: the IN-list collect + the join
-    val probed = q.select("bucket").distinct().collect()
-      .map(_.getLong(0)).sorted.toSeq
-    val c = indexed.filter(col("bucket").isin(
-      typedKeys(probed, indexed.schema("bucket").dataType): _*))
+    val (q, c) = probedStore(indexed,
+      queries.filter(size(col(vecCol)) >= dim)
+        .select(col(idCol).as("query_id"),
+          hammingWord(col(vecCol), dim, bits, seed).as("qw"))
+        .withColumn("bucket", explode(array(probes: _*))),
+      "bucket")
     val scored = c.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("hamming",
@@ -739,15 +757,12 @@ object Similarity {
                      roundScore: Int = 6): DataFrame = {
     require(probes >= 1 && probes <= 2, s"probes=$probes not in 1..2")
     val (cw, cr) = axisCells(col(vecCol), m)
-    val q = queries.filter(size(col(vecCol)) >= m)
-      .select(col(idCol).as("query_id"),
-        normalize(col(vecCol)).as("qv"),
-        explode(array(Seq(cw, cr).take(probes): _*)).as("cell"))
-      .localCheckpoint() // probed twice: the IN-list collect + the join
-    val probed = q.select("cell").distinct().collect()
-      .map(_.getInt(0).toLong).sorted.toSeq
-    val c = indexed.filter(col("cell").isin(
-      typedKeys(probed, indexed.schema("cell").dataType): _*))
+    val (q, c) = probedStore(indexed,
+      queries.filter(size(col(vecCol)) >= m)
+        .select(col(idCol).as("query_id"),
+          normalize(col(vecCol)).as("qv"),
+          explode(array(Seq(cw, cr).take(probes): _*)).as("cell")),
+      "cell")
     cellCosineRank(c, q, k, roundScore)
   }
 
@@ -818,7 +833,17 @@ object Similarity {
     * PARTITIONED BY the argmin-centroid cell — the [[writeIvfIndex]]
     * pattern with kmeans cells instead of axis cells. One map-only
     * pass (the centroids are plan literals, cell assignment is
-    * row-local), at most k directories, the write shuffles nothing. */
+    * row-local), at most k directories, the write shuffles nothing.
+    *
+    * The store is SELF-DESCRIBING: the quantizer that defines the cell
+    * partitions is persisted alongside them ([[writeIvfQuantizer]] —
+    * the `_quantizer/` sidecar), so a cold session can serve the store
+    * with [[loadIvfQuantizer]] + [[ivfTrainedTopKIndexed]] without
+    * retraining. Retraining against a drifted corpus would assign
+    * probes from DIFFERENT centroids than the partitions were written
+    * under — silent recall loss, no error — which is why the quantizer
+    * must travel with the data (the FAISS index file ships its coarse
+    * quantizer for the same reason). */
   def writeIvfTrainedIndex(corpus: DataFrame, idCol: String,
                            vecCol: String, path: String,
                            centroids: IndexedSeq[Array[Double]],
@@ -829,6 +854,48 @@ object Similarity {
         element_at(trainedProbeCells(col(vecCol), centroids, 1), 1)
           .as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    // AFTER the store write: overwrite mode clears the root directory
+    writeIvfQuantizer(corpus.sparkSession, path, centroids)
+  }
+
+  /** Persist the coarse quantizer INSIDE the store directory as a
+    * `_quantizer/` parquet sidecar of (cell, centroid) rows — the
+    * leading underscore keeps it invisible to `spark.read.parquet(
+    * store)` and to partition discovery (the `_metadata`/`_SUCCESS`
+    * hidden-path convention), so serving reads are unchanged; only a
+    * deliberate [[loadIvfQuantizer]] sees it. k×dim doubles — one
+    * file, one row group; parquet round-trips doubles bit-exactly.
+    * [[compactIndex]]'s dynamic overwrite touches only `cell=` dirs,
+    * so compaction preserves the sidecar. */
+  def writeIvfQuantizer(spark: org.apache.spark.sql.SparkSession,
+                        path: String,
+                        centroids: IndexedSeq[Array[Double]]): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, j) => (j, c.toSeq) }.toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path + "/_quantizer")
+  }
+
+  /** Rehydrate the [[writeIvfQuantizer]] sidecar into the literal
+    * centroid table the probe expressions ride on — the cold-session
+    * loader that makes a [[writeIvfTrainedIndex]] store servable
+    * without retraining (`ann_ivft_served`). Validates the cell ids
+    * are exactly 0..k−1: a damaged sidecar must fail loudly here, not
+    * silently mis-probe. k×dim doubles to the driver — the same
+    * footprint class as training's own collect. */
+  def loadIvfQuantizer(spark: org.apache.spark.sql.SparkSession,
+                       path: String): IndexedSeq[Array[Double]] = {
+    val rows = spark.read.parquet(path + "/_quantizer")
+      .select(col("cell").cast("int"), col("centroid"))
+      .orderBy("cell").collect()
+    require(rows.nonEmpty, s"empty quantizer sidecar at $path/_quantizer")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getInt(0) == i,
+        s"quantizer sidecar at $path is not contiguous: " +
+          s"expected cell $i, found ${r.getInt(0)}")
+    }
+    rows.map(_.getSeq[Double](1).toArray).toIndexedSeq
   }
 
   /** [[ivfTrainedTopK]] served from a [[writeIvfTrainedIndex]] store:
@@ -848,17 +915,38 @@ object Similarity {
     require(k >= 1, s"k=$k must be >= 1")
     require(probes >= 1 && probes <= centroids.length,
       s"probes=$probes out of [1, ${centroids.length}]")
-    val q = queries.filter(size(col(vecCol)) === dim)
-      .select(col(idCol).as("query_id"),
-        normalize(col(vecCol)).as("qv"),
-        explode(trainedProbeCells(col(vecCol), centroids, probes))
-          .as("cell"))
-      .localCheckpoint() // probed twice: the IN-list collect + the join
-    val probed = q.select("cell").distinct().collect()
-      .map(_.getInt(0).toLong).sorted.toSeq
-    val c = indexed.filter(col("cell").isin(
-      typedKeys(probed, indexed.schema("cell").dataType): _*))
+    val (q, c) = probedStore(indexed,
+      queries.filter(size(col(vecCol)) === dim)
+        .select(col(idCol).as("query_id"),
+          normalize(col(vecCol)).as("qv"),
+          explode(trainedProbeCells(col(vecCol), centroids, probes))
+            .as("cell")),
+      "cell")
     cellCosineRank(c, q, k, roundScore)
+  }
+
+  /** Shared probe preamble for the `*TopKIndexed` serving paths (one
+    * copy — the three paths must never diverge on the probe-collect
+    * discipline): localCheckpoint the exploded query frame (it is
+    * consumed twice — the IN-list collect and the join), collect the
+    * DISTINCT probe keys (bounded by the key DOMAIN — bucket/cell
+    * counts, never the batch or corpus size), and restrict the store by
+    * the typed literal IN-list so the probed keys become
+    * `PartitionFilters` on the scan. Returns (checkpointed queries,
+    * pruned store). Eager by design — the callers' documented
+    * construction-time contract. */
+  private def probedStore(indexed: DataFrame, q: DataFrame,
+                          keyCol: String): (DataFrame, DataFrame) = {
+    val qc = q.localCheckpoint()
+    val probed = qc.select(keyCol).distinct().collect()
+      .map(_.get(0) match {
+        case l: java.lang.Long => l.longValue
+        case i: java.lang.Integer => i.toLong
+        case other => throw new IllegalArgumentException(
+          s"probe key $other (${other.getClass.getSimpleName}) is not integral")
+      }).sorted.toSeq
+    (qc, indexed.filter(col(keyCol).isin(
+      typedKeys(probed, indexed.schema(keyCol).dataType): _*)))
   }
 
   /** Coerce probe-key literals to the store column's ACTUAL dtype.

@@ -1310,6 +1310,24 @@ object PipelineQueries {
           col("neighbor_id"))
     }),
 
+    // --- COLD-SESSION serving of the trained-IVF store: the quantizer
+    // comes from the store's OWN _quantizer/ sidecar (loadIvfQuantizer),
+    // not the session cache — proving the store is self-describing: a
+    // new JVM opening the directory probes the partitions with the
+    // centroids they were written under (retraining on a drifted corpus
+    // would silently mis-probe). Row-identical to ann_ivft_indexed by
+    // construction (bit-equal centroids ⇒ identical probe cells) --------
+    "ann_ivft_served" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val idx = sharedIvfTrainedIndex(s, d)
+      val cents = Similarity.loadIvfQuantizer(s, idx) // sidecar, NOT cache
+      Similarity.ivfTrainedTopKIndexed(s.read.parquet(idx),
+        e.filter(col("vec_id") < 50), "vec_id", "embedding",
+        cents, k = 3, probes = 2, dim = 64)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+    }),
+
     // --- recall@5 of trained vs axis cells AT EQUAL PROBES (p = 2),
     // one exact brute leg serving both — the measurement behind
     // adopting the trained quantizer (BucketingSpec pins trained ≥ axis
@@ -6125,6 +6143,10 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       // nearest TRAINED cells; the store only changes where candidate
       // rows are read from
       "ann_ivft_indexed" -> ivfTrainedTopKSql,
+
+      // cold-session serving from the sidecar quantizer is row-identical
+      // to the cached-quantizer path (bit-equal centroids) — same oracle
+      "ann_ivft_served" -> ivfTrainedTopKSql,
 
       // the trained store's layout check: per-cell counts = the a2
       // assignment the engine's argmin-struct cells must reproduce

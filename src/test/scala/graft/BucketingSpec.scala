@@ -201,12 +201,26 @@ class BucketingSpec extends SparkSpec {
     val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding",
       k = 8, iters = 2, dim = 64)
     // pid-suffixed: two concurrent test JVMs must not clobber each
-    // other's store mid-read (the same hazard the query-side stores fix)
-    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+    // other's store mid-read (the same hazard the query-side stores fix);
+    // deleted in the finally below — pid-unique paths never get reused,
+    // so leaving them would grow /tmp by one store per test JVM forever
+    val dirFile = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_ivft_idx_spec_${java.lang.ProcessHandle.current().pid()}")
-      .getPath
+    val dir = dirFile.getPath
+    def rmDir(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmDir))
+      f.delete(): Unit
+    }
+    try {
     Similarity.writeIvfTrainedIndex(e, "vec_id", "embedding", dir,
       cents, dim = 64)
+    // the sidecar round-trip: the store is SELF-DESCRIBING — a cold
+    // session loads bit-equal centroids from _quantizer/ and probes
+    // the partitions with the quantizer they were written under
+    val loaded = Similarity.loadIvfQuantizer(spark, dir)
+    assert(loaded.length == cents.length &&
+      loaded.zip(cents).forall { case (a, b) => a.sameElements(b) },
+      "sidecar centroids != trained centroids")
     val out = Similarity.ivfTrainedTopKIndexed(spark.read.parquet(dir), q,
       "vec_id", "embedding", cents, k = 3, probes = 2, dim = 64)
     // 1. probed cells land in PartitionFilters — unprobed cell
@@ -248,6 +262,7 @@ class BucketingSpec extends SparkSpec {
       k = 5, m = 4, probes = 2))
     assert(trained >= axis,
       s"trained cells recall $trained < axis cells $axis at p=2")
+    } finally rmDir(dirFile)
   }
 
   test("site-partitioned store write prunes partitions on the site filter") {
