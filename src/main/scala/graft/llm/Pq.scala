@@ -330,12 +330,18 @@ object Pq {
     * `q` carries (query_id, __qv, cell) and broadcasts (sampled query
     * sets — the eval posture of both callers). */
   private def cellAdcRank(enc: DataFrame, q: DataFrame,
-                          topK: Int): DataFrame = {
-    val scored = enc.join(broadcast(q), Seq("cell"))
+                          topK: Int): DataFrame =
+    rankAsc(enc.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("__d",
         Similarity.dot(col("__recon"), col("__recon")) -
-          lit(2.0) * Similarity.dot(col("__qv"), col("__recon")))
+          lit(2.0) * Similarity.dot(col("__qv"), col("__recon"))),
+      topK)
+
+  /** The shared per-query ascending-distance rank window (ties on
+    * neighbor id) — one copy for every ADC variant's finisher. Expects
+    * (query_id, neighbor_id, __d). */
+  private def rankAsc(scored: DataFrame, topK: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__d"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -380,5 +386,227 @@ object Pq {
         explode(Similarity.trainedProbeCells(col(vecCol), centroids,
           probes)).as("cell"))
     cellAdcRank(enc, q, topK)
+  }
+
+  // ------------------------------------- trained RESIDUAL IVF+PQ (full)
+
+  /** Each vector's residual against its assigned trained cell —
+    * `__res = quantize(quantize(v) − centroid[cell])` — plus the cell
+    * itself: the frame both residual-PQ training and encoding run on.
+    * Row-local throughout (centroids are plan literals; zip_with
+    * subtraction is one IEEE op per component; the re-quantize snaps
+    * the residual back onto the dyadic 2⁻²⁰ grid so training's
+    * component sums stay EXACT and order-free — the [[Clustering]]
+    * discipline). Map-only: no shuffle, recomputed from the scan per
+    * action rather than materialized (at corpus scale a checkpoint of
+    * a full-width residual copy would be the bigger cost). */
+  private def residualFrame(df: DataFrame, idCol: String, vecCol: String,
+      centroids: IndexedSeq[Array[Double]], dim: Int): DataFrame = {
+    val centLit = typedlit(centroids.map(_.toSeq))
+    spread(df).filter(size(col(vecCol)) === dim)
+      .select(col(idCol),
+        Clustering.quantize(col(vecCol)).as("__w"),
+        element_at(
+          Similarity.trainedProbeCells(col(vecCol), centroids, 1), 1)
+          .as("cell"))
+      .withColumn("__res", Clustering.quantize(zip_with(col("__w"),
+        element_at(centLit, col("cell") + 1), (a, b) => a - b)))
+      .drop("__w")
+  }
+
+  /** Train the per-subspace codebooks on CELL RESIDUALS (v −
+    * centroid[cell]) — the fine quantizer of the deployed FAISS
+    * `IVFx,PQy` (Jégou et al. 2011 §IV: PQ encodes the residual of the
+    * coarse quantizer, not the raw vector, because residuals have far
+    * lower variance than vectors — the same codebook budget buys a much
+    * finer grid). One codebook set is shared across cells (the FAISS
+    * default). Same determinism as [[trainCodebooks]]: residuals are
+    * dyadic-grid values, so every training sum is exact and the oracle
+    * replays the round bit for bit. */
+  def trainResidualCodebooks(corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: IndexedSeq[Array[Double]],
+      m: Int, k: Int, subDim: Int, dim: Int,
+      iters: Int = 1): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    require(dim == m * subDim,
+      s"residual PQ must cover the vector: dim=$dim != $m×$subDim")
+    trainCodebooks(residualFrame(corpus, idCol, vecCol, centroids, dim),
+      idCol, "__res", m, k, subDim, iters)
+  }
+
+  /** The FULL FAISS `IVFx,PQy`: trained coarse cells prune the scan,
+    * trained codebooks encode RESIDUALS (v − centroid[cell]), and ADC
+    * ranks within the probed cells. Against [[ivfAdcTopKTrained]] (the
+    * seeded-raw fine stage) this is the step the recall measurement
+    * demanded — on the fixture the seeded quantizer dominated the loss.
+    *
+    * The distance keeps the per-(query, cell) ‖q − c‖² term:
+    * `d = dot(recon,recon) − 2·dot(qr,recon) + dot(qr,qr)` where
+    * `qr = quantize(quantize(q) − centroid[cell])`. Unlike the raw-ADC
+    * variants the third term CANNOT be dropped — a query probing p > 1
+    * cells has a different residual in each, so the "constant per
+    * query" argument no longer holds; dropping it would misorder
+    * candidates ACROSS cells. All three terms are sequential-fold dots
+    * on dyadic/literal-derived doubles — engine-exact.
+    *
+    * Scale shape unchanged from [[ivfAdcTopKTrained]]: corpus side is
+    * one map-only residual-encode scan, queries broadcast with `probes`
+    * rows each, the join is cell-equi. Training adds `iters` bounded
+    * aggregation passes (m·k·subDim doubles to the driver per pass). */
+  def ivfPqResidualTopKWith(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, topK: Int, subDim: Int,
+      centroids: IndexedSeq[Array[Double]],
+      cbs: IndexedSeq[IndexedSeq[Array[Double]]],
+      probes: Int, dim: Int): DataFrame = {
+    val m = cbs.length
+    val k = cbs.head.length
+    require(topK > 0, s"topK=$topK")
+    require(dim == m * subDim,
+      s"residual PQ must cover the vector: dim=$dim != $m×$subDim")
+    require(probes >= 1 && probes <= centroids.length,
+      s"probes=$probes out of [1, ${centroids.length}]")
+    val centLit = typedlit(centroids.map(_.toSeq))
+    val res = residualFrame(corpus, idCol, vecCol, centroids, dim)
+    val codes = codesCol(col("__res"), m, k, subDim, cbs)
+    val enc = res.select(col(idCol).as("neighbor_id"), col("cell"),
+      reconCol(codes, m, cbs).as("__recon"))
+    val q = queries.filter(size(col(vecCol)) === dim)
+      .select(col(idCol).as("query_id"),
+        Clustering.quantize(col(vecCol)).as("__qw"),
+        explode(Similarity.trainedProbeCells(col(vecCol), centroids,
+          probes)).as("cell"))
+      .withColumn("__qr", Clustering.quantize(zip_with(col("__qw"),
+        element_at(centLit, col("cell") + 1), (a, b) => a - b)))
+      .drop("__qw")
+    val scored = enc.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__d",
+        Similarity.dot(col("__recon"), col("__recon")) -
+          lit(2.0) * Similarity.dot(col("__qr"), col("__recon")) +
+          Similarity.dot(col("__qr"), col("__qr")))
+    rankAsc(scored, topK)
+  }
+
+  /** [[ivfPqResidualTopKWith]] with the codebooks trained in place —
+    * the one-call form for ad-hoc use; serving paths share the trained
+    * books across queries instead (the `ann_ivfpqt2_*` memoization). */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, topK: Int, m: Int, k: Int,
+      subDim: Int, centroids: IndexedSeq[Array[Double]],
+      probes: Int, dim: Int, trainIters: Int = 1): DataFrame =
+    ivfPqResidualTopKWith(corpus, queries, idCol, vecCol, topK, subDim,
+      centroids,
+      trainResidualCodebooks(corpus, idCol, vecCol, centroids, m, k,
+        subDim, dim, trainIters),
+      probes, dim)
+
+  /** Materialize the COMPRESSED serving artifact FAISS actually ships:
+    * (neighbor_id, codes) written PARTITIONED BY the trained cell —
+    * m code bytes per vector instead of dim floats (8 vs 512 here, the
+    * RAM-bound index shape), probe reads partition-pruned exactly like
+    * [[Similarity.writeIvfTrainedIndex]]'s float store. Self-describing
+    * like that store: the coarse quantizer rides as the `_quantizer/`
+    * sidecar and the fine codebooks as `_codebooks/`, so a cold session
+    * reconstructs and ranks without retraining EITHER stage
+    * ([[loadPqCodebooks]] + [[Similarity.loadIvfQuantizer]] +
+    * [[ivfPqTopKIndexed]]). One map-only encode pass; the write
+    * shuffles nothing. */
+  def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, centroids: IndexedSeq[Array[Double]],
+      cbs: IndexedSeq[IndexedSeq[Array[Double]]], subDim: Int,
+      dim: Int): Unit = {
+    val m = cbs.length
+    val k = cbs.head.length
+    require(dim == m * subDim,
+      s"residual PQ must cover the vector: dim=$dim != $m×$subDim")
+    residualFrame(corpus, idCol, vecCol, centroids, dim)
+      .select(col(idCol).as("neighbor_id"), col("cell"),
+        codesCol(col("__res"), m, k, subDim, cbs).as("codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    // AFTER the store write: overwrite mode clears the root directory
+    Similarity.writeIvfQuantizer(corpus.sparkSession, path, centroids)
+    writePqCodebooks(corpus.sparkSession, path, cbs)
+  }
+
+  /** Persist the fine codebooks as the `_codebooks/` parquet sidecar —
+    * (subspace, code, codeword) rows, hidden from store reads by the
+    * leading underscore (the [[Similarity.writeIvfQuantizer]]
+    * convention). m·k·subDim doubles; parquet round-trips them
+    * bit-exactly. */
+  def writePqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      cbs: IndexedSeq[IndexedSeq[Array[Double]]]): Unit = {
+    import spark.implicits._
+    (for { (book, j) <- cbs.zipWithIndex; (cw, c) <- book.zipWithIndex }
+      yield (j, c, cw.toSeq))
+      .toDF("subspace", "code", "codeword")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path + "/_codebooks")
+  }
+
+  /** Rehydrate the [[writePqCodebooks]] sidecar — the cold-session
+    * loader for the compressed store's fine stage. Validates the
+    * (subspace, code) grid is complete and contiguous: a damaged
+    * sidecar must fail loudly, not silently mis-reconstruct. */
+  def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val rows = spark.read.parquet(path + "/_codebooks")
+      .select(col("subspace").cast("int"), col("code").cast("int"),
+        col("codeword"))
+      .orderBy("subspace", "code").collect()
+    require(rows.nonEmpty, s"empty codebook sidecar at $path/_codebooks")
+    val m = rows.last.getInt(0) + 1
+    val k = rows.last.getInt(1) + 1
+    require(rows.length == m * k,
+      s"codebook sidecar at $path is not a full $m×$k grid " +
+        s"(${rows.length} rows)")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getInt(0) == i / k && r.getInt(1) == i % k,
+        s"codebook sidecar at $path is not contiguous at row $i")
+    }
+    rows.map(_.getSeq[Double](2).toArray).grouped(k)
+      .map(_.toIndexedSeq).toIndexedSeq
+  }
+
+  /** [[ivfPqResidualTopKWith]] served from a [[writeIvfPqIndex]] store:
+    * the probed cells arrive as a LITERAL IN-list → `PartitionFilters`
+    * on the code scan (the [[Similarity.probedStore]] preamble — probe
+    * collect bounded by the cell domain), reconstruction happens from
+    * the stored CODES against the plan-literal codebooks (the scan
+    * reads m small ints per candidate, never a float vector), and the
+    * three-term residual ADC ranks within. Row-identical to the
+    * unmaterialized path on the same corpus/quantizers
+    * (`ann_ivfpqt_indexed` shares `ann_ivfpqt2_topk`'s oracle).
+    * Hint-free join (AQE sizes the probe batch), EAGER at construction
+    * like the other `*TopKIndexed` paths. */
+  def ivfPqTopKIndexed(indexed: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, topK: Int, subDim: Int,
+      centroids: IndexedSeq[Array[Double]],
+      cbs: IndexedSeq[IndexedSeq[Array[Double]]],
+      probes: Int, dim: Int): DataFrame = {
+    val m = cbs.length
+    require(topK > 0, s"topK=$topK")
+    require(dim == m * subDim,
+      s"residual PQ must cover the vector: dim=$dim != $m×$subDim")
+    require(probes >= 1 && probes <= centroids.length,
+      s"probes=$probes out of [1, ${centroids.length}]")
+    val centLit = typedlit(centroids.map(_.toSeq))
+    val q0 = queries.filter(size(col(vecCol)) === dim)
+      .select(col(idCol).as("query_id"),
+        Clustering.quantize(col(vecCol)).as("__qw"),
+        explode(Similarity.trainedProbeCells(col(vecCol), centroids,
+          probes)).as("cell"))
+      .withColumn("__qr", Clustering.quantize(zip_with(col("__qw"),
+        element_at(centLit, col("cell") + 1), (a, b) => a - b)))
+      .drop("__qw")
+    val (q, c) = Similarity.probedStore(indexed, q0, "cell")
+    val enc = c.select(col("neighbor_id"), col("cell"),
+      reconCol(col("codes"), m, cbs).as("__recon"))
+    val scored = enc.join(q, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__d",
+        Similarity.dot(col("__recon"), col("__recon")) -
+          lit(2.0) * Similarity.dot(col("__qr"), col("__recon")) +
+          Similarity.dot(col("__qr"), col("__qr")))
+    rankAsc(scored, topK)
   }
 }

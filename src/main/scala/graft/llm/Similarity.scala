@@ -935,8 +935,8 @@ object Similarity {
     * `PartitionFilters` on the scan. Returns (checkpointed queries,
     * pruned store). Eager by design — the callers' documented
     * construction-time contract. */
-  private def probedStore(indexed: DataFrame, q: DataFrame,
-                          keyCol: String): (DataFrame, DataFrame) = {
+  private[llm] def probedStore(indexed: DataFrame, q: DataFrame,
+                               keyCol: String): (DataFrame, DataFrame) = {
     val qc = q.localCheckpoint()
     val probed = qc.select(keyCol).distinct().collect()
       .map(_.get(0) match {

@@ -693,6 +693,36 @@ object PipelineQueries {
       Similarity.writeIvfTrainedIndex(Tables.embeddings(s, d), "vec_id",
         "embedding", p, sharedIvfTrainedCentroids(s, d), dim = 64))
 
+  /** Residual-PQ codebooks (m=8, k=16, subDim=8, two Lloyd rounds) over
+    * the trained coarse cells — the FULL `IVFx,PQy` fine quantizer,
+    * memoized per (session, dir): the topk/recall rows and the
+    * compressed store share one training run (the
+    * [[sharedIvfTrainedCentroids]] economics). */
+  private val residualCbCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), IndexedSeq[IndexedSeq[Array[Double]]]]
+
+  private def sharedResidualCodebooks(s: SparkSession, d: String)
+      : IndexedSeq[IndexedSeq[Array[Double]]] = {
+    if (residualCbCache.size >= maxCacheEntries) clearCaches()
+    residualCbCache.getOrElseUpdate((s, d),
+      graft.llm.Pq.trainResidualCodebooks(Tables.embeddings(s, d),
+        "vec_id", "embedding", sharedIvfTrainedCentroids(s, d),
+        // 2 Lloyd rounds: the sizing probe measured recall@3 0.167 →
+        // 0.300 going 1 → 2 (seeded baseline 0.100); the oracle unrolls
+        // the same 2 rounds (pqTrainBodyCtes iters = 2)
+        m = 8, k = 16, subDim = 8, dim = 64, iters = 2))
+  }
+
+  /** The compressed `IVF8,PQ8` store — (neighbor_id, codes) partitioned
+    * by trained cell plus both quantizer sidecars — memoized like the
+    * float stores: `ann_ivfpqt_build` times the write, the probe row
+    * times the pruned read. */
+  private def sharedIvfPqIndex(s: SparkSession, d: String): String =
+    sharedIndex(s, d, "ivfpq")(p =>
+      graft.llm.Pq.writeIvfPqIndex(Tables.embeddings(s, d), "vec_id",
+        "embedding", p, sharedIvfTrainedCentroids(s, d),
+        sharedResidualCodebooks(s, d), subDim = 8, dim = 64))
+
   /** Same sharing for the exact-overlap candidate join: the Jaccard and
     * containment gates are finishers over one blocking-join frame. */
   private val overlapCache =
@@ -716,6 +746,7 @@ object PipelineQueries {
     overlapCache.clear()
     indexStoreCache.clear()
     ivfTrainedCentroidCache.clear()
+    residualCbCache.clear()
   }
 
   val queries: Map[String, Q] = Map(
@@ -1607,6 +1638,74 @@ object PipelineQueries {
           col("n_hits"), col("recall"))
         .unionByName(Similarity.recallAtK(exact, axis, k = 3)
           .select(lit("ivfpq_axis").as("method"), col("query_id"),
+            col("n_hits"), col("recall")))
+    }),
+
+    // --- the FULL FAISS IVFx,PQy: trained coarse cells prune the scan
+    // AND trained codebooks encode RESIDUALS (v − centroid[cell]) — the
+    // deployed shape (Jégou et al. 2011 §IV). The ADC distance keeps
+    // the per-(query, cell) ‖q−c‖² term: a query probing p > 1 cells
+    // has a different residual in each, so the usual drop-the-constant
+    // argument no longer holds across cells -----------------------------
+    "ann_ivfpqt2_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.llm.Pq.ivfPqResidualTopKWith(e, e.filter(col("vec_id") < 50),
+        "vec_id", "embedding", topK = 3, subDim = 8,
+        sharedIvfTrainedCentroids(s, d), sharedResidualCodebooks(s, d),
+        probes = 2, dim = 64)
+    }),
+
+    // --- the compressed store BUILD as its own timed row (the r12
+    // build/probe split): writes (neighbor_id, PQ codes) partitioned by
+    // trained cell + both sidecars, then reads the store back for
+    // per-cell row counts — oracle-checking the LAYOUT (which vector
+    // landed in which cell directory) ------------------------------------
+    "ann_ivfpqt_build" -> ((s, d) => {
+      val idx = sharedIvfPqIndex(s, d)
+      s.read.parquet(idx)
+        .groupBy(col("cell").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n_rows"))
+    }),
+
+    // --- COLD-SESSION serving of the compressed store: BOTH quantizer
+    // stages come from the store's own sidecars (loadIvfQuantizer +
+    // loadPqCodebooks, not the session caches), candidates reconstruct
+    // from the stored m-byte codes, probes arrive as PartitionFilters.
+    // Row-identical to ann_ivfpqt2_topk (same oracle): the store
+    // changes WHERE codes are read from, not what they decode to --------
+    "ann_ivfpqt_indexed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val idx = sharedIvfPqIndex(s, d)
+      val cents = Similarity.loadIvfQuantizer(s, idx) // sidecar, NOT cache
+      val cbs = graft.llm.Pq.loadPqCodebooks(s, idx)
+      graft.llm.Pq.ivfPqTopKIndexed(s.read.parquet(idx),
+        e.filter(col("vec_id") < 50), "vec_id", "embedding",
+        topK = 3, subDim = 8, cents, cbs, probes = 2, dim = 64)
+    }),
+
+    // --- the measurement that motivated the residual stage: recall@3
+    // of trained-codebook RESIDUAL ADC vs seeded-raw ADC at equal
+    // m/k/probes against one exact-L2 leg — r13's ann_ivfpqt_recall
+    // said "the seeded fine quantizer dominates the loss"; this row
+    // shows what training it on residuals buys back ---------------------
+    "ann_ivfpqt2_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .filter(size(col("embedding")) === 64)
+      val q = e.filter(col("vec_id") < 10)
+      val cents = sharedIvfTrainedCentroids(s, d)
+      val exact = graft.llm.Pq.exactL2TopK(e, q, "vec_id", "embedding",
+        topK = 3).localCheckpoint() // one exact leg serves both methods
+      val resid = graft.llm.Pq.ivfPqResidualTopKWith(e, q, "vec_id",
+        "embedding", topK = 3, subDim = 8, cents,
+        sharedResidualCodebooks(s, d), probes = 2, dim = 64)
+      val seeded = graft.llm.Pq.ivfAdcTopKTrained(e, q, "vec_id",
+        "embedding", topK = 3, m = 8, k = 16, subDim = 8, cents,
+        probes = 2, dim = 64)
+      Similarity.recallAtK(exact, resid, k = 3)
+        .select(lit("ivfpq_residual").as("method"), col("query_id"),
+          col("n_hits"), col("recall"))
+        .unionByName(Similarity.recallAtK(exact, seeded, k = 3)
+          .select(lit("ivfpq_seeded").as("method"), col("query_id"),
             col("n_hits"), col("recall")))
     }),
 
@@ -4646,48 +4745,131 @@ object PipelineQueries {
        |        list_transform(CAST(embedding AS DOUBLE[]),
        |          x -> floor(x * 1048576.0) / 1048576.0) AS w
        |      FROM embeddings WHERE len(embedding) >= $dim),
-       |sub AS (SELECT vec_id, js.j,
-       |          list_slice(w, js.j * $subDim + 1,
+       |""".stripMargin +
+      pqTrainBodyCtes(m, k, subDim, src = "wq", vcol = "w", p = "")
+  }
+
+  /** The Lloyd-round/encode/reconstruct body of [[pqTrainCtes]],
+    * parameterized over the source CTE (`src(vec_id, $vcol)`), a name
+    * PREFIX so it can ride alongside [[kmeansCtes]] (whose s1/a1/g1/n1
+    * round names it would otherwise shadow) — the residual path trains
+    * on the `res` CTE with prefix `r` — and the ROUND COUNT, unrolled
+    * exactly like the engine's trainCodebooks loop (round i scores
+    * against cb(i−1), updates to cb(i); encode runs against
+    * cb(iters)). */
+  private def pqTrainBodyCtes(m: Int, k: Int, subDim: Int,
+                              src: String, vcol: String,
+                              p: String, iters: Int = 1): String = {
+    require(iters >= 1, s"iters=$iters")
+    val sb = new StringBuilder
+    sb ++= s"""${p}sub AS (SELECT vec_id, js.j,
+       |          list_slice($vcol, js.j * $subDim + 1,
        |                     js.j * $subDim + $subDim) AS sv
-       |        FROM wq, (SELECT unnest(generate_series(0, ${m - 1})) AS j)
+       |        FROM $src, (SELECT unnest(generate_series(0, ${m - 1})) AS j)
        |               js),
-       |cb0 AS (SELECT j, rn - 1 AS c, sv AS cv FROM (
+       |${p}cb0 AS (SELECT j, rn - 1 AS c, sv AS cv FROM (
        |          SELECT j, sv,
        |                 row_number() OVER (PARTITION BY j
        |                                    ORDER BY vec_id) AS rn
-       |          FROM sub) WHERE rn <= $k),
-       |s1 AS (SELECT sub.vec_id, sub.j, cb0.c,
+       |          FROM ${p}sub) WHERE rn <= $k)""".stripMargin
+    for (i <- 1 to iters) sb ++= s""",
+       |${p}s$i AS (SELECT ${p}sub.vec_id, ${p}sub.j, ${p}cb${i - 1}.c,
        |         list_dot_product(cv, cv)
        |           - 2.0 * list_dot_product(sv, cv) AS s
-       |       FROM sub JOIN cb0 ON cb0.j = sub.j),
-       |a1 AS (SELECT vec_id, j, c FROM (
+       |       FROM ${p}sub JOIN ${p}cb${i - 1}
+       |         ON ${p}cb${i - 1}.j = ${p}sub.j),
+       |${p}a$i AS (SELECT vec_id, j, c FROM (
        |         SELECT vec_id, j, c,
        |                row_number() OVER (PARTITION BY vec_id, j
        |                                   ORDER BY s, c) AS rn
-       |         FROM s1) WHERE rn = 1),
-       |g1 AS (SELECT a1.j, a1.c, idx.i AS pos,
+       |         FROM ${p}s$i) WHERE rn = 1),
+       |${p}g$i AS (SELECT ${p}a$i.j, ${p}a$i.c, idx.i AS pos,
        |         sum(sv[idx.i]) / count(*) AS mu
-       |       FROM a1 JOIN sub ON sub.vec_id = a1.vec_id
-       |                       AND sub.j = a1.j,
+       |       FROM ${p}a$i JOIN ${p}sub ON ${p}sub.vec_id = ${p}a$i.vec_id
+       |                       AND ${p}sub.j = ${p}a$i.j,
        |            (SELECT unnest(generate_series(1, $subDim)) AS i) idx
        |       GROUP BY 1, 2, 3),
-       |n1 AS (SELECT j, c, list(mu ORDER BY pos) AS cv
-       |       FROM g1 GROUP BY 1, 2),
-       |cb1 AS (SELECT cb0.j, cb0.c, coalesce(n1.cv, cb0.cv) AS cv
-       |        FROM cb0 LEFT JOIN n1 ON n1.j = cb0.j AND n1.c = cb0.c),
-       |se AS (SELECT sub.vec_id, sub.j, cb1.c,
+       |${p}n$i AS (SELECT j, c, list(mu ORDER BY pos) AS cv
+       |       FROM ${p}g$i GROUP BY 1, 2),
+       |${p}cb$i AS (SELECT ${p}cb${i - 1}.j, ${p}cb${i - 1}.c,
+       |          coalesce(${p}n$i.cv, ${p}cb${i - 1}.cv) AS cv
+       |        FROM ${p}cb${i - 1} LEFT JOIN ${p}n$i
+       |          ON ${p}n$i.j = ${p}cb${i - 1}.j
+       |         AND ${p}n$i.c = ${p}cb${i - 1}.c)""".stripMargin
+    sb ++= s""",
+       |${p}se AS (SELECT ${p}sub.vec_id, ${p}sub.j, ${p}cb$iters.c,
        |         list_dot_product(cv, cv)
        |           - 2.0 * list_dot_product(sv, cv) AS s
-       |       FROM sub JOIN cb1 ON cb1.j = sub.j),
-       |enc AS (SELECT vec_id, j, c FROM (
+       |       FROM ${p}sub JOIN ${p}cb$iters
+       |         ON ${p}cb$iters.j = ${p}sub.j),
+       |${p}enc AS (SELECT vec_id, j, c FROM (
        |          SELECT vec_id, j, c,
        |                 row_number() OVER (PARTITION BY vec_id, j
        |                                    ORDER BY s, c) AS rn
-       |          FROM se) WHERE rn = 1),
-       |reconT AS (SELECT vec_id, flatten(list(cv ORDER BY enc.j)) AS rv
-       |           FROM enc JOIN cb1 ON cb1.j = enc.j AND cb1.c = enc.c
+       |          FROM ${p}se) WHERE rn = 1),
+       |${p}reconT AS (SELECT vec_id,
+       |             flatten(list(cv ORDER BY ${p}enc.j)) AS rv
+       |           FROM ${p}enc JOIN ${p}cb$iters ON ${p}cb$iters.j = ${p}enc.j
+       |                                    AND ${p}cb$iters.c = ${p}enc.c
        |           GROUP BY vec_id)""".stripMargin
+    sb.toString
   }
+
+  /** Residual IVF+PQ CTEs over [[kmeansCtes]]' unrolled training (the
+    * `ann_ivfpqt2_*` oracle): `res` is each len-64 vector's
+    * dyadic-requantized residual against its a2 cell's c1 centroid (the
+    * centroid table the final assignment scored against — what the
+    * engine's trainIvfCentroids returns); the `r`-prefixed
+    * [[pqTrainBodyCtes]] replays residual-codebook training + encode +
+    * reconstruction (rcb1/renc/rreconT); `qres` is the per-(query,
+    * probed-cell) residual; `rsc` the three-term ADC distance —
+    * `dot(rv,rv) − 2·dot(qrv,rv) + dot(qrv,qrv)`, the ‖q−c‖² term KEPT
+    * because it varies across a query's probed cells. */
+  private def residualCtes(maxQueryId: Int, probes: Int): String =
+    s"""resc AS (SELECT a2.vec_id, a2.cluster AS cell, idx.i AS pos,
+       |           floor((a2.w[idx.i] - c.c[idx.i]) * 1048576.0)
+       |             / 1048576.0 AS rv
+       |         FROM a2 JOIN c1 c ON c.j = a2.cluster,
+       |              (SELECT unnest(generate_series(1, 64)) AS i) idx),
+       |res AS (SELECT vec_id, cell, list(rv ORDER BY pos) AS r
+       |        FROM resc GROUP BY 1, 2),
+       |${pqTrainBodyCtes(8, 16, 8, src = "res", vcol = "r", p = "r",
+         iters = 2)},
+       |rqp AS (SELECT vec_id AS query_id, j AS cell FROM (
+       |          SELECT vec_id, j, row_number() OVER (
+       |              PARTITION BY vec_id ORDER BY s, j) AS rn
+       |          FROM s2 WHERE vec_id < $maxQueryId) WHERE rn <= $probes),
+       |qrc AS (SELECT rqp.query_id, rqp.cell, idx.i AS pos,
+       |          floor((w.w[idx.i] - c.c[idx.i]) * 1048576.0)
+       |            / 1048576.0 AS rv
+       |        FROM rqp JOIN wq w ON w.vec_id = rqp.query_id
+       |        JOIN c1 c ON c.j = rqp.cell,
+       |             (SELECT unnest(generate_series(1, 64)) AS i) idx),
+       |qres AS (SELECT query_id, cell, list(rv ORDER BY pos) AS qrv
+       |         FROM qrc GROUP BY 1, 2),
+       |rtc AS (SELECT res.vec_id AS neighbor_id, res.cell, rv
+       |        FROM res JOIN rreconT ON rreconT.vec_id = res.vec_id),
+       |rsc AS (SELECT q.query_id, rtc.neighbor_id,
+       |          list_dot_product(rv, rv)
+       |            - 2.0 * list_dot_product(qrv, rv)
+       |            + list_dot_product(qrv, qrv) AS d
+       |        FROM rtc JOIN qres q USING (cell)
+       |        WHERE rtc.neighbor_id <> q.query_id)""".stripMargin
+
+  /** The full-residual-IVF,PQ top-3 oracle, shared by
+    * `ann_ivfpqt2_topk` (unmaterialized) and `ann_ivfpqt_indexed` (the
+    * compressed store) — the two are row-identical by construction:
+    * the store changes WHERE the codes are read from, not what they
+    * decode to. */
+  private lazy val ivfPqResidualTopKSql: String =
+    s"WITH ${kmeansCtes(8, 2, 64)},\n" +
+      residualCtes(maxQueryId = 50, probes = 2) + """
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY d, neighbor_id)
+        |           AS BIGINT) AS rank
+        |  FROM rsc) WHERE rank <= 3""".stripMargin
 
   private def projectionSql(v: String, dimOut: Int, dimIn: Int): String = {
     val scale = java.lang.Double.toString(1.0 / math.sqrt(dimOut.toDouble))
@@ -5766,6 +5948,92 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
             |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
             |         COUNT(*) AS n_exact
             |  FROM ex LEFT JOIN aapx a
+            |    ON a.query_id = ex.query_id
+            |   AND a.neighbor_id = ex.neighbor_id
+            |  GROUP BY 1)""".stripMargin),
+
+      // full residual IVF,PQ: kmeans training replayed (kmeansCtes),
+      // residuals against the c1 centroid table, residual-codebook
+      // Lloyd rounds + encode (pqTrainBodyCtes prefixed 'r'), three-term
+      // ADC ranking within the 2 probed cells
+      "ann_ivfpqt2_topk" -> ivfPqResidualTopKSql,
+
+      // the compressed store serves the SAME rows it was encoded from:
+      // cold sidecar loaders hand back bit-equal quantizers, so the
+      // indexed read is row-identical to the unmaterialized path
+      "ann_ivfpqt_indexed" -> ivfPqResidualTopKSql,
+
+      // the layout check: every len-64 vector lands in its a2 cell's
+      // directory (the build row's per-cell counts)
+      "ann_ivfpqt_build" ->
+        (s"WITH ${kmeansCtes(8, 2, 64)}\n" +
+          """SELECT CAST(cluster AS BIGINT) AS cell,
+            |       count(*) AS n_rows
+            |FROM a2 GROUP BY 1""".stripMargin),
+
+      // residual-trained vs seeded-raw fine quantizer under the SAME
+      // trained coarse cells, one exact-L2 leg over the len-64
+      // universe; seeded fragments mirror ann_ivfpqt_recall's trained
+      // leg (pqEncodeCtes reconstructions over a2 cells)
+      "ann_ivfpqt2_recall" ->
+        (s"WITH ${kmeansCtes(8, 2, 64)},\n" +
+          residualCtes(maxQueryId = 10, probes = 2) + ",\n" +
+          pqEncodeCtes(8, 16, 8) + """,
+            |recon AS (SELECT vec_id, flatten(list(cv ORDER BY a.j)) AS rv
+            |          FROM a JOIN cb ON cb.j = a.j AND cb.c = a.c
+            |          GROUP BY vec_id),
+            |e64 AS (SELECT e.vec_id, e.v FROM e JOIN wq USING (vec_id)),
+            |xq AS (SELECT vec_id AS query_id, v AS qv FROM e64
+            |       WHERE vec_id < 10),
+            |x AS (SELECT xq.query_id, c.vec_id AS neighbor_id,
+            |        list_dot_product(c.v, c.v)
+            |          - 2.0 * list_dot_product(qv, c.v) AS d
+            |      FROM e64 c, xq WHERE c.vec_id <> xq.query_id),
+            |ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id, row_number() OVER (
+            |    PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+            |  FROM x) WHERE rank <= 3),
+            |rapx AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id, row_number() OVER (
+            |    PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+            |  FROM rsc) WHERE rank <= 3),
+            |tqp AS (SELECT vec_id AS query_id, j AS cell FROM (
+            |          SELECT vec_id, j, row_number() OVER (
+            |              PARTITION BY vec_id ORDER BY s2.s, j) AS rn
+            |          FROM s2 WHERE vec_id < 10) WHERE rn <= 2),
+            |tc AS (SELECT a2.vec_id AS neighbor_id, a2.cluster AS cell,
+            |              rv
+            |       FROM a2 JOIN recon ON recon.vec_id = a2.vec_id),
+            |tsc AS (SELECT tqp.query_id, tc.neighbor_id,
+            |          list_dot_product(rv, rv)
+            |            - 2.0 * list_dot_product(q.v, rv) AS d
+            |        FROM tc JOIN tqp USING (cell)
+            |        JOIN e64 q ON q.vec_id = tqp.query_id
+            |        WHERE tc.neighbor_id <> tqp.query_id),
+            |tapx AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id, row_number() OVER (
+            |    PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+            |  FROM tsc) WHERE rank <= 3)
+            |SELECT 'ivfpq_residual' AS method, query_id, n_hits,
+            |       round(n_hits / CAST(n_exact AS DOUBLE), 6) AS recall
+            |FROM (
+            |  SELECT ex.query_id,
+            |         CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+            |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+            |         COUNT(*) AS n_exact
+            |  FROM ex LEFT JOIN rapx a
+            |    ON a.query_id = ex.query_id
+            |   AND a.neighbor_id = ex.neighbor_id
+            |  GROUP BY 1)
+            |UNION ALL
+            |SELECT 'ivfpq_seeded' AS method, query_id, n_hits,
+            |       round(n_hits / CAST(n_exact AS DOUBLE), 6) AS recall
+            |FROM (
+            |  SELECT ex.query_id,
+            |         CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+            |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+            |         COUNT(*) AS n_exact
+            |  FROM ex LEFT JOIN tapx a
             |    ON a.query_id = ex.query_id
             |   AND a.neighbor_id = ex.neighbor_id
             |  GROUP BY 1)""".stripMargin),

@@ -265,6 +265,73 @@ class BucketingSpec extends SparkSpec {
     } finally rmDir(dirFile)
   }
 
+  test("compressed IVF,PQ index: probe cells arrive as PartitionFilters " +
+    "over the CODE store, sidecars round-trip bit-equal, and cold " +
+    "serving is row-identical to the unmaterialized residual path") {
+    import graft.llm.{Pq, Similarity}
+    import org.apache.spark.sql.functions.{col, size}
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val e = graft.core.Tables.embeddings(spark, sf001)
+    val q = e.filter($"vec_id" < 10)
+    val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding",
+      k = 8, iters = 2, dim = 64)
+    val cbs = Pq.trainResidualCodebooks(e, "vec_id", "embedding", cents,
+      m = 8, k = 16, subDim = 8, dim = 64, iters = 1)
+    val dirFile = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ivfpq_idx_spec_${java.lang.ProcessHandle.current().pid()}")
+    def rmDir(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmDir))
+      f.delete(): Unit
+    }
+    try {
+      val dir = dirFile.getPath
+      Pq.writeIvfPqIndex(e, "vec_id", "embedding", dir, cents, cbs,
+        subDim = 8, dim = 64)
+      // 1. both sidecars round-trip bit-equal: the store is fully
+      //    self-describing (coarse + fine quantizer)
+      val lc = Similarity.loadIvfQuantizer(spark, dir)
+      assert(lc.length == cents.length &&
+        lc.zip(cents).forall { case (a, b) => a.sameElements(b) },
+        "quantizer sidecar != trained centroids")
+      val lcb = Pq.loadPqCodebooks(spark, dir)
+      assert(lcb.length == cbs.length &&
+        lcb.zip(cbs).forall { case (ba, bb) =>
+          ba.length == bb.length &&
+            ba.zip(bb).forall { case (a, b) => a.sameElements(b) } },
+        "codebook sidecar != trained codebooks")
+      // 2. probed cells land in PartitionFilters over the CODE scan —
+      //    the compressed store reads m ints per candidate from only
+      //    the probed cell directories
+      val out = Pq.ivfPqTopKIndexed(spark.read.parquet(dir), q,
+        "vec_id", "embedding", topK = 3, subDim = 8, lc, lcb,
+        probes = 2, dim = 64)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+        s"no partition pruning:\n$plan")
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+      val written = dirFile.listFiles()
+        .count(_.getName.startsWith("cell="))
+      val probed = scans(out.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths
+          .exists(_.toString.contains("graft_ivfpq_idx_spec")))
+        .map(_.selectedPartitions.partitionCount).headOption
+      assert(probed.nonEmpty && probed.get > 0 && probed.get <= written,
+        s"probed=$probed written=$written")
+      // 3. cold serving is row-identical to the unmaterialized residual
+      //    path on the same corpus and quantizers
+      val base = Pq.ivfPqResidualTopKWith(e, q, "vec_id", "embedding",
+        topK = 3, subDim = 8, cents, cbs, probes = 2, dim = 64)
+      val a = out.collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val b = base.collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(a == b && a.nonEmpty, "indexed ≠ unmaterialized residual")
+    } finally rmDir(dirFile)
+  }
+
   test("site-partitioned store write prunes partitions on the site filter") {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_part_store").getPath
