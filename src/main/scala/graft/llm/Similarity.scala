@@ -796,7 +796,7 @@ object Similarity {
     * kmeans argmin — and take the first p. Cell scoring runs on the
     * dyadic-quantized vector exactly like the kmeans assignment, so
     * the probe ranking replays in the oracle. */
-  private[llm] def trainedProbeCells(vec: Column,
+  private[graft] def trainedProbeCells(vec: Column,
       centroids: IndexedSeq[Array[Double]], probes: Int): Column =
     transform(
       slice(array_sort(Clustering.scoreStructs(

@@ -3636,6 +3636,27 @@ object PipelineQueries {
         "stream_hamming_" + streamSeq.incrementAndGet())
     }),
 
+    // --- streaming trained-IVF cell assignment AT INGEST: the float
+    // store's sibling of stream_hamming — cell = argmin over the
+    // plan-literal trained centroids (map-only, stateless: the
+    // streaming plan IS the batch plan under a micro-batch trigger), so
+    // arriving vectors append straight into writeIvfTrainedIndex's
+    // cell-partitioned layout (byte-identical append pinned in
+    // StreamingSpec, the stream_hamming discipline) ----------------------
+    "stream_ivf" -> ((s, d) => {
+      val cents = sharedIvfTrainedCentroids(s, d)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      ss.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+      graft.streaming.FileReplay.oneBatch(ss, s"$d/embeddings.parquet",
+        stream => stream
+          .filter(size(col("embedding")) === 64)
+          .select(col("vec_id"),
+            element_at(Similarity.trainedProbeCells(col("embedding"),
+              cents, 1), 1).cast("long").as("cell")),
+        "stream_ivf_" + streamSeq.incrementAndGet())
+    }),
+
     // --- streaming cross-corpus dedup: continuous ingest anti-joined
     // against the trained corpus' broadcast band set — stateless (no
     // watermark, no state store); the scale path for "dedup the crawl as
@@ -9199,6 +9220,14 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
         s"""SELECT vec_id, ${hammingWordSql("v", 48, 64)} AS fingerprint
            |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            |      FROM embeddings WHERE len(embedding) >= 64)""".stripMargin,
+
+      // ingest-time trained-IVF cell assignment is the batch argmin
+      // under a micro-batch trigger (map-only, stateless) — the oracle
+      // is the kmeans training's final assignment
+      "stream_ivf" ->
+        (s"WITH ${kmeansCtes(8, 2, 64)}\n" +
+          """SELECT vec_id, CAST(cluster AS BIGINT) AS cell
+            |FROM a2""".stripMargin),
 
       "stream_quality" ->
         s"""SELECT q.doc_id, d.source, q.n_words, q.stop_hits

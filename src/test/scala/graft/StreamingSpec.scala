@@ -511,6 +511,177 @@ class StreamingSpec extends SparkSpec {
     assert(fromStream == fromBatch)
   }
 
+  test("streaming cell-encode APPENDs into the trained-IVF store — the " +
+    "streamed store equals the batch-written one") {
+    import graft.llm.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    def vec(i: Int): Array[Float] =
+      (1 to 64).map(j => ((i * j) % 13 - 6).toFloat).toArray
+    val all = (1 to 12).map(i => (i.toLong, vec(i)))
+    val (b1, b2) = all.splitAt(6)
+    // centroids train on the FULL corpus up front (the deployment
+    // order: train, then stream against the frozen quantizer)
+    val cents = Similarity.trainIvfCentroids(
+      all.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      k = 4, iters = 2, dim = 64)
+    def freshDir(tag: String): java.io.File = {
+      val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"${tag}_${java.lang.ProcessHandle.current().pid()}")
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) Option(x.listFiles).foreach(_.foreach(rm))
+        x.delete()
+      }
+      rm(f); f
+    }
+    val streamDir = freshDir("graft_ivft_stream_idx")
+    val batchDir = freshDir("graft_ivft_stream_idx_batch")
+    val ckpt = freshDir("graft_ivft_stream_idx_ckpt")
+    def rmAll(): Unit = Seq(streamDir, batchDir, ckpt).foreach { f =>
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) Option(x.listFiles).foreach(_.foreach(rm))
+        x.delete(): Unit
+      }
+      rm(f)
+    }
+    try {
+      val input = MemoryStream[(Long, Array[Float])]
+      // the same row shape writeIvfTrainedIndex produces: cell
+      // assignment is the map-only literal argmin, append lands one
+      // file per touched cell partition per micro-batch
+      val rows = input.toDS().toDF("vec_id", "embedding")
+        .filter(size(col("embedding")) === 64)
+        .select(col("vec_id").as("neighbor_id"),
+          graft.llm.Similarity.normalize(col("embedding")).as("cv"),
+          element_at(Similarity.trainedProbeCells(col("embedding"),
+            cents, 1), 1).as("cell"))
+      val q = rows.writeStream
+        .option("checkpointLocation", ckpt.getPath)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").partitionBy("cell")
+            .parquet(streamDir.getPath)
+        }.start()
+      try {
+        input.addData(b1)
+        q.processAllAvailable()
+        input.addData(b2)
+        q.processAllAvailable()
+      } finally q.stop()
+      // the batch layout over the union input is the reference store
+      Similarity.writeIvfTrainedIndex(all.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", batchDir.getPath, cents, dim = 64)
+      def readStore(p: String) = spark.read.parquet(p)
+        .select(col("neighbor_id"), col("cv"), col("cell").cast("long"))
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val s = readStore(streamDir.getPath)
+      val b = readStore(batchDir.getPath)
+      assert(s == b && s.length == 12, s"streamed store diverged")
+      // and the streamed store serves queries identically (probing with
+      // the same frozen quantizer the batch store's sidecar carries)
+      val qdf = all.toDF("vec_id", "embedding")
+      def serve(p: String) = Similarity.ivfTrainedTopKIndexed(
+        spark.read.parquet(p), qdf, "vec_id", "embedding", cents,
+        k = 2, probes = 2, dim = 64).collect()
+        .map(_.toSeq).sortBy(_.toString).toSeq
+      assert(serve(streamDir.getPath) == serve(batchDir.getPath))
+    } finally rmAll()
+  }
+
+  test("compactIndex runs INSIDE foreachBatch between micro-batch " +
+    "appends: no lost rows across the interleave, file counts bounded, " +
+    "serving identical to the batch-built store") {
+    import graft.llm.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    def vec(i: Int): Array[Float] =
+      (1 to 64).map(j => ((i * j) % 9 - 4).toFloat).toArray
+    // 8 micro-batches of 5 rows each — every batch appends one file
+    // per touched bucket, fragmenting fast (the ingest-rate hazard)
+    val batches = (0 until 8).map(b =>
+      (1 to 5).map(i => ((b * 5 + i).toLong, vec(b * 5 + i))))
+    def freshDir(tag: String): java.io.File = {
+      val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"${tag}_${java.lang.ProcessHandle.current().pid()}")
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) Option(x.listFiles).foreach(_.foreach(rm))
+        x.delete()
+      }
+      rm(f); f
+    }
+    val storeDir = freshDir("graft_compact_live_idx")
+    val ckpt = freshDir("graft_compact_live_ckpt")
+    def rmAll(): Unit = Seq(storeDir, ckpt).foreach { f =>
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) Option(x.listFiles).foreach(_.foreach(rm))
+        x.delete(): Unit
+      }
+      rm(f)
+    }
+    try {
+      val shift = 48 - 4
+      val input = MemoryStream[(Long, Array[Float])]
+      val words = input.toDS().toDF("vec_id", "embedding")
+        .filter(size(col("embedding")) >= 64)
+        .select(col("vec_id").as("neighbor_id"),
+          Similarity.hammingWord(col("embedding"), dim = 64).as("cw"))
+        .withColumn("bucket", expr(s"cw >> $shift"))
+      val compactions =
+        scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      // THE RECOMMENDED MAINTENANCE POSTURE (Similarity.compactIndex's
+      // concurrency contract, demonstrated): compaction runs inside
+      // foreachBatch — i.e. BETWEEN micro-batches, with ingest
+      // quiesced by construction — every 3rd batch
+      val q = words.writeStream
+        .option("checkpointLocation", ckpt.getPath)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.write.mode("append").partitionBy("bucket")
+            .parquet(storeDir.getPath)
+          if (id % 3 == 2) {
+            compactions += Similarity.compactIndex(df.sparkSession,
+              storeDir.getPath, "bucket", maxFilesPerBucket = 2)
+            ()
+          }
+        }.start()
+      try {
+        batches.foreach { b =>
+          input.addData(b)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      // at least one interleaved compaction actually rewrote partitions
+      assert(compactions.exists(_.nonEmpty),
+        s"fixture never fragmented past the threshold: $compactions")
+      // NO LOST ROWS across the append/compact interleave — the
+      // contract's whole point: every ingested row is still served
+      val all = batches.flatten
+      val stored = spark.read.parquet(storeDir.getPath)
+        .select(col("neighbor_id"), col("cw"), col("bucket").cast("long"))
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val reference = all.toDF("vec_id", "embedding")
+        .select(col("vec_id").as("neighbor_id"),
+          Similarity.hammingWord(col("embedding"), dim = 64).as("cw"))
+        .withColumn("bucket", expr(s"cw >> $shift"))
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(stored == reference && stored.length == 40,
+        s"rows lost or mutated across the interleave: " +
+          s"${stored.length} vs ${reference.length}")
+      // a final quiesced compaction bounds every bucket ≤ threshold and
+      // serving stays identical through it
+      def serve() = Similarity.hammingTopKIndexed(
+        spark.read.parquet(storeDir.getPath),
+        all.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        k = 2, dim = 64, prefixBits = 4).collect()
+        .map(_.toSeq).sortBy(_.toString).toSeq
+      val before = serve()
+      Similarity.compactIndex(spark, storeDir.getPath, "bucket",
+        maxFilesPerBucket = 2)
+      val files = storeDir.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.startsWith("part-"))).toMap
+      assert(files.values.forall(_ <= 2), s"still fragmented: $files")
+      assert(serve() == before && before.nonEmpty)
+    } finally rmAll()
+  }
+
   test("spread-wrapped map operators stay streaming-compatible") {
     import graft.llm.{Dedup, TextAnalysis}
     implicit val sqlCtx = spark.sqlContext
