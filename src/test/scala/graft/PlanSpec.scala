@@ -94,6 +94,9 @@ class PlanSpec extends SparkSpec {
       // ann_pq_recall's posture: the exact-L2 leg is the brute scorer
       // by design; both ADC legs are cell-pruned equi-joins
       "ann_ivfpqt_recall",
+      // same posture for the residual-vs-seeded eval: one brute
+      // exact-L2 leg, both ADC legs cell-pruned equi-joins
+      "ann_ivfpqt2_recall",
       // quality_ensemble's 1-row fluency threshold broadcast-attaches
       // inside the composed pipeline exactly as in the standalone query
       "pipeline_curate",
