@@ -1683,6 +1683,30 @@ object PipelineQueries {
         topK = 3, subDim = 8, cents, cbs, probes = 2, dim = 64)
     }),
 
+    // --- probes-axis sizing for the FULL residual index: recall@3 at
+    // probes ∈ {1, 2, 4, 8} — the knob a deployment of the compressed
+    // store actually tunes (the ann_ivft_probes posture carried into
+    // the PQ regime; unlike that sweep, p = 8 does NOT read 1.0 — the
+    // ceiling is the fine quantizer's, which is the point of reading
+    // the two curves together) -------------------------------------------
+    "ann_ivfpqt2_probes" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .filter(size(col("embedding")) === 64) // the kmeans universe
+      val q = e.filter(col("vec_id") < 10)
+      val cents = sharedIvfTrainedCentroids(s, d)
+      val cbs = sharedResidualCodebooks(s, d)
+      val exact = graft.llm.Pq.exactL2TopK(e, q, "vec_id", "embedding",
+        topK = 3).localCheckpoint() // one exact leg serves the sweep
+      ivftProbeSweep.map { p =>
+        val approx = graft.llm.Pq.ivfPqResidualTopKWith(e, q, "vec_id",
+          "embedding", topK = 3, subDim = 8, cents, cbs, probes = p,
+          dim = 64)
+        Similarity.recallAtK(exact, approx, k = 3)
+          .select(lit(p.toLong).as("probes"), col("query_id"),
+            col("n_hits"), col("recall"))
+      }.reduce(_ unionByName _)
+    }),
+
     // --- the measurement that motivated the residual stage: recall@3
     // of trained-codebook RESIDUAL ADC vs seeded-raw ADC at equal
     // m/k/probes against one exact-L2 leg — r13's ann_ivfpqt_recall
@@ -4856,10 +4880,11 @@ object PipelineQueries {
        |        FROM resc GROUP BY 1, 2),
        |${pqTrainBodyCtes(8, 16, 8, src = "res", vcol = "r", p = "r",
          iters = 2)},
-       |rqp AS (SELECT vec_id AS query_id, j AS cell FROM (
-       |          SELECT vec_id, j, row_number() OVER (
-       |              PARTITION BY vec_id ORDER BY s, j) AS rn
-       |          FROM s2 WHERE vec_id < $maxQueryId) WHERE rn <= $probes),
+       |rqr AS (SELECT vec_id AS query_id, j AS cell,
+       |               row_number() OVER (
+       |                   PARTITION BY vec_id ORDER BY s, j) AS rn
+       |        FROM s2 WHERE vec_id < $maxQueryId),
+       |rqp AS (SELECT query_id, cell FROM rqr WHERE rn <= $probes),
        |qrc AS (SELECT rqp.query_id, rqp.cell, idx.i AS pos,
        |          floor((w.w[idx.i] - c.c[idx.i]) * 1048576.0)
        |            / 1048576.0 AS rv
@@ -4891,6 +4916,61 @@ object PipelineQueries {
         |                                 ORDER BY d, neighbor_id)
         |           AS BIGINT) AS rank
         |  FROM rsc) WHERE rank <= 3""".stripMargin
+
+  /** `ann_ivfpqt2_probes`' oracle: [[residualCtes]] at probes = cells
+    * (so `qres` carries every (query, cell) residual and `rqr` the full
+    * cell ranking), one MATERIALIZED exact-L2 leg, then per probe depth
+    * a three-term-ADC candidate/rank/recall block over `rn <= p` —
+    * generated from the same [[ivftProbeSweep]] the trained-IVF sweep
+    * uses. */
+  private def ivfPqResidualProbesSql(probesList: Seq[Int]): String = {
+    val shared =
+      s"WITH ${kmeansCtes(8, 2, 64)},\n" +
+        residualCtes(maxQueryId = 10, probes = 8) + """,
+          |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          |       FROM embeddings WHERE len(embedding) = 64),
+          |xq AS (SELECT vec_id AS query_id, v AS qv FROM e0
+          |       WHERE vec_id < 10),
+          |x AS (SELECT xq.query_id, c.vec_id AS neighbor_id,
+          |        list_dot_product(c.v, c.v)
+          |          - 2.0 * list_dot_product(qv, c.v) AS d
+          |      FROM e0 c, xq WHERE c.vec_id <> xq.query_id),
+          |ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+          |  SELECT query_id, neighbor_id, row_number() OVER (
+          |    PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+          |  FROM x) WHERE rank <= 3)""".stripMargin
+    val perP = probesList.map { p =>
+      s""",
+         |ps$p AS (SELECT r.query_id, rtc.neighbor_id,
+         |           list_dot_product(rv, rv)
+         |             - 2.0 * list_dot_product(qrv, rv)
+         |             + list_dot_product(qrv, qrv) AS d
+         |         FROM rtc
+         |         JOIN (SELECT query_id, cell FROM rqr WHERE rn <= $p) r
+         |           USING (cell)
+         |         JOIN qres q ON q.query_id = r.query_id
+         |                    AND q.cell = r.cell
+         |         WHERE rtc.neighbor_id <> r.query_id),
+         |papx$p AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+         |  FROM ps$p) WHERE rank <= 3)""".stripMargin
+    }.mkString
+    val selects = probesList.map { p =>
+      s"""SELECT CAST($p AS BIGINT) AS probes, query_id, n_hits,
+         |       round(n_hits / CAST(n_exact AS DOUBLE), 6) AS recall
+         |FROM (
+         |  SELECT ex.query_id,
+         |         CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |         COUNT(*) AS n_exact
+         |  FROM ex LEFT JOIN papx$p a
+         |    ON a.query_id = ex.query_id
+         |   AND a.neighbor_id = ex.neighbor_id
+         |  GROUP BY 1)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    shared + perP + "\n" + selects
+  }
 
   private def projectionSql(v: String, dimOut: Int, dimIn: Int): String = {
     val scale = java.lang.Double.toString(1.0 / math.sqrt(dimOut.toDouble))
@@ -5983,6 +6063,10 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       // cold sidecar loaders hand back bit-equal quantizers, so the
       // indexed read is row-identical to the unmaterialized path
       "ann_ivfpqt_indexed" -> ivfPqResidualTopKSql,
+
+      // the probes sweep over the full residual index: per-depth
+      // candidate blocks from the full cell ranking, one exact-L2 leg
+      "ann_ivfpqt2_probes" -> ivfPqResidualProbesSql(ivftProbeSweep),
 
       // the layout check: every len-64 vector lands in its a2 cell's
       // directory (the build row's per-cell counts)

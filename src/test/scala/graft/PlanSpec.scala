@@ -97,6 +97,9 @@ class PlanSpec extends SparkSpec {
       // same posture for the residual-vs-seeded eval: one brute
       // exact-L2 leg, both ADC legs cell-pruned equi-joins
       "ann_ivfpqt2_recall",
+      // the residual-index probes sweep reuses the same brute exact-L2
+      // leg; the per-p candidate legs are cell-pruned equi-joins
+      "ann_ivfpqt2_probes",
       // quality_ensemble's 1-row fluency threshold broadcast-attaches
       // inside the composed pipeline exactly as in the standalone query
       "pipeline_curate",
