@@ -499,6 +499,42 @@ object Pq {
         subDim, dim, trainIters),
       probes, dim)
 
+  /** The deployed serving COMPOSITION (FAISS `IVFx,PQy,RFlat`): trained
+    * cells prune the scan, residual codes shortlist `candK` candidates
+    * per query, and an EXACT-L2 refine re-ranks ONLY the shortlist down
+    * to `topK` — the float kernel touches |queries|·candK rows, never
+    * the corpus (the [[Similarity.hammingRerankTopK]] posture in the PQ
+    * regime). This is how a compressed index actually serves at high
+    * recall: the codes' quantization loss caps their own top-k ordering
+    * (the `ann_ivfpqt2_probes` plateau), and the refine stage buys it
+    * back at shortlist-bounded cost. ‖q‖² is dropped in the refine
+    * distance — constant per query here, since refine ranks WITHIN one
+    * query's shortlist. Same determinism discipline throughout. */
+  def ivfPqRefineTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, topK: Int, candK: Int, subDim: Int,
+      centroids: IndexedSeq[Array[Double]],
+      cbs: IndexedSeq[IndexedSeq[Array[Double]]],
+      probes: Int, dim: Int): DataFrame = {
+    require(candK >= topK && topK >= 1,
+      s"need candK=$candK >= topK=$topK >= 1")
+    val cand = ivfPqResidualTopKWith(corpus, queries, idCol, vecCol,
+      candK, subDim, centroids, cbs, probes, dim)
+    val okLen = size(col(vecCol)) === dim
+    val cv = spread(corpus).filter(okLen)
+      .select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("__cv"))
+    val qv = queries.filter(okLen)
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("__qv"))
+    val scored = cand.select(col("query_id"), col("neighbor_id"))
+      .join(cv, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("__d",
+        Similarity.dot(col("__cv"), col("__cv")) -
+          lit(2.0) * Similarity.dot(col("__qv"), col("__cv")))
+    rankAsc(scored, topK)
+  }
+
   /** Materialize the COMPRESSED serving artifact FAISS actually ships:
     * (neighbor_id, codes) written PARTITIONED BY the trained cell —
     * m code bytes per vector instead of dim floats (8 vs 512 here, the

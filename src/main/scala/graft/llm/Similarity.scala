@@ -925,6 +925,90 @@ object Similarity {
     cellCosineRank(c, q, k, roundScore)
   }
 
+  /** Materialize the IVF,SQ8 layout (FAISS `IVFx,SQ8`): per-vector
+    * int8 codes + their dequantization scale written PARTITIONED BY
+    * the trained cell — 4× smaller payload than the float store
+    * ([[writeIvfTrainedIndex]]) at near-exact recall, the middle point
+    * of the serving-regime triad (binary 8 B / PQ m B / SQ8 dim B /
+    * float 4·dim B per vector). Same one-map-only-pass write, same
+    * `_quantizer/` sidecar, same pruned-probe serving. The
+    * quantization grid is [[Quantize.int8Codes]]' per-vector absmax
+    * scheme — the `ann_int8_topk` discipline, oracle-replayable. */
+  def writeIvfSqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      path: String,
+                      centroids: IndexedSeq[Array[Double]],
+                      dim: Int): Unit = {
+    corpus.filter(size(col(vecCol)) === dim)
+      .select(col(idCol).as("neighbor_id"),
+        (Quantize.absMax(col(vecCol)) / 127.0).as("scale"),
+        Quantize.int8Codes(col(vecCol)).as("codes"),
+        element_at(trainedProbeCells(col(vecCol), centroids, 1), 1)
+          .as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    // AFTER the store write: overwrite mode clears the root directory
+    writeIvfQuantizer(corpus.sparkSession, path, centroids)
+  }
+
+  /** The unmaterialized sibling of [[ivfSqTopKIndexed]] (every indexed
+    * path here has one — the row-identity reference): cells from the
+    * RAW vectors (the store's write-time assignment), scores on the
+    * int8 grid via [[Quantize.snap]] on both sides. Queries broadcast
+    * (the eval posture). */
+  def ivfSqTopK(corpus: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String,
+                centroids: IndexedSeq[Array[Double]], k: Int,
+                probes: Int, dim: Int,
+                roundScore: Int = 6): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(probes >= 1 && probes <= centroids.length,
+      s"probes=$probes out of [1, ${centroids.length}]")
+    val okLen = size(col(vecCol)) === dim
+    val q = queries.filter(okLen)
+      .select(col(idCol).as("query_id"),
+        normalize(Quantize.snap(col(vecCol))).as("qv"),
+        explode(trainedProbeCells(col(vecCol), centroids, probes))
+          .as("cell"))
+    val c = corpus.filter(okLen)
+      .select(col(idCol).as("neighbor_id"),
+        normalize(Quantize.snap(col(vecCol))).as("cv"),
+        element_at(trainedProbeCells(col(vecCol), centroids, 1), 1)
+          .as("cell"))
+    cellCosineRank(c, broadcast(q), k, roundScore)
+  }
+
+  /** Serve a [[writeIvfSqIndex]] store: probed cells arrive as the
+    * usual domain-bounded literal IN-list → `PartitionFilters`, the
+    * candidate side dequantizes its stored codes
+    * ([[Quantize.dequantize]] — `codes[i]·scale`, exact double ops on
+    * stored values), the query side snaps through the SAME int8 grid
+    * ([[Quantize.snap]], bit-identical to encode→decode by property
+    * pin), and cosine ranks within — so both sides score on the grid,
+    * the `ann_int8_topk` discipline under cell pruning. Row-identical
+    * to a full int8 scan restricted to the probed cells (the oracle
+    * replays grid, cells and ranking). EAGER at construction like the
+    * other `*TopKIndexed` paths. */
+  def ivfSqTopKIndexed(indexed: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String,
+                       centroids: IndexedSeq[Array[Double]], k: Int,
+                       probes: Int, dim: Int,
+                       roundScore: Int = 6): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(probes >= 1 && probes <= centroids.length,
+      s"probes=$probes out of [1, ${centroids.length}]")
+    val (q, c0) = probedStore(indexed,
+      queries.filter(size(col(vecCol)) === dim)
+        .select(col(idCol).as("query_id"),
+          normalize(Quantize.snap(col(vecCol))).as("qv"),
+          explode(trainedProbeCells(col(vecCol), centroids, probes))
+            .as("cell")),
+      "cell")
+    val c = c0.select(col("neighbor_id"),
+      normalize(Quantize.dequantize(col("codes"), col("scale")))
+        .as("cv"),
+      col("cell"))
+    cellCosineRank(c, q, k, roundScore)
+  }
+
   /** Shared probe preamble for the `*TopKIndexed` serving paths (one
     * copy — the three paths must never diverge on the probe-collect
     * discipline): localCheckpoint the exploded query frame (it is

@@ -723,6 +723,13 @@ object PipelineQueries {
         "embedding", p, sharedIvfTrainedCentroids(s, d),
         sharedResidualCodebooks(s, d), subDim = 8, dim = 64))
 
+  /** The `IVF8,SQ8` store — int8 codes + scale partitioned by trained
+    * cell, the serving-regime triad's middle point. */
+  private def sharedIvfSqIndex(s: SparkSession, d: String): String =
+    sharedIndex(s, d, "ivfsq")(p =>
+      Similarity.writeIvfSqIndex(Tables.embeddings(s, d), "vec_id",
+        "embedding", p, sharedIvfTrainedCentroids(s, d), dim = 64))
+
   /** Same sharing for the exact-overlap candidate join: the Jaccard and
     * containment gates are finishers over one blocking-join frame. */
   private val overlapCache =
@@ -1705,6 +1712,58 @@ object PipelineQueries {
           .select(lit(p.toLong).as("probes"), col("query_id"),
             col("n_hits"), col("recall"))
       }.reduce(_ unionByName _)
+    }),
+
+    // --- IVF,SQ8 (the serving-regime triad's middle point): int8
+    // codes + scale partitioned by trained cell — 4× smaller than the
+    // float store at near-exact recall; build row checks the layout ------
+    "ann_ivfsq_build" -> ((s, d) => {
+      val idx = sharedIvfSqIndex(s, d)
+      s.read.parquet(idx)
+        .groupBy(col("cell").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n_rows"))
+    }),
+
+    // --- serving the SQ8 store: probed cells via PartitionFilters,
+    // candidates dequantize their stored codes, the query snaps through
+    // the same int8 grid (ann_int8_topk's discipline under cell
+    // pruning); quantizer from the store's own sidecar -------------------
+    "ann_ivfsq_indexed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val idx = sharedIvfSqIndex(s, d)
+      val cents = Similarity.loadIvfQuantizer(s, idx) // sidecar, NOT cache
+      Similarity.ivfSqTopKIndexed(s.read.parquet(idx),
+        e.filter(col("vec_id") < 50), "vec_id", "embedding",
+        cents, k = 3, probes = 2, dim = 64)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+    }),
+
+    // --- the deployed composition (FAISS IVFx,PQy,RFlat): codes
+    // shortlist candK=25, exact-L2 refine re-ranks ONLY the shortlist —
+    // recall@3 of refined vs codes-only against one exact leg, the
+    // measurement that shows the refine stage buying back the fine
+    // quantizer's ceiling at |Q|·candK float cost ------------------------
+    "ann_ivfpqt2_rerank" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .filter(size(col("embedding")) === 64)
+      val q = e.filter(col("vec_id") < 10)
+      val cents = sharedIvfTrainedCentroids(s, d)
+      val cbs = sharedResidualCodebooks(s, d)
+      val exact = graft.llm.Pq.exactL2TopK(e, q, "vec_id", "embedding",
+        topK = 3).localCheckpoint() // one exact leg serves both methods
+      val refined = graft.llm.Pq.ivfPqRefineTopK(e, q, "vec_id",
+        "embedding", topK = 3, candK = 25, subDim = 8, cents, cbs,
+        probes = 2, dim = 64)
+      val codes = graft.llm.Pq.ivfPqResidualTopKWith(e, q, "vec_id",
+        "embedding", topK = 3, subDim = 8, cents, cbs, probes = 2,
+        dim = 64)
+      Similarity.recallAtK(exact, refined, k = 3)
+        .select(lit("ivfpq_refined").as("method"), col("query_id"),
+          col("n_hits"), col("recall"))
+        .unionByName(Similarity.recallAtK(exact, codes, k = 3)
+          .select(lit("ivfpq_codes").as("method"), col("query_id"),
+            col("n_hits"), col("recall")))
     }),
 
     // --- the measurement that motivated the residual stage: recall@3
@@ -6067,6 +6126,116 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       // the probes sweep over the full residual index: per-depth
       // candidate blocks from the full cell ranking, one exact-L2 leg
       "ann_ivfpqt2_probes" -> ivfPqResidualProbesSql(ivftProbeSweep),
+
+      // the refine composition: rsc ranked to candK=25, exact-L2
+      // re-rank of only the shortlist, recall vs the same exact leg —
+      // codes-only apx included for the side-by-side lift
+      "ann_ivfpqt2_rerank" ->
+        (s"WITH ${kmeansCtes(8, 2, 64)},\n" +
+          residualCtes(maxQueryId = 10, probes = 2) + """,
+            |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            |       FROM embeddings WHERE len(embedding) = 64),
+            |xq AS (SELECT vec_id AS query_id, v AS qv FROM e0
+            |       WHERE vec_id < 10),
+            |x AS (SELECT xq.query_id, c.vec_id AS neighbor_id,
+            |        list_dot_product(c.v, c.v)
+            |          - 2.0 * list_dot_product(qv, c.v) AS d
+            |      FROM e0 c, xq WHERE c.vec_id <> xq.query_id),
+            |ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id, row_number() OVER (
+            |    PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+            |  FROM x) WHERE rank <= 3),
+            |rapx AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id, row_number() OVER (
+            |    PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+            |  FROM rsc) WHERE rank <= 3),
+            |rcand AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id, row_number() OVER (
+            |    PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+            |  FROM rsc) WHERE rank <= 25),
+            |rref AS (SELECT rcand.query_id, rcand.neighbor_id,
+            |           list_dot_product(c.v, c.v)
+            |             - 2.0 * list_dot_product(q.v, c.v) AS d
+            |         FROM rcand
+            |         JOIN e0 c ON c.vec_id = rcand.neighbor_id
+            |         JOIN e0 q ON q.vec_id = rcand.query_id),
+            |rfapx AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id, row_number() OVER (
+            |    PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+            |  FROM rref) WHERE rank <= 3)
+            |SELECT 'ivfpq_refined' AS method, query_id, n_hits,
+            |       round(n_hits / CAST(n_exact AS DOUBLE), 6) AS recall
+            |FROM (
+            |  SELECT ex.query_id,
+            |         CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+            |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+            |         COUNT(*) AS n_exact
+            |  FROM ex LEFT JOIN rfapx a
+            |    ON a.query_id = ex.query_id
+            |   AND a.neighbor_id = ex.neighbor_id
+            |  GROUP BY 1)
+            |UNION ALL
+            |SELECT 'ivfpq_codes' AS method, query_id, n_hits,
+            |       round(n_hits / CAST(n_exact AS DOUBLE), 6) AS recall
+            |FROM (
+            |  SELECT ex.query_id,
+            |         CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+            |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+            |         COUNT(*) AS n_exact
+            |  FROM ex LEFT JOIN rapx a
+            |    ON a.query_id = ex.query_id
+            |   AND a.neighbor_id = ex.neighbor_id
+            |  GROUP BY 1)""".stripMargin),
+
+      // the SQ8 store's layout is the same a2 cell assignment (codes
+      // don't move rows between cells)
+      "ann_ivfsq_build" ->
+        (s"WITH ${kmeansCtes(8, 2, 64)}\n" +
+          """SELECT CAST(cluster AS BIGINT) AS cell,
+            |       count(*) AS n_rows
+            |FROM a2 GROUP BY 1""".stripMargin),
+
+      // SQ8 serving: the ann_int8_topk snap/normalize grid restricted
+      // to the 2 probed trained cells, cosine top-3 — grid, cells and
+      // ranking all replayed
+      "ann_ivfsq_indexed" ->
+        (s"WITH ${kmeansCtes(8, 2, 64)},\n" +
+          """sq0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+            |          list_max(list_transform(embedding,
+            |            x -> abs(CAST(x AS DOUBLE)))) AS amax
+            |        FROM embeddings WHERE len(embedding) = 64),
+            |sdq AS (SELECT vec_id,
+            |          CASE WHEN amax IS NULL OR amax = 0
+            |               THEN list_transform(v, x -> 0.0)
+            |               ELSE list_transform(v, x ->
+            |                 greatest(-127.0, least(127.0,
+            |                     round(x * 127.0 / amax)))
+            |                   * (amax / 127.0))
+            |          END AS v
+            |        FROM sq0),
+            |snv AS (SELECT vec_id,
+            |          list_transform(v,
+            |            x -> x / sqrt(list_dot_product(v, v))) AS nv
+            |        FROM sdq),
+            |stqp AS (SELECT query_id, cell FROM (
+            |           SELECT vec_id AS query_id, j AS cell,
+            |                  row_number() OVER (
+            |                      PARTITION BY vec_id ORDER BY s, j) AS rn
+            |           FROM s2 WHERE vec_id < 50) WHERE rn <= 2),
+            |scc AS (SELECT vec_id AS neighbor_id, cluster AS cell
+            |        FROM a2),
+            |ssc AS (SELECT stqp.query_id, scc.neighbor_id,
+            |          list_dot_product(q.nv, c.nv) AS score
+            |        FROM scc JOIN stqp USING (cell)
+            |        JOIN snv q ON q.vec_id = stqp.query_id
+            |        JOIN snv c ON c.vec_id = scc.neighbor_id
+            |        WHERE scc.neighbor_id <> stqp.query_id)
+            |SELECT query_id, rank, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id,
+            |         CAST(row_number() OVER (PARTITION BY query_id
+            |             ORDER BY score DESC, neighbor_id)
+            |           AS BIGINT) AS rank
+            |  FROM ssc) WHERE rank <= 3""".stripMargin),
 
       // the layout check: every len-64 vector lands in its a2 cell's
       // directory (the build row's per-cell counts)

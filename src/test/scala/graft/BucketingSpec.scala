@@ -332,6 +332,59 @@ class BucketingSpec extends SparkSpec {
     } finally rmDir(dirFile)
   }
 
+  test("sq8 index: probe cells arrive as PartitionFilters over the code " +
+    "store, sidecar round-trips, and serving is row-identical to the " +
+    "unmaterialized snapped scan") {
+    import graft.llm.Similarity
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val e = graft.core.Tables.embeddings(spark, sf001)
+    val q = e.filter($"vec_id" < 10)
+    val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding",
+      k = 8, iters = 2, dim = 64)
+    val dirFile = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ivfsq_idx_spec_${java.lang.ProcessHandle.current().pid()}")
+    def rmDir(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmDir))
+      f.delete(): Unit
+    }
+    try {
+      val dir = dirFile.getPath
+      Similarity.writeIvfSqIndex(e, "vec_id", "embedding", dir, cents,
+        dim = 64)
+      val lc = Similarity.loadIvfQuantizer(spark, dir)
+      assert(lc.zip(cents).forall { case (a, b) => a.sameElements(b) },
+        "quantizer sidecar != trained centroids")
+      val out = Similarity.ivfSqTopKIndexed(spark.read.parquet(dir), q,
+        "vec_id", "embedding", lc, k = 3, probes = 2, dim = 64)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+        s"no partition pruning:\n$plan")
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+      val written = dirFile.listFiles()
+        .count(_.getName.startsWith("cell="))
+      val probed = scans(out.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths
+          .exists(_.toString.contains("graft_ivfsq_idx_spec")))
+        .map(_.selectedPartitions.partitionCount).headOption
+      assert(probed.nonEmpty && probed.get > 0 && probed.get <= written,
+        s"probed=$probed written=$written")
+      // dequantize(stored codes, stored scale) must score identically
+      // to snap on the raw vectors (the Int8Snap property, through the
+      // store round trip)
+      val base = Similarity.ivfSqTopK(e, q, "vec_id", "embedding",
+        cents, k = 3, probes = 2, dim = 64)
+      val a = out.collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val b = base.collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(a == b && a.nonEmpty, "indexed ≠ unmaterialized sq8")
+    } finally rmDir(dirFile)
+  }
+
   test("site-partitioned store write prunes partitions on the site filter") {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_part_store").getPath

@@ -100,6 +100,9 @@ class PlanSpec extends SparkSpec {
       // the residual-index probes sweep reuses the same brute exact-L2
       // leg; the per-p candidate legs are cell-pruned equi-joins
       "ann_ivfpqt2_probes",
+      // the refine eval's exact leg is the brute scorer by design; the
+      // refine itself is shortlist-bounded equi-joins
+      "ann_ivfpqt2_rerank",
       // quality_ensemble's 1-row fluency threshold broadcast-attaches
       // inside the composed pipeline exactly as in the standalone query
       "pipeline_curate",
