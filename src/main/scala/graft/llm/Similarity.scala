@@ -1009,8 +1009,9 @@ object Similarity {
     cellCosineRank(c, q, k, roundScore)
   }
 
-  /** Shared probe preamble for the `*TopKIndexed` serving paths (one
-    * copy — the three paths must never diverge on the probe-collect
+  /** Shared probe preamble for EVERY `*TopKIndexed` serving path
+    * (hamming, axis-IVF, trained-IVF, SQ8, and [[Pq.ivfPqTopKIndexed]]
+    * — one copy, so the paths can never diverge on the probe-collect
     * discipline): localCheckpoint the exploded query frame (it is
     * consumed twice — the IN-list collect and the join), collect the
     * DISTINCT probe keys (bounded by the key DOMAIN — bucket/cell

@@ -4976,6 +4976,24 @@ object PipelineQueries {
         |           AS BIGINT) AS rank
         |  FROM rsc) WHERE rank <= 3""".stripMargin
 
+  /** One recall-aggregation SELECT block — `method`-labeled recall of
+    * approximate CTE `apx` against the MATERIALIZED exact CTE `ex` —
+    * so the denominator/rounding algebra lives in one place for the
+    * round-14 recall oracles (the older recall oracles inline the same
+    * block; a change to recallAtK's algebra must update those too). */
+  private def recallSelectSql(method: String, apx: String): String =
+    s"""SELECT '$method' AS method, query_id, n_hits,
+       |       round(n_hits / CAST(n_exact AS DOUBLE), 6) AS recall
+       |FROM (
+       |  SELECT ex.query_id,
+       |         CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |         COUNT(*) AS n_exact
+       |  FROM ex LEFT JOIN $apx a
+       |    ON a.query_id = ex.query_id
+       |   AND a.neighbor_id = ex.neighbor_id
+       |  GROUP BY 1)""".stripMargin
+
   /** `ann_ivfpqt2_probes`' oracle: [[residualCtes]] at probes = cells
     * (so `qres` carries every (query, cell) residual and `rqr` the full
     * cell ranking), one MATERIALIZED exact-L2 leg, then per probe depth
@@ -6163,29 +6181,9 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
             |  SELECT query_id, neighbor_id, row_number() OVER (
             |    PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
             |  FROM rref) WHERE rank <= 3)
-            |SELECT 'ivfpq_refined' AS method, query_id, n_hits,
-            |       round(n_hits / CAST(n_exact AS DOUBLE), 6) AS recall
-            |FROM (
-            |  SELECT ex.query_id,
-            |         CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
-            |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-            |         COUNT(*) AS n_exact
-            |  FROM ex LEFT JOIN rfapx a
-            |    ON a.query_id = ex.query_id
-            |   AND a.neighbor_id = ex.neighbor_id
-            |  GROUP BY 1)
-            |UNION ALL
-            |SELECT 'ivfpq_codes' AS method, query_id, n_hits,
-            |       round(n_hits / CAST(n_exact AS DOUBLE), 6) AS recall
-            |FROM (
-            |  SELECT ex.query_id,
-            |         CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
-            |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-            |         COUNT(*) AS n_exact
-            |  FROM ex LEFT JOIN rapx a
-            |    ON a.query_id = ex.query_id
-            |   AND a.neighbor_id = ex.neighbor_id
-            |  GROUP BY 1)""".stripMargin),
+            |""".stripMargin +
+          recallSelectSql("ivfpq_refined", "rfapx") + "\nUNION ALL\n" +
+          recallSelectSql("ivfpq_codes", "rapx")),
 
       // the SQ8 store's layout is the same a2 cell assignment (codes
       // don't move rows between cells)
@@ -6288,29 +6286,9 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
             |  SELECT query_id, neighbor_id, row_number() OVER (
             |    PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
             |  FROM tsc) WHERE rank <= 3)
-            |SELECT 'ivfpq_residual' AS method, query_id, n_hits,
-            |       round(n_hits / CAST(n_exact AS DOUBLE), 6) AS recall
-            |FROM (
-            |  SELECT ex.query_id,
-            |         CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
-            |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-            |         COUNT(*) AS n_exact
-            |  FROM ex LEFT JOIN rapx a
-            |    ON a.query_id = ex.query_id
-            |   AND a.neighbor_id = ex.neighbor_id
-            |  GROUP BY 1)
-            |UNION ALL
-            |SELECT 'ivfpq_seeded' AS method, query_id, n_hits,
-            |       round(n_hits / CAST(n_exact AS DOUBLE), 6) AS recall
-            |FROM (
-            |  SELECT ex.query_id,
-            |         CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
-            |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-            |         COUNT(*) AS n_exact
-            |  FROM ex LEFT JOIN tapx a
-            |    ON a.query_id = ex.query_id
-            |   AND a.neighbor_id = ex.neighbor_id
-            |  GROUP BY 1)""".stripMargin),
+            |""".stripMargin +
+          recallSelectSql("ivfpq_residual", "rapx") + "\nUNION ALL\n" +
+          recallSelectSql("ivfpq_seeded", "tapx")),
 
       // trained-PQ ADC: the Lloyd round and encode replayed in SQL;
       // queries are the same quantized vectors, so every score is the

@@ -10,12 +10,8 @@ class BucketingSpec extends SparkSpec {
   test("bucketed tables co-locate the join: no Exchange in the plan") {
     // the warehouse DIR outlives the in-memory catalog across JVM runs —
     // clear stale locations or the managed-table create collides
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-      f.delete()
-    }
     Seq("b_facts", "b_dims").foreach(n =>
-      rm(new java.io.File("spark-warehouse", n)))
+      rmTree(new java.io.File("spark-warehouse", n)))
     val facts = (1 to 1000).map(i => (i % 50, s"v$i")).toDF("key", "payload")
     val dims = (0 until 50).map(i => (i, s"d$i")).toDF("key", "attr")
     facts.write.mode("overwrite").bucketBy(8, "key").sortBy("key")
@@ -138,13 +134,7 @@ class BucketingSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     val e = graft.core.Tables.embeddings(spark, sf001)
     val q = e.filter($"vec_id" < 10)
-    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_compact_spec_${java.lang.ProcessHandle.current().pid()}")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-      f.delete()
-    }
-    rm(dir)
+    val dir = freshTmpDir("graft_compact_spec")
     val path = dir.getPath
     // base store + 3 micro-batch-style appends (each append lands one
     // file per touched bucket — the stream_hamming ingest shape)
@@ -204,13 +194,8 @@ class BucketingSpec extends SparkSpec {
     // other's store mid-read (the same hazard the query-side stores fix);
     // deleted in the finally below — pid-unique paths never get reused,
     // so leaving them would grow /tmp by one store per test JVM forever
-    val dirFile = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_ivft_idx_spec_${java.lang.ProcessHandle.current().pid()}")
+    val dirFile = freshTmpDir("graft_ivft_idx_spec")
     val dir = dirFile.getPath
-    def rmDir(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmDir))
-      f.delete(): Unit
-    }
     try {
     Similarity.writeIvfTrainedIndex(e, "vec_id", "embedding", dir,
       cents, dim = 64)
@@ -262,7 +247,7 @@ class BucketingSpec extends SparkSpec {
       k = 5, m = 4, probes = 2))
     assert(trained >= axis,
       s"trained cells recall $trained < axis cells $axis at p=2")
-    } finally rmDir(dirFile)
+    } finally rmTree(dirFile)
   }
 
   test("compressed IVF,PQ index: probe cells arrive as PartitionFilters " +
@@ -278,12 +263,7 @@ class BucketingSpec extends SparkSpec {
       k = 8, iters = 2, dim = 64)
     val cbs = Pq.trainResidualCodebooks(e, "vec_id", "embedding", cents,
       m = 8, k = 16, subDim = 8, dim = 64, iters = 1)
-    val dirFile = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_ivfpq_idx_spec_${java.lang.ProcessHandle.current().pid()}")
-    def rmDir(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmDir))
-      f.delete(): Unit
-    }
+    val dirFile = freshTmpDir("graft_ivfpq_idx_spec")
     try {
       val dir = dirFile.getPath
       Pq.writeIvfPqIndex(e, "vec_id", "embedding", dir, cents, cbs,
@@ -329,7 +309,7 @@ class BucketingSpec extends SparkSpec {
       val a = out.collect().map(_.toSeq).sortBy(_.toString).toSeq
       val b = base.collect().map(_.toSeq).sortBy(_.toString).toSeq
       assert(a == b && a.nonEmpty, "indexed ≠ unmaterialized residual")
-    } finally rmDir(dirFile)
+    } finally rmTree(dirFile)
   }
 
   test("sq8 index: probe cells arrive as PartitionFilters over the code " +
@@ -343,12 +323,7 @@ class BucketingSpec extends SparkSpec {
     val q = e.filter($"vec_id" < 10)
     val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding",
       k = 8, iters = 2, dim = 64)
-    val dirFile = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_ivfsq_idx_spec_${java.lang.ProcessHandle.current().pid()}")
-    def rmDir(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmDir))
-      f.delete(): Unit
-    }
+    val dirFile = freshTmpDir("graft_ivfsq_idx_spec")
     try {
       val dir = dirFile.getPath
       Similarity.writeIvfSqIndex(e, "vec_id", "embedding", dir, cents,
@@ -382,7 +357,7 @@ class BucketingSpec extends SparkSpec {
       val a = out.collect().map(_.toSeq).sortBy(_.toString).toSeq
       val b = base.collect().map(_.toSeq).sortBy(_.toString).toSeq
       assert(a == b && a.nonEmpty, "indexed ≠ unmaterialized sq8")
-    } finally rmDir(dirFile)
+    } finally rmTree(dirFile)
   }
 
   test("site-partitioned store write prunes partitions on the site filter") {

@@ -459,17 +459,9 @@ class StreamingSpec extends SparkSpec {
       (1 to 64).map(j => ((i * j) % 11 - 5).toFloat).toArray
     val b1 = Seq(1, 2, 3).map(i => (i.toLong, vec(i)))
     val b2 = Seq(4, 5, 6).map(i => (i.toLong, vec(i)))
-    def freshDir(tag: String): java.io.File = {
-      val f = new java.io.File(System.getProperty("java.io.tmpdir"), tag)
-      def rm(x: java.io.File): Unit = {
-        if (x.isDirectory) Option(x.listFiles).foreach(_.foreach(rm))
-        x.delete()
-      }
-      rm(f); f
-    }
-    val streamDir = freshDir("graft_hamming_stream_idx")
-    val batchDir = freshDir("graft_hamming_stream_idx_batch")
-    val ckpt = freshDir("graft_hamming_stream_idx_ckpt")
+    val streamDir = freshTmpDir("graft_hamming_stream_idx")
+    val batchDir = freshTmpDir("graft_hamming_stream_idx_batch")
+    val ckpt = freshTmpDir("graft_hamming_stream_idx_ckpt")
     val shift = 48 - 6
     val input = MemoryStream[(Long, Array[Float])]
     val words = input.toDS().toDF("vec_id", "embedding")
@@ -524,25 +516,10 @@ class StreamingSpec extends SparkSpec {
     val cents = Similarity.trainIvfCentroids(
       all.toDF("vec_id", "embedding"), "vec_id", "embedding",
       k = 4, iters = 2, dim = 64)
-    def freshDir(tag: String): java.io.File = {
-      val f = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"${tag}_${java.lang.ProcessHandle.current().pid()}")
-      def rm(x: java.io.File): Unit = {
-        if (x.isDirectory) Option(x.listFiles).foreach(_.foreach(rm))
-        x.delete()
-      }
-      rm(f); f
-    }
-    val streamDir = freshDir("graft_ivft_stream_idx")
-    val batchDir = freshDir("graft_ivft_stream_idx_batch")
-    val ckpt = freshDir("graft_ivft_stream_idx_ckpt")
-    def rmAll(): Unit = Seq(streamDir, batchDir, ckpt).foreach { f =>
-      def rm(x: java.io.File): Unit = {
-        if (x.isDirectory) Option(x.listFiles).foreach(_.foreach(rm))
-        x.delete(): Unit
-      }
-      rm(f)
-    }
+    val streamDir = freshTmpDir("graft_ivft_stream_idx")
+    val batchDir = freshTmpDir("graft_ivft_stream_idx_batch")
+    val ckpt = freshTmpDir("graft_ivft_stream_idx_ckpt")
+    def rmAll(): Unit = Seq(streamDir, batchDir, ckpt).foreach(rmTree)
     try {
       val input = MemoryStream[(Long, Array[Float])]
       // the same row shape writeIvfTrainedIndex produces: cell
@@ -597,24 +574,9 @@ class StreamingSpec extends SparkSpec {
     // per touched bucket, fragmenting fast (the ingest-rate hazard)
     val batches = (0 until 8).map(b =>
       (1 to 5).map(i => ((b * 5 + i).toLong, vec(b * 5 + i))))
-    def freshDir(tag: String): java.io.File = {
-      val f = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"${tag}_${java.lang.ProcessHandle.current().pid()}")
-      def rm(x: java.io.File): Unit = {
-        if (x.isDirectory) Option(x.listFiles).foreach(_.foreach(rm))
-        x.delete()
-      }
-      rm(f); f
-    }
-    val storeDir = freshDir("graft_compact_live_idx")
-    val ckpt = freshDir("graft_compact_live_ckpt")
-    def rmAll(): Unit = Seq(storeDir, ckpt).foreach { f =>
-      def rm(x: java.io.File): Unit = {
-        if (x.isDirectory) Option(x.listFiles).foreach(_.foreach(rm))
-        x.delete(): Unit
-      }
-      rm(f)
-    }
+    val storeDir = freshTmpDir("graft_compact_live_idx")
+    val ckpt = freshTmpDir("graft_compact_live_ckpt")
+    def rmAll(): Unit = Seq(storeDir, ckpt).foreach(rmTree)
     try {
       val shift = 48 - 4
       val input = MemoryStream[(Long, Array[Float])]
