@@ -1739,6 +1739,30 @@ object PipelineQueries {
           col("neighbor_id"))
     }),
 
+    // --- recall@5 of SQ8 vs the FLOAT trained-IVF path at equal
+    // probes against one exact-cosine leg — the measurement that
+    // completes the store-regime pricing: if SQ8 ≈ float here, the 4×
+    // smaller store serves at no recall cost (int8's grid loss is
+    // sub-rank-resolution on this corpus) --------------------------------
+    "ann_ivfsq_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .filter(size(col("embedding")) === 64)
+      val q = e.filter(col("vec_id") < 10)
+      val cents = sharedIvfTrainedCentroids(s, d)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+        k = 5).localCheckpoint() // one exact leg serves both methods
+      val sq = Similarity.ivfSqTopK(e, q, "vec_id", "embedding",
+        cents, k = 5, probes = 2, dim = 64)
+      val fl = Similarity.ivfTrainedTopK(e, q, "vec_id", "embedding",
+        cents, k = 5, probes = 2, dim = 64)
+      Similarity.recallAtK(exact, sq, k = 5)
+        .select(lit("ivf_sq8").as("method"), col("query_id"),
+          col("n_hits"), col("recall"))
+        .unionByName(Similarity.recallAtK(exact, fl, k = 5)
+          .select(lit("ivf_float").as("method"), col("query_id"),
+            col("n_hits"), col("recall")))
+    }),
+
     // --- the deployed composition (FAISS IVFx,PQy,RFlat): codes
     // shortlist candK=25, exact-L2 refine re-ranks ONLY the shortlist —
     // recall@3 of refined vs codes-only against one exact leg, the
@@ -6234,6 +6258,66 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
             |             ORDER BY score DESC, neighbor_id)
             |           AS BIGINT) AS rank
             |  FROM ssc) WHERE rank <= 3""".stripMargin),
+
+      // SQ8 vs float trained-IVF at equal probes: the snap grid (sq0/
+      // sdq/snv — the ann_ivfsq_indexed fragments at maxQueryId=10) and
+      // the raw-normalized tnv/tcc/tqp fragments share the kmeans
+      // cells; one exact-cosine leg over tnv serves both recall blocks
+      "ann_ivfsq_recall" ->
+        (s"WITH ${kmeansCtes(8, 2, 64)},\n" +
+          ivfTrainedCtes(maxQueryId = 10, probes = 2) + """,
+            |sq0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+            |          list_max(list_transform(embedding,
+            |            x -> abs(CAST(x AS DOUBLE)))) AS amax
+            |        FROM embeddings WHERE len(embedding) = 64),
+            |sdq AS (SELECT vec_id,
+            |          CASE WHEN amax IS NULL OR amax = 0
+            |               THEN list_transform(v, x -> 0.0)
+            |               ELSE list_transform(v, x ->
+            |                 greatest(-127.0, least(127.0,
+            |                     round(x * 127.0 / amax)))
+            |                   * (amax / 127.0))
+            |          END AS v
+            |        FROM sq0),
+            |snv AS (SELECT vec_id,
+            |          list_transform(v,
+            |            x -> x / sqrt(list_dot_product(v, v))) AS nv
+            |        FROM sdq),
+            |xq AS (SELECT vec_id AS query_id, nv AS qv FROM tnv
+            |       WHERE vec_id < 10),
+            |x AS (SELECT xq.query_id, tnv.vec_id AS neighbor_id,
+            |             list_dot_product(qv, tnv.nv) AS score
+            |      FROM tnv, xq WHERE tnv.vec_id <> xq.query_id),
+            |ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id, row_number() OVER (
+            |    PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+            |      AS rank
+            |  FROM x) WHERE rank <= 5),
+            |tsq AS (SELECT tqp.query_id, tcc.neighbor_id,
+            |          list_dot_product(q.nv, c.nv) AS score
+            |        FROM tcc JOIN tqp USING (cell)
+            |        JOIN snv q ON q.vec_id = tqp.query_id
+            |        JOIN snv c ON c.vec_id = tcc.neighbor_id
+            |        WHERE tcc.neighbor_id <> tqp.query_id),
+            |sqapx AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id, row_number() OVER (
+            |    PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+            |      AS rank
+            |  FROM tsq) WHERE rank <= 5),
+            |tfl AS (SELECT tqp.query_id, tcc.neighbor_id,
+            |          list_dot_product(q.nv, c.nv) AS score
+            |        FROM tcc JOIN tqp USING (cell)
+            |        JOIN tnv q ON q.vec_id = tqp.query_id
+            |        JOIN tnv c ON c.vec_id = tcc.neighbor_id
+            |        WHERE tcc.neighbor_id <> tqp.query_id),
+            |flapx AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id, row_number() OVER (
+            |    PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+            |      AS rank
+            |  FROM tfl) WHERE rank <= 5)
+            |""".stripMargin +
+          recallSelectSql("ivf_sq8", "sqapx") + "\nUNION ALL\n" +
+          recallSelectSql("ivf_float", "flapx")),
 
       // the layout check: every len-64 vector lands in its a2 cell's
       // directory (the build row's per-cell counts)

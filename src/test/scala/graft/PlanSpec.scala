@@ -103,6 +103,9 @@ class PlanSpec extends SparkSpec {
       // the refine eval's exact leg is the brute scorer by design; the
       // refine itself is shortlist-bounded equi-joins
       "ann_ivfpqt2_rerank",
+      // the sq8-vs-float eval's exact leg is the brute scorer by
+      // design; both IVF legs are cell-pruned equi-joins
+      "ann_ivfsq_recall",
       // quality_ensemble's 1-row fluency threshold broadcast-attaches
       // inside the composed pipeline exactly as in the standalone query
       "pipeline_curate",
