@@ -12,10 +12,18 @@ c_custkey and o_custkey, copies would dereference the WRONG customer
 whenever the primary's max key has no referencing rows (TPC-H leaves
 every third customer orderless), silently corrupting every scaled join.
 
-Document text and embeddings are NOT perturbed: a 10× corpus where every
-text recurs 10 times is a duplication-heavy worst case for the
-dedup/LSH family (real corpora are duplication-heavy too), and identical
-vectors stress the ANN bucket joins.
+Document TEXT is perturbed per replica with a stable suffix token
+(" r<copy_index>"; copy 0 verbatim): verbatim replicas made every text
+an exact 100-plex at sf10, which turned the LLM flagship probes into a
+duplication-pathology measurement instead of a scale one (r14 verdict:
+pipeline_curate emitted ZERO survivors because the eval slice contained
+~every text; contamination read all-leakage). The suffix keeps doc
+lengths and vocabulary shape (it adds one short token and ~100 vocab
+entries corpus-wide) while making replicas NEAR-duplicates — which is
+what a real crawl's multiplicity looks like: the MinHash/LSH family
+still collapses replica cliques (high Jaccard), exact dedup correctly
+does not, and survivors exist. Embeddings are NOT perturbed: identical
+vectors stress the ANN bucket joins, which is intended.
 
 Bench-only: the DuckDB oracle gate still runs against the driver's
 original directories. Usage: make_scaled.py <srcDir> <dstDir> <copies>
@@ -36,6 +44,9 @@ DOMAINS = {
     "eventkey": ("events", "event_id"),
     "userkey": ("events", "user_id"),
 }
+
+# table -> text column perturbed per replica (see module docstring)
+TEXT_PERTURB = {"documents": "text"}
 
 # table -> {column: domain}; nation/region are dimensions, copied as-is
 COL_DOMAIN = {
@@ -92,6 +103,11 @@ def main(src, dst, copies):
                 if field.name in col_domain:
                     stride = strides[col_domain[field.name]]
                     col = pc.add(col, pa.scalar(i * stride, type=field.type))
+                elif field.name == TEXT_PERTURB.get(name):
+                    # stable per-replica suffix token; null text stays null
+                    col = pc.binary_join_element_wise(
+                        col, pa.scalar(f"r{i}", type=field.type),
+                        pa.scalar(" ", type=field.type))
                 cols.append(col)
             parts.append(pa.table(cols, schema=t.schema))
         out = pa.concat_tables(parts)

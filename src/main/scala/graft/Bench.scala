@@ -59,6 +59,15 @@ object Bench {
     val total = if (timed.nonEmpty) timed.values.sum else 0.0
     val calibJson = s"""{"start":$calibStart,"end":$calibEnd}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibJson,"queries":$qs,"sf":"$sfDir"}""")
+    // Repeat the summary AFTER the queries map: the driver's artifact
+    // keeps only the TAIL of this program's output, and the main line
+    // leads with the calibration object — a long queries map pushes it
+    // past the cut, which is exactly the datum needed to adjudicate
+    // cross-run drift (r14: a uniform 1.28× swing took a full verdict
+    // section to attribute to host load because the artifact had lost
+    // its own load measurement). This compact trailer is truncation-proof
+    // by position; consumers may read either copy.
+    println(s"""{"calibration":$calibJson,"total":$total,"n":${timed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

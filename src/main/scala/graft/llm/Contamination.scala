@@ -147,11 +147,42 @@ object Contamination {
     * side and embedded as a plan constant; nothing here depends on the
     * fpp for correctness — a higher fpp only shuffles more confirm-side
     * rows.
-    */
+    *
+    * == The per-gram expansion cap (`maxTrainDf`) ==
+    * The confirm join's OUTPUT is quadratic in duplication multiplicity:
+    * a gram present in D train docs and E eval docs emits D×E rows, so a
+    * duplication-degenerate corpus (every doc replicated ~100×) turns a
+    * linear decontamination pass into a heap-exhausting pair explosion —
+    * measured at 127 M pairs / OOM on the round-14 sf10 fixture. Every
+    * sibling pair stage here carries a density guard ([[Dedup]]'s
+    * stop-shingle cap, winnowing's hot-fingerprint cap, the inverted
+    * index's stop-term df cap); this is the same guard for the confirm
+    * join: grams whose TRAIN df exceeds `maxTrainDf` are excluded from
+    * pair confirmation BEFORE the join (the df pre-pass runs on the
+    * post-Bloom survivors — for any surviving hash that count IS its
+    * full train df, since the Bloom decision depends only on the hash —
+    * and the over-cap set is tiny and broadcast for an anti-join).
+    *
+    * Capping is LOUD, never silent (the [[Sketches.histQuantiles]] /
+    * [[Index.postings]] convention): every output row carries
+    * `n_capped_grams` — how many of that test doc's distinct grams were
+    * cap-excluded (an upper bound on how far `shared_ngrams` /
+    * `overlap_frac` undercount for that doc) — and a test doc whose
+    * matches were ALL capped away still surfaces as one sentinel row
+    * (NULL `train_id`, `shared_ngrams` 0, NULL `overlap_frac`) instead
+    * of vanishing. The cap defaults OFF (`Long.MaxValue`, zero extra
+    * passes); a production decontamination run sizes it like a stop-term
+    * list — well above any legitimate benchmark phrase's df, below the
+    * boilerplate/duplication regime (cross-check with
+    * [[Dedup.duplicationHistogram]], and dedup first — the
+    * `pipeline_curate` ordering — so the cap is the backstop, not the
+    * plan). */
   def ngramOverlapBloom(train: DataFrame, test: DataFrame,
                         textCol: String, idCol: String,
                         n: Int = 3, minShared: Int = 2,
-                        fpp: Double = 0.01): DataFrame = {
+                        fpp: Double = 0.01,
+                        maxTrainDf: Long = Long.MaxValue): DataFrame = {
+    require(maxTrainDf >= 1, s"maxTrainDf=$maxTrainDf must be >= 1")
     def shingled(df: DataFrame, as: String): DataFrame =
       df.select(col(idCol).as(as),
         explode(graft.functions.Shingles.distinctShingles(
@@ -177,14 +208,68 @@ object Contamination {
     val testSizes = test.select(col(idCol).as("test_id"),
       size(graft.functions.Shingles.distinctShingles(
         TextAnalysis.tokens(col(textCol)), n)).as("n_test_ngrams"))
-    shingled(spread(train), "train_id")
+    val survivors = shingled(spread(train), "train_id")
       .filter(mightContain) // map-side kill of non-matches
-      .join(testSh, Seq("sh")) // exact confirm; planner picks the strategy
-      .groupBy(col("test_id"), col("train_id"))
-      .agg(count(lit(1)).as("shared_ngrams"))
-      .filter(col("shared_ngrams") >= minShared)
-      .join(broadcast(testSizes), Seq("test_id"))
-      .withColumn("overlap_frac",
-        round(col("shared_ngrams").cast("double") / col("n_test_ngrams"), 6))
+    if (maxTrainDf == Long.MaxValue) {
+      // cap off: the round-13 plan verbatim, plus the honest constant —
+      // no df pass, no extra shuffle
+      survivors
+        .join(testSh, Seq("sh")) // exact confirm; planner picks the strategy
+        .groupBy(col("test_id"), col("train_id"))
+        .agg(count(lit(1)).as("shared_ngrams"))
+        .filter(col("shared_ngrams") >= minShared)
+        .join(broadcast(testSizes), Seq("test_id"))
+        .withColumn("overlap_frac",
+          round(col("shared_ngrams").cast("double") / col("n_test_ngrams"), 6))
+        .withColumn("n_capped_grams", lit(0L))
+    } else {
+      // df pre-pass on the survivors: a map-side-combined long count per
+      // gram hash (the survivor set is ≤ |eval grams| + fpp noise — far
+      // below the corpus), then the over-cap set — bounded by the eval
+      // gram count — broadcasts into an anti-join that kills hot grams
+      // BEFORE any (test, train) pair materializes
+      val hot = survivors.groupBy(col("sh"))
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxTrainDf)
+        .select(col("sh"))
+        // lazy: materialized once at first action, shared by both
+        // consumers (anti-join + capped counts) — eager would run the
+        // df pre-pass at plan-construction time
+        .localCheckpoint(eager = false)
+      val capped = testSh.join(broadcast(hot), Seq("sh"))
+        .groupBy(col("test_id"))
+        .agg(count(lit(1)).as("n_capped_grams"))
+        .localCheckpoint(eager = false) // tiny: ≤ |eval docs| rows, consumed twice
+      val pairs = survivors
+        .join(broadcast(hot), Seq("sh"), "left_anti")
+        .join(testSh, Seq("sh"))
+        .groupBy(col("test_id"), col("train_id"))
+        .agg(count(lit(1)).as("shared_ngrams"))
+        .filter(col("shared_ngrams") >= minShared)
+        .join(broadcast(testSizes), Seq("test_id"))
+        .withColumn("overlap_frac",
+          round(col("shared_ngrams").cast("double") / col("n_test_ngrams"),
+            6))
+      val withCounts = pairs
+        .join(broadcast(capped), Seq("test_id"), "left")
+        .withColumn("n_capped_grams",
+          coalesce(col("n_capped_grams"), lit(0L)))
+      // the loud-exclusion sentinel: a test doc with capped grams but no
+      // surviving pair must not vanish from the report
+      val orphans = capped
+        .join(pairs.select(col("test_id")).distinct(),
+          Seq("test_id"), "left_anti")
+        .join(broadcast(testSizes), Seq("test_id"))
+        .select(col("test_id"),
+          // NULL typed from the pair schema, so non-long id columns union
+          lit(null).cast(pairs.schema("train_id").dataType).as("train_id"),
+          lit(0L).as("shared_ngrams"),
+          col("n_test_ngrams"),
+          lit(null).cast("double").as("overlap_frac"),
+          col("n_capped_grams"))
+      withCounts.select("test_id", "train_id", "shared_ngrams",
+        "n_test_ngrams", "overlap_frac", "n_capped_grams")
+        .unionByName(orphans)
+    }
   }
 }

@@ -558,7 +558,10 @@ object Pq {
       .select(col(idCol).as("neighbor_id"), col("cell"),
         codesCol(col("__res"), m, k, subDim, cbs).as("codes"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
-    // AFTER the store write: overwrite mode clears the root directory
+    // AFTER the store write: overwrite mode clears the root directory.
+    // Crash between the two commits leaves a sidecar-less store — an
+    // interrupted write, not corruption; see writeIvfQuantizer's
+    // crash-window note (loaders fail loudly; re-run the write).
     Similarity.writeIvfQuantizer(corpus.sparkSession, path, centroids)
     writePqCodebooks(corpus.sparkSession, path, cbs)
   }
@@ -585,6 +588,7 @@ object Pq {
     * sidecar must fail loudly, not silently mis-reconstruct. */
   def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
       path: String): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    Similarity.requireSidecar(spark, path, "_codebooks")
     val rows = spark.read.parquet(path + "/_codebooks")
       .select(col("subspace").cast("int"), col("code").cast("int"),
         col("codeword"))
@@ -598,6 +602,19 @@ object Pq {
     rows.zipWithIndex.foreach { case (r, i) =>
       require(r.getInt(0) == i / k && r.getInt(1) == i % k,
         s"codebook sidecar at $path is not contiguous at row $i")
+    }
+    // width check (r14 advice): a damaged sidecar whose codeword arrays
+    // have the wrong or inconsistent length would pass the grid check
+    // and then silently reconstruct vectors of the wrong dimension —
+    // mis-ranking instead of failing loudly. All m·k codewords must
+    // share one subDim; callers verify m·subDim == dim against their
+    // own layout.
+    val subDim = rows.head.getSeq[Double](2).length
+    require(subDim > 0, s"codebook sidecar at $path has empty codewords")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getSeq[Double](2).length == subDim,
+        s"codebook sidecar at $path has inconsistent codeword widths: " +
+          s"row $i is ${r.getSeq[Double](2).length}-dim, expected $subDim")
     }
     rows.map(_.getSeq[Double](2).toArray).grouped(k)
       .map(_.toIndexedSeq).toIndexedSeq
@@ -625,6 +642,14 @@ object Pq {
       s"residual PQ must cover the vector: dim=$dim != $m×$subDim")
     require(probes >= 1 && probes <= centroids.length,
       s"probes=$probes out of [1, ${centroids.length}]")
+    // sidecar-vs-layout guards (loaders pin width UNIFORMITY; the match
+    // against THIS store's declared layout happens here, where dim is known)
+    require(cbs.head.head.length == subDim,
+      s"codebooks are ${cbs.head.head.length}-dim but the layout says " +
+        s"subDim=$subDim — wrong or damaged _codebooks sidecar?")
+    require(centroids.head.length == dim,
+      s"centroids are ${centroids.head.length}-dim but the layout says " +
+        s"dim=$dim — wrong or damaged _quantizer sidecar?")
     val centLit = typedlit(centroids.map(_.toSeq))
     val q0 = queries.filter(size(col(vecCol)) === dim)
       .select(col(idCol).as("query_id"),

@@ -498,12 +498,23 @@ object Similarity {
     // report only keys that actually land in the rewrite: a dir whose
     // unescaped name matches no rows (shouldn't happen, but e.g. a
     // hand-made directory) is NOT overwritten by the dynamic commit
-    // and must not be claimed as compacted
-    val written = slice.select(col(partitionCol).cast("string"))
-      .distinct().collect().map(_.getString(0)).toSet
+    // and must not be claimed as compacted. The comparison runs on the
+    // TYPED key values used in the IN-list (r14 advice) — exact for any
+    // partition dtype the coercion above covers (long/int/string, the
+    // stores' universe); the cast-to-string fallback keeps exotic
+    // inferable types (date/timestamp/decimal) best-effort, where
+    // Spark's string rendering may differ from the directory-name format.
+    val dvals = slice
+      .select(col(partitionCol), col(partitionCol).cast("string"))
+      .distinct().collect()
+    val typedVals = dvals.map(_.get(0)).toSet
+    val strVals = dvals.map(_.getString(1)).toSet
     slice.write.option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").partitionBy(partitionCol).parquet(path)
-    over.filter(written.contains)
+    keys.zip(over).collect {
+      case (k, name) if typedVals.contains(k) || strVals.contains(name) =>
+        name
+    }
   }
 
   /** [[hammingTopKBlocked]] served from a [[writeHammingIndex]] store:
@@ -854,7 +865,10 @@ object Similarity {
         element_at(trainedProbeCells(col(vecCol), centroids, 1), 1)
           .as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
-    // AFTER the store write: overwrite mode clears the root directory
+    // AFTER the store write: overwrite mode clears the root directory.
+    // Crash between the two commits leaves a sidecar-less store — an
+    // interrupted write, not corruption; see writeIvfQuantizer's
+    // crash-window note (loaders fail loudly; re-run the write).
     writeIvfQuantizer(corpus.sparkSession, path, centroids)
   }
 
@@ -866,7 +880,20 @@ object Similarity {
     * deliberate [[loadIvfQuantizer]] sees it. k×dim doubles — one
     * file, one row group; parquet round-trips doubles bit-exactly.
     * [[compactIndex]]'s dynamic overwrite touches only `cell=` dirs,
-    * so compaction preserves the sidecar. */
+    * so compaction preserves the sidecar.
+    *
+    * WRITE-ORDER CRASH WINDOW (r14 advice, documented at every store
+    * write site): the data partitions are written FIRST — overwrite
+    * mode clears the root, so the sidecar cannot precede them — and a
+    * driver/JVM failure between the data commit and this sidecar write
+    * leaves a data-complete store with NO sidecar. That state is an
+    * INTERRUPTED WRITE, not corruption: the cold loaders fail loudly on
+    * the missing path (by design — serving with a guessed quantizer
+    * would be the silent failure), and the remedy is to re-run the
+    * store write (or just the sidecar write, if the quantizer is still
+    * in hand). A Delta/Iceberg-backed store closes the window with an
+    * atomic log commit — the same USAGE.md lakehouse swap that closes
+    * [[compactIndex]]'s delete/rename window. */
   def writeIvfQuantizer(spark: org.apache.spark.sql.SparkSession,
                         path: String,
                         centroids: IndexedSeq[Array[Double]]): Unit = {
@@ -886,6 +913,7 @@ object Similarity {
     * footprint class as training's own collect. */
   def loadIvfQuantizer(spark: org.apache.spark.sql.SparkSession,
                        path: String): IndexedSeq[Array[Double]] = {
+    requireSidecar(spark, path, "_quantizer")
     val rows = spark.read.parquet(path + "/_quantizer")
       .select(col("cell").cast("int"), col("centroid"))
       .orderBy("cell").collect()
@@ -895,7 +923,67 @@ object Similarity {
         s"quantizer sidecar at $path is not contiguous: " +
           s"expected cell $i, found ${r.getInt(0)}")
     }
+    // width check (r14 advice): inconsistent centroid lengths would pass
+    // the contiguity check and then silently mis-score probe distances;
+    // all k centroids must share one dim (callers verify it equals their
+    // own `dim`).
+    val dim = rows.head.getSeq[Double](1).length
+    require(dim > 0, s"quantizer sidecar at $path has empty centroids")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getSeq[Double](1).length == dim,
+        s"quantizer sidecar at $path has inconsistent centroid widths: " +
+          s"cell $i is ${r.getSeq[Double](1).length}-dim, expected $dim")
+    }
     rows.map(_.getSeq[Double](1).toArray).toIndexedSeq
+  }
+
+  /** Cell-assignment frame for APPENDING into an existing
+    * [[writeIvfTrainedIndex]] store, bound to the STORE'S OWN quantizer:
+    * the centroids come from the target's `_quantizer/` sidecar
+    * ([[loadIvfQuantizer]] — loaded once, at frame-construction time),
+    * never from the caller, so a misconfigured streamer cannot assign
+    * arriving vectors from DIFFERENT centroids than the partitions were
+    * written under — that failure writes rows into wrong `cell=`
+    * directories with no error and serves them with silent recall loss,
+    * which is exactly the failure mode the sidecar exists to kill; the
+    * r14 append recipe reintroduced it at the ingest boundary by passing
+    * centroids as a parameter. Callers that hold their own copy may pass
+    * it via `expected` as a cross-check: any mismatch with the sidecar
+    * (count, width, or any component — parquet round-trips doubles
+    * bit-exactly, so equality is exact) fails loudly BEFORE any row is
+    * assigned.
+    *
+    * Works on a streaming or batch frame (everything here is map-only:
+    * literal-centroid argmin, row-local normalize). The streaming-ingest
+    * recipe: build this frame over `readStream`, then
+    * `foreachBatch { _.write.mode("append").partitionBy("cell")
+    * .parquet(store) }` — byte-identical to the batch write (pinned in
+    * StreamingSpec, with the mismatch refusal). */
+  def ivfAppendRows(df: DataFrame, idCol: String, vecCol: String,
+                    storePath: String, dim: Int,
+                    expected: Option[IndexedSeq[Array[Double]]] = None)
+      : DataFrame = {
+    val stored = loadIvfQuantizer(df.sparkSession, storePath)
+    require(stored.head.length == dim,
+      s"store at $storePath was written for ${stored.head.length}-dim " +
+        s"vectors, not dim=$dim")
+    expected.foreach { c =>
+      val same = c.length == stored.length &&
+        c.zip(stored).forall { case (a, b) =>
+          java.util.Arrays.equals(a, b) }
+      require(same,
+        s"supplied centroids conflict with the quantizer sidecar at " +
+          s"$storePath/_quantizer (${c.length} vs ${stored.length} " +
+          "cells, or differing components) — appending with them would " +
+          "place rows in wrong cell partitions silently; pass " +
+          "expected=None to use the store's own quantizer, or rebuild " +
+          "the store if retraining was intended")
+    }
+    df.filter(size(col(vecCol)) === dim)
+      .select(col(idCol).as("neighbor_id"),
+        normalize(col(vecCol)).as("cv"),
+        element_at(trainedProbeCells(col(vecCol), stored, 1), 1)
+          .as("cell"))
   }
 
   /** [[ivfTrainedTopK]] served from a [[writeIvfTrainedIndex]] store:
@@ -915,6 +1003,9 @@ object Similarity {
     require(k >= 1, s"k=$k must be >= 1")
     require(probes >= 1 && probes <= centroids.length,
       s"probes=$probes out of [1, ${centroids.length}]")
+    require(centroids.head.length == dim,
+      s"centroids are ${centroids.head.length}-dim but the layout says " +
+        s"dim=$dim — wrong or damaged _quantizer sidecar?")
     val (q, c) = probedStore(indexed,
       queries.filter(size(col(vecCol)) === dim)
         .select(col(idCol).as("query_id"),
@@ -945,7 +1036,10 @@ object Similarity {
         element_at(trainedProbeCells(col(vecCol), centroids, 1), 1)
           .as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
-    // AFTER the store write: overwrite mode clears the root directory
+    // AFTER the store write: overwrite mode clears the root directory.
+    // Crash between the two commits leaves a sidecar-less store — an
+    // interrupted write, not corruption; see writeIvfQuantizer's
+    // crash-window note (loaders fail loudly; re-run the write).
     writeIvfQuantizer(corpus.sparkSession, path, centroids)
   }
 
@@ -995,6 +1089,9 @@ object Similarity {
     require(k >= 1, s"k=$k must be >= 1")
     require(probes >= 1 && probes <= centroids.length,
       s"probes=$probes out of [1, ${centroids.length}]")
+    require(centroids.head.length == dim,
+      s"centroids are ${centroids.head.length}-dim but the layout says " +
+        s"dim=$dim — wrong or damaged _quantizer sidecar?")
     val (q, c0) = probedStore(indexed,
       queries.filter(size(col(vecCol)) === dim)
         .select(col(idCol).as("query_id"),
@@ -1007,6 +1104,24 @@ object Similarity {
         .as("cv"),
       col("cell"))
     cellCosineRank(c, q, k, roundScore)
+  }
+
+  /** Loud, diagnosable failure when a store is missing its sidecar —
+    * shared by every sidecar loader. A data-complete store with no
+    * sidecar means the write was interrupted between the data commit
+    * and the sidecar commit (see [[writeIvfQuantizer]]'s crash-window
+    * note), and the error should say so instead of a bare
+    * path-does-not-exist. */
+  private[llm] def requireSidecar(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, name: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"store at $path has no $name/ sidecar — if the data partitions " +
+        "are present, the store write was interrupted between the data " +
+        "commit and the sidecar commit (data is written first); re-run " +
+        "the store write, or re-write just the sidecar if the trained " +
+        "quantizer is still in hand")
   }
 
   /** Shared probe preamble for EVERY `*TopKIndexed` serving path
@@ -1027,6 +1142,12 @@ object Similarity {
       .map(_.get(0) match {
         case l: java.lang.Long => l.longValue
         case i: java.lang.Integer => i.toLong
+        // before the catch-all: `other.getClass` on a null key (e.g. a
+        // null vector element propagating through the cell expression)
+        // would NPE and mask the diagnostic (r14 advice)
+        case null => throw new IllegalArgumentException(
+          s"null probe key in $keyCol — a query row produced no " +
+            "bucket/cell (null vector element upstream?)")
         case other => throw new IllegalArgumentException(
           s"probe key $other (${other.getClass.getSimpleName}) is not integral")
       }).sorted.toSeq

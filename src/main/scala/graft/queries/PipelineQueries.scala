@@ -1261,14 +1261,35 @@ object PipelineQueries {
     // --- bloom-prefiltered decontamination: same answer, different plan -----
     // Exact despite the Bloom (no false negatives + exact confirm join);
     // shares contamination_ngram's oracle semantics — two independent
-    // algorithms, one SQL truth.
+    // algorithms, one SQL truth. maxTrainDf = 40 is the quadratic-output
+    // guard sized NOT to bind on the fixture universe (train gram df maxes
+    // at 7 / 24 at sf0.01 / sf0.1 — measured, which is why this row keeps
+    // the uncapped oracle) while bounding the duplication-degenerate worst
+    // case (the r14 sf10 fixture multiplied every df ~100× → 127 M confirm
+    // pairs, heap exhaustion; under the cap those grams die pre-join).
     "contamination_bloom" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Contamination.ngramOverlapBloom(
         train = docs.filter(col("doc_id") % 17 =!= 0),
         test = docs.filter(col("doc_id") % 17 === 0),
-        "text", "doc_id", n = 3, minShared = 2)
+        "text", "doc_id", n = 3, minShared = 2, maxTrainDf = 40)
         .select("test_id", "train_id", "shared_ngrams", "overlap_frac")
+    }),
+
+    // --- decontamination with the cap BINDING (maxTrainDf = 4 excludes
+    // the 121 hottest grams at sf0.01): the oracle replays the full
+    // capped semantics — hot-gram exclusion before pair counting, the
+    // per-test n_capped_grams honesty column, and the sentinel row for
+    // test docs whose matches were all capped away ------------------------
+    "contamination_capped" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Contamination.ngramOverlapBloom(
+        train = docs.filter(col("doc_id") % 17 =!= 0),
+        test = docs.filter(col("doc_id") % 17 === 0),
+        "text", "doc_id", n = 3, minShared = 2, maxTrainDf = 4)
+        .select(col("test_id"), col("train_id"), col("shared_ngrams"),
+          col("n_test_ngrams").cast("long").as("n_test_ngrams"),
+          col("overlap_frac"), col("n_capped_grams"))
     }),
 
     // --- ANN: brute-force cosine top-k ------------------------------------------------
@@ -1814,6 +1835,63 @@ object PipelineQueries {
         .unionByName(Similarity.recallAtK(exact, seeded, k = 3)
           .select(lit("ivfpq_seeded").as("method"), col("query_id"),
             col("n_hits"), col("recall")))
+    }),
+
+    // --- the m/k CODEBOOK-BUDGET sweep: recall@3 at fixed p=2 across
+    // (m,k) ∈ {(8,16),(8,64),(16,16)} against one exact-L2 leg — the
+    // knob the flat ann_ivfpqt2_probes curve says owns the ceiling
+    // (probes saturate at 0.30→0.33 while the trained-float path reads
+    // 1.0: the loss lives in the fine quantizer, so the next recall
+    // dollar goes to the codebook budget, and this row prices it
+    // against the refine stage's 0.67 at candK=25). dim=64 constrains
+    // subDim = 64/m; every leg trains its own residual books (2 Lloyd
+    // rounds, the serving depth), the (8,16) leg from the shared cache --
+    "ann_ivfpq_mk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .filter(size(col("embedding")) === 64) // the kmeans universe
+      val q = e.filter(col("vec_id") < 10)
+      val cents = sharedIvfTrainedCentroids(s, d)
+      val exact = graft.llm.Pq.exactL2TopK(e, q, "vec_id", "embedding",
+        topK = 3).localCheckpoint() // one exact leg serves the sweep
+      ivfPqMkSweep.map { case (m, k) =>
+        val cbs =
+          if (m == 8 && k == 16) sharedResidualCodebooks(s, d)
+          else graft.llm.Pq.trainResidualCodebooks(Tables.embeddings(s, d),
+            "vec_id", "embedding", cents, m = m, k = k, subDim = 64 / m,
+            dim = 64, iters = 2)
+        val approx = graft.llm.Pq.ivfPqResidualTopKWith(e, q, "vec_id",
+          "embedding", topK = 3, subDim = 64 / m, cents, cbs, probes = 2,
+          dim = 64)
+        Similarity.recallAtK(exact, approx, k = 3)
+          .select(lit(m.toLong).as("m"), lit(k.toLong).as("k"),
+            col("query_id"), col("n_hits"), col("recall"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // --- the TRAINING-DEPTH sweep: recall@3 at iters ∈ {1,2,4}, fixed
+    // m=8/k=16/p=2 — disambiguates the mk sweep's conclusion (is the
+    // 0.33 fine-quantizer ceiling a budget limit or a training-depth
+    // artifact?); the iters=2 leg rides the shared serving books ---------
+    "ann_ivfpq_iters" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .filter(size(col("embedding")) === 64)
+      val q = e.filter(col("vec_id") < 10)
+      val cents = sharedIvfTrainedCentroids(s, d)
+      val exact = graft.llm.Pq.exactL2TopK(e, q, "vec_id", "embedding",
+        topK = 3).localCheckpoint()
+      ivfPqItersSweep.map { i =>
+        val cbs =
+          if (i == 2) sharedResidualCodebooks(s, d)
+          else graft.llm.Pq.trainResidualCodebooks(Tables.embeddings(s, d),
+            "vec_id", "embedding", cents, m = 8, k = 16, subDim = 8,
+            dim = 64, iters = i)
+        val approx = graft.llm.Pq.ivfPqResidualTopKWith(e, q, "vec_id",
+          "embedding", topK = 3, subDim = 8, cents, cbs, probes = 2,
+          dim = 64)
+        Similarity.recallAtK(exact, approx, k = 3)
+          .select(lit(i.toLong).as("iters"), col("query_id"),
+            col("n_hits"), col("recall"))
+      }.reduce(_ unionByName _)
     }),
 
     // --- recall@k of IVF+PQ vs the exact L2 baseline — the measurement
@@ -4943,17 +5021,17 @@ object PipelineQueries {
     sb.toString
   }
 
-  /** Residual IVF+PQ CTEs over [[kmeansCtes]]' unrolled training (the
-    * `ann_ivfpqt2_*` oracle): `res` is each len-64 vector's
-    * dyadic-requantized residual against its a2 cell's c1 centroid (the
-    * centroid table the final assignment scored against — what the
-    * engine's trainIvfCentroids returns); the `r`-prefixed
-    * [[pqTrainBodyCtes]] replays residual-codebook training + encode +
-    * reconstruction (rcb1/renc/rreconT); `qres` is the per-(query,
-    * probed-cell) residual; `rsc` the three-term ADC distance —
-    * `dot(rv,rv) − 2·dot(qrv,rv) + dot(qrv,qrv)`, the ‖q−c‖² term KEPT
-    * because it varies across a query's probed cells. */
-  private def residualCtes(maxQueryId: Int, probes: Int): String =
+  /** The TRAINING-INDEPENDENT half of the residual IVF+PQ oracle — over
+    * [[kmeansCtes]]' unrolled coarse training: `res` is each len-64
+    * vector's dyadic-requantized residual against its a2 cell's c1
+    * centroid (the centroid table the final assignment scored against —
+    * what the engine's trainIvfCentroids returns); `rqr` the query's
+    * full quantizer-distance cell ranking, `rqp` its first `probes`
+    * cells, `qres` the per-(query, probed-cell) residual. Everything a
+    * fine-stage replay needs, whatever its m/k/iters — shared so the
+    * sweep oracles (`ann_ivfpq_mk`, `ann_ivfpq_iters`) and the serving
+    * oracle can never diverge on the coarse stage. */
+  private def residualBaseCtes(maxQueryId: Int, probes: Int): String =
     s"""resc AS (SELECT a2.vec_id, a2.cluster AS cell, idx.i AS pos,
        |           floor((a2.w[idx.i] - c.c[idx.i]) * 1048576.0)
        |             / 1048576.0 AS rv
@@ -4961,8 +5039,6 @@ object PipelineQueries {
        |              (SELECT unnest(generate_series(1, 64)) AS i) idx),
        |res AS (SELECT vec_id, cell, list(rv ORDER BY pos) AS r
        |        FROM resc GROUP BY 1, 2),
-       |${pqTrainBodyCtes(8, 16, 8, src = "res", vcol = "r", p = "r",
-         iters = 2)},
        |rqr AS (SELECT vec_id AS query_id, j AS cell,
        |               row_number() OVER (
        |                   PARTITION BY vec_id ORDER BY s, j) AS rn
@@ -4975,15 +5051,36 @@ object PipelineQueries {
        |        JOIN c1 c ON c.j = rqp.cell,
        |             (SELECT unnest(generate_series(1, 64)) AS i) idx),
        |qres AS (SELECT query_id, cell, list(rv ORDER BY pos) AS qrv
-       |         FROM qrc GROUP BY 1, 2),
-       |rtc AS (SELECT res.vec_id AS neighbor_id, res.cell, rv
-       |        FROM res JOIN rreconT ON rreconT.vec_id = res.vec_id),
-       |rsc AS (SELECT q.query_id, rtc.neighbor_id,
+       |         FROM qrc GROUP BY 1, 2)""".stripMargin
+
+  /** One fine-stage replay + three-term-ADC candidate CTE set under
+    * name prefix `p`: [[pqTrainBodyCtes]] trains m×k codebooks on the
+    * shared `res` residuals ([[residualBaseCtes]] must precede), then
+    * `${p}tc`/`${p}sc` score reconstructed candidates against `qres` —
+    * `dot(rv,rv) − 2·dot(qrv,rv) + dot(qrv,qrv)`, the ‖q−c‖² term KEPT
+    * because it varies across a query's probed cells. */
+  private def residualAdcCtes(m: Int, k: Int, iters: Int,
+                              p: String): String =
+    s"""${pqTrainBodyCtes(m, k, 64 / m, src = "res", vcol = "r", p = p,
+         iters = iters)},
+       |${p}tc AS (SELECT res.vec_id AS neighbor_id, res.cell, rv
+       |        FROM res JOIN ${p}reconT ON ${p}reconT.vec_id = res.vec_id),
+       |${p}sc AS (SELECT q.query_id, ${p}tc.neighbor_id,
        |          list_dot_product(rv, rv)
        |            - 2.0 * list_dot_product(qrv, rv)
        |            + list_dot_product(qrv, qrv) AS d
-       |        FROM rtc JOIN qres q USING (cell)
-       |        WHERE rtc.neighbor_id <> q.query_id)""".stripMargin
+       |        FROM ${p}tc JOIN qres q USING (cell)
+       |        WHERE ${p}tc.neighbor_id <> q.query_id)""".stripMargin
+
+  /** Residual IVF+PQ CTEs at the serving configuration (m=8, k=16, two
+    * Lloyd rounds, prefix `r` — the prefix makes [[residualAdcCtes]]'
+    * outputs land on the historical names `rtc`/`rsc` the
+    * `ann_ivfpqt2_*` oracles rank): [[residualBaseCtes]] +
+    * [[residualAdcCtes]], byte-compatible with the pre-sweep call
+    * sites. */
+  private def residualCtes(maxQueryId: Int, probes: Int): String =
+    residualBaseCtes(maxQueryId, probes) + ",\n" +
+      residualAdcCtes(8, 16, iters = 2, p = "r")
 
   /** The full-residual-IVF,PQ top-3 oracle, shared by
     * `ann_ivfpqt2_topk` (unmaterialized) and `ann_ivfpqt_indexed` (the
@@ -4999,6 +5096,70 @@ object PipelineQueries {
         |                                 ORDER BY d, neighbor_id)
         |           AS BIGINT) AS rank
         |  FROM rsc) WHERE rank <= 3""".stripMargin
+
+  /** The shared exact-L2 truth leg (len-64 universe, queries
+    * `vec_id < maxQueryId`, MATERIALIZED so one evaluation serves every
+    * sweep leg) — CTEs `e0`/`xq`/`x`/`ex`. Single-sourced for the
+    * residual sweep oracles. */
+  private def exactL2LegSql(maxQueryId: Int, topK: Int): String =
+    s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |       FROM embeddings WHERE len(embedding) = 64),
+       |xq AS (SELECT vec_id AS query_id, v AS qv FROM e0
+       |       WHERE vec_id < $maxQueryId),
+       |x AS (SELECT xq.query_id, c.vec_id AS neighbor_id,
+       |        list_dot_product(c.v, c.v)
+       |          - 2.0 * list_dot_product(qv, c.v) AS d
+       |      FROM e0 c, xq WHERE c.vec_id <> xq.query_id),
+       |ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+       |  FROM x) WHERE rank <= $topK)""".stripMargin
+
+  /** Generic residual-fine-stage SWEEP oracle: one coarse stage
+    * ([[kmeansCtes]] + [[residualBaseCtes]]) and one materialized exact
+    * leg shared by every sweep point; per leg a FULL fine-stage training
+    * replay ([[residualAdcCtes]] at that leg's m/k/iters), a top-3 rank,
+    * and a recall block labeled by `labelSql` (e.g. `CAST(8 AS BIGINT)
+    * AS m, CAST(16 AS BIGINT) AS k`). The `ann_ivfpq_mk` /
+    * `ann_ivfpq_iters` sizing rows ride this one generator, so a change
+    * to the replay algebra cannot desynchronize them. */
+  private def residualSweepSql(
+      legs: Seq[(String, Int, Int, Int, String)]): String = {
+    val shared =
+      s"WITH ${kmeansCtes(8, 2, 64)},\n" +
+        residualBaseCtes(maxQueryId = 10, probes = 2) + ",\n" +
+        exactL2LegSql(maxQueryId = 10, topK = 3)
+    val per = legs.map { case (p, m, k, iters, _) =>
+      s""",
+         |${residualAdcCtes(m, k, iters, p)},
+         |${p}apx AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+         |  FROM ${p}sc) WHERE rank <= 3)""".stripMargin
+    }.mkString
+    val selects = legs.map { case (p, _, _, _, labelSql) =>
+      s"""SELECT $labelSql, query_id, n_hits,
+         |       round(n_hits / CAST(n_exact AS DOUBLE), 6) AS recall
+         |FROM (
+         |  SELECT ex.query_id,
+         |         CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |         COUNT(*) AS n_exact
+         |  FROM ex LEFT JOIN ${p}apx a
+         |    ON a.query_id = ex.query_id
+         |   AND a.neighbor_id = ex.neighbor_id
+         |  GROUP BY 1)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    shared + per + "\n" + selects
+  }
+
+  /** The m/k sweep points (shared by the engine query and its oracle so
+    * the two enumerate identical legs): dim=64 constrains subDim=64/m. */
+  private val ivfPqMkSweep: Seq[(Int, Int)] =
+    Seq((8, 16), (8, 64), (16, 16))
+
+  /** The training-depth sweep points, same sharing. */
+  private val ivfPqItersSweep: Seq[Int] = Seq(1, 2, 4)
 
   /** One recall-aggregation SELECT block — `method`-labeled recall of
     * approximate CTE `apx` against the MATERIALIZED exact CTE `ex` —
@@ -5027,19 +5188,8 @@ object PipelineQueries {
   private def ivfPqResidualProbesSql(probesList: Seq[Int]): String = {
     val shared =
       s"WITH ${kmeansCtes(8, 2, 64)},\n" +
-        residualCtes(maxQueryId = 10, probes = 8) + """,
-          |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-          |       FROM embeddings WHERE len(embedding) = 64),
-          |xq AS (SELECT vec_id AS query_id, v AS qv FROM e0
-          |       WHERE vec_id < 10),
-          |x AS (SELECT xq.query_id, c.vec_id AS neighbor_id,
-          |        list_dot_product(c.v, c.v)
-          |          - 2.0 * list_dot_product(qv, c.v) AS d
-          |      FROM e0 c, xq WHERE c.vec_id <> xq.query_id),
-          |ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
-          |  SELECT query_id, neighbor_id, row_number() OVER (
-          |    PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
-          |  FROM x) WHERE rank <= 3)""".stripMargin
+        residualCtes(maxQueryId = 10, probes = 8) + ",\n" +
+        exactL2LegSql(maxQueryId = 10, topK = 3)
     val perP = probesList.map { p =>
       s""",
          |ps$p AS (SELECT r.query_id, rtc.neighbor_id,
@@ -5995,6 +6145,45 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |FROM pairs JOIN sizes USING (test_id)
            |WHERE shared_ngrams >= 2""".stripMargin,
 
+      // the BINDING-cap variant: hot grams (train df > 4) excluded from
+      // pair counting, per-test n_capped_grams, and the sentinel row for
+      // all-capped test docs — the engine's Bloom+df-pre-pass plan and
+      // this direct SQL must agree row for row
+      "contamination_capped" ->
+        s"""WITH $shinglesCte,
+           |test AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 17 = 0),
+           |train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 17 != 0),
+           |sizes AS (SELECT doc_id AS test_id, count(*) AS n_test_ngrams
+           |          FROM test GROUP BY 1),
+           |hot AS (SELECT shingle FROM (
+           |          SELECT shingle, count(*) AS df FROM train GROUP BY 1)
+           |        WHERE df > 4),
+           |capped AS (SELECT test.doc_id AS test_id,
+           |                  count(*) AS n_capped_grams
+           |           FROM test JOIN hot USING (shingle) GROUP BY 1),
+           |pairs AS (
+           |  SELECT test.doc_id AS test_id, train.doc_id AS train_id,
+           |         count(*) AS shared_ngrams
+           |  FROM test JOIN train USING (shingle)
+           |  WHERE shingle NOT IN (SELECT shingle FROM hot)
+           |  GROUP BY 1, 2 HAVING count(*) >= 2)
+           |SELECT p.test_id, p.train_id, p.shared_ngrams,
+           |       s.n_test_ngrams,
+           |       round(CAST(p.shared_ngrams AS DOUBLE) / s.n_test_ngrams,
+           |             6) AS overlap_frac,
+           |       CAST(coalesce(c.n_capped_grams, 0) AS BIGINT)
+           |         AS n_capped_grams
+           |FROM pairs p JOIN sizes s USING (test_id)
+           |LEFT JOIN capped c USING (test_id)
+           |UNION ALL
+           |SELECT c.test_id, CAST(NULL AS BIGINT) AS train_id,
+           |       CAST(0 AS BIGINT) AS shared_ngrams, s.n_test_ngrams,
+           |       CAST(NULL AS DOUBLE) AS overlap_frac,
+           |       CAST(c.n_capped_grams AS BIGINT) AS n_capped_grams
+           |FROM capped c JOIN sizes s USING (test_id)
+           |WHERE c.test_id NOT IN (SELECT DISTINCT test_id FROM pairs)"""
+          .stripMargin,
+
       // the int8 grid from embed_quantize's oracle, dequantized, then
       "embed_pq_codes" ->
         (s"WITH ${pqEncodeCtes(8, 16, 8)}\n" +
@@ -6168,6 +6357,20 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       // the probes sweep over the full residual index: per-depth
       // candidate blocks from the full cell ranking, one exact-L2 leg
       "ann_ivfpqt2_probes" -> ivfPqResidualProbesSql(ivftProbeSweep),
+
+      // the m/k budget sweep: per leg a FULL fine-stage training replay
+      // at that (m, k) over the shared coarse stage + one materialized
+      // exact leg — the engine enumerates the same ivfPqMkSweep points
+      "ann_ivfpq_mk" -> residualSweepSql(ivfPqMkSweep.map { case (m, k) =>
+        (s"m${m}k$k", m, k, 2,
+          s"CAST($m AS BIGINT) AS m, CAST($k AS BIGINT) AS k")
+      }),
+
+      // the training-depth sweep: per leg the SAME replay unrolled to
+      // that leg's Lloyd-round count at the serving m/k
+      "ann_ivfpq_iters" -> residualSweepSql(ivfPqItersSweep.map { i =>
+        (s"it$i", 8, 16, i, s"CAST($i AS BIGINT) AS iters")
+      }),
 
       // the refine composition: rsc ranked to candK=25, exact-L2
       // re-rank of only the shortlist, recall vs the same exact leg —

@@ -250,6 +250,56 @@ class BucketingSpec extends SparkSpec {
     } finally rmTree(dirFile)
   }
 
+  test("damaged or missing sidecars fail LOUDLY: inconsistent widths, " +
+    "wrong-layout widths at the serving callers, and the " +
+    "interrupted-write diagnosis for a sidecar-less store") {
+    import graft.llm.{Pq, Similarity}
+    val dirFile = freshTmpDir("graft_sidecar_damage_spec")
+    val dir = dirFile.getPath
+    try {
+      // inconsistent CENTROID widths pass contiguity but must fail the
+      // width check (they'd silently mis-score probes otherwise)
+      Seq((0, Seq(0.5, 0.25)), (1, Seq(0.5, 0.25, 0.125)))
+        .toDF("cell", "centroid").coalesce(1)
+        .write.mode("overwrite").parquet(dir + "/_quantizer")
+      val qe = intercept[IllegalArgumentException] {
+        Similarity.loadIvfQuantizer(spark, dir)
+      }
+      assert(qe.getMessage.contains("inconsistent centroid widths"),
+        qe.getMessage)
+      // inconsistent CODEWORD widths in _codebooks: same contract
+      Seq((0, 0, Seq(0.5, 0.25)), (0, 1, Seq(0.5)),
+        (1, 0, Seq(0.25, 0.5)), (1, 1, Seq(0.125, 0.5)))
+        .toDF("subspace", "code", "codeword").coalesce(1)
+        .write.mode("overwrite").parquet(dir + "/_codebooks")
+      val ce = intercept[IllegalArgumentException] {
+        Pq.loadPqCodebooks(spark, dir)
+      }
+      assert(ce.getMessage.contains("inconsistent codeword widths"),
+        ce.getMessage)
+      // a UNIFORM but wrong-for-the-layout width is the serving
+      // caller's check (the loader can't know dim): 2-dim centroids
+      // against a dim=64 layout must refuse, naming the sidecar
+      val narrow = IndexedSeq(Array(0.5, 0.25), Array(0.25, 0.5))
+      val se = intercept[IllegalArgumentException] {
+        Similarity.ivfTrainedTopKIndexed(
+          spark.read.parquet(dir + "/_quantizer"), // any frame; fails first
+          Seq((1L, Array.fill(64)(0.1f))).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", narrow, k = 1, probes = 1, dim = 64)
+      }
+      assert(se.getMessage.contains("_quantizer"), se.getMessage)
+      // a sidecar-LESS store reads as an interrupted write, not a bare
+      // path error (the write-order crash window's documented diagnosis)
+      val bare = freshTmpDir("graft_sidecar_missing_spec")
+      try {
+        val me = intercept[IllegalStateException] {
+          Similarity.loadIvfQuantizer(spark, bare.getPath)
+        }
+        assert(me.getMessage.contains("interrupted"), me.getMessage)
+      } finally rmTree(bare)
+    } finally rmTree(dirFile)
+  }
+
   test("compressed IVF,PQ index: probe cells arrive as PartitionFilters " +
     "over the CODE store, sidecars round-trip bit-equal, and cold " +
     "serving is row-identical to the unmaterialized residual path") {

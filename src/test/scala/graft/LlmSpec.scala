@@ -1005,6 +1005,46 @@ class LlmSpec extends SparkSpec {
     assert(exact.nonEmpty && bloom == exact)
   }
 
+  test("contamination df cap bounds the pair explosion on a " +
+    "duplication-degenerate corpus, counts what it dropped, and keeps " +
+    "all-capped test docs visible") {
+    // 30 verbatim replicas (the make_scaled worst case): every "hot"
+    // trigram has train df 30; the "cool" trigrams have df 2
+    val hotTrain = (1 to 30).map(i => (i.toLong, "hot one two three four"))
+    val coolTrain = Seq((31L, "cool alpha beta gamma delta"),
+      (32L, "cool alpha beta gamma delta"))
+    val train = (hotTrain ++ coolTrain).toDF("doc_id", "text")
+    val test17 = Seq(
+      (17L, "cool alpha beta gamma delta"), // all-cool: untouched by cap
+      (34L, "hot one two three four"), // all-hot: fully capped away
+      (51L, "hot one two three four cool alpha beta gamma delta") // mixed
+    ).toDF("doc_id", "text")
+    def run(cap: Long) = graft.llm.Contamination
+      .ngramOverlapBloom(train, test17, "text", "doc_id", n = 3,
+        minShared = 2, maxTrainDf = cap)
+      .select("test_id", "train_id", "shared_ngrams", "n_test_ngrams",
+        "overlap_frac", "n_capped_grams")
+      .as[(Long, Option[Long], Long, Int, Option[Double], Long)]
+      .collect().toSet
+    // cap 5 binds: the 30-replica grams die BEFORE the confirm join —
+    // 64 uncapped pairs collapse to 4 pairs + 1 sentinel
+    val capped = run(5)
+    assert(capped == Set(
+      (17L, Some(31L), 3L, 3, Some(1.0), 0L),
+      (17L, Some(32L), 3L, 3, Some(1.0), 0L),
+      (51L, Some(31L), 3L, 8, Some(0.375), 3L),
+      (51L, Some(32L), 3L, 8, Some(0.375), 3L),
+      // the loud-exclusion sentinel: doc 34's matches were ALL capped;
+      // it surfaces with its drop count instead of vanishing
+      (34L, None, 0L, 3, None, 3L)), s"capped=$capped")
+    // a non-binding cap reproduces the uncapped result exactly (plus the
+    // honest zero column): 2 + 30 + 30 + 2 = 64 pair rows, no sentinels
+    val loose = run(100)
+    val uncapped = run(Long.MaxValue)
+    assert(loose == uncapped && uncapped.size == 64 &&
+      uncapped.forall(r => r._2.nonEmpty && r._6 == 0L))
+  }
+
   test("duplicateSpans finds unaligned repeated spans, splits on gaps, " +
     "drops sub-minRun runs") {
     // doc 1 and 2 share the UNALIGNED 5-token passage "aa bb cc dd ee"

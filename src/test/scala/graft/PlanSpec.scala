@@ -103,6 +103,10 @@ class PlanSpec extends SparkSpec {
       // the refine eval's exact leg is the brute scorer by design; the
       // refine itself is shortlist-bounded equi-joins
       "ann_ivfpqt2_rerank",
+      // the codebook-budget and training-depth sweeps reuse the same
+      // brute exact-L2 leg; every per-(m,k)/per-iters candidate leg is
+      // a cell-pruned equi-join
+      "ann_ivfpq_mk", "ann_ivfpq_iters",
       // the sq8-vs-float eval's exact leg is the brute scorer by
       // design; both IVF legs are cell-pruned equi-joins
       "ann_ivfsq_recall",

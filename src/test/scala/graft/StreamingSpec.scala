@@ -503,8 +503,9 @@ class StreamingSpec extends SparkSpec {
     assert(fromStream == fromBatch)
   }
 
-  test("streaming cell-encode APPENDs into the trained-IVF store — the " +
-    "streamed store equals the batch-written one") {
+  test("streaming cell-encode APPENDs into the trained-IVF store " +
+    "through the store's OWN sidecar — equal to the batch-written " +
+    "store; a conflicting quantizer is refused loudly") {
     import graft.llm.Similarity
     implicit val sqlCtx = spark.sqlContext
     def vec(i: Int): Array[Float] =
@@ -521,16 +522,18 @@ class StreamingSpec extends SparkSpec {
     val ckpt = freshTmpDir("graft_ivft_stream_idx_ckpt")
     def rmAll(): Unit = Seq(streamDir, batchDir, ckpt).foreach(rmTree)
     try {
+      // the store is INITIALIZED by the batch write (first half of the
+      // corpus + the _quantizer sidecar); the stream then appends the
+      // second half — the deployment lifecycle ivfAppendRows serves
+      Similarity.writeIvfTrainedIndex(b1.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", streamDir.getPath, cents, dim = 64)
       val input = MemoryStream[(Long, Array[Float])]
-      // the same row shape writeIvfTrainedIndex produces: cell
-      // assignment is the map-only literal argmin, append lands one
-      // file per touched cell partition per micro-batch
-      val rows = input.toDS().toDF("vec_id", "embedding")
-        .filter(size(col("embedding")) === 64)
-        .select(col("vec_id").as("neighbor_id"),
-          graft.llm.Similarity.normalize(col("embedding")).as("cv"),
-          element_at(Similarity.trainedProbeCells(col("embedding"),
-            cents, 1), 1).as("cell"))
+      // cell assignment comes from the STORE's sidecar, not a caller
+      // parameter — a streamer pointed at this store cannot assign from
+      // drifted centroids (the failure the sidecar exists to kill)
+      val rows = Similarity.ivfAppendRows(
+        input.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        streamDir.getPath, dim = 64)
       val q = rows.writeStream
         .option("checkpointLocation", ckpt.getPath)
         .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -538,11 +541,26 @@ class StreamingSpec extends SparkSpec {
             .parquet(streamDir.getPath)
         }.start()
       try {
-        input.addData(b1)
+        input.addData(b2.take(3))
         q.processAllAvailable()
-        input.addData(b2)
+        input.addData(b2.drop(3))
         q.processAllAvailable()
       } finally q.stop()
+      // a RETRAINED (conflicting) quantizer is refused before any row
+      // is assigned — and the caller's own matching copy cross-checks
+      // cleanly
+      val drifted = Similarity.trainIvfCentroids(
+        b2.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        k = 4, iters = 1, dim = 64)
+      val err = intercept[IllegalArgumentException] {
+        Similarity.ivfAppendRows(all.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", streamDir.getPath, dim = 64,
+          expected = Some(drifted))
+      }
+      assert(err.getMessage.contains("conflict"), err.getMessage)
+      Similarity.ivfAppendRows(all.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", streamDir.getPath, dim = 64,
+        expected = Some(cents)) // matching copy: no refusal
       // the batch layout over the union input is the reference store
       Similarity.writeIvfTrainedIndex(all.toDF("vec_id", "embedding"),
         "vec_id", "embedding", batchDir.getPath, cents, dim = 64)
@@ -552,11 +570,13 @@ class StreamingSpec extends SparkSpec {
       val s = readStore(streamDir.getPath)
       val b = readStore(batchDir.getPath)
       assert(s == b && s.length == 12, s"streamed store diverged")
-      // and the streamed store serves queries identically (probing with
-      // the same frozen quantizer the batch store's sidecar carries)
+      // and the streamed store serves queries identically, probing with
+      // ITS OWN sidecar (the append preserved it — only cell= dirs were
+      // touched), not the in-memory copy
       val qdf = all.toDF("vec_id", "embedding")
       def serve(p: String) = Similarity.ivfTrainedTopKIndexed(
-        spark.read.parquet(p), qdf, "vec_id", "embedding", cents,
+        spark.read.parquet(p), qdf, "vec_id", "embedding",
+        Similarity.loadIvfQuantizer(spark, p),
         k = 2, probes = 2, dim = 64).collect()
         .map(_.toSeq).sortBy(_.toString).toSeq
       assert(serve(streamDir.getPath) == serve(batchDir.getPath))
