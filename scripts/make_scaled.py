@@ -48,6 +48,18 @@ DOMAINS = {
 # table -> text column perturbed per replica (see module docstring)
 TEXT_PERTURB = {"documents": "text"}
 
+# domain -> eval-split modulus to PRESERVE under scaling: the repo's
+# decontamination/curation queries hold out doc_id % 17 == 0 as the eval
+# slice. An arbitrary stride scatters a base text's replicas across BOTH
+# sides of that split — manufacturing eval->train content leakage the
+# base fixture doesn't have (r14 sf10: pipeline_curate correctly emitted
+# ZERO survivors because ~every train text had an eval-slice near-copy).
+# Rounding the stride up to a multiple of the split modulus keeps each
+# base text's replicas on ONE side — the content-level (group-aware)
+# holdout SplitHygiene prescribes; a real benchmark is held out with its
+# duplicates, not row-wise.
+HOLDOUT_MOD = {"dockey": 17}
+
 # table -> {column: domain}; nation/region are dimensions, copied as-is
 COL_DOMAIN = {
     "documents": {"doc_id": "dockey"},
@@ -68,7 +80,11 @@ def domain_strides(src):
         path = os.path.join(src, f"{table}.parquet")
         if os.path.exists(path):
             t = pq.read_table(path, columns=[col])
-            strides[dom] = pc.max(t.column(col)).as_py() + 1
+            stride = pc.max(t.column(col)).as_py() + 1
+            mod = HOLDOUT_MOD.get(dom)
+            if mod:  # keep replica ids on the base id's side of the split
+                stride += -stride % mod
+            strides[dom] = stride
     return strides
 
 
