@@ -1114,6 +1114,16 @@ object PipelineQueries {
         .select(col("doc_id"), col("pass_gopher"))
       val c = QualityModel.score(docs, "text", "doc_id", buckets = 256)
         .select(col("doc_id"), col("quality_prob"))
+      // NO checkpoint on the fluency frame despite its two consumers
+      // (the per-doc join and the corpus-quantile threshold): both
+      // branches end in the SAME canonical exchange subtree, so
+      // physical ReuseExchange computes the bigram LM once per action —
+      // measured at sf10 (500k docs): the in-plan reuse serves both
+      // branches at 16 s steady, while an explicit localCheckpoint
+      // (which splits the plan into a materialize job + readers and
+      // takes the subtree out of AQE's whole-plan view) read 64-134 s.
+      // Cut lineage only where branches DIVERGE before their exchange
+      // (the mm_neardup case); identical branches reuse for free.
       val b = Corpus.bigramNll(docs, "text", "doc_id")
         .select(col("doc_id"), col("avg_nll"))
       val th = b.agg(percentile(col("avg_nll"), lit(0.75)).as("__th"))
@@ -3677,6 +3687,16 @@ object PipelineQueries {
         .select(col("doc_id"), col("pass_gopher"))
       val c = QualityModel.score(docs, "text", "doc_id", buckets = 256)
         .select(col("doc_id"), col("quality_prob"))
+      // NO checkpoint on the fluency frame despite its two consumers
+      // (the per-doc join and the corpus-quantile threshold): both
+      // branches end in the SAME canonical exchange subtree, so
+      // physical ReuseExchange computes the bigram LM once per action —
+      // measured at sf10 (500k docs): the in-plan reuse serves both
+      // branches at 16 s steady, while an explicit localCheckpoint
+      // (which splits the plan into a materialize job + readers and
+      // takes the subtree out of AQE's whole-plan view) read 64-134 s.
+      // Cut lineage only where branches DIVERGE before their exchange
+      // (the mm_neardup case); identical branches reuse for free.
       val b = Corpus.bigramNll(docs, "text", "doc_id")
         .select(col("doc_id"), col("avg_nll"))
       val th = b.agg(percentile(col("avg_nll"), lit(0.75)).as("__th"))
