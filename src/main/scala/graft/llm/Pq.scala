@@ -519,6 +519,20 @@ object Pq {
       s"need candK=$candK >= topK=$topK >= 1")
     val cand = ivfPqResidualTopKWith(corpus, queries, idCol, vecCol,
       candK, subDim, centroids, cbs, probes, dim)
+    refineShortlist(cand, corpus, queries, idCol, vecCol, topK, dim)
+  }
+
+  /** The exact-L2 refine finisher shared by both `RFlat` variants (the
+    * unmaterialized [[ivfPqRefineTopK]] and the cold
+    * [[ivfPqRefineTopKIndexed]] — one copy, so the two cannot diverge
+    * on refine semantics): the shortlist equi-joins back to corpus
+    * vectors on neighbor_id, queries broadcast, and the exact kernel
+    * touches |Q|·candK rows, never the corpus scan. ‖q‖² dropped —
+    * constant per query, since refine ranks within one query's
+    * shortlist. */
+  private def refineShortlist(cand: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      topK: Int, dim: Int): DataFrame = {
     val okLen = size(col(vecCol)) === dim
     val cv = spread(corpus).filter(okLen)
       .select(col(idCol).as("neighbor_id"),
@@ -533,6 +547,31 @@ object Pq {
         Similarity.dot(col("__cv"), col("__cv")) -
           lit(2.0) * Similarity.dot(col("__qv"), col("__cv")))
     rankAsc(scored, topK)
+  }
+
+  /** The COLD deployed composition end to end — FAISS `IVFx,PQy,RFlat`
+    * served FROM the [[writeIvfPqIndex]] store: the shortlist comes
+    * from the compressed codes behind a `PartitionFilters` probe
+    * ([[ivfPqTopKIndexed]] — both quantizers from the store's own
+    * sidecars), and ONLY the |Q|·candK shortlist rows touch the float
+    * corpus (the id-equi-join in [[refineShortlist]]). This is the
+    * production read path of a compressed index at high recall: the
+    * page-cache-resident code store prunes and shortlists; the float
+    * vectors are read per-candidate, never scanned. Row-identical to
+    * [[ivfPqRefineTopK]] on the same corpus/quantizers (the code
+    * shortlist is row-identical by the store contract; the refine
+    * finisher is the same copy). */
+  def ivfPqRefineTopKIndexed(indexed: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      topK: Int, candK: Int, subDim: Int,
+      centroids: IndexedSeq[Array[Double]],
+      cbs: IndexedSeq[IndexedSeq[Array[Double]]],
+      probes: Int, dim: Int): DataFrame = {
+    require(candK >= topK && topK >= 1,
+      s"need candK=$candK >= topK=$topK >= 1")
+    val cand = ivfPqTopKIndexed(indexed, queries, idCol, vecCol,
+      candK, subDim, centroids, cbs, probes, dim)
+    refineShortlist(cand, corpus, queries, idCol, vecCol, topK, dim)
   }
 
   /** Materialize the COMPRESSED serving artifact FAISS actually ships:

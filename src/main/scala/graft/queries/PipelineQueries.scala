@@ -1821,6 +1821,25 @@ object PipelineQueries {
             col("n_hits"), col("recall")))
     }),
 
+    // --- the COLD deployed composition end to end (IVFx,PQy,RFlat
+    // from the store): both quantizers from the store's own sidecars,
+    // candK=25 shortlist from the compressed codes behind a
+    // PartitionFilters probe, exact refine touching ONLY the
+    // |Q|·candK shortlist rows of the float corpus — the production
+    // read path of a compressed index at high recall. The oracle is
+    // the refined ranking itself (the rerank oracle's rref chain),
+    // which also pins indexed-refined ≡ unmaterialized-refined --------
+    "ann_ivfpq_served" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val idx = sharedIvfPqIndex(s, d)
+      val cents = Similarity.loadIvfQuantizer(s, idx) // sidecar, NOT cache
+      val cbs = graft.llm.Pq.loadPqCodebooks(s, idx)
+      graft.llm.Pq.ivfPqRefineTopKIndexed(s.read.parquet(idx), e,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        topK = 3, candK = 25, subDim = 8, cents, cbs, probes = 2,
+        dim = 64)
+    }),
+
     // --- the measurement that motivated the residual stage: recall@3
     // of trained-codebook RESIDUAL ADC vs seeded-raw ADC at equal
     // m/k/probes against one exact-L2 leg — r13's ann_ivfpqt_recall
@@ -6431,6 +6450,32 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
             |""".stripMargin +
           recallSelectSql("ivfpq_refined", "rfapx") + "\nUNION ALL\n" +
           recallSelectSql("ivfpq_codes", "rapx")),
+
+      // the cold store-served refine: the refined RANKING itself (the
+      // rerank oracle's rref chain, emitted as rows instead of folded
+      // into recall) — shared derivation, so the cold path is pinned
+      // row-identical to the unmaterialized refine
+      "ann_ivfpq_served" ->
+        (s"WITH ${kmeansCtes(8, 2, 64)},\n" +
+          residualCtes(maxQueryId = 10, probes = 2) + """,
+            |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            |       FROM embeddings WHERE len(embedding) = 64),
+            |rcand AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id, row_number() OVER (
+            |    PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+            |  FROM rsc) WHERE rank <= 25),
+            |rref AS (SELECT rcand.query_id, rcand.neighbor_id,
+            |           list_dot_product(c.v, c.v)
+            |             - 2.0 * list_dot_product(q.v, c.v) AS d
+            |         FROM rcand
+            |         JOIN e0 c ON c.vec_id = rcand.neighbor_id
+            |         JOIN e0 q ON q.vec_id = rcand.query_id)
+            |SELECT query_id, rank, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id,
+            |         CAST(row_number() OVER (PARTITION BY query_id
+            |                                 ORDER BY d, neighbor_id)
+            |           AS BIGINT) AS rank
+            |  FROM rref) WHERE rank <= 3""".stripMargin),
 
       // the SQ8 store's layout is the same a2 cell assignment (codes
       // don't move rows between cells)
