@@ -659,6 +659,38 @@ object Pq {
       .map(_.toIndexedSeq).toIndexedSeq
   }
 
+  /** [[Similarity.ivfAppendRows]] for the COMPRESSED code store: the
+    * append frame in [[writeIvfPqIndex]]'s exact row shape
+    * (neighbor_id, cell, codes), with BOTH stages bound to the TARGET
+    * store's own sidecars — the coarse cells from `_quantizer/` (via
+    * the shared [[Similarity.boundQuantizer]] preamble, same loud
+    * refusal of a conflicting caller quantizer) and the residual
+    * fine-encode from `_codebooks/`. A streamer must never encode with
+    * retrained codebooks against an existing store: the cells would
+    * still be right but the CODES would decode against the store's
+    * books to wrong reconstructions — silent mis-ranking, no error —
+    * so the codebooks are not even a parameter here. Map-only
+    * (residual + argmin per subspace are row-local); streaming or
+    * batch frames both work, `foreachBatch { _.write.mode("append")
+    * .partitionBy("cell").parquet(store) }` completes the recipe. */
+  def ivfPqAppendRows(df: DataFrame, idCol: String, vecCol: String,
+                      storePath: String, dim: Int,
+                      expected: Option[IndexedSeq[Array[Double]]] = None)
+      : DataFrame = {
+    val cents = Similarity.boundQuantizer(df, storePath, dim, expected)
+    val cbs = loadPqCodebooks(df.sparkSession, storePath)
+    val m = cbs.length
+    val k = cbs.head.length
+    val subDim = cbs.head.head.length
+    require(m * subDim == dim,
+      s"codebook sidecar at $storePath is $m×$k×$subDim " +
+        s"(covers ${m * subDim} dims) but the store holds $dim-dim " +
+        "vectors — wrong or damaged _codebooks sidecar?")
+    residualFrame(df, idCol, vecCol, cents, dim)
+      .select(col(idCol).as("neighbor_id"), col("cell"),
+        codesCol(col("__res"), m, k, subDim, cbs).as("codes"))
+  }
+
   /** [[ivfPqResidualTopKWith]] served from a [[writeIvfPqIndex]] store:
     * the probed cells arrive as a LITERAL IN-list → `PartitionFilters`
     * on the code scan (the [[Similarity.probedStore]] preamble — probe

@@ -963,6 +963,41 @@ object Similarity {
                     storePath: String, dim: Int,
                     expected: Option[IndexedSeq[Array[Double]]] = None)
       : DataFrame = {
+    val stored = boundQuantizer(df, storePath, dim, expected)
+    df.filter(size(col(vecCol)) === dim)
+      .select(col(idCol).as("neighbor_id"),
+        normalize(col(vecCol)).as("cv"),
+        element_at(trainedProbeCells(col(vecCol), stored, 1), 1)
+          .as("cell"))
+  }
+
+  /** [[ivfAppendRows]] for the `IVFx,SQ8` store: the append frame in
+    * [[writeIvfSqIndex]]'s exact row shape (neighbor_id, scale, codes,
+    * cell), with the cell assignment bound to the TARGET's own
+    * `_quantizer/` sidecar — same contract, refusal semantics and
+    * streaming recipe as the float-store helper; the int8 encode is the
+    * same row-local absmax grid the store was written with, so a
+    * streamed append is byte-identical to the batch write. */
+  def ivfSqAppendRows(df: DataFrame, idCol: String, vecCol: String,
+                      storePath: String, dim: Int,
+                      expected: Option[IndexedSeq[Array[Double]]] = None)
+      : DataFrame = {
+    val stored = boundQuantizer(df, storePath, dim, expected)
+    df.filter(size(col(vecCol)) === dim)
+      .select(col(idCol).as("neighbor_id"),
+        (Quantize.absMax(col(vecCol)) / 127.0).as("scale"),
+        Quantize.int8Codes(col(vecCol)).as("codes"),
+        element_at(trainedProbeCells(col(vecCol), stored, 1), 1)
+          .as("cell"))
+  }
+
+  /** The shared sidecar-load-and-cross-check preamble of every
+    * `*AppendRows` helper — one copy, so the append-binding discipline
+    * (store's own quantizer, loud conflict refusal, dim check) can
+    * never diverge across the float/SQ8/PQ stores. */
+  private[llm] def boundQuantizer(df: DataFrame, storePath: String,
+      dim: Int, expected: Option[IndexedSeq[Array[Double]]])
+      : IndexedSeq[Array[Double]] = {
     val stored = loadIvfQuantizer(df.sparkSession, storePath)
     require(stored.head.length == dim,
       s"store at $storePath was written for ${stored.head.length}-dim " +
@@ -979,11 +1014,7 @@ object Similarity {
           "expected=None to use the store's own quantizer, or rebuild " +
           "the store if retraining was intended")
     }
-    df.filter(size(col(vecCol)) === dim)
-      .select(col(idCol).as("neighbor_id"),
-        normalize(col(vecCol)).as("cv"),
-        element_at(trainedProbeCells(col(vecCol), stored, 1), 1)
-          .as("cell"))
+    stored
   }
 
   /** [[ivfTrainedTopK]] served from a [[writeIvfTrainedIndex]] store:

@@ -583,6 +583,106 @@ class StreamingSpec extends SparkSpec {
     } finally rmAll()
   }
 
+  test("streaming residual-encode APPENDs into the compressed PQ store " +
+    "through BOTH of the store's sidecars — equal to the batch-written " +
+    "store, served identically cold; conflicting quantizer refused") {
+    import graft.llm.{Pq, Similarity}
+    implicit val sqlCtx = spark.sqlContext
+    def vec(i: Int): Array[Float] =
+      (1 to 64).map(j => ((i * j) % 13 - 6).toFloat).toArray
+    val all = (1 to 12).map(i => (i.toLong, vec(i)))
+    val (b1, b2) = all.splitAt(6)
+    val allDf = all.toDF("vec_id", "embedding")
+    // deployment order: train BOTH stages on the full corpus up front,
+    // write the initial store, then stream against the frozen artifact
+    val cents = Similarity.trainIvfCentroids(allDf, "vec_id",
+      "embedding", k = 4, iters = 2, dim = 64)
+    val cbs = Pq.trainResidualCodebooks(allDf, "vec_id", "embedding",
+      cents, m = 8, k = 4, subDim = 8, dim = 64, iters = 1)
+    val streamDir = freshTmpDir("graft_ivfpq_stream_idx")
+    val batchDir = freshTmpDir("graft_ivfpq_stream_idx_batch")
+    val ckpt = freshTmpDir("graft_ivfpq_stream_idx_ckpt")
+    def rmAll(): Unit = Seq(streamDir, batchDir, ckpt).foreach(rmTree)
+    try {
+      Pq.writeIvfPqIndex(b1.toDF("vec_id", "embedding"), "vec_id",
+        "embedding", streamDir.getPath, cents, cbs, subDim = 8, dim = 64)
+      val input = MemoryStream[(Long, Array[Float])]
+      // cells AND codes come from the store's own sidecars — retrained
+      // codebooks can't silently write codes the store's books decode
+      // to wrong reconstructions (they aren't even a parameter)
+      val rows = Pq.ivfPqAppendRows(
+        input.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        streamDir.getPath, dim = 64)
+      val q = rows.writeStream
+        .option("checkpointLocation", ckpt.getPath)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").partitionBy("cell")
+            .parquet(streamDir.getPath)
+        }.start()
+      try {
+        input.addData(b2)
+        q.processAllAvailable()
+      } finally q.stop()
+      // the shared boundQuantizer preamble refuses a drifted quantizer
+      // here exactly as in the float helper
+      val drifted = Similarity.trainIvfCentroids(
+        b2.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        k = 4, iters = 1, dim = 64)
+      val err = intercept[IllegalArgumentException] {
+        Pq.ivfPqAppendRows(allDf, "vec_id", "embedding",
+          streamDir.getPath, dim = 64, expected = Some(drifted))
+      }
+      assert(err.getMessage.contains("conflict"), err.getMessage)
+      // the batch store over the union input is the reference
+      Pq.writeIvfPqIndex(allDf, "vec_id", "embedding", batchDir.getPath,
+        cents, cbs, subDim = 8, dim = 64)
+      def readStore(p: String) = spark.read.parquet(p)
+        .select(col("neighbor_id"), col("codes"),
+          col("cell").cast("long"))
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val s = readStore(streamDir.getPath)
+      assert(s == readStore(batchDir.getPath) && s.length == 12,
+        "streamed PQ store diverged from the batch-written reference")
+      // cold serving from the streamed store — both sidecars — equals
+      // the batch store's
+      def serve(p: String) = Pq.ivfPqTopKIndexed(spark.read.parquet(p),
+        allDf, "vec_id", "embedding", topK = 2, subDim = 8,
+        Similarity.loadIvfQuantizer(spark, p),
+        Pq.loadPqCodebooks(spark, p), probes = 2, dim = 64).collect()
+        .map(_.toSeq).sortBy(_.toString).toSeq
+      assert(serve(streamDir.getPath) == serve(batchDir.getPath))
+    } finally rmAll()
+  }
+
+  test("ivfSqAppendRows emits writeIvfSqIndex's exact row shape from " +
+    "the store's own sidecar") {
+    import graft.llm.Similarity
+    def vec(i: Int): Array[Float] =
+      (1 to 64).map(j => ((i * j) % 13 - 6).toFloat).toArray
+    val all = (1 to 10).map(i => (i.toLong, vec(i)))
+    val allDf = all.toDF("vec_id", "embedding")
+    val cents = Similarity.trainIvfCentroids(allDf, "vec_id",
+      "embedding", k = 4, iters = 2, dim = 64)
+    val dir = freshTmpDir("graft_ivfsq_append_spec")
+    try {
+      Similarity.writeIvfSqIndex(allDf, "vec_id", "embedding",
+        dir.getPath, cents, dim = 64)
+      // the append frame over the same rows is bit-identical to what
+      // the store holds (scale, int8 codes, cell — all row-local, all
+      // from the sidecar quantizer), so mode("append") composes
+      val appended = Similarity.ivfSqAppendRows(allDf, "vec_id",
+        "embedding", dir.getPath, dim = 64)
+        .select(col("neighbor_id"), col("scale"), col("codes"),
+          col("cell").cast("long"))
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val stored = spark.read.parquet(dir.getPath)
+        .select(col("neighbor_id"), col("scale"), col("codes"),
+          col("cell").cast("long"))
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(appended == stored && stored.length == 10)
+    } finally rmTree(dir)
+  }
+
   test("compactIndex runs INSIDE foreachBatch between micro-batch " +
     "appends: no lost rows across the interleave, file counts bounded, " +
     "serving identical to the batch-built store") {
