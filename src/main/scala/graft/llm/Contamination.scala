@@ -250,6 +250,11 @@ object Contamination {
         .withColumn("overlap_frac",
           round(col("shared_ngrams").cast("double") / col("n_test_ngrams"),
             6))
+        // lazy checkpoint: consumed by BOTH the count-attach and the
+        // sentinel anti-join, whose differently-pruned subtrees would
+        // otherwise run the confirm join twice; the frame is cap-bounded
+        // by construction, so materializing it is cheap
+        .localCheckpoint(eager = false)
       val withCounts = pairs
         .join(broadcast(capped), Seq("test_id"), "left")
         .withColumn("n_capped_grams",
