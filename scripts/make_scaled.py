@@ -22,8 +22,23 @@ lengths and vocabulary shape (it adds one short token and ~100 vocab
 entries corpus-wide) while making replicas NEAR-duplicates — which is
 what a real crawl's multiplicity looks like: the MinHash/LSH family
 still collapses replica cliques (high Jaccard), exact dedup correctly
-does not, and survivors exist. Embeddings are NOT perturbed: identical
-vectors stress the ANN bucket joins, which is intended.
+does not, and survivors exist.
+
+Embedding VECTORS get the same de-degeneration (r15 verdict): verbatim
+vector replicas meant the distinct-vector mass never grew with SF —
+every scaled ANN recall/sweep ran against tie-degenerate top-k and a
+training set whose effective size was the base fixture's, so the m/k
+conclusion ("codebook capacity pays only with training mass") could
+never be re-asked at mass. Each replica i >= 1 adds a deterministic
+epsilon ((i % 1021 + 1) * 2^-20, a dyadic-grid multiple, so the
+engine's floor(x * 2^20) requantization sees it exactly rather than
+on a grid-boundary coin flip) to ONE component ((i - 1) % dim,
+rotating so different replica indices perturb different axes).
+Replicas stay near-duplicates in vector space (epsilon ~1e-6..1e-3 on
+one axis: same cells, near-ties broken deterministically) while the
+distinct-vector count grows with SF. Copy 0 stays verbatim, so the
+vec_id < 10/20/50 query slices and every oracle-gated directory are
+untouched.
 
 Bench-only: the DuckDB oracle gate still runs against the driver's
 original directories. Usage: make_scaled.py <srcDir> <dstDir> <copies>
@@ -47,6 +62,9 @@ DOMAINS = {
 
 # table -> text column perturbed per replica (see module docstring)
 TEXT_PERTURB = {"documents": "text"}
+
+# table -> list<float> column perturbed per replica (see module docstring)
+VEC_PERTURB = {"embeddings": "embedding"}
 
 # domain -> eval-split modulus to PRESERVE under scaling: the repo's
 # decontamination/curation queries hold out doc_id % 17 == 0 as the eval
@@ -72,6 +90,31 @@ COL_DOMAIN = {
     "part": {"p_partkey": "partkey"},
     "supplier": {"s_suppkey": "suppkey"},
 }
+
+
+def perturb_vectors(col, i):
+    """Replica i's vector de-degeneration: one dyadic-grid epsilon on one
+    rotating component (module docstring). Vectorized over the flattened
+    float values; loud on ragged/null lists (the fixture is fixed-width —
+    a silent fallback would reintroduce verbatim replicas)."""
+    import numpy as np
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    assert arr.null_count == 0, "null embedding in fixture"
+    lengths = pc.list_value_length(arr)
+    dim = pc.min(lengths).as_py()
+    assert dim == pc.max(lengths).as_py() and dim > 0, \
+        f"ragged embedding lists (min {dim}, max {pc.max(lengths).as_py()})"
+    flat = np.asarray(arr.flatten())  # honors offsets; float32
+    out = flat.copy()
+    eps = np.float32(((i % 1021) + 1) * 2.0 ** -20)
+    j = (i - 1) % dim
+    out[j::dim] += eps
+    values = pa.array(out, type=arr.type.value_type)
+    # rebuild contiguous offsets (flatten() already dropped any base
+    # offset, and the width is uniform by the assert above)
+    offsets = pa.array(np.arange(0, (len(arr) + 1) * dim, dim,
+                                 dtype=np.int32), type=pa.int32())
+    return pa.ListArray.from_arrays(offsets, values)
 
 
 def domain_strides(src):
@@ -124,6 +167,8 @@ def main(src, dst, copies):
                     col = pc.binary_join_element_wise(
                         col, pa.scalar(f"r{i}", type=field.type),
                         pa.scalar(" ", type=field.type))
+                elif field.name == VEC_PERTURB.get(name):
+                    col = perturb_vectors(col, i)
                 cols.append(col)
             parts.append(pa.table(cols, schema=t.schema))
         out = pa.concat_tables(parts)

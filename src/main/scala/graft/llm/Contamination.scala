@@ -176,13 +176,36 @@ object Contamination {
     * boilerplate/duplication regime (cross-check with
     * [[Dedup.duplicationHistogram]], and dedup first — the
     * `pipeline_curate` ordering — so the cap is the backstop, not the
-    * plan). */
+    * plan).
+    *
+    * == Auto-sizing the cap ([[AutoTrainDf]]) ==
+    * At 100 TB the right cap is a corpus property, not a hand constant,
+    * so `maxTrainDf = AutoTrainDf` derives it from the survivor-df
+    * distribution the pre-pass already computes. The derivation is a
+    * PAIR-ROW BUDGET, not a quantile: a quantile of the distribution
+    * itself is shape-invariant under uniform duplication (replicate
+    * every doc 100× and q99 scales right along with the dfs — the exact
+    * regime the cap exists for slides under any quantile×margin rule).
+    * What duplication cannot fake is the MEAN: the budget admits grams
+    * coolest-first while the admitted train-side mass Σdf stays within
+    * `autoCapMeanDf` rows per surviving gram (the confirm join emits one
+    * row per admitted survivor occurrence × matching eval doc, so Σdf is
+    * exactly the train-side expansion being bounded). On a clean corpus
+    * (measured survivor mean df 1.6 at sf0.01, 9.1 at sf0.1) the whole
+    * distribution fits and the cap lands on the max df — provably
+    * non-binding; on a duplication-degenerate corpus (every df ~×100,
+    * mean ≫ 16) the budget exhausts inside the replica mass and the hot
+    * grams die before the join, loudly (`n_capped_grams` + sentinels as
+    * above). LlmSpec pins both properties. */
   def ngramOverlapBloom(train: DataFrame, test: DataFrame,
                         textCol: String, idCol: String,
                         n: Int = 3, minShared: Int = 2,
                         fpp: Double = 0.01,
-                        maxTrainDf: Long = Long.MaxValue): DataFrame = {
-    require(maxTrainDf >= 1, s"maxTrainDf=$maxTrainDf must be >= 1")
+                        maxTrainDf: Long = Long.MaxValue,
+                        autoCapMeanDf: Long = 16): DataFrame = {
+    require(maxTrainDf >= 1 || maxTrainDf == AutoTrainDf,
+      s"maxTrainDf=$maxTrainDf must be >= 1 (or AutoTrainDf)")
+    require(autoCapMeanDf >= 1, s"autoCapMeanDf=$autoCapMeanDf must be >= 1")
     def shingled(df: DataFrame, as: String): DataFrame =
       df.select(col(idCol).as(as),
         explode(graft.functions.Shingles.distinctShingles(
@@ -228,14 +251,17 @@ object Contamination {
       // below the corpus), then the over-cap set — bounded by the eval
       // gram count — broadcasts into an anti-join that kills hot grams
       // BEFORE any (test, train) pair materializes
-      val hot = survivors.groupBy(col("sh"))
+      val dfs = survivors.groupBy(col("sh"))
         .agg(count(lit(1)).as("__df"))
-        .filter(col("__df") > maxTrainDf)
-        .select(col("sh"))
-        // lazy: materialized once at first action, shared by both
-        // consumers (anti-join + capped counts) — eager would run the
-        // df pre-pass at plan-construction time
+        // lazy: materialized once at first action (or at cap derivation
+        // in auto mode), shared by every consumer (cap histogram,
+        // anti-join, capped counts) — eager would run the df pre-pass at
+        // plan-construction time even when the result is never acted on
         .localCheckpoint(eager = false)
+      val cap =
+        if (maxTrainDf == AutoTrainDf) deriveTrainDfCap(dfs, autoCapMeanDf)
+        else maxTrainDf
+      val hot = dfs.filter(col("__df") > cap).select(col("sh"))
       val capped = testSh.join(broadcast(hot), Seq("sh"))
         .groupBy(col("test_id"))
         .agg(count(lit(1)).as("n_capped_grams"))
@@ -276,5 +302,36 @@ object Contamination {
         "n_test_ngrams", "overlap_frac", "n_capped_grams")
         .unionByName(orphans)
     }
+  }
+
+  /** Sentinel for [[ngramOverlapBloom]]'s `maxTrainDf`: derive the cap
+    * from the survivor-df distribution instead of a hand constant. */
+  val AutoTrainDf: Long = -1L
+
+  /** The pair-row-budget cap derivation (see [[ngramOverlapBloom]]'s
+    * auto-sizing scaladoc for why a budget, not a quantile): over the
+    * ascending per-df histogram of the survivor set, admit df levels
+    * coolest-first while the admitted mass Σdf stays within
+    * `meanDfBudget` × |survivor grams|; the cap is the last admitted df.
+    * The collect is the per-DF-VALUE histogram — bounded by the distinct
+    * df values of an eval-bounded frame, i.e. tiny at any corpus size —
+    * and deterministic (sorted). An empty survivor set returns a
+    * no-op cap: there is nothing downstream to bound. */
+  private def deriveTrainDfCap(dfs: DataFrame, meanDfBudget: Long): Long = {
+    val hist = dfs.groupBy(col("__df")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__df")).collect()
+    if (hist.isEmpty) return Long.MaxValue
+    val budget = meanDfBudget * hist.map(_.getLong(1)).sum
+    var spent = 0L
+    var cap = 1L
+    var open = true // greedy PREFIX: the cap is a threshold, so the
+    // first df level that exceeds the budget closes every level above it
+    hist.foreach { r =>
+      val df = r.getLong(0)
+      val mass = df * r.getLong(1)
+      if (open && spent + mass <= budget) { spent += mass; cap = df }
+      else open = false
+    }
+    cap
   }
 }

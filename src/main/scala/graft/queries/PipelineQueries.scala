@@ -1271,19 +1271,28 @@ object PipelineQueries {
     // --- bloom-prefiltered decontamination: same answer, different plan -----
     // Exact despite the Bloom (no false negatives + exact confirm join);
     // shares contamination_ngram's oracle semantics — two independent
-    // algorithms, one SQL truth. maxTrainDf = 40 is the quadratic-output
-    // guard sized NOT to bind on the fixture universe (train gram df maxes
-    // at 7 / 24 at sf0.01 / sf0.1 — measured, which is why this row keeps
-    // the uncapped oracle) while bounding the duplication-degenerate worst
-    // case (the r14 sf10 fixture multiplied every df ~100× → 127 M confirm
-    // pairs, heap exhaustion; under the cap those grams die pre-join).
+    // algorithms, one SQL truth. The quadratic-output guard runs in AUTO
+    // mode (pair-row budget over the survivor-df distribution — see
+    // ngramOverlapBloom's auto-sizing scaladoc): on the fixture universe
+    // the budget provably admits everything (survivor mean df 1.6 / 9.1
+    // at sf0.01 / sf0.1, vs the 16-per-gram budget), so the gate keeps
+    // the UNCAPPED oracle — which thereby doubles as the loud check that
+    // auto never binds on clean data (a binding cap emits nonzero
+    // n_capped_grams / sentinels and the row goes red). On the
+    // duplication-degenerate regime (the r14 sf10 fixture multiplied
+    // every df ~100× → 127 M confirm pairs, heap exhaustion) the budget
+    // exhausts inside the replica mass and the hot grams die pre-join.
+    // n_capped_grams rides in the projection so capped output is
+    // self-describing at every scale, not just the oracle-gated ones.
     "contamination_bloom" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Contamination.ngramOverlapBloom(
         train = docs.filter(col("doc_id") % 17 =!= 0),
         test = docs.filter(col("doc_id") % 17 === 0),
-        "text", "doc_id", n = 3, minShared = 2, maxTrainDf = 40)
-        .select("test_id", "train_id", "shared_ngrams", "overlap_frac")
+        "text", "doc_id", n = 3, minShared = 2,
+        maxTrainDf = Contamination.AutoTrainDf)
+        .select("test_id", "train_id", "shared_ngrams", "overlap_frac",
+          "n_capped_grams")
     }),
 
     // --- decontamination with the cap BINDING (maxTrainDf = 4 excludes
@@ -1925,6 +1934,33 @@ object PipelineQueries {
           dim = 64)
         Similarity.recallAtK(exact, approx, k = 3)
           .select(lit(i.toLong).as("iters"), col("query_id"),
+            col("n_hits"), col("recall"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // --- the REFINE-DEPTH sweep: recall@3 at candK ∈ {10,25,50,100},
+    // fixed m=8/k=16/p=2 — prices the knob the m/k and iters sweeps
+    // declared the owner of the next recall dollar (SCALE.md §15: a 4×
+    // codeword budget reads flat-to-negative while refine at candK=25
+    // reads 0.67/0.567; this row completes the decision table with the
+    // recall-vs-float-reads curve, since refine cost is exactly
+    // |Q|·candK float rows). Every leg rides the ONE shared coarse
+    // quantizer + residual books (training happens once — the sweep
+    // varies only the shortlist depth), one shared exact-L2 leg --------
+    "ann_ivfpq_candk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .filter(size(col("embedding")) === 64)
+      val q = e.filter(col("vec_id") < 10)
+      val cents = sharedIvfTrainedCentroids(s, d)
+      val cbs = sharedResidualCodebooks(s, d)
+      val exact = graft.llm.Pq.exactL2TopK(e, q, "vec_id", "embedding",
+        topK = 3).localCheckpoint() // one exact leg serves the sweep
+      ivfPqCandKSweep.map { candK =>
+        val refined = graft.llm.Pq.ivfPqRefineTopK(e, q, "vec_id",
+          "embedding", topK = 3, candK = candK, subDim = 8, cents, cbs,
+          probes = 2, dim = 64)
+        Similarity.recallAtK(exact, refined, k = 3)
+          .select(lit(candK.toLong).as("cand_k"), col("query_id"),
             col("n_hits"), col("recall"))
       }.reduce(_ unionByName _)
     }),
@@ -5206,6 +5242,58 @@ object PipelineQueries {
   /** The training-depth sweep points, same sharing. */
   private val ivfPqItersSweep: Seq[Int] = Seq(1, 2, 4)
 
+  /** The refine-depth sweep points (shortlist size candK of the
+    * `IVFx,PQy,RFlat` composition), same engine/oracle sharing. Refine
+    * cost is |Q|·candK float reads, so these points ARE the x-axis of
+    * the recall-vs-float-reads curve. */
+  private val ivfPqCandKSweep: Seq[Int] = Seq(10, 25, 50, 100)
+
+  /** `ann_ivfpq_candk`'s oracle: ONE shared coarse stage + serving-depth
+    * fine stage ([[residualCtes]] — the same `rsc` ADC scoring every
+    * `ann_ivfpqt2_*` oracle ranks, so the sweep cannot desynchronize
+    * from serving) and one materialized exact leg; per candK a
+    * shortlist (`rank <= candK` over `rsc` — [[Pq.ivfPqRefineTopK]]'s
+    * candidate stage verbatim), the exact-L2 re-rank of ONLY the
+    * shortlist (the rerank oracle's `rref` chain, parameterized), and a
+    * recall block labeled by the BIGINT cand_k. */
+  private def refineCandKSweepSql(candKs: Seq[Int]): String = {
+    val shared =
+      s"WITH ${kmeansCtes(8, 2, 64)},\n" +
+        residualCtes(maxQueryId = 10, probes = 2) + ",\n" +
+        exactL2LegSql(maxQueryId = 10, topK = 3)
+    val per = candKs.map { ck =>
+      s""",
+         |ck${ck}cand AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+         |  FROM rsc) WHERE rank <= $ck),
+         |ck${ck}ref AS (SELECT c0.query_id, c0.neighbor_id,
+         |           list_dot_product(c.v, c.v)
+         |             - 2.0 * list_dot_product(q.v, c.v) AS d
+         |         FROM ck${ck}cand c0
+         |         JOIN e0 c ON c.vec_id = c0.neighbor_id
+         |         JOIN e0 q ON q.vec_id = c0.query_id),
+         |ck${ck}apx AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+         |  FROM ck${ck}ref) WHERE rank <= 3)""".stripMargin
+    }.mkString
+    val selects = candKs.map { ck =>
+      s"""SELECT CAST($ck AS BIGINT) AS cand_k, query_id, n_hits,
+         |       round(n_hits / CAST(n_exact AS DOUBLE), 6) AS recall
+         |FROM (
+         |  SELECT ex.query_id,
+         |         CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |         COUNT(*) AS n_exact
+         |  FROM ex LEFT JOIN ck${ck}apx a
+         |    ON a.query_id = ex.query_id
+         |   AND a.neighbor_id = ex.neighbor_id
+         |  GROUP BY 1)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    shared + per + "\n" + selects
+  }
+
   /** One recall-aggregation SELECT block — `method`-labeled recall of
     * approximate CTE `apx` against the MATERIALIZED exact CTE `ex` —
     * so the denominator/rounding algebra lives in one place for the
@@ -6172,8 +6260,11 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |GROUP BY user_id
           |ORDER BY key_count DESC, user_id LIMIT 20""".stripMargin,
 
-      // deliberately the SAME oracle as contamination_ngram: the Bloom
-      // path must reproduce the exact-join answer bit for bit
+      // deliberately the SAME oracle as contamination_ngram (plus the
+      // honest zero column): the Bloom path must reproduce the
+      // exact-join answer bit for bit, and the 0s assert the AUTO cap
+      // does not bind on the clean fixture — a binding cap would emit
+      // nonzero n_capped_grams / sentinel rows and fail here loudly
       "contamination_bloom" ->
         s"""WITH $shinglesCte,
            |test AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 17 = 0),
@@ -6186,7 +6277,8 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |  FROM test JOIN train USING (shingle) GROUP BY 1, 2)
            |SELECT test_id, train_id, shared_ngrams,
            |       round(CAST(shared_ngrams AS DOUBLE) / n_test_ngrams, 6)
-           |         AS overlap_frac
+           |         AS overlap_frac,
+           |       CAST(0 AS BIGINT) AS n_capped_grams
            |FROM pairs JOIN sizes USING (test_id)
            |WHERE shared_ngrams >= 2""".stripMargin,
 
@@ -6416,6 +6508,10 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       "ann_ivfpq_iters" -> residualSweepSql(ivfPqItersSweep.map { i =>
         (s"it$i", 8, 16, i, s"CAST($i AS BIGINT) AS iters")
       }),
+
+      // the refine-depth sweep: one coarse+fine replay at the serving
+      // configuration, per candK a shortlist + exact-L2 re-rank block
+      "ann_ivfpq_candk" -> refineCandKSweepSql(ivfPqCandKSweep),
 
       // the refine composition: rsc ranked to candK=25, exact-L2
       // re-rank of only the shortlist, recall vs the same exact leg —

@@ -1045,6 +1045,58 @@ class LlmSpec extends SparkSpec {
       uncapped.forall(r => r._2.nonEmpty && r._6 == 0L))
   }
 
+  test("auto df cap (pair-row budget) never binds on a clean corpus and " +
+    "binds on a duplication-degenerate one") {
+    def run(train: org.apache.spark.sql.DataFrame,
+            test17: org.apache.spark.sql.DataFrame, cap: Long) =
+      graft.llm.Contamination
+        .ngramOverlapBloom(train, test17, "text", "doc_id", n = 3,
+          minShared = 2, maxTrainDf = cap)
+        .select("test_id", "train_id", "shared_ngrams", "n_test_ngrams",
+          "overlap_frac", "n_capped_grams")
+        .as[(Long, Option[Long], Long, Int, Option[Double], Long)]
+        .collect().toSet
+    // clean corpus (survivor dfs all 2, mean 2 ≤ the 16-per-gram
+    // budget): the derived cap lands on the max df — auto ≡ uncapped,
+    // zero capped grams, no sentinels
+    val clean = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (17L, "alpha beta gamma delta something else"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "nothing in common with anything here at all")
+    ).toDF("doc_id", "text")
+    val cleanTrain = clean.filter($"doc_id" % 17 =!= 0)
+    val cleanTest = clean.filter($"doc_id" % 17 === 0)
+    val auto = run(cleanTrain, cleanTest,
+      graft.llm.Contamination.AutoTrainDf)
+    val uncapped = run(cleanTrain, cleanTest, Long.MaxValue)
+    assert(auto == uncapped && auto.nonEmpty &&
+      auto.forall(r => r._2.nonEmpty && r._6 == 0L), s"auto=$auto")
+    // duplication-degenerate corpus (the make_scaled sf10 worst case:
+    // ~100 verbatim replicas → hot trigram df 100 vs cool df 2; mean
+    // survivor df (3·100 + 3·2)/6 = 51 ≫ 16): the budget exhausts
+    // inside the replica mass — cap lands at 2, the hot grams die
+    // pre-join, the drops are counted, the all-hot test doc surfaces
+    // as a sentinel. A quantile×margin rule CANNOT pin this corpus
+    // (its q99 is 100 — duplication scales any quantile with itself).
+    val hotTrain = (1 to 100).map(i => (i.toLong, "hot one two three four"))
+    val coolTrain = Seq((101L, "cool alpha beta gamma delta"),
+      (103L, "cool alpha beta gamma delta"))
+    val dupTrain = (hotTrain ++ coolTrain).toDF("doc_id", "text")
+    val dupTest = Seq(
+      (17L, "cool alpha beta gamma delta"),
+      (34L, "hot one two three four"),
+      (51L, "hot one two three four cool alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val bound = run(dupTrain, dupTest, graft.llm.Contamination.AutoTrainDf)
+    assert(bound == Set(
+      (17L, Some(101L), 3L, 3, Some(1.0), 0L),
+      (17L, Some(103L), 3L, 3, Some(1.0), 0L),
+      (51L, Some(101L), 3L, 8, Some(0.375), 3L),
+      (51L, Some(103L), 3L, 8, Some(0.375), 3L),
+      (34L, None, 0L, 3, None, 3L)), s"bound=$bound")
+  }
+
   test("duplicateSpans finds unaligned repeated spans, splits on gaps, " +
     "drops sub-minRun runs") {
     // doc 1 and 2 share the UNALIGNED 5-token passage "aa bb cc dd ee"

@@ -764,6 +764,101 @@ class StreamingSpec extends SparkSpec {
     } finally rmAll()
   }
 
+  test("compactIndex interleaves with ivfPqAppendRows micro-batches on " +
+    "the PQ code store: no lost rows, sidecars bit-intact, serving " +
+    "identical to the batch-built store") {
+    // the r15 interleave proof covered the hamming store; the PQ store
+    // has the MOST sidecar state (_quantizer + _codebooks) and its own
+    // append path, so the compaction contract is pinned here too:
+    // compaction inside foreachBatch (ingest quiesced between
+    // micro-batches) rewrites only cell= partition files and never
+    // touches the sidecar dirs the appends and cold serving depend on
+    import graft.llm.{Pq, Similarity}
+    implicit val sqlCtx = spark.sqlContext
+    def vec(i: Int): Array[Float] =
+      (1 to 64).map(j => ((i * j) % 9 - 4).toFloat).toArray
+    val init = (41 to 44).map(i => (i.toLong, vec(i)))
+    val batches = (0 until 8).map(b =>
+      (1 to 5).map(i => ((b * 5 + i).toLong, vec(b * 5 + i))))
+    val all = init ++ batches.flatten
+    val allDf = all.toDF("vec_id", "embedding")
+    val cents = Similarity.trainIvfCentroids(allDf, "vec_id",
+      "embedding", k = 4, iters = 2, dim = 64)
+    val cbs = Pq.trainResidualCodebooks(allDf, "vec_id", "embedding",
+      cents, m = 8, k = 4, subDim = 8, dim = 64, iters = 1)
+    val storeDir = freshTmpDir("graft_pq_compact_live_idx")
+    val batchDir = freshTmpDir("graft_pq_compact_live_batch")
+    val ckpt = freshTmpDir("graft_pq_compact_live_ckpt")
+    def rmAll(): Unit = Seq(storeDir, batchDir, ckpt).foreach(rmTree)
+    try {
+      Pq.writeIvfPqIndex(init.toDF("vec_id", "embedding"), "vec_id",
+        "embedding", storeDir.getPath, cents, cbs, subDim = 8, dim = 64)
+      // sidecar state BEFORE the interleave — compaction must not move it
+      val centsBefore = Similarity.loadIvfQuantizer(spark, storeDir.getPath)
+      val cbsBefore = Pq.loadPqCodebooks(spark, storeDir.getPath)
+      val input = MemoryStream[(Long, Array[Float])]
+      val rows = Pq.ivfPqAppendRows(
+        input.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        storeDir.getPath, dim = 64)
+      val compactions =
+        scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      val q = rows.writeStream
+        .option("checkpointLocation", ckpt.getPath)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.write.mode("append").partitionBy("cell")
+            .parquet(storeDir.getPath)
+          if (id % 3 == 2) {
+            compactions += Similarity.compactIndex(df.sparkSession,
+              storeDir.getPath, "cell", maxFilesPerBucket = 2)
+            ()
+          }
+        }.start()
+      try {
+        batches.foreach { b =>
+          input.addData(b)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      assert(compactions.exists(_.nonEmpty),
+        s"fixture never fragmented past the threshold: $compactions")
+      // no lost rows: the interleaved store equals the batch-built
+      // reference over the union input, row for row (codes included)
+      Pq.writeIvfPqIndex(allDf, "vec_id", "embedding", batchDir.getPath,
+        cents, cbs, subDim = 8, dim = 64)
+      def readStore(p: String) = spark.read.parquet(p)
+        .select(col("neighbor_id"), col("codes"), col("cell").cast("long"))
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val s = readStore(storeDir.getPath)
+      assert(s == readStore(batchDir.getPath) && s.length == 44,
+        s"rows lost or mutated across the append/compact interleave: " +
+          s"${s.length}")
+      // sidecars bit-intact through every compaction (compactIndex
+      // rewrites cell= dirs only)
+      assert(Similarity.loadIvfQuantizer(spark, storeDir.getPath)
+        .map(_.toSeq) == centsBefore.map(_.toSeq))
+      assert(Pq.loadPqCodebooks(spark, storeDir.getPath)
+        .map(_.map(_.toSeq)) == cbsBefore.map(_.map(_.toSeq)))
+      // a final quiesced compaction bounds files and serving is
+      // identical to the batch store through it, from the store's OWN
+      // sidecars (the cold path)
+      def serve(p: String) = Pq.ivfPqTopKIndexed(spark.read.parquet(p),
+        allDf, "vec_id", "embedding", topK = 2, subDim = 8,
+        Similarity.loadIvfQuantizer(spark, p),
+        Pq.loadPqCodebooks(spark, p), probes = 2, dim = 64).collect()
+        .map(_.toSeq).sortBy(_.toString).toSeq
+      val before = serve(storeDir.getPath)
+      Similarity.compactIndex(spark, storeDir.getPath, "cell",
+        maxFilesPerBucket = 2)
+      val files = storeDir.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.startsWith("part-"))).toMap
+      assert(files.values.forall(_ <= 2), s"still fragmented: $files")
+      assert(serve(storeDir.getPath) == before && before.nonEmpty &&
+        before == serve(batchDir.getPath))
+    } finally rmAll()
+  }
+
   test("spread-wrapped map operators stay streaming-compatible") {
     import graft.llm.{Dedup, TextAnalysis}
     implicit val sqlCtx = spark.sqlContext
