@@ -196,7 +196,11 @@ object Contamination {
     * non-binding; on a duplication-degenerate corpus (every df ~×100,
     * mean ≫ 16) the budget exhausts inside the replica mass and the hot
     * grams die before the join, loudly (`n_capped_grams` + sentinels as
-    * above). LlmSpec pins both properties. */
+    * above). LlmSpec pins both properties. The histogram is confirmed
+    * against the exact eval hash set before derivation, so the derived
+    * cap is a pure function of the corpus (Bloom false positives cannot
+    * perturb it) — which is what lets the `contamination_autocap` gate
+    * row replay the whole derivation in SQL. */
   def ngramOverlapBloom(train: DataFrame, test: DataFrame,
                         textCol: String, idCol: String,
                         n: Int = 3, minShared: Int = 2,
@@ -253,6 +257,16 @@ object Contamination {
       // BEFORE any (test, train) pair materializes
       val dfs = survivors.groupBy(col("sh"))
         .agg(count(lit(1)).as("__df"))
+        // confirm the aggregated survivor grams against the exact eval
+        // hash set (broadcast, distinct — the Bloom's own source), so the
+        // df distribution is FP-FREE: false positives never produce pairs
+        // (the confirm join kills them), but left in the histogram they
+        // would perturb the auto-cap derivation nondeterministically
+        // (the fp set depends on the Bloom's bit layout, which no oracle
+        // can replay). The semi-join runs on the already-aggregated frame
+        // (≤ |eval grams| + fpp noise rows), not the corpus scan.
+        .join(broadcast(testSh.select(col("sh")).distinct()),
+          Seq("sh"), "left_semi")
         // lazy: materialized once at first action (or at cap derivation
         // in auto mode), shared by every consumer (cap histogram,
         // anti-join, capped counts) — eager would run the df pre-pass at

@@ -1311,6 +1311,28 @@ object PipelineQueries {
           col("overlap_frac"), col("n_capped_grams"))
     }),
 
+    // --- decontamination with the AUTO cap BINDING: autoCapMeanDf = 1
+    // sets the pair-row budget to one row per surviving gram — below the
+    // fixture's survivor mean (1.6 at sf0.01), so the derivation itself
+    // binds at the gate SF and the oracle replays ALL of it in SQL: the
+    // confirmed survivor-df histogram, the coolest-first cumulative-mass
+    // prefix (monotone, so `cum <= budget` IS the greedy prefix), the
+    // derived cap, hot-gram exclusion, counts and sentinels. This row is
+    // why the derivation is FP-confirmed: a cap derived from a
+    // Bloom-noised histogram would be a function of the filter's bit
+    // layout and no oracle could replay it --------------------------------
+    "contamination_autocap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Contamination.ngramOverlapBloom(
+        train = docs.filter(col("doc_id") % 17 =!= 0),
+        test = docs.filter(col("doc_id") % 17 === 0),
+        "text", "doc_id", n = 3, minShared = 2,
+        maxTrainDf = Contamination.AutoTrainDf, autoCapMeanDf = 1)
+        .select(col("test_id"), col("train_id"), col("shared_ngrams"),
+          col("n_test_ngrams").cast("long").as("n_test_ngrams"),
+          col("overlap_frac"), col("n_capped_grams"))
+    }),
+
     // --- ANN: brute-force cosine top-k ------------------------------------------------
     "ann_brute_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -1832,7 +1854,7 @@ object PipelineQueries {
 
     // --- the COLD deployed composition end to end (IVFx,PQy,RFlat
     // from the store): both quantizers from the store's own sidecars,
-    // candK=25 shortlist from the compressed codes behind a
+    // candK shortlist from the compressed codes behind a
     // PartitionFilters probe, exact refine touching ONLY the
     // |Q|·candK shortlist rows of the float corpus — the production
     // read path of a compressed index at high recall. The oracle is
@@ -1844,6 +1866,11 @@ object PipelineQueries {
     // r12 build/probe timing split) and this row times ONLY the cold
     // serve — an earlier name (ann_ivfpq_served) silently inverted
     // that attribution ---------------------------------------------------
+    // candK = 50: the ann_ivfpq_candk sweep's named operating point
+    // (~85% of the 10→100 recall span at half the peak float-read cost;
+    // marginal recall per read drops ~3× beyond it) — the served row
+    // ships what the sizing row priced. candK=25 remains measured as
+    // the budget point in ann_ivfpqt2_rerank.
     "ann_ivfpqt_served" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val idx = sharedIvfPqIndex(s, d)
@@ -1851,7 +1878,7 @@ object PipelineQueries {
       val cbs = graft.llm.Pq.loadPqCodebooks(s, idx)
       graft.llm.Pq.ivfPqRefineTopKIndexed(s.read.parquet(idx), e,
         e.filter(col("vec_id") < 10), "vec_id", "embedding",
-        topK = 3, candK = 25, subDim = 8, cents, cbs, probes = 2,
+        topK = 3, candK = 50, subDim = 8, cents, cbs, probes = 2,
         dim = 64)
     }),
 
@@ -6321,6 +6348,53 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
            |WHERE c.test_id NOT IN (SELECT DISTINCT test_id FROM pairs)"""
           .stripMargin,
 
+      // the AUTO-cap derivation replayed end to end: confirmed
+      // survivor dfs -> per-df histogram -> monotone cumulative mass ->
+      // cap = max df level whose prefix fits the budget (1 row per
+      // surviving gram) -> the contamination_capped semantics at that
+      // derived cap
+      "contamination_autocap" ->
+        s"""WITH $shinglesCte,
+           |test AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 17 = 0),
+           |train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 17 != 0),
+           |sizes AS (SELECT doc_id AS test_id, count(*) AS n_test_ngrams
+           |          FROM test GROUP BY 1),
+           |surv AS (SELECT shingle, count(*) AS df FROM train
+           |         WHERE shingle IN (SELECT shingle FROM test)
+           |         GROUP BY 1),
+           |hist AS (SELECT df, count(*) AS n FROM surv GROUP BY 1),
+           |cum AS (SELECT df, sum(df * n) OVER (ORDER BY df) AS cum
+           |        FROM hist),
+           |cap AS (SELECT coalesce(max(df), 1) AS cap FROM cum
+           |        WHERE cum <= (SELECT count(*) FROM surv)),
+           |hot AS (SELECT shingle FROM surv
+           |        WHERE df > (SELECT cap FROM cap)),
+           |capped AS (SELECT test.doc_id AS test_id,
+           |                  count(*) AS n_capped_grams
+           |           FROM test JOIN hot USING (shingle) GROUP BY 1),
+           |pairs AS (
+           |  SELECT test.doc_id AS test_id, train.doc_id AS train_id,
+           |         count(*) AS shared_ngrams
+           |  FROM test JOIN train USING (shingle)
+           |  WHERE shingle NOT IN (SELECT shingle FROM hot)
+           |  GROUP BY 1, 2 HAVING count(*) >= 2)
+           |SELECT p.test_id, p.train_id, p.shared_ngrams,
+           |       s.n_test_ngrams,
+           |       round(CAST(p.shared_ngrams AS DOUBLE) / s.n_test_ngrams,
+           |             6) AS overlap_frac,
+           |       CAST(coalesce(c.n_capped_grams, 0) AS BIGINT)
+           |         AS n_capped_grams
+           |FROM pairs p JOIN sizes s USING (test_id)
+           |LEFT JOIN capped c USING (test_id)
+           |UNION ALL
+           |SELECT c.test_id, CAST(NULL AS BIGINT) AS train_id,
+           |       CAST(0 AS BIGINT) AS shared_ngrams, s.n_test_ngrams,
+           |       CAST(NULL AS DOUBLE) AS overlap_frac,
+           |       CAST(c.n_capped_grams AS BIGINT) AS n_capped_grams
+           |FROM capped c JOIN sizes s USING (test_id)
+           |WHERE c.test_id NOT IN (SELECT DISTINCT test_id FROM pairs)"""
+          .stripMargin,
+
       // the int8 grid from embed_quantize's oracle, dequantized, then
       "embed_pq_codes" ->
         (s"WITH ${pqEncodeCtes(8, 16, 8)}\n" +
@@ -6556,7 +6630,8 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
       // the cold store-served refine: the refined RANKING itself (the
       // rerank oracle's rref chain, emitted as rows instead of folded
       // into recall) — shared derivation, so the cold path is pinned
-      // row-identical to the unmaterialized refine
+      // row-identical to the unmaterialized refine; candK = 50, the
+      // sweep's named operating point (the engine row ships it)
       "ann_ivfpqt_served" ->
         (s"WITH ${kmeansCtes(8, 2, 64)},\n" +
           residualCtes(maxQueryId = 10, probes = 2) + """,
@@ -6565,7 +6640,7 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
             |rcand AS (SELECT query_id, neighbor_id FROM (
             |  SELECT query_id, neighbor_id, row_number() OVER (
             |    PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
-            |  FROM rsc) WHERE rank <= 25),
+            |  FROM rsc) WHERE rank <= 50),
             |rref AS (SELECT rcand.query_id, rcand.neighbor_id,
             |           list_dot_product(c.v, c.v)
             |             - 2.0 * list_dot_product(q.v, c.v) AS d
