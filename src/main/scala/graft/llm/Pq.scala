@@ -529,8 +529,16 @@ object Pq {
     * vectors on neighbor_id, queries broadcast, and the exact kernel
     * touches |Q|·candK rows, never the corpus scan. ‖q‖² dropped —
     * constant per query, since refine ranks within one query's
-    * shortlist. */
-  private def refineShortlist(cand: DataFrame, corpus: DataFrame,
+    * shortlist.
+    *
+    * PUBLIC because the shortlist is a legitimate caller input: the
+    * codes ranking is deterministic, so its top-ck prefix IS the
+    * candK=ck shortlist — a refine-depth sweep (`ann_ivfpq_candk`)
+    * ranks ONCE at the deepest candK and refines each leg from a
+    * `rank <= ck` filter of the same frame, paying one ADC scan
+    * instead of one per leg. `cand` needs `query_id`/`neighbor_id`
+    * columns (extra columns are ignored). */
+  def refineShortlist(cand: DataFrame, corpus: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String,
       topK: Int, dim: Int): DataFrame = {
     val okLen = size(col(vecCol)) === dim

@@ -1973,7 +1973,10 @@ object PipelineQueries {
     // recall-vs-float-reads curve, since refine cost is exactly
     // |Q|·candK float rows). Every leg rides the ONE shared coarse
     // quantizer + residual books (training happens once — the sweep
-    // varies only the shortlist depth), one shared exact-L2 leg --------
+    // varies only the shortlist depth), one shared exact-L2 leg, and
+    // ONE shared ADC ranking at the deepest candK: the codes ranking is
+    // deterministic, so leg ck's shortlist IS the shared ranking's
+    // rank <= ck prefix — one ADC scan instead of one per leg ----------
     "ann_ivfpq_candk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .filter(size(col("embedding")) === 64)
@@ -1982,10 +1985,14 @@ object PipelineQueries {
       val cbs = sharedResidualCodebooks(s, d)
       val exact = graft.llm.Pq.exactL2TopK(e, q, "vec_id", "embedding",
         topK = 3).localCheckpoint() // one exact leg serves the sweep
+      val ranked = graft.llm.Pq.ivfPqResidualTopKWith(e, q, "vec_id",
+        "embedding", topK = ivfPqCandKSweep.max, subDim = 8, cents, cbs,
+        probes = 2, dim = 64)
+        .localCheckpoint() // one ADC scan serves every leg
       ivfPqCandKSweep.map { candK =>
-        val refined = graft.llm.Pq.ivfPqRefineTopK(e, q, "vec_id",
-          "embedding", topK = 3, candK = candK, subDim = 8, cents, cbs,
-          probes = 2, dim = 64)
+        val refined = graft.llm.Pq.refineShortlist(
+          ranked.filter(col("rank") <= candK), e, q, "vec_id",
+          "embedding", topK = 3, dim = 64)
         Similarity.recallAtK(exact, refined, k = 3)
           .select(lit(candK.toLong).as("cand_k"), col("query_id"),
             col("n_hits"), col("recall"))
