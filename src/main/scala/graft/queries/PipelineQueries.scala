@@ -2126,6 +2126,50 @@ object PipelineQueries {
         rotatedDim = Some(64), bands = 2)
         .select("id_a", "id_b", "score")),
 
+    // --- near-dup BLOCKING sizing sweep: partner-recall of the
+    // (b, bands) bucket family against a SAMPLED brute truth — the
+    // measured curve behind "grow b ~log₂N with OR-amplifying bands"
+    // (the r16 de-degenerate sf1 rehearsal showed the fixed-b cost
+    // honestly: occupancy ∝ N²/2^b, so deployment grows b and buys the
+    // recall back with bands; this row prices exactly that trade). The
+    // truth leg is Θ(|S|·N), NOT Θ(N²): all-pairs ground truth is
+    // uncomputable at any real scale, so truth = the exact near-dup
+    // PARTNERS of a fixed query sample (vec_id < 200 — the
+    // ann_recall_eval posture applied to pairs), and each leg's found
+    // partners are the kernel's pairs touching the sample, oriented
+    // sample-first. Found ⊆ truth by construction (the kernel
+    // thresholds on the same rounded score), so recall =
+    // n_found/n_true exactly over the sampled pair population ----------
+    "embed_neardup_sizing" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val nv = e.filter(size(col("embedding")) >= 64)
+        .select(col("vec_id"), Similarity.normalize(col("embedding")).as("nv"))
+      val qs = nv.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("q"), col("nv").as("__vq"))
+      val cs = nv.select(col("vec_id").as("x"), col("nv").as("__vx"))
+      val truth = broadcast(qs).join(cs, col("q") =!= col("x"))
+        .filter(round(Similarity.dot(col("__vq"), col("__vx")), 6) >= 0.35)
+        .select("q", "x")
+        .localCheckpoint() // one sampled brute pass serves every leg
+      val nTrue = truth.agg(count(lit(1)).as("n_true"))
+      neardupSizingSweep.map { case (b, bands) =>
+        val pairs = Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
+          threshold = 0.35, b = b, rotatedDim = Some(64), bands = bands)
+          .select("id_a", "id_b")
+        val partners = pairs.filter(col("id_a") < 200)
+          .select(col("id_a").as("q"), col("id_b").as("x"))
+          .unionByName(pairs.filter(col("id_b") < 200)
+            .select(col("id_b").as("q"), col("id_a").as("x")))
+        truth.join(partners, Seq("q", "x"), "left_semi")
+          .agg(count(lit(1)).as("n_found"))
+          .crossJoin(nTrue)
+          .select(lit(b.toLong).as("b"), lit(bands.toLong).as("bands"),
+            col("n_true"), col("n_found"),
+            round(col("n_found").cast("double") / col("n_true"), 6)
+              .as("recall"))
+      }.reduce(_ unionByName _)
+    }),
+
     // --- kNN GRAPH: every node's top-k neighbors among its LSH
     // candidates — the corpus-vs-itself sibling of ann_sign_lsh (shuffle
     // hash join on (band, bucket), nothing broadcasts); the substrate
@@ -5282,6 +5326,13 @@ object PipelineQueries {
     * the recall-vs-float-reads curve. */
   private val ivfPqCandKSweep: Seq[Int] = Seq(10, 25, 50, 100)
 
+  /** The near-dup blocking sweep points (bucket bits b × OR-bands),
+    * shared by `embed_neardup_sizing` and its oracle: the gate rows'
+    * configs (2,1)/(4,2), bits-alone at (4,1)/(8,1) to show the recall
+    * that raising b without bands costs, and the 100 TB shape (8,4). */
+  private val neardupSizingSweep: Seq[(Int, Int)] =
+    Seq((2, 1), (4, 1), (4, 2), (8, 1), (8, 4))
+
   /** `ann_ivfpq_candk`'s oracle: ONE shared coarse stage + serving-depth
     * fine stage ([[residualCtes]] — the same `rsc` ADC scoring every
     * `ann_ivfpqt2_*` oracle ranks, so the sweep cannot desynchronize
@@ -5324,6 +5375,55 @@ object PipelineQueries {
          |    ON a.query_id = ex.query_id
          |   AND a.neighbor_id = ex.neighbor_id
          |  GROUP BY 1)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    shared + per + "\n" + selects
+  }
+
+  /** `embed_neardup_sizing`'s oracle: one MATERIALIZED sampled brute
+    * partner-truth leg (queries `vec_id < 200`, rounded-score
+    * threshold — the embed_cosine_neardup discipline), per (b, bands)
+    * leg the seeded rotated buckets ([[rotatedBucketSql]], seed + band —
+    * the embed_neardup_banded CTEs generalized) and a count of truth
+    * partner rows whose two members collide in ANY band (collision is
+    * symmetric, so orientation needs no care); identical vectors share
+    * every bucket, so the engine's exact-dup canonicalization needs no
+    * special casing here. */
+  private def neardupSizingSql(legs: Seq[(Int, Int)]): String = {
+    val shared =
+      s"""WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |            FROM embeddings WHERE len(embedding) >= 64),
+         |nv AS (SELECT vec_id, v,
+         |         list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+         |           AS nv
+         |       FROM ec),
+         |qs AS (SELECT vec_id AS q, nv AS vq FROM nv WHERE vec_id < 200),
+         |tr AS MATERIALIZED (
+         |  SELECT qs.q, c.vec_id AS x
+         |  FROM qs JOIN nv c ON c.vec_id <> qs.q
+         |  WHERE round(list_dot_product(qs.vq, c.nv), 6) >= 0.35),
+         |trc AS (SELECT count(*) AS n_true FROM tr)""".stripMargin
+    val per = legs.map { case (b, bands) =>
+      val p = s"s${b}x$bands"
+      val bkCols = (0 until bands).map(j =>
+        s"${rotatedBucketSql("v", b, 64, Similarity.DefaultSeed + j)}" +
+          s" AS bk$j").mkString(",\n         ")
+      val orCond = (0 until bands).map(j => s"x.bk$j = y.bk$j")
+        .mkString(" OR ")
+      s""",
+         |${p}b AS (SELECT vec_id,
+         |         $bkCols
+         |       FROM ec),
+         |$p AS (SELECT count(*) AS n_found FROM tr t
+         |       JOIN ${p}b x ON x.vec_id = t.q
+         |       JOIN ${p}b y ON y.vec_id = t.x
+         |       WHERE $orCond)""".stripMargin
+    }.mkString
+    val selects = legs.map { case (b, bands) =>
+      val p = s"s${b}x$bands"
+      s"""SELECT CAST($b AS BIGINT) AS b, CAST($bands AS BIGINT) AS bands,
+         |       n_true, n_found,
+         |       round(CAST(n_found AS DOUBLE) / n_true, 6) AS recall
+         |FROM $p, trc""".stripMargin
     }.mkString("\nUNION ALL\n")
     shared + per + "\n" + selects
   }
@@ -7447,6 +7547,10 @@ c$i AS (SELECT p.j, coalesce(n.c, p.c) AS c
           |    ON a.vec_id < b.vec_id
           |   AND (a.bk0 = b.bk0 OR a.bk1 = b.bk1))
           |WHERE score >= 0.35""".stripMargin),
+
+      // the blocking sizing sweep: brute pair truth + per-(b,bands)
+      // collision counts (generator doc at neardupSizingSql)
+      "embed_neardup_sizing" -> neardupSizingSql(neardupSizingSweep),
 
       // the banded-OR join emits one row per colliding pair (SQL join
       // semantics — no dedup needed, unlike the Spark side's per-band

@@ -110,6 +110,11 @@ class PlanSpec extends SparkSpec {
       // the sq8-vs-float eval's exact leg is the brute scorer by
       // design; both IVF legs are cell-pruned equi-joins
       "ann_ivfsq_recall",
+      // the blocking-sizing sweep's truth leg is the brute cosine PAIR
+      // scorer by design (pair recall needs exact ground truth — the
+      // ann_recall_eval posture over pairs); every per-(b,bands)
+      // candidate leg is the bucketed equi-join being sized
+      "embed_neardup_sizing",
       // quality_ensemble's 1-row fluency threshold broadcast-attaches
       // inside the composed pipeline exactly as in the standalone query
       "pipeline_curate",
