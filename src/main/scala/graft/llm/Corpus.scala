@@ -692,10 +692,16 @@ object Corpus {
       .select(explode(col("__toks")).as("term"))
       .filter(!col("term").isin(seedTerms: _*))
       .groupBy(col("term")).agg(count(lit(1)).as("__fbtf"))
-    val exploded = base.select(col(idCol), explode(col("__toks")).as("term"))
-    val candDf = exploded
+    // document frequency of the candidate terms: per-doc dedup happens
+    // MAP-SIDE (array_distinct before the explode), so the count
+    // aggregate partial-combines and nothing (doc, term)-grained ever
+    // shuffles — r17, guide §2.3 (was explode → join → corpus-wide
+    // DISTINCT on (doc, term) → count; identical __df values, since the
+    // old distinct deduplicated exactly the per-doc repeats
+    // array_distinct removes)
+    val candDf = base
+      .select(explode(array_distinct(col("__toks"))).as("term"))
       .join(broadcast(fbTf.select("term")), Seq("term"))
-      .distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("__df"))
     val nDocs = broadcast(base.agg(count(lit(1)).as("__n_docs")))
     val escore = round(

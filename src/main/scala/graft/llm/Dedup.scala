@@ -111,9 +111,18 @@ object Dedup {
     * one-pass codegen'd [[graft.functions.MinHashUtil]] (same values as
     * [[minhashSignatures]], zero shuffles before banding). */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
-                 shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
-    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
-    val rows = k / bands
+                 shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame =
+    minhashLshFromGroups(
+      minhashSigGroups(df, textCol, idCol, shingleN, k), k, bands)
+
+  /** The band-INDEPENDENT prefix of [[minhashLsh]]: canonicalized
+    * signature groups (__sig, __ids, __rep). Split out so a bands sweep
+    * (`dedup_lsh_sizing`) computes the signature pipeline — the
+    * shingle/minhash scan and the canonicalization exchange, the
+    * expensive part — once and re-bands the checkpointed group frame
+    * per leg (guide §1.2: don't recompute what the legs share). */
+  def minhashSigGroups(df: DataFrame, textCol: String, idCol: String,
+                       shingleN: Int, k: Int): DataFrame = {
     val ws = TextAnalysis.tokens(col(textCol))
     // Canonicalize on the SIGNATURE vector (computed map-side, fixed
     // k×16-char width — unlike grouping by text, this never shuffles
@@ -127,9 +136,17 @@ object Dedup {
         graft.functions.MinHashUtil.signatures(
           graft.functions.Shingles.distinctShingles(ws, shingleN), k)
           .as("__sig"))
-    val groups = sigd.groupBy(col("__sig"))
+    sigd.groupBy(col("__sig"))
       .agg(sort_array(collect_list(col(idCol))).as("__ids"))
       .withColumn("__rep", element_at(col("__ids"), 1))
+  }
+
+  /** [[minhashLsh]]'s banding/pairing suffix over a prebuilt
+    * [[minhashSigGroups]] frame. */
+  def minhashLshFromGroups(groups: DataFrame, k: Int,
+                           bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val rows = k / bands
     // identical signatures collide in every band: all within-group a<b
     // pairs are candidates by construction, emitted map-side. Two CHAINED
     // explodes, not one flattened d²/2-element array: a d-duplicated

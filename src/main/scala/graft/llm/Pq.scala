@@ -20,9 +20,10 @@ import graft.core.Tables.spread
   * its plan shape, and its cross-engine determinism are all real and
   * oracle-checkable without a training artifact, and k-means-trained
   * codebooks (see [[Clustering]]) plug in by swapping the literal. Every
-  * codebook entry is a plan literal, so encode is a map-only scan: `m·k`
-  * fixed-order dot products per vector and an `array_sort` argmin per
-  * subspace — no shuffle, no join, no UDF.
+  * codebook entry rides the plan (a references-array constant of the
+  * [[graft.functions.PqEncode]] codegen kernel), so encode is a map-only
+  * scan: `m·k` fixed-order dot products and an argmin per subspace in one
+  * generated loop — no shuffle, no join, no UDF.
   *
   * Engine portability: subspace scores use the k-means comparison idiom
   * `dot(c,c) − 2·dot(sub,c)` (the ‖sub‖² term is constant per subspace
@@ -42,27 +43,40 @@ object Pq {
     Similarity.rotationPlanes(m * k, subDim, seed)
       .grouped(k).toIndexedSeq
 
+  /** Codebooks flattened for the [[graft.functions.PqKernels]] codegen
+    * kernels: codeword (j, c) at [((j·k)+c)·subDim, +subDim). */
+  private def flatCb(cbs: IndexedSeq[IndexedSeq[Array[Double]]])
+      : IndexedSeq[Double] =
+    cbs.flatMap(_.flatMap(_.toIndexedSeq))
+
   /** Per-subspace code assignment for one vector column: `codes[j]` is the
     * argmin-distance codeword of subspace j, an int in [0, k). Map-only;
-    * vectors shorter than m·subDim are dropped (no partial encode). */
+    * vectors shorter than m·subDim are dropped (no partial encode).
+    *
+    * r17: one codegen'd [[graft.functions.PqEncode]] loop instead of the
+    * m×k struct/array_min expression forest — O(1) plan size in m·k,
+    * bit-identical codes (same sequential-fold dots against the same
+    * selfDot literals, same low-code argmin tie-break; PqKernelsSpec
+    * pins old-vs-new equality on the fixture corpus). The oracle is
+    * untouched: it replays the codebook VALUES, which this kernel embeds
+    * unchanged. */
   private def codesCol(vec: Column, m: Int, k: Int, subDim: Int,
-                       cbs: IndexedSeq[IndexedSeq[Array[Double]]]): Column = {
-    val perSub = (0 until m).map { j =>
-      val sub = slice(vec, j * subDim + 1, subDim)
-      val scored = (0 until k).map { c =>
-        val cb = cbs(j)(c)
-        // dot(c,c) folded in Scala would bake a computed double into the
-        // plan — fine, but the oracle must inline the SAME literal; both
-        // sides instead recompute nothing: the literal is stringified
-        // once here and pasted into the SQL by the query module.
-        val l = Pq.selfDot(cb)
-        val s = lit(l) - lit(2.0) * Similarity.dot(sub, typedlit(cb.toSeq))
-        struct(s.as("s"), lit(c).as("c"))
-      }
-      array_sort(array(scored: _*)).getItem(0).getField("c")
-    }
-    array(perSub: _*)
-  }
+                       cbs: IndexedSeq[IndexedSeq[Array[Double]]]): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.PqEncode(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(vec),
+        m, k, subDim, flatCb(cbs)))
+
+  /** Encode + reconstruct fused ([[graft.functions.PqEncodeRecon]]) —
+    * the ADC corpus side scores against this m·subDim concatenation and
+    * never needs the intermediate codes array. Same codes as
+    * [[codesCol]], same codeword doubles as [[reconCol]]. */
+  private def encodeReconCol(vec: Column, m: Int, k: Int, subDim: Int,
+      cbs: IndexedSeq[IndexedSeq[Array[Double]]]): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.PqEncodeRecon(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(vec),
+        m, k, subDim, flatCb(cbs)))
 
   /** ‖v‖² as the exact sequential left-fold both engines' dot uses. */
   private[graft] def selfDot(v: Array[Double]): Double = {
@@ -115,9 +129,6 @@ object Pq {
     val base = spread(df).filter(size(col(vecCol)) >= m * subDim)
       .select(col(idCol).as("__id"),
         Clustering.quantize(col(vecCol)).as("__w"))
-    val subs = base.select(col("__id"), posexplode(array((0 until m).map(
-        j => slice(col("__w"), j * subDim + 1, subDim)): _*)))
-      .select(col("__id"), col("pos").as("__j"), col("col").as("__sub"))
     // init: the k lowest-id vectors' subvectors, per subspace
     var cbs: IndexedSeq[IndexedSeq[Array[Double]]] = {
       val first = base.orderBy(col("__id")).limit(k).collect()
@@ -126,21 +137,21 @@ object Pq {
         _.slice(j * subDim, (j + 1) * subDim)))
     }
     for (_ <- 0 until iters) {
-      // assignment against the current plan-literal centroids — one
-      // scores array per (row, subspace), argmin with low-code ties
-      val assign = (0 until m).foldLeft(lit(-1)) { (acc, j) =>
-        val scored = (0 until k).map { c =>
-          val cb = cbs(j)(c)
-          struct((lit(selfDot(cb)) -
-            lit(2.0) * Similarity.dot(col("__sub"), typedlit(cb.toSeq)))
-            .as("s"), lit(c).as("c"))
-        }
-        when(col("__j") === j,
-          array_sort(array(scored: _*)).getItem(0).getField("c"))
-          .otherwise(acc)
-      }
-      val sums = subs.withColumn("__c", assign)
-        .select(col("__j"), col("__c"), posexplode(col("__sub")))
+      // r17: assignment via the whole-vector PqEncode kernel (one
+      // compact codegen loop, codes identical to the old per-subspace
+      // array_min forest — PqKernelsSpec pins it), then ONE component
+      // explode keyed by (subspace = pos div subDim, code, pos mod
+      // subDim) feeds the same map-side-combined sum/count aggregate.
+      // Same rows, same exact dyadic sums, ~m·k× smaller plan per round.
+      val sums = base
+        .select(codesCol(col("__w"), m, k, subDim, cbs).as("__codes"),
+          posexplode(col("__w")))
+        .select(
+          (col("pos") / lit(subDim)).cast("int").as("__j"),
+          element_at(col("__codes"),
+            (col("pos") / lit(subDim)).cast("int") + 1).as("__c"),
+          (col("pos") % lit(subDim)).cast("int").as("pos"),
+          col("col"))
         .groupBy(col("__j"), col("__c"), col("pos"))
         .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
         .collect()
@@ -196,8 +207,7 @@ object Pq {
     require(topK > 0, s"topK=$topK")
     val m = cbs.length
     val k = cbs.head.length
-    val codes = codesCol(col(vecCol), m, k, subDim, cbs)
-    val recon = reconCol(codes, m, cbs)
+    val recon = encodeReconCol(col(vecCol), m, k, subDim, cbs)
     val enc = spread(corpus).filter(size(col(vecCol)) >= m * subDim)
       .select(col(idCol).as("neighbor_id"), recon.as("__recon"))
     val q = queries.filter(size(col(vecCol)) >= m * subDim)
@@ -310,12 +320,11 @@ object Pq {
     require(topK > 0, s"topK=$topK")
     require(probes >= 1 && probes <= 2, s"probes=$probes not in 1..2")
     val cbs = codebooks(m, k, subDim, seed)
-    val codes = codesCol(col(vecCol), m, k, subDim, cbs)
     val (cw, cr) = Similarity.axisCells(col(vecCol), cellsM)
     val okLen = size(col(vecCol)) >= math.max(m * subDim, cellsM)
     val enc = spread(corpus).filter(okLen)
       .select(col(idCol).as("neighbor_id"), cw.as("cell"),
-        reconCol(codes, m, cbs).as("__recon"))
+        encodeReconCol(col(vecCol), m, k, subDim, cbs).as("__recon"))
     val q = queries.filter(okLen)
       .select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("__qv"),
@@ -372,14 +381,13 @@ object Pq {
     require(dim >= m * subDim,
       s"dim=$dim shorter than the $m×$subDim PQ layout")
     val cbs = codebooks(m, k, subDim, seed)
-    val codes = codesCol(col(vecCol), m, k, subDim, cbs)
     val okLen = size(col(vecCol)) === dim
     val enc = spread(corpus).filter(okLen)
       .select(col(idCol).as("neighbor_id"),
         element_at(
           Similarity.trainedProbeCells(col(vecCol), centroids, 1), 1)
           .as("cell"),
-        reconCol(codes, m, cbs).as("__recon"))
+        encodeReconCol(col(vecCol), m, k, subDim, cbs).as("__recon"))
     val q = queries.filter(okLen)
       .select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("__qv"),
@@ -466,9 +474,8 @@ object Pq {
       s"probes=$probes out of [1, ${centroids.length}]")
     val centLit = typedlit(centroids.map(_.toSeq))
     val res = residualFrame(corpus, idCol, vecCol, centroids, dim)
-    val codes = codesCol(col("__res"), m, k, subDim, cbs)
     val enc = res.select(col(idCol).as("neighbor_id"), col("cell"),
-      reconCol(codes, m, cbs).as("__recon"))
+      encodeReconCol(col("__res"), m, k, subDim, cbs).as("__recon"))
     val q = queries.filter(size(col(vecCol)) === dim)
       .select(col(idCol).as("query_id"),
         Clustering.quantize(col(vecCol)).as("__qw"),

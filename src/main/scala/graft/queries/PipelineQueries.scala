@@ -730,6 +730,54 @@ object PipelineQueries {
       Similarity.writeIvfSqIndex(Tables.embeddings(s, d), "vec_id",
         "embedding", p, sharedIvfTrainedCentroids(s, d), dim = 64))
 
+  /** The corpus kNN graph — every graph-family query's substrate. r16
+    * measured FOURTEEN queries (knn_graph, knn_graph_mutual,
+    * ann_graph_search/recall, graph_pagerank[_weighted], graph_ppr,
+    * graph_hits, graph_triangles, graph_adamic, graph_kcore[_cert],
+    * graph_degree, graph_labelprop) each rebuilding the IDENTICAL
+    * (k=3, b=knnBucketBits, dim=64, bands=2) edge frame at ~0.7–1.3 s a
+    * time — ~10 s of pure recomputation per bench pass. Memoize the
+    * localCheckpointed frame per (session, dir), the
+    * [[sharedLshPairs]] economics: the first consumer pays the bucket
+    * join, the rest read the materialized (|V|·k-row) edge frame. The
+    * graph is deterministic, so every consumer sees bit-identical
+    * edges; clearCaches keeps bench passes honest. (graph_components
+    * builds its own copy inside a child session scoped to 8 shuffle
+    * partitions — a frame checkpointed under the parent session's plan
+    * would drag its 32-partition rounds back in.) */
+  private val knnGraphCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def sharedKnnGraph(s: SparkSession, d: String): DataFrame = {
+    if (knnGraphCache.size >= maxCacheEntries) clearCaches()
+    knnGraphCache.getOrElseUpdate((s, d), {
+      val e = Tables.embeddings(s, d)
+      Similarity.knnGraph(e, "vec_id", "embedding",
+        k = 3, b = knnBucketBits(e), dim = 64, bands = 2).localCheckpoint()
+    })
+  }
+
+  /** The brute exact-L2 baseline leg of the residual-PQ eval family —
+    * SEVEN queries (ann_ivfpqt_recall, ann_ivfpqt2_recall/rerank/probes,
+    * ann_ivfpq_mk/iters/candk) score the IDENTICAL leg (corpus
+    * size==64, queries vec_id<10, topK=3) and each already
+    * localCheckpoints it privately; memoizing the checkpoint per
+    * (session, dir) makes the sweep family pay the |Q|×N brute scan
+    * once per pass instead of seven times. Deterministic ranking, so
+    * every consumer sees bit-identical rows. */
+  private val exactL2LegCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def sharedExactL2Leg(s: SparkSession, d: String): DataFrame = {
+    if (exactL2LegCache.size >= maxCacheEntries) clearCaches()
+    exactL2LegCache.getOrElseUpdate((s, d), {
+      val e = Tables.embeddings(s, d)
+        .filter(size(col("embedding")) === 64)
+      graft.llm.Pq.exactL2TopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", topK = 3).localCheckpoint()
+    })
+  }
+
   /** Same sharing for the exact-overlap candidate join: the Jaccard and
     * containment gates are finishers over one blocking-join frame. */
   private val overlapCache =
@@ -754,6 +802,8 @@ object PipelineQueries {
     indexStoreCache.clear()
     ivfTrainedCentroidCache.clear()
     residualCbCache.clear()
+    knnGraphCache.clear()
+    exactL2LegCache.clear()
   }
 
   val queries: Map[String, Q] = Map(
@@ -1695,8 +1745,7 @@ object PipelineQueries {
         .filter(size(col("embedding")) === 64)
       val q = e.filter(col("vec_id") < 10)
       val cents = sharedIvfTrainedCentroids(s, d)
-      val exact = graft.llm.Pq.exactL2TopK(e, q, "vec_id", "embedding",
-        topK = 3).localCheckpoint() // one exact leg serves both methods
+      val exact = sharedExactL2Leg(s, d) // one exact leg serves both methods (and the whole eval family — memoized)
       val trained = graft.llm.Pq.ivfAdcTopKTrained(e, q, "vec_id",
         "embedding", topK = 3, m = 8, k = 16, subDim = 8, cents,
         probes = 2, dim = 64)
@@ -1764,8 +1813,7 @@ object PipelineQueries {
       val q = e.filter(col("vec_id") < 10)
       val cents = sharedIvfTrainedCentroids(s, d)
       val cbs = sharedResidualCodebooks(s, d)
-      val exact = graft.llm.Pq.exactL2TopK(e, q, "vec_id", "embedding",
-        topK = 3).localCheckpoint() // one exact leg serves the sweep
+      val exact = sharedExactL2Leg(s, d) // one exact leg serves the sweep (and the whole eval family — memoized)
       ivftProbeSweep.map { p =>
         val approx = graft.llm.Pq.ivfPqResidualTopKWith(e, q, "vec_id",
           "embedding", topK = 3, subDim = 8, cents, cbs, probes = p,
@@ -1836,8 +1884,7 @@ object PipelineQueries {
       val q = e.filter(col("vec_id") < 10)
       val cents = sharedIvfTrainedCentroids(s, d)
       val cbs = sharedResidualCodebooks(s, d)
-      val exact = graft.llm.Pq.exactL2TopK(e, q, "vec_id", "embedding",
-        topK = 3).localCheckpoint() // one exact leg serves both methods
+      val exact = sharedExactL2Leg(s, d) // one exact leg serves both methods (and the whole eval family — memoized)
       val refined = graft.llm.Pq.ivfPqRefineTopK(e, q, "vec_id",
         "embedding", topK = 3, candK = 25, subDim = 8, cents, cbs,
         probes = 2, dim = 64)
@@ -1892,8 +1939,7 @@ object PipelineQueries {
         .filter(size(col("embedding")) === 64)
       val q = e.filter(col("vec_id") < 10)
       val cents = sharedIvfTrainedCentroids(s, d)
-      val exact = graft.llm.Pq.exactL2TopK(e, q, "vec_id", "embedding",
-        topK = 3).localCheckpoint() // one exact leg serves both methods
+      val exact = sharedExactL2Leg(s, d) // one exact leg serves both methods (and the whole eval family — memoized)
       val resid = graft.llm.Pq.ivfPqResidualTopKWith(e, q, "vec_id",
         "embedding", topK = 3, subDim = 8, cents,
         sharedResidualCodebooks(s, d), probes = 2, dim = 64)
@@ -1922,8 +1968,7 @@ object PipelineQueries {
         .filter(size(col("embedding")) === 64) // the kmeans universe
       val q = e.filter(col("vec_id") < 10)
       val cents = sharedIvfTrainedCentroids(s, d)
-      val exact = graft.llm.Pq.exactL2TopK(e, q, "vec_id", "embedding",
-        topK = 3).localCheckpoint() // one exact leg serves the sweep
+      val exact = sharedExactL2Leg(s, d) // one exact leg serves the sweep (and the whole eval family — memoized)
       ivfPqMkSweep.map { case (m, k) =>
         val cbs =
           if (m == 8 && k == 16) sharedResidualCodebooks(s, d)
@@ -1948,8 +1993,7 @@ object PipelineQueries {
         .filter(size(col("embedding")) === 64)
       val q = e.filter(col("vec_id") < 10)
       val cents = sharedIvfTrainedCentroids(s, d)
-      val exact = graft.llm.Pq.exactL2TopK(e, q, "vec_id", "embedding",
-        topK = 3).localCheckpoint()
+      val exact = sharedExactL2Leg(s, d) // memoized across the eval family
       ivfPqItersSweep.map { i =>
         val cbs =
           if (i == 2) sharedResidualCodebooks(s, d)
@@ -1983,8 +2027,7 @@ object PipelineQueries {
       val q = e.filter(col("vec_id") < 10)
       val cents = sharedIvfTrainedCentroids(s, d)
       val cbs = sharedResidualCodebooks(s, d)
-      val exact = graft.llm.Pq.exactL2TopK(e, q, "vec_id", "embedding",
-        topK = 3).localCheckpoint() // one exact leg serves the sweep
+      val exact = sharedExactL2Leg(s, d) // one exact leg serves the sweep (and the whole eval family — memoized)
       val ranked = graft.llm.Pq.ivfPqResidualTopKWith(e, q, "vec_id",
         "embedding", topK = ivfPqCandKSweep.max, subDim = 8, cents, cbs,
         probes = 2, dim = 64)
@@ -2135,32 +2178,53 @@ object PipelineQueries {
     // truth leg is Θ(|S|·N), NOT Θ(N²): all-pairs ground truth is
     // uncomputable at any real scale, so truth = the exact near-dup
     // PARTNERS of a fixed query sample (vec_id < 200 — the
-    // ann_recall_eval posture applied to pairs), and each leg's found
-    // partners are the kernel's pairs touching the sample, oriented
-    // sample-first. Found ⊆ truth by construction (the kernel
-    // thresholds on the same rounded score), so recall =
-    // n_found/n_true exactly over the sampled pair population ----------
+    // ann_recall_eval posture applied to pairs). Found ⊆ truth by
+    // construction (the kernel thresholds on the same rounded score),
+    // so recall = n_found/n_true exactly over the sampled pair
+    // population.
+    //
+    // r17 plan fix (was the one full-occupancy plan on the board): the
+    // kernel's membership test is PAIRWISE-LOCAL — a truth pair (q, x)
+    // is found by leg (b, bands) iff its two RAW vectors share a
+    // rotated sign-bucket in ANY band (identical vectors share every
+    // bucket, so the kernel's exact-dup canonicalization and its
+    // within-group self-score gate need no special casing: truth
+    // already enforces the same rounded-score threshold). So each leg
+    // evaluates that predicate directly ON the truth rows —
+    // Θ(|truth|·bands) per leg — instead of running the full
+    // cosineNearDupPairs kernel at N²/2^b occupancy and semi-joining
+    // down to the sample (48 s of the sf1 board; ~100× that at sf10).
+    // This is exactly the plan the DuckDB oracle has always used
+    // ([[neardupSizingSql]]: per-vector buckets joined onto `tr`), so
+    // engine and oracle now share one shape. guide §2.3/§2.4: the
+    // decision needs only per-pair metadata already in hand — no
+    // corpus-wide candidate join, no exchange at all per leg. ----------
     "embed_neardup_sizing" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val nv = e.filter(size(col("embedding")) >= 64)
-        .select(col("vec_id"), Similarity.normalize(col("embedding")).as("nv"))
+        .select(col("vec_id"), col("embedding").as("__v"),
+          Similarity.normalize(col("embedding")).as("nv"))
       val qs = nv.filter(col("vec_id") < 200)
-        .select(col("vec_id").as("q"), col("nv").as("__vq"))
-      val cs = nv.select(col("vec_id").as("x"), col("nv").as("__vx"))
+        .select(col("vec_id").as("q"), col("__v").as("__rvq"),
+          col("nv").as("__vq"))
+      val cs = nv.select(col("vec_id").as("x"), col("__v").as("__rvx"),
+        col("nv").as("__vx"))
       val truth = broadcast(qs).join(cs, col("q") =!= col("x"))
         .filter(round(Similarity.dot(col("__vq"), col("__vx")), 6) >= 0.35)
-        .select("q", "x")
+        // carry both RAW vectors: the per-leg bucket predicate runs on
+        // them (buckets hash the raw vector — Similarity.cosineNearDupPairs
+        // buckets `__v`, not the normalized copy)
+        .select(col("q"), col("x"), col("__rvq"), col("__rvx"))
         .localCheckpoint() // one sampled brute pass serves every leg
       val nTrue = truth.agg(count(lit(1)).as("n_true"))
       neardupSizingSweep.map { case (b, bands) =>
-        val pairs = Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
-          threshold = 0.35, b = b, rotatedDim = Some(64), bands = bands)
-          .select("id_a", "id_b")
-        val partners = pairs.filter(col("id_a") < 200)
-          .select(col("id_a").as("q"), col("id_b").as("x"))
-          .unionByName(pairs.filter(col("id_b") < 200)
-            .select(col("id_b").as("q"), col("id_a").as("x")))
-        truth.join(partners, Seq("q", "x"), "left_semi")
+        val collides = (0 until bands).map { j =>
+          Similarity.signBucketRotated(col("__rvq"), b, 64,
+            Similarity.DefaultSeed + j) ===
+            Similarity.signBucketRotated(col("__rvx"), b, 64,
+              Similarity.DefaultSeed + j)
+        }.reduce(_ || _)
+        truth.filter(collides)
           .agg(count(lit(1)).as("n_found"))
           .crossJoin(nTrue)
           .select(lit(b.toLong).as("b"), lit(bands.toLong).as("bands"),
@@ -2176,8 +2240,7 @@ object PipelineQueries {
     // for graph-based curation ----------------------------------------------
     "knn_graph" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      Similarity.knnGraph(e, "vec_id", "embedding",
-        k = 3, b = knnBucketBits(e), dim = 64, bands = 2)
+      sharedKnnGraph(s, d)
         .select("src", "rank", "dst", "score")
     }),
 
@@ -2185,9 +2248,7 @@ object PipelineQueries {
     // sparsifier before clustering the graph (hub nodes drop out) ---------
     "knn_graph_mutual" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      Similarity.mutualKnnEdges(
-        Similarity.knnGraph(e, "vec_id", "embedding",
-          k = 3, b = knnBucketBits(e), dim = 64, bands = 2))
+      Similarity.mutualKnnEdges(sharedKnnGraph(s, d))
         .select("id_a", "id_b", "score")
     }),
 
@@ -2196,9 +2257,7 @@ object PipelineQueries {
     // unvisited out-neighbors, hop-unrolled oracle ---------------------------
     "ann_graph_search" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val edges = Similarity.knnGraph(e, "vec_id", "embedding",
-        k = 3, b = knnBucketBits(e), dim = 64, bands = 2)
-        .select("src", "dst")
+      val edges = sharedKnnGraph(s, d).select("src", "dst")
       Similarity.graphSearchTopK(e, "vec_id", "embedding",
         e.filter(col("vec_id") < 10), edges, k = 5, beam = 8, hops = 3,
         dim = 64)
@@ -2211,9 +2270,7 @@ object PipelineQueries {
     "ann_graph_recall" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 10)
-      val edges = Similarity.knnGraph(e, "vec_id", "embedding",
-        k = 3, b = knnBucketBits(e), dim = 64, bands = 2)
-        .select("src", "dst")
+      val edges = sharedKnnGraph(s, d).select("src", "dst")
       val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
         k = 5)
       val approx = Similarity.graphSearchTopKSeeded(e, "vec_id",
@@ -2228,9 +2285,7 @@ object PipelineQueries {
     // one edge join + one hash aggregate, nothing collected ------------------
     "graph_pagerank" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val edges = Similarity.knnGraph(e, "vec_id", "embedding",
-        k = 3, b = knnBucketBits(e), dim = 64, bands = 2)
-        .select("src", "dst")
+      val edges = sharedKnnGraph(s, d).select("src", "dst")
       val nodes = e.filter(size(col("embedding")) >= 64).select("vec_id")
       graft.operators.Graph.pagerank(nodes, edges, "vec_id", iters = 3)
     }),
@@ -2241,8 +2296,7 @@ object PipelineQueries {
     // is; same all-integer masses, bit-exact unrolled oracle ----------------
     "graph_pagerank_weighted" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val edges = Similarity.knnGraph(e, "vec_id", "embedding",
-        k = 3, b = knnBucketBits(e), dim = 64, bands = 2)
+      val edges = sharedKnnGraph(s, d)
         .select(col("src"), col("dst"),
           round(col("score") * lit(1000000.0), 0).cast("long").as("weight"))
       val nodes = e.filter(size(col("embedding")) >= 64).select("vec_id")
@@ -2255,9 +2309,7 @@ object PipelineQueries {
     // integer masses, unreachable nodes converge to 0 ------------------------
     "graph_ppr" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val edges = Similarity.knnGraph(e, "vec_id", "embedding",
-        k = 3, b = knnBucketBits(e), dim = 64, bands = 2)
-        .select("src", "dst")
+      val edges = sharedKnnGraph(s, d).select("src", "dst")
       val nodes = e.filter(size(col("embedding")) >= 64).select("vec_id")
       graft.operators.Graph.pagerankPersonalized(nodes,
         nodes.filter(col("vec_id") < 100), edges, "vec_id", iters = 3)
@@ -2269,9 +2321,7 @@ object PipelineQueries {
     // integer masses on a 10⁸ grid → bit-exact unrolled oracle ------------
     "graph_hits" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val edges = Similarity.knnGraph(e, "vec_id", "embedding",
-        k = 3, b = knnBucketBits(e), dim = 64, bands = 2)
-        .select("src", "dst")
+      val edges = sharedKnnGraph(s, d).select("src", "dst")
       val nodes = e.filter(size(col("embedding")) >= 64).select("vec_id")
       graft.operators.Graph.hits(nodes, edges, "vec_id", iters = 3)
     }),
@@ -2282,9 +2332,7 @@ object PipelineQueries {
     // exact counts, lcc as integer ppm ------------------------------------
     "graph_triangles" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val mutual = Similarity.mutualKnnEdges(
-        Similarity.knnGraph(e, "vec_id", "embedding",
-          k = 3, b = knnBucketBits(e), dim = 64, bands = 2))
+      val mutual = Similarity.mutualKnnEdges(sharedKnnGraph(s, d))
       val nodes = e.filter(size(col("embedding")) >= 64).select("vec_id")
       graft.operators.Graph.triangles(nodes, mutual, "vec_id")
     }),
@@ -2293,13 +2341,9 @@ object PipelineQueries {
     // Adamic–Adar / Jaccard scores for non-adjacent pairs sharing a
     // neighbor — the "pairs the blocking stage missed" review queue.
     // Wedge fan-out bounded by k² per node on a kNN substrate ------------
-    "graph_adamic" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
+    "graph_adamic" -> ((s, d) =>
       graft.operators.Graph.linkPredict(
-        Similarity.mutualKnnEdges(
-          Similarity.knnGraph(e, "vec_id", "embedding",
-            k = 3, b = knnBucketBits(e), dim = 64, bands = 2)))
-    }),
+        Similarity.mutualKnnEdges(sharedKnnGraph(s, d)))),
 
     // --- bounded-round k-core peeling of the MUTUAL kNN graph: the
     // stable duplication communities that survive after hubs and
@@ -2309,9 +2353,7 @@ object PipelineQueries {
     // degree bound — a long chain peels 2 endpoints per round) ------------
     "graph_kcore" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val mutual = Similarity.mutualKnnEdges(
-        Similarity.knnGraph(e, "vec_id", "embedding",
-          k = 3, b = knnBucketBits(e), dim = 64, bands = 2))
+      val mutual = Similarity.mutualKnnEdges(sharedKnnGraph(s, d))
       val nodes = e.filter(size(col("embedding")) >= 64).select("vec_id")
       graft.operators.Graph.kCore(nodes, mutual, "vec_id",
         k = 2, rounds = 3)
@@ -2323,39 +2365,29 @@ object PipelineQueries {
     // bounded-round contract CHECKABLE instead of documented ------------
     "graph_kcore_cert" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val mutual = Similarity.mutualKnnEdges(
-        Similarity.knnGraph(e, "vec_id", "embedding",
-          k = 3, b = knnBucketBits(e), dim = 64, bands = 2))
+      val mutual = Similarity.mutualKnnEdges(sharedKnnGraph(s, d))
       graft.operators.Graph.kCoreCertificate(mutual, k = 2, rounds = 3)
     }),
 
     // --- degree profile of the same graph: hub/orphan diagnostic ------------
-    "graph_degree" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
+    "graph_degree" -> ((s, d) =>
       graft.operators.Graph.degreeProfile(
-        Similarity.knnGraph(e, "vec_id", "embedding",
-          k = 3, b = knnBucketBits(e), dim = 64, bands = 2)
-          .select("src", "dst"))
-    }),
+        sharedKnnGraph(s, d).select("src", "dst"))),
 
     // --- connected components of the MUTUAL kNN graph: the log-round
     // large/small-star CC (similarity clusters CHAIN — plain min-root
     // propagation needs O(diameter) rounds on them, the star variant
     // O(log n); same min-root labels either way) --------------------------
-    "graph_components" -> ((s, d) => {
-      // child session: the star rounds iterate over an |E|-row frame
-      // (≪ corpus); 32-partition shuffles per round are pure overhead at
-      // this width — scope the round shuffles down (the stream-query
-      // precedent; at 100 TB |E| scales and the caller sizes this up)
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
-      val e = Tables.embeddings(ss, d)
+    "graph_components" -> ((s, d) =>
+      // r17: ride the shared kNN edge frame like the rest of the graph
+      // family (was: a private rebuild inside a child session scoped to
+      // 8 shuffle partitions — the rebuild cost more than the scoping
+      // saved once the build was shared; AQE coalesces the star rounds'
+      // tiny shuffles at runtime to the same effect). Component labels
+      // are partitioning-independent (min-root), so output is unchanged.
       Dedup.clustersStar(
-        Similarity.mutualKnnEdges(
-          Similarity.knnGraph(e, "vec_id", "embedding",
-            k = 3, b = knnBucketBits(e), dim = 64, bands = 2))
-          .select("id_a", "id_b"))
-    }),
+        Similarity.mutualKnnEdges(sharedKnnGraph(s, d))
+          .select("id_a", "id_b"))),
 
     // --- semi-supervised label propagation: vec_id < 100 keep their
     // fixture label (clamped seeds), the rest adopt the majority label of
@@ -2363,9 +2395,9 @@ object PipelineQueries {
     // break — integer votes, engine-exact) -------------------------------
     "graph_labelprop" -> ((s, d) => {
       val e = Tables.embeddings(s, d).filter(size(col("embedding")) >= 64)
-      val knn = Similarity.knnGraph(e, "vec_id", "embedding",
-        k = 3, b = knnBucketBits(e), dim = 64, bands = 2)
-        .select("src", "dst")
+      // the shared graph self-filters to size >= 64, so the pre-filtered
+      // local `e` builds the identical edge set (knnGraph's own gate)
+      val knn = sharedKnnGraph(s, d).select("src", "dst")
       // symmetrize: labels flow along similarity, not kNN direction
       val sym = knn.union(knn.select(col("dst").as("src"),
         col("src").as("dst")))
@@ -3562,9 +3594,14 @@ object PipelineQueries {
       val truth = Dedup.jaccardFrom(sharedOverlapCandidates(s, d),
           threshold = 0.2)
         .select(col("id_a"), col("id_b")).localCheckpoint()
+      // bands is a banding-stage knob: the signature pipeline (shingle +
+      // minhash scan, canonicalization exchange) is band-independent, so
+      // compute the group frame ONCE and re-band the checkpoint per leg
+      // (r17, guide §1.2 — was 3 full signature pipelines)
+      val groups = Dedup.minhashSigGroups(Tables.documents(s, d), "text",
+        "doc_id", shingleN = 3, k = 8).localCheckpoint()
       lshSizingBands.map { b =>
-        val cand = Dedup.minhashLsh(Tables.documents(s, d), "text",
-            "doc_id", shingleN = 3, k = 8, bands = b)
+        val cand = Dedup.minhashLshFromGroups(groups, k = 8, bands = b)
           .select(col("id_a"), col("id_b")).distinct()
           .localCheckpoint() // counted twice: candidates + the hit join
         val hit = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
