@@ -123,9 +123,24 @@ object Pq {
     * corpus size. */
   def trainCodebooks(df: DataFrame, idCol: String, vecCol: String,
                      m: Int, k: Int, subDim: Int,
-                     iters: Int = 1): IndexedSeq[IndexedSeq[Array[Double]]] = {
-    require(m > 0 && k > 1 && subDim > 0 && iters >= 0,
-      s"m=$m k=$k subDim=$subDim iters=$iters")
+                     iters: Int = 1): IndexedSeq[IndexedSeq[Array[Double]]] =
+    trainCodebooksSnapshots(df, idCol, vecCol, m, k, subDim,
+      Seq(iters))(iters)
+
+  /** [[trainCodebooks]] with SNAPSHOTS: one Lloyd run to max(snapshots)
+    * iterations, returning the codebooks after each requested depth.
+    * Lloyd rounds NEST — the state after i rounds depends only on the
+    * (deterministic) init and the first i updates — so snapshot(i) is
+    * bit-identical to an independent `trainCodebooks(iters = i)` run
+    * (LlmSpec pins it). This is what lets a training-depth sweep
+    * (`ann_ivfpq_iters`) pay ONE init and max(iters) rounds instead of
+    * one full training per leg (r17, guide §1.2). */
+  def trainCodebooksSnapshots(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, subDim: Int, snapshots: Seq[Int])
+      : Map[Int, IndexedSeq[IndexedSeq[Array[Double]]]] = {
+    val iters = snapshots.max
+    require(m > 0 && k > 1 && subDim > 0 && snapshots.forall(_ >= 0),
+      s"m=$m k=$k subDim=$subDim snapshots=$snapshots")
     val base = spread(df).filter(size(col(vecCol)) >= m * subDim)
       .select(col(idCol).as("__id"),
         Clustering.quantize(col(vecCol)).as("__w"))
@@ -136,7 +151,10 @@ object Pq {
       (0 until m).map(j => first.toIndexedSeq.map(
         _.slice(j * subDim, (j + 1) * subDim)))
     }
-    for (_ <- 0 until iters) {
+    val out = scala.collection.mutable.Map
+      .empty[Int, IndexedSeq[IndexedSeq[Array[Double]]]]
+    if (snapshots.contains(0)) out(0) = cbs
+    for (it <- 1 to iters) {
       // r17: assignment via the whole-vector PqEncode kernel (one
       // compact codegen loop, codes identical to the old per-subspace
       // array_min forest — PqKernelsSpec pins it), then ONE component
@@ -168,8 +186,9 @@ object Pq {
           }
         }
       }
+      if (snapshots.contains(it)) out(it) = cbs
     }
-    cbs
+    out.toMap
   }
 
   /** Asymmetric-distance (ADC) top-`topK` search: each query's exact
@@ -439,6 +458,20 @@ object Pq {
       s"residual PQ must cover the vector: dim=$dim != $m×$subDim")
     trainCodebooks(residualFrame(corpus, idCol, vecCol, centroids, dim),
       idCol, "__res", m, k, subDim, iters)
+  }
+
+  /** [[trainResidualCodebooks]] at several training depths from ONE
+    * Lloyd run ([[trainCodebooksSnapshots]] — nesting makes each
+    * snapshot bit-identical to an independent run at that depth). */
+  def trainResidualCodebooksSnapshots(corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: IndexedSeq[Array[Double]],
+      m: Int, k: Int, subDim: Int, dim: Int, snapshots: Seq[Int])
+      : Map[Int, IndexedSeq[IndexedSeq[Array[Double]]]] = {
+    require(dim == m * subDim,
+      s"residual PQ must cover the vector: dim=$dim != $m×$subDim")
+    trainCodebooksSnapshots(
+      residualFrame(corpus, idCol, vecCol, centroids, dim),
+      idCol, "__res", m, k, subDim, snapshots)
   }
 
   /** The FULL FAISS `IVFx,PQy`: trained coarse cells prune the scan,

@@ -1994,14 +1994,17 @@ object PipelineQueries {
       val q = e.filter(col("vec_id") < 10)
       val cents = sharedIvfTrainedCentroids(s, d)
       val exact = sharedExactL2Leg(s, d) // memoized across the eval family
+      // r17: Lloyd rounds nest, so ONE training run to max(iters)
+      // snapshots every leg's books (bit-identical to the per-leg
+      // trainings it replaces — LlmSpec pins snapshot ≡ independent
+      // run, and snapshot(2) ≡ the shared serving books): one init +
+      // max(iters) rounds instead of one full training per leg.
+      val snaps = graft.llm.Pq.trainResidualCodebooksSnapshots(
+        Tables.embeddings(s, d), "vec_id", "embedding", cents,
+        m = 8, k = 16, subDim = 8, dim = 64, snapshots = ivfPqItersSweep)
       ivfPqItersSweep.map { i =>
-        val cbs =
-          if (i == 2) sharedResidualCodebooks(s, d)
-          else graft.llm.Pq.trainResidualCodebooks(Tables.embeddings(s, d),
-            "vec_id", "embedding", cents, m = 8, k = 16, subDim = 8,
-            dim = 64, iters = i)
         val approx = graft.llm.Pq.ivfPqResidualTopKWith(e, q, "vec_id",
-          "embedding", topK = 3, subDim = 8, cents, cbs, probes = 2,
+          "embedding", topK = 3, subDim = 8, cents, snaps(i), probes = 2,
           dim = 64)
         Similarity.recallAtK(exact, approx, k = 3)
           .select(lit(i.toLong).as("iters"), col("query_id"),
@@ -2201,6 +2204,18 @@ object PipelineQueries {
     // corpus-wide candidate join, no exchange at all per leg. ----------
     "embed_neardup_sizing" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
+      // per-leg collision flags are computed INSIDE the brute pass (the
+      // bucket hashes the RAW vector, exactly what cosineNearDupPairs
+      // buckets), so the checkpointed truth row is (q, x, flag per leg)
+      // — a few bytes per pair. Carrying the two 64-float vectors
+      // through the checkpoint instead pinned ~1 GB of blocks at sf1.
+      def legFlag(vq: Column, vx: Column, b: Int, bands: Int): Column =
+        (0 until bands).map { j =>
+          Similarity.signBucketRotated(vq, b, 64,
+            Similarity.DefaultSeed + j) ===
+            Similarity.signBucketRotated(vx, b, 64,
+              Similarity.DefaultSeed + j)
+        }.reduce(_ || _)
       val nv = e.filter(size(col("embedding")) >= 64)
         .select(col("vec_id"), col("embedding").as("__v"),
           Similarity.normalize(col("embedding")).as("nv"))
@@ -2209,22 +2224,17 @@ object PipelineQueries {
           col("nv").as("__vq"))
       val cs = nv.select(col("vec_id").as("x"), col("__v").as("__rvx"),
         col("nv").as("__vx"))
+      val flagCols = neardupSizingSweep.zipWithIndex.map {
+        case ((b, bands), i) =>
+          legFlag(col("__rvq"), col("__rvx"), b, bands).as(s"__c$i")
+      }
       val truth = broadcast(qs).join(cs, col("q") =!= col("x"))
         .filter(round(Similarity.dot(col("__vq"), col("__vx")), 6) >= 0.35)
-        // carry both RAW vectors: the per-leg bucket predicate runs on
-        // them (buckets hash the raw vector — Similarity.cosineNearDupPairs
-        // buckets `__v`, not the normalized copy)
-        .select(col("q"), col("x"), col("__rvq"), col("__rvx"))
+        .select(col("q") +: col("x") +: flagCols: _*)
         .localCheckpoint() // one sampled brute pass serves every leg
       val nTrue = truth.agg(count(lit(1)).as("n_true"))
-      neardupSizingSweep.map { case (b, bands) =>
-        val collides = (0 until bands).map { j =>
-          Similarity.signBucketRotated(col("__rvq"), b, 64,
-            Similarity.DefaultSeed + j) ===
-            Similarity.signBucketRotated(col("__rvx"), b, 64,
-              Similarity.DefaultSeed + j)
-        }.reduce(_ || _)
-        truth.filter(collides)
+      neardupSizingSweep.zipWithIndex.map { case ((b, bands), i) =>
+        truth.filter(col(s"__c$i"))
           .agg(count(lit(1)).as("n_found"))
           .crossJoin(nTrue)
           .select(lit(b.toLong).as("b"), lit(bands.toLong).as("bands"),

@@ -112,8 +112,10 @@ class PlanSpec extends SparkSpec {
       "ann_ivfsq_recall",
       // the blocking-sizing sweep's truth leg is the brute cosine PAIR
       // scorer by design (pair recall needs exact ground truth — the
-      // ann_recall_eval posture over pairs); every per-(b,bands)
-      // candidate leg is the bucketed equi-join being sized
+      // ann_recall_eval posture over pairs); the per-(b,bands) legs are
+      // bucket-collision FLAG filters over the checkpointed truth rows
+      // (r17: pairwise locality makes the full bucketed kernel
+      // unnecessary — Θ(|truth|·bands) per leg, same counts)
       "embed_neardup_sizing",
       // quality_ensemble's 1-row fluency threshold broadcast-attaches
       // inside the composed pipeline exactly as in the standalone query

@@ -158,4 +158,22 @@ class PqKernelsSpec extends SparkSpec {
     assert(oneRound.map(_.map(_.toIndexedSeq)) == manual,
       "PqEncode-assigned Lloyd round diverged from the old-forest round")
   }
+
+  test("trainCodebooksSnapshots: snapshot(i) is bit-identical to an " +
+    "independent training run at depth i (Lloyd rounds nest)") {
+    // the property ann_ivfpq_iters' one-run sweep rests on: the books
+    // after i rounds of a longer run equal a standalone iters=i run
+    val e = Tables.embeddings(spark, sf001)
+      .filter(size(col("embedding")) === 64)
+    val eq = e.select(col("vec_id"),
+      Clustering.quantize(col("embedding")).as("qvec"))
+    val snaps = Pq.trainCodebooksSnapshots(eq, "vec_id", "qvec",
+      m = 8, k = 16, subDim = 8, snapshots = Seq(1, 2, 4))
+    for (i <- Seq(1, 2, 4)) {
+      val solo = Pq.trainCodebooks(eq, "vec_id", "qvec", 8, 16, 8,
+        iters = i)
+      assert(snaps(i).flatten.flatten.toSeq == solo.flatten.flatten.toSeq,
+        s"snapshot($i) diverged from an independent iters=$i run")
+    }
+  }
 }
