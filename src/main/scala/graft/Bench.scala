@@ -45,6 +45,9 @@ object Bench {
     // 100 TB deployment would actually run in.
     def pass(): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // guide §1.5: label every job with its query so the UI/event log
+        // attributes stages to board rows (diagnostics only)
+        spark.sparkContext.setJobDescription(s"bench:$name")
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9

@@ -25,6 +25,8 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // guide §1.5: label jobs with their query for UI/event-log triage
+      spark.sparkContext.setJobDescription(s"verify:$name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
