@@ -3610,23 +3610,76 @@ object PipelineQueries {
       // (r17, guide §1.2 — was 3 full signature pipelines)
       val groups = Dedup.minhashSigGroups(Tables.documents(s, d), "text",
         "doc_id", shingleN = 3, k = 8).localCheckpoint()
+      // r17 wave 3: the sweep needs the candidate-set CARDINALITY and the
+      // truth-hit COUNT, never the pair set itself — so neither is
+      // materialized (the old shape id-expanded + distinct()ed +
+      // checkpointed every leg's pair set: ~25M-row exchanges ×3 and the
+      // sf10 heap killer). Counts are computed exactly:
+      //  - n_within = Σ C(|group|, 2): within-group pairs (identical
+      //    signatures collide in every band) — group sizes alone,
+      //    band-independent, zero joins.
+      //  - n_cross  = Σ |ids_a|·|ids_b| over DISTINCT colliding group
+      //    pairs: the banded group self-join stops at the deduped
+      //    group-pair level (groups are disjoint id sets, so the id-pair
+      //    expansion it replaces was exactly this product).
+      //  - within ∪ cross is disjoint (same-sig vs different-sig pairs)
+      //    and duplicate-free, so the old |distinct(pairs)| equals
+      //    n_within + n_cross (DedupSpec pins it against the old shape).
+      //  - n_hit is PAIRWISE-LOCAL (the embed_neardup_sizing argument):
+      //    a truth pair is a candidate iff its two signatures share ≥1
+      //    band hash — per-leg flags evaluate in ONE pass over the thin
+      //    truth checkpoint, Θ(|truth|) for all legs together.
+      val rowsOf = (b: Int) => 8 / b
+      def bandHash(sig: Column, b: Int, band: Int): Column =
+        md5(concat((0 until rowsOf(b)).map(r =>
+          element_at(sig, band * rowsOf(b) + r + 1)): _*))
+      val docSig = groups.select(explode(col("__ids")).as("doc_id"),
+        col("__sig"))
+      val flagged = truth
+        .join(docSig.select(col("doc_id").as("id_a"),
+          col("__sig").as("__sig_a")), Seq("id_a"), "left")
+        .join(docSig.select(col("doc_id").as("id_b"),
+          col("__sig").as("__sig_b")), Seq("id_b"), "left")
+      val hitCols = count(lit(1)).as("n_true") +:
+        lshSizingBands.map { b =>
+          val collide = (0 until b).map(i =>
+            bandHash(col("__sig_a"), b, i) ===
+              bandHash(col("__sig_b"), b, i)).reduce(_ || _)
+          coalesce(sum(when(coalesce(collide, lit(false)), 1L)), lit(0L))
+            .as(s"n_hit_$b")
+        }
+      val hitAgg = flagged.agg(hitCols.head, hitCols.tail: _*)
+        .localCheckpoint() // one tiny row serves every leg
+      // Σ n(n−1) summed as LONG, halved once with integer `div` (long `/`
+      // is SQL double division; n_candidates must stay LONG for the
+      // oracle schema)
+      val nWithin = groups.agg(coalesce(sum(size(col("__ids")).cast("long")
+          * (size(col("__ids")).cast("long") - 1L)), lit(0L))
+        .as("__tw"))
+        .select(expr("__tw div 2").as("n_within")).localCheckpoint()
       lshSizingBands.map { b =>
-        val cand = Dedup.minhashLshFromGroups(groups, k = 8, bands = b)
-          .select(col("id_a"), col("id_b")).distinct()
-          .localCheckpoint() // counted twice: candidates + the hit join
-        val hit = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
-        val tagged = truth.select(lit(0).as("t"))
-          .unionByName(cand.select(lit(1).as("t")))
-          .unionByName(hit.select(lit(2).as("t")))
-        tagged.agg(
-            coalesce(sum(when(col("t") === 0, 1L)), lit(0L)).as("n_true"),
-            coalesce(sum(when(col("t") === 1, 1L)), lit(0L))
-              .as("n_candidates"),
-            coalesce(sum(when(col("t") === 2, 1L)), lit(0L)).as("n_hit"))
+        val bandCols = (0 until b).map(i => struct(lit(i).as("band"),
+          bandHash(col("__sig"), b, i).as("band_hash")))
+        val banded = groups.select(col("__rep"),
+            size(col("__ids")).cast("long").as("__sz"),
+            explode(array(bandCols: _*)).as("bh"))
+          .select(col("__rep"), col("__sz"), col("bh.band").as("band"),
+            col("bh.band_hash").as("band_hash"))
+        val a = banded.select(col("band"), col("band_hash"),
+          col("__rep").as("__rep_a"), col("__sz").as("__sz_a"))
+        val b2 = banded.select(col("band"), col("band_hash"),
+          col("__rep").as("__rep_b"), col("__sz").as("__sz_b"))
+        val nCross = a.join(b2, Seq("band", "band_hash"))
+          .filter(col("__rep_a") < col("__rep_b"))
+          .dropDuplicates("__rep_a", "__rep_b")
+          .agg(coalesce(sum(col("__sz_a") * col("__sz_b")), lit(0L))
+            .as("n_cross"))
+        hitAgg.crossJoin(nWithin).crossJoin(nCross)
           .select(lit(b.toLong).as("bands"), col("n_true"),
-            col("n_candidates"), col("n_hit"),
+            (col("n_within") + col("n_cross")).as("n_candidates"),
+            col(s"n_hit_$b").as("n_hit"),
             when(col("n_true") > 0,
-              round(col("n_hit").cast("double")
+              round(col(s"n_hit_$b").cast("double")
                 / col("n_true").cast("double"), 6)).as("recall"))
       }.reduce(_ unionByName _)
     }),

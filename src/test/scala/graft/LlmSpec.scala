@@ -1593,4 +1593,32 @@ class LlmSpec extends SparkSpec {
     // same-length diverse prose
     assert(out(2L)._3 < out(4L)._3)
   }
+
+  test("dedup_lsh_sizing counting shape: n_candidates/n_hit equal the " +
+    "materialized pair-set formulation it replaced (r17)") {
+    // the r17 restructure counts candidates from group sizes + deduped
+    // colliding group pairs and evaluates truth hits as pairwise band
+    // flags; this pin replays the OLD shape (materialize every leg's
+    // pair set, distinct, semi-join) against the live query's output
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf01)
+    val truth = Dedup.jaccardFrom(
+        Dedup.overlapCandidates(docs, "text", "doc_id",
+          n = 3, maxDocsPerShingle = 50), threshold = 0.2)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val nTrue = truth.count()
+    val groups = Dedup.minhashSigGroups(docs, "text", "doc_id",
+      shingleN = 3, k = 8).localCheckpoint()
+    val old = Seq(2, 4, 8).map { b =>
+      val cand = Dedup.minhashLshFromGroups(groups, k = 8, bands = b)
+        .select(col("id_a"), col("id_b")).distinct().localCheckpoint()
+      b.toLong -> ((nTrue, cand.count(),
+        truth.join(cand, Seq("id_a", "id_b"), "left_semi").count()))
+    }.toMap
+    val now = graft.SparkEntry.queries("dedup_lsh_sizing")(spark, sf01)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(now == old,
+      s"counting shape diverged from the pair-set shape: $now vs $old")
+  }
 }

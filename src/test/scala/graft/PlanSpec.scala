@@ -117,6 +117,12 @@ class PlanSpec extends SparkSpec {
       // (r17: pairwise locality makes the full bucketed kernel
       // unnecessary — Θ(|truth|·bands) per leg, same counts)
       "embed_neardup_sizing",
+      // the bands-sizing sweep attaches three 1-ROW aggregates (truth
+      // hits, Σ within-group pairs, Σ colliding group-pair products) per
+      // leg — the corpus-stat scalar-attach pattern; the candidate
+      // COUNTING itself is the banded group equi-join (r17: the pair
+      // set is never materialized, only counted)
+      "dedup_lsh_sizing",
       // quality_ensemble's 1-row fluency threshold broadcast-attaches
       // inside the composed pipeline exactly as in the standalone query
       "pipeline_curate",
