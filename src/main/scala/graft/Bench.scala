@@ -70,7 +70,26 @@ object Bench {
     // section to attribute to host load because the artifact had lost
     // its own load measurement). This compact trailer is truncation-proof
     // by position; consumers may read either copy.
-    println(s"""{"calibration":$calibJson,"total":$total,"n":${timed.size},"sf":"$sfDir"}""")
+    val trailer =
+      s"""{"calibration":$calibJson,"total":$total,"n":${timed.size},"sf":"$sfDir"}"""
+    println(trailer)
+    // Quiesce streaming state-store maintenance BEFORE spark.stop(): the
+    // stream_* rows leave unloaded state-store providers whose async
+    // maintenance thread races shutdown and, losing, dumps an
+    // RpcEnvStoppedException stack trace AFTER the JSON lines — in r17
+    // that trace pushed both lines out of the driver's captured tail and
+    // nulled the whole PERF comparison (BENCH_r17.json parsed:null).
+    // StateStore.stop() shuts the maintenance pool and unloads providers
+    // synchronously; it runs after all timing, so measurements are
+    // untouched.
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => }
     spark.stop()
+    // ... and re-print the compact trailer AFTER spark.stop() returns, so
+    // the FINAL stdout line of this program is always parseable JSON no
+    // matter what any straggler thread logged during shutdown. Consumers
+    // may read any copy; all three are identical.
+    println(trailer)
+    System.out.flush()
   }
 }

@@ -138,9 +138,12 @@ object Pq {
   def trainCodebooksSnapshots(df: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, subDim: Int, snapshots: Seq[Int])
       : Map[Int, IndexedSeq[IndexedSeq[Array[Double]]]] = {
-    val iters = snapshots.max
-    require(m > 0 && k > 1 && subDim > 0 && snapshots.forall(_ >= 0),
+    // validate BEFORE snapshots.max: an empty seq must fail with this
+    // message, not max's opaque UnsupportedOperationException (r17 advice)
+    require(m > 0 && k > 1 && subDim > 0 && snapshots.nonEmpty &&
+      snapshots.forall(_ >= 0),
       s"m=$m k=$k subDim=$subDim snapshots=$snapshots")
+    val iters = snapshots.max
     val base = spread(df).filter(size(col(vecCol)) >= m * subDim)
       .select(col(idCol).as("__id"),
         Clustering.quantize(col(vecCol)).as("__w"))
@@ -161,9 +164,16 @@ object Pq {
       // explode keyed by (subspace = pos div subDim, code, pos mod
       // subDim) feeds the same map-side-combined sum/count aggregate.
       // Same rows, same exact dyadic sums, ~m·k× smaller plan per round.
+      // The explode covers only the ENCODED prefix (r17 advice): the
+      // size >= m·subDim filter admits LONGER vectors, whose tail
+      // positions would index past __codes' m entries and throw under
+      // ANSI mode — the pre-r17 slice-based rounds trained on exactly
+      // the encoded dims, and this keeps that contract (for the
+      // exact-length vectors every current caller passes, slice is the
+      // identity, so sums are bit-identical).
       val sums = base
         .select(codesCol(col("__w"), m, k, subDim, cbs).as("__codes"),
-          posexplode(col("__w")))
+          posexplode(slice(col("__w"), 1, m * subDim)))
         .select(
           (col("pos") / lit(subDim)).cast("int").as("__j"),
           element_at(col("__codes"),
@@ -424,10 +434,15 @@ object Pq {
     * subtraction is one IEEE op per component; the re-quantize snaps
     * the residual back onto the dyadic 2⁻²⁰ grid so training's
     * component sums stay EXACT and order-free — the [[Clustering]]
-    * discipline). Map-only: no shuffle, recomputed from the scan per
-    * action rather than materialized (at corpus scale a checkpoint of
-    * a full-width residual copy would be the bigger cost). */
-  private def residualFrame(df: DataFrame, idCol: String, vecCol: String,
+    * discipline). Map-only: no shuffle; recomputed from the scan per
+    * action by default. `private[graft]` so an eval-suite caller that
+    * derives MANY consumers from the identical frame (every Lloyd
+    * round, the m/k grid, the ten residual-family rows) can materialize
+    * it once and share it (r18, guide §1.2) — at full corpus scale a
+    * checkpointed full-width residual copy is the bigger cost, so the
+    * one-consumer serving paths keep the recompute posture. */
+  private[graft] def residualFrame(df: DataFrame, idCol: String,
+      vecCol: String,
       centroids: IndexedSeq[Array[Double]], dim: Int): DataFrame = {
     val centLit = typedlit(centroids.map(_.toSeq))
     spread(df).filter(size(col(vecCol)) === dim)
@@ -497,6 +512,24 @@ object Pq {
       idCol: String, vecCol: String, topK: Int, subDim: Int,
       centroids: IndexedSeq[Array[Double]],
       cbs: IndexedSeq[IndexedSeq[Array[Double]]],
+      probes: Int, dim: Int): DataFrame =
+    ivfPqResidualTopKOn(
+      residualFrame(corpus, idCol, vecCol, centroids, dim),
+      queries, idCol, vecCol, topK, subDim, centroids, cbs, probes, dim)
+
+  /** [[ivfPqResidualTopKWith]] over a PRE-COMPUTED residual frame in
+    * [[residualFrame]]'s exact shape (idCol, cell, __res) — the r18
+    * sharing hook (guide §1.2): ten eval rows and every Lloyd round
+    * derive the identical (quantize → cell-assign → residual) frame
+    * from the same corpus/centroids, so a caller can materialize it
+    * once (localCheckpoint) and feed every consumer. The residual
+    * values are what they are regardless of where they were computed,
+    * so results are bit-identical to the corpus-scan path (LlmSpec
+    * pins it). */
+  def ivfPqResidualTopKOn(res: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, topK: Int, subDim: Int,
+      centroids: IndexedSeq[Array[Double]],
+      cbs: IndexedSeq[IndexedSeq[Array[Double]]],
       probes: Int, dim: Int): DataFrame = {
     val m = cbs.length
     val k = cbs.head.length
@@ -506,7 +539,6 @@ object Pq {
     require(probes >= 1 && probes <= centroids.length,
       s"probes=$probes out of [1, ${centroids.length}]")
     val centLit = typedlit(centroids.map(_.toSeq))
-    val res = residualFrame(corpus, idCol, vecCol, centroids, dim)
     val enc = res.select(col(idCol).as("neighbor_id"), col("cell"),
       encodeReconCol(col("__res"), m, k, subDim, cbs).as("__recon"))
     val q = queries.filter(size(col(vecCol)) === dim)
@@ -558,6 +590,23 @@ object Pq {
     require(candK >= topK && topK >= 1,
       s"need candK=$candK >= topK=$topK >= 1")
     val cand = ivfPqResidualTopKWith(corpus, queries, idCol, vecCol,
+      candK, subDim, centroids, cbs, probes, dim)
+    refineShortlist(cand, corpus, queries, idCol, vecCol, topK, dim)
+  }
+
+  /** [[ivfPqRefineTopK]] with the shortlist stage fed from a
+    * pre-computed residual frame ([[ivfPqResidualTopKOn]]); the exact
+    * refine still reads the FLOAT corpus — that is the point of the
+    * composition. Bit-identical rows. */
+  def ivfPqRefineTopKOn(res: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      topK: Int, candK: Int, subDim: Int,
+      centroids: IndexedSeq[Array[Double]],
+      cbs: IndexedSeq[IndexedSeq[Array[Double]]],
+      probes: Int, dim: Int): DataFrame = {
+    require(candK >= topK && topK >= 1,
+      s"need candK=$candK >= topK=$topK >= 1")
+    val cand = ivfPqResidualTopKOn(res, queries, idCol, vecCol,
       candK, subDim, centroids, cbs, probes, dim)
     refineShortlist(cand, corpus, queries, idCol, vecCol, topK, dim)
   }
@@ -636,12 +685,22 @@ object Pq {
   def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, centroids: IndexedSeq[Array[Double]],
       cbs: IndexedSeq[IndexedSeq[Array[Double]]], subDim: Int,
+      dim: Int): Unit =
+    writeIvfPqIndexOn(residualFrame(corpus, idCol, vecCol, centroids, dim),
+      idCol, path, centroids, cbs, subDim, dim)
+
+  /** [[writeIvfPqIndex]] from a pre-computed residual frame
+    * ([[residualFrame]] shape) — same store bytes, one less corpus
+    * scan when the caller already materialized the residuals. */
+  def writeIvfPqIndexOn(res: DataFrame, idCol: String,
+      path: String, centroids: IndexedSeq[Array[Double]],
+      cbs: IndexedSeq[IndexedSeq[Array[Double]]], subDim: Int,
       dim: Int): Unit = {
     val m = cbs.length
     val k = cbs.head.length
     require(dim == m * subDim,
       s"residual PQ must cover the vector: dim=$dim != $m×$subDim")
-    residualFrame(corpus, idCol, vecCol, centroids, dim)
+    res
       .select(col(idCol).as("neighbor_id"), col("cell"),
         codesCol(col("__res"), m, k, subDim, cbs).as("codes"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
@@ -649,8 +708,8 @@ object Pq {
     // Crash between the two commits leaves a sidecar-less store — an
     // interrupted write, not corruption; see writeIvfQuantizer's
     // crash-window note (loaders fail loudly; re-run the write).
-    Similarity.writeIvfQuantizer(corpus.sparkSession, path, centroids)
-    writePqCodebooks(corpus.sparkSession, path, cbs)
+    Similarity.writeIvfQuantizer(res.sparkSession, path, centroids)
+    writePqCodebooks(res.sparkSession, path, cbs)
   }
 
   /** Persist the fine codebooks as the `_codebooks/` parquet sidecar —

@@ -693,11 +693,39 @@ object PipelineQueries {
       Similarity.writeIvfTrainedIndex(Tables.embeddings(s, d), "vec_id",
         "embedding", p, sharedIvfTrainedCentroids(s, d), dim = 64))
 
+  /** The (vec_id, cell, __res) residual frame every residual-PQ row
+    * derives from — quantize → trained-cell assign → residual, the
+    * [[graft.llm.Pq.residualFrame]] shape against the ONE shared coarse
+    * quantizer — memoized as a localCheckpoint per (session, dir).
+    * r18 (guide §1.2/§5, VERDICT #2): ten eval rows
+    * (ann_ivfpqt2_topk/recall/rerank/probes, ann_ivfpq_mk's six grid
+    * legs, ann_ivfpq_iters, ann_ivfpq_candk, the compressed-store
+    * build) and EVERY Lloyd training round re-derived this identical
+    * frame from the parquet scan — each re-paying the scan + quantize +
+    * 8-cell assignment + residual zip. Materializing it once feeds all
+    * of them; the residual VALUES are unchanged (LlmSpec pins training
+    * + topK bit-identity against the corpus-scan path), and
+    * clearCaches between bench passes keeps every pass paying the
+    * build exactly once. */
+  private val residualFrameCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def sharedResidualFrame(s: SparkSession, d: String): DataFrame = {
+    if (residualFrameCache.size >= maxCacheEntries) clearCaches()
+    residualFrameCache.getOrElseUpdate((s, d),
+      graft.llm.Pq.residualFrame(Tables.embeddings(s, d), "vec_id",
+        "embedding", sharedIvfTrainedCentroids(s, d), dim = 64)
+        .localCheckpoint())
+  }
+
   /** Residual-PQ codebooks (m=8, k=16, subDim=8, two Lloyd rounds) over
     * the trained coarse cells — the FULL `IVFx,PQy` fine quantizer,
     * memoized per (session, dir): the topk/recall rows and the
     * compressed store share one training run (the
-    * [[sharedIvfTrainedCentroids]] economics). */
+    * [[sharedIvfTrainedCentroids]] economics). Trains FROM the shared
+    * residual checkpoint (bit-identical to the direct
+    * `trainResidualCodebooks` path — same rows, same exact dyadic
+    * sums; LlmSpec pins it). */
   private val residualCbCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), IndexedSeq[IndexedSeq[Array[Double]]]]
 
@@ -705,12 +733,12 @@ object PipelineQueries {
       : IndexedSeq[IndexedSeq[Array[Double]]] = {
     if (residualCbCache.size >= maxCacheEntries) clearCaches()
     residualCbCache.getOrElseUpdate((s, d),
-      graft.llm.Pq.trainResidualCodebooks(Tables.embeddings(s, d),
-        "vec_id", "embedding", sharedIvfTrainedCentroids(s, d),
+      graft.llm.Pq.trainCodebooks(sharedResidualFrame(s, d),
+        "vec_id", "__res",
         // 2 Lloyd rounds: the sizing probe measured recall@3 0.167 →
         // 0.300 going 1 → 2 (seeded baseline 0.100); the oracle unrolls
         // the same 2 rounds (pqTrainBodyCtes iters = 2)
-        m = 8, k = 16, subDim = 8, dim = 64, iters = 2))
+        m = 8, k = 16, subDim = 8, iters = 2))
   }
 
   /** The compressed `IVF8,PQ8` store — (neighbor_id, codes) partitioned
@@ -719,8 +747,8 @@ object PipelineQueries {
     * times the pruned read. */
   private def sharedIvfPqIndex(s: SparkSession, d: String): String =
     sharedIndex(s, d, "ivfpq")(p =>
-      graft.llm.Pq.writeIvfPqIndex(Tables.embeddings(s, d), "vec_id",
-        "embedding", p, sharedIvfTrainedCentroids(s, d),
+      graft.llm.Pq.writeIvfPqIndexOn(sharedResidualFrame(s, d), "vec_id",
+        p, sharedIvfTrainedCentroids(s, d),
         sharedResidualCodebooks(s, d), subDim = 8, dim = 64))
 
   /** The `IVF8,SQ8` store — int8 codes + scale partitioned by trained
@@ -752,8 +780,14 @@ object PipelineQueries {
     if (knnGraphCache.size >= maxCacheEntries) clearCaches()
     knnGraphCache.getOrElseUpdate((s, d), {
       val e = Tables.embeddings(s, d)
+      // size the buckets on the frame knnGraph actually buckets — the
+      // size >= 64 survivors (r17 advice: the unfiltered count could
+      // straddle a 32·2^b boundary at a larger SF and silently shift b
+      // for every consumer; at the oracle-gated SFs both counts give
+      // the documented b = 4)
       Similarity.knnGraph(e, "vec_id", "embedding",
-        k = 3, b = knnBucketBits(e), dim = 64, bands = 2).localCheckpoint()
+        k = 3, b = knnBucketBits(e.filter(size(col("embedding")) >= 64)),
+        dim = 64, bands = 2).localCheckpoint()
     })
   }
 
@@ -776,6 +810,59 @@ object PipelineQueries {
       graft.llm.Pq.exactL2TopK(e, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", topK = 3).localCheckpoint()
     })
+  }
+
+  /** The 6-merge BPE tokenizer shared by its three surfaces (r18, guide
+    * §1.2): `bpe_train` (the merge table itself), `bpe_segment` and
+    * `bpe_fertility` (segmentation with that table) each ran the
+    * IDENTICAL deterministic 6-round training (~1.2 s of driver-
+    * sequential rounds each at sf0.1). One memoized training serves all
+    * three — [[graft.llm.Bpe.train]] returns a driver-local merge
+    * table, so memoizing the frame is memoizing the model object, the
+    * [[sharedIvfTrainedCentroids]] economics. `bpe_train_deep` keeps
+    * its OWN 500-budget training (its result is the deeper table;
+    * merge sequences nest, but serving the 6-row surfaces from the
+    * deep run would re-attribute its ~12 s to whichever bpe row runs
+    * first — measured and declined, see OPTIMIZATION_r18.md). Cleared
+    * between bench passes like every substrate. */
+  private val bpeTrainCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def sharedBpeTrain6(s: SparkSession, d: String): DataFrame = {
+    if (bpeTrainCache.size >= maxCacheEntries) clearCaches()
+    bpeTrainCache.getOrElseUpdate((s, d),
+      graft.llm.Bpe.train(Tables.documents(s, d), "text", merges = 6))
+  }
+
+  /** [[sharedBpeTrain6]] collected to the round-ordered (left, right)
+    * serving form ([[graft.llm.Bpe.mergeTable]]'s contract; the frame
+    * is a 6-row driver-local relation, so the collect is free). */
+  private def sharedBpeTable6(s: SparkSession, d: String): Seq[(String, String)] =
+    sharedBpeTrain6(s, d).collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** Replay-clock scalars shared across the streaming rows (r18, guide
+    * §1.2): SEVEN stream_* rows each ran the identical
+    * `max(ts_us)`-over-events aggregate (and one the max-doc_id
+    * analogue) just to stamp their sentinel's far-future event time —
+    * one full event-table scan per row at corpus scale. The scalar
+    * depends only on the dataset, so it is memoized per (session, dir)
+    * like every other substrate and cleared between bench passes. The
+    * value — and hence every sentinel and every query result — is
+    * unchanged. */
+  private val replayClockCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Long]
+
+  private def sharedMaxTsUs(s: SparkSession, d: String): Long = {
+    if (replayClockCache.size >= maxCacheEntries) clearCaches()
+    replayClockCache.getOrElseUpdate((s, d, "events.ts_us"),
+      Tables.eventsUs(s, d).agg(max(col("ts_us"))).head.getLong(0))
+  }
+
+  private def sharedMaxDocId(s: SparkSession, d: String): Long = {
+    if (replayClockCache.size >= maxCacheEntries) clearCaches()
+    replayClockCache.getOrElseUpdate((s, d, "documents.doc_id"),
+      Tables.documents(s, d).agg(max(col("doc_id"))).head.getLong(0))
   }
 
   /** Same sharing for the exact-overlap candidate join: the Jaccard and
@@ -801,6 +888,9 @@ object PipelineQueries {
     overlapCache.clear()
     indexStoreCache.clear()
     ivfTrainedCentroidCache.clear()
+    bpeTrainCache.clear()
+    replayClockCache.clear()
+    residualFrameCache.clear()
     residualCbCache.clear()
     knnGraphCache.clear()
     exactL2LegCache.clear()
@@ -1767,7 +1857,8 @@ object PipelineQueries {
     // argument no longer holds across cells -----------------------------
     "ann_ivfpqt2_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      graft.llm.Pq.ivfPqResidualTopKWith(e, e.filter(col("vec_id") < 50),
+      graft.llm.Pq.ivfPqResidualTopKOn(sharedResidualFrame(s, d),
+        e.filter(col("vec_id") < 50),
         "vec_id", "embedding", topK = 3, subDim = 8,
         sharedIvfTrainedCentroids(s, d), sharedResidualCodebooks(s, d),
         probes = 2, dim = 64)
@@ -1815,7 +1906,8 @@ object PipelineQueries {
       val cbs = sharedResidualCodebooks(s, d)
       val exact = sharedExactL2Leg(s, d) // one exact leg serves the sweep (and the whole eval family — memoized)
       ivftProbeSweep.map { p =>
-        val approx = graft.llm.Pq.ivfPqResidualTopKWith(e, q, "vec_id",
+        val approx = graft.llm.Pq.ivfPqResidualTopKOn(
+          sharedResidualFrame(s, d), q, "vec_id",
           "embedding", topK = 3, subDim = 8, cents, cbs, probes = p,
           dim = 64)
         Similarity.recallAtK(exact, approx, k = 3)
@@ -1885,10 +1977,12 @@ object PipelineQueries {
       val cents = sharedIvfTrainedCentroids(s, d)
       val cbs = sharedResidualCodebooks(s, d)
       val exact = sharedExactL2Leg(s, d) // one exact leg serves both methods (and the whole eval family — memoized)
-      val refined = graft.llm.Pq.ivfPqRefineTopK(e, q, "vec_id",
+      val refined = graft.llm.Pq.ivfPqRefineTopKOn(
+        sharedResidualFrame(s, d), e, q, "vec_id",
         "embedding", topK = 3, candK = 25, subDim = 8, cents, cbs,
         probes = 2, dim = 64)
-      val codes = graft.llm.Pq.ivfPqResidualTopKWith(e, q, "vec_id",
+      val codes = graft.llm.Pq.ivfPqResidualTopKOn(
+        sharedResidualFrame(s, d), q, "vec_id",
         "embedding", topK = 3, subDim = 8, cents, cbs, probes = 2,
         dim = 64)
       Similarity.recallAtK(exact, refined, k = 3)
@@ -1940,7 +2034,8 @@ object PipelineQueries {
       val q = e.filter(col("vec_id") < 10)
       val cents = sharedIvfTrainedCentroids(s, d)
       val exact = sharedExactL2Leg(s, d) // one exact leg serves both methods (and the whole eval family — memoized)
-      val resid = graft.llm.Pq.ivfPqResidualTopKWith(e, q, "vec_id",
+      val resid = graft.llm.Pq.ivfPqResidualTopKOn(
+        sharedResidualFrame(s, d), q, "vec_id",
         "embedding", topK = 3, subDim = 8, cents,
         sharedResidualCodebooks(s, d), probes = 2, dim = 64)
       val seeded = graft.llm.Pq.ivfAdcTopKTrained(e, q, "vec_id",
@@ -1969,13 +2064,19 @@ object PipelineQueries {
       val q = e.filter(col("vec_id") < 10)
       val cents = sharedIvfTrainedCentroids(s, d)
       val exact = sharedExactL2Leg(s, d) // one exact leg serves the sweep (and the whole eval family — memoized)
+      // r18: every grid leg trains from — and ADC-scans against — the
+      // ONE shared residual checkpoint: the (quantize → cell-assign →
+      // residual) frame is m/k-independent (dim = 64 throughout), so
+      // the legs genuinely differ only in their Lloyd runs and codebook
+      // layouts. Bit-identical trainings (LlmSpec pins the shared-frame
+      // path against trainResidualCodebooks).
+      val resFrame = sharedResidualFrame(s, d)
       ivfPqMkSweep.map { case (m, k) =>
         val cbs =
           if (m == 8 && k == 16) sharedResidualCodebooks(s, d)
-          else graft.llm.Pq.trainResidualCodebooks(Tables.embeddings(s, d),
-            "vec_id", "embedding", cents, m = m, k = k, subDim = 64 / m,
-            dim = 64, iters = 2)
-        val approx = graft.llm.Pq.ivfPqResidualTopKWith(e, q, "vec_id",
+          else graft.llm.Pq.trainCodebooks(resFrame,
+            "vec_id", "__res", m = m, k = k, subDim = 64 / m, iters = 2)
+        val approx = graft.llm.Pq.ivfPqResidualTopKOn(resFrame, q, "vec_id",
           "embedding", topK = 3, subDim = 64 / m, cents, cbs, probes = 2,
           dim = 64)
         Similarity.recallAtK(exact, approx, k = 3)
@@ -1999,11 +2100,16 @@ object PipelineQueries {
       // trainings it replaces — LlmSpec pins snapshot ≡ independent
       // run, and snapshot(2) ≡ the shared serving books): one init +
       // max(iters) rounds instead of one full training per leg.
-      val snaps = graft.llm.Pq.trainResidualCodebooksSnapshots(
-        Tables.embeddings(s, d), "vec_id", "embedding", cents,
-        m = 8, k = 16, subDim = 8, dim = 64, snapshots = ivfPqItersSweep)
+      // r18: the one Lloyd run (and each of its max(iters) rounds) and
+      // the per-leg ADC scans all read the shared residual checkpoint
+      // instead of re-deriving quantize+cell+residual from parquet per
+      // round (guide §1.2/§5) — values bit-identical, LlmSpec-pinned.
+      val resFrame = sharedResidualFrame(s, d)
+      val snaps = graft.llm.Pq.trainCodebooksSnapshots(
+        resFrame, "vec_id", "__res",
+        m = 8, k = 16, subDim = 8, snapshots = ivfPqItersSweep)
       ivfPqItersSweep.map { i =>
-        val approx = graft.llm.Pq.ivfPqResidualTopKWith(e, q, "vec_id",
+        val approx = graft.llm.Pq.ivfPqResidualTopKOn(resFrame, q, "vec_id",
           "embedding", topK = 3, subDim = 8, cents, snaps(i), probes = 2,
           dim = 64)
         Similarity.recallAtK(exact, approx, k = 3)
@@ -2031,7 +2137,8 @@ object PipelineQueries {
       val cents = sharedIvfTrainedCentroids(s, d)
       val cbs = sharedResidualCodebooks(s, d)
       val exact = sharedExactL2Leg(s, d) // one exact leg serves the sweep (and the whole eval family — memoized)
-      val ranked = graft.llm.Pq.ivfPqResidualTopKWith(e, q, "vec_id",
+      val ranked = graft.llm.Pq.ivfPqResidualTopKOn(
+        sharedResidualFrame(s, d), q, "vec_id",
         "embedding", topK = ivfPqCandKSweep.max, subDim = 8, cents, cbs,
         probes = 2, dim = 64)
         .localCheckpoint() // one ADC scan serves every leg
@@ -2662,7 +2769,7 @@ object PipelineQueries {
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
       ss.conf.set("spark.sql.files.maxPartitionBytes", "8m")
-      val maxUs = Tables.eventsUs(ss, d).agg(max(col("ts_us"))).head.getLong(0)
+      val maxUs = sharedMaxTsUs(s, d)
       graft.streaming.FileReplay.twoBatch(ss, s"$d/events.parquet",
         stream => stream
           .select(Tables.tsMicros(stream).as("ts_us"), col("event_type"),
@@ -2693,7 +2800,7 @@ object PipelineQueries {
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
       ss.conf.set("spark.sql.files.maxPartitionBytes", "8m")
-      val maxUs = Tables.eventsUs(ss, d).agg(max(col("ts_us"))).head.getLong(0)
+      val maxUs = sharedMaxTsUs(s, d)
       val reg = graft.streaming.FileReplay.twoBatch(ss, s"$d/events.parquet",
         stream => stream
           .select(Tables.tsMicros(stream).as("ts_us"), col("user_id"))
@@ -2725,7 +2832,7 @@ object PipelineQueries {
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
       ss.conf.set("spark.sql.files.maxPartitionBytes", "8m")
-      val maxUs = Tables.eventsUs(ss, d).agg(max(col("ts_us"))).head.getLong(0)
+      val maxUs = sharedMaxTsUs(s, d)
       val sink = graft.streaming.FileReplay.twoBatch(ss,
         s"$d/events.parquet",
         stream => {
@@ -2762,7 +2869,7 @@ object PipelineQueries {
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
       ss.conf.set("spark.sql.files.maxPartitionBytes", "8m")
-      val maxUs = Tables.eventsUs(ss, d).agg(max(col("ts_us"))).head.getLong(0)
+      val maxUs = sharedMaxTsUs(s, d)
       val (depth, width) = (3, 256)
       val sink = graft.streaming.FileReplay.twoBatch(ss,
         s"$d/events.parquet",
@@ -2819,7 +2926,7 @@ object PipelineQueries {
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
       ss.conf.set("spark.sql.files.maxPartitionBytes", "8m")
-      val maxUs = Tables.eventsUs(ss, d).agg(max(col("ts_us"))).head.getLong(0)
+      val maxUs = sharedMaxTsUs(s, d)
       val v = col("value")
       graft.streaming.FileReplay.twoBatch(ss, s"$d/events.parquet",
         stream => stream
@@ -2857,7 +2964,7 @@ object PipelineQueries {
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
       ss.conf.set("spark.sql.files.maxPartitionBytes", "8m")
-      val maxUs = Tables.eventsUs(ss, d).agg(max(col("ts_us"))).head.getLong(0)
+      val maxUs = sharedMaxTsUs(s, d)
       graft.streaming.FileReplay.twoBatch(ss, s"$d/events.parquet",
         stream => stream
           .select(Tables.tsMicros(stream).as("ts_us"), col("event_type"),
@@ -3150,8 +3257,7 @@ object PipelineQueries {
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
       ss.conf.set("spark.sql.files.maxPartitionBytes", "8m")
-      val maxId = Tables.documents(ss, d).agg(max(col("doc_id")))
-        .head.getLong(0)
+      val maxId = sharedMaxDocId(s, d)
       graft.streaming.FileReplay.twoBatch(ss, s"$d/documents.parquet",
         stream => stream
           .select(col("doc_id"),
@@ -3185,7 +3291,7 @@ object PipelineQueries {
       ss.conf.set("spark.sql.shuffle.partitions", "4")
       ss.conf.set("spark.sql.files.maxPartitionBytes", "8m")
       import ss.implicits._
-      val maxUs = Tables.eventsUs(ss, d).agg(max(col("ts_us"))).head.getLong(0)
+      val maxUs = sharedMaxTsUs(s, d)
       graft.streaming.FileReplay.twoBatch(ss, s"$d/events.parquet",
         stream => {
           val evs = stream
@@ -3436,14 +3542,13 @@ object PipelineQueries {
     // vocabulary — a driver loop, but each round is ONE distributed pass
     // over the (shrinking) vocab frame and the driver holds only the
     // argmax pair. The merge table IS the tokenizer. ----------------------
-    "bpe_train" -> ((s, d) =>
-      graft.llm.Bpe.train(Tables.documents(s, d), "text", merges = 6)),
+    "bpe_train" -> ((s, d) => sharedBpeTrain6(s, d)),
 
     // --- tokenize the corpus with the trained merges: map-only chained
     // replaces, no shuffle — the serving path of bpe_train --------------
     "bpe_segment" -> ((s, d) =>
       graft.llm.Bpe.segmentCorpus(Tables.documents(s, d), "text",
-        "doc_id", merges = 6)),
+        "doc_id", sharedBpeTable6(s, d))),
 
     // --- tokenizer fertility (BPE tokens per word) per language: the
     // multilingual-tokenizer-budget diagnostic — a high-fertility
@@ -3451,7 +3556,8 @@ object PipelineQueries {
     // over the map-only segmentation + one exact ppm division ------------
     "bpe_fertility" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      graft.llm.Bpe.segmentCorpus(docs, "text", "doc_id", merges = 6)
+      graft.llm.Bpe.segmentCorpus(docs, "text", "doc_id",
+        sharedBpeTable6(s, d))
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .groupBy("lang")
         .agg(sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
@@ -3624,7 +3730,7 @@ object PipelineQueries {
       //    expansion it replaces was exactly this product).
       //  - within ∪ cross is disjoint (same-sig vs different-sig pairs)
       //    and duplicate-free, so the old |distinct(pairs)| equals
-      //    n_within + n_cross (DedupSpec pins it against the old shape).
+      //    n_within + n_cross (LlmSpec pins it against the old shape).
       //  - n_hit is PAIRWISE-LOCAL (the embed_neardup_sizing argument):
       //    a truth pair is a candidate iff its two signatures share ≥1
       //    band hash — per-leg flags evaluate in ONE pass over the thin

@@ -159,6 +159,44 @@ class PqKernelsSpec extends SparkSpec {
       "PqEncode-assigned Lloyd round diverged from the old-forest round")
   }
 
+  test("r18 shared residual frame: training and ADC topK from a " +
+    "checkpointed residualFrame are bit-identical to the corpus-scan path") {
+    // the r18 sharing restructure (one localCheckpointed residual frame
+    // feeding the whole residual family + every Lloyd round) must not
+    // move a single value: pin trainCodebooks-on-frame against
+    // trainResidualCodebooks, at the serving layout AND an off-layout
+    // mk-sweep leg, and ivfPqResidualTopKOn against ...With row-for-row.
+    val e = Tables.embeddings(spark, sf001)
+    val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding",
+      k = 8, iters = 2, dim = 64)
+    val res = Pq.residualFrame(e, "vec_id", "embedding", cents, dim = 64)
+      .localCheckpoint()
+    val direct = Pq.trainResidualCodebooks(e, "vec_id", "embedding",
+      cents, m = 8, k = 16, subDim = 8, dim = 64, iters = 2)
+    val shared = Pq.trainCodebooks(res, "vec_id", "__res",
+      m = 8, k = 16, subDim = 8, iters = 2)
+    assert(direct.flatten.flatten == shared.flatten.flatten,
+      "shared-frame training diverged at the (8,16) serving layout")
+    val direct2 = Pq.trainResidualCodebooks(e, "vec_id", "embedding",
+      cents, m = 16, k = 16, subDim = 4, dim = 64, iters = 2)
+    val shared2 = Pq.trainCodebooks(res, "vec_id", "__res",
+      m = 16, k = 16, subDim = 4, iters = 2)
+    assert(direct2.flatten.flatten == shared2.flatten.flatten,
+      "shared-frame training diverged at the (16,16) mk-sweep layout")
+    val q = e.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(identity).toSeq
+    val withPath = rows(Pq.ivfPqResidualTopKWith(e, q, "vec_id",
+      "embedding", topK = 3, subDim = 8, cents, direct, probes = 2,
+      dim = 64))
+    val onPath = rows(Pq.ivfPqResidualTopKOn(res, q, "vec_id",
+      "embedding", topK = 3, subDim = 8, cents, shared, probes = 2,
+      dim = 64))
+    assert(withPath == onPath,
+      "ivfPqResidualTopKOn diverged from the corpus-scan path")
+  }
+
   test("trainCodebooksSnapshots: snapshot(i) is bit-identical to an " +
     "independent training run at depth i (Lloyd rounds nest)") {
     // the property ann_ivfpq_iters' one-run sweep rests on: the books
